@@ -1,0 +1,658 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import GraftQuery._
+
+/** The relational analytic surface (SURVEY.md §2.2, §7.3): scans, filters,
+  * projections, every join type, hash/sort aggregation, distinct,
+  * rollup/cube, window functions, sorts/limits/top-k, set operations,
+  * scalar function library — all as declarative DataFrame plans so
+  * Catalyst gets predicate pushdown, column pruning, partial aggregation
+  * and join-strategy selection for free; AQE handles skew/size at runtime.
+  *
+  * Scale notes baked into each plan:
+  *  - dimension tables (region/nation/part/supplier/customer) are
+  *    broadcast-joined explicitly where they'd always fit (< a few GB even
+  *    at 100 TB lineitem), eliminating shuffles of the fact table;
+  *  - aggregates are expressed groupBy->agg so map-side partial
+  *    aggregation happens before any shuffle;
+  *  - window queries partition by high-cardinality keys (user_id,
+  *    nationkey) so the shuffle distributes; no global single-partition
+  *    windows except bounded top-k which Spark plans as
+  *    TakeOrderedAndProject (no full sort).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // lit(1) as a narrow decimal so (1 - discount) stays exact & narrow
+  private def one = lit(1).cast(DecimalType(8, 6))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---------------------------------------------------------- aggregation
+    GraftQuery(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter(to_date($"l_shipdate") <= lit("1998-09-02").cast("date"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+            sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (one - decS($"l_discount")))
+              .cast(DecimalType(38, 6)).cast("double").as("sum_disc_price"),
+            sum(dec($"l_extendedprice") * (one - decS($"l_discount"))
+              * (one + decS($"l_tax"))).cast(DecimalType(38, 6))
+              .cast("double").as("sum_charge"),
+            (sum(dec($"l_quantity")).cast("double") / count(lit(1)))
+              .as("avg_qty"),
+            (sum(dec($"l_extendedprice")).cast("double") / count(lit(1)))
+              .as("avg_price"),
+            (sum(dec($"l_discount")).cast("double") / count(lit(1)))
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    GraftQuery(
+      "q02_revenue_filter",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter(to_date($"l_shipdate") >= lit("1996-01-01").cast("date")
+            && to_date($"l_shipdate") < lit("1997-01-01").cast("date")
+            && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
+            && $"l_quantity" < 24)
+          .agg(
+            sum(dec($"l_extendedprice") * decS($"l_discount"))
+              .cast(DecimalType(38, 6)).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ------------------------------------------------- scan/filter/project
+    GraftQuery(
+      "q03_scan_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" >= 49.0 && $"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_extendedprice")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity >= 49.0 AND l_returnflag = 'R'""")),
+
+    // ------------------------------------------------------------ joins
+    GraftQuery(
+      "q04_join_broadcast",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(
+            sum(dec($"l_extendedprice") * (one - decS($"l_discount")))
+              .cast(DecimalType(38, 6)).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT p_brand,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
+
+    GraftQuery(
+      "q05_join_multi",
+      (s, dir) => {
+        import s.implicits._
+        // TPC-H Q5 shape: fact table shuffles once per equi-key; all
+        // dimensions broadcast, so the only big exchange is the final
+        // groupBy on n_name (25 groups, map-side combined).
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA"
+            && to_date($"o_orderdate") >= lit("1996-01-01").cast("date")
+            && to_date($"o_orderdate") < lit("1998-01-01").cast("date"))
+          .groupBy($"n_name")
+          .agg(sum(dec($"l_extendedprice") * (one - decS($"l_discount")))
+            .cast(DecimalType(38, 6)).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT n_name,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY n_name""")),
+
+    GraftQuery(
+      "q06_join_semi",
+      (s, dir) => {
+        import s.implicits._
+        val bigOrders = t(s, dir, "orders")
+          .filter($"o_totalprice" > 150000.0).select($"o_custkey")
+        t(s, dir, "customer")
+          .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        GROUP BY c_mktsegment""")),
+
+    GraftQuery(
+      "q07_join_anti",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_customers_without_orders"))
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey""")),
+
+    GraftQuery(
+      "q08_join_left_outer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            coalesce(sum(dec($"o_totalprice")).cast("double"), lit(0.0))
+              .as("total_spend"))
+      },
+      Some("""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+          CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    GraftQuery(
+      "q09_join_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer").filter($"c_nationkey" < 15)
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val supp = t(s, dir, "supplier").filter($"s_nationkey" >= 10)
+          .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, $"c_nationkey" === $"s_nationkey", "full_outer")
+          .select(
+            coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+            $"n_cust", $"n_supp")
+      },
+      Some("""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               c.n_cust AS n_cust, s.n_supp AS n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+              WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+              WHERE s_nationkey >= 10 GROUP BY s_nationkey) s
+        ON c.c_nationkey = s.s_nationkey""")),
+
+    GraftQuery(
+      "q10_join_range",
+      (s, dir) => {
+        import s.implicits._
+        // equi-key + range predicate: Catalyst plans the equi part as the
+        // join key (hash/SMJ) and evaluates the range as a post-condition,
+        // so this stays a keyed join, not a cartesian, at any scale.
+        val o = t(s, dir, "orders")
+          .filter(to_date($"o_orderdate") >= lit("1996-01-01").cast("date")
+            && to_date($"o_orderdate") < lit("1996-07-01").cast("date"))
+        t(s, dir, "lineitem")
+          .join(o, $"l_orderkey" === $"o_orderkey"
+            && to_date($"l_shipdate") >= to_date($"o_orderdate")
+            && to_date($"l_shipdate") <= date_add(to_date($"o_orderdate"), 30))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_lines_shipped_within_30d"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_lines_shipped_within_30d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+          AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 30
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        GROUP BY o_orderpriority""")),
+
+    GraftQuery(
+      "q11_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        // As-of join expressed as a single partitioned window pass (no
+        // join at all): for every 'click', the value of the same user's
+        // most recent preceding 'purchase'. Scales as one shuffle on
+        // user_id; the reference's as-of analog is Tail/Seek (SURVEY §2).
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_purchase_value",
+            last(when($"event_type" === "purchase", $"value"),
+              ignoreNulls = true).over(w))
+          .filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"value",
+            $"last_purchase_value")
+      },
+      Some("""
+        SELECT event_id, user_id, value, last_purchase_value FROM (
+          SELECT event_id, user_id, event_type, value,
+            last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS last_purchase_value
+          FROM events) t
+        WHERE event_type = 'click'""")),
+
+    // ----------------------------------------------- distinct / rollup/cube
+    GraftQuery(
+      "q12_distinct_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_suppliers"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+          COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    GraftQuery(
+      "q13_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            sum(dec($"s_acctbal")).cast("double").as("total_acctbal"),
+            grouping($"r_name").cast("int").as("g_region"),
+            grouping($"n_name").cast("int").as("g_nation"))
+      },
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal,
+          CAST(GROUPING(r_name) AS INT) AS g_region,
+          CAST(GROUPING(n_name) AS INT) AS g_nation
+        FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""")),
+
+    GraftQuery(
+      "q14_cube",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec($"o_totalprice")).cast("double").as("total_price"),
+            grouping($"o_orderstatus").cast("int").as("g_status"),
+            grouping($"o_orderpriority").cast("int").as("g_priority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // ------------------------------------------------------------ windows
+    GraftQuery(
+      "q15_window_rank",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, dir, "customer")
+          .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .filter($"rn" <= 3)
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+            row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+            rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
+            dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS drnk
+          FROM customer) t
+        WHERE rn <= 3""")),
+
+    GraftQuery(
+      "q16_window_running",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select($"user_id", $"event_id",
+            sum(dec($"value")).over(w).cast("double").as("running_value"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value
+        FROM events""")),
+
+    GraftQuery(
+      "q17_window_lag_lead",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"event_id",
+            (dec($"value") - lag(dec($"value"), 1).over(w))
+              .cast("double").as("value_delta"),
+            lead($"event_id", 1).over(w).as("next_event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(CAST(value AS DECIMAL(18,6)) -
+               lag(CAST(value AS DECIMAL(18,6)), 1)
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE)
+            AS value_delta,
+          lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS next_event_id
+        FROM events""")),
+
+    GraftQuery(
+      "q18_window_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(-3, Window.currentRow)
+        t(s, dir, "events")
+          .select($"user_id", $"event_id",
+            sum(dec($"value")).over(w).cast("double").as("moving_sum"),
+            (sum(dec($"value")).over(w).cast("double") /
+              count(lit(1)).over(w)).as("moving_avg"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS moving_sum,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS moving_avg
+        FROM events""")),
+
+    // ------------------------------------------------------- sort / top-k
+    GraftQuery(
+      "q19_topk",
+      (s, dir) => {
+        import s.implicits._
+        // Spark plans orderBy+limit as TakeOrderedAndProject: each
+        // partition keeps its local top-10, only 10 rows/partition reach
+        // the driver — no global sort even at 100 TB.
+        t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(10)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ------------------------------------------------------------- set ops
+    GraftQuery(
+      "q20_union",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val b = t(s, dir, "customer")
+          .filter($"c_acctbal" < 0.0).select($"c_custkey")
+        a.union(b).distinct()
+      },
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0""")),
+
+    GraftQuery(
+      "q21_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val b = t(s, dir, "customer")
+          .filter($"c_acctbal" < 0.0).select($"c_custkey")
+        a.intersect(b)
+      },
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0""")),
+
+    GraftQuery(
+      "q22_except",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val b = t(s, dir, "customer")
+          .filter($"c_acctbal" < 0.0).select($"c_custkey")
+        a.except(b)
+      },
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0""")),
+
+    // ---------------------------------------------------- scalar functions
+    GraftQuery(
+      "q23_string_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .select($"p_partkey",
+            upper($"p_name").as("name_upper"),
+            length($"p_name").as("name_len"),
+            substring($"p_type", 1, 3).as("type_prefix"),
+            regexp_replace($"p_brand", "Brand#", "B").as("brand_short"),
+            concat($"p_type", lit("/"), $"p_brand").as("type_brand"),
+            split_part($"p_name", lit(" "), lit(1)).as("first_word"),
+            instr($"p_name", "widget").cast("long").as("widget_pos"))
+      },
+      Some("""
+        SELECT p_partkey,
+          upper(p_name) AS name_upper,
+          CAST(length(p_name) AS INT) AS name_len,
+          substring(p_type, 1, 3) AS type_prefix,
+          replace(p_brand, 'Brand#', 'B') AS brand_short,
+          concat(p_type, '/', p_brand) AS type_brand,
+          split_part(p_name, ' ', 1) AS first_word,
+          CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos
+        FROM part""")),
+
+    GraftQuery(
+      "q24_math_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 100 === 0)
+          .select($"l_orderkey", $"l_linenumber",
+            abs($"l_quantity" - 25.0).as("qty_dev"),
+            floor($"l_extendedprice").as("price_floor"),
+            ceil($"l_extendedprice").as("price_ceil"),
+            sqrt($"l_quantity").as("qty_sqrt"),
+            ($"l_orderkey" % 7).as("key_mod7"),
+            greatest($"l_quantity", $"l_discount" * 100).as("gr"),
+            least($"l_tax", $"l_discount").as("le"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          abs(l_quantity - 25.0) AS qty_dev,
+          CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+          CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+          sqrt(l_quantity) AS qty_sqrt,
+          l_orderkey % 7 AS key_mod7,
+          greatest(l_quantity, l_discount * 100) AS gr,
+          least(l_tax, l_discount) AS le
+        FROM lineitem WHERE l_orderkey % 100 = 0""")),
+
+    GraftQuery(
+      "q25_date_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter($"o_orderkey" % 50 === 0)
+          .select($"o_orderkey",
+            year($"o_orderdate").as("order_year"),
+            month($"o_orderdate").as("order_month"),
+            dayofmonth($"o_orderdate").as("order_day"),
+            date_trunc("month", $"o_orderdate").cast("date")
+              .as("order_month_start"),
+            datediff(to_date($"o_orderdate"),
+              lit("1995-01-01").cast("date")).cast("long")
+              .as("days_since_1995"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS order_year,
+          CAST(month(o_orderdate) AS INT) AS order_month,
+          CAST(day(o_orderdate) AS INT) AS order_day,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+          datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_1995
+        FROM orders WHERE o_orderkey % 50 = 0""")),
+
+    GraftQuery(
+      "q26_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(get_json_object($"props", "$.k").cast("long").as("k"),
+            $"value")
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+      },
+      Some("""
+        SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1""")),
+
+    GraftQuery(
+      "q27_array_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            size($"embedding").as("dim"),
+            element_at($"embedding", 1).as("first_component"),
+            array_max($"embedding").as("max_component"),
+            array_min($"embedding").as("min_component"))
+      },
+      Some("""
+        SELECT vec_id, label,
+          CAST(len(embedding) AS INT) AS dim,
+          embedding[1] AS first_component,
+          list_max(embedding) AS max_component,
+          list_min(embedding) AS min_component
+        FROM embeddings""")),
+
+    // ----------------------------------- stream-semantics analytics (river)
+    GraftQuery(
+      "q28_stream_tail",
+      (s, dir) => {
+        import s.implicits._
+        // river's Tail (SURVEY §2 R3) = argmax by sample index per stream.
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", $"value")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1""")),
+
+    GraftQuery(
+      "q29_stream_seek_scan",
+      (s, dir) => {
+        import s.implicits._
+        // river's Seek + bounded Read (SURVEY §2 R1/R4): offset-range scan.
+        t(s, dir, "events")
+          .filter($"event_id" >= 1000 && $"event_id" < 2000)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id >= 1000 AND event_id < 2000"""))
+  )
+}
