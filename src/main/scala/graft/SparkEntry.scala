@@ -12,7 +12,10 @@ object SparkEntry {
 
   /** Every declared query of the engine, grouped by module. */
   def allQueries: Seq[GraftQuery] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Dedup.all ++
+      graft.queries.Similarity.all ++
+      graft.queries.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

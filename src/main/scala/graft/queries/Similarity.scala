@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table.
+  *
+  * Shares the exact-decimal cosine machinery of [[Dedup]] (float ->
+  * double -> decimal(12,6) components; exact decimal dot/norm sums; one
+  * final double expression), so every query is DuckDB-oracle-checkable.
+  *
+  * Scale story:
+  *  - s01 brute-force is the correctness baseline: one shuffle keyed on
+  *    component position, then a per-query top-k window. At 100 TB you
+  *    only run it over candidate sets.
+  *  - s02 IVF restricts search to the best coarse cell (label centroids
+  *    here; k-means centroids in production) — probe cost drops by the
+  *    number of cells; centroids are tiny and broadcast.
+  *  - s03 sign-LSH buckets vectors by hyperplane-sign sketch so candidate
+  *    generation is a bucket equi-join (no all-pairs anywhere); Spark-only
+  *    (rows-only check) because the hyperplanes are jvm-seeded.
+  */
+object Similarity {
+
+  private val NQUERIES = 5 // vec_id < 5 act as the query set
+  private val TOPK = 10
+
+  /** vec_id, i, c: exact decimal(12,6) components of each vector. */
+  private def comp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", $"label", $"i",
+        $"x".cast("double").cast(DecimalType(12, 6)).as("c"))
+  }
+
+  private val sqlComp = """
+          SELECT vec_id, label,
+            unnest(range(len(embedding))) i,
+            CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) c
+          FROM embeddings"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------- brute-force top-k
+    GraftQuery(
+      "s01_knn_brute",
+      (s, dir) => {
+        import s.implicits._
+        val c = comp(s, dir)
+        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
+          .select($"vec_id", sqrt($"nrm2".cast("double")).as("nrm"))
+        val q = c.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"i", $"c".as("qc"))
+        val dot = q.join(c, Seq("i"))
+          .filter($"vec_id" =!= $"qid")
+          .groupBy($"qid", $"vec_id")
+          .agg(sum($"qc" * $"c").as("dot"))
+        val cos = dot
+          .join(norm.as("nq"), $"qid" === $"nq.vec_id")
+          .join(norm.as("nc"), dot("vec_id") === $"nc.vec_id")
+          .select($"qid", dot("vec_id").as("neighbor_id"),
+            ($"dot".cast("double") / ($"nq.nrm" * $"nc.nrm")).as("cosine"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        cos.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= TOPK)
+      },
+      Some(s"""
+        WITH comp AS ($sqlComp),
+        nrm AS (
+          SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT q.vec_id qid, c.vec_id neighbor_id, SUM(q.c * c.c) dot
+          FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.neighbor_id,
+            CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cos) t
+        WHERE rank <= $TOPK""")),
+
+    // -------------------------------------------------------- IVF probe
+    GraftQuery(
+      "s02_knn_ivf",
+      (s, dir) => {
+        import s.implicits._
+        // IVF: coarse cells = labels; centroid = per-cell component SUM
+        // (cosine is scale-invariant, so sum == mean for cell routing, and
+        // sums stay exact decimals — no division anywhere).
+        val c = comp(s, dir)
+        val cent = c.groupBy($"label", $"i")
+          .agg(sum($"c").cast(DecimalType(20, 6)).as("cc"))
+        val centNorm = cent.groupBy($"label").agg(sum($"cc" * $"cc").as("n2"))
+          .select($"label".as("cl"), sqrt($"n2".cast("double")).as("cnrm"))
+        val q = c.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"), $"i",
+            $"c".as("qc"))
+        // route each query to its best cell (centroids are tiny: broadcast)
+        val qcent = q.join(broadcast(cent), Seq("i"))
+          .groupBy($"qid", $"label").agg(sum($"qc" * $"cc").as("dot"))
+          .join(broadcast(centNorm), $"label" === $"cl")
+          .select($"qid", $"label",
+            ($"dot".cast("double") / $"cnrm").as("score"))
+        val wq = Window.partitionBy($"qid")
+          .orderBy($"score".desc, $"label".asc)
+        val routed = qcent.withColumn("rn", row_number().over(wq))
+          .filter($"rn" === 1).select($"qid", $"label".as("cell"))
+        // exact search within the routed cell only
+        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
+          .select($"vec_id".as("nv"), sqrt($"nrm2".cast("double")).as("nrm"))
+        val cells = c.join(broadcast(routed), c("label") === routed("cell"))
+          .filter($"vec_id" =!= $"qid")
+        val dot = cells.as("cc").join(q.as("qq"),
+            $"cc.i" === $"qq.i" && $"cc.qid" === $"qq.qid")
+          .groupBy($"cc.qid", $"cc.cell", $"cc.vec_id")
+          .agg(sum($"qq.qc" * $"cc.c").as("dot"))
+        val qnorm = norm.withColumnRenamed("nv", "qv")
+          .withColumnRenamed("nrm", "qnrm")
+        val cos = dot
+          .join(norm, $"vec_id" === $"nv")
+          .join(qnorm, $"qid" === $"qv")
+          .select($"qid", $"cell", $"vec_id".as("neighbor_id"),
+            ($"dot".cast("double") / ($"qnrm" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        cos.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= lit(5))
+      },
+      Some(s"""
+        WITH comp AS ($sqlComp),
+        cent AS (
+          SELECT label, i, CAST(SUM(c) AS DECIMAL(20,6)) cc
+          FROM comp GROUP BY label, i
+        ),
+        centnrm AS (
+          SELECT label, sqrt(CAST(SUM(cc * cc) AS DOUBLE)) cnrm
+          FROM cent GROUP BY label
+        ),
+        q AS (
+          SELECT vec_id qid, i, c qc FROM comp WHERE vec_id < $NQUERIES
+        ),
+        qcent AS (
+          SELECT q.qid, ct.label,
+            CAST(SUM(q.qc * ct.cc) AS DOUBLE) / ANY_VALUE(cn.cnrm) AS score
+          FROM q JOIN cent ct ON q.i = ct.i
+            JOIN centnrm cn ON cn.label = ct.label
+          GROUP BY q.qid, ct.label
+        ),
+        routed AS (
+          SELECT qid, label AS cell FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY score DESC, label ASC) rn
+            FROM qcent) t
+          WHERE rn = 1
+        ),
+        nrm AS (
+          SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT q.qid, r.cell, c.vec_id, SUM(q.qc * c.c) dot
+          FROM routed r
+            JOIN comp c ON c.label = r.cell
+            JOIN q ON q.i = c.i AND q.qid = r.qid
+          WHERE c.vec_id <> q.qid
+          GROUP BY 1, 2, 3
+        ),
+        cos AS (
+          SELECT d.qid, d.cell, d.vec_id neighbor_id,
+            CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.vec_id
+        )
+        SELECT qid, cell, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cos) t
+        WHERE rank <= 5""")),
+
+    // -------------------------------------------- sign-LSH bucketed ANN
+    GraftQuery(
+      "s03_knn_lsh",
+      (s, dir) => {
+        import s.implicits._
+        // Random-hyperplane LSH: 12-bit sign sketch from deterministic
+        // md5-derived hyperplanes; vectors sharing a query's bucket (or a
+        // 1-bit-flip neighbor bucket: multiprobe) are candidates, then
+        // exact cosine re-rank. Spark-only (rows-only driver check): the
+        // planes come from jvm-side md5 of (plane, component) — portable
+        // in principle, but the 12x64 plane-join SQL adds nothing to the
+        // oracle story beyond s01/s02.
+        val NP = 12
+        val c = comp(s, dir)
+        // hyperplane component p_{k,i} in [-0.5, 0.5): derived from md5
+        val planes = s.range(NP.toLong).select($"id".cast("int").as("k"))
+          .crossJoin(s.range(64).select($"id".cast("int").as("i")))
+          .select($"k", $"i",
+            (conv(substring(md5(concat($"k", lit(":"), $"i")), 1, 8), 16, 10)
+              .cast("long").cast("double") / lit(4294967296.0) - lit(0.5))
+              .as("p"))
+        // sketch: sign bits of the NP plane dot products
+        val dots = c.join(broadcast(planes), Seq("i"))
+          .groupBy($"vec_id", $"k")
+          .agg(sum($"c".cast("double") * $"p").as("pd"))
+        val sig = dots.groupBy($"vec_id")
+          .agg(sum(when($"pd" >= 0, expr("shiftleft(1L, k)"))
+            .otherwise(lit(0L))).as("bucket"))
+        val q = sig.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"bucket".as("qbucket"))
+        // multiprobe: query bucket + all 1-bit flips
+        val probes = q.select($"qid", explode(array(
+          $"qbucket" +: (0 until NP).map(b =>
+            $"qbucket".bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
+          .distinct()
+        val cand = probes.join(sig, Seq("bucket"))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id").distinct()
+        // exact cosine re-rank of candidates
+        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
+          .select($"vec_id".as("nv"), sqrt($"nrm2".cast("double")).as("nrm"))
+        val qc = c.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("cqid"), $"i", $"c".as("qc"))
+        val dot = cand.join(c, Seq("vec_id"))
+          .join(qc, $"qid" === $"cqid" && c("i") === qc("i"))
+          .groupBy($"qid", $"vec_id").agg(sum($"qc" * $"c").as("dot"))
+        val cos = dot
+          .join(norm, $"vec_id" === $"nv")
+          .join(norm.withColumnRenamed("nv", "qv")
+            .withColumnRenamed("nrm", "qnrm"), $"qid" === $"qv")
+          .select($"qid", $"vec_id".as("neighbor_id"),
+            ($"dot".cast("double") / ($"qnrm" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        cos.withColumn("rank", row_number().over(w)).filter($"rank" <= TOPK)
+      },
+      None)
+  )
+}

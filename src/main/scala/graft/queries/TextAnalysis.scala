@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, document fingerprinting — the
+  * per-document scoring passes of a training-data pipeline.
+  *
+  * All of these are embarrassingly parallel map-side scans (no shuffle
+  * except the final small aggregations), so they scale linearly; the
+  * interesting part is keeping every expression engine-portable so the
+  * DuckDB oracle hash-matches (single final double divisions, md5-only
+  * hashing, regex kept to a dialect-neutral subset).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Tiny per-language marker lexicon for the n-gram/stopword language-ID
+    * heuristic. Deterministic toy lexicon over the synthetic corpus vocab;
+    * in production this is a few hundred character n-grams per language.
+    */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "in" -> "en",
+    "data" -> "de", "stream" -> "de", "batch" -> "de", "key" -> "de",
+    "query" -> "es", "row" -> "es", "table" -> "es", "scan" -> "es",
+    "join" -> "fr", "merge" -> "fr", "sort" -> "fr", "group" -> "fr",
+    "fast" -> "zh", "slow" -> "zh", "small" -> "zh", "value" -> "zh")
+
+  private def sqlLexicon: String =
+    lexicon.map { case (w, l) => s"('$w', '$l')" }.mkString(", ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "is", "to")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // -------------------------------------------------------- language ID
+    GraftQuery(
+      "t01_langid",
+      (s, dir) => {
+        import s.implicits._
+        // marker-token voting: explode tokens, broadcast-join the lexicon,
+        // count votes per (doc, lang), argmax with lang-asc tiebreak.
+        val lex = s.createDataFrame(lexicon).toDF("w", "cand_lang")
+        val tok = docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+        val votes = tok.join(broadcast(lex), Seq("w"))
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy($"votes".desc, $"cand_lang".asc)
+        votes.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"cand_lang".as("pred_lang"), $"votes")
+      },
+      Some(s"""
+        WITH lex(w, cand_lang) AS (VALUES $sqlLexicon),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        votes AS (
+          SELECT t.doc_id, l.cand_lang, COUNT(*) votes
+          FROM tok t JOIN lex l ON t.w = l.w
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, cand_lang AS pred_lang, votes FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY votes DESC, cand_lang ASC) rn
+          FROM votes) t
+        WHERE rn = 1""")),
+
+    // ----------------------------------------------------- quality scoring
+    GraftQuery(
+      "t02_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val ws = split($"text", " ")
+        val stopArr = array(stopwords.map(lit): _*)
+        val nWords = size(ws)
+        val nStop = size(filter(ws, w => array_contains(stopArr, w)))
+        val nDistinct = size(array_distinct(ws))
+        docs(s, dir).select(
+          $"doc_id",
+          $"n_chars",
+          nWords.cast("long").as("n_words"),
+          // mean word length: single double division, engine-identical
+          (($"n_chars" - (nWords - lit(1))).cast("double") / nWords)
+            .as("mean_word_len"),
+          (nStop.cast("double") / nWords).as("stopword_ratio"),
+          (nDistinct.cast("double") / nWords).as("type_token_ratio"),
+          // composite quality flag: cheap boolean heuristics
+          ($"n_chars" >= 100 && nWords >= lit(20) &&
+            (nDistinct.cast("double") / nWords) > 0.3).as("is_quality"))
+      },
+      Some {
+        val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+        s"""
+        SELECT doc_id, n_chars,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_word_len,
+          CAST(len(list_filter(ws, w -> w IN ($stopList))) AS DOUBLE) / len(ws)
+            AS stopword_ratio,
+          CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+            AS type_token_ratio,
+          (n_chars >= 100 AND len(ws) >= 20 AND
+            CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3)
+            AS is_quality
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') ws
+              FROM documents)"""
+      }),
+
+    // ------------------------------------------------------ token counting
+    GraftQuery(
+      "t03_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        // whitespace tokens + a BPE-ish regex segmentation (letter runs /
+        // digit runs / single other chars — dialect-neutral regex) + a
+        // crude chars/4 "llm token" estimate.
+        docs(s, dir).select(
+          $"doc_id",
+          size(split($"text", " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("re_tokens"),
+          floor($"n_chars" / 4).cast("long").as("est_llm_tokens"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS BIGINT) AS re_tokens,
+          CAST(floor(n_chars / 4) AS BIGINT) AS est_llm_tokens
+        FROM documents""")),
+
+    GraftQuery(
+      "t04_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        // corpus-level vocabulary: top-20 tokens by frequency. Map-side
+        // partial aggregation then a 20-row TakeOrdered — no full sort.
+        docs(s, dir)
+          .select(explode(split($"text", " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w".asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 20""")),
+
+    // -------------------------------------------------- doc fingerprinting
+    GraftQuery(
+      "t05_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        // two fingerprints per doc: full-content md5 (exact dedup key) and
+        // a winnowing-style min-shingle fingerprint (stable under small
+        // edits: the min 8-gram hash usually survives a few changed words,
+        // so near-identical docs collide). Rolling-hash winnowing at scale
+        // keeps one min per window; the min-over-all-shingles variant here
+        // is its coarsest setting and stays engine-portable.
+        val ws = split($"text", " ")
+        val sh8 = when(size(ws) >= 8,
+          array_distinct(transform(
+            sequence(lit(0), size(ws) - lit(8)),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(8))))))
+          .otherwise(array(concat_ws(" ", ws)))
+        docs(s, dir).select(
+          $"doc_id",
+          md5($"text").as("fp_exact"),
+          array_min(transform(sh8, g => md5(g))).as("fp_winnow"))
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS fp_exact,
+          list_min(list_transform(
+            CASE WHEN len(ws) >= 8
+              THEN list_distinct([array_to_string(ws[i+1:i+8], ' ')
+                                  for i in range(len(ws)-7)])
+              ELSE [array_to_string(ws, ' ')] END,
+            g -> md5(g))) AS fp_winnow
+        FROM (SELECT doc_id, text, string_split(text, ' ') ws
+              FROM documents)""")),
+
+    GraftQuery(
+      "t06_fingerprint_clusters",
+      (s, dir) => {
+        import s.implicits._
+        // near-dup clusters = docs sharing a winnow fingerprint; the
+        // groupBy key is an md5 (uniform), so the shuffle cannot skew.
+        val ws = split($"text", " ")
+        val sh8 = when(size(ws) >= 8,
+          array_distinct(transform(
+            sequence(lit(0), size(ws) - lit(8)),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(8))))))
+          .otherwise(array(concat_ws(" ", ws)))
+        docs(s, dir)
+          .select($"doc_id",
+            array_min(transform(sh8, g => md5(g))).as("fp_winnow"))
+          .groupBy($"fp_winnow")
+          .agg(count(lit(1)).as("cluster_size"),
+            min($"doc_id").as("keep_doc_id"))
+          .filter($"cluster_size" >= 2)
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id,
+            list_min(list_transform(
+              CASE WHEN len(ws) >= 8
+                THEN list_distinct([array_to_string(ws[i+1:i+8], ' ')
+                                    for i in range(len(ws)-7)])
+                ELSE [array_to_string(ws, ' ')] END,
+              g -> md5(g))) AS fp_winnow
+          FROM (SELECT doc_id, text, string_split(text, ' ') ws
+                FROM documents))
+        SELECT fp_winnow, COUNT(*) AS cluster_size,
+               MIN(doc_id) AS keep_doc_id
+        FROM fp GROUP BY fp_winnow HAVING COUNT(*) >= 2"""))
+  )
+}
