@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Dedup.all ++
       graft.queries.Similarity.all ++
-      graft.queries.TextAnalysis.all
+      graft.queries.TextAnalysis.all ++
+      graft.queries.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal sample: an opaque binary payload + typed metadata.
+  *
+  * This mirrors how a 100 TB multimodal corpus is actually laid out:
+  * media bytes ride along as a `binary` column inside parquet (or as
+  * pointers into an object store), and ALL Spark-side logic — schemas,
+  * partitioning, batch iteration — treats them as opaque until a
+  * worker-local codec decodes them.
+  */
+final case class MediaSample(
+    doc_id: Long,
+    media_type: String, // image | audio | video
+    content: Array[Byte])
+
+/** Decoded per-sample features (the output of the extract pass). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    size_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    // 16-bin byte histogram of the payload — stands in for an embedding
+    histogram: Array[Long])
+
+/** Multimodal column plumbing with a STUBBED codec layer.
+  *
+  * The container has no image/audio libraries, so `decodeStub` is a
+  * clearly-marked deterministic fake; everything around it — the binary
+  * column synthesis, the `mapPartitions` batch iteration (the Scala
+  * analog of `mapInPandas`: one iterator pass per partition, no
+  * per-row UDF dispatch), the schema and partitioning — is real and
+  * would be unchanged with a real codec swapped in.
+  *
+  * Scale notes: media rows are wide (payload-dominated), so the extract
+  * pass repartitions by byte budget, not row count; decode is per-row
+  * CPU-bound work that pipelines inside a single partition iterator with
+  * zero shuffle.
+  */
+object MediaPipeline {
+
+  /** Fake "header decode": reads dimensions from the leading bytes.
+    * STUB — replace with a real codec (javax.imageio / ffmpeg JNI); the
+    * signature (bytes => metadata) is the real contract.
+    */
+  def decodeStub(mediaType: String, content: Array[Byte]): (Int, Int, Int) = {
+    def b(i: Int): Int = if (content.length > i) content(i) & 0xff else 0
+    val width = 64 + (b(0) * 7 + b(1)) % 1024
+    val height = 64 + (b(2) * 5 + b(3)) % 768
+    val frames = mediaType match {
+      case "video" => 1 + b(4) % 120
+      case "audio" => 1 + b(4) % 16
+      case _       => 1
+    }
+    (width, height, frames)
+  }
+
+  /** Deterministic frame sampling: every `stride`-th 64-byte block. */
+  def frameSample(content: Array[Byte], stride: Int): Seq[Array[Byte]] =
+    content.grouped(64).zipWithIndex
+      .collect { case (blk, i) if i % stride == 0 => blk }
+      .toSeq
+
+  /** Synthesize a media table from `documents` (the testdata has no real
+    * binaries): payload = utf8 bytes of the text, media_type from doc_id.
+    * In production this is simply `spark.read.parquet(mediaDir)`.
+    */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** The extract pass: batch-iterate each partition, decode, emit
+    * features. No shuffle; scales with input partitions.
+    */
+  def extract(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaSample].mapPartitions { it =>
+      it.map { s =>
+        val (w, h, f) = decodeStub(s.media_type, s.content)
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < s.content.length) {
+          hist((s.content(i) & 0xff) / 16) += 1
+          i += 1
+        }
+        MediaFeatures(s.doc_id, s.media_type, s.content.length.toLong,
+          w, h, f, hist)
+      }
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payloads + typed metadata, decode /
+  * frame-sample plumbing (see [[graft.multimodal.MediaPipeline]]).
+  */
+object Multimodal {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "m01_media_meta",
+      (s, dir) => {
+        import s.implicits._
+        // metadata + content addressing over opaque binary columns:
+        // size, content hash, and a deterministic "frame 0" slice hash.
+        // Pure column expressions — whole-stage codegen, no UDFs.
+        val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
+        media.select(
+          $"doc_id", $"media_type",
+          length($"content").cast("long").as("size_bytes"),
+          md5($"content").as("content_md5"),
+          md5(substring($"content", 1, 64)).as("frame0_md5"))
+      },
+      Some("""
+        SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+          CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+          -- corpus is pure ASCII: md5 over chars == md5 over utf8 bytes
+          md5(text) AS content_md5,
+          md5(substring(text, 1, 64)) AS frame0_md5
+        FROM documents""")),
+
+    GraftQuery(
+      "m02_media_features",
+      (s, dir) => {
+        import s.implicits._
+        // the stubbed decode + feature-extract pass (mapPartitions batch
+        // iteration). Spark-only: the codec stub is jvm-side, so the
+        // driver applies its weaker rows-only check here.
+        val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
+        MediaPipeline.extract(s, media).toDF()
+          .select($"doc_id", $"media_type", $"size_bytes",
+            $"width", $"height", $"n_frames",
+            element_at($"histogram", 1).as("hist_bin0"),
+            aggregate($"histogram", lit(0L), (a, x) => a + x).as("hist_total"))
+      },
+      None),
+
+    GraftQuery(
+      "m03_media_agg",
+      (s, dir) => {
+        import s.implicits._
+        // corpus stats per modality over the binary column — the "how much
+        // of each media type do we have" pass every pipeline runs first.
+        val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
+        media.groupBy($"media_type")
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(length($"content")).cast("long").as("total_bytes"),
+            max(length($"content")).cast("long").as("max_bytes"),
+            min(length($"content")).cast("long").as("min_bytes"))
+      },
+      Some("""
+        SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+          COUNT(*) AS n_samples,
+          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+          CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes
+        FROM documents GROUP BY 1"""))
+  )
+}
