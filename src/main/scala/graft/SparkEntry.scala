@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Dedup.all ++
       graft.queries.Similarity.all ++
       graft.queries.TextAnalysis.all ++
-      graft.queries.Multimodal.all
+      graft.queries.Multimodal.all ++
+      graft.queries.River.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,389 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.core._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `river` format: a stream in a [[graft.core.StreamStore]]
+  * exposed as a Spark table, batch + micro-batch.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("river")
+  *     .option("root", storeDir).option("stream", name).load()
+  *   spark.readStream.format("river")... // micro-batch incremental
+  *   df.write.format("river").mode("append")... // single-writer append
+  * }}}
+  *
+  * Table shape = derived columns + user schema, matching the reference
+  * ingester's parquet layout (ingester.cpp:727-764): `sample_index
+  * long, key string, timestamp_ms long, <user fields...>`.
+  *
+  * Scale design: one input partition per segment file (the reference
+  * chain's analog of Redis keys, SURVEY §3.2) — a long stream reads in
+  * parallel, something the reference's single cursor cannot do. Column
+  * pruning happens in the reader (packed-row offsets are skipped, not
+  * decoded); sample_index range filters prune whole segments.
+  */
+class RiverDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "river"
+
+  private def store(opts: CaseInsensitiveStringMap) =
+    new StreamStore(java.nio.file.Paths.get(
+      Option(opts.get("root")).getOrElse(
+        throw new IllegalArgumentException("river: missing option 'root'"))))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val name = Option(options.get("stream")).getOrElse(
+      throw new IllegalArgumentException("river: missing option 'stream'"))
+    RiverTable.fullSchema(store(options).metadata(name).schema)
+  }
+
+  /** The write path hands us the dataframe's schema for a stream that
+    * does not exist yet (stream DDL = first write).
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val name = Option(opts.get("stream")).getOrElse(
+      throw new IllegalArgumentException("river: missing option 'stream'"))
+    new RiverTable(opts.get("root"), name, Option(schema))
+  }
+}
+
+object RiverTable {
+  val DerivedFields: Seq[StructField] = Seq(
+    StructField("sample_index", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false))
+
+  def fullSchema(rs: RiverSchema): StructType =
+    StructType(DerivedFields ++ rs.toStructType.fields)
+}
+
+class RiverTable(rootPath: String, streamName: String,
+    externalSchema: Option[StructType] = None)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def store = new StreamStore(java.nio.file.Paths.get(rootPath))
+  private def exists = store.streamExists(streamName)
+  private lazy val riverSchema = store.metadata(streamName).schema
+
+  override def name(): String = s"river.$streamName"
+
+  /** Existing stream: derived + stored user schema. New stream (write
+    * path): the incoming dataframe's schema verbatim.
+    */
+  override def schema(): StructType =
+    if (exists) RiverTable.fullSchema(riverSchema)
+    else externalSchema.getOrElse(
+      throw new IllegalArgumentException(s"no such stream: $streamName"))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RiverScanBuilder(rootPath, streamName, riverSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val rs =
+      if (exists) riverSchema
+      else RiverSchema.fromStructType(info.schema())
+    new RiverWriteBuilder(rootPath, streamName, rs, info.schema())
+  }
+}
+
+class RiverScanBuilder(root: String, stream: String, rs: RiverSchema)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = RiverTable.fullSchema(rs)
+  private var idxLo: Long = Long.MinValue
+  private var idxHi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept sample_index bounds for segment pruning; everything is also
+    * returned as residual so Spark re-evaluates exactly (we only use the
+    * bounds to SKIP whole segments, never to claim row-level filtering).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThan("sample_index", v: Long) => idxLo = math.max(idxLo, v + 1)
+      case GreaterThanOrEqual("sample_index", v: Long) => idxLo = math.max(idxLo, v)
+      case LessThan("sample_index", v: Long) => idxHi = math.min(idxHi, v - 1)
+      case LessThanOrEqual("sample_index", v: Long) => idxHi = math.min(idxHi, v)
+      case EqualTo("sample_index", v: Long) =>
+        idxLo = math.max(idxLo, v); idxHi = math.min(idxHi, v)
+      case _ =>
+    }
+    pushed = filters.filter {
+      case GreaterThan("sample_index", _) | GreaterThanOrEqual("sample_index", _) |
+           LessThan("sample_index", _) | LessThanOrEqual("sample_index", _) |
+           EqualTo("sample_index", _) => true
+      case _ => false
+    }
+    filters // all residual: exact row-level evaluation stays with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new RiverScan(root, stream, rs, required, idxLo, idxHi)
+}
+
+/** (segment idx, byte range) unit of parallel work. */
+case class RiverInputPartition(
+    root: String, stream: String, segIdx: Long,
+    fromPos: Long, toPos: Long) extends InputPartition
+
+class RiverScan(
+    root: String, stream: String, rs: RiverSchema,
+    required: StructType, idxLo: Long, idxHi: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = new StreamStore(java.nio.file.Paths.get(root))
+    val segs = st.segments(stream)
+    // segment-level pruning on sample_index bounds: peek the first
+    // entry's index of each segment (one tiny read per segment at plan
+    // time; at scale these bounds live in a manifest).
+    val firstIdx: Map[Long, Long] = segs.flatMap { i =>
+      SegmentCodec.readAll(st.segmentFile(stream, i)).headOption
+        .map(e => i -> e.sampleIndex)
+    }.toMap
+    val kept = segs.zipWithIndex.filter { case (seg, pos) =>
+      val lo = firstIdx.getOrElse(seg, Long.MaxValue)
+      val hi = segs.lift(pos + 1).flatMap(firstIdx.get)
+        .map(_ - 1).getOrElse(Long.MaxValue)
+      lo <= idxHi && hi >= idxLo
+    }.map(_._1)
+    kept.map { i =>
+      RiverInputPartition(root, stream, i, 0L,
+        st.segmentFile(stream, i).length()): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RiverReaderFactory(rs, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RiverMicroBatchStream(root, stream, rs, required)
+}
+
+/** Offset = position after the last consumed byte of the last segment. */
+case class RiverOffset(segIdx: Long, pos: Long) extends Offset {
+  override def json(): String = s"""{"seg":$segIdx,"pos":$pos}"""
+}
+object RiverOffset {
+  def fromJson(j: String): RiverOffset = {
+    val seg = """"seg"\s*:\s*(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    RiverOffset(seg, pos)
+  }
+}
+
+class RiverMicroBatchStream(
+    root: String, stream: String, rs: RiverSchema, required: StructType)
+  extends MicroBatchStream {
+
+  private def store = new StreamStore(java.nio.file.Paths.get(root))
+
+  override def initialOffset(): Offset = RiverOffset(
+    store.segments(stream).headOption.getOrElse(0L), 0L)
+
+  override def latestOffset(): Offset = {
+    val st = store
+    val segs = st.segments(stream)
+    if (segs.isEmpty) RiverOffset(0L, 0L)
+    else RiverOffset(segs.last, st.segmentFile(stream, segs.last).length())
+  }
+
+  override def deserializeOffset(json: String): Offset = RiverOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RiverOffset]
+    val e = end.asInstanceOf[RiverOffset]
+    val st = store
+    store.segments(stream)
+      .filter(i => i >= s.segIdx && i <= e.segIdx)
+      .flatMap { i =>
+        val from = if (i == s.segIdx) s.pos else 0L
+        val to =
+          if (i == e.segIdx) e.pos
+          else st.segmentFile(stream, i).length() // closed segment: final
+        if (to > from)
+          Some(RiverInputPartition(root, stream, i, from, to): InputPartition)
+        else None
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RiverReaderFactory(rs, required)
+
+  /** Commit hook: the delete-behind trim lives here in a full deployment
+    * (reference I7, ingester.cpp:424-490) — retention is driven by the
+    * ingester in this codebase (graft.ingest.Ingester), so the source
+    * itself leaves segments in place.
+    */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class RiverReaderFactory(rs: RiverSchema, required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RiverPartitionReader(p.asInstanceOf[RiverInputPartition], rs, required)
+}
+
+/** Decodes one segment byte-range into pruned InternalRows. */
+class RiverPartitionReader(
+    p: RiverInputPartition, rs: RiverSchema, required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val codec = new RowCodec(rs)
+  private val store = new StreamStore(java.nio.file.Paths.get(p.root))
+  private val entries = SegmentCodec
+    .readAll(store.segmentFile(p.stream, p.segIdx), p.fromPos)
+    .iterator
+    .filter(_.kind == StreamEntry.Data)
+  // column projection plan: for each required field, either a derived
+  // column tag or the user-field position
+  private val fieldPlan: Array[Either[Int, Int]] = required.fields.map { f =>
+    f.name match {
+      case "sample_index" => Left(0)
+      case "key"          => Left(1)
+      case "timestamp_ms" => Left(2)
+      case n              => Right(rs.fields.indexWhere(_.name == n))
+    }
+  }
+  private var consumed = 0L
+  private val budget = p.toPos - p.fromPos
+  private var current: StreamEntry = _
+
+  override def next(): Boolean = {
+    var ok = false
+    while (!ok && entries.hasNext && consumed < budget) {
+      val e = entries.next()
+      // byte budget accounting approximates by frame size
+      consumed += SegmentCodec.HeaderBytes + e.payload.length
+      current = e
+      ok = true
+    }
+    ok
+  }
+
+  override def get(): InternalRow = {
+    val vals = codec.unpack(current.payload)
+    InternalRow.fromSeq(fieldPlan.toSeq.map {
+      case Left(0) => current.sampleIndex
+      case Left(1) => UTF8String.fromString(current.key.render)
+      case Left(2) => current.key.ms
+      case Right(i) if i >= 0 => vals(i) match {
+        case s: String => UTF8String.fromString(s)
+        case v         => v
+      }
+      case _ => null
+    })
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------- write
+
+class RiverWriteBuilder(
+    root: String, stream: String, rs: RiverSchema, input: StructType)
+  extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new RiverBatchWrite(root, stream, rs, input)
+  }
+}
+
+/** Single-writer append: river streams have exactly one writer
+  * (writer.cpp:55-60), so the physical write is funneled through one
+  * task — callers `coalesce(1)` (documented tradeoff, SURVEY §7.5#1).
+  * Rows must arrive in user-field order matching the stream schema.
+  */
+class RiverBatchWrite(
+    root: String, stream: String, rs: RiverSchema, input: StructType)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(info.numPartitions() == 1,
+      s"river sink requires a single partition (single-writer stream); " +
+        s"got ${info.numPartitions()}; coalesce(1) before writing")
+    new RiverDataWriterFactory(root, stream, rs, input)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class RiverDataWriterFactory(
+    root: String, stream: String, rs: RiverSchema, input: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RiverDataWriter(root, stream, rs, input)
+}
+
+class RiverDataWriter(
+    root: String, stream: String, rs: RiverSchema, input: StructType)
+  extends DataWriter[InternalRow] {
+
+  private val store = new StreamStore(java.nio.file.Paths.get(root))
+  private val writer: StreamWriter =
+    if (store.streamExists(stream)) {
+      // append path: re-open (the facade enforces the single-writer lock)
+      sys.error(s"river sink: stream $stream already exists; " +
+        "streams are single-writer append-only — write once, or use the facade")
+    } else store.createStream(stream, rs)
+  private val fieldIdx: Array[Int] =
+    rs.fields.map(f => input.fieldIndex(f.name)).toArray
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+
+  override def write(row: InternalRow): Unit = {
+    val vals: Seq[Any] = rs.fields.zip(fieldIdx.toSeq).map { case (f, i) =>
+      f.tpe match {
+        case RiverType.Double64           => row.getDouble(i)
+        case RiverType.Float32            => row.getFloat(i)
+        case RiverType.Int16              => row.getShort(i)
+        case RiverType.Int32              => row.getInt(i)
+        case RiverType.Int64              => row.getLong(i)
+        case RiverType.FixedWidthBytes(_) => row.getBinary(i)
+        case RiverType.VariableWidthBytes(_) => row.getBinary(i)
+      }
+    }
+    buf += vals
+    if (buf.size >= 1536) flush() // reference writer batch_size (writer.h:84)
+  }
+
+  private def flush(): Unit = { if (buf.nonEmpty) { writer.write(buf.toSeq); buf.clear() } }
+
+  override def commit(): WriterCommitMessage = {
+    flush(); writer.stop()
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = { buf.clear() }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,476 @@
+package graft.core
+
+import java.io.{File, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+
+/** Entry key, modeled on Redis stream entry IDs `"<ms>-<seq>"`
+  * (cpp/src/redis.h:56-70): server-assigned, strictly increasing.
+  */
+final case class StreamKey(ms: Long, seq: Long) extends Ordered[StreamKey] {
+  def compare(that: StreamKey): Int = {
+    val c = java.lang.Long.compare(ms, that.ms)
+    if (c != 0) c else java.lang.Long.compare(seq, that.seq)
+  }
+  def render: String = s"$ms-$seq"
+}
+object StreamKey {
+  def parse(s: String): StreamKey = {
+    val i = s.lastIndexOf('-')
+    StreamKey(s.substring(0, i).toLong, s.substring(i + 1).toLong)
+  }
+  val Zero: StreamKey = StreamKey(0, 0)
+}
+
+/** One persisted stream entry. `kind`: 0 = data, 1 = tombstone (segment
+  * rollover, reference writer.cpp:174-189), 2 = eof (writer Stop(),
+  * writer.cpp:383-398).
+  */
+final case class StreamEntry(
+    kind: Byte,
+    key: StreamKey,
+    sampleIndex: Long,
+    payload: Array[Byte])
+
+object StreamEntry {
+  val Data: Byte = 0
+  val Tombstone: Byte = 1
+  val Eof: Byte = 2
+}
+
+/** Append-only segment file codec. Frame layout (little-endian):
+  * kind u8 | ms i64 | seq i64 | sampleIndex i64 | len i32 | payload.
+  * A segment is the analog of one Redis stream key in the chain
+  * `{name}-0, {name}-1, ...` (cpp/src/writer.h:107-109).
+  */
+object SegmentCodec {
+  val HeaderBytes = 1 + 8 + 8 + 8 + 4
+
+  def write(out: java.io.DataOutputStream, e: StreamEntry): Unit = {
+    val buf = ByteBuffer.allocate(HeaderBytes + e.payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(e.kind).putLong(e.key.ms).putLong(e.key.seq)
+      .putLong(e.sampleIndex).putInt(e.payload.length).put(e.payload)
+    out.write(buf.array())
+  }
+
+  /** Read every complete frame in [from, limit) of a segment file. */
+  def readAll(file: File, from: Long = 0L): Vector[StreamEntry] = {
+    if (!file.exists()) return Vector.empty
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val limit = raf.length()
+      val out = Vector.newBuilder[StreamEntry]
+      var pos = from
+      val hdr = new Array[Byte](HeaderBytes)
+      while (pos + HeaderBytes <= limit) {
+        raf.seek(pos)
+        raf.readFully(hdr)
+        val b = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+        val kind = b.get()
+        val key = StreamKey(b.getLong, b.getLong)
+        val idx = b.getLong
+        val len = b.getInt
+        if (pos + HeaderBytes + len > limit) {
+          pos = limit // torn tail write: ignore incomplete frame
+        } else {
+          val payload = new Array[Byte](len)
+          raf.readFully(payload)
+          out += StreamEntry(kind, key, idx, payload)
+          pos += HeaderBytes + len
+        }
+      }
+      out.result()
+    } finally raf.close()
+  }
+}
+
+/** Stream-level metadata, the analog of the `{name}-metadata` Redis hash
+  * (cpp/src/redis.cpp:137, writer.cpp:68-95): schema json, init time,
+  * user metadata. Persisted as `metadata.json` in the stream dir.
+  */
+final case class StreamMetadata(
+    schemaJson: String,
+    initializedAtUs: Long,
+    userMetadata: Map[String, String]) {
+  def toJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val um = userMetadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    // schemaJson is itself json: embed verbatim
+    s"""{"schema":${schemaJson},"initialized_at_us":$initializedAtUs,"user_metadata":{$um}}"""
+  }
+  def schema: RiverSchema = RiverSchema.fromJson(schemaJson)
+}
+object StreamMetadata {
+  def fromJson(s: String): StreamMetadata = {
+    val schemaStart = s.indexOf("""{"field_definitions"""")
+    require(schemaStart >= 0, s"no schema in metadata: $s")
+    var depth = 0; var i = schemaStart; var end = -1
+    while (end < 0 && i < s.length) {
+      s.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    val schemaJson = s.substring(schemaStart, end + 1)
+    val initUs = """"initialized_at_us"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    val umRe = """"user_metadata"\s*:\s*\{(.*?)\}""".r
+    val um = umRe.findFirstMatchIn(s).map(_.group(1)) match {
+      case Some(body) if body.trim.nonEmpty =>
+        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(body)
+          .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+      case _ => Map.empty[String, String]
+    }
+    StreamMetadata(schemaJson, initUs, um)
+  }
+  private def unesc(s: String): String =
+    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+}
+
+class StreamExistsException(name: String)
+  extends RuntimeException(s"stream already exists: $name")
+
+/** File-backed stream store: the storage layer under the `river` Spark
+  * connector and the facades. One directory per stream; an append-only
+  * segment chain with tombstone/EOF markers; metadata.json.
+  *
+  * This replaces the reference's Redis transport with a shared
+  * filesystem (the storage a Spark cluster actually has); the SEMANTICS
+  * (single writer, monotone server-assigned keys, gapless sample_index,
+  * tombstone chain, EOF marker, metadata KV, SCAN-style listing) are
+  * river's, per SURVEY.md §1-2.
+  */
+final class StreamStore(val root: Path) {
+  Files.createDirectories(root)
+
+  private def dir(name: String): Path = root.resolve(name)
+  private def segFile(name: String, idx: Long): File =
+    dir(name).resolve(f"seg-$idx%010d.log").toFile
+
+  // ------------------------------------------------------------- catalog
+
+  /** List stream names (analog of SCAN MATCH *-metadata,
+    * cpp/src/redis.cpp:325-362).
+    */
+  def listStreams(): Seq[String] =
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new File(f, "metadata.json").exists())
+      .map(_.getName).toSeq.sorted
+
+  def streamExists(name: String): Boolean =
+    Files.exists(dir(name).resolve("metadata.json"))
+
+  /** Delete a stream's data + metadata (cpp/src/redis.cpp:364-389). */
+  def deleteStream(name: String): Unit = {
+    val d = dir(name).toFile
+    if (d.exists()) {
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+  }
+
+  def metadata(name: String): StreamMetadata = {
+    val p = dir(name).resolve("metadata.json")
+    require(Files.exists(p), s"no such stream: $name")
+    StreamMetadata.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  def setUserMetadata(name: String, um: Map[String, String]): Unit = {
+    val m = metadata(name).copy(userMetadata = um)
+    writeMetadata(name, m)
+  }
+
+  private[core] def writeMetadata(name: String, m: StreamMetadata): Unit = {
+    val tmp = dir(name).resolve("metadata.json.tmp")
+    Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir(name).resolve("metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Segment indices present on disk, ascending. */
+  def segments(name: String): Seq[Long] =
+    Option(dir(name).toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case s if s.startsWith("seg-") && s.endsWith(".log") =>
+        s.stripPrefix("seg-").stripSuffix(".log").toLong }
+      .sorted.toSeq
+
+  def segmentFile(name: String, idx: Long): File = segFile(name, idx)
+
+  /** Remove fully-consumed segments behind the ingest frontier
+    * (delete-behind retention, reference ingester.cpp:424-490).
+    */
+  def trimSegmentsBefore(name: String, keepFromSegment: Long): Seq[Long] = {
+    val dropped = segments(name).filter(_ < keepFromSegment)
+    dropped.foreach(i => segFile(name, i).delete())
+    dropped
+  }
+
+  // ------------------------------------------------------------- writer
+
+  def createStream(
+      name: String,
+      schema: RiverSchema,
+      userMetadata: Map[String, String] = Map.empty,
+      keysPerSegment: Long = StreamStore.DefaultKeysPerSegment): StreamWriter = {
+    require(name.nonEmpty && name.length < 256, s"invalid stream name: $name")
+    require(!name.contains('/'), s"invalid stream name: $name")
+    if (streamExists(name)) throw new StreamExistsException(name)
+    Files.createDirectories(dir(name))
+    writeMetadata(name, StreamMetadata(
+      schema.toJson, System.currentTimeMillis() * 1000L, userMetadata))
+    new StreamWriter(this, name, schema, keysPerSegment)
+  }
+
+  def openReader(name: String, timeoutMs: Long = 0): StreamReader = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    // reader init waits for the stream to appear (reference
+    // reader.cpp:589-604 polls metadata every 1 ms)
+    while (!streamExists(name) && System.currentTimeMillis() < deadline)
+      Thread.sleep(1)
+    require(streamExists(name), s"stream not found within ${timeoutMs}ms: $name")
+    new StreamReader(this, name, metadata(name).schema)
+  }
+}
+
+object StreamStore {
+  /** Segment rollover threshold; the reference default is 1<<24 entries
+    * per Redis key (writer.h:83) — ours is byte-free so entries-based too.
+    */
+  val DefaultKeysPerSegment: Long = 1L << 20
+}
+
+/** Single-writer append facade (reference StreamWriter,
+  * cpp/src/writer.cpp). Enforces: one writer per stream (lock file),
+  * gapless 0-based sample_index, strictly increasing keys, tombstone on
+  * segment rollover, EOF on stop.
+  */
+final class StreamWriter private[core] (
+    store: StreamStore,
+    val name: String,
+    val schema: RiverSchema,
+    keysPerSegment: Long) {
+
+  private val codec = new RowCodec(schema)
+  private val lockFile = store.root.resolve(name).resolve("writer.lock")
+  require(
+    Files.notExists(lockFile) || Files.readAllBytes(lockFile).isEmpty ||
+      new String(Files.readAllBytes(lockFile)) == pid,
+    s"stream $name already has a writer")
+  Files.write(lockFile, pid.getBytes)
+
+  private def pid: String = ProcessHandle.current().pid().toString
+
+  private var segIdx: Long = store.segments(name).lastOption.getOrElse(0L)
+  private var out = open(segIdx)
+  private var inSegment: Long = 0
+  private var nextIndex: Long = 0
+  private var lastKey = StreamKey.Zero
+  private var stopped = false
+
+  private def open(idx: Long) = new java.io.DataOutputStream(
+    new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(store.segmentFile(name, idx), true)))
+
+  private def nextKey(): StreamKey = {
+    val ms = System.currentTimeMillis()
+    lastKey =
+      if (ms > lastKey.ms) StreamKey(ms, 0)
+      else StreamKey(lastKey.ms, lastKey.seq + 1)
+    lastKey
+  }
+
+  def totalWritten: Long = nextIndex
+
+  /** Append packed samples (one Seq[Any] per row, schema field order). */
+  def write(rows: Seq[Seq[Any]]): Unit = writeBytes(rows.map(codec.pack))
+
+  def writeBytes(samples: Seq[Array[Byte]]): Unit = synchronized {
+    require(!stopped, "writer is stopped")
+    samples.foreach { payload =>
+      if (inSegment >= keysPerSegment) {
+        // tombstone carries the NEXT segment idx in its payload and the
+        // last written sample_index (reference: sample_index = total-1,
+        // writer.cpp:180-182)
+        val tomb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(segIdx + 1).array()
+        SegmentCodec.write(out,
+          StreamEntry(StreamEntry.Tombstone, nextKey(), nextIndex - 1, tomb))
+        out.flush()
+        out.close()
+        segIdx += 1
+        out = open(segIdx)
+        inSegment = 0
+      }
+      SegmentCodec.write(out,
+        StreamEntry(StreamEntry.Data, nextKey(), nextIndex, payload))
+      nextIndex += 1
+      inSegment += 1
+    }
+    out.flush()
+  }
+
+  /** Append EOF with last sample_index and release the writer lock
+    * (reference writer.cpp:383-398).
+    */
+  def stop(): Unit = synchronized {
+    if (!stopped) {
+      SegmentCodec.write(out,
+        StreamEntry(StreamEntry.Eof, nextKey(), nextIndex - 1, Array.empty))
+      out.flush(); out.close()
+      Files.deleteIfExists(lockFile)
+      stopped = true
+    }
+  }
+}
+
+/** Cursor-based reading facade (reference StreamReader,
+  * cpp/src/reader.cpp): blocking read with timeout and partial results,
+  * tail, seek, EOF/tombstone semantics. Each reader has an independent
+  * cursor.
+  */
+final class StreamReader private[core] (
+    store: StreamStore,
+    val name: String,
+    val schema: RiverSchema) {
+
+  private val codec = new RowCodec(schema)
+  private var segIdx: Long = store.segments(name).headOption.getOrElse(0L)
+  private var filePos: Long = 0L
+  private var lastIndex: Long = -1L
+  private var sawEof = false
+  private var buffer = mutable.Queue.empty[StreamEntry]
+
+  def good(): Boolean = !sawEof
+
+  /** Pull any new complete frames from the current segment into buffer;
+    * follow tombstones across segments (reference reader.cpp:265-282).
+    */
+  private def poll(): Unit = {
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val f = store.segmentFile(name, segIdx)
+      if (f.exists() && f.length() > filePos) {
+        val entries = SegmentCodec.readAll(f, filePos)
+        filePos = f.length()
+        entries.foreach { e =>
+          e.kind match {
+            case StreamEntry.Tombstone =>
+              val next = ByteBuffer.wrap(e.payload)
+                .order(ByteOrder.LITTLE_ENDIAN).getLong
+              segIdx = next
+              filePos = 0L
+              progressed = true
+            case _ => buffer.enqueue(e)
+          }
+        }
+      }
+    }
+  }
+
+  /** Read up to n samples, blocking up to timeoutMs. Returns the rows
+    * read (possibly fewer: partial reads allowed, reference
+    * reader.cpp:114-177), or null once EOF is consumed with nothing
+    * buffered (reference returns -1, reader.cpp:257-262).
+    */
+  def read(n: Int, timeoutMs: Long = 0): Option[Seq[(StreamKey, Long, Seq[Any])]] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val out = Vector.newBuilder[(StreamKey, Long, Seq[Any])]
+    var count = 0
+    var done = false
+    while (!done && count < n) {
+      if (buffer.isEmpty) poll()
+      if (buffer.isEmpty) {
+        if (sawEof) done = true
+        else if (System.currentTimeMillis() >= deadline) done = true
+        else Thread.sleep(1)
+      } else {
+        val e = buffer.dequeue()
+        e.kind match {
+          case StreamEntry.Eof =>
+            sawEof = true
+            done = true
+          case StreamEntry.Data =>
+            if (e.sampleIndex <= lastIndex)
+              sys.error(s"sample index regressed: ${e.sampleIndex} <= $lastIndex")
+            lastIndex = e.sampleIndex
+            out += ((e.key, e.sampleIndex, codec.unpack(e.payload)))
+            count += 1
+          case _ =>
+        }
+      }
+    }
+    val rows = out.result()
+    if (rows.isEmpty && sawEof) None else Some(rows)
+  }
+
+  /** Skip to the newest sample at/after the cursor; returns (#skipped,
+    * sample) — #skipped >= 1 iff a sample is returned; 0 on timeout;
+    * None (EOF) once the stream is exhausted. Reference Tail semantics,
+    * reader.cpp:336-488.
+    */
+  def tail(timeoutMs: Long = 0): Option[(Long, Option[(StreamKey, Long, Seq[Any])])] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var skipped = 0L
+    var last: Option[StreamEntry] = None
+    var done = false
+    while (!done) {
+      if (buffer.isEmpty) poll()
+      if (buffer.isEmpty) {
+        if (last.nonEmpty || sawEof) done = true
+        else if (System.currentTimeMillis() >= deadline) done = true
+        else Thread.sleep(1)
+      } else {
+        val e = buffer.dequeue()
+        e.kind match {
+          case StreamEntry.Eof  => sawEof = true; done = true
+          case StreamEntry.Data =>
+            lastIndex = e.sampleIndex
+            skipped += 1
+            last = None
+            last = Some(e)
+            // drain whatever is buffered; only keep the newest
+            if (buffer.isEmpty) { poll(); if (buffer.isEmpty) done = true }
+          case _ =>
+        }
+      }
+    }
+    if (last.isEmpty && sawEof && skipped == 0) None
+    else Some((skipped,
+      last.map(e => (e.key, e.sampleIndex, codec.unpack(e.payload)))))
+  }
+
+  /** Position the cursor at the greatest entry <= key; returns #entries
+    * skipped (0 if key is in the past — no-op, reference
+    * reader.cpp:525-531).
+    */
+  def seek(key: StreamKey): Long = {
+    var skipped = 0L
+    var done = false
+    while (!done) {
+      if (buffer.isEmpty) poll()
+      if (buffer.isEmpty) done = true
+      else if (buffer.head.kind == StreamEntry.Eof) done = true
+      else if (buffer.head.key <= key) {
+        val e = buffer.dequeue()
+        if (e.kind == StreamEntry.Data) { lastIndex = e.sampleIndex; skipped += 1 }
+      } else done = true
+    }
+    skipped
+  }
+}

@@ -1,0 +1,198 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-stream ingestion settings (reference ingester_settings.h:40-81):
+  * regex stream matcher + column whitelist/blacklist (whitelist wins),
+  * retention min-age before trimming consumed segments.
+  */
+final case class IngestSettings(
+    streamPattern: String = ".*",
+    columnWhitelist: Option[String] = None,
+    columnBlacklist: Option[String] = None,
+    minAgeMsBeforeTrim: Long = 60000L, // reference: 60 s
+    trimConsumedSegments: Boolean = true) {
+
+  /** Whitelist wins over blacklist (reference ingester_settings.h:63-81). */
+  def keepColumn(name: String): Boolean = columnWhitelist match {
+    case Some(w) => name.matches(w)
+    case None => columnBlacklist match {
+      case Some(b) => !name.matches(b)
+      case None    => true
+    }
+  }
+}
+
+/** Stream → Parquet ingestion (the reference ingester daemon re-thought
+  * for Spark, SURVEY §3.3):
+  *
+  *  - derived columns `sample_index`/`key`/`timestamp_ms` come from the
+  *    connector (I3),
+  *  - regex column pruning happens as a `select`, so Catalyst prunes the
+  *    packed-row decode too (P2),
+  *  - resume reads the persisted frontier back from the part files (I6:
+  *    crash-safe — a part is visible only after its atomic commit),
+  *  - EOF triggers compaction of parts into one `data.parquet` (I5) and
+  *    a COMPLETED sidecar (I9),
+  *  - consumed whole segments older than `minAgeMsBeforeTrim` are
+  *    deleted (delete-behind retention, I7).
+  *
+  * Each call ingests everything currently available (the daemon loop of
+  * the reference maps to scheduling `ingestOnce` per sweep; Structured
+  * Streaming with the river micro-batch source is the continuous
+  * deployment shape).
+  */
+final class Ingester(
+    spark: SparkSession,
+    storeRoot: Path,
+    outRoot: Path,
+    settings: IngestSettings = IngestSettings()) {
+
+  private val store = new StreamStore(storeRoot)
+
+  private def outDir(stream: String): Path = outRoot.resolve(stream)
+
+  private def partFiles(stream: String): Seq[File] =
+    Option(outDir(stream).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("data_") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+
+  /** Highest persisted sample_index, read back from the newest part file
+    * (reference read_existing_files, ingester.cpp:649-711), or -1.
+    */
+  def persistedFrontier(stream: String): Long =
+    partFiles(stream).lastOption match {
+      case None => -1L
+      case Some(last) =>
+        spark.read.parquet(last.getAbsolutePath)
+          .agg(max("sample_index")).head().getLong(0)
+    }
+
+  /** Ingest all currently-available samples of one stream; returns the
+    * number of rows persisted this sweep.
+    */
+  def ingestOnce(stream: String): Long = {
+    val meta = store.metadata(stream)
+    writeSidecar(stream, meta, "IN_PROGRESS")
+    val from = persistedFrontier(stream)
+
+    val keepUserCols = meta.schema.fields.map(_.name).filter(settings.keepColumn)
+    val cols = Seq("sample_index", "key", "timestamp_ms") ++ keepUserCols
+
+    val df = spark.read.format("river")
+      .option("root", storeRoot.toString)
+      .option("stream", stream)
+      .load()
+      .filter(col("sample_index") > from) // pushed down → segment pruning
+      .select(cols.map(col): _*)
+
+    val n = df.count()
+    if (n > 0) {
+      val next = partFiles(stream).size
+      val target = outDir(stream).resolve(f"data_$next%010d.parquet")
+      val tmp = outDir(stream).resolve(f".tmp_data_$next%010d.parquet")
+      // one part per sweep, ordered by sample_index (the stream IS
+      // ordered; a single stream's row groups stay sequential like the
+      // reference's — cross-stream parallelism is the scale axis)
+      df.orderBy("sample_index").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // atomic publish (reference write-temp-then-rename,
+      // ingester.cpp:808-829); refuses overwrite like the reference
+      require(!Files.exists(target), s"refusing to overwrite $target")
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    maybeTrim(stream)
+
+    if (eofReached(stream)) {
+      compact(stream)
+      writeSidecar(stream, meta, "COMPLETED")
+      store.deleteStream(stream) // reference deletes Redis metadata on EOF
+    }
+    n
+  }
+
+  /** EOF marker present in the newest segment? (writer has stopped) */
+  def eofReached(stream: String): Boolean = {
+    val segs = store.segments(stream)
+    segs.lastOption.exists { last =>
+      SegmentCodec.readAll(store.segmentFile(stream, last))
+        .exists(_.kind == StreamEntry.Eof)
+    }
+  }
+
+  /** Delete-behind: whole segments below the persisted frontier whose
+    * file is older than the min age (reference I7 min-age guard).
+    */
+  private def maybeTrim(stream: String): Unit = if (settings.trimConsumedSegments) {
+    val frontier = persistedFrontier(stream)
+    if (frontier >= 0) {
+      val segs = store.segments(stream)
+      // a segment is fully consumed if the NEXT segment starts <= frontier
+      val starts = segs.map(i =>
+        i -> SegmentCodec.readAll(store.segmentFile(stream, i))
+          .headOption.map(_.sampleIndex).getOrElse(Long.MaxValue)).toMap
+      val now = System.currentTimeMillis()
+      segs.zipWithIndex.dropRight(1).foreach { case (seg, pos) =>
+        val nextStart = starts(segs(pos + 1))
+        val old = now - store.segmentFile(stream, seg).lastModified() >=
+          settings.minAgeMsBeforeTrim
+        if (nextStart <= frontier + 1 && nextStart != Long.MaxValue && old)
+          store.segmentFile(stream, seg).delete()
+      }
+    }
+  }
+
+  /** Merge all parts into a single `data.parquet` (reference
+    * combine_all_files, ingester.cpp:555-647) and drop the parts.
+    */
+  private def compact(stream: String): Unit = {
+    val parts = partFiles(stream)
+    if (parts.nonEmpty) {
+      val merged = outDir(stream).resolve("data.parquet")
+      val tmp = outDir(stream).resolve(".tmp_data.parquet")
+      spark.read.parquet(parts.map(_.getAbsolutePath): _*)
+        .orderBy("sample_index").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (Files.exists(merged))
+        sys.error(s"refusing to overwrite $merged")
+      Files.move(tmp, merged, StandardCopyOption.ATOMIC_MOVE)
+      parts.foreach(_.delete())
+    }
+  }
+
+  /** metadata.json sidecar: user metadata + stream name + status
+    * (reference append_metadata, ingester.cpp:766-793).
+    */
+  private def writeSidecar(stream: String, meta: StreamMetadata, status: String): Unit = {
+    Files.createDirectories(outDir(stream))
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val um = (meta.userMetadata ++ Map(
+      "stream_name" -> stream,
+      "ingestion_status" -> status)).toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val tmp = outDir(stream).resolve("metadata.json.tmp")
+    Files.write(tmp, s"{$um}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, outDir(stream).resolve("metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Sweep every stream matching the settings pattern (reference
+    * orchestrator, ingester.cpp:58-94); returns rows ingested per stream.
+    */
+  def sweep(): Map[String, Long] =
+    store.listStreams()
+      .filter(_.matches(settings.streamPattern))
+      .map(s => s -> ingestOnce(s)).toMap
+}

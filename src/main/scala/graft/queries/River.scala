@@ -1,0 +1,301 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.core._
+import graft.ingest.{Ingester, IngestSettings}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import GraftQuery._
+
+/** End-to-end exercises of the river stream engine (SURVEY §2.1
+  * operators S1/S2, R1/R3/R4, I1-I9, P1/P2, M1-M3) — each query pushes
+  * the `events` table through the real pipeline (DSv2 sink → file-backed
+  * stream chain → DSv2 source / ingester → parquet) and emits an
+  * aggregate the DuckDB oracle reproduces directly from `events`, so a
+  * hash match proves the whole transport was lossless and order- and
+  * index-faithful.
+  */
+object River {
+
+  /** Numeric projection of events, globally ordered by event_id — the
+    * single-writer append order (river streams are totally ordered).
+    */
+  private def orderedEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  private def tempRoot(tag: String) =
+    Files.createTempDirectory(s"graft-river-$tag-")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "r01_stream_write_read",
+      (s, dir) => {
+        import s.implicits._
+        // S1+S2 (DDL + append via the DSv2 sink, single-writer) then R1
+        // (full sequential scan via the DSv2 source) — verify losslessness
+        // plus the gapless-index invariant: max(sample_index) == n-1.
+        val root = tempRoot("rw")
+        orderedEvents(s, dir).coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+          .agg(
+            count(lit(1)).as("n"),
+            max($"sample_index").as("max_idx"),
+            min($"sample_index").as("min_idx"),
+            sum(dec($"value")).cast("double").as("total_value"),
+            sum($"event_id").as("sum_event_id"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(*) - 1 AS max_idx,
+          CAST(0 AS BIGINT) AS min_idx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        FROM events""")),
+
+    GraftQuery(
+      "r02_stream_order",
+      (s, dir) => {
+        import s.implicits._
+        // order fidelity: the k-th sample written must be the k-th event
+        // by event_id (keys strictly increasing, ingester preserves
+        // order — reference ingester_test.cpp:135-162). Any transport
+        // reordering would break the (sample_index == dense rank) match.
+        val root = tempRoot("ord")
+        orderedEvents(s, dir).coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+          .filter($"sample_index" % 97 === 0) // sparse sample of the check
+          .select($"sample_index", $"event_id", $"user_id", $"value")
+      },
+      Some("""
+        SELECT rn AS sample_index, event_id, user_id, value FROM (
+          SELECT event_id, user_id, value,
+            row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM events) t
+        WHERE rn % 97 = 0""")),
+
+    GraftQuery(
+      "r03_stream_ingest",
+      (s, dir) => {
+        import s.implicits._
+        // the full ingester path: sink → segments → Ingester.ingestOnce
+        // (derived cols, resume frontier, EOF compaction, COMPLETED
+        // sidecar) → read the compacted data.parquet back.
+        val root = tempRoot("ing")
+        val out = tempRoot("ing-out")
+        orderedEvents(s, dir).coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        val ing = new Ingester(s, root, out)
+        ing.ingestOnce("ev")
+        s.read.parquet(out.resolve("ev").resolve("data.parquet").toString)
+          .agg(
+            count(lit(1)).as("n"),
+            max($"sample_index").as("max_idx"),
+            sum(dec($"value")).cast("double").as("total_value"),
+            // every derived timestamp_ms must parse back out of its key
+            sum(when(expr("cast(split(key, '-')[0] as bigint) = timestamp_ms"),
+              lit(0)).otherwise(lit(1))).as("bad_ts_rows"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(*) - 1 AS max_idx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          CAST(0 AS BIGINT) AS bad_ts_rows
+        FROM events""")),
+
+    GraftQuery(
+      "r04_stream_prune_ingest",
+      (s, dir) => {
+        import s.implicits._
+        // ingest-time column pruning (P2): blacklist `user_id`; the
+        // persisted parquet must contain value but not user_id.
+        val root = tempRoot("prune")
+        val out = tempRoot("prune-out")
+        orderedEvents(s, dir).coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        val ing = new Ingester(s, root, out,
+          IngestSettings(columnBlacklist = Some("user_id")))
+        ing.ingestOnce("ev")
+        val df = s.read.parquet(
+          out.resolve("ev").resolve("data.parquet").toString)
+        df.agg(
+          count(lit(1)).as("n"),
+          lit(df.columns.length).as("n_cols"),
+          lit(if (df.columns.contains("user_id")) 1 else 0).as("has_user_id"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, 5 AS n_cols, 0 AS has_user_id
+        FROM events""")),
+
+    GraftQuery(
+      "r05_stream_tail_seek",
+      (s, dir) => {
+        import s.implicits._
+        // the imperative facade (R3 Tail / R4 Seek semantics,
+        // reader.cpp:336-583) driven directly: tail returns the newest
+        // sample and the count skipped; a fresh reader seek-to-midpoint
+        // then bounded read returns the back half.
+        val root = tempRoot("tail")
+        val store = new StreamStore(root)
+        val rows = orderedEvents(s, dir).collect()
+        val schema = RiverSchema(Seq(
+          RiverField("event_id", RiverType.Int64),
+          RiverField("user_id", RiverType.Int64),
+          RiverField("value", RiverType.Double64)))
+        val w = store.createStream("ev", schema)
+        w.write(rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+        w.stop()
+        val r1 = store.openReader("ev")
+        val Some((skipped, Some((_, lastIdx, lastVals)))) = r1.tail(1000): @unchecked
+        val r2 = store.openReader("ev")
+        val keys = collection.mutable.ArrayBuffer.empty[StreamKey]
+        val all = store.segments("ev").flatMap(i =>
+          SegmentCodec.readAll(store.segmentFile("ev", i)))
+          .filter(_.kind == StreamEntry.Data)
+        val midKey = all(all.size / 2).key
+        val skippedBySeek = r2.seek(midKey)
+        val rest = r2.read(Int.MaxValue, 1000).get
+        s.createDataFrame(Seq((
+          skipped, lastIdx, lastVals(0).asInstanceOf[Long],
+          skippedBySeek, rest.size,
+          rest.map(_._3(0).asInstanceOf[Long]).sum)))
+          .toDF("n_skipped_by_tail", "last_sample_index", "last_event_id",
+            "n_skipped_by_seek", "n_after_seek", "sum_event_id_after_seek")
+      },
+      Some("""
+        WITH o AS (SELECT event_id,
+                     row_number() OVER (ORDER BY event_id) - 1 AS rn
+                   FROM events),
+        n AS (SELECT COUNT(*) c FROM events)
+        SELECT
+          (SELECT c FROM n) AS n_skipped_by_tail,
+          (SELECT c FROM n) - 1 AS last_sample_index,
+          (SELECT MAX(event_id) FROM events) AS last_event_id,
+          (SELECT c FROM n) // 2 + 1 AS n_skipped_by_seek,
+          (SELECT c FROM n) - ((SELECT c FROM n) // 2 + 1) AS n_after_seek,
+          CAST((SELECT SUM(event_id) FROM o WHERE rn > (SELECT c FROM n) // 2) AS BIGINT)
+            AS sum_event_id_after_seek""")),
+
+    GraftQuery(
+      "r07_stream_microbatch",
+      (s, dir) => {
+        import s.implicits._
+        // Structured Streaming over the river micro-batch source
+        // (SURVEY §1.3: live stream ↔ MicroBatchStream): readStream →
+        // parquet sink with checkpoint, Trigger.AvailableNow drains the
+        // bounded stream, then verify the landed data.
+        val root = tempRoot("mb")
+        val out = tempRoot("mb-out")
+        orderedEvents(s, dir).coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        val q = s.readStream.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+          .writeStream
+          .format("parquet")
+          .option("path", out.resolve("data").toString)
+          .option("checkpointLocation", out.resolve("cp").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out.resolve("data").toString)
+          .agg(
+            count(lit(1)).as("n"),
+            max($"sample_index").as("max_idx"),
+            sum(dec($"value")).cast("double").as("total_value"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(*) - 1 AS max_idx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events""")),
+
+    GraftQuery(
+      "r08_stream_segmented",
+      (s, dir) => {
+        import s.implicits._
+        // segment-chain semantics: tiny keysPerSegment forces many
+        // tombstone rollovers; the DSv2 source then reads one partition
+        // PER SEGMENT in parallel (the scale axis the reference's single
+        // cursor lacks) and the union must still be exact and gapless.
+        val root = tempRoot("seg")
+        val store = new StreamStore(root)
+        val rows = orderedEvents(s, dir).collect()
+        val schema = RiverSchema(Seq(
+          RiverField("event_id", RiverType.Int64),
+          RiverField("user_id", RiverType.Int64),
+          RiverField("value", RiverType.Double64)))
+        val w = store.createStream("ev", schema, keysPerSegment = 256)
+        w.write(rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+        w.stop()
+        val nSegs = store.segments("ev").size
+        s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+          .agg(
+            count(lit(1)).as("n"),
+            max($"sample_index").as("max_idx"),
+            countDistinct($"sample_index").as("n_distinct_idx"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .withColumn("multi_segment",
+            lit(if (nSegs > 1) 1 else 0))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(*) - 1 AS max_idx,
+          COUNT(*) AS n_distinct_idx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          1 AS multi_segment
+        FROM events""")),
+
+    GraftQuery(
+      "r06_stream_metadata",
+      (s, dir) => {
+        import s.implicits._
+        // M1-M3: user metadata round trip + catalog listing + delete.
+        val root = tempRoot("meta")
+        val store = new StreamStore(root)
+        val schema = RiverSchema(Seq(RiverField("v", RiverType.Double64)))
+        val w1 = store.createStream("s1", schema, Map("owner" -> "graft"))
+        w1.write(Seq(Seq(1.0), Seq(2.0))); w1.stop()
+        val w2 = store.createStream("s2", schema)
+        w2.write(Seq(Seq(3.0))); w2.stop()
+        store.setUserMetadata("s2", Map("k" -> "v2"))
+        val listed = store.listStreams()
+        val m1 = store.metadata("s1").userMetadata
+        val m2 = store.metadata("s2").userMetadata
+        store.deleteStream("s1")
+        val afterDelete = store.listStreams()
+        val dupRejected =
+          try { store.createStream("s2", schema); 0 }
+          catch { case _: StreamExistsException => 1 }
+        s.createDataFrame(Seq((
+          listed.mkString(","), m1.getOrElse("owner", ""),
+          m2.getOrElse("k", ""), afterDelete.mkString(","), dupRejected)))
+          .toDF("streams", "s1_owner", "s2_k", "streams_after_delete",
+            "dup_create_rejected")
+      },
+      Some("""
+        SELECT 's1,s2' AS streams, 'graft' AS s1_owner, 'v2' AS s2_k,
+               's2' AS streams_after_delete, 1 AS dup_create_rejected"""))
+  )
+}
