@@ -31,8 +31,29 @@ import GraftQuery._
   */
 object Dedup {
 
+  /** documents, hash-distributed by doc_id and EAGERLY materialized
+    * (localCheckpoint) before any shingling.
+    *
+    * Two scale hazards this kills:
+    *  - the source parquet is one small file = one input partition, and
+    *    Catalyst pushes projections (including the heavy INTERPRETED
+    *    shingle expressions — higher-order functions never codegen)
+    *    below a bare repartition, so the work runs single-threaded;
+    *  - every join subtree referencing the shingle table recomputes it
+    *    (observed: 18s -> stuck-for-minutes run-to-run variance).
+    * The partition count is EXPLICIT (32): with a bare
+    * repartition(col), AQE coalesces the ~2 MB shuffle down to ONE
+    * partition — correct by data size, catastrophic for the CPU-bound
+    * interpreted expressions downstream (observed: one 150+s task with
+    * the other 31 threads idle). AQE honors a user-specified count.
+    * The checkpoint pins the materialized partitions so all downstream
+    * subtrees read them in parallel. On a cluster this is the same
+    * "stage the corpus hashed by id" step a dedup pipeline runs first.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .repartition(32, org.apache.spark.sql.functions.col("doc_id"))
+      .localCheckpoint()
 
   /** Distinct word k-gram shingles of `text` (clean single-spaced corpus). */
   private def shingles(text: Column, k: Int): Column = {
@@ -57,10 +78,14 @@ object Dedup {
   }
 
   // MinHash parameters: BANDS bands x ROWS rows = 16 hash functions.
-  // LSH threshold ~ (1/BANDS)^(1/ROWS) = 0.25^0.25 ~ 0.71; final verify
-  // keeps jaccard >= 0.8.
-  private val BANDS = 4
-  private val ROWS = 4
+  // ROWS=8 keeps the candidate set tiny on corpora with high background
+  // similarity (this synthetic corpus has a 31-word vocabulary, so
+  // unrelated docs share many shingles: with j~0.3 background,
+  // P(band collision) = 0.3^8 ~ 7e-5, vs 0.8% at ROWS=4 — which at sf0.1
+  // exploded into ~400k candidates and a 269s verification join).
+  // Planted near-dups (j >= 0.97) still collide with p ~ 95% per band.
+  private val BANDS = 2
+  private val ROWS = 8
   private val JACCARD_T = 0.8
 
   val all: Seq[GraftQuery] = Seq(
@@ -104,17 +129,22 @@ object Dedup {
             $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey"
               && $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-        val nsh = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val inter = cand
-          .join(sh.as("sa"), $"a" === $"sa.doc_id")
-          .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-          .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(nsh.as("na"), $"a" === $"na.doc_id")
-          .join(nsh.as("nb"), $"b" === $"nb.doc_id")
+        // exact-jaccard verification of candidates via per-doc shingle
+        // ARRAYS (array_intersect), not an exploded shingle join: the
+        // verification cost is then O(candidates), independent of how
+        // common individual shingles are
+        val shArr = docs(s, dir)
+          .select($"doc_id", shingles($"text", 5).as("shs"))
+        val verified = cand
+          .join(shArr.as("pa"), $"a" === $"pa.doc_id")
+          .join(shArr.as("pb"), $"b" === $"pb.doc_id")
+          .select($"a", $"b",
+            size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
+            size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
+        verified
           .select($"a", $"b",
             ($"inter".cast("double") /
-              ($"na.nsh" + $"nb.nsh" - $"inter")).as("jaccard"))
+              ($"na" + $"nb" - $"inter")).as("jaccard"))
           .filter($"jaccard" >= JACCARD_T)
       },
       Some {
@@ -142,20 +172,22 @@ object Dedup {
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         ),
-        nsh AS (SELECT doc_id, COUNT(*) nsh FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.a, c.b, COUNT(*) inter
+        sharr AS (
+          SELECT doc_id, ${sqlShingles(5)} AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        ),
+        verified AS (
+          SELECT c.a, c.b,
+            len(list_intersect(pa.shs, pb.shs)) AS inter,
+            len(pa.shs) AS na, len(pb.shs) AS nb
           FROM cand c
-            JOIN sh sa ON sa.doc_id = c.a
-            JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-          GROUP BY c.a, c.b
+            JOIN sharr pa ON pa.doc_id = c.a
+            JOIN sharr pb ON pb.doc_id = c.b
         )
-        SELECT i.a, i.b,
-          CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter) AS jaccard
-        FROM inter i
-          JOIN nsh na ON na.doc_id = i.a
-          JOIN nsh nb ON nb.doc_id = i.b
-        WHERE CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter) >= $JACCARD_T"""
+        SELECT a, b,
+          CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM verified
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JACCARD_T"""
       }),
 
     // ------------------------------------------------------------ SimHash
@@ -251,17 +283,23 @@ object Dedup {
         // shingle-equality self-join stays linear-ish at scale), verified
         // with exact Jaccard >= 0.8.
         val sh = shingleRows(s, dir, 7)
-        val nsh = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val inter = sh.as("x").join(sh.as("y"),
+        // candidate pairs from the inverted index (shingle-equality
+        // self-join; 7-gram posting lists are near-unique so this stays
+        // linear-ish), then O(candidates) array verification
+        val cand = sh.as("x").join(sh.as("y"),
             $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-          .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(nsh.as("na"), $"a" === $"na.doc_id")
-          .join(nsh.as("nb"), $"b" === $"nb.doc_id")
+          .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+        val shArr = docs(s, dir)
+          .select($"doc_id", shingles($"text", 7).as("shs"))
+        cand
+          .join(shArr.as("pa"), $"a" === $"pa.doc_id")
+          .join(shArr.as("pb"), $"b" === $"pb.doc_id")
+          .select($"a", $"b",
+            size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
+            size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
           .select($"a", $"b",
             ($"inter".cast("double") /
-              ($"na.nsh" + $"nb.nsh" - $"inter")).as("jaccard"))
+              ($"na" + $"nb" - $"inter")).as("jaccard"))
           .filter($"jaccard" >= JACCARD_T)
       },
       Some(s"""
@@ -269,71 +307,100 @@ object Dedup {
           SELECT doc_id, unnest(${sqlShingles(7)}) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
         ),
-        nsh AS (SELECT doc_id, COUNT(*) nsh FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT x.doc_id a, y.doc_id b, COUNT(*) inter
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-          GROUP BY 1, 2
+        ),
+        sharr AS (
+          SELECT doc_id, ${sqlShingles(7)} AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        ),
+        verified AS (
+          SELECT c.a, c.b,
+            len(list_intersect(pa.shs, pb.shs)) AS inter,
+            len(pa.shs) AS na, len(pb.shs) AS nb
+          FROM cand c
+            JOIN sharr pa ON pa.doc_id = c.a
+            JOIN sharr pb ON pb.doc_id = c.b
         )
-        SELECT i.a, i.b,
-          CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter) AS jaccard
-        FROM inter i
-          JOIN nsh na ON na.doc_id = i.a
-          JOIN nsh nb ON nb.doc_id = i.b
-        WHERE CAST(i.inter AS DOUBLE) / (na.nsh + nb.nsh - i.inter) >= $JACCARD_T""")),
+        SELECT a, b,
+          CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM verified
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JACCARD_T""")),
 
     // ------------------------------------------- embedding cosine near-dup
     GraftQuery(
       "d05_dedup_embedding_cosine",
       (s, dir) => {
         import s.implicits._
-        // Cosine near-dup via exact decimal dot products. Components are
-        // float -> double (exact) -> decimal(12,6) (the single rounding,
-        // identical in both engines); dot/norm sums are then exact, and
-        // cosine is one double expression at the end.
+        // Cosine near-dup over EXACT scaled-long arithmetic: component
+        // -> round(x * 1e6) as long (identical IEEE double multiply +
+        // half-away round in both engines — no decimal-cast boundary
+        // cases at all), dot/norm sums are exact int64 (|c| <= 5.3e5,
+        // 64-dim => sums < 2^53, convertible to double exactly), and the
+        // final cosine is a fixed shape of correctly-rounded double ops.
         //
-        // Candidate generation here is the exploded component self-join
-        // keyed on position; at 100 TB this becomes sign-LSH bucketing
-        // (see Similarity.s03) — the verification math stays identical.
-        val comp = Tables.load(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-          .select($"vec_id", $"i",
-            $"x".cast("double").cast(DecimalType(12, 6)).as("c"))
-        val norm = comp.groupBy($"vec_id")
-          .agg(sum($"c" * $"c").as("nrm2"))
-          .select($"vec_id", sqrt($"nrm2".cast("double")).as("nrm"))
-        val dot = comp.as("x").join(comp.as("y"),
-            $"x.i" === $"y.i" && $"x.vec_id" < $"y.vec_id")
-          .groupBy($"x.vec_id".as("a"), $"y.vec_id".as("b"))
-          .agg(sum($"x.c" * $"y.c").as("dot"))
-        dot
-          .join(norm.as("na"), $"a" === $"na.vec_id")
-          .join(norm.as("nb"), $"b" === $"nb.vec_id")
-          .select($"a", $"b",
-            ($"dot".cast("double") / ($"na.nrm" * $"nb.nrm")).as("cosine"))
+        // The dot product is array-form (zip_with + aggregate inside the
+        // row, whole-stage-codegen'd longs) — no exploded position join,
+        // no shuffle except the pair join itself. All-pairs is this
+        // operator's contract ("verify near-dups exactly"); at 100 TB
+        // candidate pairs come from sign-LSH bucketing first
+        // (Similarity.s03) and this same math verifies them.
+        // dot product = graft's native codegen'd dot_i64 (zip_with +
+        // aggregate are interpreted inside codegen and were >10x slower
+        // when Catalyst pushed the cosine filter into the pair join)
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id",
+            transform($"embedding",
+              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+              .as("c"))
+        val withNorm = emb.select($"vec_id", $"c",
+          sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
+        // blocked all-pairs: a full BLK x BLK grid keyed by vec_id % BLK
+        // turns the pair join into an equi-join (parallel, no single-task
+        // BroadcastNestedLoopJoin). Every unordered pair appears in
+        // exactly one orientation that survives the xid < yid filter, so
+        // the FULL grid (not the upper triangle: a pair with
+        // a%BLK > b%BLK lives in a lower-triangle cell) is required.
+        val BLK = 16
+        val bx = s.range(BLK).select($"id".cast("int").as("bx"))
+        val by = s.range(BLK).select($"id".cast("int").as("by"))
+        val grid = bx.crossJoin(by)
+        val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
+          $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
+        val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),
+          $"vec_id".as("yid"), $"c".as("yc"), $"nrm".as("ynrm"))
+        grid
+          .join(x, $"bx" === $"xblk")
+          .join(y, $"by" === $"yblk")
+          .filter($"xid" < $"yid")
+          .select($"xid".as("a"), $"yid".as("b"),
+            ((dot_i64($"xc", $"yc").cast("double") / lit(1.0e12)) /
+              ($"xnrm" * $"ynrm")).as("cosine"))
           .filter($"cosine" >= 0.45)
       },
       Some("""
         WITH comp AS (
           SELECT vec_id,
             unnest(range(len(embedding))) i,
-            CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) c
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) c
           FROM embeddings
         ),
         nrm AS (
-          SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
+          SELECT vec_id, sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) / 1000000000000.0) nrm
           FROM comp GROUP BY vec_id
         ),
         dot AS (
-          SELECT x.vec_id a, y.vec_id b, SUM(x.c * y.c) dot
+          SELECT x.vec_id a, y.vec_id b, CAST(SUM(x.c * y.c) AS BIGINT) dot
           FROM comp x JOIN comp y ON x.i = y.i AND x.vec_id < y.vec_id
           GROUP BY 1, 2
         )
         SELECT d.a, d.b,
-          CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) AS cosine
         FROM dot d
           JOIN nrm na ON na.vec_id = d.a
           JOIN nrm nb ON nb.vec_id = d.b
-        WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.45"""))
+        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) >= 0.45"""))
   )
 }

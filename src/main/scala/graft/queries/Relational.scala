@@ -42,7 +42,7 @@ object Relational {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
-          .filter(to_date($"l_shipdate") <= lit("1998-09-02").cast("date"))
+          .filter($"l_shipdate" < lit("1998-09-03").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sum(dec($"l_quantity")).cast("double").as("sum_qty"),
@@ -79,8 +79,8 @@ object Relational {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
-          .filter(to_date($"l_shipdate") >= lit("1996-01-01").cast("date")
-            && to_date($"l_shipdate") < lit("1997-01-01").cast("date")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1997-01-01").cast("timestamp")
             && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
             && $"l_quantity" < 24)
           .agg(
@@ -148,8 +148,8 @@ object Relational {
           .join(broadcast(t(s, dir, "region")),
             $"n_regionkey" === $"r_regionkey")
           .filter($"r_name" === "ASIA"
-            && to_date($"o_orderdate") >= lit("1996-01-01").cast("date")
-            && to_date($"o_orderdate") < lit("1998-01-01").cast("date"))
+            && $"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
           .groupBy($"n_name")
           .agg(sum(dec($"l_extendedprice") * (one - decS($"l_discount")))
             .cast(DecimalType(38, 6)).cast("double").as("revenue"))
@@ -250,8 +250,8 @@ object Relational {
         // join key (hash/SMJ) and evaluates the range as a post-condition,
         // so this stays a keyed join, not a cartesian, at any scale.
         val o = t(s, dir, "orders")
-          .filter(to_date($"o_orderdate") >= lit("1996-01-01").cast("date")
-            && to_date($"o_orderdate") < lit("1996-07-01").cast("date"))
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
         t(s, dir, "lineitem")
           .join(o, $"l_orderkey" === $"o_orderkey"
             && to_date($"l_shipdate") >= to_date($"o_orderdate")
