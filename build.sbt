@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 54 queries x whole-stage codegen in one JVM overflow the default
+  // 240 MB code cache; once full the JIT degrades and later queries go
+  // erratically 5-10x slower (observed run-to-run).
+  "-XX:ReservedCodeCacheSize=1g",
   // local[32] + broadcasts + sf0.1 shuffles GC-thrash at 8g; the box has
   // 128 GiB, so default high. SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

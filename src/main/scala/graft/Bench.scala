@@ -22,7 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q07,q10 restricts to name prefixes
+    // (the driver never sets it = full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.exists(kv._1.startsWith)))
 
     // warm-up: a representative scan+agg, untimed
     try {
@@ -33,7 +37,11 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks pinned by this query's localCheckpoints so 54
+      // queries in one JVM don't accumulate executor-memory pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

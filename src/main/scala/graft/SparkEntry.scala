@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Similarity.all ++
       graft.queries.TextAnalysis.all ++
       graft.queries.Multimodal.all ++
-      graft.queries.River.all
+      graft.queries.River.all ++
+      graft.queries.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

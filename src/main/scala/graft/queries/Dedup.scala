@@ -55,27 +55,29 @@ object Dedup {
       .repartition(32, org.apache.spark.sql.functions.col("doc_id"))
       .localCheckpoint()
 
-  /** Distinct word k-gram shingles of `text` (clean single-spaced corpus). */
-  private def shingles(text: Column, k: Int): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(ws) - lit(k)),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
-      .otherwise(array(concat_ws(" ", ws)))
-  }
-
-  /** SQL spelling of [[shingles]] (DuckDB list comprehension). */
+  /** SQL spelling of the word k-gram shingle set (DuckDB list
+    * comprehension) — the oracle analog of
+    * [[graft.functions.TextKernels.shingleSet]].
+    */
   private def sqlShingles(k: Int): String =
     s"""CASE WHEN len(ws) >= $k
        | THEN list_distinct([array_to_string(ws[i+1:i+$k], ' ') for i in range(len(ws)-${k - 1})])
        | ELSE [array_to_string(ws, ' ')] END""".stripMargin
 
-  /** doc_id -> exploded distinct shingle rows, shared by several queries. */
-  private def shingleRows(s: SparkSession, dir: String, k: Int): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select($"doc_id", explode(shingles($"text", k)).as("sh"))
-  }
+  /** doc_id -> per-doc distinct shingle ARRAY, materialized once.
+    *
+    * Computed by the compiled [[graft.functions.TextKernels]] mapPartitions
+    * kernel, not the Catalyst higher-order-function expression: HOFs are
+    * interpreted (never codegen) and project-collapse duplicates them into
+    * every referencing subtree — at sf0.1 that was minutes of
+    * single-threaded interpreted evaluation. The kernel output is small
+    * DATA (5k rows of string arrays), checkpointed so the 2+ downstream
+    * references (candidate generation, pair verification) read it instead
+    * of recomputing.
+    */
+  private def shingleArr(s: SparkSession, dir: String, k: Int): DataFrame =
+    graft.functions.TextKernels.shingleArrays(s, docs(s, dir), k)
+      .localCheckpoint()
 
   // MinHash parameters: BANDS bands x ROWS rows = 16 hash functions.
   // ROWS=8 keeps the candidate set tiny on corpora with high background
@@ -114,17 +116,12 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         // shingle -> 16 minhashes -> band buckets -> candidate pairs ->
-        // exact-jaccard verification of candidates only.
-        val sh = shingleRows(s, dir, 5)
-        val hashes = (0 until BANDS * ROWS).map(i =>
-          min(md5(concat(lit(s"$i:"), $"sh"))).as(s"h$i"))
-        val sig = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
-        val bands = sig.select($"doc_id", explode(array(
-          (0 until BANDS).map(b => struct(
-            lit(b).as("band"),
-            concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
-              .as("bkey"))): _*)).as("bb"))
-          .select($"doc_id", $"bb.band", $"bb.bkey")
+        // exact-jaccard verification of candidates only. Signatures come
+        // from the compiled TextKernels pass (one mapPartitions over the
+        // corpus); banding/joining stays relational.
+        val bands = graft.functions.TextKernels
+          .minhashBands(s, docs(s, dir), 5, BANDS, ROWS)
+          .localCheckpoint()
         val cand = bands.as("x").join(bands.as("y"),
             $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey"
               && $"x.doc_id" < $"y.doc_id")
@@ -133,8 +130,7 @@ object Dedup {
         // ARRAYS (array_intersect), not an exploded shingle join: the
         // verification cost is then O(candidates), independent of how
         // common individual shingles are
-        val shArr = docs(s, dir)
-          .select($"doc_id", shingles($"text", 5).as("shs"))
+        val shArr = shingleArr(s, dir, 5)
         val verified = cand
           .join(shArr.as("pa"), $"a" === $"pa.doc_id")
           .join(shArr.as("pb"), $"b" === $"pb.doc_id")
@@ -198,23 +194,11 @@ object Dedup {
         // 32-bit SimHash over word unigrams (md5 nibble bits, +/-1 votes).
         // Near-dup pairs found by byte-banding (hamming<=3 => at least one
         // of the 4 bytes equal, by pigeonhole), then exact hamming filter.
-        val tok = docs(s, dir)
-          .select($"doc_id", explode(split($"text", " ")).as("w"))
-          .withColumn("h", md5($"w"))
-        val nibs = (0 until 8).map(j =>
-          (expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))") -
-            lit(1)).as(s"n$j"))
-        val withNibs = tok.select(($"doc_id" +: nibs): _*)
-        val bitSums = (0 until 32).map { b =>
-          val j = b / 4; val k = b % 4
-          sum(shiftright(col(s"n$j"), k).bitwiseAND(lit(1)) * lit(2) - lit(1))
-            .as(s"s$b")
-        }
-        val sums = withNibs.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val simhash = (0 until 32).map { b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val sig = sums.select($"doc_id", simhash.as("simhash"))
+        // Signatures come from the compiled TextKernels pass (the exploded
+        // token + 32-column conditional aggregation ran interpreted and
+        // dominated the query); banding stays relational.
+        val sig = graft.functions.TextKernels.simhash32(s, docs(s, dir))
+          .localCheckpoint()
         val bytes = sig.select($"doc_id", $"simhash", explode(array(
           (0 until 4).map(c => struct(
             lit(c).as("pos"),
@@ -281,16 +265,13 @@ object Dedup {
         // Direct inverted-index dedup: candidate pairs share >= 1 common
         // 7-gram (long shingles keep the posting lists near-unique, so the
         // shingle-equality self-join stays linear-ish at scale), verified
-        // with exact Jaccard >= 0.8.
-        val sh = shingleRows(s, dir, 7)
-        // candidate pairs from the inverted index (shingle-equality
-        // self-join; 7-gram posting lists are near-unique so this stays
-        // linear-ish), then O(candidates) array verification
+        // with exact Jaccard >= 0.8. The shingle arrays are computed ONCE
+        // by the compiled kernel; the inverted index is their explode.
+        val shArr = shingleArr(s, dir, 7)
+        val sh = shArr.select($"doc_id", explode($"shs").as("sh"))
         val cand = sh.as("x").join(sh.as("y"),
             $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-        val shArr = docs(s, dir)
-          .select($"doc_id", shingles($"text", 7).as("shs"))
         cand
           .join(shArr.as("pa"), $"a" === $"pa.doc_id")
           .join(shArr.as("pb"), $"b" === $"pb.doc_id")
@@ -355,8 +336,13 @@ object Dedup {
             transform($"embedding",
               x => round(x.cast("double") * lit(1000000.0)).cast("long"))
               .as("c"))
+        // materialized eagerly: the scaled-component `transform` is an
+        // interpreted HOF, and project-collapse would otherwise inline it
+        // into the pair-level projection (re-evaluating 64 rounds per
+        // PAIR instead of per vector)
         val withNorm = emb.select($"vec_id", $"c",
           sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
+          .localCheckpoint()
         // blocked all-pairs: a full BLK x BLK grid keyed by vec_id % BLK
         // turns the pair join into an equi-join (parallel, no single-task
         // BroadcastNestedLoopJoin). Every unordered pair appears in

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import GraftQuery._
+
+/** Event-time Structured-Streaming operators over the `events` table:
+  * tumbling/sliding/session windows, watermarked append emission,
+  * arbitrary stateful processing, streaming dedup. Each query drains a
+  * real streaming query (state store + watermark machinery) with
+  * `Trigger.AvailableNow`, so results are deterministic and the DuckDB
+  * oracle can reproduce them with batch SQL (window arithmetic on the
+  * raw nanosecond timestamps).
+  */
+object Streaming {
+
+  private val HOUR_NS = 3600L * 1000000000L
+  private val HALF_NS = 1800L * 1000000000L
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------ tumbling window agg
+    GraftQuery(
+      "st01_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        // 1-hour tumbling windows per event_type, complete mode (the
+        // whole aggregation state emits at the end — the backfill shape).
+        val win = StreamingOps.eventsStream(s, dir)
+          .groupBy(window($"event_time", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        StreamingOps.drain(s, win, "st01", "complete")
+          .select(unix_timestamp($"window.start").as("window_start"),
+            $"event_type", $"n_events", $"total_value")
+      },
+      Some("""
+        SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
+          event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ------------------------------- sliding window + watermark, append
+    GraftQuery(
+      "st02_sliding_window_watermark",
+      (s, dir) => {
+        import s.implicits._
+        // 1-hour windows sliding every 30 min with a 1-hour watermark,
+        // APPEND mode: only windows finalized by the final watermark
+        // (max event_time - 1h) emit. The oracle reproduces exactly the
+        // emitted set: both sliding windows of each event, filtered to
+        // window_end <= watermark.
+        val win = StreamingOps.eventsStream(s, dir)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window($"event_time", "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        StreamingOps.drain(s, win, "st02", "append")
+          .select(unix_timestamp($"window.start").as("window_start"),
+            $"n_events", $"total_value")
+      },
+      Some("""
+        WITH b AS (
+          SELECT value,
+            unnest([(epoch_ns(ts) // 1800000000000) * 1800,
+                    (epoch_ns(ts) // 1800000000000) * 1800 - 1800]) AS ws
+          FROM events
+        ),
+        wm AS (SELECT MAX(epoch_ns(ts)) // 1000000000 - 3600 AS w FROM events)
+        SELECT ws AS window_start, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM b
+        WHERE ws + 3600 <= (SELECT w FROM wm)
+        GROUP BY 1""")),
+
+    // ------------------------------------------- session window per user
+    GraftQuery(
+      "st03_session_window",
+      (s, dir) => {
+        import s.implicits._
+        // 30-min-gap sessions per user (session_window merges events
+        // closer than the gap; state bounded by the watermark horizon).
+        // Append emits sessions closed by the final watermark; with gap ==
+        // watermark delay, that is every session not still extendable.
+        val sess = StreamingOps.eventsStream(s, dir)
+          .withWatermark("event_time", "30 minutes")
+          .groupBy(session_window($"event_time", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        StreamingOps.drain(s, sess, "st03", "append")
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("session_start"),
+            $"n_events", $"total_value")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, value, epoch_ns(ts) // 1000 AS us,
+            CASE WHEN epoch_ns(ts) // 1000
+                   - lag(epoch_ns(ts) // 1000, 1, CAST(-1800000001000 AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                 >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, value, us,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ),
+        agg AS (
+          SELECT user_id, sid, MIN(us) AS start_us,
+            MAX(us) + 1800000000 AS end_us,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM sess GROUP BY 1, 2
+        ),
+        wm AS (SELECT MAX(epoch_ns(ts) // 1000) - 1800000000 AS w FROM events)
+        SELECT user_id, start_us // 1000000 AS session_start,
+          n_events, total_value
+        FROM agg WHERE end_us <= (SELECT w FROM wm)""")),
+
+    // --------------------------- arbitrary stateful op (mapGroupsWithState)
+    GraftQuery(
+      "st04_stateful_totals",
+      (s, dir) => {
+        import s.implicits._
+        // KeyValueGroupedDataset.mapGroupsWithState: per-user running
+        // (count, exact cents total) carried in explicit GroupState —
+        // the escape hatch for custom streaming state machines. Update
+        // mode; the bounded drain's final emission equals batch totals.
+        // Money math in scaled longs (cents) so state is exact and the
+        // final division is one deterministic double op.
+        val typed = StreamingOps.eventsStream(s, dir)
+          .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+        val updated = typed.mapGroupsWithState(
+          GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[(Long, Long)]) =>
+            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var c = c0
+            rows.foreach { r => n += 1; c += r._2 }
+            state.update((n, c))
+            (user, n, c)
+        }
+        StreamingOps.drain(s, updated.toDF("user_id", "n_events", "cents"),
+            "st04", "update")
+          // final emission per user (bounded drain = one batch, but keep
+          // the reduction associative for multi-batch replays)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"), max($"cents").as("cents"))
+          .select($"user_id", $"n_events",
+            ($"cents".cast("double") / 100.0).as("total_value"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS total_value
+        FROM events GROUP BY 1""")),
+
+    // -------------------------------------------------- streaming dedup
+    GraftQuery(
+      "st05_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // dropDuplicates on a stream: stateful first-occurrence keep per
+        // (user_id, event_type); we aggregate the deduped stream so the
+        // result is independent of WHICH duplicate won the race. The
+        // follow-up count is batch over the drained sink (chaining two
+        // stateful ops in one streaming query is a different operator).
+        val deduped = StreamingOps.eventsStream(s, dir)
+          .select($"user_id", $"event_type")
+          .dropDuplicates("user_id", "event_type")
+        StreamingOps.drain(s, deduped, "st05", "append")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY 1"""))
+  )
+}

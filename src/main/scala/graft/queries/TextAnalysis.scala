@@ -163,17 +163,15 @@ object TextAnalysis {
         // edits: the min 8-gram hash usually survives a few changed words,
         // so near-identical docs collide). Rolling-hash winnowing at scale
         // keeps one min per window; the min-over-all-shingles variant here
-        // is its coarsest setting and stays engine-portable.
-        val ws = split($"text", " ")
-        val sh8 = when(size(ws) >= 8,
-          array_distinct(transform(
-            sequence(lit(0), size(ws) - lit(8)),
-            i => concat_ws(" ", slice(ws, i + lit(1), lit(8))))))
-          .otherwise(array(concat_ws(" ", ws)))
-        docs(s, dir).select(
-          $"doc_id",
-          md5($"text").as("fp_exact"),
-          array_min(transform(sh8, g => md5(g))).as("fp_winnow"))
+        // is its coarsest setting and stays engine-portable. The shingle
+        // mins come from the compiled TextKernels pass — the Catalyst HOF
+        // spelling ran interpreted AND re-evaluated the inner split per
+        // shingle position (O(words^2) per doc, minutes single-threaded).
+        val fp = graft.functions.TextKernels.winnowFingerprints(
+          s, docs(s, dir).repartition(32, $"doc_id"), 8)
+        docs(s, dir).select($"doc_id", md5($"text").as("fp_exact"))
+          .join(fp, Seq("doc_id"))
+          .select($"doc_id", $"fp_exact", $"fp_winnow")
       },
       Some("""
         SELECT doc_id, md5(text) AS fp_exact,
@@ -190,17 +188,11 @@ object TextAnalysis {
       "t06_fingerprint_clusters",
       (s, dir) => {
         import s.implicits._
-        // near-dup clusters = docs sharing a winnow fingerprint; the
-        // groupBy key is an md5 (uniform), so the shuffle cannot skew.
-        val ws = split($"text", " ")
-        val sh8 = when(size(ws) >= 8,
-          array_distinct(transform(
-            sequence(lit(0), size(ws) - lit(8)),
-            i => concat_ws(" ", slice(ws, i + lit(1), lit(8))))))
-          .otherwise(array(concat_ws(" ", ws)))
-        docs(s, dir)
-          .select($"doc_id",
-            array_min(transform(sh8, g => md5(g))).as("fp_winnow"))
+        // near-dup clusters = docs sharing a winnow fingerprint (computed
+        // by the compiled TextKernels pass, see t05); the groupBy key is
+        // an md5 (uniform), so the shuffle cannot skew.
+        graft.functions.TextKernels.winnowFingerprints(
+            s, docs(s, dir).repartition(32, $"doc_id"), 8)
           .groupBy($"fp_winnow")
           .agg(count(lit(1)).as("cluster_size"),
             min($"doc_id").as("keep_doc_id"))

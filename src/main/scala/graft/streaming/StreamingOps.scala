@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming plumbing for the engine's event-time operators.
+  *
+  * The pattern: every streaming query here is BOUNDED-DRAINED — read the
+  * events table as a file-source stream, apply the event-time transform
+  * (window / watermark / session / stateful op), drain it with
+  * `Trigger.AvailableNow` into an in-memory sink, and return the result
+  * as a DataFrame. That makes streaming semantics DuckDB-oracle-checkable
+  * (the driver's correctness gate) while exercising the real streaming
+  * engine: state store, watermark advancement, append/update emission.
+  *
+  * Scale notes (100 TB): the file stream source shards by files —
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` are the admission control;
+  * stateful operators shuffle by grouping key into
+  * `spark.sql.shuffle.partitions` state-store partitions (RocksDB-backed
+  * on a real cluster); watermarks bound state retention, so state size is
+  * O(keys in the watermark horizon), not O(history).
+  */
+object StreamingOps {
+
+  /** The events table as a bounded stream with a proper `event_time`
+    * timestamp column (`ts` is parquet TIMESTAMP(NANOS), read as nanos
+    * long per Tables.load).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = Tables.load(spark, sfDir, "events")
+    // file-source streams read a directory; give the single parquet file
+    // one via symlink (no data copy)
+    val dir = Files.createTempDirectory("graft-events-stream-")
+    Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream
+      .schema(batch.schema)
+      .parquet(dir.toString)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Drain a streaming DataFrame into an in-memory table and return it.
+    * `AvailableNow` processes everything currently available — including
+    * the final empty batch that advances the watermark and flushes closed
+    * windows — then stops.
+    */
+  def drain(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      outputMode: String): DataFrame = {
+    spark.catalog.dropTempView(name) // re-runs in the same session
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
