@@ -179,21 +179,29 @@ final class RowCodec(schema: RiverSchema) {
     }
   }
 
+  // per-field extractors resolved once (a per-row match over the field
+  // list showed up at multi-M-samples/s read rates)
+  private val extractors: Array[ByteBuffer => Any] = schema.fields.map {
+    case RiverField(_, RiverType.Double64) => (b: ByteBuffer) => b.getDouble()
+    case RiverField(_, RiverType.Float32)  => (b: ByteBuffer) => b.getFloat()
+    case RiverField(_, RiverType.Int16)    => (b: ByteBuffer) => b.getShort()
+    case RiverField(_, RiverType.Int32)    => (b: ByteBuffer) => b.getInt()
+    case RiverField(_, RiverType.Int64)    => (b: ByteBuffer) => b.getLong()
+    case RiverField(_, RiverType.FixedWidthBytes(sz)) => (b: ByteBuffer) =>
+      { val a = new Array[Byte](sz); b.get(a); a }
+    case RiverField(_, RiverType.VariableWidthBytes(_)) =>
+      (b: ByteBuffer) => sys.error("variable-width handled separately")
+  }.toArray
+
   /** Unpack one sample to one value per field, in schema order. */
   def unpack(bytes: Array[Byte]): Seq[Any] =
     schema.fields.head.tpe match {
       case RiverType.VariableWidthBytes(_) => Seq(bytes)
       case _ =>
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        schema.fields.map {
-          case RiverField(_, RiverType.Double64) => buf.getDouble()
-          case RiverField(_, RiverType.Float32)  => buf.getFloat()
-          case RiverField(_, RiverType.Int16)    => buf.getShort()
-          case RiverField(_, RiverType.Int32)    => buf.getInt()
-          case RiverField(_, RiverType.Int64)    => buf.getLong()
-          case RiverField(_, RiverType.FixedWidthBytes(sz)) =>
-            val b = new Array[Byte](sz); buf.get(b); b
-          case RiverField(n, t) => sys.error(s"field $n: unexpected type $t")
-        }
+        val out = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { out(i) = extractors(i)(buf); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
 }

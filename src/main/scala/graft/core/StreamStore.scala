@@ -49,42 +49,55 @@ object StreamEntry {
 object SegmentCodec {
   val HeaderBytes = 1 + 8 + 8 + 8 + 4
 
-  def write(out: java.io.DataOutputStream, e: StreamEntry): Unit = {
-    val buf = ByteBuffer.allocate(HeaderBytes + e.payload.length)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(e.kind).putLong(e.key.ms).putLong(e.key.seq)
-      .putLong(e.sampleIndex).putInt(e.payload.length).put(e.payload)
-    out.write(buf.array())
+  // reusable header scratch: the writer is single-threaded per stream
+  // (single-writer invariant) and readers don't use write(); per-entry
+  // ByteBuffer allocation halved write throughput at 1M+ samples/s
+  private val hdrScratch = new ThreadLocal[ByteBuffer] {
+    override def initialValue(): ByteBuffer =
+      ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
   }
 
-  /** Read every complete frame in [from, limit) of a segment file. */
+  def write(out: java.io.DataOutputStream, e: StreamEntry): Unit = {
+    val hdr = hdrScratch.get()
+    hdr.clear()
+    hdr.put(e.kind).putLong(e.key.ms).putLong(e.key.seq)
+      .putLong(e.sampleIndex).putInt(e.payload.length)
+    out.write(hdr.array(), 0, HeaderBytes)
+    out.write(e.payload)
+  }
+
+  /** Read every complete frame in [from, EOF) of a segment file.
+    *
+    * Memory-maps the range and parses in-memory: the previous
+    * seek+readFully per 37-byte frame cost two syscalls per sample and
+    * capped read throughput at ~7 MB/s; mapping reads the page cache
+    * directly (segments are bounded by keysPerSegment, so the mapping is
+    * bounded too).
+    */
   def readAll(file: File, from: Long = 0L): Vector[StreamEntry] = {
     if (!file.exists()) return Vector.empty
-    val raf = new RandomAccessFile(file, "r")
+    val ch = java.nio.channels.FileChannel.open(file.toPath)
     try {
-      val limit = raf.length()
+      val limit = ch.size()
+      if (from >= limit) return Vector.empty
+      val buf = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        from, limit - from).order(ByteOrder.LITTLE_ENDIAN)
       val out = Vector.newBuilder[StreamEntry]
-      var pos = from
-      val hdr = new Array[Byte](HeaderBytes)
-      while (pos + HeaderBytes <= limit) {
-        raf.seek(pos)
-        raf.readFully(hdr)
-        val b = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
-        val kind = b.get()
-        val key = StreamKey(b.getLong, b.getLong)
-        val idx = b.getLong
-        val len = b.getInt
-        if (pos + HeaderBytes + len > limit) {
-          pos = limit // torn tail write: ignore incomplete frame
-        } else {
+      var done = false
+      while (!done && buf.remaining() >= HeaderBytes) {
+        val kind = buf.get()
+        val key = StreamKey(buf.getLong, buf.getLong)
+        val idx = buf.getLong
+        val len = buf.getInt
+        if (buf.remaining() < len) done = true // torn tail: ignore
+        else {
           val payload = new Array[Byte](len)
-          raf.readFully(payload)
+          buf.get(payload)
           out += StreamEntry(kind, key, idx, payload)
-          pos += HeaderBytes + len
         }
       }
       out.result()
-    } finally raf.close()
+    } finally ch.close()
   }
 }
 
@@ -95,7 +108,13 @@ object SegmentCodec {
 final case class StreamMetadata(
     schemaJson: String,
     initializedAtUs: Long,
-    userMetadata: Map[String, String]) {
+    userMetadata: Map[String, String],
+    // parity fields of the reference metadata hash (writer.cpp:68-95):
+    // clock delta is 0 on a single-clock store but kept as a stored
+    // property (M4); compression params are stored but NOT consumed —
+    // readers reject compressed streams loudly (C1, SURVEY §7.5#7).
+    localMinusServerClockUs: Option[Long] = None,
+    compressionParamsJson: Option[String] = None) {
   def toJson: String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""
@@ -106,8 +125,12 @@ final case class StreamMetadata(
     }
     val um = userMetadata.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val clock = localMinusServerClockUs
+      .map(v => s""","local_minus_server_clock_us":$v""").getOrElse("")
+    val comp = compressionParamsJson // itself json: embed verbatim
+      .map(v => s""","compression_params_json":$v""").getOrElse("")
     // schemaJson is itself json: embed verbatim
-    s"""{"schema":${schemaJson},"initialized_at_us":$initializedAtUs,"user_metadata":{$um}}"""
+    s"""{"schema":${schemaJson},"initialized_at_us":$initializedAtUs$clock$comp,"user_metadata":{$um}}"""
   }
   def schema: RiverSchema = RiverSchema.fromJson(schemaJson)
 }
@@ -135,7 +158,25 @@ object StreamMetadata {
           .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
       case _ => Map.empty[String, String]
     }
-    StreamMetadata(schemaJson, initUs, um)
+    val clock = """"local_minus_server_clock_us"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(s).map(_.group(1).toLong)
+    // compression params: grab the balanced object after the key
+    val comp = {
+      val key = """"compression_params_json"\s*:\s*""".r
+      key.findFirstMatchIn(s).map { m =>
+        var depth = 0; var i = m.end; val start = i; var stop = -1
+        while (stop < 0 && i < s.length) {
+          s.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) stop = i
+            case _ =>
+          }
+          i += 1
+        }
+        s.substring(start, stop + 1)
+      }
+    }
+    StreamMetadata(schemaJson, initUs, um, clock, comp)
   }
   private def unesc(s: String): String =
     s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
@@ -226,13 +267,19 @@ final class StreamStore(val root: Path) {
       name: String,
       schema: RiverSchema,
       userMetadata: Map[String, String] = Map.empty,
-      keysPerSegment: Long = StreamStore.DefaultKeysPerSegment): StreamWriter = {
+      keysPerSegment: Long = StreamStore.DefaultKeysPerSegment,
+      compressionParamsJson: Option[String] = None): StreamWriter = {
     require(name.nonEmpty && name.length < 256, s"invalid stream name: $name")
     require(!name.contains('/'), s"invalid stream name: $name")
+    // variable-width streams forbid compression (reference writer.cpp:131-134)
+    require(compressionParamsJson.isEmpty || !schema.hasVariableWidth,
+      "compression is not supported for variable-width streams")
     if (streamExists(name)) throw new StreamExistsException(name)
     Files.createDirectories(dir(name))
     writeMetadata(name, StreamMetadata(
-      schema.toJson, System.currentTimeMillis() * 1000L, userMetadata))
+      schema.toJson, System.currentTimeMillis() * 1000L, userMetadata,
+      localMinusServerClockUs = Some(0L), // single-clock store (M4 parity)
+      compressionParamsJson = compressionParamsJson))
     new StreamWriter(this, name, schema, keysPerSegment)
   }
 
@@ -243,8 +290,49 @@ final class StreamStore(val root: Path) {
     while (!streamExists(name) && System.currentTimeMillis() < deadline)
       Thread.sleep(1)
     require(streamExists(name), s"stream not found within ${timeoutMs}ms: $name")
-    new StreamReader(this, name, metadata(name).schema)
+    val m = metadata(name)
+    // C1: ZFP transport compression is out of scope on the JVM; streams
+    // declaring it are detected and rejected loudly rather than
+    // mis-decoded (SURVEY §7.5#7).
+    require(m.compressionParamsJson.isEmpty,
+      s"stream $name declares transport compression " +
+        s"(${m.compressionParamsJson.get}); compressed streams are not " +
+        "readable by this engine — re-ingest uncompressed")
+    new StreamReader(this, name, m.schema)
   }
+
+  /** Force-append an EOF to a stream whose writer is gone (I8 staleness
+    * finalizer, reference add_eof_if_necessary ingester.cpp:492-539):
+    * stale live streams must be completable without their writer.
+    * No-op if the stream already has an EOF.
+    */
+  def forceEof(name: String): Boolean = {
+    val segs = segments(name)
+    val last = segs.lastOption.getOrElse(0L)
+    val entries = SegmentCodec.readAll(segmentFile(name, last))
+    if (entries.exists(_.kind == StreamEntry.Eof)) false
+    else {
+      val lastIdx = entries.filter(_.kind == StreamEntry.Data)
+        .lastOption.map(_.sampleIndex).getOrElse(-1L)
+      val lastKey = entries.lastOption.map(_.key).getOrElse(StreamKey.Zero)
+      val ms = math.max(System.currentTimeMillis(), lastKey.ms)
+      val key = if (ms > lastKey.ms) StreamKey(ms, 0)
+        else StreamKey(lastKey.ms, lastKey.seq + 1)
+      val out = new java.io.DataOutputStream(
+        new java.io.FileOutputStream(segmentFile(name, last), true))
+      try SegmentCodec.write(out,
+        StreamEntry(StreamEntry.Eof, key, lastIdx, Array.empty))
+      finally out.close()
+      Files.deleteIfExists(dir(name).resolve("writer.lock"))
+      true
+    }
+  }
+
+  /** Epoch ms of the newest entry of the stream, or None if empty. */
+  def newestEntryMs(name: String): Option[Long] =
+    segments(name).lastOption.flatMap { last =>
+      SegmentCodec.readAll(segmentFile(name, last)).lastOption.map(_.key.ms)
+    }
 }
 
 object StreamStore {
@@ -353,14 +441,25 @@ final class StreamReader private[core] (
   private var filePos: Long = 0L
   private var lastIndex: Long = -1L
   private var sawEof = false
-  private var buffer = mutable.Queue.empty[StreamEntry]
+  // pending entries: flat buffer + cursor (a Queue's per-entry
+  // enqueue/dequeue showed up at multi-M-samples/s read rates)
+  private var pending: Array[StreamEntry] = Array.empty
+  private var cursor: Int = 0
 
   def good(): Boolean = !sawEof
 
-  /** Pull any new complete frames from the current segment into buffer;
-    * follow tombstones across segments (reference reader.cpp:265-282).
+  private object buffer {
+    def isEmpty: Boolean = cursor >= pending.length
+    def head: StreamEntry = pending(cursor)
+    def dequeue(): StreamEntry = { val e = pending(cursor); cursor += 1; e }
+  }
+
+  /** Pull any new complete frames from the current segment into the
+    * pending buffer; follow tombstones across segments (reference
+    * reader.cpp:265-282).
     */
   private def poll(): Unit = {
+    val fresh = Array.newBuilder[StreamEntry]
     var progressed = true
     while (progressed) {
       progressed = false
@@ -376,10 +475,18 @@ final class StreamReader private[core] (
               segIdx = next
               filePos = 0L
               progressed = true
-            case _ => buffer.enqueue(e)
+            case _ => fresh += e
           }
         }
       }
+    }
+    val add = fresh.result()
+    if (add.nonEmpty) {
+      pending = (if (cursor >= pending.length) add
+        else pending.drop(cursor) ++ add)
+      cursor = 0
+    } else if (cursor >= pending.length && pending.nonEmpty) {
+      pending = Array.empty; cursor = 0
     }
   }
 

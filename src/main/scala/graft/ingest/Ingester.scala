@@ -17,7 +17,8 @@ final case class IngestSettings(
     columnWhitelist: Option[String] = None,
     columnBlacklist: Option[String] = None,
     minAgeMsBeforeTrim: Long = 60000L, // reference: 60 s
-    trimConsumedSegments: Boolean = true) {
+    trimConsumedSegments: Boolean = true,
+    stalePeriodMs: Long = 300000L) { // reference: 5 min (ingester.h:50)
 
   /** Whitelist wins over blacklist (reference ingester_settings.h:63-81). */
   def keepColumn(name: String): Boolean = columnWhitelist match {
@@ -92,23 +93,29 @@ final class Ingester(
       .filter(col("sample_index") > from) // pushed down → segment pruning
       .select(cols.map(col): _*)
 
-    val n = df.count()
+    // single pass: write to a temp part, then count from the parquet
+    // FOOTERS (metadata-only job) — a pre-count would scan the whole
+    // stream a second time
+    val next = partFiles(stream).size
+    val target = outDir(stream).resolve(f"data_$next%010d.parquet")
+    val tmp = outDir(stream).resolve(f".tmp_data_$next%010d.parquet")
+    // one part per sweep, ordered by sample_index (the stream IS
+    // ordered; a single stream's row groups stay sequential like the
+    // reference's — cross-stream parallelism is the scale axis)
+    df.orderBy("sample_index").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
     if (n > 0) {
-      val next = partFiles(stream).size
-      val target = outDir(stream).resolve(f"data_$next%010d.parquet")
-      val tmp = outDir(stream).resolve(f".tmp_data_$next%010d.parquet")
-      // one part per sweep, ordered by sample_index (the stream IS
-      // ordered; a single stream's row groups stay sequential like the
-      // reference's — cross-stream parallelism is the scale axis)
-      df.orderBy("sample_index").coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
       // atomic publish (reference write-temp-then-rename,
       // ingester.cpp:808-829); refuses overwrite like the reference
       require(!Files.exists(target), s"refusing to overwrite $target")
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
 
     maybeTrim(stream)
+    finalizeIfStale(stream)
 
     if (eofReached(stream)) {
       compact(stream)
@@ -117,6 +124,19 @@ final class Ingester(
     }
     n
   }
+
+  /** Staleness finalizer (I8, reference add_eof_if_necessary
+    * ingester.cpp:492-539): a live stream whose newest entry is older
+    * than `stalePeriodMs` gets a forced EOF so it can complete even if
+    * its writer died without Stop().
+    */
+  def finalizeIfStale(stream: String): Boolean =
+    store.newestEntryMs(stream) match {
+      case Some(newest)
+        if System.currentTimeMillis() - newest >= settings.stalePeriodMs &&
+          !eofReached(stream) => store.forceEof(stream)
+      case _ => false
+    }
 
   /** EOF marker present in the newest segment? (writer has stopped) */
   def eofReached(stream: String): Boolean = {

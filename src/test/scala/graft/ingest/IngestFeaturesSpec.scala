@@ -1,0 +1,98 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-2 ingest-layer additions: the staleness EOF
+  * finalizer (I8), compression metadata detection (C1), metadata parity
+  * fields (M4), and the HTTP façade (H1).
+  */
+class IngestFeaturesSpec extends AnyFunSuite {
+
+  private def newStore() =
+    new StreamStore(Files.createTempDirectory("graft-ingest-spec-"))
+
+  private val schema = RiverSchema(Seq(RiverField("v", RiverType.Double64)))
+
+  test("forceEof completes a stream whose writer never stopped (I8)") {
+    val store = newStore()
+    val w = store.createStream("s", schema)
+    w.write(Seq(Seq(1.0), Seq(2.0)))
+    // writer dies without stop(): no EOF yet
+    assert(store.forceEof("s"))
+    val r = store.openReader("s")
+    val rows = r.read(10, 0).get
+    assert(rows.map(_._2) == Seq(0L, 1L))
+    assert(r.read(10, 0).isEmpty) // EOF consumed
+    assert(!store.forceEof("s")) // idempotent: already has EOF
+  }
+
+  test("compressed streams are detected and rejected loudly (C1)") {
+    val store = newStore()
+    val w = store.createStream("c", schema,
+      compressionParamsJson = Some("""{"type":"ZFP_LOSSLESS"}"""))
+    w.write(Seq(Seq(1.0))); w.stop()
+    val m = store.metadata("c")
+    assert(m.compressionParamsJson.contains("""{"type":"ZFP_LOSSLESS"}"""))
+    val e = intercept[IllegalArgumentException](store.openReader("c"))
+    assert(e.getMessage.contains("compression"))
+  }
+
+  test("variable-width streams refuse compression (writer.cpp:131-134)") {
+    val store = newStore()
+    val vw = RiverSchema(Seq(
+      RiverField("b", RiverType.VariableWidthBytes(16))))
+    intercept[IllegalArgumentException] {
+      store.createStream("vw", vw,
+        compressionParamsJson = Some("""{"type":"ZFP_LOSSLESS"}"""))
+    }
+  }
+
+  test("metadata round-trips clock delta and compression params (M4)") {
+    val m = StreamMetadata(schema.toJson, 123456789L, Map("a" -> "b"),
+      localMinusServerClockUs = Some(-42L),
+      compressionParamsJson = Some("""{"tolerance":0.5}"""))
+    val back = StreamMetadata.fromJson(m.toJson)
+    assert(back.localMinusServerClockUs.contains(-42L))
+    assert(back.compressionParamsJson.contains("""{"tolerance":0.5}"""))
+    assert(back.userMetadata == Map("a" -> "b"))
+    assert(back.initializedAtUs == 123456789L)
+  }
+
+  test("http facade serves stream list, metadata, and parquet (H1)") {
+    val out = Files.createTempDirectory("graft-http-spec-")
+    val sdir = out.resolve("ev")
+    Files.createDirectories(sdir)
+    Files.writeString(sdir.resolve("metadata.json"),
+      """{"stream_name":"ev","ingestion_status":"COMPLETED"}""")
+    val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+    Files.write(sdir.resolve("data.parquet"), payload)
+
+    val srv = new IngesterHttpServer(out, port = 0)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/streams"
+      val client = HttpClient.newHttpClient()
+      def get(u: String) = client.send(
+        HttpRequest.newBuilder(URI.create(u)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+
+      val list = get(base)
+      assert(list.statusCode() == 200)
+      assert(new String(list.body()).contains("\"ev\""))
+
+      val one = get(s"$base/ev")
+      assert(new String(one.body()).contains("COMPLETED"))
+
+      val data = get(s"$base/ev/data.parquet")
+      assert(data.statusCode() == 200)
+      assert(data.body().toSeq == payload.toSeq)
+
+      assert(get(s"$base/nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
