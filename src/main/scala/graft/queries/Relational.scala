@@ -653,6 +653,32 @@ object Relational {
       },
       Some("""
         SELECT event_id, user_id, event_type, value
-        FROM events WHERE event_id >= 1000 AND event_id < 2000"""))
+        FROM events WHERE event_id >= 1000 AND event_id < 2000""")),
+
+    GraftQuery(
+      "q30_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        // explicit GROUPING SETS (beyond rollup/cube q13/q14): one pass,
+        // partial aggregation per set, no self-union of scans.
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(s"""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                 COALESCE(o_orderpriority, 'ALL') AS priority,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """)
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
   )
 }

@@ -250,6 +250,79 @@ object Similarity {
           .orderBy($"cosine".desc, $"neighbor_id".asc)
         cos.withColumn("rank", row_number().over(w)).filter($"rank" <= TOPK)
       },
-      None)
+      None),
+
+    // ------------------------------------------------- full kNN graph
+    GraftQuery(
+      "s04_knn_graph",
+      (s, dir) => {
+        import s.implicits._
+        // Directed k-nearest-neighbor graph over ALL vectors (the
+        // clustering/near-dup primitive of a training-data pipeline).
+        // Same exact scaled-long cosine as Dedup d05; the blocked grid
+        // turns all-pairs into an equi-join (parallel everywhere, no
+        // single-task nested loop); per-source top-k via window. At
+        // 100 TB the grid join is replaced by an ANN candidate pass
+        // (s02/s03) feeding the identical re-rank.
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id",
+            transform($"embedding",
+              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+              .as("c"))
+        val withNorm = emb.select($"vec_id", $"c",
+          sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
+          .localCheckpoint() // pin: the interpreted transform must not be
+                             // re-inlined into the pair-level projection
+        val BLK = 16
+        val grid = s.range(BLK).select($"id".cast("int").as("bx"))
+          .crossJoin(s.range(BLK).select($"id".cast("int").as("by")))
+        val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
+          $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
+        val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),
+          $"vec_id".as("yid"), $"c".as("yc"), $"nrm".as("ynrm"))
+        val pairs = grid
+          .join(x, $"bx" === $"xblk")
+          .join(y, $"by" === $"yblk")
+          .filter($"xid" =!= $"yid") // directed: both orientations kept
+          .select($"xid".as("src"), $"yid".as("neighbor_id"),
+            ((dot_i64($"xc", $"yc").cast("double") / lit(1.0e12)) /
+              ($"xnrm" * $"ynrm")).as("cosine"))
+        val w = Window.partitionBy($"src")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        pairs.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+      },
+      Some("""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT x.vec_id src, y.vec_id neighbor_id,
+            CAST(SUM(x.c * y.c) AS BIGINT) dot
+          FROM comp x JOIN comp y ON x.i = y.i AND x.vec_id <> y.vec_id
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.src, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (ns.nrm * nn.nrm)
+              AS cosine
+          FROM dot d
+            JOIN nrm ns ON ns.vec_id = d.src
+            JOIN nrm nn ON nn.vec_id = d.neighbor_id
+        )
+        SELECT src, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY src ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cos) t
+        WHERE rank <= 3"""))
   )
 }
