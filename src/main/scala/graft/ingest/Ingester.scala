@@ -18,7 +18,13 @@ final case class IngestSettings(
     columnBlacklist: Option[String] = None,
     minAgeMsBeforeTrim: Long = 60000L, // reference: 60 s
     trimConsumedSegments: Boolean = true,
-    stalePeriodMs: Long = 300000L) { // reference: 5 min (ingester.h:50)
+    stalePeriodMs: Long = 300000L, // reference: 5 min (ingester.h:50)
+    // name of an INT64 epoch-nanos user column to derive a `p_date`
+    // partition from: the at-rest layout becomes
+    // out/<stream>/data_parts/p_date=YYYY-MM-DD/..., so event-time
+    // filters prune whole partitions at the source (the 100 TB layout;
+    // the reference's single-dir layout has no pruning axis)
+    datePartitionColumn: Option[String] = None) {
 
   /** Whitelist wins over blacklist (reference ingester_settings.h:63-81). */
   def keepColumn(name: String): Boolean = columnWhitelist match {
@@ -75,6 +81,45 @@ final class Ingester(
           .agg(max("sample_index")).head().getLong(0)
     }
 
+  /** Date-partitioned variant of [[ingestOnce]]: appends into a
+    * partitioned parquet dataset (no per-sweep part files, no EOF
+    * compaction — the partitioned layout IS the final form at scale).
+    * Returns rows persisted this sweep.
+    */
+  def ingestOncePartitioned(stream: String): Long = {
+    val dateCol = settings.datePartitionColumn.getOrElse(
+      sys.error("ingestOncePartitioned needs datePartitionColumn"))
+    val meta = store.metadata(stream)
+    writeSidecar(stream, meta, "IN_PROGRESS")
+    val dataDir = outDir(stream).resolve("data_parts")
+    val from =
+      if (!Files.exists(dataDir)) -1L
+      else spark.read.parquet(dataDir.toString)
+        .agg(max("sample_index")).head().getLong(0)
+
+    val keepUserCols = meta.schema.fields.map(_.name).filter(settings.keepColumn)
+    val cols = Seq("sample_index", "key", "timestamp_ms") ++ keepUserCols
+    val df = spark.read.format("river")
+      .option("root", storeRoot.toString)
+      .option("stream", stream)
+      .load()
+      .filter(col("sample_index") > from)
+      .select(cols.map(col): _*)
+      .withColumn("p_date",
+        to_date(timestamp_micros(expr(s"$dateCol div 1000"))))
+
+    df.write.mode("append").partitionBy("p_date").parquet(dataDir.toString)
+    val total = spark.read.parquet(dataDir.toString).count()
+
+    maybeTrim(stream, total - 1)
+    finalizeIfStale(stream)
+    if (eofReached(stream)) {
+      writeSidecar(stream, meta, "COMPLETED")
+      store.deleteStream(stream)
+    }
+    total - (from + 1)
+  }
+
   /** Ingest all currently-available samples of one stream; returns the
     * number of rows persisted this sweep.
     */
@@ -114,7 +159,7 @@ final class Ingester(
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
 
-    maybeTrim(stream)
+    maybeTrim(stream, persistedFrontier(stream))
     finalizeIfStale(stream)
 
     if (eofReached(stream)) {
@@ -150,9 +195,8 @@ final class Ingester(
   /** Delete-behind: whole segments below the persisted frontier whose
     * file is older than the min age (reference I7 min-age guard).
     */
-  private def maybeTrim(stream: String): Unit = if (settings.trimConsumedSegments) {
-    val frontier = persistedFrontier(stream)
-    if (frontier >= 0) {
+  private def maybeTrim(stream: String, frontier: Long): Unit =
+    if (settings.trimConsumedSegments && frontier >= 0) {
       val segs = store.segments(stream)
       // a segment is fully consumed if the NEXT segment starts <= frontier
       val starts = segs.map(i =>
@@ -167,7 +211,6 @@ final class Ingester(
           store.segmentFile(stream, seg).delete()
       }
     }
-  }
 
   /** Merge all parts into a single `data.parquet` (reference
     * combine_all_files, ingester.cpp:555-647) and drop the parts.

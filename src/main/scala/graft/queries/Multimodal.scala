@@ -70,6 +70,35 @@ object Multimodal {
           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes
-        FROM documents GROUP BY 1"""))
+        FROM documents GROUP BY 1""")),
+
+    GraftQuery(
+      "m04_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        // deterministic frame sampling over the binary payload (every
+        // 4th 64-byte block) via the partition batch iterator — the
+        // video-keyframe / audio-chunk subsampling pass. The oracle
+        // reproduces the sampled-frame count from pure length
+        // arithmetic and the first frame's hash from substring (ASCII
+        // corpus: byte slices == char slices).
+        val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
+        media.as[graft.multimodal.MediaSample].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { m =>
+            val frames = MediaPipeline.frameSample(m.content, 4)
+            md.reset()
+            val fp = md.digest(frames.head).map("%02x".format(_)).mkString
+            (m.doc_id, m.media_type, frames.size.toLong, fp)
+          }
+        }.toDF("doc_id", "media_type", "n_sampled_frames", "first_frame_md5")
+      },
+      Some("""
+        SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+          CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT)
+            AS n_sampled_frames,
+          md5(substring(text, 1, 64)) AS first_frame_md5
+        FROM documents"""))
   )
 }

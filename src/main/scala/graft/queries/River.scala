@@ -275,6 +275,48 @@ object River {
         FROM events""")),
 
     GraftQuery(
+      "r09_stream_partitioned_ingest",
+      (s, dir) => {
+        import s.implicits._
+        // date-partitioned ingest (the 100 TB at-rest layout): the
+        // event-time column drives p_date=YYYY-MM-DD partitions, so an
+        // event-time filter prunes whole partitions at the parquet
+        // source (PartitionFilters in the plan; the reference's single
+        // dir has no pruning axis). The oracle reproduces the same
+        // date-window aggregate straight from events.
+        val root = tempRoot("part")
+        val out = tempRoot("part-out")
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"value")
+          .orderBy($"event_id").coalesce(1)
+          .write.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .mode("append").save()
+        val ing = new Ingester(s, root, out,
+          IngestSettings(datePartitionColumn = Some("ts")))
+        ing.ingestOncePartitioned("ev")
+        s.read.parquet(out.resolve("ev").resolve("data_parts").toString)
+          .filter($"p_date" >= lit("2024-01-03").cast("date")
+            && $"p_date" < lit("2024-01-06").cast("date"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct($"p_date").as("n_days"),
+            sum(dec($"value")).cast("double").as("total_value"),
+            min($"sample_index").as("first_idx"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          CAST(MIN(rn) AS BIGINT) AS first_idx
+        FROM (
+          SELECT ts, value,
+            row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM events) t
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+          AND CAST(ts AS DATE) < DATE '2024-01-06'""")),
+
+    GraftQuery(
       "r06_stream_metadata",
       (s, dir) => {
         import s.implicits._

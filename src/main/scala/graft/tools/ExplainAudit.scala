@@ -33,7 +33,9 @@ object ExplainAudit {
             "broadcast" -> plan.contains("BroadcastHashJoin"),
             "CARTESIAN!" -> plan.contains("CartesianProduct"),
             "NESTEDLOOP!" -> plan.contains("BroadcastNestedLoopJoin"),
-            "codegen" -> plan.contains("WholeStageCodegen"))
+            "codegen" -> plan.contains("WholeStageCodegen"),
+            "partition-pruned" ->
+              "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined)
           val on = flags.filter(_._2).map(_._1).mkString(", ")
           println(f"AUDIT ${q.name}%-28s $on")
           // ReadSchema width per scan: catch unpruned reads
