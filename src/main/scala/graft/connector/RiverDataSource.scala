@@ -210,14 +210,28 @@ class RiverMicroBatchStream(
 
   private def store = new StreamStore(java.nio.file.Paths.get(root))
 
+  // frame-aligned read frontier per segment: a live writer's buffered
+  // stream can flush MID-frame, so raw file length is not a safe offset
+  // (the next batch would start parsing inside a frame). We advance
+  // incrementally with readFrames' consumed-end, so each trigger parses
+  // only the new tail bytes.
+  private val aligned = scala.collection.mutable.Map.empty[Long, Long]
+
+  private def alignedEnd(segIdx: Long): Long = {
+    val from = aligned.getOrElse(segIdx, 0L)
+    val (_, end) = SegmentCodec.readFrames(
+      store.segmentFile(stream, segIdx), from)
+    aligned(segIdx) = end
+    end
+  }
+
   override def initialOffset(): Offset = RiverOffset(
     store.segments(stream).headOption.getOrElse(0L), 0L)
 
   override def latestOffset(): Offset = {
-    val st = store
-    val segs = st.segments(stream)
+    val segs = store.segments(stream)
     if (segs.isEmpty) RiverOffset(0L, 0L)
-    else RiverOffset(segs.last, st.segmentFile(stream, segs.last).length())
+    else RiverOffset(segs.last, alignedEnd(segs.last))
   }
 
   override def deserializeOffset(json: String): Offset = RiverOffset.fromJson(json)

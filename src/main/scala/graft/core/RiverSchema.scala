@@ -8,7 +8,12 @@ import org.apache.spark.sql.types._
 /** The seven river field types (reference: cpp/src/schema.h:29-37) and
   * their Spark mappings (SURVEY.md §1.2).
   */
-sealed abstract class RiverType(val wireName: String, val fixedSize: Option[Int]) {
+// Serializable: schemas ride inside DSv2 InputPartitions/WriterFactories
+// to executor tasks; a non-serializable superclass fails deserialization
+// for the FixedWidthBytes/VariableWidthBytes case classes ("no valid
+// constructor") even though case classes themselves are Serializable.
+sealed abstract class RiverType(val wireName: String, val fixedSize: Option[Int])
+  extends Serializable {
   def sparkType: DataType
 }
 object RiverType {

@@ -74,29 +74,41 @@ object SegmentCodec {
     * directly (segments are bounded by keysPerSegment, so the mapping is
     * bounded too).
     */
-  def readAll(file: File, from: Long = 0L): Vector[StreamEntry] = {
-    if (!file.exists()) return Vector.empty
+  def readAll(file: File, from: Long = 0L): Vector[StreamEntry] =
+    readFrames(file, from)._1
+
+  /** Like [[readAll]] but also returns the byte offset AFTER the last
+    * complete frame parsed. Concurrent readers MUST advance their cursor
+    * to this value, not to the current file length: the file can grow
+    * between the snapshot and the cursor update, and a torn tail frame
+    * at snapshot time would otherwise be skipped forever (data loss —
+    * caught by the FIXTURES §5 fuzz test).
+    */
+  def readFrames(file: File, from: Long = 0L): (Vector[StreamEntry], Long) = {
+    if (!file.exists()) return (Vector.empty, from)
     val ch = java.nio.channels.FileChannel.open(file.toPath)
     try {
       val limit = ch.size()
-      if (from >= limit) return Vector.empty
+      if (from >= limit) return (Vector.empty, from)
       val buf = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
         from, limit - from).order(ByteOrder.LITTLE_ENDIAN)
       val out = Vector.newBuilder[StreamEntry]
+      var consumed = from
       var done = false
       while (!done && buf.remaining() >= HeaderBytes) {
         val kind = buf.get()
         val key = StreamKey(buf.getLong, buf.getLong)
         val idx = buf.getLong
         val len = buf.getInt
-        if (buf.remaining() < len) done = true // torn tail: ignore
+        if (buf.remaining() < len) done = true // torn tail: stop here
         else {
           val payload = new Array[Byte](len)
           buf.get(payload)
           out += StreamEntry(kind, key, idx, payload)
+          consumed += HeaderBytes + len
         }
       }
-      out.result()
+      (out.result(), consumed)
     } finally ch.close()
   }
 }
@@ -465,8 +477,8 @@ final class StreamReader private[core] (
       progressed = false
       val f = store.segmentFile(name, segIdx)
       if (f.exists() && f.length() > filePos) {
-        val entries = SegmentCodec.readAll(f, filePos)
-        filePos = f.length()
+        val (entries, consumedEnd) = SegmentCodec.readFrames(f, filePos)
+        filePos = consumedEnd
         entries.foreach { e =>
           e.kind match {
             case StreamEntry.Tombstone =>

@@ -1,0 +1,124 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.core._
+import graft.ingest.Ingester
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end connector fixtures from FIXTURES.md:
+  * §1 per-type round trips through the store AND the DSv2 `river` scan,
+  * §2 variable-width streams through store → DSv2 → ingester,
+  * §3 multi-field packed struct offsets,
+  * §7 derived-column expectations on ingested parquet.
+  */
+class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("connector-e2e")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def newRoot() = Files.createTempDirectory("graft-e2e-")
+
+  test("per-type round trip: store write -> DSv2 read (FIXTURES §1)") {
+    val root = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(
+      RiverField("d", RiverType.Double64),
+      RiverField("f", RiverType.Float32),
+      RiverField("s", RiverType.Int16),
+      RiverField("i", RiverType.Int32),
+      RiverField("l", RiverType.Int64),
+      RiverField("b", RiverType.FixedWidthBytes(3))))
+    val w = store.createStream("types", schema)
+    val rows: Seq[Seq[Any]] = (0 until 256).map { k =>
+      Seq[Any](k.toDouble, k.toFloat, k.toShort, k, k.toLong,
+        Array[Byte](k.toByte, (k + 1).toByte, (k + 2).toByte))
+    }
+    w.write(rows); w.stop()
+
+    val df = spark.read.format("river")
+      .option("root", root.toString).option("stream", "types").load()
+    val got = df.orderBy("sample_index").collect()
+    assert(got.length == 256)
+    // spot-check value fidelity and derived columns on row 255
+    val r = got(255)
+    assert(r.getAs[Long]("sample_index") == 255L)
+    assert(r.getAs[Double]("d") == 255.0)
+    assert(r.getAs[Float]("f") == 255.0f)
+    assert(r.getAs[Short]("s") == 255.toShort)
+    assert(r.getAs[Int]("i") == 255)
+    assert(r.getAs[Long]("l") == 255L)
+    assert(r.getAs[Array[Byte]]("b").toSeq ==
+      Seq(255.toByte, 0.toByte, 1.toByte))
+    // keys strictly increasing (FIXTURES §7)
+    val keys = got.map(x => StreamKey.parse(x.getAs[String]("key")))
+    assert(keys.sliding(2).forall { case Array(a, b) => a < b })
+  }
+
+  test("variable-width stream: store -> DSv2 -> ingester (FIXTURES §2)") {
+    val root = newRoot()
+    val out = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(
+      RiverField("field1", RiverType.VariableWidthBytes(100))))
+    val words = Seq("This", "is", "a", "test", "") // incl. empty
+    val w = store.createStream("vw", schema)
+    w.write(words.map(s => Seq[Any](s.getBytes("UTF-8"))))
+    w.stop()
+
+    // DSv2 read
+    val df = spark.read.format("river")
+      .option("root", root.toString).option("stream", "vw").load()
+    val got = df.orderBy("sample_index")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("field1"), "UTF-8"))
+    assert(got.toSeq == words)
+
+    // ingester to parquet, read back
+    val ing = new Ingester(spark, root, out)
+    ing.ingestOnce("vw")
+    val pq = spark.read.parquet(
+      out.resolve("vw").resolve("data.parquet").toString)
+    val back = pq.orderBy("sample_index")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("field1"), "UTF-8"))
+    assert(back.toSeq == words)
+    assert(pq.columns.toSeq.take(3) ==
+      Seq("sample_index", "key", "timestamp_ms"))
+  }
+
+  test("variable-width sample larger than declared max is rejected") {
+    val store = new StreamStore(newRoot())
+    val schema = RiverSchema(Seq(
+      RiverField("field1", RiverType.VariableWidthBytes(4))))
+    val w = store.createStream("vwmax", schema)
+    intercept[IllegalArgumentException] {
+      w.write(Seq(Seq[Any]("too long".getBytes("UTF-8"))))
+    }
+  }
+
+  test("multi-field packed struct offsets (FIXTURES §3)") {
+    val schema = RiverSchema(Seq(
+      RiverField("field1", RiverType.Int32),
+      RiverField("field2", RiverType.Int32),
+      RiverField("field3", RiverType.Int64)))
+    val codec = new RowCodec(schema)
+    val packed = codec.pack(Seq[Any](1, 2, 3L))
+    assert(packed.length == 16)
+    assert(codec.unpack(packed) == Seq(1, 2, 3L))
+    // little-endian field order: 01.., 02.., 03..
+    assert(packed(0) == 1.toByte && packed(4) == 2.toByte &&
+      packed(8) == 3.toByte)
+  }
+}
