@@ -679,6 +679,55 @@ object Relational {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                  AS total
         FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
+    GraftQuery(
+      "q31_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        // bucketed co-located join: both sides pre-bucketed (+sorted) on
+        // the join key, so the SortMergeJoin reads bucket-aligned files
+        // with NO Exchange on either side — the "pay the shuffle once,
+        // join many times" layout for repeated 100 TB joins. MERGE hints
+        // keep Spark from broadcasting the small-SF side so the bucketed
+        // path is what actually runs (verified by ExplainAudit: no
+        // Exchange below the join).
+        // bucketed tables are catalog-managed; a fresh session's catalog
+        // doesn't know about dirs a previous JVM left in the warehouse,
+        // so drop both (catalog + disk) before writing
+        Seq("graft_li_bkt", "graft_o_bkt").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:")
+          val d = new java.io.File(wh, tbl)
+          if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+        }
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority")
+        li.write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bkt")
+        o.write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_o_bkt")
+        s.table("graft_li_bkt").hint("MERGE")
+          .join(s.table("graft_o_bkt").hint("MERGE"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(8, 6))
+              - decS($"l_discount")))
+              .cast(DecimalType(38, 6)).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+            (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1"""))
   )
 }

@@ -35,7 +35,10 @@ object ExplainAudit {
             "NESTEDLOOP!" -> plan.contains("BroadcastNestedLoopJoin"),
             "codegen" -> plan.contains("WholeStageCodegen"),
             "partition-pruned" ->
-              "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined)
+              "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+            // bucketed/co-located plans should show none of these
+            "shuffle" -> plan.contains("Exchange"),
+            "SMJ" -> plan.contains("SortMergeJoin"))
           val on = flags.filter(_._2).map(_._1).mkString(", ")
           println(f"AUDIT ${q.name}%-28s $on")
           // ReadSchema width per scan: catch unpruned reads

@@ -108,6 +108,65 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("live stream: micro-batch drain while the writer is appending") {
+    // exercises the frame-aligned offset path: a concurrent writer's
+    // buffered flushes can land mid-frame, and per-trigger offsets must
+    // never split a frame. One writer thread appends in jittery bursts
+    // while a ProcessingTime-triggered query drains to parquet; the
+    // landed rows must be gapless and complete.
+    val root = newRoot()
+    val out = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(RiverField("v", RiverType.Int64)))
+    val Total = 20000
+    val writer = new Thread(() => {
+      val w = store.createStream("live", schema)
+      val rnd = new java.util.Random(7)
+      var i = 0
+      while (i < Total) {
+        val m = math.min(1 + rnd.nextInt(700), Total - i)
+        w.write((0 until m).map(k => Seq[Any]((i + k).toLong)))
+        i += m
+        Thread.sleep(rnd.nextInt(5).toLong)
+      }
+      w.stop()
+    })
+    writer.start()
+
+    val q = spark.readStream.format("river")
+      .option("root", root.toString).option("stream", "live")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    writer.join(60000)
+    assert(!writer.isAlive)
+    // let the query drain the tail (incl. EOF) then stop
+    Thread.sleep(3000)
+    q.stop()
+    // a last AvailableNow pass picks up anything after the final trigger
+    val q2 = spark.readStream.format("river")
+      .option("root", root.toString).option("stream", "live")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(30000)
+
+    val df = spark.read.parquet(out.resolve("data").toString)
+    val n = df.count()
+    assert(n == Total, s"landed $n of $Total")
+    val idx = df.select("sample_index").collect().map(_.getLong(0)).sorted
+    assert(idx.head == 0L && idx.last == Total - 1 &&
+      idx.distinct.length == Total)
+    val vals = df.select("v").collect().map(_.getLong(0)).sorted
+    assert(vals.toSeq == (0L until Total.toLong))
+  }
+
   test("multi-field packed struct offsets (FIXTURES §3)") {
     val schema = RiverSchema(Seq(
       RiverField("field1", RiverType.Int32),
