@@ -728,6 +728,59 @@ object Relational {
             (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
             AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "q32_approx_sketches",
+      (s, dir) => {
+        import s.implicits._
+        // sketch-based estimation (HLL++ cardinality, quantile sketch):
+        // the O(1)-memory answers used at 100 TB where exact distinct /
+        // exact percentile won't fit. Sketches differ between engines,
+        // so the query SELF-VALIDATES: it emits the exact values plus
+        // booleans asserting the estimates land within the configured
+        // error — the oracle states the exact values and `true`.
+        val li = t(s, dir, "lineitem")
+        val agg = li.agg(
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_med"),
+          expr("percentile(l_quantity, 0.5)").as("exact_med"))
+        agg.select(
+          $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts").cast("double") /
+            $"exact_parts" < 0.05).as("cardinality_within_5pct"),
+          $"exact_med".cast("double").as("exact_median_qty"),
+          (abs($"approx_med" - $"exact_med") <= 1.0).as("median_within_1"))
+      },
+      Some("""
+        SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+          true AS cardinality_within_5pct,
+          CAST(median(l_quantity) AS DOUBLE) AS exact_median_qty,
+          true AS median_within_1
+        FROM lineitem""")),
+
+    GraftQuery(
+      "q33_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        // deterministic ~10% sample by content-independent key hash
+        // (substring of md5) — the reproducible corpus-sampling
+        // primitive (rng-based sample() is neither portable nor stable
+        // across partitionings). Exactly reproducible in any engine.
+        t(s, dir, "orders")
+          .filter(conv(substring(md5($"o_orderkey".cast("string")), 1, 4),
+            16, 10).cast("long") % 10 === 0)
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(dec($"o_totalprice")).cast("double").as("sampled_total"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_sampled,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            AS sampled_total
+        FROM orders
+        WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
+            % 10 = 0"""))
   )
 }
