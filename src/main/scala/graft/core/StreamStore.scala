@@ -321,9 +321,18 @@ final class StreamStore(val root: Path) {
   def forceEof(name: String): Boolean = {
     val segs = segments(name)
     val last = segs.lastOption.getOrElse(0L)
-    val entries = SegmentCodec.readAll(segmentFile(name, last))
+    val f = segmentFile(name, last)
+    val (entries, validEnd) = SegmentCodec.readFrames(f)
     if (entries.exists(_.kind == StreamEntry.Eof)) false
     else {
+      // crash recovery: a dead writer may have left a torn frame at the
+      // tail; appending EOF after it would corrupt the frame stream
+      // (frames carry no checksum to resync on). Truncate to the last
+      // complete frame first — standard WAL recovery.
+      if (f.exists() && f.length() > validEnd) {
+        val raf = new RandomAccessFile(f, "rw")
+        try raf.setLength(validEnd) finally raf.close()
+      }
       val lastIdx = entries.filter(_.kind == StreamEntry.Data)
         .lastOption.map(_.sampleIndex).getOrElse(-1L)
       val lastKey = entries.lastOption.map(_.key).getOrElse(StreamKey.Zero)

@@ -349,10 +349,13 @@ object Dedup {
         // exactly one orientation that survives the xid < yid filter, so
         // the FULL grid (not the upper triangle: a pair with
         // a%BLK > b%BLK lives in a lower-triangle cell) is required.
+        // the BLK x BLK grid is a 256-row literal: build it driver-side
+        // (a range crossJoin plans a BroadcastNestedLoopJoin — trivial
+        // here, but a literal keeps the plan join-free)
         val BLK = 16
-        val bx = s.range(BLK).select($"id".cast("int").as("bx"))
-        val by = s.range(BLK).select($"id".cast("int").as("by"))
-        val grid = bx.crossJoin(by)
+        val grid = s.createDataFrame(
+          for { i <- 0 until BLK; j <- 0 until BLK } yield (i, j))
+          .toDF("bx", "by")
         val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
           $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
         val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),

@@ -781,6 +781,39 @@ object Relational {
             AS sampled_total
         FROM orders
         WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
-            % 10 = 0"""))
+            % 10 = 0""")),
+
+    GraftQuery(
+      "q34_salted_skew_join",
+      (s, dir) => {
+        import s.implicits._
+        // skew-handling by salting: a deliberately skewed fact (every
+        // event funneled to bucket user_id%3, so one shuffle key would
+        // carry ~1/3 of the table) joins a small dim after exploding the
+        // fact key into (key, salt) and replicating the dim across all
+        // salts — the hot key spreads over SALTS reducers. AQE's skew
+        // join does this at runtime for sort-merge joins; explicit
+        // salting is the portable spelling that also covers aggregations.
+        val SALTS = 8
+        val fact = t(s, dir, "events")
+          .select(($"user_id" % 3).as("bucket"), $"value")
+          .withColumn("salt",
+            pmod(conv(substring(md5($"value".cast("string")), 1, 4), 16, 10)
+              .cast("long"), lit(SALTS)))
+        val dim = s.createDataFrame(
+          Seq((0L, "low"), (1L, "mid"), (2L, "high"))).toDF("bucket", "tier")
+        val saltedDim = dim.crossJoin(
+          s.range(SALTS).select($"id".as("salt")))
+        fact.join(broadcast(saltedDim), Seq("bucket", "salt"))
+          .groupBy($"tier")
+          .agg(count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"))
+      },
+      Some("""
+        WITH dim(bucket, tier) AS (VALUES (0, 'low'), (1, 'mid'), (2, 'high'))
+        SELECT d.tier, COUNT(*) AS n,
+          CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events e JOIN dim d ON e.user_id % 3 = d.bucket
+        GROUP BY 1"""))
   )
 }

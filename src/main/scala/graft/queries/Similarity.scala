@@ -207,9 +207,11 @@ object Similarity {
         // oracle story beyond s01/s02.
         val NP = 12
         val c = comp(s, dir)
-        // hyperplane component p_{k,i} in [-0.5, 0.5): derived from md5
-        val planes = s.range(NP.toLong).select($"id".cast("int").as("k"))
-          .crossJoin(s.range(64).select($"id".cast("int").as("i")))
+        // hyperplane component p_{k,i} in [-0.5, 0.5): derived from md5;
+        // the (k, i) grid is a 768-row literal (join-free plan)
+        val planes = s.createDataFrame(
+          for { k <- 0 until NP; i <- 0 until 64 } yield (k, i))
+          .toDF("k", "i")
           .select($"k", $"i",
             (conv(substring(md5(concat($"k", lit(":"), $"i")), 1, 8), 16, 10)
               .cast("long").cast("double") / lit(4294967296.0) - lit(0.5))
@@ -275,8 +277,9 @@ object Similarity {
           .localCheckpoint() // pin: the interpreted transform must not be
                              // re-inlined into the pair-level projection
         val BLK = 16
-        val grid = s.range(BLK).select($"id".cast("int").as("bx"))
-          .crossJoin(s.range(BLK).select($"id".cast("int").as("by")))
+        val grid = s.createDataFrame(
+          for { i <- 0 until BLK; j <- 0 until BLK } yield (i, j))
+          .toDF("bx", "by")
         val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
           $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
         val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),

@@ -63,6 +63,25 @@ class IngestFeaturesSpec extends AnyFunSuite {
     assert(back.initializedAtUs == 123456789L)
   }
 
+  test("reader recovers every complete frame from a torn segment tail") {
+    // simulate a writer crash mid-frame: truncate the segment to a
+    // point inside the last frame; readers must return all complete
+    // frames and stop cleanly at the torn tail (no misparse, no hang).
+    val store = newStore()
+    val w = store.createStream("torn", schema)
+    w.write((0 until 100).map(i => Seq[Any](i.toDouble)))
+    // no stop(): simulate crash, then tear the tail
+    val seg = store.segmentFile("torn", store.segments("torn").head)
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    try raf.setLength(raf.length() - 5) finally raf.close()
+    store.forceEof("torn") // staleness finalizer path appends EOF after
+    val r = store.openReader("torn")
+    val rows = r.read(1000, 0).get
+    assert(rows.size == 99) // last frame torn away, rest intact
+    assert(rows.map(_._2) == (0L until 99L))
+    assert(r.read(1000, 0).isEmpty) // EOF consumed
+  }
+
   test("http facade serves stream list, metadata, and parquet (H1)") {
     val out = Files.createTempDirectory("graft-http-spec-")
     val sdir = out.resolve("ev")
