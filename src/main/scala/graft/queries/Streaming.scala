@@ -224,6 +224,94 @@ object Streaming {
           AND f.ts > c.ts
           AND f.ts <= c.ts + INTERVAL 6 HOUR
         WHERE c.event_type = 'click'
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ------------------- custom sessionization (flatMapGroupsWithState)
+    GraftQuery(
+      "st07_custom_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        // the full arbitrary-state API: flatMapGroupsWithState with
+        // EventTimeTimeout. Per user, buffered events fold into
+        // 30-min-gap sessions; sessions whose end passed the watermark
+        // EMIT and leave state; open sessions persist and register an
+        // event-time timeout, firing when the watermark passes their
+        // end (bounded state, incremental emission — the hand-rolled
+        // equivalent of st03's session_window, same oracle).
+        val GapUs = 1800L * 1000000L
+        val typed = StreamingOps.eventsStream(s, dir)
+          .withWatermark("event_time", "30 minutes")
+          .select($"user_id", $"event_time",
+            round($"value" * 100).cast("long").as("cents"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+        val sessions = typed.flatMapGroupsWithState[
+            List[(Long, Long)], (Long, Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+           state: GroupState[List[(Long, Long)]]) =>
+            // state: buffered (eventUs, cents), unsessionized
+            val buf = (state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r._2.getTime * 1000L +
+                (r._2.getNanos / 1000 % 1000), r._3))).sortBy(_._1)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // fold into sessions; a session is CLOSED iff its end
+            // (last event + gap) <= watermark
+            val sessionsAll = buf.foldLeft(List.empty[List[(Long, Long)]]) {
+              case (acc, ev) => acc match {
+                case cur :: rest if ev._1 < cur.head._1 + GapUs =>
+                  (ev :: cur) :: rest // cur.head is the latest event
+                case _ => List(ev) :: acc
+              }
+            }
+            val (closed, open) = sessionsAll.partition(sess =>
+              sess.head._1 + GapUs <= wmUs)
+            val remaining = open.flatten.sortBy(_._1)
+            if (remaining.isEmpty) state.remove()
+            else {
+              state.update(remaining)
+              // fire when the watermark passes the earliest open end
+              val earliestEndMs =
+                open.map(_.head._1 + GapUs).min / 1000L
+              if (earliestEndMs > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(earliestEndMs)
+            }
+            closed.map { sess =>
+              val evs = sess.reverse
+              (user, evs.head._1 / 1000000L, evs.size.toLong,
+                evs.map(_._2).sum.toDouble / 100.0)
+            }.iterator
+        }
+        StreamingOps.drain(s,
+          sessions.toDF("user_id", "session_start", "n_events", "total_value"),
+          "st07", "append")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, value, epoch_ns(ts) // 1000 AS us,
+            CASE WHEN epoch_ns(ts) // 1000
+                   - lag(epoch_ns(ts) // 1000, 1, CAST(-1800000001000 AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                 >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, value, us,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ),
+        agg AS (
+          SELECT user_id, sid, MIN(us) AS start_us,
+            MAX(us) + 1800000000 AS end_us,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+              AS total_value
+          FROM sess GROUP BY 1, 2
+        ),
+        wm AS (SELECT MAX(epoch_ns(ts) // 1000) - 1800000000 AS w FROM events)
+        SELECT user_id, start_us // 1000000 AS session_start,
+          n_events, total_value
+        FROM agg WHERE end_us <= (SELECT w FROM wm)"""))
   )
 }
