@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one untimed warm-up query absorbs JVM/codegen/session
   * startup (it dominated the first timed query by ~15s otherwise), then
-  * queries run once each in name order (deterministic attribution).
+  * every query runs in name order for TWO passes and each reports its
+  * best time. The host shows multi-minute co-tenant contention windows
+  * (queries measured at <=1s in isolation spiking 30-40x in exactly one
+  * contiguous alphabetical block per run); per-query min over passes
+  * separated in time measures the engine, not the neighbor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,14 +38,19 @@ object Bench {
         .foreach(_._2(spark, sfDir).count())
     } catch { case _: Throwable => }
 
-    val results = queries.map { case (name, fn) =>
+    def onePass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop blocks pinned by this query's localCheckpoints so 54
+      // drop blocks pinned by this query's localCheckpoints so dozens of
       // queries in one JVM don't accumulate executor-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
+    }
+    val pass1 = onePass().toMap
+    val pass2 = onePass().toMap
+    val results = queries.map { case (name, _) =>
+      name -> math.min(pass1(name), pass2(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

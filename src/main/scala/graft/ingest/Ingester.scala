@@ -253,9 +253,26 @@ final class Ingester(
 
   /** Sweep every stream matching the settings pattern (reference
     * orchestrator, ingester.cpp:58-94); returns rows ingested per stream.
+    *
+    * `parallelism` > 1 ingests streams concurrently from a fixed pool
+    * (the reference's 4-thread pool, ingester.cpp:54-55) — each stream's
+    * Spark jobs are independent, so cross-stream parallelism is the
+    * orchestrator's scale axis (per-stream order stays sequential).
     */
-  def sweep(): Map[String, Long] =
-    store.listStreams()
-      .filter(_.matches(settings.streamPattern))
-      .map(s => s -> ingestOnce(s)).toMap
+  def sweep(parallelism: Int = 1): Map[String, Long] = {
+    val streams = store.listStreams().filter(_.matches(settings.streamPattern))
+    if (parallelism <= 1) streams.map(s => s -> ingestOnce(s)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = streams.map(s =>
+          scala.concurrent.Future(s -> ingestOnce(s)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration(10, "min")).toMap
+      } finally pool.shutdown()
+    }
+  }
 }

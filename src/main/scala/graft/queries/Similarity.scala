@@ -43,13 +43,11 @@ object Similarity {
             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) c
           FROM embeddings"""
 
-  val all: Seq[GraftQuery] = Seq(
-
-    // ------------------------------------------------- brute-force top-k
-    GraftQuery(
-      "s01_knn_brute",
-      (s, dir) => {
-        import s.implicits._
+  /** Exact brute-force top-k per query vector (shared by s01 and the
+    * s05 recall measurement). */
+  private def bruteDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    {
         val c = comp(s, dir)
         val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
           .select($"vec_id", sqrt($"nrm2".cast("double")).as("nrm"))
@@ -68,8 +66,11 @@ object Similarity {
           .orderBy($"cosine".desc, $"neighbor_id".asc)
         cos.withColumn("rank", row_number().over(w))
           .filter($"rank" <= TOPK)
-      },
-      Some(s"""
+    }
+  }
+
+  /** Oracle SQL of [[bruteDf]]. */
+  private val sqlBrute = s"""
         WITH comp AS ($sqlComp),
         nrm AS (
           SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
@@ -92,13 +93,13 @@ object Similarity {
           SELECT *, row_number() OVER
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM cos) t
-        WHERE rank <= $TOPK""")),
+        WHERE rank <= $TOPK"""
 
-    // -------------------------------------------------------- IVF probe
-    GraftQuery(
-      "s02_knn_ivf",
-      (s, dir) => {
-        import s.implicits._
+  /** IVF probe: route each query to its best coarse cell, exact search
+    * within the cell (shared by s02 and the s05 recall measurement). */
+  private def ivfDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    {
         // IVF: coarse cells = labels; centroid = per-cell component SUM
         // (cosine is scale-invariant, so sum == mean for cell routing, and
         // sums stay exact decimals — no division anywhere).
@@ -140,8 +141,11 @@ object Similarity {
           .orderBy($"cosine".desc, $"neighbor_id".asc)
         cos.withColumn("rank", row_number().over(w))
           .filter($"rank" <= lit(5))
-      },
-      Some(s"""
+    }
+  }
+
+  /** Oracle SQL of [[ivfDf]]. */
+  private val sqlIvf = s"""
         WITH comp AS ($sqlComp),
         cent AS (
           SELECT label, i, CAST(SUM(c) AS DECIMAL(20,6)) cc
@@ -191,7 +195,19 @@ object Similarity {
           SELECT *, row_number() OVER
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM cos) t
-        WHERE rank <= 5""")),
+        WHERE rank <= 5"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "s01_knn_brute",
+      (s, dir) => bruteDf(s, dir),
+      Some(sqlBrute)),
+
+    GraftQuery(
+      "s02_knn_ivf",
+      (s, dir) => ivfDf(s, dir),
+      Some(sqlIvf)),
 
     // -------------------------------------------- sign-LSH bucketed ANN
     GraftQuery(
@@ -326,6 +342,35 @@ object Similarity {
           SELECT *, row_number() OVER
             (PARTITION BY src ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM cos) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ----------------------------------------- ANN quality: recall@5
+    GraftQuery(
+      "s05_knn_recall",
+      (s, dir) => {
+        import s.implicits._
+        // recall@5 of the IVF probe against exact brute-force ground
+        // truth — the evaluation every ANN deployment runs before
+        // trusting an index. LEFT join ground truth to IVF hits; recall
+        // = matched / k (exact n/5.0 division, engine-identical).
+        val truth = bruteDf(s, dir).filter($"rank" <= 5)
+          .select($"qid", $"neighbor_id")
+        val hits = ivfDf(s, dir)
+          .select($"qid".as("iqid"), $"neighbor_id".as("ineighbor"))
+        truth.join(hits,
+            $"qid" === $"iqid" && $"neighbor_id" === $"ineighbor", "left")
+          .groupBy($"qid")
+          .agg(count($"ineighbor").as("n_matched"))
+          .select($"qid", $"n_matched",
+            ($"n_matched".cast("double") / 5.0).as("recall_at_5"))
+      },
+      Some(s"""
+        SELECT b.qid, COUNT(i.neighbor_id) AS n_matched,
+          CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+        FROM ($sqlBrute) b
+          LEFT JOIN ($sqlIvf) i
+            ON i.qid = b.qid AND i.neighbor_id = b.neighbor_id
+        WHERE b.rank <= 5
+        GROUP BY b.qid"""))
   )
 }

@@ -167,6 +167,26 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.toSeq == (0L until Total.toLong))
   }
 
+  test("parallel sweep ingests multiple streams concurrently (I1)") {
+    val root = newRoot()
+    val out = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(RiverField("v", RiverType.Int64)))
+    (1 to 3).foreach { k =>
+      val w = store.createStream(s"s$k", schema)
+      w.write((0 until 100 * k).map(i => Seq[Any](i.toLong)))
+      w.stop()
+    }
+    val ing = new graft.ingest.Ingester(spark, root, out)
+    val counts = ing.sweep(parallelism = 3)
+    assert(counts == Map("s1" -> 100L, "s2" -> 200L, "s3" -> 300L))
+    (1 to 3).foreach { k =>
+      val df = spark.read.parquet(
+        out.resolve(s"s$k").resolve("data.parquet").toString)
+      assert(df.count() == 100L * k)
+    }
+  }
+
   test("compaction bin-packs small files and preserves data + partitions") {
     val s = spark
     import s.implicits._
