@@ -814,6 +814,89 @@ object Relational {
         SELECT d.tier, COUNT(*) AS n,
           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events e JOIN dim d ON e.user_id % 3 = d.bucket
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "q35_pivot",
+      (s, dir) => {
+        import s.implicits._
+        // pivot: event counts and value sums per user, one column pair
+        // per event_type. Spark's .pivot(values) with explicit values is
+        // one pass with partial aggregation (no second job to discover
+        // the domain); the oracle spells it as conditional aggregation.
+        val types = Seq("click", "view", "purchase", "error")
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(sum(dec($"value")).cast("double"))
+          .select($"user_id" +: types.map(tp => col(tp).as(s"${tp}_total")): _*)
+      },
+      Some("""
+        SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click_total,
+          CAST(SUM(CASE WHEN event_type = 'view'
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view_total,
+          CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase_total,
+          CAST(SUM(CASE WHEN event_type = 'error'
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error_total
+        FROM events GROUP BY user_id""")),
+
+    GraftQuery(
+      "q36_window_distribution",
+      (s, dir) => {
+        import s.implicits._
+        // distribution window functions: ntile quartiles, percent_rank,
+        // cume_dist over account balances within each nation.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+        t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey",
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal ASC, c_custkey ASC)""")),
+
+    GraftQuery(
+      "q37_ohlc_resample",
+      (s, dir) => {
+        import s.implicits._
+        // time-series resampling: 6-hour OHLC bars per event_type —
+        // open/close via min_by/max_by on the event sequence (arg_min/
+        // arg_max in DuckDB), high/low/volume as plain aggregates. The
+        // bar key is integer epoch arithmetic, identical in both engines.
+        t(s, dir, "events")
+          // integer `div`, not `/`: ts is epoch NANOS (~1.7e18) and the
+          // double division `/` produces loses sub-100ns precision
+          .withColumn("bar", expr("(ts div 21600000000000) * 21600"))
+          .groupBy($"event_type", $"bar")
+          .agg(
+            count(lit(1)).as("n"),
+            min_by($"value", $"event_id").as("open"),
+            max_by($"value", $"event_id").as("close"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            sum(dec($"value")).cast("double").as("volume"))
+      },
+      Some("""
+        SELECT event_type,
+          (epoch_ns(ts) // 21600000000000) * 21600 AS bar,
+          COUNT(*) AS n,
+          arg_min(value, event_id) AS open,
+          arg_max(value, event_id) AS close,
+          MAX(value) AS high,
+          MIN(value) AS low,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        FROM events GROUP BY 1, 2"""))
   )
 }
