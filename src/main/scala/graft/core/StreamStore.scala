@@ -361,6 +361,18 @@ object StreamStore {
     * per Redis key (writer.h:83) — ours is byte-free so entries-based too.
     */
   val DefaultKeysPerSegment: Long = 1L << 20
+
+  /** Scratch root for ephemeral stores: tmpfs when the host has it. The
+    * reference's transport IS an in-memory store (Redis); a RAM-backed
+    * filesystem is the apples-to-apples local substrate, and on a real
+    * cluster this is the NVMe/DFS mount the store is deployed on.
+    */
+  def scratchRoot(tag: String): Path = {
+    val shm = Paths.get("/dev/shm")
+    val base = if (Files.isWritable(shm)) shm
+               else Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createTempDirectory(base, tag)
+  }
 }
 
 /** Single-writer append facade (reference StreamWriter,
@@ -538,6 +550,43 @@ final class StreamReader private[core] (
               sys.error(s"sample index regressed: ${e.sampleIndex} <= $lastIndex")
             lastIndex = e.sampleIndex
             out += ((e.key, e.sampleIndex, codec.unpack(e.payload)))
+            count += 1
+          case _ =>
+        }
+      }
+    }
+    val rows = out.result()
+    if (rows.isEmpty && sawEof) None else Some(rows)
+  }
+
+  /** Read up to n samples as RAW PAYLOAD BYTES, blocking up to
+    * timeoutMs — the reference's `ReadBytes` plane (reader.cpp:114-177:
+    * samples land in the caller's byte buffer undecoded; the typed
+    * `Read<T>` wrappers sit above it). This is the transport-throughput
+    * path: no per-field decode, no boxing.
+    */
+  def readBytes(n: Int, timeoutMs: Long = 0): Option[Seq[Array[Byte]]] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val out = Vector.newBuilder[Array[Byte]]
+    var count = 0
+    var done = false
+    while (!done && count < n) {
+      if (buffer.isEmpty) poll()
+      if (buffer.isEmpty) {
+        if (sawEof) done = true
+        else if (System.currentTimeMillis() >= deadline) done = true
+        else Thread.sleep(1)
+      } else {
+        val e = buffer.dequeue()
+        e.kind match {
+          case StreamEntry.Eof =>
+            sawEof = true
+            done = true
+          case StreamEntry.Data =>
+            if (e.sampleIndex <= lastIndex)
+              sys.error(s"sample index regressed: ${e.sampleIndex} <= $lastIndex")
+            lastIndex = e.sampleIndex
+            out += e.payload
             count += 1
           case _ =>
         }

@@ -39,16 +39,35 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         // the stubbed decode + feature-extract pass (mapPartitions batch
-        // iteration). Spark-only: the codec stub is jvm-side, so the
-        // driver applies its weaker rows-only check here.
+        // iteration). The codec stub is deterministic byte arithmetic over
+        // the payload, so the oracle reproduces every feature from the
+        // source text (payload == utf8 bytes; corpus is ASCII, so
+        // char position == byte position and ascii() == byte value):
+        // width/height/frames from the "header" bytes, histogram bin 6
+        // (bytes 0x60-0x6f) by character-class count, histogram total ==
+        // payload length.
         val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
         MediaPipeline.extract(s, media).toDF()
           .select($"doc_id", $"media_type", $"size_bytes",
             $"width", $"height", $"n_frames",
-            element_at($"histogram", 1).as("hist_bin0"),
+            element_at($"histogram", 7).as("hist_bin6"),
             aggregate($"histogram", lit(0L), (a, x) => a + x).as("hist_total"))
       },
-      None),
+      Some("""
+        SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+          CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+          CAST(64 + (ascii(substr(text,1,1))*7 + ascii(substr(text,2,1))) % 1024
+            AS INT) AS width,
+          CAST(64 + (ascii(substr(text,3,1))*5 + ascii(substr(text,4,1))) % 768
+            AS INT) AS height,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + ascii(substr(text,5,1)) % 120
+                    WHEN doc_id % 3 = 1 THEN 1 + ascii(substr(text,5,1)) % 16
+                    ELSE 1 END AS INT) AS n_frames,
+          CAST(length(regexp_replace(text, '[^\x60-\x6f]', '', 'g')) AS BIGINT)
+            AS hist_bin6,
+          CAST(octet_length(encode(text)) AS BIGINT) AS hist_total
+        FROM documents""")),
 
     GraftQuery(
       "m03_media_agg",

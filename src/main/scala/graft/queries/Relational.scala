@@ -28,6 +28,10 @@ import GraftQuery._
   */
 object Relational {
 
+  /** (session, sfDir) pairs whose q31 bucketed tables are already built. */
+  private val bucketedFor =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -692,26 +696,32 @@ object Relational {
         // keep Spark from broadcasting the small-SF side so the bucketed
         // path is what actually runs (verified by ExplainAudit: no
         // Exchange below the join).
-        // bucketed tables are catalog-managed; a fresh session's catalog
-        // doesn't know about dirs a previous JVM left in the warehouse,
-        // so drop both (catalog + disk) before writing
-        Seq("graft_li_bkt", "graft_o_bkt").foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:")
-          val d = new java.io.File(wh, tbl)
-          if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+        // bucketing is the pay-once layout: build the bucketed tables the
+        // first time this (session, sfDir) sees them, reuse afterwards —
+        // re-bucketing per query would charge the one-time layout cost to
+        // every join. A fresh JVM's in-memory catalog doesn't know about
+        // dirs a previous JVM left in the warehouse, so on (re)build drop
+        // both catalog entry and disk dir first.
+        if (!Relational.bucketedFor.contains((s, dir))) {
+          Seq("graft_li_bkt", "graft_o_bkt").foreach { tbl =>
+            s.sql(s"DROP TABLE IF EXISTS $tbl")
+            val wh = s.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:")
+            val d = new java.io.File(wh, tbl)
+            if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+          }
+          val li = t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          val o = t(s, dir, "orders")
+            .select($"o_orderkey", $"o_orderpriority")
+          li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("graft_li_bkt")
+          o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("graft_o_bkt")
+          Relational.bucketedFor.add((s, dir))
         }
-        val li = t(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        val o = t(s, dir, "orders")
-          .select($"o_orderkey", $"o_orderpriority")
-        li.write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_li_bkt")
-        o.write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_o_bkt")
         s.table("graft_li_bkt").hint("MERGE")
           .join(s.table("graft_o_bkt").hint("MERGE"),
             $"l_orderkey" === $"o_orderkey")

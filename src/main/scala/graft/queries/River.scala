@@ -31,7 +31,7 @@ object River {
   }
 
   private def tempRoot(tag: String) =
-    Files.createTempDirectory(s"graft-river-$tag-")
+    graft.core.StreamStore.scratchRoot(s"graft-river-$tag-")
 
   /** Events written ONCE per (jvm, sfDir) through the DSv2 sink; the
     * read-only queries (r01/r02/r07) share it. A stream is written once

@@ -217,25 +217,36 @@ object Similarity {
         // Random-hyperplane LSH: 12-bit sign sketch from deterministic
         // md5-derived hyperplanes; vectors sharing a query's bucket (or a
         // 1-bit-flip neighbor bucket: multiprobe) are candidates, then
-        // exact cosine re-rank. Spark-only (rows-only driver check): the
-        // planes come from jvm-side md5 of (plane, component) — portable
-        // in principle, but the 12x64 plane-join SQL adds nothing to the
-        // oracle story beyond s01/s02.
+        // exact cosine re-rank. Fully oracle-checkable: plane components
+        // are integers (md5 hex -> unsigned 32-bit minus 2^31), vector
+        // components are scaled longs, so every plane dot product — and
+        // therefore every sign bit and bucket — is exact integer
+        // arithmetic in both engines; the re-rank reuses the s04
+        // scaled-long cosine (proven bit-identical).
+        import org.apache.spark.sql.graftnative.functions.dot_i64
         val NP = 12
-        val c = comp(s, dir)
-        // hyperplane component p_{k,i} in [-0.5, 0.5): derived from md5;
-        // the (k, i) grid is a 768-row literal (join-free plan)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id",
+            transform($"embedding",
+              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+              .as("c"))
+        val withNorm = emb.select($"vec_id", $"c",
+          sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
+          .localCheckpoint() // pin: keep the interpreted transform out of
+                             // downstream join projections
+        val cx = withNorm.select($"vec_id", posexplode($"c").as(Seq("i", "cc")))
+        // hyperplane component hp_{k,i}: integer in [-2^31, 2^31); the
+        // (k, i) grid is a 768-row literal (join-free plan)
         val planes = s.createDataFrame(
           for { k <- 0 until NP; i <- 0 until 64 } yield (k, i))
           .toDF("k", "i")
           .select($"k", $"i",
             (conv(substring(md5(concat($"k", lit(":"), $"i")), 1, 8), 16, 10)
-              .cast("long").cast("double") / lit(4294967296.0) - lit(0.5))
-              .as("p"))
-        // sketch: sign bits of the NP plane dot products
-        val dots = c.join(broadcast(planes), Seq("i"))
+              .cast("long") - lit(2147483648L)).as("hp"))
+        // sketch: sign bits of the NP exact-integer plane dot products
+        val dots = cx.join(broadcast(planes), Seq("i"))
           .groupBy($"vec_id", $"k")
-          .agg(sum($"c".cast("double") * $"p").as("pd"))
+          .agg(sum($"cc" * $"hp").as("pd"))
         val sig = dots.groupBy($"vec_id")
           .agg(sum(when($"pd" >= 0, expr("shiftleft(1L, k)"))
             .otherwise(lit(0L))).as("bucket"))
@@ -250,25 +261,80 @@ object Similarity {
         val cand = probes.join(sig, Seq("bucket"))
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id").distinct()
-        // exact cosine re-rank of candidates
-        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
-          .select($"vec_id".as("nv"), sqrt($"nrm2".cast("double")).as("nrm"))
-        val qc = c.filter($"vec_id" < NQUERIES)
-          .select($"vec_id".as("cqid"), $"i", $"c".as("qc"))
-        val dot = cand.join(c, Seq("vec_id"))
-          .join(qc, $"qid" === $"cqid" && c("i") === qc("i"))
-          .groupBy($"qid", $"vec_id").agg(sum($"qc" * $"c").as("dot"))
-        val cos = dot
-          .join(norm, $"vec_id" === $"nv")
-          .join(norm.withColumnRenamed("nv", "qv")
-            .withColumnRenamed("nrm", "qnrm"), $"qid" === $"qv")
+        // exact cosine re-rank of candidates: in-row dot_i64 over the
+        // full arrays (never an exploded component self-join)
+        val qv = withNorm.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
+        val cos = cand.join(withNorm, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
           .select($"qid", $"vec_id".as("neighbor_id"),
-            ($"dot".cast("double") / ($"qnrm" * $"nrm")).as("cosine"))
+            ((dot_i64($"qc", $"c").cast("double") / lit(1.0e12)) /
+              ($"qnrm" * $"nrm")).as("cosine"))
         val w = Window.partitionBy($"qid")
           .orderBy($"cosine".desc, $"neighbor_id".asc)
         cos.withColumn("rank", row_number().over(w)).filter($"rank" <= TOPK)
       },
-      None),
+      Some("""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) c
+          FROM embeddings
+        ),
+        planes AS (
+          SELECT k, i,
+            CAST(('0x'||substr(md5(k||':'||i),1,8)) AS BIGINT) - 2147483648 AS hp
+          FROM range(12) t(k), range(64) u(i)
+        ),
+        pd AS (
+          SELECT c.vec_id, p.k, SUM(c.c * p.hp) AS pd
+          FROM comp c JOIN planes p ON c.i = p.i
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT vec_id,
+            SUM(CASE WHEN pd >= 0 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END)
+              AS bucket
+          FROM pd GROUP BY 1
+        ),
+        q AS (SELECT vec_id qid, bucket qbucket FROM sig WHERE vec_id < 5),
+        probes AS (
+          SELECT DISTINCT qid, bucket FROM (
+            SELECT qid, qbucket AS bucket FROM q
+            UNION ALL
+            SELECT qid, xor(qbucket, 1::BIGINT << CAST(b AS INT)) AS bucket
+            FROM q, range(12) r(b)
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT p.qid, s.vec_id
+          FROM probes p JOIN sig s ON s.bucket = p.bucket
+          WHERE s.vec_id <> p.qid
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE) / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT ca.qid, ca.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+          FROM cand ca
+            JOIN comp qc ON qc.vec_id = ca.qid
+            JOIN comp cc ON cc.vec_id = ca.vec_id AND cc.i = qc.i
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.vec_id AS neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (nq.nrm * nn.nrm)
+              AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nn ON nn.vec_id = d.vec_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cos) t
+        WHERE rank <= 10""")),
 
     // ------------------------------------------------- full kNN graph
     GraftQuery(

@@ -188,12 +188,15 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         // watermarked inner join of two event streams: each click is
-        // joined to the same user's subsequent events within 6 hours
-        // (the "action -> follow-up" sessions-stitching shape). Both
-        // sides carry watermarks so join state is bounded by the time
-        // horizon; the range condition lets Spark expire buffered rows.
-        // Inner-join emission is complete under AvailableNow, so the
-        // drained result equals the batch join (the oracle).
+        // joined to the same user's purchases within the next 6 hours
+        // (the click -> purchase conversion-stitching shape). Both sides
+        // are pre-filtered BEFORE the join — at scale you never buffer
+        // the firehose in join state when the query only needs two
+        // event classes — and both carry watermarks so join state is
+        // bounded by the time horizon; the range condition lets Spark
+        // expire buffered rows. Inner-join emission is complete under
+        // AvailableNow, so the drained result equals the batch join
+        // (the oracle); grouping by user bucket keeps the check wide.
         val clicks = StreamingOps.eventsStream(s, dir)
           .filter($"event_type" === "click")
           .select($"user_id", $"event_id".as("click_id"),
@@ -201,29 +204,29 @@ object Streaming {
           .withWatermark("click_time", "1 hour")
           .alias("clicks")
         val follows = StreamingOps.eventsStream(s, dir)
-          .select($"user_id", $"event_id".as("next_id"),
-            $"event_type".as("next_type"),
+          .filter($"event_type" === "purchase")
+          .select($"user_id".as("f_user_id"), $"event_id".as("next_id"),
             $"event_time".as("next_time"))
           .withWatermark("next_time", "1 hour")
           .alias("follows")
         val joined = clicks.join(follows,
-          expr("clicks.user_id = follows.user_id AND " +
+          expr("clicks.user_id = follows.f_user_id AND " +
             "next_time > click_time AND " +
             "next_time <= click_time + INTERVAL 6 HOURS"))
         StreamingOps.drain(s,
-          joined.select($"click_id", $"next_id", $"next_type"),
+          joined.select($"user_id", $"click_id", $"next_id"),
           "st06", "append")
-          .groupBy($"next_type")
+          .groupBy(($"user_id" % 100).as("user_bucket"))
           .agg(count(lit(1)).as("n_pairs"),
             min($"click_id").as("first_click"))
       },
       Some("""
-        SELECT f.event_type AS next_type, COUNT(*) AS n_pairs,
+        SELECT c.user_id % 100 AS user_bucket, COUNT(*) AS n_pairs,
                MIN(c.event_id) AS first_click
         FROM events c JOIN events f ON f.user_id = c.user_id
           AND f.ts > c.ts
           AND f.ts <= c.ts + INTERVAL 6 HOUR
-        WHERE c.event_type = 'click'
+        WHERE c.event_type = 'click' AND f.event_type = 'purchase'
         GROUP BY 1""")),
 
     // ------------------- custom sessionization (flatMapGroupsWithState)

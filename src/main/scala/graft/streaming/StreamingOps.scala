@@ -49,6 +49,18 @@ object StreamingOps {
     * the final empty batch that advances the watermark and flushes closed
     * windows — then stops.
     */
+  /** Checkpoint root: tmpfs when the host has it (state-store deltas,
+    * offset/commit WALs and their fsyncs are the per-batch fixed cost of
+    * every stateful query; on a cluster this is the DFS checkpoint dir,
+    * locally RAM-backed is the honest equivalent of a fast DFS).
+    */
+  private val cpRoot: Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (Files.isWritable(shm)) shm
+               else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createDirectories(base.resolve("graft-cp"))
+  }
+
   def drain(
       spark: SparkSession,
       stream: DataFrame,
@@ -59,6 +71,8 @@ object StreamingOps {
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(cpRoot, name).toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -57,7 +57,7 @@ object RiverBenchmark {
     val batch = args.lift(2).map(_.toInt).getOrElse(10240)
     require(sampleSize % 8 == 0, "sampleSize must be a multiple of 8")
 
-    val root = java.nio.file.Files.createTempDirectory("graft-bench-")
+    val root = StreamStore.scratchRoot("graft-bench-")
     val store = new StreamStore(root)
     val nCols = sampleSize / 8
     val schema = RiverSchema(
@@ -73,7 +73,7 @@ object RiverBenchmark {
       while (i < 20) { wm.writeBytes(Array.fill(10000)(p).toSeq); i += 1 }
       wm.stop()
       val wr = store.openReader("warmup")
-      while (wr.read(10000, 0).exists(_.nonEmpty)) ()
+      while (wr.readBytes(10000, 0).exists(_.nonEmpty)) ()
       store.deleteStream("warmup")
     }
 
@@ -93,11 +93,13 @@ object RiverBenchmark {
     w.stop()
     val writeSec = (System.nanoTime() - t0) / 1e9
 
+    // read via the raw-bytes plane — the reference benchmark reads into a
+    // byte buffer with no decode (river_benchmark.cpp:109-126 ReadBytes)
     val r = store.openReader("bench")
     val t1 = System.nanoTime()
     var read = 0L
     var done = false
-    while (!done) r.read(batch, 0) match {
+    while (!done) r.readBytes(batch, 0) match {
       case Some(rows) if rows.nonEmpty => read += rows.size
       case _ => done = true
     }
