@@ -315,6 +315,68 @@ object Streaming {
         wm AS (SELECT MAX(epoch_ns(ts) // 1000) - 1800000000 AS w FROM events)
         SELECT user_id, start_us // 1000000 AS session_start,
           n_events, total_value
-        FROM agg WHERE end_us <= (SELECT w FROM wm)"""))
+        FROM agg WHERE end_us <= (SELECT w FROM wm)""")),
+
+    // ------------------------------------------- stream-static join
+    GraftQuery(
+      "st08_stream_static_join",
+      (s, dir) => {
+        import s.implicits._
+        // dimension enrichment on a stream: the static side (customer)
+        // is broadcast once and joined into every microbatch with no
+        // state store — the standard fact-stream x dim-table shape. At
+        // 100 TB the stream shards by files and the dim broadcast is
+        // per-executor, so no shuffle ever touches the stream. Complete-
+        // mode aggregation over the enriched stream = the batch oracle.
+        val cust = graft.Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        val enriched = StreamingOps.eventsStream(s, dir)
+          .join(broadcast(cust), $"user_id" === $"c_custkey")
+        val agg = enriched.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        StreamingOps.drain(s, agg, "st08", "complete")
+          .select($"c_mktsegment".as("mktsegment"), $"n_events",
+            $"total_value")
+      },
+      Some("""
+        SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
+          CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1""")),
+
+    // ---------------------------------------------- foreachBatch sink
+    GraftQuery(
+      "st09_foreach_batch_sink",
+      (s, dir) => {
+        import s.implicits._
+        // foreachBatch: each microbatch lands in ordinary batch code —
+        // here an append-mode parquet writer stamping batch_id (the
+        // pattern behind custom sinks, multi-sink fanout, and MERGE
+        // upserts). The reread of the written files is the check that
+        // every row passed through the sink exactly once.
+        val out = graft.core.StreamStore.scratchRoot("graft-st09-")
+        val stream = StreamingOps.eventsStream(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        StreamingOps.drainForeachBatch(s, stream, "st09") { (batch, id) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out.toString)
+        }
+        s.read.parquet(out.toString)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"),
+            min($"event_id").as("min_event_id"),
+            max($"event_id").as("max_event_id"),
+            when(countDistinct($"batch_id") >= 1, lit(1)).otherwise(lit(0))
+              .as("sink_ran"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          MIN(event_id) AS min_event_id,
+          MAX(event_id) AS max_event_id,
+          CAST(1 AS INT) AS sink_ran
+        FROM events"""))
   )
 }

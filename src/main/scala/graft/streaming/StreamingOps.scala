@@ -67,15 +67,53 @@ object StreamingOps {
       name: String,
       outputMode: String): DataFrame = {
     spark.catalog.dropTempView(name) // re-runs in the same session
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(cpRoot, name).toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful plans can't use AQE, so every microbatch runs the full
+    // spark.sql.shuffle.partitions as state-store tasks across every
+    // stage — at local bench scale that is pure per-task scheduling +
+    // store-commit overhead (32 partitions x ~6 stages x 3 batches).
+    // Size state partitioning to the streaming workload instead; on a
+    // cluster this is exactly the knob you set per-job (state partition
+    // count is fixed at first checkpoint, so it is ALWAYS an explicit
+    // deployment decision, never left to a batch-oriented default).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation",
+          Files.createTempDirectory(cpRoot, name).toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
+  }
+
+  /** Drain a streaming DataFrame through `foreachBatch` — the sink
+    * escape hatch that hands each microbatch to ordinary batch code
+    * (arbitrary writers, multi-sink fanout, merge semantics). Blocks
+    * until the AvailableNow drain completes.
+    */
+  def drainForeachBatch(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String)(f: (DataFrame, Long) => Unit): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = stream.writeStream
+        .foreachBatch(f)
+        .option("checkpointLocation",
+          Files.createTempDirectory(cpRoot, name).toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
   }
 }

@@ -37,6 +37,20 @@ class StreamStoreSpec extends AnyFunSuite {
     assert(!r.good())
   }
 
+  test("readBytes returns the raw payloads read() would decode") {
+    val st = newStore()
+    writeN(st, "s", 10)
+    val codec = new RowCodec(schema1)
+    val raw = st.openReader("s").readBytes(100, 0).get
+    assert(raw.size == 10)
+    assert(raw.map(codec.unpack(_).head) == (0 until 10).map(_.toDouble))
+    // EOF surfaces identically on the bytes plane
+    val r2 = st.openReader("s")
+    assert(r2.readBytes(100, 0).get.size == 10)
+    assert(r2.readBytes(1, 0).isEmpty)
+    assert(!r2.good())
+  }
+
   test("read on stopped empty stream returns EOF immediately") {
     val st = newStore()
     writeN(st, "s", 0)
