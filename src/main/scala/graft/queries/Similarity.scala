@@ -258,14 +258,17 @@ object Similarity {
             $"qbucket".bitwiseXOR(lit(1L << b))): _*))
           .as("bucket"))
           .distinct()
-        val cand = probes.join(sig, Seq("bucket"))
+        val cand = broadcast(probes).join(sig, Seq("bucket"))
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id").distinct()
         // exact cosine re-rank of candidates: in-row dot_i64 over the
         // full arrays (never an exploded component self-join)
         val qv = withNorm.filter($"vec_id" < NQUERIES)
           .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
-        val cos = cand.join(withNorm, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
+        // candidates are O(queries x bucket occupancy) — tiny relative to
+        // the corpus; broadcast them so the corpus-side arrays never shuffle
+        val cos = broadcast(cand).join(withNorm, Seq("vec_id"))
+          .join(broadcast(qv), Seq("qid"))
           .select($"qid", $"vec_id".as("neighbor_id"),
             ((dot_i64($"qc", $"c").cast("double") / lit(1.0e12)) /
               ($"qnrm" * $"nrm")).as("cosine"))
