@@ -812,8 +812,8 @@ object Relational {
               .cast("long"), lit(SALTS)))
         val dim = s.createDataFrame(
           Seq((0L, "low"), (1L, "mid"), (2L, "high"))).toDF("bucket", "tier")
-        val saltedDim = dim.crossJoin(
-          s.range(SALTS).select($"id".as("salt")))
+        val saltedDim = dim.withColumn("salt",
+          explode(array((0 until SALTS).map(i => lit(i.toLong)): _*)))
         fact.join(broadcast(saltedDim), Seq("bucket", "salt"))
           .groupBy($"tier")
           .agg(count(lit(1)).as("n"),
