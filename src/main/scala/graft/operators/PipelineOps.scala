@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.functions.TextKernels
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.functions.dot_i64
+
+/** Reusable training-data pipeline operators over ARBITRARY DataFrames.
+  *
+  * The oracle-checked `graft.queries` suites pin these algorithms' semantics
+  * against DuckDB on the test corpus; this facade exposes the same
+  * building blocks (compiled [[TextKernels]] passes, scaled-long exact
+  * cosine, band-bucketed candidate generation) as a library API: pass
+  * your own DataFrame and column names.
+  *
+  * Scale design is inherited from the query suites:
+  *  - corpora are staged hash-distributed by id and pinned
+  *    (localCheckpoint) so CPU-heavy kernel passes parallelize and are
+  *    computed once, not once per referencing subtree;
+  *  - candidate generation is always a bucket equi-join (LSH band,
+  *    shingle posting, SimHash byte band, block grid) — never an
+  *    all-pairs cross join; verification cost is O(candidates);
+  *  - similarity arithmetic is exact (integer/decimal) until one final
+  *    double division, so results are reproducible across engines.
+  */
+object DedupOps {
+
+  /** Stage a corpus: canonical (doc_id, text) columns, hash-distributed
+    * by id, eagerly pinned. The staging step is what makes the compiled
+    * per-row kernels downstream run on `partitions` cores instead of the
+    * source file layout, and stops Catalyst re-inlining them into every
+    * referencing subtree.
+    */
+  def staged(df: DataFrame, idCol: String, textCol: String,
+      partitions: Int = 32): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .repartition(partitions, col("doc_id"))
+      .localCheckpoint()
+
+  /** Exact duplicate groups by content hash.
+    * Returns (fingerprint, keep_id, n_copies) — one row per distinct
+    * content; `keep_id` is the lowest id of the group (the canonical
+    * survivor). One uniform-key shuffle; no skew possible.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-Jaccard verification of candidate pairs (a, b) against
+    * per-doc shingle arrays (doc_id, shs). O(candidates): the pair is
+    * joined to two ARRAY columns and intersected in-row — never an
+    * exploded shingle-level join, whose cost would depend on shingle
+    * frequency, not candidate count.
+    */
+  def jaccardVerified(candidates: DataFrame, shingles: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(shingles.as("pa"), col("a") === col("pa.doc_id"))
+      .join(shingles.as("pb"), col("b") === col("pb.doc_id"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("pa.shs"), col("pb.shs"))).as("inter"),
+        size(col("pa.shs")).as("na"), size(col("pb.shs")).as("nb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash+LSH near-duplicate pairs: word-k-gram shingles -> bands*rows
+    * minhashes -> band-bucket candidate join -> exact-Jaccard verify.
+    * Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    *
+    * Parameter guidance: P(band collision) ~ j^rows per band — size
+    * `rows` to the corpus's BACKGROUND similarity (high-overlap corpora
+    * need rows ~ 8), `bands` to the target recall at the threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val bandBuckets = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
+      .localCheckpoint()
+    val cand = bandBuckets.as("x").join(bandBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK).localCheckpoint()
+    jaccardVerified(cand, shArr, threshold)
+  }
+
+  /** Inverted-index n-gram Jaccard near-dups: candidates share >= 1
+    * common word k-gram (use LONG shingles, k ~ 7, so posting lists stay
+    * near-unique and the self-join stays linear-ish), then exact-Jaccard
+    * verify. Returns (a, b, jaccard).
+    */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 7, threshold: Double = 0.8,
+      partitions: Int = 32): DataFrame = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
+      .localCheckpoint()
+    val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val cand = posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    jaccardVerified(cand, shArr, threshold)
+  }
+
+  /** SimHash near-dup pairs: 32-bit simhash over word unigrams, byte
+    * banding (hamming <= 3 implies >= 1 equal byte, by pigeonhole), exact
+    * hamming filter. Returns (a, b, hamming).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, partitions: Int = 32): DataFrame = {
+    require(maxHamming <= 3,
+      "byte banding only guarantees recall for hamming <= 3 of 32 bits")
+    val docs = staged(df, idCol, textCol, partitions)
+    val sig = TextKernels.simhash32(df.sparkSession, docs).localCheckpoint()
+    val bytes = sig.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(c => struct(
+          lit(c).as("pos"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(255)).as("byte"))): _*))
+      .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.pos"), col("bb.byte"))
+    bytes.as("x").join(bytes.as("y"),
+        col("x.pos") === col("y.pos") && col("x.byte") === col("y.byte")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}
+
+/** Nearest-neighbor / embedding-similarity operators. Vectors are any
+  * numeric `array` column; internally they are quantized to scaled longs
+  * (`round(x * 1e6)`) so dot products are EXACT integer sums via the
+  * native codegen'd [[dot_i64]] expression, with one final double
+  * division — bit-reproducible and allocation-free in the hot loop.
+  */
+object AnnOps {
+
+  /** (id, c: array<long> scaled components, nrm: double) staged + pinned. */
+  def scaled(df: DataFrame, idCol: String, vecCol: String,
+      partitions: Int = 32): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"))
+      .repartition(partitions, col("id"))
+      .select(col("id"), col("c"),
+        sqrt(dot_i64(col("c"), col("c")).cast("double") / lit(1.0e12)).as("nrm"))
+      .localCheckpoint()
+
+  /** Exact cosine between two staged sides, as a Column expression. */
+  private def cosine(xc: Column, xn: Column, yc: Column, yn: Column): Column =
+    (dot_i64(xc, yc).cast("double") / lit(1.0e12)) / (xn * yn)
+
+  /** Directed k-nearest-neighbor graph over ALL vectors — the clustering
+    * / near-dup primitive. The `blocks x blocks` grid turns all-pairs
+    * into an equi-join (parallel everywhere, no single-task nested
+    * loop); per-source top-k via window. At 100 TB substitute an ANN
+    * candidate pass ([[DedupOps.minhashNearDups]]-style buckets or IVF)
+    * feeding the identical re-rank.
+    * Returns (src, neighbor_id, cosine, rank), rank <= k.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      blocks: Int = 16, partitions: Int = 32): DataFrame = {
+    val v = scaled(df, idCol, vecCol, partitions)
+    val s = df.sparkSession
+    val grid = s.createDataFrame(
+      for { i <- 0 until blocks; j <- 0 until blocks } yield (i, j))
+      .toDF("bx", "by")
+    val x = v.select(pmod(col("id"), lit(blocks)).cast("int").as("xblk"),
+      col("id").as("xid"), col("c").as("xc"), col("nrm").as("xnrm"))
+    val y = v.select(pmod(col("id"), lit(blocks)).cast("int").as("yblk"),
+      col("id").as("yid"), col("c").as("yc"), col("nrm").as("ynrm"))
+    val pairs = grid
+      .join(x, col("bx") === col("xblk"))
+      .join(y, col("by") === col("yblk"))
+      .filter(col("xid") =!= col("yid"))
+      .select(col("xid").as("src"), col("yid").as("neighbor_id"),
+        cosine(col("xc"), col("xnrm"), col("yc"), col("ynrm")).as("cosine"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,
+    * a < b, via the same blocked grid. Returns (a, b, cosine).
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 16, partitions: Int = 32): DataFrame = {
+    val v = scaled(df, idCol, vecCol, partitions)
+    val s = df.sparkSession
+    val grid = s.createDataFrame(
+      for { i <- 0 until blocks; j <- 0 until blocks } yield (i, j))
+      .toDF("bx", "by")
+    val x = v.select(pmod(col("id"), lit(blocks)).cast("int").as("xblk"),
+      col("id").as("a"), col("c").as("xc"), col("nrm").as("xnrm"))
+    val y = v.select(pmod(col("id"), lit(blocks)).cast("int").as("yblk"),
+      col("id").as("b"), col("c").as("yc"), col("nrm").as("ynrm"))
+    grid.join(x, col("bx") === col("xblk"))
+      .join(y, col("by") === col("yblk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("xc"), col("xnrm"), col("yc"), col("ynrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact brute-force top-k neighbors for a designated query subset
+    * (`isQuery` predicate over the id column). The corpus side never
+    * shuffles: queries are broadcast. Returns (qid, neighbor_id,
+    * cosine, rank), rank <= k.
+    */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, partitions: Int = 32): DataFrame = {
+    val v = scaled(df, idCol, vecCol, partitions)
+    val q = v.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("c").as("qc"), col("nrm").as("qnrm"))
+    val pairs = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The operators facade on arbitrary (non-testdata) DataFrames with
+  * caller-chosen column names: planted duplicates must surface, distinct
+  * content must not, and the ANN ops must rank planted neighbors first.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "the quick brown fox jumps over the lazy cat again and again"),
+      (13L, "completely unrelated text with nothing shared whatsoever here"),
+      (14L, "another disjoint document talking about entirely different things"))
+      .toDF("my_id", "body")
+  }
+
+  test("exactGroups collapses identical content to the lowest id") {
+    val g = DedupOps.exactGroups(corpus(), "my_id", "body")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // one group of 2 copies kept at id 10; three singletons
+    assert(g.contains((10L, 2L)))
+    assert(g.count(_._2 == 1L) == 3)
+  }
+
+  test("minhashNearDups finds the planted near-pair and nothing disjoint") {
+    val pairs = DedupOps.minhashNearDups(
+      corpus(), "my_id", "body", shingleK = 3, bands = 4, rows = 2,
+      threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L))) // exact copies
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
+    assert(!pairs.exists(p => p._1 == 14L || p._2 == 14L))
+  }
+
+  test("ngramJaccardNearDups verifies with exact jaccard") {
+    val rows = DedupOps.ngramJaccardNearDups(
+      corpus(), "my_id", "body", shingleK = 3, threshold = 0.5,
+      partitions = 4).collect()
+    val exact = rows.find(r => r.getLong(0) == 10L && r.getLong(1) == 11L)
+    assert(exact.nonEmpty && exact.get.getDouble(2) == 1.0)
+    // 12 differs by one word: high but < 1.0 jaccard vs 10/11
+    assert(rows.exists(r => r.getLong(1) == 12L && r.getDouble(2) < 1.0
+      && r.getDouble(2) >= 0.5))
+  }
+
+  test("simhashNearDups: identical docs at hamming 0") {
+    val pairs = DedupOps.simhashNearDups(corpus(), "my_id", "body",
+        maxHamming = 3, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((10L, 11L, 0)))
+  }
+
+  private def vectors() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f)),   // near 2
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vid", "emb")
+  }
+
+  test("knnGraph ranks the planted neighbor first") {
+    val g = AnnOps.knnGraph(vectors(), "vid", "emb", k = 1, blocks = 2,
+        partitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(0L) == 1L && g(1L) == 0L)
+    assert(g(2L) == 3L && g(3L) == 2L)
+  }
+
+  test("cosineNearDups returns only pairs above threshold, a < b") {
+    val pairs = AnnOps.cosineNearDups(vectors(), "vid", "emb",
+        threshold = 0.95, blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("bruteTopK: broadcast queries, corpus never shuffles") {
+    val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
+        id => id < 1L, k = 2, partitions = 2)
+    val plan = top.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    val rows = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.filter(_._3 == 1).map(t => t._1 -> t._2).toMap == Map(0L -> 1L))
+  }
+}
