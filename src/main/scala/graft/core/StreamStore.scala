@@ -405,7 +405,9 @@ final class StreamWriter private[core] (
 
   private def open(idx: Long) = new java.io.DataOutputStream(
     new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(store.segmentFile(name, idx), true)))
+      new java.io.FileOutputStream(store.segmentFile(name, idx), true),
+      1 << 20)) // 1 MiB: an 8 KiB default buffer syscalls every ~200
+                // small frames; batch writes should hit the fs per batch
 
   private def nextKey(): StreamKey = {
     val ms = System.currentTimeMillis()

@@ -907,6 +907,92 @@ object Relational {
           MAX(value) AS high,
           MIN(value) AS low,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // --------------------------------------- correlated EXISTS subqueries
+    GraftQuery(
+      "q38_exists_subquery",
+      (s, dir) => {
+        // EXISTS + NOT EXISTS, both correlated: Catalyst decorrelates
+        // them into a left-semi and a left-anti join on o_custkey (one
+        // shuffle each; AQE broadcast-converts the small side) — the
+        // declarative SQL surface, not a hand-written join. The oracle
+        // runs the IDENTICAL text.
+        t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+        t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer_sq c
+          WHERE EXISTS (SELECT 1 FROM orders_sq o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM orders_sq o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '5-LOW')""")
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')""")),
+
+    // --------------------------------------- correlated scalar subqueries
+    GraftQuery(
+      "q39_scalar_subquery",
+      (s, dir) => {
+        // orders priced above their customer's average: two correlated
+        // scalar subqueries, decorrelated by Catalyst into one grouped
+        // join. The average compare is spelled divisionless
+        // (price * n > sum, exact decimals) so both engines compare
+        // identical exact values — no FP boundary rows.
+        t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""
+          SELECT o_orderkey, o_custkey
+          FROM orders_sq o
+          WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+                (SELECT COUNT(*) FROM orders_sq o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                 FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+              (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""")),
+
+    // ------------------------------------------- IN / NOT IN subqueries
+    GraftQuery(
+      "q40_in_subquery",
+      (s, dir) => {
+        // IN -> left-semi, NOT IN -> null-aware left-anti: urgent-order
+        // lineitems not supplied by nation-0 suppliers. The supplier
+        // subquery is dimension-sized (broadcast); the orders semi join
+        // shuffles on the join key.
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+        t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier_sq")
+        s.sql("""
+          SELECT l_orderkey, l_linenumber, l_suppkey
+          FROM lineitem_sq
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders_sq
+                               WHERE o_orderpriority = '1-URGENT')
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_sq
+                                  WHERE s_nationkey = 0)""")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_suppkey
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_nationkey = 0)"""))
   )
 }
