@@ -135,6 +135,89 @@ object DedupOps {
   }
 }
 
+/** Per-document text scoring — the map-side passes of a training-data
+  * pipeline (language ID, quality features, token counting, content
+  * fingerprints). All embarrassingly parallel scans; the only shuffles
+  * are dimension-sized broadcast joins and output-sized aggregations.
+  */
+object TextOps {
+
+  /** Marker-token-voting language ID: explode tokens, broadcast-join a
+    * (token -> language) lexicon, argmax votes per document (ties break
+    * language-ascending). Returns (id, pred_lang, votes); documents with
+    * zero lexicon hits are absent (no evidence, no guess).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[(String, String)]): DataFrame = {
+    val lex = df.sparkSession.createDataFrame(lexicon).toDF("w", "cand_lang")
+    val votes = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(lex), Seq("w"))
+      .groupBy(col("id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("votes").desc, col("cand_lang").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("cand_lang").as("pred_lang"), col("votes"))
+  }
+
+  /** Quality features: word/char counts, mean word length, stopword and
+    * type-token ratios, plus an `is_quality` flag from the supplied
+    * thresholds. Pure projection — no shuffle.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minChars: Int = 100, minWords: Int = 20,
+      minTypeToken: Double = 0.3): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nChars = length(col(textCol))
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => array_contains(stopArr, w)))
+    val nDistinct = size(array_distinct(ws))
+    df.select(
+      col(idCol).as("id"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      ((nChars - (nWords - lit(1))).cast("double") / nWords)
+        .as("mean_word_len"),
+      (nStop.cast("double") / nWords).as("stopword_ratio"),
+      (nDistinct.cast("double") / nWords).as("type_token_ratio"),
+      (nChars >= minChars && nWords >= lit(minWords) &&
+        (nDistinct.cast("double") / nWords) > minTypeToken).as("is_quality"))
+  }
+
+  /** Token counts: whitespace tokens, BPE-ish regex segments (letter
+    * runs / digit runs / single other chars), chars/4 LLM estimate. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"),
+      floor(length(col(textCol)) / 4).cast("long").as("est_llm_tokens"))
+
+  /** Corpus vocabulary: top-k tokens by frequency (map-side partial agg
+    * + TakeOrdered; never a full sort). Returns (w, cnt). */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(k)
+
+  /** Content fingerprints: exact md5 + winnowing-style min-shingle hash
+    * (stable under small edits), via the compiled kernel pass. Returns
+    * (id, fp_exact, fp_winnow).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, partitions: Int = 32): DataFrame = {
+    val docs = DedupOps.staged(df, idCol, textCol, partitions)
+    val fp = TextKernels.winnowFingerprints(df.sparkSession, docs, shingleK)
+    docs.select(col("doc_id").as("id"), md5(col("text")).as("fp_exact"))
+      .join(fp.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .select(col("id"), col("fp_exact"), col("fp_winnow"))
+  }
+}
+
 /** Nearest-neighbor / embedding-similarity operators. Vectors are any
   * numeric `array` column; internally they are quantized to scaled longs
   * (`round(x * 1e6)`) so dot products are EXACT integer sums via the

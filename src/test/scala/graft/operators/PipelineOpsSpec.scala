@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +71,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         maxHamming = 3, partitions = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.contains((10L, 11L, 0)))
+  }
+
+  test("TextOps: langId votes, quality features, tokens, vocab, fingerprints") {
+    val lex = Seq("the" -> "en", "dog" -> "en", "chien" -> "fr", "le" -> "fr")
+    val langs = TextOps.langId(corpus(), "my_id", "body", lex)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(10L) == "en")
+
+    val q = TextOps.qualityFeatures(corpus(), "my_id", "body",
+      Seq("the", "and"), minChars = 10, minWords = 5)
+    val r10 = q.filter(q("id") === 10L).head()
+    assert(r10.getLong(2) == 12L) // 12 words
+    assert(r10.getBoolean(6))     // passes thresholds
+
+    val t = TextOps.tokenStats(corpus(), "my_id", "body")
+      .filter(col("id") === 10L).head()
+    assert(t.getLong(1) == 12L)
+
+    val v = TextOps.vocabTopK(corpus(), "body", 3).collect()
+    assert(v.length == 3 && v.head.getLong(1) == 6L) // "again"/"the" tie at 6
+    assert(v.take(2).map(_.getString(0)).toSet == Set("again", "the"))
+
+    val fp = TextOps.fingerprints(corpus(), "my_id", "body",
+      shingleK = 3, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val by = fp.map(t3 => t3._1 -> t3).toMap
+    assert(by(10L)._2 == by(11L)._2 && by(10L)._3 == by(11L)._3) // copies
+    assert(by(10L)._2 != by(13L)._2)
   }
 
   private def vectors() = {
