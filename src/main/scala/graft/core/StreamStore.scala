@@ -87,29 +87,58 @@ object SegmentCodec {
   def readFrames(file: File, from: Long = 0L): (Vector[StreamEntry], Long) = {
     if (!file.exists()) return (Vector.empty, from)
     val ch = java.nio.channels.FileChannel.open(file.toPath)
-    try {
-      val limit = ch.size()
-      if (from >= limit) return (Vector.empty, from)
-      val buf = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-        from, limit - from).order(ByteOrder.LITTLE_ENDIAN)
-      val out = Vector.newBuilder[StreamEntry]
-      var consumed = from
-      var done = false
-      while (!done && buf.remaining() >= HeaderBytes) {
-        val kind = buf.get()
-        val key = StreamKey(buf.getLong, buf.getLong)
-        val idx = buf.getLong
-        val len = buf.getInt
-        if (buf.remaining() < len) done = true // torn tail: stop here
-        else {
-          val payload = new Array[Byte](len)
-          buf.get(payload)
-          out += StreamEntry(kind, key, idx, payload)
-          consumed += HeaderBytes + len
+    try readFramesCh(ch, from) finally ch.close()
+  }
+
+  /** How much new data still goes through positional reads rather than a
+    * mapping: tail-following readers poll small increments at high rate,
+    * and concurrent mmap() of the same file serializes every reader on
+    * the kernel's per-file/VM locks (measured: 16 tail readers fell
+    * seconds behind a 1 kHz writer; pread scales). Large catch-up reads
+    * still map — one mapping amortizes over the whole replay.
+    */
+  private val PreadLimit = 4L << 20
+
+  /** [[readFrames]] over an already-open channel (lets a tail-following
+    * reader keep ONE channel per segment instead of an open/close pair
+    * per poll).
+    */
+  def readFramesCh(ch: java.nio.channels.FileChannel,
+      from: Long): (Vector[StreamEntry], Long) = {
+    val limit = ch.size()
+    if (from >= limit) return (Vector.empty, from)
+    val len = limit - from
+    val buf =
+      if (len <= PreadLimit) {
+        val b = ByteBuffer.allocate(len.toInt)
+        var pos = from
+        while (b.hasRemaining) {
+          val k = ch.read(b, pos)
+          if (k < 0) { // file truncated under us: parse what we have
+            b.limit(b.position())
+          } else pos += k
         }
+        b.flip()
+        b.order(ByteOrder.LITTLE_ENDIAN)
+      } else ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        from, len).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Vector.newBuilder[StreamEntry]
+    var consumed = from
+    var done = false
+    while (!done && buf.remaining() >= HeaderBytes) {
+      val kind = buf.get()
+      val key = StreamKey(buf.getLong, buf.getLong)
+      val idx = buf.getLong
+      val len2 = buf.getInt
+      if (buf.remaining() < len2) done = true // torn tail: stop here
+      else {
+        val payload = new Array[Byte](len2)
+        buf.get(payload)
+        out += StreamEntry(kind, key, idx, payload)
+        consumed += HeaderBytes + len2
       }
-      (out.result(), consumed)
-    } finally ch.close()
+    }
+    (out.result(), consumed)
   }
 }
 
@@ -493,14 +522,31 @@ final class StreamReader private[core] (
     * pending buffer; follow tombstones across segments (reference
     * reader.cpp:265-282).
     */
+  // one cached channel per segment: a tail-following reader polls at
+  // high rate, and open/close (plus mmap, see SegmentCodec.PreadLimit)
+  // per poll serialized concurrent readers on kernel file locks
+  private var chSegIdx: Long = -1L
+  private var chOpen: java.nio.channels.FileChannel = null
+
+  private def channel(): java.nio.channels.FileChannel = {
+    if (chOpen == null || !chOpen.isOpen || chSegIdx != segIdx) {
+      if (chOpen != null && chOpen.isOpen) chOpen.close()
+      chOpen = java.nio.channels.FileChannel.open(
+        store.segmentFile(name, segIdx).toPath)
+      chSegIdx = segIdx
+    }
+    chOpen
+  }
+
   private def poll(): Unit = {
     val fresh = Array.newBuilder[StreamEntry]
     var progressed = true
     while (progressed) {
       progressed = false
       val f = store.segmentFile(name, segIdx)
-      if (f.exists() && f.length() > filePos) {
-        val (entries, consumedEnd) = SegmentCodec.readFrames(f, filePos)
+      if ((chSegIdx == segIdx && chOpen != null && chOpen.isOpen) ||
+          f.exists()) {
+        val (entries, consumedEnd) = SegmentCodec.readFramesCh(channel(), filePos)
         filePos = consumedEnd
         entries.foreach { e =>
           e.kind match {

@@ -1,0 +1,110 @@
+package graft.tools
+
+import java.util.concurrent.CountDownLatch
+
+import graft.core._
+
+/** Write->read event latency under concurrent tail readers — the
+  * reference's headline metric (docs/performance.rst:14-24: p95 < 1 ms at
+  * 1 kHz events, sample size up to 128 B, up to 16 simultaneous readers;
+  * harness per performance/performance.py:15-148 — per-sample timestamps,
+  * latency = MAX across simultaneous readers).
+  *
+  * The writer paces one sample per period embedding `System.nanoTime`;
+  * each reader spins on its own cursor (non-blocking read, no sleep — the
+  * latency analog of the reference's blocking XREAD) and records
+  * receive-time minus embedded write-time per sample.
+  *
+  * args (all optional): nSamples hz sampleBytes nReaders
+  * defaults: 5000 1000 128 16.
+  */
+object RiverLatencyBenchmark {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(5000)
+    val hz = args.lift(1).map(_.toInt).getOrElse(1000)
+    val sampleBytes = args.lift(2).map(_.toInt).getOrElse(128)
+    val nReaders = args.lift(3).map(_.toInt).getOrElse(16)
+    require(sampleBytes >= 16, "need room for seq + ts")
+
+    val root = StreamStore.scratchRoot("graft-latency-")
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(
+      RiverField("seq", RiverType.Int64),
+      RiverField("write_ns", RiverType.Int64),
+      RiverField("pad", RiverType.FixedWidthBytes(sampleBytes - 16))))
+    val codec = new RowCodec(schema)
+    val pad = new Array[Byte](sampleBytes - 16)
+
+    val warm = 500 // absorb JIT + first-touch before the timed window
+    val total = warm + n
+    val periodNs = 1000000000L / hz
+
+    val w = store.createStream("lat", schema)
+    // per-reader, per-sample receive latency (ns); -1 = not yet seen
+    val lat = Array.fill(nReaders)(new Array[Long](total))
+    lat.foreach(java.util.Arrays.fill(_, -1L))
+    val ready = new CountDownLatch(nReaders)
+
+    val readers = (0 until nReaders).map { ri =>
+      val t = new Thread(() => {
+        val r = store.openReader("lat", timeoutMs = 10000)
+        ready.countDown()
+        var done = false
+        while (!done) {
+          r.read(64, 0) match {
+            case Some(rows) =>
+              rows.foreach { case (_, _, vals) =>
+                val seq = vals(0).asInstanceOf[Long]
+                val writeNs = vals(1).asInstanceOf[Long]
+                lat(ri)(seq.toInt) = System.nanoTime() - writeNs
+              }
+              // brief park between empty polls: N pure-spinning readers
+              // contend with each other (and the paced writer) for cores,
+              // which blows up the TAIL; a 20 us park costs ~20 us median
+              // and buys back milliseconds of p95 under contention
+              if (rows.isEmpty)
+                java.util.concurrent.locks.LockSupport.parkNanos(20000)
+            case None => done = true // EOF consumed
+          }
+        }
+      }, s"lat-reader-$ri")
+      t.setDaemon(true); t.start(); t
+    }
+    ready.await()
+
+    // paced writer: sample i is due at t0 + i*period; spin to the slot
+    // (sleep-based pacing adds the scheduler's wakeup jitter to every
+    // latency sample)
+    val t0 = System.nanoTime() + periodNs
+    var i = 0
+    while (i < total) {
+      val due = t0 + i.toLong * periodNs
+      while (System.nanoTime() < due) Thread.onSpinWait()
+      w.writeBytes(Seq(codec.pack(Seq(i.toLong, System.nanoTime(), pad))))
+      i += 1
+    }
+    w.stop()
+    readers.foreach(_.join(30000))
+
+    // per-sample latency = max across readers (reference methodology);
+    // drop warm-up and any sample a reader missed (shouldn't happen)
+    val perSample = (warm until total).flatMap { s =>
+      val ls = (0 until nReaders).map(r => lat(r)(s))
+      if (ls.contains(-1L)) None else Some(ls.max)
+    }.sorted
+    def pct(p: Double): Double =
+      perSample(((perSample.size - 1) * p).toInt) / 1e6
+    val mbps = total.toLong * sampleBytes * hz.toDouble / total / 1e6
+    println(f"latency ms over ${perSample.size} samples x $nReaders readers "
+      + f"@ $hz Hz x $sampleBytes B (${mbps}%.2f MB/s): "
+      + f"p50=${pct(0.50)}%.3f p90=${pct(0.90)}%.3f p95=${pct(0.95)}%.3f "
+      + f"p99=${pct(0.99)}%.3f max=${perSample.last / 1e6}%.3f")
+    println(s"""{"metric":"river_latency","p50_ms":${pct(0.50)},""" +
+      s""""p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)},""" +
+      s""""n":${perSample.size},"hz":$hz,"sample_bytes":$sampleBytes,""" +
+      s""""readers":$nReaders}""")
+
+    store.deleteStream("lat")
+    java.nio.file.Files.deleteIfExists(root)
+  }
+}
