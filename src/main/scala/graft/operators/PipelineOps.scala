@@ -271,6 +271,60 @@ object AnnOps {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[knnGraph]] by broadcast kernel: when the (quantized) corpus fits
+    * in executor memory (~80 bytes/vector/dim — low GBs up to ~10M
+    * vectors x 64 dims), broadcast it once and compute each source row's
+    * top-k in a tight primitive loop per partition: no pair
+    * materialization, no shuffle except the final rows, and the dot
+    * products run at memory bandwidth. Beyond broadcast size, use
+    * [[knnGraph]] (grid join) or an ANN candidate pass + re-rank.
+    * Ordering and arithmetic are bit-identical to [[knnGraph]]: exact
+    * integer dots, same double expression, ties broken id-ascending.
+    */
+  def knnGraphBroadcast(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val v = scaled(df, idCol, vecCol, partitions)
+    val corpus = v.select(col("id"), col("c"), col("nrm"))
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    v.as[(Long, Array[Long], Double)].mapPartitions { it =>
+      val cand = bc.value
+      it.flatMap { case (id, c, nrm) =>
+        // top-k by (cosine desc, id asc): sorted insertion, k is small
+        val topId = new Array[Long](k)
+        val topCos = new Array[Double](k)
+        var filled = 0
+        var j = 0
+        while (j < cand.length) {
+          val (cid, cc, cnrm) = cand(j)
+          if (cid != id) {
+            var dot = 0L
+            var i = 0
+            val n = math.min(c.length, cc.length)
+            while (i < n) { dot += c(i) * cc(i); i += 1 }
+            val cos = (dot.toDouble / 1.0e12) / (nrm * cnrm)
+            // insert position: after every kept entry that beats (cos, cid)
+            var p = filled
+            while (p > 0 && (topCos(p - 1) < cos ||
+                (topCos(p - 1) == cos && topId(p - 1) > cid))) p -= 1
+            if (p < k) {
+              val last = math.min(filled, k - 1)
+              var m = last
+              while (m > p) { topId(m) = topId(m - 1); topCos(m) = topCos(m - 1); m -= 1 }
+              topId(p) = cid
+              topCos(p) = cos
+              if (filled < k) filled += 1
+            }
+          }
+          j += 1
+        }
+        (0 until filled).iterator.map(r => (id, topId(r), topCos(r), r + 1))
+      }
+    }.toDF("src", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,
     * a < b, via the same blocked grid. Returns (a, b, cosine).
     */

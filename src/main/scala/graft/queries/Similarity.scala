@@ -343,43 +343,18 @@ object Similarity {
     GraftQuery(
       "s04_knn_graph",
       (s, dir) => {
-        import s.implicits._
         // Directed k-nearest-neighbor graph over ALL vectors (the
-        // clustering/near-dup primitive of a training-data pipeline).
-        // Same exact scaled-long cosine as Dedup d05; the blocked grid
-        // turns all-pairs into an equi-join (parallel everywhere, no
-        // single-task nested loop); per-source top-k via window. At
-        // 100 TB the grid join is replaced by an ANN candidate pass
-        // (s02/s03) feeding the identical re-rank.
-        import org.apache.spark.sql.graftnative.functions.dot_i64
-        val emb = Tables.load(s, dir, "embeddings")
-          .select($"vec_id",
-            transform($"embedding",
-              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
-              .as("c"))
-        val withNorm = emb.select($"vec_id", $"c",
-          sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
-          .localCheckpoint() // pin: the interpreted transform must not be
-                             // re-inlined into the pair-level projection
-        val BLK = 16
-        val grid = s.createDataFrame(
-          for { i <- 0 until BLK; j <- 0 until BLK } yield (i, j))
-          .toDF("bx", "by")
-        val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
-          $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
-        val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),
-          $"vec_id".as("yid"), $"c".as("yc"), $"nrm".as("ynrm"))
-        val pairs = grid
-          .join(x, $"bx" === $"xblk")
-          .join(y, $"by" === $"yblk")
-          .filter($"xid" =!= $"yid") // directed: both orientations kept
-          .select($"xid".as("src"), $"yid".as("neighbor_id"),
-            ((dot_i64($"xc", $"yc").cast("double") / lit(1.0e12)) /
-              ($"xnrm" * $"ynrm")).as("cosine"))
-        val w = Window.partitionBy($"src")
-          .orderBy($"cosine".desc, $"neighbor_id".asc)
-        pairs.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 3)
+        // clustering/near-dup primitive of a training-data pipeline),
+        // via the broadcast kernel: the quantized corpus (~80 B/vector
+        // here) broadcasts once and each partition computes its rows'
+        // top-3 in a tight primitive loop — no 4M-row pair
+        // materialization, no shuffle, same exact scaled-long cosine as
+        // Dedup d05 (bit-identical to the grid-join spelling, see
+        // AnnOps.knnGraph / PipelineOpsSpec). Beyond broadcast size the
+        // grid join or an ANN candidate pass (s02/s03) feeds the
+        // identical re-rank.
+        graft.operators.AnnOps.knnGraphBroadcast(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 3)
       },
       Some("""
         WITH comp AS (

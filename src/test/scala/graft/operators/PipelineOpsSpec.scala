@@ -121,6 +121,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g(2L) == 3L && g(3L) == 2L)
   }
 
+  test("knnGraphBroadcast returns exactly knnGraph's rows") {
+    val viaJoin = AnnOps.knnGraph(vectors(), "vid", "emb", k = 2,
+      blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val viaKernel = AnnOps.knnGraphBroadcast(vectors(), "vid", "emb", k = 2,
+      partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(viaKernel == viaJoin) // bit-identical cosines, same ordering
+  }
+
   test("cosineNearDups returns only pairs above threshold, a < b") {
     val pairs = AnnOps.cosineNearDups(vectors(), "vid", "emb",
         threshold = 0.95, blocks = 2, partitions = 2)
