@@ -59,6 +59,17 @@ object MediaPipeline {
     (width, height, frames)
   }
 
+  /** Fake "resize": 2x2-pooling stand-in keeping every `factor`-th byte
+    * (dims halve, payload drops `factor`x). STUB — a real codec resamples
+    * pixels; the contract (bytes, factor) => smaller bytes is real.
+    */
+  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((content.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = content(i * factor); i += 1 }
+    out
+  }
+
   /** Deterministic frame sampling: every `stride`-th 64-byte block. */
   def frameSample(content: Array[Byte], stride: Int): Seq[Array[Byte]] =
     content.grouped(64).zipWithIndex

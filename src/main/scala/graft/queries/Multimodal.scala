@@ -118,6 +118,41 @@ object Multimodal {
           CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT)
             AS n_sampled_frames,
           md5(substring(text, 1, 64)) AS first_frame_md5
+        FROM documents""")),
+
+    GraftQuery(
+      "m05_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        // the resize pass: stubbed 2x2-pooling (every 4th byte; dims
+        // halve) in the partition batch iterator — swap resizeStub for a
+        // real resampler and nothing else changes. The oracle recomputes
+        // output dims from the header bytes and the resized payload's
+        // md5 by strided character sampling (ASCII corpus: byte stride
+        // == char stride).
+        val media = MediaPipeline.synthesize(Tables.load(s, dir, "documents"))
+        media.as[graft.multimodal.MediaSample].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { m =>
+            val (w, h, _) = MediaPipeline.decodeStub(m.media_type, m.content)
+            val resized = MediaPipeline.resizeStub(m.content, 4)
+            md.reset()
+            val fp = md.digest(resized).map("%02x".format(_)).mkString
+            (m.doc_id, w / 2, h / 2, resized.length.toLong, fp)
+          }
+        }.toDF("doc_id", "out_width", "out_height", "resized_bytes",
+          "resized_md5")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST((64 + (ascii(substr(text,1,1))*7 + ascii(substr(text,2,1))) % 1024) // 2
+            AS INT) AS out_width,
+          CAST((64 + (ascii(substr(text,3,1))*5 + ascii(substr(text,4,1))) % 768) // 2
+            AS INT) AS out_height,
+          CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes,
+          md5(array_to_string(
+            [substr(text, i+1, 1) for i in range(0, len(text), 4)], ''))
+            AS resized_md5
         FROM documents"""))
   )
 }
