@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses machine-readable JSON lines out of the
+// run's stdout tail; sbt's default logger prefixes forked-process output
+// with "[info] ", which breaks any parser expecting the line to start at
+// '{'. Pipe forked run output straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

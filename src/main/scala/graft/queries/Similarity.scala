@@ -250,6 +250,10 @@ object Similarity {
         val sig = dots.groupBy($"vec_id")
           .agg(sum(when($"pd" >= 0, expr("shiftleft(1L, k)"))
             .otherwise(lit(0L))).as("bucket"))
+          // pin: sig feeds three separate broadcast-exchange jobs (probes,
+          // cand, and the bucket join) and each would otherwise recompute
+          // the full explode+plane-dot aggregation from scratch
+          .localCheckpoint()
         val q = sig.filter($"vec_id" < NQUERIES)
           .select($"vec_id".as("qid"), $"bucket".as("qbucket"))
         // multiprobe: query bucket + all 1-bit flips
