@@ -250,9 +250,11 @@ object AnnOps {
     * Returns (src, neighbor_id, cosine, rank), rank <= k.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      blocks: Int = 16, partitions: Int = 32): DataFrame = {
-    val v = scaled(df, idCol, vecCol, partitions)
-    val s = df.sparkSession
+      blocks: Int = 16, partitions: Int = 32): DataFrame =
+    knnFromStaged(scaled(df, idCol, vecCol, partitions), k, blocks)
+
+  private def knnFromStaged(v: DataFrame, k: Int, blocks: Int): DataFrame = {
+    val s = v.sparkSession
     val grid = s.createDataFrame(
       for { i <- 0 until blocks; j <- 0 until blocks } yield (i, j))
       .toDF("bx", "by")
@@ -282,10 +284,36 @@ object AnnOps {
     * integer dots, same double expression, ties broken id-ascending.
     */
   def knnGraphBroadcast(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, partitions: Int = 32): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
+      k: Int, partitions: Int = 32): DataFrame =
+    knnBroadcastFromStaged(scaled(df, idCol, vecCol, partitions), k)
+
+  /** [[knnGraphBroadcast]] / [[knnGraph]] with an automatic size gate:
+    * the corpus footprint is measured (count x dim over the staged,
+    * pinned table — cheap) and the broadcast kernel is used only when it
+    * fits under `maxBroadcastBytes`; above the gate the grid join runs
+    * instead. The two spellings are bit-identical (see PipelineOpsSpec),
+    * so the gate changes the PLAN, never the result. This mirrors the
+    * contract of Spark's own BroadcastExchangeExec — driver-side
+    * materialization is legal only under a hard size cap — but degrades
+    * to the distributed spelling instead of failing.
+    */
+  def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxBroadcastBytes: Long = 512L << 20, blocks: Int = 16,
+      partitions: Int = 32): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
+    val (n, dim) = {
+      val r = v.agg(count(lit(1)), max(size(col("c")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    // array header + 8B/component + row object overhead, per vector
+    val estBytes = n * (dim.toLong * 8 + 64)
+    if (estBytes <= maxBroadcastBytes) knnBroadcastFromStaged(v, k)
+    else knnFromStaged(v, k, blocks)
+  }
+
+  private def knnBroadcastFromStaged(v: DataFrame, k: Int): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
     val corpus = v.select(col("id"), col("c"), col("nrm"))
       .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(corpus)

@@ -354,10 +354,12 @@ object Similarity {
         // top-3 in a tight primitive loop — no 4M-row pair
         // materialization, no shuffle, same exact scaled-long cosine as
         // Dedup d05 (bit-identical to the grid-join spelling, see
-        // AnnOps.knnGraph / PipelineOpsSpec). Beyond broadcast size the
-        // grid join or an ANN candidate pass (s02/s03) feeds the
-        // identical re-rank.
-        graft.operators.AnnOps.knnGraphBroadcast(
+        // AnnOps.knnGraph / PipelineOpsSpec). The auto variant measures
+        // the corpus first and only takes the broadcast-kernel path under
+        // a hard size gate; above it the grid join (or an ANN candidate
+        // pass, s02/s03) feeds the identical re-rank — so this query stays
+        // valid unchanged at any corpus size.
+        graft.operators.AnnOps.knnGraphAuto(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 3)
       },
       Some("""

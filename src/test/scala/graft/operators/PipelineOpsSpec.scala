@@ -133,6 +133,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaKernel == viaJoin) // bit-identical cosines, same ordering
   }
 
+  test("knnGraphAuto falls back to the grid join above the size gate") {
+    // gate = 0 bytes: nothing fits, so the plan must be the distributed
+    // grid-join spelling (window rank over the pair join), never the
+    // broadcast kernel (MapPartitions over a driver-built array)
+    val gated = AnnOps.knnGraphAuto(vectors(), "vid", "emb", k = 2,
+      maxBroadcastBytes = 0L, blocks = 2, partitions = 2)
+    val gatedPlan = gated.queryExecution.executedPlan.toString()
+    assert(gatedPlan.contains("Window"))
+    assert(!gatedPlan.contains("MapPartitions"))
+    // generous gate: kernel path (MapPartitions, no Window)
+    val kernel = AnnOps.knnGraphAuto(vectors(), "vid", "emb", k = 2,
+      maxBroadcastBytes = 1L << 30, blocks = 2, partitions = 2)
+    val kernelPlan = kernel.queryExecution.executedPlan.toString()
+    assert(kernelPlan.contains("MapPartitions"))
+    assert(!kernelPlan.contains("Window"))
+    // and the gate changes the plan, never the rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(rows(gated) == rows(kernel))
+  }
+
   test("cosineNearDups returns only pairs above threshold, a < b") {
     val pairs = AnnOps.cosineNearDups(vectors(), "vid", "emb",
         threshold = 0.95, blocks = 2, partitions = 2)
