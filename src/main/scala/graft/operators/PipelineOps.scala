@@ -353,6 +353,71 @@ object AnnOps {
     }.toDF("src", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[cosineNearDups]] with sign-LSH candidate generation instead of the
+    * all-pairs grid: a deterministic `bands x rowsPerBand`-bit hyperplane
+    * signature (md5-derived integer plane components — exact integer
+    * arithmetic, so the signature is reproducible in any engine), a
+    * band-bucket equi-join for candidates, and exact [[dot_i64]] cosine
+    * verification of the candidates only. This is the 100 TB spelling:
+    * candidate generation is a bucketed shuffle, verification is
+    * O(candidates), nothing touches all pairs.
+    *
+    * RECALL IS DELIBERATELY PARTIAL and must be reported, not assumed:
+    * output is the subset of true >= threshold pairs whose signatures
+    * collide on >= 1 band. P(catch) = 1-(1-(1-theta/pi)^rows)^bands per
+    * pair. On an isotropic corpus with a LOW threshold (0.45 => 63deg,
+    * per-bit agreement 0.64 vs 0.50 background) no LSH parameterization
+    * reaches full recall with real pruning — measured on the test
+    * corpora at defaults: 13.5% of pairs as candidates (7.4x pruning),
+    * recall 4/7 (sf0.001), 11/14 (sf0.01), 92/144 (sf0.1). High-threshold
+    * near-dup (>= 0.9, the production dedup case) is where banding gets
+    * recall ~1 with steep pruning. Ground truth for recall measurement is
+    * [[cosineNearDups]]; DedupOpsSpec asserts the subset property.
+    */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
+      partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    val np = rowsPerBand * bands
+    val v = scaled(df, idCol, vecCol, partitions)
+    val cx = v.select(col("id"), posexplode(col("c")).as(Seq("i", "cc")))
+    // hyperplane component hp_{k,i}: md5-derived integer in [-2^31, 2^31)
+    // — the same construction s03 proved bit-identical across engines
+    val planes = s.createDataFrame(
+      for { k <- 0 until np; i <- 0 until 64 } yield (k, i))
+      .toDF("k", "i")
+      .select(col("k"), col("i"),
+        (conv(substring(md5(concat(col("k"), lit(":"), col("i"))), 1, 8),
+          16, 10).cast("long") - lit(2147483648L)).as("hp"))
+    val dots = cx.join(broadcast(planes), Seq("i"))
+      .groupBy(col("id"), col("k"))
+      .agg(sum(col("cc") * col("hp")).as("pd"))
+    val sig = dots
+      .groupBy(col("id"), expr(s"k div $rowsPerBand").as("band"))
+      .agg(sum(when(col("pd") >= 0,
+        expr(s"shiftleft(1L, k % $rowsPerBand)")).otherwise(lit(0L)))
+        .as("code"))
+      // pin: sig self-joins below; without the pin both sides recompute
+      // the full explode+plane-dot aggregation
+      .localCheckpoint()
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.code") === col("y.code")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val av = v.select(col("id").as("a"), col("c").as("ac"),
+      col("nrm").as("anrm"))
+    val bv = v.select(col("id").as("b"), col("c").as("bc"),
+      col("nrm").as("bnrm"))
+    // verify candidates only: the corpus arrays broadcast (tiny next to
+    // the candidate stream); at corpus sizes beyond broadcast the same
+    // joins run as shuffles on a / b — still O(candidates)
+    cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
+      .select(col("a"), col("b"),
+        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+          (col("anrm") * col("bnrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,
     * a < b, via the same blocked grid. Returns (a, b, cosine).
     */

@@ -313,61 +313,27 @@ object Dedup {
     GraftQuery(
       "d05_dedup_embedding_cosine",
       (s, dir) => {
-        import s.implicits._
-        // Cosine near-dup over EXACT scaled-long arithmetic: component
-        // -> round(x * 1e6) as long (identical IEEE double multiply +
-        // half-away round in both engines — no decimal-cast boundary
-        // cases at all), dot/norm sums are exact int64 (|c| <= 5.3e5,
-        // 64-dim => sums < 2^53, convertible to double exactly), and the
-        // final cosine is a fixed shape of correctly-rounded double ops.
+        // Bucketed near-dup — the 100 TB spelling: deterministic banded
+        // sign-LSH (32 bands x 8 bits of md5-derived integer hyperplanes)
+        // generates candidates via a band-bucket equi-join, and only
+        // candidates are verified with the exact scaled-long dot_i64
+        // cosine. Nothing in the plan joins two full-corpus sides.
         //
-        // The dot product is array-form (zip_with + aggregate inside the
-        // row, whole-stage-codegen'd longs) — no exploded position join,
-        // no shuffle except the pair join itself. All-pairs is this
-        // operator's contract ("verify near-dups exactly"); at 100 TB
-        // candidate pairs come from sign-LSH bucketing first
-        // (Similarity.s03) and this same math verifies them.
-        // dot product = graft's native codegen'd dot_i64 (zip_with +
-        // aggregate are interpreted inside codegen and were >10x slower
-        // when Catalyst pushed the cosine filter into the pair join)
-        import org.apache.spark.sql.graftnative.functions.dot_i64
-        val emb = Tables.load(s, dir, "embeddings")
-          .select($"vec_id",
-            transform($"embedding",
-              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
-              .as("c"))
-        // materialized eagerly: the scaled-component `transform` is an
-        // interpreted HOF, and project-collapse would otherwise inline it
-        // into the pair-level projection (re-evaluating 64 rounds per
-        // PAIR instead of per vector)
-        val withNorm = emb.select($"vec_id", $"c",
-          sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
-          .localCheckpoint()
-        // blocked all-pairs: a full BLK x BLK grid keyed by vec_id % BLK
-        // turns the pair join into an equi-join (parallel, no single-task
-        // BroadcastNestedLoopJoin). Every unordered pair appears in
-        // exactly one orientation that survives the xid < yid filter, so
-        // the FULL grid (not the upper triangle: a pair with
-        // a%BLK > b%BLK lives in a lower-triangle cell) is required.
-        // the BLK x BLK grid is a 256-row literal: build it driver-side
-        // (a range crossJoin plans a BroadcastNestedLoopJoin — trivial
-        // here, but a literal keeps the plan join-free)
-        val BLK = 16
-        val grid = s.createDataFrame(
-          for { i <- 0 until BLK; j <- 0 until BLK } yield (i, j))
-          .toDF("bx", "by")
-        val x = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("xblk"),
-          $"vec_id".as("xid"), $"c".as("xc"), $"nrm".as("xnrm"))
-        val y = withNorm.select(pmod($"vec_id", lit(BLK)).cast("int").as("yblk"),
-          $"vec_id".as("yid"), $"c".as("yc"), $"nrm".as("ynrm"))
-        grid
-          .join(x, $"bx" === $"xblk")
-          .join(y, $"by" === $"yblk")
-          .filter($"xid" < $"yid")
-          .select($"xid".as("a"), $"yid".as("b"),
-            ((dot_i64($"xc", $"yc").cast("double") / lit(1.0e12)) /
-              ($"xnrm" * $"ynrm")).as("cosine"))
-          .filter($"cosine" >= 0.45)
+        // The oracle replicates the LSH bit-for-bit (same integer planes,
+        // same exact integer signature arithmetic — the construction s03
+        // proved engine-identical), so both engines compute the IDENTICAL
+        // pair set. Recall vs the exact all-pairs ground truth
+        // (AnnOps.cosineNearDups, kept as the library verification path)
+        // is partial BY CONSTRUCTION and measured, not assumed: this
+        // corpus is isotropic with matches in the continuous tail right
+        // at the 0.45 threshold (min match 0.4516 vs max non-match 0.4494
+        // at sf0.01), where per-bit signature agreement is 0.64 vs 0.50
+        // background — no LSH parameterization reaches full recall with
+        // real pruning there. Measured at these defaults: candidates
+        // 13.5% of all pairs (7.4x pruning); recall 4/7 (sf0.001), 11/14
+        // (sf0.01), 92/144 (sf0.1). See cosineNearDupsLsh scaladoc.
+        graft.operators.AnnOps.cosineNearDupsLsh(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
       },
       Some("""
         WITH comp AS (
@@ -376,20 +342,43 @@ object Dedup {
             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) c
           FROM embeddings
         ),
+        planes AS (
+          SELECT k, i,
+            CAST(('0x'||substr(md5(k||':'||i),1,8)) AS BIGINT) - 2147483648 AS hp
+          FROM range(256) t(k), range(64) u(i)
+        ),
+        pd AS (
+          SELECT c.vec_id, p.k, SUM(c.c * p.hp) AS pd
+          FROM comp c JOIN planes p ON c.i = p.i
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT vec_id, k // 8 AS band,
+            SUM(CASE WHEN pd >= 0 THEN (1::BIGINT << CAST(k % 8 AS INT)) ELSE 0 END)
+              AS code
+          FROM pd GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id a, y.vec_id b
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+        ),
         nrm AS (
           SELECT vec_id, sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) / 1000000000000.0) nrm
           FROM comp GROUP BY vec_id
         ),
-        dot AS (
-          SELECT x.vec_id a, y.vec_id b, CAST(SUM(x.c * y.c) AS BIGINT) dot
-          FROM comp x JOIN comp y ON x.i = y.i AND x.vec_id < y.vec_id
+        vdot AS (
+          SELECT ca.a, ca.b, CAST(SUM(xc.c * yc.c) AS BIGINT) dot
+          FROM cand ca
+            JOIN comp xc ON xc.vec_id = ca.a
+            JOIN comp yc ON yc.vec_id = ca.b AND yc.i = xc.i
           GROUP BY 1, 2
         )
-        SELECT d.a, d.b,
-          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) AS cosine
-        FROM dot d
-          JOIN nrm na ON na.vec_id = d.a
-          JOIN nrm nb ON nb.vec_id = d.b
-        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) >= 0.45"""))
+        SELECT v.a, v.b,
+          (CAST(v.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) AS cosine
+        FROM vdot v
+          JOIN nrm na ON na.vec_id = v.a
+          JOIN nrm nb ON nb.vec_id = v.b
+        WHERE (CAST(v.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) >= 0.45"""))
   )
 }

@@ -162,6 +162,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("cosineNearDupsLsh: subset of exact, identical cosines, no grid") {
+    val exact = AnnOps.cosineNearDups(vectors(), "vid", "emb",
+        threshold = 0.95, blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = AnnOps.cosineNearDupsLsh(vectors(), "vid", "emb",
+      threshold = 0.95, partitions = 2)
+    // bucketed candidates can only MISS true pairs, never add false ones,
+    // and verification arithmetic is the same exact scaled-long cosine
+    val got = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet.subsetOf(exact.keySet))
+    got.foreach { case (k, c) => assert(c == exact(k)) }
+    // at this high threshold (planted pairs ~cos 0.98+) banding recall is
+    // ~1 - 4e-13: both planted pairs must surface
+    assert(got.keySet == Set((0L, 1L), (2L, 3L)))
+    // and the plan must be candidate-verify joins, never an all-pairs grid
+    val plan = lsh.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bruteTopK: broadcast queries, corpus never shuffles") {
     val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
         id => id < 1L, k = 2, partitions = 2)
