@@ -33,6 +33,22 @@ object River {
   private def tempRoot(tag: String) =
     graft.core.StreamStore.scratchRoot(s"graft-river-$tag-")
 
+  /** Feed the single-writer facade from a DataFrame WITHOUT materializing
+    * the table on the driver: `toLocalIterator` holds at most one
+    * partition at a time and rows stream to the writer in bounded
+    * batches. The single-writer append invariant (SURVEY §7.5#1) forces
+    * serialization through one process; it does not require driver
+    * residency of the whole table.
+    */
+  private def appendVia(w: StreamWriter, df: DataFrame,
+      batch: Int = 8192): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.grouped(batch).foreach { rows =>
+      w.write(rows.map(r =>
+        Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+  }
+
   /** Events written ONCE per (jvm, sfDir) through the DSv2 sink; the
     * read-only queries (r01/r02/r07) share it. A stream is written once
     * and queried many times — per-query rewrites were pure bench
@@ -167,13 +183,12 @@ object River {
         // then bounded read returns the back half.
         val root = tempRoot("tail")
         val store = new StreamStore(root)
-        val rows = orderedEvents(s, dir).collect()
         val schema = RiverSchema(Seq(
           RiverField("event_id", RiverType.Int64),
           RiverField("user_id", RiverType.Int64),
           RiverField("value", RiverType.Double64)))
         val w = store.createStream("ev", schema)
-        w.write(rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+        appendVia(w, orderedEvents(s, dir))
         w.stop()
         val r1 = store.openReader("ev")
         val Some((skipped, Some((_, lastIdx, lastVals)))) = r1.tail(1000): @unchecked
@@ -247,13 +262,12 @@ object River {
         // cursor lacks) and the union must still be exact and gapless.
         val root = tempRoot("seg")
         val store = new StreamStore(root)
-        val rows = orderedEvents(s, dir).collect()
         val schema = RiverSchema(Seq(
           RiverField("event_id", RiverType.Int64),
           RiverField("user_id", RiverType.Int64),
           RiverField("value", RiverType.Double64)))
         val w = store.createStream("ev", schema, keysPerSegment = 256)
-        w.write(rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+        appendVia(w, orderedEvents(s, dir))
         w.stop()
         val nSegs = store.segments("ev").size
         s.read.format("river")
