@@ -278,8 +278,12 @@ class RiverPartitionReader(
 
   private val codec = new RowCodec(rs)
   private val store = new StreamStore(java.nio.file.Paths.get(p.root))
+  // parse exactly the partition's frame-aligned byte range; a compressed
+  // batch frame expands to many logical rows, so bounding by BYTES READ
+  // (not entries returned) is what keeps partitions disjoint and exact
   private val entries = SegmentCodec
-    .readAll(store.segmentFile(p.stream, p.segIdx), p.fromPos)
+    .readFrames(store.segmentFile(p.stream, p.segIdx), p.fromPos, p.toPos)
+    ._1
     .iterator
     .filter(_.kind == StreamEntry.Data)
   // column projection plan: for each required field, either a derived
@@ -292,20 +296,11 @@ class RiverPartitionReader(
       case n              => Right(rs.fields.indexWhere(_.name == n))
     }
   }
-  private var consumed = 0L
-  private val budget = p.toPos - p.fromPos
   private var current: StreamEntry = _
 
   override def next(): Boolean = {
-    var ok = false
-    while (!ok && entries.hasNext && consumed < budget) {
-      val e = entries.next()
-      // byte budget accounting approximates by frame size
-      consumed += SegmentCodec.HeaderBytes + e.payload.length
-      current = e
-      ok = true
-    }
-    ok
+    if (entries.hasNext) { current = entries.next(); true }
+    else false
   }
 
   override def get(): InternalRow = {

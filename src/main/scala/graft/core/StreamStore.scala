@@ -39,6 +39,13 @@ object StreamEntry {
   val Data: Byte = 0
   val Tombstone: Byte = 1
   val Eof: Byte = 2
+  /** One zfp-compressed write batch (reference C1: the analog of a
+    * RIVER.batch_xadd_compressed Redis entry — one entry, many samples,
+    * one key). `sampleIndex` is the FIRST sample of the batch; payload
+    * is a [[ZfpStreamCodec]]-framed blob. Parse-time expansion in
+    * [[SegmentCodec.readFramesCh]] turns it into per-sample Data
+    * entries, so every consumer above the codec sees plain rows. */
+  val Compressed: Byte = 3
 }
 
 /** Append-only segment file codec. Frame layout (little-endian):
@@ -84,10 +91,11 @@ object SegmentCodec {
     * at snapshot time would otherwise be skipped forever (data loss —
     * caught by the FIXTURES §5 fuzz test).
     */
-  def readFrames(file: File, from: Long = 0L): (Vector[StreamEntry], Long) = {
+  def readFrames(file: File, from: Long = 0L,
+      until: Long = Long.MaxValue): (Vector[StreamEntry], Long) = {
     if (!file.exists()) return (Vector.empty, from)
     val ch = java.nio.channels.FileChannel.open(file.toPath)
-    try readFramesCh(ch, from) finally ch.close()
+    try readFramesCh(ch, from, until) finally ch.close()
   }
 
   /** How much new data still goes through positional reads rather than a
@@ -104,8 +112,10 @@ object SegmentCodec {
     * per poll).
     */
   def readFramesCh(ch: java.nio.channels.FileChannel,
-      from: Long): (Vector[StreamEntry], Long) = {
-    val limit = ch.size()
+      from: Long, until: Long = Long.MaxValue): (Vector[StreamEntry], Long) = {
+    // `until` bounds the parse to a frame-aligned byte range (DSv2
+    // partitions): frames never split across range boundaries
+    val limit = math.min(ch.size(), until)
     if (from >= limit) return (Vector.empty, from)
     val len = limit - from
     val buf =
@@ -134,7 +144,17 @@ object SegmentCodec {
       else {
         val payload = new Array[Byte](len2)
         buf.get(payload)
-        out += StreamEntry(kind, key, idx, payload)
+        if (kind == StreamEntry.Compressed) {
+          // expand to per-sample Data entries (same key: the reference's
+          // compressed batches are one Redis entry = one key for the
+          // whole batch; sample_index remains gapless per sample)
+          val rows = ZfpStreamCodec.expand(payload)
+          var i = 0
+          while (i < rows.length) {
+            out += StreamEntry(StreamEntry.Data, key, idx + i, rows(i))
+            i += 1
+          }
+        } else out += StreamEntry(kind, key, idx, payload)
         consumed += HeaderBytes + len2
       }
     }
@@ -315,13 +335,17 @@ final class StreamStore(val root: Path) {
     // variable-width streams forbid compression (reference writer.cpp:131-134)
     require(compressionParamsJson.isEmpty || !schema.hasVariableWidth,
       "compression is not supported for variable-width streams")
+    // C1: ZFP_LOSSLESS is fully supported (validated against the schema
+    // here, applied per write batch by the writer); lossy/unknown
+    // compression is rejected loudly at create time
+    val zfp = ZfpStreamCodec.validate(compressionParamsJson, schema)
     if (streamExists(name)) throw new StreamExistsException(name)
     Files.createDirectories(dir(name))
     writeMetadata(name, StreamMetadata(
       schema.toJson, System.currentTimeMillis() * 1000L, userMetadata,
       localMinusServerClockUs = Some(0L), // single-clock store (M4 parity)
       compressionParamsJson = compressionParamsJson))
-    new StreamWriter(this, name, schema, keysPerSegment)
+    new StreamWriter(this, name, schema, keysPerSegment, zfp)
   }
 
   def openReader(name: String, timeoutMs: Long = 0): StreamReader = {
@@ -332,13 +356,10 @@ final class StreamStore(val root: Path) {
       Thread.sleep(1)
     require(streamExists(name), s"stream not found within ${timeoutMs}ms: $name")
     val m = metadata(name)
-    // C1: ZFP transport compression is out of scope on the JVM; streams
-    // declaring it are detected and rejected loudly rather than
-    // mis-decoded (SURVEY §7.5#7).
-    require(m.compressionParamsJson.isEmpty,
-      s"stream $name declares transport compression " +
-        s"(${m.compressionParamsJson.get}); compressed streams are not " +
-        "readable by this engine — re-ingest uncompressed")
+    // C1: ZFP_LOSSLESS streams decode transparently (blob entries expand
+    // at parse time in SegmentCodec); lossy/unknown compression is still
+    // rejected loudly rather than mis-decoded.
+    ZfpStreamCodec.validate(m.compressionParamsJson, m.schema)
     new StreamReader(this, name, m.schema)
   }
 
@@ -413,7 +434,8 @@ final class StreamWriter private[core] (
     store: StreamStore,
     val name: String,
     val schema: RiverSchema,
-    keysPerSegment: Long) {
+    keysPerSegment: Long,
+    zfp: Option[ZfpStreamCodec.Params] = None) {
 
   private val codec = new RowCodec(schema)
   private val lockFile = store.root.resolve(name).resolve("writer.lock")
@@ -453,6 +475,29 @@ final class StreamWriter private[core] (
 
   def writeBytes(samples: Seq[Array[Byte]]): Unit = synchronized {
     require(!stopped, "writer is stopped")
+    if (zfp.isDefined && samples.nonEmpty) {
+      // one zfp blob per write batch, exactly the reference's server-side
+      // batch granularity (writer.cpp:219-224): one entry, one key, n
+      // samples. Rollover check runs per batch; a batch never splits
+      // across segments (bounded by the caller's batch size).
+      if (inSegment >= keysPerSegment) {
+        val tomb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(segIdx + 1).array()
+        SegmentCodec.write(out,
+          StreamEntry(StreamEntry.Tombstone, nextKey(), nextIndex - 1, tomb))
+        out.flush(); out.close()
+        segIdx += 1
+        out = open(segIdx)
+        inSegment = 0
+      }
+      val blob = ZfpStreamCodec.compressBatch(zfp.get, samples)
+      SegmentCodec.write(out,
+        StreamEntry(StreamEntry.Compressed, nextKey(), nextIndex, blob))
+      nextIndex += samples.size
+      inSegment += samples.size
+      out.flush()
+      return
+    }
     samples.foreach { payload =>
       if (inSegment >= keysPerSegment) {
         // tombstone carries the NEXT segment idx in its payload and the

@@ -331,6 +331,58 @@ object River {
           AND CAST(ts AS DATE) < DATE '2024-01-06'""")),
 
     GraftQuery(
+      "r10_stream_compressed",
+      (s, dir) => {
+        import s.implicits._
+        // C1 end-to-end: a ZFP_LOSSLESS int16 stream (the reference's
+        // flagship dtype — promoted <<15, compressed per write batch,
+        // demoted on read) written from events and read back through the
+        // DSv2 source. The aggregate proves exact transport round-trip
+        // against the DuckDB oracle computing the same projections from
+        // the parquet directly; `compressed_smaller` proves the segment
+        // holds genuinely compressed blobs, not per-row frames.
+        val root = tempRoot("zfp")
+        val store = new StreamStore(root)
+        val schema = RiverSchema(Seq("a", "b", "c", "d")
+          .map(RiverField(_, RiverType.Int16)))
+        val w = store.createStream("ev", schema, compressionParamsJson =
+          Some("""{"name":"ZFP_LOSSLESS","params":{"num_cols":"4","data_type":"int16"}}"""))
+        import scala.jdk.CollectionConverters._
+        var n = 0L
+        orderedEvents(s, dir).toLocalIterator().asScala.grouped(4096)
+          .foreach { rows =>
+            w.write(rows.map { r =>
+              val e = r.getLong(0); val u = r.getLong(1)
+              Seq[Any]((e % 8192).toShort, (u % 8192).toShort,
+                ((e * 7) % 8192).toShort, 42.toShort)
+            })
+            n += rows.size
+          }
+        w.stop()
+        val segBytes = store.segments("ev")
+          .map(i => store.segmentFile("ev", i).length()).sum
+        val df = s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+        df.agg(
+            count(lit(1)).as("n"),
+            sum($"a").as("sum_a"),
+            sum($"b").as("sum_b"),
+            sum($"c").as("sum_c"),
+            max($"d").cast("int").as("max_d"))
+          .withColumn("compressed_smaller",
+            lit(if (segBytes < n * 8) 1 else 0))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+          CAST(SUM(event_id % 8192) AS BIGINT) AS sum_a,
+          CAST(SUM(user_id % 8192) AS BIGINT) AS sum_b,
+          CAST(SUM((event_id * 7) % 8192) AS BIGINT) AS sum_c,
+          42 AS max_d,
+          1 AS compressed_smaller
+        FROM events""")),
+
+    GraftQuery(
       "r06_stream_metadata",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,157 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip correctness of the JVM zfp reversible codec, mirroring the
+  * reference's compressor tests (`cpp/src/tests/compressor_test.cpp:
+  * 108-144`): the sine fixture (64 samples x 4096 channels, int16-scaled
+  * sines — formula from `compressor_test.cpp:12-23`) must round-trip
+  * bit-exactly for int16/float/double and compress to <= 90% of raw.
+  * Plus partial-block shapes, adversarial values (the reinterpret
+  * fallback), and header parsing.
+  */
+class ZfpSpec extends AnyFunSuite {
+
+  private val nCh = 4096
+  private val nSamp = 64
+
+  /** compressor_test.cpp:12-23: sin(freqs * t / 10 + phases) * 2^14 as
+    * int16, channels fastest (row-major t x ch). */
+  private def sines(): Array[Short] = {
+    val out = new Array[Short](nSamp * nCh)
+    var t = 0
+    while (t < nSamp) {
+      var c = 0
+      while (c < nCh) {
+        val phase = math.Pi * c / (nCh - 1)
+        val freq = 1.0 + 9.0 * c / (nCh - 1)
+        out(t * nCh + c) =
+          (math.sin(freq * t / 10.0 + phase) * 16384.0).toShort
+        c += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  test("int16 sine fixture: exact round trip, <= 90% of raw") {
+    val data = sines()
+    val blob = Zfp.compressInt16(data, nCh, nSamp)
+    assert(blob.length <= (0.9 * data.length * 2).toInt,
+      s"compressed ${blob.length} of raw ${data.length * 2}")
+    val (nx, ny, back) = Zfp.decompressInt16(blob)
+    assert(nx == nCh && ny == nSamp)
+    assert(java.util.Arrays.equals(back, data))
+  }
+
+  test("float sine fixture: exact round trip, <= 90% of raw") {
+    val data = sines().map(_.toFloat)
+    val blob = Zfp.compressFloat(data, nCh, nSamp)
+    assert(blob.length <= (0.9 * data.length * 4).toInt)
+    val Zfp.DecodedFloat(nx, ny, back) =
+      Zfp.decompress(blob): @unchecked
+    assert(nx == nCh && ny == nSamp)
+    assert(java.util.Arrays.equals(back, data))
+  }
+
+  test("double sine fixture: exact round trip, <= 90% of raw") {
+    val data = sines().map(_.toDouble)
+    val blob = Zfp.compressDouble(data, nCh, nSamp)
+    assert(blob.length <= (0.9 * data.length * 8).toInt)
+    val Zfp.DecodedDouble(nx, ny, back) =
+      Zfp.decompress(blob): @unchecked
+    assert(nx == nCh && ny == nSamp)
+    assert(java.util.Arrays.equals(back, data))
+  }
+
+  test("int32 round trip across partial-block shapes") {
+    val rng = new scala.util.Random(7)
+    for ((nx, ny) <- Seq((1, 1), (1, 7), (3, 4), (5, 5), (4, 4), (17, 9))) {
+      val data = Array.fill(nx * ny)(rng.nextInt())
+      val blob = Zfp.compressInt32(data, nx, ny)
+      val Zfp.DecodedInt32(rx, ry, back) = Zfp.decompress(blob): @unchecked
+      assert(rx == nx && ry == ny)
+      assert(java.util.Arrays.equals(back, data), s"shape ($nx, $ny)")
+    }
+  }
+
+  test("random int32 data round trips (incompressible worst case)") {
+    val rng = new scala.util.Random(11)
+    val data = Array.fill(128 * 32)(rng.nextInt())
+    val blob = Zfp.compressInt32(data, 128, 32)
+    val Zfp.DecodedInt32(_, _, back) = Zfp.decompress(blob): @unchecked
+    assert(java.util.Arrays.equals(back, data))
+  }
+
+  test("adversarial doubles round trip via the reinterpret fallback") {
+    // NaN / infinities / subnormals / wide dynamic range defeat the
+    // block-floating-point conversion; blocks must fall back to raw-bit
+    // reinterpretation and still round-trip to identical BITS
+    val data = Array[Double](
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      1e308, -1e308, 1e-300, math.Pi, -math.E,
+      0.0, 1.0, -1.0, 1e-8, 123456789.123456789, Double.MaxValue)
+    val blob = Zfp.compressDouble(data, 4, 4)
+    val Zfp.DecodedDouble(_, _, back) = Zfp.decompress(blob): @unchecked
+    assert(back.length == data.length)
+    for (i <- data.indices)
+      assert(
+        java.lang.Double.doubleToRawLongBits(back(i)) ==
+          java.lang.Double.doubleToRawLongBits(data(i)),
+        s"index $i: ${back(i)} != ${data(i)}")
+  }
+
+  test("adversarial floats round trip via the reinterpret fallback") {
+    val data = Array[Float](
+      Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+      Float.MinPositiveValue, 3.4e38f, -3.4e38f, 1e-40f, math.Pi.toFloat,
+      0f, 1f, -1f, 1e-8f, 12345.678f, -0.001f, 2f, Float.MaxValue)
+    val blob = Zfp.compressFloat(data, 4, 4)
+    val Zfp.DecodedFloat(_, _, back) = Zfp.decompress(blob): @unchecked
+    for (i <- data.indices)
+      assert(
+        java.lang.Float.floatToRawIntBits(back(i)) ==
+          java.lang.Float.floatToRawIntBits(data(i)),
+        s"index $i: ${back(i)} != ${data(i)}")
+  }
+
+  test("int16 demotion clamps like the reference") {
+    // zfp_compressor.cpp:163-166: (int32 >> 15) clamped to int16 range.
+    // Promoted values are exact multiples of 2^15, so lossless round
+    // trips never clamp; this exercises the demote helper directly via
+    // a full-range fixture.
+    val data = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue,
+      1000, -1000, 42, 0, 0, 0, 0, 0, 0, 0, 0)
+    val blob = Zfp.compressInt16(data, 4, 4)
+    val (_, _, back) = Zfp.decompressInt16(blob)
+    assert(java.util.Arrays.equals(back, data))
+  }
+
+  test("header: parse rejects non-reversible payloads loudly") {
+    val blob = Zfp.compressInt32(Array.fill(16)(1), 4, 4)
+    // corrupt the mode bits (bits 84..95 of the stream = reversible 4094)
+    // into fixed-accuracy mode 2112 (minexp -1074 + 2112... any lossy id)
+    val r = new Zfp.BitReader(blob)
+    val h = Zfp.readHeader(r)
+    assert(h.reversible && h.tpe == Zfp.TypeInt32 && h.nx == 4 && h.ny == 4)
+    val w = new Zfp.BitWriter
+    w.writeBits('z'.toLong, 8); w.writeBits('f'.toLong, 8)
+    w.writeBits('p'.toLong, 8); w.writeBits(5L, 8)
+    w.writeBits((((3L << 24) | 3L) << 4) | (1L << 2) | 0L, 52)
+    w.writeBits(2112L, 12) // fixed-accuracy short mode
+    val lossy = w.toBytes
+    val ex = intercept[IllegalArgumentException](Zfp.decompress(lossy))
+    assert(ex.getMessage.contains("reversible"))
+  }
+
+  test("trailing junk bytes after the payload are ignored") {
+    // the reference slices its buffer with +96 junk tail bytes
+    // (zfp_compressor.cpp:129-133 adds the header BIT count to bytes)
+    val data = sines()
+    val blob = Zfp.compressInt16(data, nCh, nSamp)
+    val padded = blob ++ Array.fill[Byte](96)(0x5a)
+    val (_, _, back) = Zfp.decompressInt16(padded)
+    assert(java.util.Arrays.equals(back, data))
+  }
+}

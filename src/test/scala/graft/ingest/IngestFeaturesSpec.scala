@@ -31,15 +31,46 @@ class IngestFeaturesSpec extends AnyFunSuite {
     assert(!store.forceEof("s")) // idempotent: already has EOF
   }
 
-  test("compressed streams are detected and rejected loudly (C1)") {
+  test("ZFP_LOSSLESS streams write compressed and read back exactly (C1)") {
     val store = newStore()
     val w = store.createStream("c", schema,
-      compressionParamsJson = Some("""{"type":"ZFP_LOSSLESS"}"""))
-    w.write(Seq(Seq(1.0))); w.stop()
-    val m = store.metadata("c")
-    assert(m.compressionParamsJson.contains("""{"type":"ZFP_LOSSLESS"}"""))
-    val e = intercept[IllegalArgumentException](store.openReader("c"))
-    assert(e.getMessage.contains("compression"))
+      compressionParamsJson = Some(
+        """{"name":"ZFP_LOSSLESS","params":{"num_cols":"1","data_type":"double"}}"""))
+    // integer-valued doubles (sensor-style quantized data, like the
+    // reference's int16-scaled sine fixture): block-floating-point
+    // conversion is exact and trailing-zero elision bites
+    val values = (0 until 257).map(i => math.rint(math.sin(i / 10.0) * 1000.0))
+    w.write(values.map(v => Seq[Any](v)))   // one compressed batch entry
+    w.write(Seq(Seq[Any](42.0)))            // and a second batch
+    w.stop()
+    val r = store.openReader("c")
+    val rows = r.read(1000, 0).get
+    assert(rows.size == 258)
+    assert(rows.map(_._2) == (0L until 258L)) // gapless sample_index
+    assert(rows.map(_._3(0).asInstanceOf[Double]) == values :+ 42.0)
+    // the segment really does hold compressed blobs, not per-row frames
+    val segBytes = store.segmentFile("c", 0).length()
+    assert(segBytes < 258 * 8, s"segment $segBytes bytes for 258 doubles")
+  }
+
+  test("ZFP_LOSSY streams are rejected loudly at create and open (C1)") {
+    val store = newStore()
+    val lossy =
+      """{"name":"ZFP_LOSSY","params":{"num_cols":"1","data_type":"double","tolerance":"0.5"}}"""
+    val e = intercept[IllegalArgumentException] {
+      store.createStream("c", schema, compressionParamsJson = Some(lossy))
+    }
+    assert(e.getMessage.contains("ZFP_LOSSY"))
+    // a stream whose metadata already declares lossy (written elsewhere)
+    // must also be unreadable
+    Files.createDirectories(store.root.resolve("c2"))
+    Files.write(store.root.resolve("c2").resolve("metadata.json"),
+      StreamMetadata(schema.toJson, 0L, Map.empty,
+        localMinusServerClockUs = Some(0L),
+        compressionParamsJson = Some(lossy)).toJson.getBytes)
+    val e2 = intercept[IllegalArgumentException](store.openReader("c2"))
+    assert(e2.getMessage.contains("lossy") ||
+      e2.getMessage.contains("ZFP_LOSSY"))
   }
 
   test("variable-width streams refuse compression (writer.cpp:131-134)") {
