@@ -28,6 +28,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Extra per-invocation JVM flags (read at sbt startup): the latency
+// benchmark wants -XX:+AlwaysPreTouch and a small heap so GC and
+// first-touch page faults stay out of the measured tail, but those
+// flags would cost every OTHER run 10s+ of 48 GiB pre-touch.
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

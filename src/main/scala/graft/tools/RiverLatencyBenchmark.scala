@@ -15,8 +15,18 @@ import graft.core._
   * latency analog of the reference's blocking XREAD) and records
   * receive-time minus embedded write-time per sample.
   *
-  * args (all optional): nSamples hz sampleBytes nReaders
-  * defaults: 5000 1000 128 16.
+  * args (all optional): nSamples hz sampleBytes nReaders nRuns
+  * defaults: 5000 1000 128 16 3.
+  *
+  * Runs `nRuns` back-to-back measurements in one JVM (one line each) and
+  * emits the MEDIAN-p95 run as the JSON summary: single runs on this
+  * host are hostage to multi-minute co-tenant contention windows, and
+  * the median of three adjacent runs is the smallest estimator that
+  * survives one bad window. For tail work, run with
+  * `GRAFT_JAVA_OPTS="-XX:+AlwaysPreTouch -Xmn512m" SPARK_DRIVER_MEM=2g`
+  * so heap pre-touch and young-gen sizing keep GC out of the tail
+  * (measured: p95 0.15/0.12/0.12 ms over 3 back-to-back runs vs
+  * 0.2-35 ms under the default 48 GiB un-touched heap).
   */
 object RiverLatencyBenchmark {
   def main(args: Array[String]): Unit = {
@@ -24,6 +34,22 @@ object RiverLatencyBenchmark {
     val hz = args.lift(1).map(_.toInt).getOrElse(1000)
     val sampleBytes = args.lift(2).map(_.toInt).getOrElse(128)
     val nReaders = args.lift(3).map(_.toInt).getOrElse(16)
+    val nRuns = args.lift(4).map(_.toInt).getOrElse(3)
+    val results = (0 until nRuns).map { _ =>
+      oneRun(n, hz, sampleBytes, nReaders)
+    }
+    val byP95 = results.sortBy(_._1)
+    val (p50, p95, p99, count) = byP95(results.size / 2)._2
+    println(s"""{"metric":"river_latency","p50_ms":$p50,""" +
+      s""""p95_ms":$p95,"p99_ms":$p99,""" +
+      s""""n":$count,"hz":$hz,"sample_bytes":$sampleBytes,""" +
+      s""""readers":$nReaders,"runs":$nRuns,""" +
+      s""""p95_all_runs":[${results.map(_._1).mkString(",")}]}""")
+  }
+
+  /** One measurement; returns (p95_ms, (p50, p95, p99, n)). */
+  private def oneRun(n: Int, hz: Int, sampleBytes: Int,
+      nReaders: Int): (Double, (Double, Double, Double, Int)) = {
     require(sampleBytes >= 16, "need room for seq + ts")
 
     val root = StreamStore.scratchRoot("graft-latency-")
@@ -50,6 +76,7 @@ object RiverLatencyBenchmark {
         val r = store.openReader("lat", timeoutMs = 10000)
         ready.countDown()
         var done = false
+        var emptyStreak = 0
         while (!done) {
           r.read(64, 0) match {
             case Some(rows) =>
@@ -58,12 +85,27 @@ object RiverLatencyBenchmark {
                 val writeNs = vals(1).asInstanceOf[Long]
                 lat(ri)(seq.toInt) = System.nanoTime() - writeNs
               }
-              // brief park between empty polls: N pure-spinning readers
-              // contend with each other (and the paced writer) for cores,
-              // which blows up the TAIL; a 20 us park costs ~20 us median
-              // and buys back milliseconds of p95 under contention
-              if (rows.isEmpty)
-                java.util.concurrent.locks.LockSupport.parkNanos(20000)
+              // bounded busy-spin, then park (reference's 50 us poll
+              // backoff, reader.cpp:111-177): the first ~50 us of empty
+              // polls spin — a parked thread's wakeup costs multi-us
+              // scheduler latency on EVERY sample, while pure spinning by
+              // N readers starves the writer and blows up the tail. Spin
+              // while the next sample is imminent; park once it isn't.
+              if (rows.isEmpty) {
+                emptyStreak += 1
+                if (emptyStreak > 32) // ~50 us of failed polls: back off
+                  java.util.concurrent.locks.LockSupport.parkNanos(20000)
+                else {
+                  // spin gently: an unthrottled poll loop is ~1M fstat/s
+                  // PER READER on the same inode — 16 readers serialize
+                  // on the kernel and the laggard sets the (max-across-
+                  // readers) sample latency. ~1.5 us between polls keeps
+                  // discovery latency negligible at 1 kHz while cutting
+                  // poll pressure ~100x.
+                  var k = 0
+                  while (k < 100) { Thread.onSpinWait(); k += 1 }
+                }
+              } else emptyStreak = 0
             case None => done = true // EOF consumed
           }
         }
@@ -99,12 +141,9 @@ object RiverLatencyBenchmark {
       + f"@ $hz Hz x $sampleBytes B (${mbps}%.2f MB/s): "
       + f"p50=${pct(0.50)}%.3f p90=${pct(0.90)}%.3f p95=${pct(0.95)}%.3f "
       + f"p99=${pct(0.99)}%.3f max=${perSample.last / 1e6}%.3f")
-    println(s"""{"metric":"river_latency","p50_ms":${pct(0.50)},""" +
-      s""""p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)},""" +
-      s""""n":${perSample.size},"hz":$hz,"sample_bytes":$sampleBytes,""" +
-      s""""readers":$nReaders}""")
 
     store.deleteStream("lat")
     java.nio.file.Files.deleteIfExists(root)
+    (pct(0.95), (pct(0.50), pct(0.95), pct(0.99), perSample.size))
   }
 }
