@@ -64,6 +64,8 @@ object Bench {
       // drop blocks pinned by this query's localCheckpoints so dozens of
       // queries in one JVM don't accumulate executor-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(f"[bench] $name%-28s $dt%8.3f s")
       name -> dt
     }
     // Two passes, the second in REVERSE name order: a contention window is

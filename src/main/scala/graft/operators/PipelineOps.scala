@@ -378,27 +378,48 @@ object AnnOps {
       threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
       partitions: Int = 32): DataFrame = {
     val s = df.sparkSession
+    import s.implicits._
     val np = rowsPerBand * bands
     val v = scaled(df, idCol, vecCol, partitions)
-    val cx = v.select(col("id"), posexplode(col("c")).as(Seq("i", "cc")))
     // hyperplane component hp_{k,i}: md5-derived integer in [-2^31, 2^31)
-    // — the same construction s03 proved bit-identical across engines
-    val planes = s.createDataFrame(
-      for { k <- 0 until np; i <- 0 until 64 } yield (k, i))
-      .toDF("k", "i")
-      .select(col("k"), col("i"),
-        (conv(substring(md5(concat(col("k"), lit(":"), col("i"))), 1, 8),
-          16, 10).cast("long") - lit(2147483648L)).as("hp"))
-    val dots = cx.join(broadcast(planes), Seq("i"))
-      .groupBy(col("id"), col("k"))
-      .agg(sum(col("cc") * col("hp")).as("pd"))
-    val sig = dots
-      .groupBy(col("id"), expr(s"k div $rowsPerBand").as("band"))
-      .agg(sum(when(col("pd") >= 0,
-        expr(s"shiftleft(1L, k % $rowsPerBand)")).otherwise(lit(0L)))
-        .as("code"))
+    // — the same construction s03 proved bit-identical across engines.
+    // Signatures are computed in a compiled per-partition kernel: the
+    // declarative spelling (posexplode x broadcast-join x two hash aggs)
+    // materializes |corpus| x 64 x np intermediate rows — 327M rows at
+    // sf0.1 — whose allocation pressure dominated the whole bench JVM.
+    // The kernel is the identical integer arithmetic (plane dot as i64
+    // sum, sign bit per plane, rowsPerBand bits per band code), one pass,
+    // zero shuffle, ~np*64 multiplies per vector.
+    val planes: Array[Array[Long]] = Array.tabulate(np) { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(64) { i =>
+        val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) - 2147483648L
+      }
+    }
+    val rpb = rowsPerBand
+    val nb = bands
+    val sig = v.select(col("id"), col("c")).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, cSeq) =>
+          val c = cSeq.toArray
+          val codes = new Array[Long](nb)
+          var k = 0
+          while (k < np) {
+            val hp = planes(k)
+            var pd = 0L
+            var i = 0
+            val n = math.min(c.length, 64)
+            while (i < n) { pd += c(i) * hp(i); i += 1 }
+            if (pd >= 0) codes(k / rpb) |= (1L << (k % rpb))
+            k += 1
+          }
+          (0 until nb).iterator.map(b => (id, b, codes(b)))
+        }
+      }.toDF("id", "band", "code")
       // pin: sig self-joins below; without the pin both sides recompute
-      // the full explode+plane-dot aggregation
+      // the kernel pass
       .localCheckpoint()
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.code") === col("y.code")

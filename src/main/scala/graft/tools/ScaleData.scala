@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: replicates the driver's sf0.1 tables N× with
+  * consistent key shifts so every foreign-key relationship survives
+  * (orders.o_custkey still hits customer.c_custkey, lineitem hits
+  * orders/part/supplier). Used for the sf1 scale-proof run — NOT a
+  * replacement for driver testdata; correctness always runs on the
+  * driver's own sf0.01.
+  *
+  * Near-dup columns are decorrelated per copy deterministically:
+  *  - documents.text: word order rotated by a copy-dependent offset
+  *    (kills shingle/minhash cross-copy similarity, preserves the word
+  *    distribution langid/quality/token stats see, and preserves each
+  *    copy's INTERNAL duplicate structure so dedup output scales ~N).
+  *  - embeddings.embedding: coordinates rotated by copy index (norm-
+  *    preserving, kills cross-copy cosine similarity).
+  * Without this, N× replication makes every duplicate group N× larger
+  * and candidate PAIRS grow N² — a data pathology, not an engine test.
+  *
+  * Usage: ScaleData <inDir> <outDir> <copies>
+  */
+object ScaleData {
+  private val Stride = 100000000L // > any sf0.1 key
+
+  def main(args: Array[String]): Unit = {
+    val in = args(0)
+    val out = args(1)
+    val copies = args(2).toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Tables.load sets nanosAsLong for events' TIMESTAMP(NANOS) ts; the
+    // scaled copy therefore stores ts as a plain int64 of nanos, which is
+    // exactly the shape every query consumes at sf0.1 too.
+    def read(t: String): DataFrame = graft.Tables.load(spark, in, t)
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+
+    // replicate df `copies` times, shifting every column in `keys` by
+    // copy*Stride; `extra` post-processes each copy (copyIdx available
+    // as lit)
+    def rep(df: DataFrame, keys: Seq[String])(
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { i =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * Stride)))
+        extra(shifted, i)
+      }.reduce(_ unionAll _)
+
+    // dimensions stay fixed — broadcast sides must remain broadcast-able
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(rep(read("customer"), Seq("c_custkey"))(), "customer", 8)
+    write(rep(read("supplier"), Seq("s_suppkey"))(), "supplier", 2)
+    write(rep(read("part"), Seq("p_partkey"))(), "part", 8)
+    write(rep(read("orders"), Seq("o_orderkey", "o_custkey"))(), "orders", 16)
+    write(rep(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem", 32)
+    write(rep(read("events"), Seq("event_id", "user_id"))(), "events", 16)
+
+    // documents: rotate word order per copy (deterministic, shingle-breaking)
+    write(rep(read("documents"), Seq("doc_id")) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text",
+        array_join(flatten(array(
+          slice(split(col("text"), " "), i + 1, 1 << 24),
+          slice(split(col("text"), " "), 1, i))), " "))
+    }, "documents", 8)
+
+    // embeddings: rotate coordinates per copy (norm-preserving)
+    write(rep(read("embeddings"), Seq("vec_id")) { (d, i) =>
+      if (i == 0) d
+      else {
+        val dim = size(col("embedding"))
+        d.withColumn("embedding",
+          concat(slice(col("embedding"), lit(i % 32 + 1), dim),
+            slice(col("embedding"), lit(1), lit(i % 32))))
+      }
+    }, "embeddings", 4)
+
+    val n = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(s"""{"scaled":"$out","copies":$copies,"lineitem_rows":$n}""")
+    spark.stop()
+  }
+}

@@ -141,10 +141,12 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", out.resolve("cp").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .start()
-    writer.join(60000)
+    writer.join(120000)
     assert(!writer.isAlive)
-    // let the query drain the tail (incl. EOF) then stop
-    Thread.sleep(3000)
+    // drain the tail (incl. EOF): the writer has stopped, so offsets
+    // stabilize and processAllAvailable returns (a fixed sleep raced
+    // co-tenant contention and flaked)
+    q.processAllAvailable()
     q.stop()
     // a last AvailableNow pass picks up anything after the final trigger
     val q2 = spark.readStream.format("river")
@@ -155,7 +157,7 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", out.resolve("cp").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(30000)
+    assert(q2.awaitTermination(120000), "AvailableNow drain did not finish")
 
     val df = spark.read.parquet(out.resolve("data").toString)
     val n = df.count()
