@@ -43,10 +43,18 @@ object River {
   private def appendVia(w: StreamWriter, df: DataFrame,
       batch: Int = 8192): Unit = {
     import scala.jdk.CollectionConverters._
-    df.toLocalIterator().asScala.grouped(batch).foreach { rows =>
-      w.write(rows.map(r =>
-        Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))))
-    }
+    // pin first: toLocalIterator runs one JOB PER PARTITION, and without
+    // the pin each job re-executes the whole upstream (sort + scan) —
+    // measured 37-79 s for 32 partitions of 100k rows at sf0.1. With the
+    // pin the per-partition fetches are cached-block reads (order is
+    // preserved: localCheckpoint keeps the computed range partitions).
+    val pinned = df.localCheckpoint()
+    try {
+      pinned.toLocalIterator().asScala.grouped(batch).foreach { rows =>
+        w.write(rows.map(r =>
+          Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+    } finally pinned.unpersist()
   }
 
   /** Events written ONCE per (jvm, sfDir) through the DSv2 sink; the
