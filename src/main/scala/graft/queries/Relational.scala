@@ -715,10 +715,10 @@ object Relational {
           val o = t(s, dir, "orders")
             .select($"o_orderkey", $"o_orderpriority")
           li.write.mode("overwrite")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable("graft_li_bkt")
           o.write.mode("overwrite")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
             .saveAsTable("graft_o_bkt")
           Relational.bucketedFor.add((s, dir))
         }

@@ -44,47 +44,69 @@ object Similarity {
           FROM embeddings"""
 
   /** Exact brute-force top-k per query vector (shared by s01 and the
-    * s05 recall measurement). */
+    * s05 recall measurement).
+    *
+    * Arithmetic is the d05-proven scaled-long form: components become
+    * round(x*1e6) longs, the dot is one codegen'd [[dot_i64]] per
+    * (query, corpus) row, norms divide the exact i64 self-dot by 1e12.
+    * The previous spelling (posexplode x decimal(25,12) join-aggregate)
+    * was exact too but ~40x slower: 6.4M decimal multiply-accumulates
+    * through a 64-key shuffle measured 261 s at sf1 vs ~6 s for this
+    * form. The broadcast side is NQUERIES rows — the nested-loop expand
+    * over it is a map-side operation, no corpus shuffle at any size.
+    */
   private def bruteDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    {
-        val c = comp(s, dir)
-        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
-          .select($"vec_id", sqrt($"nrm2".cast("double")).as("nrm"))
-        val q = c.filter($"vec_id" < NQUERIES)
-          .select($"vec_id".as("qid"), $"i", $"c".as("qc"))
-        val dot = q.join(c, Seq("i"))
-          .filter($"vec_id" =!= $"qid")
-          .groupBy($"qid", $"vec_id")
-          .agg(sum($"qc" * $"c").as("dot"))
-        val cos = dot
-          .join(norm.as("nq"), $"qid" === $"nq.vec_id")
-          .join(norm.as("nc"), dot("vec_id") === $"nc.vec_id")
-          .select($"qid", dot("vec_id").as("neighbor_id"),
-            ($"dot".cast("double") / ($"nq.nrm" * $"nc.nrm")).as("cosine"))
-        val w = Window.partitionBy($"qid")
-          .orderBy($"cosine".desc, $"neighbor_id".asc)
-        cos.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= TOPK)
-    }
+    import org.apache.spark.sql.graftnative.functions.dot_i64
+    val v = Tables.load(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("c"))
+      .select($"vec_id", $"c",
+        sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
+      // pin: the interpreted transform is evaluated once per vector, not
+      // re-inlined into the pair-level projection
+      .localCheckpoint()
+    val q = v.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
+    val cos = v.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        ((dot_i64($"qc", $"c").cast("double") / lit(1.0e12)) /
+          ($"qnrm" * $"nrm")).as("cosine"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    cos.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TOPK)
   }
 
-  /** Oracle SQL of [[bruteDf]]. */
+  /** Oracle SQL of [[bruteDf]] — the same scaled-long construction d05
+    * proved hash-identical across engines. */
   private val sqlBrute = s"""
-        WITH comp AS ($sqlComp),
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
         nrm AS (
-          SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
           FROM comp GROUP BY vec_id
         ),
         dot AS (
-          SELECT q.vec_id qid, c.vec_id neighbor_id, SUM(q.c * c.c) dot
+          SELECT q.vec_id qid, c.vec_id neighbor_id,
+            CAST(SUM(q.c * c.c) AS BIGINT) dot
           FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
           WHERE q.vec_id < $NQUERIES
           GROUP BY 1, 2
         ),
         cos AS (
           SELECT d.qid, d.neighbor_id,
-            CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
           FROM dot d
             JOIN nrm nq ON nq.vec_id = d.qid
             JOIN nrm nc ON nc.vec_id = d.neighbor_id
