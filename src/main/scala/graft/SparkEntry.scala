@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Similarity.all ++
       graft.queries.TextAnalysis.all ++
       graft.queries.Multimodal.all ++
+      graft.queries.PipelineExtra.all ++
       graft.queries.River.all ++
       graft.queries.Streaming.all
 

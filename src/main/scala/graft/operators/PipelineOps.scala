@@ -479,3 +479,83 @@ object AnnOps {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
+
+/** Batch-prep operators between "corpus is clean" and "tensors ship":
+  * sequence packing, stratified sampling, class balancing, embedding
+  * quantization. Semantics are pinned by the oracle-checked
+  * `graft.queries.PipelineExtra` suite (p01-p04).
+  */
+object PrepOps {
+
+  /** Contiguous sequence packing: rows are concatenated in `orderCol`
+    * order WITHIN each `groupCol` value and split into `budget`-token
+    * windows; a row belongs to the pack where it starts. Packing
+    * parallelizes across groups (one window-function partition each) —
+    * at 100 TB the corpus is sharded into many groups and no global
+    * order exists anywhere. Returns (group, pack_id, n_docs, n_tokens).
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("group")).orderBy(col("ord"))
+    df.select(col(groupCol).as("group"), col(orderCol).as("ord"),
+        col(tokensCol).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("group"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its md5(id)
+    * bucket (mod 10) falls below the stratum's rate-in-tenths. Pure
+    * function of the id — reproducible under any partitioning/engine,
+    * no RNG state anywhere. One map-side filter; no shuffle.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String,
+      stratumCol: String, tenths: Map[String, Int],
+      defaultTenths: Int): DataFrame = {
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    val rate = tenths.foldLeft(lit(defaultTenths)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Per-class multiplier equalizing effective class sizes to the
+    * largest class. The window max runs over the per-class AGGREGATE
+    * (|classes| rows), never the corpus. Returns (class, n_docs,
+    * target, weight).
+    */
+  def classBalanceWeights(df: DataFrame, classCol: String): DataFrame =
+    df.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("target", max(col("n_docs")).over(Window.partitionBy()))
+      .select(col("class"), col("n_docs"), col("target"),
+        (col("target").cast("double") / col("n_docs")).as("weight"))
+
+  /** Symmetric int8 quantization audit: per-vector scale = max|c|/127
+    * over scaled-long components, plus the max reconstruction error in
+    * original units. Returns (id, q_max, q_min, max_abs_err). Map-side
+    * except one per-id aggregation pair.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val comp = df.select(col(idCol).cast("long").as("id"), posexplode(
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+        .as(Seq("i", "c")))
+    val mx = comp.groupBy(col("id")).agg(max(abs(col("c"))).as("mx"))
+    comp.join(mx, Seq("id"))
+      .filter(col("mx") > 0)
+      .withColumn("scale", col("mx").cast("double") / lit(127.0))
+      .withColumn("q",
+        round(col("c").cast("double") / col("scale")).cast("long"))
+      .withColumn("err_units",
+        abs(col("c").cast("double") - col("q").cast("double") * col("scale"))
+          / lit(1000000.0))
+      .groupBy(col("id"))
+      .agg(max(col("q")).as("q_max"), min(col("q")).as("q_min"),
+        max(col("err_units")).as("max_abs_err"))
+  }
+}

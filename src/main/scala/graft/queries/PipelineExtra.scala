@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.Tables
+import graft.queries.GraftQuery.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/similarity/text
+  * suites: sequence packing, stratified sampling, class-balance
+  * weighting, and embedding quantization — the batch-prep steps between
+  * "corpus is clean" and "tensors ship to the trainer".
+  *
+  * All four are oracle-checked like every other query group. Library
+  * facades over arbitrary DataFrames live in
+  * [[graft.operators.PipelineOps]].
+  */
+object PipelineExtra {
+
+  /** Tokens per pack: the context-window budget. */
+  private val PackBudget = 2048L
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "p01_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        // Contiguous sequence packing: documents are concatenated in
+        // doc_id order and split into PackBudget-token context windows
+        // (a document may straddle a boundary; it belongs to the pack
+        // where it STARTS — the standard concat-then-chunk loader). The
+        // running sum is windowed PER SOURCE, so packing parallelizes
+        // across sources — the 100 TB spelling shards the corpus into
+        // many such groups and packs each shard independently; nothing
+        // needs a global order.
+        val tok = Tables.load(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("toks"))
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        tok
+          .withColumn("cum", sum($"toks").over(w))
+          .withColumn("pack_id",
+            floor(($"cum" - $"toks") / lit(PackBudget.toDouble)).cast("long"))
+          .groupBy($"source", $"pack_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"toks").as("n_tokens"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) toks
+          FROM documents
+        ),
+        cum AS (
+          SELECT source, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) cum
+          FROM tok
+        )
+        SELECT source,
+          CAST(floor((cum - toks) / $PackBudget.0) AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+        FROM cum
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
+      "p02_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        // Per-stratum deterministic sampling: majority language keeps
+        // 10%, every other stratum keeps 30% — the up/down-weighting
+        // move every multilingual corpus mix does. Membership is a pure
+        // function of doc_id (md5 bucket, the q33 construction), so the
+        // sample is reproducible under any partitioning / engine.
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+              .cast("long") % 10)
+        docs
+          .filter(when($"lang" === "en", $"bucket" < 1)
+            .otherwise($"bucket" < 3))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum($"n_chars").as("sampled_chars"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang, n_chars,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 10 AS bucket
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+        FROM b
+        WHERE CASE WHEN lang = 'en' THEN bucket < 1 ELSE bucket < 3 END
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "p03_class_balance",
+      (s, dir) => {
+        import s.implicits._
+        // Class-balance weights: per-class multiplier that equalizes
+        // effective class sizes to the largest class (the loss/sampling
+        // weight table handed to the trainer). The window max runs over
+        // the per-class AGGREGATE (|classes| rows), not the corpus.
+        val cnt = Tables.load(s, dir, "documents")
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        cnt
+          .withColumn("target",
+            max($"n_docs").over(Window.partitionBy()))
+          .select($"lang", $"n_docs", $"target",
+            ($"target".cast("double") / $"n_docs").as("weight"))
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        )
+        SELECT lang, n_docs, (SELECT MAX(n_docs) FROM cnt) AS target,
+          CAST((SELECT MAX(n_docs) FROM cnt) AS DOUBLE) / n_docs AS weight
+        FROM cnt""")),
+
+    GraftQuery(
+      "p04_embedding_quantize",
+      (s, dir) => {
+        import s.implicits._
+        // Symmetric int8 quantization of the embedding column with
+        // per-vector scale = max|c|/127, plus the reconstruction-error
+        // audit every quantized index ships with. Arithmetic is the
+        // d05 scaled-long construction up to the one final double
+        // division/multiply (identical IEEE shape in both engines);
+        // per-vector max-error is order-independent, so no decimal
+        // quantization of sums is needed.
+        val comp = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", posexplode(
+            transform($"embedding",
+              x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+            .as(Seq("i", "c")))
+        val mx = comp.groupBy($"vec_id").agg(max(abs($"c")).as("mx"))
+        comp.join(mx, Seq("vec_id"))
+          .filter($"mx" > 0)
+          .withColumn("scale", $"mx".cast("double") / lit(127.0))
+          .withColumn("q", round($"c".cast("double") / $"scale").cast("long"))
+          .withColumn("err_units",
+            abs($"c".cast("double") - $"q".cast("double") * $"scale")
+              / lit(1000000.0))
+          .groupBy($"vec_id")
+          .agg(
+            max($"q").as("q_max"),
+            min($"q").as("q_min"),
+            dec(max($"err_units")).cast("double").as("max_abs_err"))
+      },
+      Some("""
+        WITH comp AS (
+          SELECT vec_id,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        mx AS (
+          SELECT vec_id, MAX(ABS(c)) mx FROM comp GROUP BY 1
+        ),
+        j AS (
+          SELECT comp.vec_id, comp.c,
+            CAST(round(CAST(comp.c AS DOUBLE)
+              / (CAST(mx.mx AS DOUBLE) / 127.0)) AS BIGINT) q,
+            CAST(mx.mx AS DOUBLE) / 127.0 scale
+          FROM comp JOIN mx ON mx.vec_id = comp.vec_id
+          WHERE mx.mx > 0
+        )
+        SELECT vec_id, MAX(q) AS q_max, MIN(q) AS q_min,
+          CAST(CAST(MAX(ABS(CAST(c AS DOUBLE) - CAST(q AS DOUBLE) * scale)
+            / 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS max_abs_err
+        FROM j
+        GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Facade-level checks for [[PrepOps]] on constructed corpora (the
+  * oracle-checked p01–p04 queries pin the same semantics on the test
+  * tables).
+  */
+class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("prep-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("packSequences: rows land in the pack where they start") {
+    val s = spark
+    import s.implicits._
+    // budget 10: tokens 4,4,4 -> cum 4,8,12; starts 0,4,8 -> all pack 0;
+    // next rows start at 12, 17 -> pack 1; one giant row spans packs but
+    // belongs where it starts
+    val df = Seq(
+      ("g1", 1L, 4L), ("g1", 2L, 4L), ("g1", 3L, 4L),
+      ("g1", 4L, 5L), ("g1", 5L, 25L),
+      ("g2", 1L, 9L), ("g2", 2L, 2L))
+      .toDF("src", "ord", "toks")
+    val out = PrepOps.packSequences(df, "src", "ord", "toks", 10L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("g1", 0L)) == (3L, 12L))   // 3 docs, 12 tokens
+    assert(out(("g1", 1L)) == (2L, 30L))   // starts 12 and 17
+    assert(out(("g2", 0L)) == (2L, 11L))   // 9 starts at 0, 2 starts at 9
+  }
+
+  test("stratifiedSampleByHash is deterministic and per-stratum") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val a = PrepOps.stratifiedSampleByHash(df, "id", "lang",
+      Map("en" -> 1), defaultTenths = 5)
+    val b = PrepOps.stratifiedSampleByHash(df, "id", "lang",
+      Map("en" -> 1), defaultTenths = 5)
+    val ca = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.collect().map(_.getLong(0)).sorted
+      .sameElements(b.collect().map(_.getLong(0)).sorted))
+    // ~10% of 500 en, ~50% of 500 de (md5 buckets are near-uniform)
+    assert(ca("en") > 20 && ca("en") < 90, s"en=${ca("en")}")
+    assert(ca("de") > 180 && ca("de") < 320, s"de=${ca("de")}")
+  }
+
+  test("classBalanceWeights equalizes to the largest class") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .toDF("cls")
+    val w = PrepOps.classBalanceWeights(df, "cls").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(w("a") == ((60L, 60L, 1.0)))
+    assert(w("b") == ((30L, 60L, 2.0)))
+    assert(w("c") == ((10L, 60L, 6.0)))
+  }
+
+  test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 0.0f)),
+      (2L, Seq(0.001f, 0.002f, -0.003f, 0.004f)))
+      .toDF("vec_id", "embedding")
+    PrepOps.quantizeInt8(df, "vec_id", "embedding").collect().foreach { r =>
+      val (qMax, qMin, err) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(qMax <= 127 && qMin >= -127)
+      assert(qMax == 127 || qMin == -127) // scale anchors the max component
+      // err <= scale/2 in original units; scale = max|c|/127/1e6 <= 0.5/127e-6
+      assert(err <= 0.5 / 127.0 / 2.0 + 1e-12, s"err=$err")
+    }
+  }
+}
