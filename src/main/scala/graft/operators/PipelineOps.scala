@@ -403,6 +403,14 @@ object AnnOps {
     val sig = v.select(col("id"), col("c")).as[(Long, Seq[Long])]
       .mapPartitions { it =>
         it.flatMap { case (id, cSeq) =>
+          // Degenerate vectors (null / empty arrays) get NO signature —
+          // the same behavior as the old declarative posexplode spelling
+          // (and the d05 oracle): they can never appear as candidates.
+          // Without this guard a null array NPEs and two empty arrays
+          // collide in every band and verify at 0/0 = NaN cosine, which
+          // Spark's NaN ordering treats as >= threshold.
+          if (cSeq == null || cSeq.isEmpty) Iterator.empty
+          else {
           val c = cSeq.toArray
           val codes = new Array[Long](nb)
           var k = 0
@@ -416,6 +424,7 @@ object AnnOps {
             k += 1
           }
           (0 until nb).iterator.map(b => (id, b, codes(b)))
+          }
         }
       }.toDF("id", "band", "code")
       // pin: sig self-joins below; without the pin both sides recompute
@@ -500,8 +509,11 @@ object PrepOps {
     df.select(col(groupCol).as("group"), col(orderCol).as("ord"),
         col(tokensCol).cast("long").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("pack_id",
-        floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
+      // Exact long floor division (`div`): double division floors
+      // correctly only while cumulative tokens stay below 2^53 and the
+      // quotient never rounds across an integer boundary — arbitrary
+      // budgets through this facade get the exact spelling.
+      .withColumn("pack_id", expr(s"(cum - toks) div ${budget}L"))
       .groupBy(col("group"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
   }

@@ -40,8 +40,9 @@ object PipelineExtra {
         val w = Window.partitionBy($"source").orderBy($"doc_id")
         tok
           .withColumn("cum", sum($"toks").over(w))
-          .withColumn("pack_id",
-            floor(($"cum" - $"toks") / lit(PackBudget.toDouble)).cast("long"))
+          // Exact long floor division (`div`), not double division —
+          // bit-exact at any cumulative offset, not just below 2^53.
+          .withColumn("pack_id", expr(s"(cum - toks) div $PackBudget"))
           .groupBy($"source", $"pack_id")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -59,8 +60,8 @@ object PipelineExtra {
           FROM tok
         )
         SELECT source,
-          CAST(floor((cum - toks) / $PackBudget.0) AS BIGINT) AS pack_id,
-          COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+          (cum - toks) // $PackBudget AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
         FROM cum
         GROUP BY 1, 2""")),
 
@@ -92,7 +93,8 @@ object PipelineExtra {
               % 10 AS bucket
           FROM documents
         )
-        SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+        SELECT lang, COUNT(*) AS n_sampled,
+          CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
         FROM b
         WHERE CASE WHEN lang = 'en' THEN bucket < 1 ELSE bucket < 3 END
         GROUP BY 1""")),

@@ -41,7 +41,9 @@ object River {
     * residency of the whole table.
     */
   private def appendVia(w: StreamWriter, df: DataFrame,
-      batch: Int = 8192): Unit = {
+      batch: Int = 8192,
+      rowToVals: org.apache.spark.sql.Row => Seq[Any] =
+        r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))): Long = {
     import scala.jdk.CollectionConverters._
     // pin first: toLocalIterator runs one JOB PER PARTITION, and without
     // the pin each job re-executes the whole upstream (sort + scan) —
@@ -49,12 +51,14 @@ object River {
     // pin the per-partition fetches are cached-block reads (order is
     // preserved: localCheckpoint keeps the computed range partitions).
     val pinned = df.localCheckpoint()
+    var n = 0L
     try {
       pinned.toLocalIterator().asScala.grouped(batch).foreach { rows =>
-        w.write(rows.map(r =>
-          Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))))
+        w.write(rows.map(rowToVals))
+        n += rows.size
       }
     } finally pinned.unpersist()
+    n
   }
 
   /** Events written ONCE per (jvm, sfDir) through the DSv2 sink; the
@@ -355,17 +359,12 @@ object River {
           .map(RiverField(_, RiverType.Int16)))
         val w = store.createStream("ev", schema, compressionParamsJson =
           Some("""{"name":"ZFP_LOSSLESS","params":{"num_cols":"4","data_type":"int16"}}"""))
-        import scala.jdk.CollectionConverters._
-        var n = 0L
-        orderedEvents(s, dir).toLocalIterator().asScala.grouped(4096)
-          .foreach { rows =>
-            w.write(rows.map { r =>
-              val e = r.getLong(0); val u = r.getLong(1)
-              Seq[Any]((e % 8192).toShort, (u % 8192).toShort,
-                ((e * 7) % 8192).toShort, 42.toShort)
-            })
-            n += rows.size
-          }
+        val n = appendVia(w, orderedEvents(s, dir), batch = 4096,
+          rowToVals = { r =>
+            val e = r.getLong(0); val u = r.getLong(1)
+            Seq[Any]((e % 8192).toShort, (u % 8192).toShort,
+              ((e * 7) % 8192).toShort, 42.toShort)
+          })
         w.stop()
         val segBytes = store.segments("ev")
           .map(i => store.segmentFile("ev", i).length()).sum

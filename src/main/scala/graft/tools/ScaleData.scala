@@ -81,10 +81,15 @@ object ScaleData {
     write(rep(read("embeddings"), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else {
+        // offset in [1, 31], never 0: `i % 32` collapses to an identity
+        // rotation at copies 32, 64, ... which would make those copies
+        // exact embedding duplicates of copy 0 and reintroduce the
+        // N^2 cross-copy candidate pathology the rotation prevents.
+        val off = i % 31 + 1
         val dim = size(col("embedding"))
         d.withColumn("embedding",
-          concat(slice(col("embedding"), lit(i % 32 + 1), dim),
-            slice(col("embedding"), lit(1), lit(i % 32))))
+          concat(slice(col("embedding"), lit(off + 1), dim),
+            slice(col("embedding"), lit(1), lit(off))))
       }
     }, "embeddings", 4)
 
