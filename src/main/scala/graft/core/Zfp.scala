@@ -43,9 +43,34 @@ package graft.core
   * ~96 junk tail bytes; like libzfp, we simply never read past the last
   * needed bit.
   *
-  * Lossy (fixed-accuracy) streams remain unsupported and must be
-  * rejected loudly by callers; [[ZfpHeader]] exposes the parsed mode so
-  * callers can do that before touching payload bits.
+  * Fixed-accuracy (lossy) mode — reference `zfp_compressor.cpp:93-134`,
+  * tolerance >= 0 via `zfp_stream_set_accuracy` — is implemented as
+  * zfp's accuracy semantics reconstructed on top of the same reversible
+  * machinery:
+  *  - tolerance -> minexp = floor(log2(tolerance)) (frexp - 1, exactly
+  *    zfp_stream_set_accuracy), minexp = ZFP_MIN_EXP (-1074) for
+  *    tolerance 0; the 12-bit short mode codes minexp - ZFP_MIN_EXP
+  *    (reversible stays 4094, 4095 = expert mode, rejected);
+  *  - float/double blocks ALWAYS block-floating-point convert (no
+  *    raw-IEEE fallback bit): iblock = trunc(x * 2^(intprec-2 - emax)),
+  *    a single 0 bit for an all-zero (or all-below-tolerance) block;
+  *  - per-block precision = min(intprec, max(0, emax - minexp +
+  *    2*(dims+1))) — zfp's `precision()`, whose 2*(dims+1) slack absorbs
+  *    transform gain — and the bit-plane coder stops at
+  *    kmin = intprec - precision instead of coding every plane;
+  *  - integer fields ignore minexp (zfp codes them at full maxprec;
+  *    tolerance applies to floating-point fields only), so "lossy"
+  *    int16/int32 streams round-trip exactly here;
+  *  - DEVIATION, documented: libzfp's lossy path uses its non-orthogonal
+  *    lifting transform; this implementation reuses the reversible
+  *    Lorenzo lift for the accuracy mode too. The truncation error bound
+  *    (~2^minexp per value <= tolerance) is preserved — the reversible
+  *    lift only removes libzfp's additional transform rounding — and no
+  *    reference-written blobs exist in this sandbox to require bit
+  *    parity (writer and reader are both this object).
+  *
+  * [[ZfpHeader]] exposes the parsed mode; unknown/expert modes are
+  * rejected loudly by [[decompress]].
   */
 object Zfp {
 
@@ -159,12 +184,31 @@ object Zfp {
 
   private val CodecVersion = 5
   private val ModeReversible = 4094L // ZFP_MODE_SHORT_MAX; 12-bit write
+  private val ModeExpert = 4095L     // 0xfff: 64-bit expert mode follows
+  val ZfpMinExp: Int = -1074         // ZFP_MIN_EXP
 
   final case class ZfpHeader(tpe: Int, nx: Int, ny: Int, mode: Long) {
     def reversible: Boolean = mode == ModeReversible
+    /** Fixed-accuracy short mode: codes minexp - ZFP_MIN_EXP. */
+    def accuracy: Boolean = mode < ModeReversible
+    def minexp: Int = (mode + ZfpMinExp).toInt
   }
 
-  private def writeHeader(w: BitWriter, tpe: Int, nx: Int, ny: Int): Unit = {
+  /** zfp_stream_set_accuracy's tolerance -> minexp map: the exponent e
+    * with 2^e <= tolerance < 2^(e+1) (frexp minus one), ZFP_MIN_EXP for
+    * tolerance <= 0. */
+  def minexpForTolerance(tolerance: Double): Int =
+    if (tolerance > 0) Math.getExponent(tolerance) else ZfpMinExp
+
+  private def modeForMinexp(minexp: Int): Long = {
+    val m = (minexp - ZfpMinExp).toLong
+    require(m >= 0 && m < ModeReversible,
+      s"zfp: accuracy minexp $minexp outside short-mode range")
+    m
+  }
+
+  private def writeHeader(w: BitWriter, tpe: Int, nx: Int, ny: Int,
+      mode: Long = ModeReversible): Unit = {
     w.writeBits('z'.toLong, 8)
     w.writeBits('f'.toLong, 8)
     w.writeBits('p'.toLong, 8)
@@ -175,7 +219,7 @@ object Zfp {
     meta = (meta << 2) | 1L // dims - 1 = 1 (2D)
     meta = (meta << 2) | tpe.toLong
     w.writeBits(meta, 52)
-    w.writeBits(ModeReversible, 12)
+    w.writeBits(mode, 12)
   }
 
   /** Parse a FULL header. Throws on bad magic/version/dims; lossy or
@@ -302,9 +346,14 @@ object Zfp {
     * the int16 sine fixture without elision, 11 with). The count is
     * written in ceil(log2(intprec+1)) bits; an all-zero block is just
     * the count == intprec. Reversible mode never exhausts its bit budget
-    * on a 2D block, so no truncation/padding paths are needed. */
+    * on a 2D block, so no truncation/padding paths are needed.
+    *
+    * `kmin` (fixed-accuracy mode) stops the coder above the lowest
+    * `kmin` planes — zfp's `intprec - precision()` cutoff; the truncated
+    * planes decode as zeros. Reversible callers pass 0 (code every
+    * plane), keeping the lossless bit layout unchanged. */
   private def encodeInts(w: BitWriter, ublock: Array[Long],
-      intprec: Int): Unit = {
+      intprec: Int, kmin: Int = 0): Unit = {
     var tz = intprec
     var i0 = 0
     while (i0 < 16 && tz > 0) {
@@ -318,9 +367,11 @@ object Zfp {
       var j = 0
       while (j < 16) { ublock(j) = ublock(j) >>> tz; j += 1 }
     }
+    // plane k of the shifted coefficients is plane k+tz of the original
+    val kStop = math.max(0, kmin - tz)
     var k = intprec - tz
     var n = 0
-    while (k > 0) {
+    while (k > kStop) {
       k -= 1
       // extract bit plane k
       var x = 0L
@@ -352,14 +403,15 @@ object Zfp {
 
   /** Mirror of [[encodeInts]]. */
   private def decodeInts(r: BitReader, ublock: Array[Long],
-      intprec: Int): Unit = {
+      intprec: Int, kmin: Int = 0): Unit = {
     java.util.Arrays.fill(ublock, 0L)
     val tz = r.readBits(if (intprec > 32) 7 else 6).toInt
     require(tz <= intprec, s"zfp: corrupt trailing-zero count $tz")
     if (tz == intprec) return // all-zero block
+    val kStop = math.max(0, kmin - tz)
     var k = intprec - tz
     var n = 0
-    while (k > 0) {
+    while (k > kStop) {
       k -= 1
       var x = r.readBits(n)
       // group-test decode of the remainder of the plane
@@ -727,6 +779,179 @@ object Zfp {
     compressInt32(promoted, nx, ny)
   }
 
+  // ------------------------------------- fixed-accuracy (lossy) mode
+
+  /** zfp's `precision()`: per-block bit planes kept in accuracy mode.
+    * The 2*(dims+1) slack (6 for 2D) absorbs transform gain so the
+    * truncation error stays ~2^minexp <= tolerance. */
+  private def precisionFor(emax: Int, intprec: Int, minexp: Int): Int =
+    math.min(intprec, math.max(0, emax - minexp + 6))
+
+  private def encodeBlockFloatLossy(w: BitWriter, fblock: Array[Float],
+      minexp: Int): Unit = {
+    var fmax = 0f
+    var i = 0
+    while (i < 16) { val a = math.abs(fblock(i)); if (a > fmax) fmax = a; i += 1 }
+    val emax = exponentF(fmax)
+    val maxprec = precisionFor(emax, 32, minexp)
+    if (fmax == 0f || maxprec == 0) { w.writeBit(0); return } // zero block
+    val e = (emax + 127).toLong
+    w.writeBits(2 * e + 1, 10) // nonzero flag (LSB) + 9-bit biased exponent
+    val s = java.lang.Math.scalb(1f, 30 - emax)
+    val iblock = new Array[Int](16)
+    i = 0
+    while (i < 16) { iblock(i) = (s * fblock(i)).toInt; i += 1 }
+    fwdRevXform32(iblock)
+    val ublock = new Array[Long](16)
+    i = 0
+    while (i < 16) { ublock(i) = int2uint32(iblock(Perm2(i))); i += 1 }
+    encodeInts(w, ublock, 32, 32 - maxprec)
+  }
+
+  private def decodeBlockFloatLossy(r: BitReader, fblock: Array[Float],
+      minexp: Int): Unit = {
+    if (r.readBit() == 0) { java.util.Arrays.fill(fblock, 0f); return }
+    val emax = (r.readBits(9) - 127).toInt
+    val maxprec = precisionFor(emax, 32, minexp)
+    val ublock = new Array[Long](16)
+    decodeInts(r, ublock, 32, 32 - maxprec)
+    val iblock = new Array[Int](16)
+    var i = 0
+    while (i < 16) { iblock(Perm2(i)) = uint2int32(ublock(i)); i += 1 }
+    invRevXform32(iblock)
+    val inv = java.lang.Math.scalb(1f, emax - 30)
+    i = 0
+    while (i < 16) { fblock(i) = inv * iblock(i); i += 1 }
+  }
+
+  private def encodeBlockDoubleLossy(w: BitWriter, fblock: Array[Double],
+      minexp: Int): Unit = {
+    var fmax = 0.0
+    var i = 0
+    while (i < 16) { val a = math.abs(fblock(i)); if (a > fmax) fmax = a; i += 1 }
+    val emax = exponentD(fmax)
+    val maxprec = precisionFor(emax, 64, minexp)
+    if (fmax == 0.0 || maxprec == 0) { w.writeBit(0); return } // zero block
+    val e = (emax + 1023).toLong
+    w.writeBits(2 * e + 1, 13) // nonzero flag (LSB) + 12-bit biased exponent
+    val s = java.lang.Math.scalb(1.0, 62 - emax)
+    val iblock = new Array[Long](16)
+    i = 0
+    while (i < 16) { iblock(i) = (s * fblock(i)).toLong; i += 1 }
+    fwdRevXform64(iblock)
+    val ublock = new Array[Long](16)
+    i = 0
+    while (i < 16) { ublock(i) = int2uint64(iblock(Perm2(i))); i += 1 }
+    encodeInts(w, ublock, 64, 64 - maxprec)
+  }
+
+  private def decodeBlockDoubleLossy(r: BitReader, fblock: Array[Double],
+      minexp: Int): Unit = {
+    if (r.readBit() == 0) { java.util.Arrays.fill(fblock, 0.0); return }
+    val emax = (r.readBits(12) - 1023).toInt
+    val maxprec = precisionFor(emax, 64, minexp)
+    val ublock = new Array[Long](16)
+    decodeInts(r, ublock, 64, 64 - maxprec)
+    val iblock = new Array[Long](16)
+    var i = 0
+    while (i < 16) { iblock(Perm2(i)) = uint2int64(ublock(i)); i += 1 }
+    invRevXform64(iblock)
+    val inv = java.lang.Math.scalb(1.0, emax - 62)
+    i = 0
+    while (i < 16) { fblock(i) = inv * iblock(i); i += 1 }
+  }
+
+  /** Fixed-accuracy float compression: |error| <~ tolerance per value. */
+  def compressFloatLossy(data: Array[Float], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    val minexp = minexpForTolerance(tolerance)
+    val w = new BitWriter
+    writeHeader(w, TypeFloat, nx, ny, modeForMinexp(minexp))
+    val block = new Array[Float](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var i = 0
+        while (i < mx) {
+          block(4 * j + i) = data((by + j) * nx + (bx + i))
+          i += 1
+        }
+        padBlockF(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var i = 0
+      while (i < 4) { padBlockF(block, i, my, 4); i += 1 }
+      encodeBlockFloatLossy(w, block, minexp)
+    }
+    w.toBytes
+  }
+
+  /** Fixed-accuracy double compression: |error| <~ tolerance per value. */
+  def compressDoubleLossy(data: Array[Double], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    val minexp = minexpForTolerance(tolerance)
+    val w = new BitWriter
+    writeHeader(w, TypeDouble, nx, ny, modeForMinexp(minexp))
+    val block = new Array[Double](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var i = 0
+        while (i < mx) {
+          block(4 * j + i) = data((by + j) * nx + (bx + i))
+          i += 1
+        }
+        padBlockD(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var i = 0
+      while (i < 4) { padBlockD(block, i, my, 4); i += 1 }
+      encodeBlockDoubleLossy(w, block, minexp)
+    }
+    w.toBytes
+  }
+
+  /** Fixed-accuracy int32: zfp ignores minexp for integer fields (the
+    * tolerance knob applies to floating point only), so the payload
+    * codes every plane and round-trips exactly — only the header mode
+    * differs from reversible. */
+  def compressInt32Lossy(data: Array[Int], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    val w = new BitWriter
+    writeHeader(w, TypeInt32, nx, ny,
+      modeForMinexp(minexpForTolerance(tolerance)))
+    val block = new Array[Int](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var i = 0
+        while (i < mx) {
+          block(4 * j + i) = data((by + j) * nx + (bx + i))
+          i += 1
+        }
+        padBlock32(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var i = 0
+      while (i < 4) { padBlock32(block, i, my, 4); i += 1 }
+      encodeBlockInt32(w, block)
+    }
+    w.toBytes
+  }
+
+  /** Fixed-accuracy int16: promote `<<15`, compress as int32
+    * (`zfp_compressor.cpp:107-123` — same promotion as lossless). */
+  def compressInt16Lossy(data: Array[Short], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    val promoted = new Array[Int](data.length)
+    var i = 0
+    while (i < data.length) { promoted(i) = data(i).toInt << 15; i += 1 }
+    compressInt32Lossy(promoted, nx, ny, tolerance)
+  }
+
   // ------------------------------------------------------ decompress
 
   sealed trait Decoded { def nx: Int; def ny: Int }
@@ -734,20 +959,23 @@ object Zfp {
   final case class DecodedFloat(nx: Int, ny: Int, data: Array[Float]) extends Decoded
   final case class DecodedDouble(nx: Int, ny: Int, data: Array[Double]) extends Decoded
 
-  /** Decompress a full-header reversible 2D blob. Trailing bytes beyond
-    * the payload are ignored. */
+  /** Decompress a full-header 2D blob — reversible (lossless) or
+    * fixed-accuracy (lossy) mode; expert/long modes are rejected.
+    * Trailing bytes beyond the payload are ignored. */
   def decompress(blob: Array[Byte]): Decoded = {
     val r = new BitReader(blob)
     val h = readHeader(r)
-    require(h.reversible,
-      s"zfp: only reversible (lossless) streams are supported; mode=${h.mode}")
+    require(h.reversible || h.accuracy,
+      s"zfp: unsupported mode ${h.mode} (reversible and fixed-accuracy " +
+        "short modes only; expert mode is not supported)")
     h.tpe match {
       case TypeInt32 => DecodedInt32(h.nx, h.ny, decodeInt32Payload(r, h.nx, h.ny))
       case TypeFloat =>
         val out = new Array[Float](h.nx * h.ny)
         val block = new Array[Float](16)
         forEachBlock(h.nx, h.ny) { (bx, by, mx, my) =>
-          decodeBlockFloat(r, block)
+          if (h.reversible) decodeBlockFloat(r, block)
+          else decodeBlockFloatLossy(r, block, h.minexp)
           var j = 0
           while (j < my) {
             var i = 0
@@ -763,7 +991,8 @@ object Zfp {
         val out = new Array[Double](h.nx * h.ny)
         val block = new Array[Double](16)
         forEachBlock(h.nx, h.ny) { (bx, by, mx, my) =>
-          decodeBlockDouble(r, block)
+          if (h.reversible) decodeBlockDouble(r, block)
+          else decodeBlockDoubleLossy(r, block, h.minexp)
           var j = 0
           while (j < my) {
             var i = 0

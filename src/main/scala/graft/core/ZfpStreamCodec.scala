@@ -11,9 +11,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * compressor.cpp:51-92`, writer.cpp:89-94):
   * `{"name": "ZFP_LOSSLESS", "params": {"num_cols": "4",
   * "data_type": "int16"}}` with data_type one of int16/int32/float/
-  * double. ZFP_LOSSY (and DUMMY, and anything unrecognized) is rejected
-  * loudly — lossy decode remains out of scope, matching SURVEY §7.5#7's
-  * narrowed claim.
+  * double, or `{"name": "ZFP_LOSSY", "params": {..., "tolerance":
+  * "20"}}` for fixed-accuracy mode (`compressor.cpp:59-64`: lossy
+  * requires an explicit tolerance; the reference maps tolerance < 0 to
+  * reversible). Unrecognized codecs (DUMMY etc.) are rejected loudly.
   *
   * Blob framing: 1 byte data_type code + the [[Zfp]] full-header stream
   * (nx = num_cols, ny = batch rows). The type byte exists because the
@@ -23,7 +24,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object ZfpStreamCodec {
 
-  final case class Params(dataType: String, numCols: Int) {
+  /** `tolerance` None = reversible (lossless); Some(t >= 0) = zfp
+    * fixed-accuracy mode. */
+  final case class Params(dataType: String, numCols: Int,
+      tolerance: Option[Double] = None) {
     val width: Int = dataType match {
       case "int16" => 2
       case "int32" | "float" => 4
@@ -40,6 +44,8 @@ object ZfpStreamCodec {
   private val NameRe = """"name"\s*:\s*"([A-Za-z_]+)"""".r
   private val DataTypeRe = """"data_type"\s*:\s*"([A-Za-z0-9]+)"""".r
   private val NumColsRe = """"num_cols"\s*:\s*"?(\d+)"?""".r
+  private val ToleranceRe =
+    """"tolerance"\s*:\s*"?(-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)"?""".r
 
   /** Parse + validate params against the stream schema. Returns None for
     * absent params (uncompressed). Throws loudly for lossy/unknown
@@ -49,21 +55,24 @@ object ZfpStreamCodec {
       val name = NameRe.findFirstMatchIn(j).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(
           s"unrecognized compression params (no name): $j"))
-      name match {
-        case "ZFP_LOSSLESS" => // supported
-        case "ZFP_LOSSY" => throw new IllegalArgumentException(
-          "stream declares ZFP_LOSSY transport compression; lossy decode " +
-            "is not supported by this engine — only ZFP_LOSSLESS streams " +
-            "are readable")
+      // tolerance: required for lossy (compressor.cpp:61 GetOrThrow);
+      // the reference maps tolerance < 0 to reversible mode
+      val tol: Option[Double] = name match {
+        case "ZFP_LOSSLESS" => None
+        case "ZFP_LOSSY" =>
+          val t = ToleranceRe.findFirstMatchIn(j).map(_.group(1).toDouble)
+            .getOrElse(throw new IllegalArgumentException(
+              s"ZFP_LOSSY params missing tolerance: $j"))
+          if (t < 0) None else Some(t)
         case other => throw new IllegalArgumentException(
           s"stream declares unsupported transport compression '$other'; " +
-            "only ZFP_LOSSLESS streams are readable")
+            "only ZFP_LOSSLESS and ZFP_LOSSY streams are readable")
       }
       val dt = DataTypeRe.findFirstMatchIn(j).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(
-          s"ZFP_LOSSLESS params missing data_type: $j"))
+          s"$name params missing data_type: $j"))
       val p = Params(dt, NumColsRe.findFirstMatchIn(j).map(_.group(1).toInt)
-        .getOrElse(schema.fields.size))
+        .getOrElse(schema.fields.size), tol)
       val riverType = dt match {
         case "int16" => RiverType.Int16
         case "int32" => RiverType.Int32
@@ -96,23 +105,27 @@ object ZfpStreamCodec {
       r += 1
     }
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    val blob = p.dataType match {
-      case "int16" =>
+    val blob = (p.dataType, p.tolerance) match {
+      case ("int16", tol) =>
         val a = new Array[Short](n * p.numCols)
         bb.asShortBuffer().get(a)
-        Zfp.compressInt16(a, p.numCols, n)
-      case "int32" =>
+        tol.fold(Zfp.compressInt16(a, p.numCols, n))(
+          Zfp.compressInt16Lossy(a, p.numCols, n, _))
+      case ("int32", tol) =>
         val a = new Array[Int](n * p.numCols)
         bb.asIntBuffer().get(a)
-        Zfp.compressInt32(a, p.numCols, n)
-      case "float" =>
+        tol.fold(Zfp.compressInt32(a, p.numCols, n))(
+          Zfp.compressInt32Lossy(a, p.numCols, n, _))
+      case ("float", tol) =>
         val a = new Array[Float](n * p.numCols)
         bb.asFloatBuffer().get(a)
-        Zfp.compressFloat(a, p.numCols, n)
-      case "double" =>
+        tol.fold(Zfp.compressFloat(a, p.numCols, n))(
+          Zfp.compressFloatLossy(a, p.numCols, n, _))
+      case ("double", tol) =>
         val a = new Array[Double](n * p.numCols)
         bb.asDoubleBuffer().get(a)
-        Zfp.compressDouble(a, p.numCols, n)
+        tol.fold(Zfp.compressDouble(a, p.numCols, n))(
+          Zfp.compressDoubleLossy(a, p.numCols, n, _))
     }
     val out = new Array[Byte](blob.length + 1)
     out(0) = p.typeCode

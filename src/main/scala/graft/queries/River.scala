@@ -390,6 +390,63 @@ object River {
         FROM events""")),
 
     GraftQuery(
+      "r11_stream_lossy",
+      (s, dir) => {
+        import s.implicits._
+        // C1 fixed-accuracy (lossy) mode end-to-end: a ZFP_LOSSY float
+        // stream (tolerance 20 — the reference's TestZfpLossy_Float
+        // shape, compressor_test.cpp:147-167) written sample-by-sample
+        // and read back through the DSv2 source. Lossy bits differ per
+        // codec implementation, so the query SELF-VALIDATES (the q32
+        // sketch pattern): samples are a deterministic function of
+        // sample_index, the read-back rows are compared to the exact
+        // originals recomputed from sample_index, and the result emits
+        // booleans asserting correlation >= 0.95 (the reference's
+        // acceptance bound), |err| <= 4*tolerance (this codec's
+        // documented guarantee), and genuine on-disk compression; the
+        // oracle states the row count and `true`s.
+        val root = tempRoot("zfpl")
+        val store = new StreamStore(root)
+        val tol = 20.0
+        val schema = RiverSchema(Seq("a", "b", "c", "d")
+          .map(RiverField(_, RiverType.Float32)))
+        val w = store.createStream("ev", schema, compressionParamsJson =
+          Some("""{"name":"ZFP_LOSSY","params":{"num_cols":"4",""" +
+            """"data_type":"float","tolerance":"20"}}"""))
+        var idx = 0L
+        def f(c: Int, i: Long): Float =
+          (math.sin((c + 1) * i / 10.0) * 16384.0).toFloat
+        val n = appendVia(w, orderedEvents(s, dir), batch = 4096,
+          rowToVals = { _ =>
+            val i = idx; idx += 1
+            Seq[Any](f(0, i), f(1, i), f(2, i), f(3, i))
+          })
+        w.stop()
+        val segBytes = store.segments("ev")
+          .map(i => store.segmentFile("ev", i).length()).sum
+        val df = s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+        val errs = (0 until 4).map { c =>
+          val orig = sin(lit(c + 1) * $"sample_index" / lit(10.0)) * lit(16384.0)
+          abs(col(Seq("a", "b", "c", "d")(c)) - orig)
+        }
+        df.select($"sample_index", $"a", $"b", $"c", $"d",
+            greatest(errs: _*).as("err"),
+            (sin(lit(1) * $"sample_index" / lit(10.0)) * lit(16384.0)).as("oa"))
+          .agg(
+            count(lit(1)).as("n"),
+            (max($"err") <= lit(4 * tol)).as("err_within_4tol"),
+            (corr($"a", $"oa") >= lit(0.95)).as("corr_ge_095"))
+          .withColumn("compressed_smaller",
+            lit(if (segBytes < n * 16) 1 else 0))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, true AS err_within_4tol,
+          true AS corr_ge_095, 1 AS compressed_smaller
+        FROM events""")),
+
+    GraftQuery(
       "r06_stream_metadata",
       (s, dir) => {
         import s.implicits._

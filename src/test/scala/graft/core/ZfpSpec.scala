@@ -128,10 +128,8 @@ class ZfpSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back, data))
   }
 
-  test("header: parse rejects non-reversible payloads loudly") {
+  test("header: expert (long) mode payloads are rejected loudly") {
     val blob = Zfp.compressInt32(Array.fill(16)(1), 4, 4)
-    // corrupt the mode bits (bits 84..95 of the stream = reversible 4094)
-    // into fixed-accuracy mode 2112 (minexp -1074 + 2112... any lossy id)
     val r = new Zfp.BitReader(blob)
     val h = Zfp.readHeader(r)
     assert(h.reversible && h.tpe == Zfp.TypeInt32 && h.nx == 4 && h.ny == 4)
@@ -139,10 +137,115 @@ class ZfpSpec extends AnyFunSuite {
     w.writeBits('z'.toLong, 8); w.writeBits('f'.toLong, 8)
     w.writeBits('p'.toLong, 8); w.writeBits(5L, 8)
     w.writeBits((((3L << 24) | 3L) << 4) | (1L << 2) | 0L, 52)
-    w.writeBits(2112L, 12) // fixed-accuracy short mode
-    val lossy = w.toBytes
-    val ex = intercept[IllegalArgumentException](Zfp.decompress(lossy))
-    assert(ex.getMessage.contains("reversible"))
+    w.writeBits(0xfffL, 12)  // expert mode marker: 64-bit mode follows
+    w.writeBits(0x123456L, 52)
+    val expert = w.toBytes
+    val ex = intercept[IllegalArgumentException](Zfp.decompress(expert))
+    assert(ex.getMessage.contains("expert"))
+  }
+
+  // ---------------------------------------------- fixed-accuracy mode
+
+  /** Pearson correlation, the reference lossy test's acceptance metric
+    * (compressor_test.cpp:156-167). */
+  private def corr(a: Array[Double], b: Array[Double]): Double = {
+    val ma = a.sum / a.length
+    val mb = b.sum / b.length
+    var num = 0.0; var da = 0.0; var db = 0.0
+    for (i <- a.indices) {
+      num += (a(i) - ma) * (b(i) - mb)
+      da += (a(i) - ma) * (a(i) - ma)
+      db += (b(i) - mb) * (b(i) - mb)
+    }
+    num / math.sqrt(da) / math.sqrt(db)
+  }
+
+  test("lossy float sine fixture, tolerance 20: the reference's bounds") {
+    // TestZfpLossy_Float (compressor_test.cpp:147-167): tolerance 20,
+    // compressed to < 90% of raw, correlation >= 0.95. Plus this codec's
+    // own error bound: plane truncation <= 2^minexp per coefficient and
+    // the Lorenzo gain is covered by precision()'s 2*(dims+1) slack up
+    // to a factor of 4 (gain 8 per axis vs 2^6 slack) — so |err| <= 4*tol
+    // guaranteed, typically far below.
+    val data = sines().map(_.toFloat)
+    val blob = Zfp.compressFloatLossy(data, nCh, nSamp, 20.0)
+    assert(blob.length <= (0.9 * data.length * 4).toInt,
+      s"lossy compressed ${blob.length} of raw ${data.length * 4}")
+    val Zfp.DecodedFloat(nx, ny, back) = Zfp.decompress(blob): @unchecked
+    assert(nx == nCh && ny == nSamp)
+    val maxErr = data.indices.map(i => math.abs(back(i) - data(i))).max
+    assert(maxErr <= 80.0f, s"max abs err $maxErr > 4 * tolerance")
+    val c = corr(data.map(_.toDouble), back.map(_.toDouble))
+    assert(c >= 0.95, s"correlation $c < 0.95")
+    // NOTE: on this fixture lossy == lossless size — the fixture's floats
+    // are integer-valued (int16-derived, like the reference's), so the
+    // planes the tolerance would drop are already elided as trailing
+    // zeros in both modes. Full-mantissa floats below show the win.
+  }
+
+  test("lossy full-mantissa floats: truncation beats lossless size") {
+    // true sines (not int16-truncated): every mantissa bit is live, so
+    // reversible mode must code ~all planes while tolerance-20 truncation
+    // drops the low half
+    val data = new Array[Float](nSamp * nCh)
+    for (t <- 0 until nSamp; c <- 0 until nCh) {
+      val phase = math.Pi * c / (nCh - 1)
+      val freq = 1.0 + 9.0 * c / (nCh - 1)
+      data(t * nCh + c) =
+        (math.sin(freq * t / 10.0 + phase) * 16384.0).toFloat
+    }
+    val lossy = Zfp.compressFloatLossy(data, nCh, nSamp, 20.0)
+    val lossless = Zfp.compressFloat(data, nCh, nSamp)
+    assert(lossy.length < (0.6 * lossless.length).toInt,
+      s"lossy ${lossy.length} not well under lossless ${lossless.length}")
+    val Zfp.DecodedFloat(_, _, back) = Zfp.decompress(lossy): @unchecked
+    val maxErr = data.indices.map(i => math.abs(back(i) - data(i))).max
+    assert(maxErr <= 80.0f, s"max abs err $maxErr > 4 * tolerance")
+    assert(corr(data.map(_.toDouble), back.map(_.toDouble)) >= 0.95)
+  }
+
+  test("lossy double sine fixture, tolerance 1: bounded error") {
+    val data = sines().map(_.toDouble)
+    val blob = Zfp.compressDoubleLossy(data, nCh, nSamp, 1.0)
+    assert(blob.length <= (0.9 * data.length * 8).toInt)
+    val Zfp.DecodedDouble(_, _, back) = Zfp.decompress(blob): @unchecked
+    val maxErr = data.indices.map(i => math.abs(back(i) - data(i))).max
+    assert(maxErr <= 4.0, s"max abs err $maxErr > 4 * tolerance")
+    assert(corr(data, back) >= 0.95)
+  }
+
+  test("lossy int16/int32: integer fields ignore tolerance, exact trip") {
+    // zfp applies minexp to floating-point fields only; integer lossy
+    // streams code every plane and round-trip exactly (the reference's
+    // default-lossy ephys int16 case decodes bit-exact here)
+    val data = sines()
+    val blob = Zfp.compressInt16Lossy(data, nCh, nSamp, 20.0)
+    val r = new Zfp.BitReader(blob)
+    assert(Zfp.readHeader(r).accuracy, "header must carry accuracy mode")
+    val (_, _, back) = Zfp.decompressInt16(blob)
+    assert(java.util.Arrays.equals(back, data))
+    val ints = data.map(_.toInt)
+    val blob32 = Zfp.compressInt32Lossy(ints, nCh, nSamp, 0.5)
+    val Zfp.DecodedInt32(_, _, back32) = Zfp.decompress(blob32): @unchecked
+    assert(java.util.Arrays.equals(back32, ints))
+  }
+
+  test("lossy float: blocks entirely below tolerance decode to zeros") {
+    // emax far under minexp drives precision() to 0: a single 0 bit
+    val data = Array.fill(64)(1e-6f)
+    val blob = Zfp.compressFloatLossy(data, 8, 8, 20.0)
+    val Zfp.DecodedFloat(_, _, back) = Zfp.decompress(blob): @unchecked
+    assert(back.forall(_ == 0f))
+    // and well under the tolerance bound by construction
+    assert(data.indices.forall(i => math.abs(back(i) - data(i)) <= 20.0f))
+  }
+
+  test("lossy tolerance-to-minexp map matches zfp_stream_set_accuracy") {
+    assert(Zfp.minexpForTolerance(20.0) == 4)   // 16 <= 20 < 32
+    assert(Zfp.minexpForTolerance(16.0) == 4)   // exact power of two
+    assert(Zfp.minexpForTolerance(1.0) == 0)
+    assert(Zfp.minexpForTolerance(0.25) == -2)
+    assert(Zfp.minexpForTolerance(0.0) == Zfp.ZfpMinExp)
   }
 
   test("trailing junk bytes after the payload are ignored") {

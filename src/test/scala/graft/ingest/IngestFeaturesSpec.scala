@@ -53,24 +53,37 @@ class IngestFeaturesSpec extends AnyFunSuite {
     assert(segBytes < 258 * 8, s"segment $segBytes bytes for 258 doubles")
   }
 
-  test("ZFP_LOSSY streams are rejected loudly at create and open (C1)") {
+  test("ZFP_LOSSY streams round-trip within tolerance (C1 lossy)") {
+    // fixed-accuracy transport: tolerance 0.5 on a double stream; the
+    // read-back values must sit within this codec's documented bound
+    // (4 * tolerance; see Zfp scaladoc) and the segment must be smaller
+    // than raw. Missing tolerance and unknown codecs still reject loudly.
     val store = newStore()
     val lossy =
       """{"name":"ZFP_LOSSY","params":{"num_cols":"1","data_type":"double","tolerance":"0.5"}}"""
-    val e = intercept[IllegalArgumentException] {
-      store.createStream("c", schema, compressionParamsJson = Some(lossy))
+    val w = store.createStream("c", schema,
+      compressionParamsJson = Some(lossy))
+    val values = (0 until 257).map(i => math.sin(i / 10.0) * 1000.0)
+    w.write(values.map(v => Seq[Any](v)))
+    w.stop()
+    val r = store.openReader("c")
+    val rows = r.read(1000, 0).get
+    assert(rows.size == 257)
+    assert(rows.map(_._2) == (0L until 257L))
+    val back = rows.map(_._3(0).asInstanceOf[Double])
+    val maxErr = values.indices.map(i => math.abs(back(i) - values(i))).max
+    assert(maxErr <= 2.0, s"max err $maxErr > 4 * tolerance")
+    assert(store.segmentFile("c", 0).length() < 257 * 8)
+
+    intercept[IllegalArgumentException] {
+      store.createStream("c3", schema, compressionParamsJson = Some(
+        """{"name":"ZFP_LOSSY","params":{"num_cols":"1","data_type":"double"}}"""))
     }
-    assert(e.getMessage.contains("ZFP_LOSSY"))
-    // a stream whose metadata already declares lossy (written elsewhere)
-    // must also be unreadable
-    Files.createDirectories(store.root.resolve("c2"))
-    Files.write(store.root.resolve("c2").resolve("metadata.json"),
-      StreamMetadata(schema.toJson, 0L, Map.empty,
-        localMinusServerClockUs = Some(0L),
-        compressionParamsJson = Some(lossy)).toJson.getBytes)
-    val e2 = intercept[IllegalArgumentException](store.openReader("c2"))
-    assert(e2.getMessage.contains("lossy") ||
-      e2.getMessage.contains("ZFP_LOSSY"))
+    val e = intercept[IllegalArgumentException] {
+      store.createStream("c4", schema, compressionParamsJson = Some(
+        """{"name":"DUMMY","params":{}}"""))
+    }
+    assert(e.getMessage.contains("DUMMY"))
   }
 
   test("variable-width streams refuse compression (writer.cpp:131-134)") {
