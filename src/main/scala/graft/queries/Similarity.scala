@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   *  - s01 brute-force is the correctness baseline: one shuffle keyed on
   *    component position, then a per-query top-k window. At 100 TB you
   *    only run it over candidate sets.
-  *  - s02 IVF restricts search to the best coarse cell (label centroids
-  *    here; k-means centroids in production) — probe cost drops by the
-  *    number of cells; centroids are tiny and broadcast.
+  *  - s02 IVF restricts search to the query's coarse cell, with
+  *    centroids computed from the vectors alone by a deterministic
+  *    k-means (Lloyd) iteration — probe cost drops by the number of
+  *    cells; centroids are tiny and broadcast.
   *  - s03 sign-LSH buckets vectors by hyperplane-sign sketch so candidate
   *    generation is a bucket equi-join (no all-pairs anywhere); Spark-only
   *    (rows-only check) because the hyperplanes are jvm-seeded.
@@ -27,21 +28,6 @@ object Similarity {
 
   private val NQUERIES = 5 // vec_id < 5 act as the query set
   private val TOPK = 10
-
-  /** vec_id, i, c: exact decimal(12,6) components of each vector. */
-  private def comp(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.load(s, dir, "embeddings")
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "x")))
-      .select($"vec_id", $"label", $"i",
-        $"x".cast("double").cast(DecimalType(12, 6)).as("c"))
-  }
-
-  private val sqlComp = """
-          SELECT vec_id, label,
-            unnest(range(len(embedding))) i,
-            CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) c
-          FROM embeddings"""
 
   /** Exact brute-force top-k per query vector (shared by s01 and the
     * s05 recall measurement).
@@ -117,101 +103,191 @@ object Similarity {
           FROM cos) t
         WHERE rank <= $TOPK"""
 
-  /** IVF probe: route each query to its best coarse cell, exact search
-    * within the cell (shared by s02 and the s05 recall measurement). */
+  private val K = 3          // coarse cells
+  private val KMEANS_ITERS = 2 // Lloyd steps (assign, update, assign)
+
+  /** IVF probe with centroids COMPUTED FROM THE VECTORS ALONE — a
+    * deterministic k-means (Lloyd) iteration, then exact search within
+    * the query's cell (shared by s02 and the s05 recall measurement).
+    *
+    * Cross-engine determinism (every step DuckDB-oracle-checked):
+    *  - seeds = the first K vectors by id;
+    *  - centroid = per-cell component SUM as exact longs (cosine routing
+    *    is scale-invariant, so sum == mean and nothing divides);
+    *  - assignment score = exact-integer dot cast to double over raw
+    *    norms — identical IEEE expressions in both engines, ties broken
+    *    cell-ascending via row_number.
+    *
+    * Scale story: each Lloyd step is one broadcast of K centroid arrays
+    * + a map-side argmax per vector + a partial-aggregated component
+    * sum — the canonical distributed k-means; no step touches pairs.
+    * Long dots bound the corpus per cell to ~1e12 scaled units
+    * (~1M vectors x 64 dims at unit scale) before the centroid sum needs
+    * the decimal re-spelling; mean-rescaling each round lifts that
+    * entirely at 100 TB.
+    */
   private def ivfDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    {
-        // IVF: coarse cells = labels; centroid = per-cell component SUM
-        // (cosine is scale-invariant, so sum == mean for cell routing, and
-        // sums stay exact decimals — no division anywhere).
-        val c = comp(s, dir)
-        val cent = c.groupBy($"label", $"i")
-          .agg(sum($"c").cast(DecimalType(20, 6)).as("cc"))
-        val centNorm = cent.groupBy($"label").agg(sum($"cc" * $"cc").as("n2"))
-          .select($"label".as("cl"), sqrt($"n2".cast("double")).as("cnrm"))
-        val q = c.filter($"vec_id" < NQUERIES)
-          .select($"vec_id".as("qid"), $"label".as("qlabel"), $"i",
-            $"c".as("qc"))
-        // route each query to its best cell (centroids are tiny: broadcast)
-        val qcent = q.join(broadcast(cent), Seq("i"))
-          .groupBy($"qid", $"label").agg(sum($"qc" * $"cc").as("dot"))
-          .join(broadcast(centNorm), $"label" === $"cl")
-          .select($"qid", $"label",
-            ($"dot".cast("double") / $"cnrm").as("score"))
-        val wq = Window.partitionBy($"qid")
-          .orderBy($"score".desc, $"label".asc)
-        val routed = qcent.withColumn("rn", row_number().over(wq))
-          .filter($"rn" === 1).select($"qid", $"label".as("cell"))
-        // exact search within the routed cell only
-        val norm = c.groupBy($"vec_id").agg(sum($"c" * $"c").as("nrm2"))
-          .select($"vec_id".as("nv"), sqrt($"nrm2".cast("double")).as("nrm"))
-        val cells = c.join(broadcast(routed), c("label") === routed("cell"))
-          .filter($"vec_id" =!= $"qid")
-        val dot = cells.as("cc").join(q.as("qq"),
-            $"cc.i" === $"qq.i" && $"cc.qid" === $"qq.qid")
-          .groupBy($"cc.qid", $"cc.cell", $"cc.vec_id")
-          .agg(sum($"qq.qc" * $"cc.c").as("dot"))
-        val qnorm = norm.withColumnRenamed("nv", "qv")
-          .withColumnRenamed("nrm", "qnrm")
-        val cos = dot
-          .join(norm, $"vec_id" === $"nv")
-          .join(qnorm, $"qid" === $"qv")
-          .select($"qid", $"cell", $"vec_id".as("neighbor_id"),
-            ($"dot".cast("double") / ($"qnrm" * $"nrm")).as("cosine"))
-        val w = Window.partitionBy($"qid")
-          .orderBy($"cosine".desc, $"neighbor_id".asc)
-        cos.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= lit(5))
+    import org.apache.spark.sql.graftnative.functions.dot_i64
+    val v = Tables.load(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("c"))
+      .select($"vec_id", $"c",
+        // 1e12-scaled norm (final cosine) + raw norm (routing score):
+        // spelled separately so each matches its oracle expression
+        // double-for-double
+        sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"),
+        sqrt(dot_i64($"c", $"c").cast("double")).as("nrmr"))
+      .localCheckpoint()
+
+    /** (cell, cc: array<long> component sums, cnrmr: raw norm). The
+      * self-dot runs in decimal(38,0): centroid sums square past long
+      * range once cells hold ~1e3 vectors. */
+    def centFrom(members: DataFrame): DataFrame =
+      v.join(members, Seq("vec_id"))
+        .select($"cell", posexplode($"c").as(Seq("i", "x")))
+        .groupBy($"cell", $"i").agg(sum($"x").as("s"))
+        .groupBy($"cell").agg(
+          transform(array_sort(collect_list(struct($"i", $"s"))),
+            e => e.getField("s")).as("cc"),
+          sqrt(sum($"s".cast(DecimalType(19, 0)) *
+            $"s".cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
+
+    /** Argmax-cosine assignment of every vector to a centroid: explode
+      * K cell ids per vector (broadcast-hash join against the K-row
+      * centroid table — never a nested-loop), one codegen'd dot each. */
+    def assign(cent: DataFrame): DataFrame = {
+      val scored = v
+        .select($"vec_id", $"c", $"nrmr",
+          explode(sequence(lit(0L), lit((K - 1).toLong))).as("cell"))
+        .join(broadcast(cent), Seq("cell"))
+        .select($"vec_id", $"cell",
+          (dot_i64($"c", $"cc").cast("double") /
+            ($"nrmr" * $"cnrmr")).as("score"))
+      val wv = Window.partitionBy($"vec_id")
+        .orderBy($"score".desc, $"cell".asc)
+      scored.withColumn("rn", row_number().over(wv))
+        .filter($"rn" === 1).select($"vec_id", $"cell")
     }
+
+    var cent = centFrom(v.filter($"vec_id" < K)
+      .select($"vec_id", $"vec_id".as("cell")))
+    var members: DataFrame = null
+    for (it <- 1 to KMEANS_ITERS) {
+      // pin each round: members feeds both the next centroid update and
+      // the final cell search; unpinned, the lineage doubles per round
+      members = assign(cent).localCheckpoint()
+      if (it < KMEANS_ITERS) cent = centFrom(members)
+    }
+
+    // exact search within the query's own cell
+    val qcell = members.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"cell")
+    val qv = v.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
+    val cos = members.join(broadcast(qcell), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select($"qid", $"cell", $"vec_id".as("neighbor_id"),
+        ((dot_i64($"qc", $"c").cast("double") / lit(1.0e12)) /
+          ($"qnrm" * $"nrm")).as("cosine"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    cos.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= lit(5))
   }
 
-  /** Oracle SQL of [[ivfDf]]. */
+  /** Oracle SQL of [[ivfDf]] — the two Lloyd steps unrolled as CTEs. */
   private val sqlIvf = s"""
-        WITH comp AS ($sqlComp),
-        cent AS (
-          SELECT label, i, CAST(SUM(c) AS DECIMAL(20,6)) cc
-          FROM comp GROUP BY label, i
-        ),
-        centnrm AS (
-          SELECT label, sqrt(CAST(SUM(cc * cc) AS DOUBLE)) cnrm
-          FROM cent GROUP BY label
-        ),
-        q AS (
-          SELECT vec_id qid, i, c qc FROM comp WHERE vec_id < $NQUERIES
-        ),
-        qcent AS (
-          SELECT q.qid, ct.label,
-            CAST(SUM(q.qc * ct.cc) AS DOUBLE) / ANY_VALUE(cn.cnrm) AS score
-          FROM q JOIN cent ct ON q.i = ct.i
-            JOIN centnrm cn ON cn.label = ct.label
-          GROUP BY q.qid, ct.label
-        ),
-        routed AS (
-          SELECT qid, label AS cell FROM (
-            SELECT *, row_number() OVER
-              (PARTITION BY qid ORDER BY score DESC, label ASC) rn
-            FROM qcent) t
-          WHERE rn = 1
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
         ),
         nrm AS (
-          SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) nrm
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)) nrmr
           FROM comp GROUP BY vec_id
         ),
+        cent0 AS (
+          SELECT vec_id AS cell, i, c AS s FROM comp WHERE vec_id < $K
+        ),
+        cnrm0 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent0 GROUP BY cell
+        ),
+        score1 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM comp v JOIN cent0 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c0.cnrmr) DESC, s.cell ASC) rn
+            FROM score1 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm0 c0 ON c0.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM assign1 a JOIN comp c ON c.vec_id = a.vec_id
+          GROUP BY 1, 2
+        ),
+        cnrm1 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent1 GROUP BY cell
+        ),
+        score2 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM comp v JOIN cent1 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c1.cnrmr) DESC, s.cell ASC) rn
+            FROM score2 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm1 c1 ON c1.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        q AS (
+          SELECT vec_id qid, cell FROM assign2 WHERE vec_id < $NQUERIES
+        ),
+        cand AS (
+          SELECT q.qid, q.cell, a.vec_id
+          FROM q JOIN assign2 a ON a.cell = q.cell AND a.vec_id <> q.qid
+        ),
         dot AS (
-          SELECT q.qid, r.cell, c.vec_id, SUM(q.qc * c.c) dot
-          FROM routed r
-            JOIN comp c ON c.label = r.cell
-            JOIN q ON q.i = c.i AND q.qid = r.qid
-          WHERE c.vec_id <> q.qid
+          SELECT ca.qid, ca.cell, ca.vec_id,
+            CAST(SUM(qc.c * cc2.c) AS BIGINT) dot
+          FROM cand ca
+            JOIN comp qc ON qc.vec_id = ca.qid
+            JOIN comp cc2 ON cc2.vec_id = ca.vec_id AND cc2.i = qc.i
           GROUP BY 1, 2, 3
         ),
         cos AS (
           SELECT d.qid, d.cell, d.vec_id neighbor_id,
-            CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (nq.nrm * nn.nrm)
+              AS cosine
           FROM dot d
             JOIN nrm nq ON nq.vec_id = d.qid
-            JOIN nrm nc ON nc.vec_id = d.vec_id
+            JOIN nrm nn ON nn.vec_id = d.vec_id
         )
         SELECT qid, cell, neighbor_id, cosine, rank FROM (
           SELECT *, row_number() OVER
