@@ -91,18 +91,31 @@ object DedupOps {
   }
 
   /** Inverted-index n-gram Jaccard near-dups: candidates share >= 1
-    * common word k-gram (use LONG shingles, k ~ 7, so posting lists stay
-    * near-unique and the self-join stays linear-ish), then exact-Jaccard
-    * verify. Returns (a, b, jaccard).
+    * common RARE word k-gram (use LONG shingles, k ~ 7, so posting lists
+    * stay near-unique), then exact-Jaccard verify. Returns (a, b,
+    * jaccard).
+    *
+    * `maxDf` is the document-frequency cut: shingles in more than maxDf
+    * docs leave the index, bounding candidates at postings x maxDf/2 —
+    * without it one ubiquitous shingle (or one near-identical family of
+    * m docs, whose every shingle has df ~ m) drives the self-join to
+    * m^2. The documented recall trade: pairs inside families wider than
+    * maxDf are missed here and belong to [[exactGroups]] /
+    * [[minhashNearDups]] (df-free banding); output is always a subset
+    * of the uncut spelling (maxDf = Int.MaxValue disables the cut).
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 7, threshold: Double = 0.8,
+      shingleK: Int = 7, threshold: Double = 0.8, maxDf: Int = 16,
       partitions: Int = 32): DataFrame = {
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
       .localCheckpoint()
     val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val cand = posting.as("x").join(posting.as("y"),
+    // heavy hitters are few (<= postings/maxDf): broadcast anti join
+    val frequent = posting.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("sh"))
+    val pruned = posting.join(broadcast(frequent), Seq("sh"), "left_anti")
+    val cand = pruned.as("x").join(pruned.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     jaccardVerified(cand, shArr, threshold)

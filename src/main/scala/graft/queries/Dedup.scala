@@ -89,6 +89,9 @@ object Dedup {
   private val BANDS = 2
   private val ROWS = 8
   private val JACCARD_T = 0.8
+  /** d04 document-frequency cut: shingles in more docs than this leave
+    * the inverted index (see the d04 comment for the recall contract). */
+  private val DF_CUT = 16
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -263,13 +266,30 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         // Direct inverted-index dedup: candidate pairs share >= 1 common
-        // 7-gram (long shingles keep the posting lists near-unique, so the
-        // shingle-equality self-join stays linear-ish at scale), verified
-        // with exact Jaccard >= 0.8. The shingle arrays are computed ONCE
-        // by the compiled kernel; the inverted index is their explode.
+        // RARE 7-gram, verified with exact Jaccard >= 0.8. The shingle
+        // arrays are computed ONCE by the compiled kernel; the inverted
+        // index is their explode.
+        //
+        // Document-frequency cut (the standard df-cut): shingles living
+        // in more than DF_CUT documents are dropped from the index — a
+        // posting list of length m yields m^2/2 candidate pairs, so one
+        // ubiquitous shingle (or one family of near-identical documents)
+        // otherwise drives the self-join superlinear; with the cut the
+        // candidate count is bounded by postings x DF_CUT/2. RECALL
+        // CONSEQUENCE, by design: a >= 0.8 pair is missed only when
+        // EVERY shingle it shares has df > DF_CUT, i.e. the pair sits
+        // inside a near-identical family wider than the cut — exactly
+        // the clusters d01 (exact, after normalization) and d02
+        // (MinHash banding, df-free) exist to catch; DedupOpsSpec
+        // asserts the subset property vs the uncut spelling.
         val shArr = shingleArr(s, dir, 7)
         val sh = shArr.select($"doc_id", explode($"shs").as("sh"))
-        val cand = sh.as("x").join(sh.as("y"),
+        // the heavy-hitter set is small (<= postings/DF_CUT entries):
+        // broadcast it and prune map-side with an anti join
+        val frequent = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+          .filter($"df" > DF_CUT).select($"sh")
+        val pruned = sh.join(broadcast(frequent), Seq("sh"), "left_anti")
+        val cand = pruned.as("x").join(pruned.as("y"),
             $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
         cand
@@ -288,9 +308,17 @@ object Dedup {
           SELECT doc_id, unnest(${sqlShingles(7)}) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
         ),
+        freq AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) df FROM sh GROUP BY sh) t
+          WHERE df > $DF_CUT
+        ),
+        pruned AS (
+          SELECT s.doc_id, s.sh FROM sh s ANTI JOIN freq f ON s.sh = f.sh
+        ),
         cand AS (
           SELECT DISTINCT x.doc_id a, y.doc_id b
-          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          FROM pruned x JOIN pruned y
+            ON x.sh = y.sh AND x.doc_id < y.doc_id
         ),
         sharr AS (
           SELECT doc_id, ${sqlShingles(7)} AS shs

@@ -66,6 +66,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && r.getDouble(2) >= 0.5))
   }
 
+  test("ngramJaccardNearDups df-cut: subset of uncut, wide families cut") {
+    val s = spark
+    import s.implicits._
+    // a near-identical family of 6 docs (one trailing word differs) plus
+    // the planted corpus: with maxDf = 4 every shingle shared ACROSS the
+    // family has df ~ 6 > 4, so intra-family pairs vanish; the 10/11/12
+    // pairs (df <= 3) survive untouched
+    val fam = (0 until 6).map(i =>
+      (100L + i, s"alpha beta gamma delta epsilon zeta eta theta tail$i"))
+    val docs = corpus().union(fam.toDF("my_id", "body"))
+    def pairs(maxDf: Int) = DedupOps.ngramJaccardNearDups(
+        docs, "my_id", "body", shingleK = 3, threshold = 0.5,
+        maxDf = maxDf, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = pairs(Int.MaxValue)
+    val cut = pairs(4)
+    assert(cut.subsetOf(uncut), "df-cut output must be a subset")
+    assert(uncut.exists(p => p._1 >= 100L), "family pairs exist uncut")
+    assert(!cut.exists(p => p._1 >= 100L), "family pairs drop under the cut")
+    assert(cut.contains((10L, 11L)), "rare-shingle pairs survive the cut")
+  }
+
   test("simhashNearDups: identical docs at hamming 0") {
     val pairs = DedupOps.simhashNearDups(corpus(), "my_id", "body",
         maxHamming = 3, partitions = 4)
