@@ -560,6 +560,43 @@ object PrepOps {
       .select(col("class"), col("n_docs"), col("target"),
         (col("target").cast("double") / col("n_docs")).as("weight"))
 
+  /** Deterministic train/val/test split: the md5(id) bucket mod 100
+    * against cumulative percentages. Pure function of the id —
+    * reproducible under any partitioning/engine/re-run, disjoint and
+    * covering by construction. Adds a `split` column; no shuffle.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages $trainPct/$valPct")
+    val b = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Curriculum bucket (0..3) per row by exact quartiles of `scoreCol`.
+    * The boundary row (three doubles from one exact-percentile
+    * aggregate) broadcasts back on a literal key — a broadcast hash
+    * join, never a global single-partition window — so the assignment
+    * scales as a map-side pass at any corpus size.
+    */
+  def curriculumBuckets(df: DataFrame, scoreCol: String): DataFrame = {
+    val bounds = df
+      .agg(expr(s"percentile($scoreCol, array(0.25, 0.5, 0.75))").as("bs"))
+      .withColumn("k", lit(1))
+    df.withColumn("k", lit(1))
+      .join(broadcast(bounds), Seq("k"))
+      .withColumn("bucket",
+        when(col(scoreCol) <= element_at(col("bs"), 1), 0)
+          .when(col(scoreCol) <= element_at(col("bs"), 2), 1)
+          .when(col(scoreCol) <= element_at(col("bs"), 3), 2)
+          .otherwise(3))
+      .drop("k", "bs")
+  }
+
   /** Symmetric int8 quantization audit: per-vector scale = max|c|/127
     * over scaled-long components, plus the max reconstruction error in
     * original units. Returns (id, q_max, q_min, max_abs_err). Map-side

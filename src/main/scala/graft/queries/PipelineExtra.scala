@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond the dedup/similarity/text
   * suites: sequence packing, stratified sampling, class-balance
-  * weighting, and embedding quantization — the batch-prep steps between
-  * "corpus is clean" and "tensors ship to the trainer".
+  * weighting, embedding quantization, train/val/test splitting, and
+  * curriculum binning — the batch-prep steps between "corpus is clean"
+  * and "tensors ship to the trainer".
   *
-  * All four are oracle-checked like every other query group. Library
+  * All six are oracle-checked like every other query group. Library
   * facades over arbitrary DataFrames live in
   * [[graft.operators.PipelineOps]].
   */
@@ -175,6 +176,97 @@ object PipelineExtra {
           CAST(CAST(MAX(ABS(CAST(c AS DOUBLE) - CAST(q AS DOUBLE) * scale)
             / 1000000.0) AS DECIMAL(18,6)) AS DOUBLE) AS max_abs_err
         FROM j
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "p05_train_split",
+      (s, dir) => {
+        import s.implicits._
+        // Deterministic train/val/test split assignment (80/10/10): the
+        // split is a pure function of doc_id (the p02 md5-bucket
+        // construction, mod 100), so membership is reproducible under
+        // any partitioning, engine, or re-run; disjointness and full
+        // coverage hold by construction. One map-side assign + a
+        // |splits|-row aggregate — nothing shuffles but the 3 rows.
+        val b = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        Tables.load(s, dir, "documents")
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars_total"),
+            min($"doc_id").as("min_doc_id"),
+            max($"doc_id").as("max_doc_id"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, n_chars,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 100 AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+          MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM b GROUP BY 1""")),
+
+    GraftQuery(
+      "p06_curriculum_buckets",
+      (s, dir) => {
+        import s.implicits._
+        // Curriculum binning: documents bucketed by exact quartiles of a
+        // quality score (type-token ratio) — the easy->hard phase
+        // assignment a curriculum loader consumes. The quartile
+        // boundaries are an exact percentile aggregated to ONE row and
+        // broadcast back on a literal key (a broadcast hash join; never
+        // a global single-partition window) — at 100 TB the boundary row
+        // is still three doubles. Only bucket STATS are emitted: raw
+        // interpolated boundaries are interpolation-formula-sensitive in
+        // the last ulp across engines, but the ASSIGNMENT is not (an
+        // interpolated boundary either equals a repeated data value in
+        // both engines, or falls strictly between two data values in
+        // both — either way every document lands in the same bucket).
+        val ws = split($"text", " ")
+        val sc = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            (size(array_distinct(ws)).cast("double") / size(ws)).as("score"))
+        val bounds = sc
+          .agg(expr("percentile(score, array(0.25, 0.5, 0.75))").as("bs"))
+          .withColumn("k", lit(1))
+        sc.withColumn("k", lit(1))
+          .join(broadcast(bounds), Seq("k"))
+          .withColumn("bucket",
+            when($"score" <= element_at($"bs", 1), 0)
+              .when($"score" <= element_at($"bs", 2), 1)
+              .when($"score" <= element_at($"bs", 3), 2)
+              .otherwise(3))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            (sum(dec($"score")).cast("double") / count(lit(1)))
+              .as("avg_score"))
+      },
+      Some("""
+        WITH sc AS (
+          SELECT doc_id, n_chars,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS score
+          FROM documents
+        ),
+        b AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) bs FROM sc)
+        SELECT CASE WHEN score <= bs[1] THEN 0
+                    WHEN score <= bs[2] THEN 1
+                    WHEN score <= bs[3] THEN 2 ELSE 3 END AS bucket,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS avg_score
+        FROM sc, b
         GROUP BY 1"""))
   )
 }

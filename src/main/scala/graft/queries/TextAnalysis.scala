@@ -211,6 +211,44 @@ object TextAnalysis {
                 FROM documents))
         SELECT fp_winnow, COUNT(*) AS cluster_size,
                MIN(doc_id) AS keep_doc_id
-        FROM fp GROUP BY fp_winnow HAVING COUNT(*) >= 2"""))
+        FROM fp GROUP BY fp_winnow HAVING COUNT(*) >= 2""")),
+
+    // ------------------------------------------------- corpus n-gram stats
+    GraftQuery(
+      "t07_bigram_stats",
+      (s, dir) => {
+        import s.implicits._
+        // Corpus bigram statistics: top-20 adjacent word pairs by raw
+        // occurrence count, with document frequency — the n-gram
+        // frequency table LM data work reads before choosing tokenizer
+        // merges or boilerplate cuts. Map-side explode into a uniform
+        // hash aggregate; the final top-k is a bounded TakeOrdered (no
+        // full sort), ties broken bigram-ascending so the cutoff is
+        // deterministic.
+        docs(s, dir)
+          .filter(size(split($"text", " ")) >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2), " +
+              "i -> concat(element_at(split(text, ' '), i + 1), ' ', " +
+              "element_at(split(text, ' '), i + 2)))")).as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct($"doc_id").as("doc_freq"))
+          .orderBy($"cnt".desc, $"bigram".asc)
+          .limit(20)
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+            unnest([array_to_string(ws[i+1:i+2], ' ')
+                    for i in range(len(ws) - 1)]) AS bigram
+          FROM ws WHERE len(ws) >= 2
+        )
+        SELECT bigram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM bg GROUP BY 1
+        ORDER BY cnt DESC, bigram ASC LIMIT 20"""))
   )
 }

@@ -34,7 +34,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val audited = Seq(
     "q01_pricing_summary", "q02_revenue_filter", "q04_join_broadcast",
     "q19_topk", "q31_bucketed_join", "q34_salted_skew_join",
-    "d02_dedup_minhash_lsh", "d05_dedup_embedding_cosine",
+    "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
+    "d05_dedup_embedding_cosine", "s02_knn_ivf",
     "s03_knn_lsh", "s04_knn_graph")
 
   override def beforeAll(): Unit = {
@@ -109,6 +110,21 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d05 regressed to the block-grid all-pairs join")
     assert(s.contains("BroadcastHashJoin"),
       "d05 lost its broadcast candidate-verify joins")
+  }
+
+  test("d04's df-cut prunes via a broadcast anti join") {
+    val s = plans("d04_dedup_ngram_jaccard").toString()
+    assert(s.contains("LeftAnti"), "d04 lost the heavy-hitter anti join")
+    assert(s.contains("BroadcastHashJoin"),
+      "d04's anti join is not broadcast (map-side)")
+  }
+
+  test("s02's k-means routes through broadcast centroid joins") {
+    // the K-row centroid table must broadcast in every Lloyd step and
+    // the per-cell search must stay candidate-shaped (hash joins only;
+    // the cartesian/BNLJ gate above already covers the explode spelling)
+    assert(plans("s02_knn_ivf").toString().contains("BroadcastHashJoin"),
+      "s02 lost its broadcast centroid/candidate joins")
   }
 
   test("s04 runs the broadcast kernel below the auto gate") {

@@ -74,6 +74,41 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w("c") == ((10L, 60L, 6.0)))
   }
 
+  test("splitAssign: disjoint, covering, deterministic, ~80/10/10") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val a = PrepOps.splitAssign(df, "id")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L, "every row gets exactly one split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 buckets are near-uniform: generous bands around 1600/200/200
+    assert(counts("train") > 1450 && counts("train") < 1750)
+    assert(counts("val") > 120 && counts("val") < 290)
+    assert(counts("test") > 120 && counts("test") < 290)
+    // deterministic: same ids land in the same split on re-run
+    val b = PrepOps.splitAssign(df, "id")
+    assert(a.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(b.collect().map(r => (r.getLong(0), r.getString(1))).sorted))
+  }
+
+  test("curriculumBuckets: monotone in score, quartile-balanced") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = PrepOps.curriculumBuckets(df, "score").collect()
+      .map(r => r.getDouble(1) -> r.getInt(2))
+    // monotone: a higher score never gets a lower bucket
+    val sorted = out.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Array((_, b1), (_, b2)) => b1 <= b2; case _ => true })
+    // exact quartiles of 1..100: 25 rows per bucket (boundary rows at
+    // 25.75/50.5/75.25 interpolate strictly between data values)
+    val byBucket = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byBucket == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25), s"$byBucket")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
