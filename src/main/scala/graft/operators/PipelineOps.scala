@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.functions.dot_i64
+import org.apache.spark.sql.types.DecimalType
 
 /** Reusable training-data pipeline operators over ARBITRARY DataFrames.
   *
@@ -500,6 +501,38 @@ object AnnOps {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Embedding-space health audit: per-dimension mean, variance, and
+    * near-zero count (|x| < zeroEps) — the collapse/anisotropy check
+    * run before trusting cosine retrieval. Components are exact scaled
+    * longs summed as DECIMAL(38,0) (integer-exact at any corpus size);
+    * map-side partial aggregation emits ≤ dims rows per task, so the
+    * shuffle carries dims rows regardless of corpus size. Returns
+    * (dim, n, mean, variance, n_near_zero). Semantics pinned by the
+    * oracle-checked s06 query.
+    */
+  def embeddingStats(df: DataFrame, vecCol: String,
+      zeroEps: Double = 0.01): DataFrame = {
+    val comp = df.select(posexplode(
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+      .as(Seq("dim", "c")))
+    val zeroCut = math.round(zeroEps * 1000000.0)
+    comp.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).as("sc"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("sc2"),
+        sum(when(abs(col("c")) < zeroCut, 1L).otherwise(0L))
+          .as("n_near_zero"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        (col("sc").cast("double") / col("n") / lit(1000000.0)).as("mean"),
+        ((col("sc2").cast("double") / col("n") -
+          (col("sc").cast("double") / col("n")) *
+            (col("sc").cast("double") / col("n")))
+          / lit(1000000000000.0)).as("variance"),
+        col("n_near_zero"))
+  }
 }
 
 /** Batch-prep operators between "corpus is clean" and "tensors ship":
@@ -595,6 +628,36 @@ object PrepOps {
           .when(col(scoreCol) <= element_at(col("bs"), 3), 2)
           .otherwise(3))
       .drop("k", "bs")
+  }
+
+  /** Train→test decontamination scan: per test doc, the number of
+    * train docs sharing a distinct word k-gram with it and the number
+    * of its own shingles that are contaminated. Inverted-index
+    * equi-join on the shingle; train-side shingles with document
+    * frequency > dfCut (boilerplate) are pruned via a broadcast anti
+    * join, bounding candidates by postings × dfCut at any corpus size.
+    * Overlap carried only by >dfCut shingles is invisible by design —
+    * matching everyone is not evidence of leakage.
+    */
+  def decontamScan(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 7, dfCut: Int = 16): DataFrame = {
+    val s = train.sparkSession
+    def shingles(df: DataFrame): DataFrame =
+      graft.functions.TextKernels.shingleArrays(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), k)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val tr = shingles(train)
+      .withColumnRenamed("doc_id", "train_doc_id")
+    val hot = tr.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut).select(col("sh"))
+    val trc = tr.join(broadcast(hot), Seq("sh"), "left_anti")
+    shingles(test)
+      .join(trc, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("train_doc_id")).as("n_train_docs"),
+        countDistinct(col("sh")).as("n_contaminated_shingles"))
   }
 
   /** Symmetric int8 quantization audit: per-vector scale = max|c|/127

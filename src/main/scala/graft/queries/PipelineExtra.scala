@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond the dedup/similarity/text
   * suites: sequence packing, stratified sampling, class-balance
-  * weighting, embedding quantization, train/val/test splitting, and
-  * curriculum binning — the batch-prep steps between "corpus is clean"
-  * and "tensors ship to the trainer".
+  * weighting, embedding quantization, train/val/test splitting,
+  * curriculum binning, and train→test decontamination — the batch-prep
+  * steps between "corpus is clean" and "tensors ship to the trainer".
   *
-  * All six are oracle-checked like every other query group. Library
+  * All seven are oracle-checked like every other query group. Library
   * facades over arbitrary DataFrames live in
   * [[graft.operators.PipelineOps]].
   */
@@ -20,6 +20,10 @@ object PipelineExtra {
 
   /** Tokens per pack: the context-window budget. */
   private val PackBudget = 2048L
+
+  /** p07 document-frequency cut: train-side shingles in more docs than
+    * this leave the contamination index (d04's df-cut contract). */
+  private val DecontamDfCut = 16
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -267,6 +271,77 @@ object PipelineExtra {
           CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
             AS avg_score
         FROM sc, b
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "p07_decontam",
+      (s, dir) => {
+        import s.implicits._
+        // Train->test contamination scan: the n-gram-overlap
+        // decontamination check an LLM pipeline runs before trusting an
+        // eval split. The corpus is split with p05's deterministic md5
+        // bucket, both sides are shingled into distinct word 7-grams by
+        // the compiled kernel, and each test doc reports how many train
+        // docs share a shingle with it and how many of its own shingles
+        // are contaminated. Spelled as an inverted-index equi-join on
+        // the shingle (posting lists distribute over the shuffle) with
+        // d04's document-frequency cut: ubiquitous shingles
+        // (boilerplate) leave the TRAIN index via a broadcast anti
+        // join, so candidate growth stays bounded by postings x cut at
+        // any corpus size. Recall consequence mirrors d04: overlap
+        // carried ONLY by >cut shingles is invisible — by design,
+        // since matching everyone is not evidence of leakage.
+        val bucket = conv(
+          substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val sh = graft.functions.TextKernels
+          .shingleArrays(s,
+            Tables.load(s, dir, "documents").select($"doc_id", $"text"), 7)
+          .select($"doc_id", explode($"shs").as("sh"))
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+        val train = sh.filter($"split" === "train")
+          .select($"doc_id".as("train_doc_id"), $"sh")
+        val hot = train.groupBy($"sh")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" > DecontamDfCut).select($"sh")
+        val trainCut = train.join(broadcast(hot), Seq("sh"), "left_anti")
+        sh.filter($"split" === "test")
+          .join(trainCut, Seq("sh"))
+          .groupBy($"doc_id")
+          .agg(countDistinct($"train_doc_id").as("n_train_docs"),
+            countDistinct($"sh").as("n_contaminated_shingles"))
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            unnest(CASE WHEN len(ws) >= 7
+              THEN list_distinct([array_to_string(ws[i+1:i+7], ' ')
+                                  for i in range(len(ws) - 6)])
+              ELSE [array_to_string(ws, ' ')] END) AS sh,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 100 AS bucket
+          FROM ws
+        ),
+        tr AS (
+          SELECT doc_id AS train_doc_id, sh FROM sh WHERE bucket < 80
+        ),
+        hot AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) df FROM tr GROUP BY sh) t
+          WHERE df > $DecontamDfCut
+        ),
+        trc AS (
+          SELECT t.train_doc_id, t.sh FROM tr t ANTI JOIN hot h ON t.sh = h.sh
+        ),
+        te AS (SELECT doc_id, sh FROM sh WHERE bucket >= 90)
+        SELECT te.doc_id AS doc_id,
+          COUNT(DISTINCT trc.train_doc_id) AS n_train_docs,
+          COUNT(DISTINCT te.sh) AS n_contaminated_shingles
+        FROM te JOIN trc ON te.sh = trc.sh
         GROUP BY 1"""))
   )
 }

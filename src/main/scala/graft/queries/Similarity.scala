@@ -519,6 +519,64 @@ object Similarity {
           LEFT JOIN ($sqlIvf) i
             ON i.qid = b.qid AND i.neighbor_id = b.neighbor_id
         WHERE b.rank <= 5
-        GROUP BY b.qid"""))
+        GROUP BY b.qid""")),
+
+    // ----------------------------------- embedding-space health audit
+    GraftQuery(
+      "s06_embedding_stats",
+      (s, dir) => {
+        import s.implicits._
+        // Per-dimension corpus statistics — the collapse/anisotropy
+        // audit run before trusting cosine retrieval (a dimension with
+        // ~zero variance is dead; one dimension dominating the others
+        // means raw-dot ranking is broken). Components become exact
+        // scaled longs (the d05/s01 convention) summed as DECIMAL(38,0)
+        // so the per-dimension moments are integer-exact in both
+        // engines at any corpus size (a raw i64 sum of c*c overflows
+        // around 1e9 vectors); the only double math is the final
+        // division tree, spelled identically in the oracle. Scale:
+        // posexplode then hash-aggregate on the `dims` keys — map-side
+        // partial aggregation emits <= dims rows per task, so the
+        // shuffle carries dims rows regardless of corpus size.
+        val comp = Tables.load(s, dir, "embeddings")
+          .select(posexplode(transform($"embedding",
+            x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+            .as(Seq("dim", "c")))
+        comp.groupBy($"dim")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"c".cast(DecimalType(38, 0))).as("sc"),
+            sum(($"c" * $"c").cast(DecimalType(38, 0))).as("sc2"),
+            sum(when(abs($"c") < 10000L, 1L).otherwise(0L))
+              .as("n_near_zero"))
+          .select($"dim".cast("long").as("dim"), $"n",
+            ($"sc".cast("double") / $"n" / lit(1000000.0)).as("mean"),
+            (($"sc2".cast("double") / $"n" -
+              ($"sc".cast("double") / $"n") * ($"sc".cast("double") / $"n"))
+              / lit(1000000000000.0)).as("variance"),
+            $"n_near_zero")
+      },
+      Some("""
+        WITH comp AS (
+          SELECT unnest(range(len(embedding))) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS c
+          FROM embeddings
+        ),
+        a AS (
+          SELECT dim, COUNT(*) AS n,
+            SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+            SUM(CAST(c * c AS DECIMAL(38,0))) AS sc2,
+            CAST(SUM(CASE WHEN abs(c) < 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_near_zero
+          FROM comp GROUP BY dim
+        )
+        SELECT dim, n,
+          CAST(sc AS DOUBLE) / n / 1000000.0 AS mean,
+          (CAST(sc2 AS DOUBLE) / n -
+            (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+            / 1000000000000.0 AS variance,
+          n_near_zero
+        FROM a"""))
   )
 }

@@ -221,19 +221,23 @@ object TextAnalysis {
         // Corpus bigram statistics: top-20 adjacent word pairs by raw
         // occurrence count, with document frequency — the n-gram
         // frequency table LM data work reads before choosing tokenizer
-        // merges or boilerplate cuts. Map-side explode into a uniform
-        // hash aggregate; the final top-k is a bounded TakeOrdered (no
-        // full sort), ties broken bigram-ascending so the cutoff is
-        // deterministic.
+        // merges or boilerplate cuts. Two-level aggregate, NOT
+        // count+countDistinct in one agg: that spelling expands every
+        // exploded bigram row 2x through the shuffle, while
+        // per-(bigram, doc) partial counts combine map-side and the
+        // shuffle carries only distinct (bigram, doc) pairs. The final
+        // top-k is a bounded TakeOrdered (no full sort), ties broken
+        // bigram-ascending so the cutoff is deterministic.
         docs(s, dir)
           .filter(size(split($"text", " ")) >= 2)
           .select($"doc_id", explode(expr(
             "transform(sequence(0, size(split(text, ' ')) - 2), " +
               "i -> concat(element_at(split(text, ' '), i + 1), ' ', " +
               "element_at(split(text, ' '), i + 2)))")).as("bigram"))
+          .groupBy($"bigram", $"doc_id")
+          .agg(count(lit(1)).as("c"))
           .groupBy($"bigram")
-          .agg(count(lit(1)).as("cnt"),
-            countDistinct($"doc_id").as("doc_freq"))
+          .agg(sum($"c").as("cnt"), count(lit(1)).as("doc_freq"))
           .orderBy($"cnt".desc, $"bigram".asc)
           .limit(20)
       },

@@ -35,7 +35,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q01_pricing_summary", "q02_revenue_filter", "q04_join_broadcast",
     "q19_topk", "q31_bucketed_join", "q34_salted_skew_join",
     "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
-    "d05_dedup_embedding_cosine", "s02_knn_ivf",
+    "d05_dedup_embedding_cosine", "p07_decontam", "s02_knn_ivf",
     "s03_knn_lsh", "s04_knn_graph")
 
   override def beforeAll(): Unit = {
@@ -117,6 +117,13 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("LeftAnti"), "d04 lost the heavy-hitter anti join")
     assert(s.contains("BroadcastHashJoin"),
       "d04's anti join is not broadcast (map-side)")
+  }
+
+  test("p07's df-cut prunes the train index via a broadcast anti join") {
+    val s = plans("p07_decontam").toString()
+    assert(s.contains("LeftAnti"), "p07 lost the heavy-hitter anti join")
+    assert(s.contains("BroadcastHashJoin"),
+      "p07's anti join is not broadcast (map-side)")
   }
 
   test("s02's k-means routes through broadcast centroid joins") {

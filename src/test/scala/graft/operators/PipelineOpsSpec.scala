@@ -177,6 +177,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(gated) == rows(kernel))
   }
 
+  test("embeddingStats: exact per-dimension moments, dead dim flagged") {
+    val s = spark
+    import s.implicits._
+    // dim 0: values 1,2,3 -> mean 2, var 2/3; dim 1: constant 0.5 ->
+    // var 0; dim 2: all near-zero (< 0.01)
+    val df = Seq(
+      (1L, Array(1.0f, 0.5f, 0.001f)),
+      (2L, Array(2.0f, 0.5f, -0.002f)),
+      (3L, Array(3.0f, 0.5f, 0.0f))).toDF("id", "v")
+    val out = AnnOps.embeddingStats(df, "v").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - 2.0) < 1e-9)
+    assert(math.abs(out(0L)._3 - 2.0 / 3.0) < 1e-9)
+    assert(out(0L)._4 == 0L)
+    assert(math.abs(out(1L)._2 - 0.5) < 1e-9 && out(1L)._3 == 0.0)
+    assert(out(2L)._4 == 3L, "dim 2 should count all rows near zero")
+  }
+
   test("cosineNearDups returns only pairs above threshold, a < b") {
     val pairs = AnnOps.cosineNearDups(vectors(), "vid", "emb",
         threshold = 0.95, blocks = 2, partitions = 2)

@@ -109,6 +109,25 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byBucket == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25), s"$byBucket")
   }
 
+  test("decontamScan: counts shared-shingle train docs, prunes hot shingles") {
+    val s = spark
+    import s.implicits._
+    // "a b c" lives in 3 train docs > dfCut=2 -> pruned from the index
+    val train = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "a b c z w"),
+      (4L, "p q r s t")).toDF("id", "txt")
+    val test = Seq(
+      (10L, "p q r m n"),   // shares "p q r" with train 4
+      (11L, "a b c m n"),   // only the pruned shingle -> absent
+      (12L, "q r s t u")    // shares "q r s" and "r s t" with train 4
+    ).toDF("id", "txt")
+    val out = PrepOps.decontamScan(train, test, "id", "txt",
+        k = 3, dfCut = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(10L -> ((1L, 1L)), 12L -> ((1L, 2L))), s"$out")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
