@@ -580,7 +580,11 @@ object Zfp {
     while (i < 16 && exact) {
       val v = (s * fblock(i)).toInt
       iblock(i) = v
-      if (inv * v != fblock(i)) exact = false
+      // compare BITS, not values: +0.0f == -0.0f under IEEE !=, which
+      // would silently drop the sign of negative zero on decode — such
+      // blocks must take the bit-preserving reinterpret fallback
+      if (java.lang.Float.floatToRawIntBits(inv * v) !=
+          java.lang.Float.floatToRawIntBits(fblock(i))) exact = false
       i += 1
     }
     if (exact) {
@@ -641,7 +645,9 @@ object Zfp {
     while (i < 16 && exact) {
       val v = (s * fblock(i)).toLong
       iblock(i) = v
-      if (inv * v != fblock(i)) exact = false
+      // bit compare, not !=: IEEE equality hides -0.0 (see float path)
+      if (java.lang.Double.doubleToRawLongBits(inv * v) !=
+          java.lang.Double.doubleToRawLongBits(fblock(i))) exact = false
       i += 1
     }
     if (exact) {

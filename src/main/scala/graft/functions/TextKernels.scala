@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Compiled per-document text kernels (shingling, MinHash, SimHash).
   *
@@ -22,6 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DuckDB oracle hashes (`md5('$i:' || shingle)`), hex-encoded lowercase,
   * and the MinHash min is the lexicographic min of fixed-length hex —
   * identical in both engines, so oracle SQL needs no kernel analog.
+  *
+  * Null contract: rows with a null text column are dropped before the
+  * kernel runs — the same observable behavior as the oracle spellings,
+  * where `string_split(NULL)` is NULL and `unnest(NULL)` emits nothing.
+  * (The facades accept arbitrary caller DataFrames, so this is a real
+  * input class, not a testdata hypothetical.)
   */
 object TextKernels {
 
@@ -73,7 +80,8 @@ object TextKernels {
   /** (doc_id, shs: array&lt;string&gt;) — per-doc distinct shingle arrays. */
   def shingleArrays(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shingleSet(text, k)) })
       .toDF("doc_id", "shs")
   }
@@ -105,7 +113,8 @@ object TextKernels {
       bands: Int, rows: Int): DataFrame = {
     import s.implicits._
     val nh = bands * rows
-    docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -128,7 +137,8 @@ object TextKernels {
     */
   def winnowFingerprints(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -178,7 +188,8 @@ object TextKernels {
   /** (doc_id, simhash) over a documents DataFrame. */
   def simhash32(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.map { case (id, text) => (id, simhashOf(md, text)) }

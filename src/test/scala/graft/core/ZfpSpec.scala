@@ -91,7 +91,7 @@ class ZfpSpec extends AnyFunSuite {
       Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
       Double.MinPositiveValue, -Double.MinPositiveValue,
       1e308, -1e308, 1e-300, math.Pi, -math.E,
-      0.0, 1.0, -1.0, 1e-8, 123456789.123456789, Double.MaxValue)
+      -0.0, 1.0, -1.0, 1e-8, 123456789.123456789, Double.MaxValue)
     val blob = Zfp.compressDouble(data, 4, 4)
     val Zfp.DecodedDouble(_, _, back) = Zfp.decompress(blob): @unchecked
     assert(back.length == data.length)
@@ -106,7 +106,7 @@ class ZfpSpec extends AnyFunSuite {
     val data = Array[Float](
       Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
       Float.MinPositiveValue, 3.4e38f, -3.4e38f, 1e-40f, math.Pi.toFloat,
-      0f, 1f, -1f, 1e-8f, 12345.678f, -0.001f, 2f, Float.MaxValue)
+      -0f, 1f, -1f, 1e-8f, 12345.678f, -0.001f, 2f, Float.MaxValue)
     val blob = Zfp.compressFloat(data, 4, 4)
     val Zfp.DecodedFloat(_, _, back) = Zfp.decompress(blob): @unchecked
     for (i <- data.indices)
@@ -114,6 +114,25 @@ class ZfpSpec extends AnyFunSuite {
         java.lang.Float.floatToRawIntBits(back(i)) ==
           java.lang.Float.floatToRawIntBits(data(i)),
         s"index $i: ${back(i)} != ${data(i)}")
+  }
+
+  test("negative zero keeps its sign bit among plain values") {
+    // regression: a -0.0 among ordinary values scales to integer 0 and
+    // +0.0f == -0.0f under IEEE !=, so a value-equality exactness check
+    // kept such blocks on the block-floating-point path and decode
+    // returned +0.0 — the one bit pattern that path cannot represent.
+    // The encoder must bit-compare and take the reinterpret fallback.
+    val f = Array[Float](1f, 2f, 3f, -0f, 5f, 6f, 7f, 8f,
+      9f, 10f, 11f, 12f, 13f, 14f, 15f, 16f)
+    val Zfp.DecodedFloat(_, _, backF) =
+      Zfp.decompress(Zfp.compressFloat(f, 4, 4)): @unchecked
+    assert(java.lang.Float.floatToRawIntBits(backF(3)) ==
+      java.lang.Float.floatToRawIntBits(-0f))
+    val d = f.map(_.toDouble)
+    val Zfp.DecodedDouble(_, _, backD) =
+      Zfp.decompress(Zfp.compressDouble(d, 4, 4)): @unchecked
+    assert(java.lang.Double.doubleToRawLongBits(backD(3)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
   test("int16 demotion clamps like the reference") {
