@@ -96,7 +96,10 @@ object RiverSchema {
 
   /** Parse the reference wire format. Tolerates `size` as int or string
     * (reference schema.cpp:57-61). Minimal JSON scanning — the format is
-    * flat and we avoid external deps.
+    * flat and we avoid external deps. Known limit: a field NAME
+    * containing a literal brace would mis-split the object scan; names
+    * with quotes, backslashes, control chars, and unicode round-trip
+    * (property-checked in RiverSchemaSpec).
     */
   def fromJson(json: String): RiverSchema = {
     val fieldRe =
@@ -111,9 +114,8 @@ object RiverSchema {
     require(inner >= 0 && end > inner, s"malformed schema json: $json")
     val body = json.substring(inner + 1, end)
     val fields = objRe.findAllIn(body).map { obj =>
-      val name = kvName.findFirstMatchIn(obj)
-        .getOrElse(sys.error(s"field missing name: $obj")).group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
+      val name = unescape(kvName.findFirstMatchIn(obj)
+        .getOrElse(sys.error(s"field missing name: $obj")).group(1))
       val size = kvSize.findFirstMatchIn(obj)
         .getOrElse(sys.error(s"field missing size: $obj")).group(1).toInt
       val tpe = kvType.findFirstMatchIn(obj)
@@ -131,6 +133,28 @@ object RiverSchema {
     }.toSeq
     val _ = fieldRe // documented canonical shape
     RiverSchema(fields)
+  }
+
+  /** Inverse of toJson's esc: one left-to-right scan decoding \", \\
+    * and \uXXXX (sequential String.replace mis-decodes adjacent
+    * escapes, and never handled \u at all).
+    */
+  private def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case '"'  => sb.append('"'); i += 2
+        case '\\' => sb.append('\\'); i += 2
+        case 'u' if i + 6 <= s.length =>
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 6
+        case _ => sb.append(c); i += 1
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Inverse of [[RiverSchema.toStructType]] for the supported scalars. */
