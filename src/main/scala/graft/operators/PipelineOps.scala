@@ -49,6 +49,44 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over an undirected near-dup pair graph
+    * (aCol, bCol), with survivor selection: returns
+    * (id, cluster_id, is_survivor) for every id appearing in a pair,
+    * where cluster_id is the component's minimum id and is_survivor
+    * flags the one id == cluster_id per component. The step that turns
+    * a pair LIST (minhashNearDups / simhashNearDups / cosineNearDupsLsh
+    * output) into a drop DECISION.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own and its neighbors' labels — one equi-join + one groupBy per
+    * round, both shuffling on id, converging in O(component diameter)
+    * rounds. Nothing graph-sized ever reaches the driver, so components
+    * larger than one executor's memory still resolve; per-round
+    * localCheckpoint keeps lineage O(1) instead of O(rounds).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).localCheckpoint()
+    val edges = p.union(p.select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = comp.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      comp = next
+    }
+    comp.select(col("id"), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).as("is_survivor"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs (a, b) against
     * per-doc shingle arrays (doc_id, shs). O(candidates): the pair is
     * joined to two ARRAY columns and intersected in-row — never an
@@ -217,6 +255,36 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(k)
+
+  /** Corpus-duplicate shingle ratio (the Gopher/C4 dedup-quality
+    * signal): for each document, the fraction of its distinct word
+    * k-gram shingles that occur in at least one OTHER document, plus a
+    * keep flag (ratio <= maxDupRatio). Returns
+    * (id, n_shingles, dup_shingles, dup_ratio, keep).
+    *
+    * Two bucketed shuffles: shingle-df count (map-side combinable, on
+    * the uniform shingle key) and the per-doc re-aggregate (on id) —
+    * scores every document against the whole corpus without any
+    * pairwise join.
+    */
+  def dupShingleRatio(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDupRatio: Double = 0.5,
+      partitions: Int = 32): DataFrame = {
+    val docs = DedupOps.staged(df, idCol, textCol, partitions)
+    val shArr = TextKernels.shingleArrays(df.sparkSession, docs, k)
+      .localCheckpoint()
+    val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .select(col("doc_id").as("id"), col("n_shingles"),
+        col("dup_shingles"),
+        (col("dup_shingles").cast("double") / col("n_shingles"))
+          .as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+  }
 
   /** Content fingerprints: exact md5 + winnowing-style min-shingle hash
     * (stable under small edits), via the compiled kernel pass. Returns

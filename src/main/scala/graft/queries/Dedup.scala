@@ -59,7 +59,7 @@ object Dedup {
     * comprehension) — the oracle analog of
     * [[graft.functions.TextKernels.shingleSet]].
     */
-  private def sqlShingles(k: Int): String =
+  private[queries] def sqlShingles(k: Int): String =
     s"""CASE WHEN len(ws) >= $k
        | THEN list_distinct([array_to_string(ws[i+1:i+$k], ' ') for i in range(len(ws)-${k - 1})])
        | ELSE [array_to_string(ws, ' ')] END""".stripMargin
@@ -93,68 +93,50 @@ object Dedup {
     * the inverted index (see the d04 comment for the recall contract). */
   private val DF_CUT = 16
 
-  val all: Seq[GraftQuery] = Seq(
+  /** Verified MinHash near-dup pairs (a < b, jaccard >= JACCARD_T) —
+    * the shared candidate-generation + verification core of d02 (which
+    * reports the pairs) and d06 (which resolves them into clusters).
+    * shingle -> 16 minhashes -> band buckets -> candidate pairs ->
+    * exact-jaccard verification of candidates only. Signatures come
+    * from the compiled TextKernels pass (one mapPartitions over the
+    * corpus); banding/joining stays relational.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = graft.functions.TextKernels
+      .minhashBands(s, docs(s, dir), 5, BANDS, ROWS)
+      .localCheckpoint()
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey"
+          && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    // exact-jaccard verification of candidates via per-doc shingle
+    // ARRAYS (array_intersect), not an exploded shingle join: the
+    // verification cost is then O(candidates), independent of how
+    // common individual shingles are
+    val shArr = shingleArr(s, dir, 5)
+    cand
+      .join(shArr.as("pa"), $"a" === $"pa.doc_id")
+      .join(shArr.as("pb"), $"b" === $"pb.doc_id")
+      .select($"a", $"b",
+        size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
+        size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
+      .select($"a", $"b",
+        ($"inter".cast("double") /
+          ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= JACCARD_T)
+  }
 
-    // ------------------------------------------------------------ exact
-    GraftQuery(
-      "d01_dedup_exact",
-      (s, dir) => {
-        import s.implicits._
-        // Exact dedup: hash-groupBy on a content fingerprint; keep the
-        // lowest doc_id of each group. One shuffle on the (uniform) md5
-        // key — scales linearly; no skew possible.
-        docs(s, dir)
-          .groupBy(md5(col("text")).as("fingerprint"))
-          .agg(min($"doc_id").as("keep_doc_id"),
-            count(lit(1)).as("n_copies"))
-      },
-      Some("""
-        SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
-               COUNT(*) AS n_copies
-        FROM documents GROUP BY 1""")),
-
-    // ----------------------------------------------------- MinHash + LSH
-    GraftQuery(
-      "d02_dedup_minhash_lsh",
-      (s, dir) => {
-        import s.implicits._
-        // shingle -> 16 minhashes -> band buckets -> candidate pairs ->
-        // exact-jaccard verification of candidates only. Signatures come
-        // from the compiled TextKernels pass (one mapPartitions over the
-        // corpus); banding/joining stays relational.
-        val bands = graft.functions.TextKernels
-          .minhashBands(s, docs(s, dir), 5, BANDS, ROWS)
-          .localCheckpoint()
-        val cand = bands.as("x").join(bands.as("y"),
-            $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey"
-              && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-        // exact-jaccard verification of candidates via per-doc shingle
-        // ARRAYS (array_intersect), not an exploded shingle join: the
-        // verification cost is then O(candidates), independent of how
-        // common individual shingles are
-        val shArr = shingleArr(s, dir, 5)
-        val verified = cand
-          .join(shArr.as("pa"), $"a" === $"pa.doc_id")
-          .join(shArr.as("pb"), $"b" === $"pb.doc_id")
-          .select($"a", $"b",
-            size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
-            size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
-        verified
-          .select($"a", $"b",
-            ($"inter".cast("double") /
-              ($"na" + $"nb" - $"inter")).as("jaccard"))
-          .filter($"jaccard" >= JACCARD_T)
-      },
-      Some {
-        val hs = (0 until BANDS * ROWS)
-          .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n            ")
-        val bandRows = (0 until BANDS).map(b =>
-          s"SELECT doc_id, $b AS band, " +
-            (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ") +
-            " AS bkey FROM sig").mkString("\n          UNION ALL ")
-        s"""
-        WITH sh AS (
+  /** Oracle CTE chain ending in `pairs`(a, b) — the SQL analog of
+    * [[minhashPairs]], shared prefix of the d02 and d06 oracles. */
+  private def sqlMinhashCtes: String = {
+    val hs = (0 until BANDS * ROWS)
+      .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n            ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, " +
+        (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ") +
+        " AS bkey FROM sig").mkString("\n          UNION ALL ")
+    s"""sh AS (
           SELECT doc_id, unnest(${sqlShingles(5)}) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
         ),
@@ -182,12 +164,92 @@ object Dedup {
           FROM cand c
             JOIN sharr pa ON pa.doc_id = c.a
             JOIN sharr pb ON pb.doc_id = c.b
+        ),
+        pairs AS (
+          SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+          FROM verified
+          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JACCARD_T
+        )"""
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------ exact
+    GraftQuery(
+      "d01_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        // Exact dedup: hash-groupBy on a content fingerprint; keep the
+        // lowest doc_id of each group. One shuffle on the (uniform) md5
+        // key — scales linearly; no skew possible.
+        docs(s, dir)
+          .groupBy(md5(col("text")).as("fingerprint"))
+          .agg(min($"doc_id").as("keep_doc_id"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""
+        SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // ----------------------------------------------------- MinHash + LSH
+    GraftQuery(
+      "d02_dedup_minhash_lsh",
+      (s, dir) => minhashPairs(s, dir),
+      Some(s"""
+        WITH $sqlMinhashCtes
+        SELECT a, b, jaccard FROM pairs""")),
+
+    // -------------------------- near-dup cluster resolution (survivors)
+    GraftQuery(
+      "d06_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        // The step that turns a PAIR list into a dedup DECISION: connected
+        // components over the MinHash near-dup graph, survivor = min
+        // doc_id per component. Min-label propagation: every round each
+        // node takes the min of its own label and its neighbors' labels;
+        // converges in O(graph diameter) rounds. Each round is one
+        // equi-join + one groupBy, both shuffling on doc_id — no driver
+        // materialization of the graph, so components wider than any one
+        // executor's memory still resolve. The edge list is candidate-
+        // output-sized (not corpus-sized), and near-dup components are
+        // shallow in practice (dupes of a common source), so the round
+        // count stays small at any corpus size.
+        val pairs = minhashPairs(s, dir).select($"a", $"b").localCheckpoint()
+        val edges = pairs.union(pairs.select($"b", $"a"))
+          .toDF("src", "dst").localCheckpoint()
+        var comp = edges.select($"src".as("id")).distinct()
+          .select($"id", $"id".as("comp")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
+            .select(edges("src").as("id"), col("comp"))
+          // localCheckpoint per round: keeps the lineage O(1) instead of
+          // O(rounds) deep (the classic iterative-algorithm pitfall)
+          val next = comp.union(viaNeighbor)
+            .groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
+          changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
+            .filter($"comp" < $"prev").count()
+          comp = next
+        }
+        comp.select($"id".as("doc_id"), $"comp".as("cluster_id"),
+          when($"id" === $"comp", 1).otherwise(0).as("is_survivor"))
+      },
+      Some(s"""
+        WITH RECURSIVE $sqlMinhashCtes,
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs
+        ),
+        reach(id, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
         )
-        SELECT a, b,
-          CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        FROM verified
-        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JACCARD_T"""
-      }),
+        SELECT id AS doc_id, MIN(node) AS cluster_id,
+          CASE WHEN MIN(node) = id THEN 1 ELSE 0 END AS is_survivor
+        FROM reach GROUP BY id""")),
 
     // ------------------------------------------------------------ SimHash
     GraftQuery(

@@ -253,6 +253,53 @@ object TextAnalysis {
         )
         SELECT bigram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
         FROM bg GROUP BY 1
-        ORDER BY cnt DESC, bigram ASC LIMIT 20"""))
+        ORDER BY cnt DESC, bigram ASC LIMIT 20""")),
+
+    // --------------------------------------- corpus-duplicate n-gram ratio
+    GraftQuery(
+      "t08_dup_ngram_ratio",
+      (s, dir) => {
+        import s.implicits._
+        // The Gopher/C4-style dedup-quality signal: for each document,
+        // the fraction of its distinct 8-gram shingles that also occur in
+        // at least one OTHER document, plus a keep flag (ratio <= 0.5).
+        // Unlike the pairwise dedups (d02-d06) this scores every document
+        // against the WHOLE corpus in aggregate: explode shingles -> df
+        // count (map-side combinable, shuffles on the uniform shingle
+        // hash) -> join back on shingle -> per-doc agg on doc_id. Two
+        // bucketed shuffles total, both on high-cardinality keys; the
+        // keep decision stays in exact integer arithmetic (2*dup <= n)
+        // so no float threshold can diverge between engines.
+        val shArr = graft.functions.TextKernels
+          .shingleArrays(s,
+            docs(s, dir).repartition(32, $"doc_id").localCheckpoint(), 8)
+          .localCheckpoint()
+        val sh = shArr.select($"doc_id", explode($"shs").as("sh"))
+        val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, Seq("sh"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_shingles"))
+          .select($"doc_id", $"n_shingles", $"dup_shingles",
+            ($"dup_shingles".cast("double") / $"n_shingles").as("dup_ratio"),
+            when($"dup_shingles" * 2 <= $"n_shingles", 1).otherwise(0)
+              .as("keep"))
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(${Dedup.sqlShingles(8)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        ),
+        dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+        SELECT s.doc_id,
+          COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_shingles,
+          CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS dup_ratio,
+          CASE WHEN CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 2 <= COUNT(*) THEN 1 ELSE 0 END AS keep
+        FROM sh s JOIN dfreq d ON s.sh = d.sh
+        GROUP BY s.doc_id"""))
   )
 }

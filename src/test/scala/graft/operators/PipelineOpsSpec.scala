@@ -88,6 +88,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.contains((10L, 11L)), "rare-shingle pairs survive the cut")
   }
 
+  test("connectedComponents: chains merge, survivors are component minima") {
+    val s = spark
+    import s.implicits._
+    // two components: a 4-node chain (1-2-3-4, diameter 3 so label
+    // propagation needs multiple rounds) and an isolated pair (7-8)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("left_id", "right_id")
+    val out = DedupOps.connectedComponents(pairs, "left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
+
+  test("dupShingleRatio: exact copies score 1.0, unique docs 0.0") {
+    val out = TextOps.dupShingleRatio(corpus(), "my_id", "body",
+        k = 3, maxDupRatio = 0.5, partitions = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // 10 and 11 are identical: every shingle appears in the other doc
+    assert(out(10L) == ((1.0, false)) && out(11L) == ((1.0, false)))
+    // 13/14 share nothing with anything
+    assert(out(13L) == ((0.0, true)) && out(14L) == ((0.0, true)))
+    // 12 shares most of its shingles with the 10/11 pair but not all
+    assert(out(12L)._1 > 0.5 && out(12L)._1 < 1.0 && !out(12L)._2)
+  }
+
   test("simhashNearDups: identical docs at hamming 0") {
     val pairs = DedupOps.simhashNearDups(corpus(), "my_id", "body",
         maxHamming = 3, partitions = 4)
