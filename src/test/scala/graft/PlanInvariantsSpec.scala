@@ -35,7 +35,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q01_pricing_summary", "q02_revenue_filter", "q04_join_broadcast",
     "q19_topk", "q31_bucketed_join", "q34_salted_skew_join",
     "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
-    "d05_dedup_embedding_cosine", "p07_decontam", "s02_knn_ivf",
+    "d05_dedup_embedding_cosine", "d06_dedup_clusters",
+    "t08_dup_ngram_ratio", "p07_decontam", "s02_knn_ivf",
     "s03_knn_lsh", "s04_knn_graph")
 
   override def beforeAll(): Unit = {
