@@ -72,16 +72,24 @@ object DedupOps {
       .toDF("src", "dst").localCheckpoint()
     var comp = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // convergence via sum(comp): labels only ever decrease, so the sum
+    // strictly decreases iff ANY label changed — one cheap aggregate
+    // per round instead of a join-against-previous. decimal(38,0) sum:
+    // exact at any id magnitude x row count (a long sum could wrap);
+    // coalesce covers the empty-graph case (sum over zero rows is null)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var sumPrev: java.math.BigDecimal = null
+    var sumCur = labelSum(comp)
+    while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
       val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
         .select(edges("src").as("id"), col("comp"))
-      val next = comp.union(viaNeighbor)
+      comp = comp.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
-      comp = next
+      sumPrev = sumCur
+      sumCur = labelSum(comp)
     }
     comp.select(col("id"), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("is_survivor"))

@@ -221,17 +221,26 @@ object Dedup {
           .toDF("src", "dst").localCheckpoint()
         var comp = edges.select($"src".as("id")).distinct()
           .select($"id", $"id".as("comp")).localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
+        // convergence via sum(comp): labels only ever decrease, so the
+        // sum strictly decreases iff ANY label changed — one cheap
+        // aggregate per round instead of a join-against-previous.
+        // decimal(38,0): exact at any id magnitude x row count (a long
+        // sum could wrap); coalesce covers the empty-graph case (sum
+        // over zero rows is null)
+        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+          df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+        var sumPrev: java.math.BigDecimal = null
+        var sumCur = labelSum(comp)
+        while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
           val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
             .select(edges("src").as("id"), col("comp"))
           // localCheckpoint per round: keeps the lineage O(1) instead of
           // O(rounds) deep (the classic iterative-algorithm pitfall)
-          val next = comp.union(viaNeighbor)
+          comp = comp.union(viaNeighbor)
             .groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
-          changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
-            .filter($"comp" < $"prev").count()
-          comp = next
+          sumPrev = sumCur
+          sumCur = labelSum(comp)
         }
         comp.select($"id".as("doc_id"), $"comp".as("cluster_id"),
           when($"id" === $"comp", 1).otherwise(0).as("is_survivor"))
