@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
 /** Training-data pipeline operators beyond the dedup/similarity/text
   * suites: sequence packing, stratified sampling, class-balance
   * weighting, embedding quantization, train/val/test splitting,
-  * curriculum binning, and train→test decontamination — the batch-prep
-  * steps between "corpus is clean" and "tensors ship to the trainer".
+  * curriculum binning, train→test decontamination, and domain-mixture
+  * token budgeting — the batch-prep steps between "corpus is clean"
+  * and "tensors ship to the trainer".
   *
-  * All seven are oracle-checked like every other query group. Library
+  * All eight are oracle-checked like every other query group. Library
   * facades over arbitrary DataFrames live in
   * [[graft.operators.PipelineOps]].
   */
@@ -24,6 +25,11 @@ object PipelineExtra {
   /** p07 document-frequency cut: train-side shingles in more docs than
     * this leave the contamination index (d04's df-cut contract). */
   private val DecontamDfCut = 16
+
+  /** p08 global token budget to allocate across sources. Below the
+    * sf0.01 corpus total (~37k est. tokens), so the waterfill exercises
+    * both capped and topped-up sources at the correctness SF. */
+  private val MixBudget = 30000L
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -342,6 +348,81 @@ object PipelineExtra {
           COUNT(DISTINCT trc.train_doc_id) AS n_train_docs,
           COUNT(DISTINCT te.sh) AS n_contaminated_shingles
         FROM te JOIN trc ON te.sh = trc.sh
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "p08_domain_mixture",
+      (s, dir) => {
+        import s.implicits._
+        // Domain-mixture token budgeting: allocate a global training-token
+        // budget across sources to hit target mixture weights, capped by
+        // what each source actually has — the "how many tokens of web vs
+        // books vs code" decision every pretraining run makes. Two-round
+        // waterfill: round 1 gives each source min(avail, budget*w/W);
+        // round 2 redistributes the unfilled remainder across sources
+        // with spare capacity, proportional to weight. All arithmetic is
+        // exact integer (long `div`), so the plan is bit-identical across
+        // engines and scale factors. The heavy work is one map-side
+        // combinable per-source token sum over the corpus; the waterfill
+        // itself runs on the |sources|-row aggregate (the unpartitioned
+        // windows below see ~20 rows, never data rows). Weights come from
+        // the source id here (suffix mod 4 + 1) standing in for a
+        // user-supplied mixture table.
+        val w = Window.partitionBy(lit(1))
+        Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(sum(expr("n_chars div 4")).as("avail_tokens"))
+          .withColumn("weight",
+            expr("substring(source, 4)").cast("long") % 4 + 1)
+          .withColumn("total_w", sum($"weight").over(w))
+          .withColumn("target_tokens",
+            expr(s"(${MixBudget}L * weight) div total_w"))
+          .withColumn("r1_alloc", least($"avail_tokens", $"target_tokens"))
+          .withColumn("leftover", lit(MixBudget) - sum($"r1_alloc").over(w))
+          .withColumn("rem_cap", $"avail_tokens" - $"r1_alloc")
+          .withColumn("surplus_w",
+            sum(when($"rem_cap" > 0, $"weight").otherwise(0L)).over(w))
+          .withColumn("r2_alloc", least($"rem_cap",
+            when($"rem_cap" > 0 && $"surplus_w" > 0,
+              expr("(leftover * weight) div surplus_w")).otherwise(0L)))
+          .select($"source", $"weight", $"avail_tokens", $"target_tokens",
+            ($"r1_alloc" + $"r2_alloc").as("alloc_tokens"),
+            (($"r1_alloc" + $"r2_alloc").cast("double") / $"target_tokens")
+              .as("fill_ratio"))
+      },
+      Some(s"""
+        WITH avail AS (
+          SELECT source,
+            CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight,
+            CAST(SUM(n_chars // 4) AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY 1
+        ),
+        r1 AS (
+          SELECT source, weight, avail_tokens,
+            ($MixBudget * weight) // CAST(SUM(weight) OVER () AS BIGINT)
+              AS target_tokens
+          FROM avail
+        ),
+        r1a AS (
+          SELECT *, LEAST(avail_tokens, target_tokens) AS r1_alloc FROM r1
+        ),
+        r2 AS (
+          SELECT *,
+            CAST($MixBudget - SUM(r1_alloc) OVER () AS BIGINT) AS leftover,
+            avail_tokens - r1_alloc AS rem_cap,
+            CAST(SUM(CASE WHEN avail_tokens > r1_alloc THEN weight ELSE 0 END)
+              OVER () AS BIGINT) AS surplus_w
+          FROM r1a
+        )
+        SELECT source, weight, avail_tokens, target_tokens,
+          r1_alloc + LEAST(rem_cap,
+            CASE WHEN rem_cap > 0 AND surplus_w > 0
+              THEN (leftover * weight) // surplus_w ELSE 0 END)
+            AS alloc_tokens,
+          CAST(r1_alloc + LEAST(rem_cap,
+            CASE WHEN rem_cap > 0 AND surplus_w > 0
+              THEN (leftover * weight) // surplus_w ELSE 0 END) AS DOUBLE)
+            / target_tokens AS fill_ratio
+        FROM r2"""))
   )
 }

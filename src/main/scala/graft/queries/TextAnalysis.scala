@@ -300,6 +300,70 @@ object TextAnalysis {
           CASE WHEN CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
                  * 2 <= COUNT(*) THEN 1 ELSE 0 END AS keep
         FROM sh s JOIN dfreq d ON s.sh = d.sh
-        GROUP BY s.doc_id"""))
+        GROUP BY s.doc_id""")),
+
+    // --------------------------------------- intra-document repetition
+    GraftQuery(
+      "t09_repetition_score",
+      (s, dir) => {
+        import s.implicits._
+        // Gopher-style intra-document repetition filter: a doc whose
+        // most-frequent word 3-gram covers too much of the doc, or whose
+        // words are mostly repeats, is boilerplate/spam. Two signals per
+        // doc: top-3-gram share (max gram count / total grams) and
+        // duplicate-word ratio (1 - distinct/total). Both are per-doc
+        // map-then-narrow-agg passes keyed on doc_id — embarrassingly
+        // parallel at any corpus size; the only shuffles carry one row
+        // per (doc, gram) partial and one skinny row per doc. The keep
+        // decision is exact integer arithmetic (top*32 <= n, dup*2 <= n;
+        // thresholds sit at the corpus p75/median so the flag is
+        // discriminative), immune to float divergence between engines.
+        val base = docs(s, dir).select($"doc_id", split($"text", " ").as("ws"))
+        // docs under 3 words score their whole text as a single gram so
+        // every doc is covered (t05's short-doc convention)
+        val grams = base.select($"doc_id", explode(
+          when(size($"ws") >= 3, expr(
+            "transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', element_at(ws, i + 1), " +
+              "element_at(ws, i + 2), element_at(ws, i + 3)))"))
+            .otherwise(array(array_join($"ws", " ")))).as("g"))
+        val rep = grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(max($"c").as("top_gram_c"), sum($"c").as("n_grams"))
+        val words = base.select($"doc_id",
+          size($"ws").cast("long").as("n_words"),
+          (size($"ws") - size(array_distinct($"ws"))).cast("long")
+            .as("dup_words"))
+        words.join(rep, Seq("doc_id"))
+          .select($"doc_id", $"n_words", $"dup_words",
+            $"top_gram_c", $"n_grams",
+            ($"top_gram_c".cast("double") / $"n_grams").as("top_gram_ratio"),
+            ($"dup_words".cast("double") / $"n_words").as("dup_word_ratio"),
+            when($"top_gram_c" * 32 <= $"n_grams" &&
+              $"dup_words" * 2 <= $"n_words", 1).otherwise(0).as("keep"))
+      },
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+            THEN [array_to_string(ws[i+1:i+3], ' ')
+                  for i in range(len(ws) - 2)]
+            ELSE [array_to_string(ws, ' ')] END) AS g
+          FROM ws),
+        rep AS (
+          SELECT doc_id, MAX(c) AS top_gram_c,
+                 CAST(SUM(c) AS BIGINT) AS n_grams
+          FROM (SELECT doc_id, g, COUNT(*) c FROM g GROUP BY 1, 2) t
+          GROUP BY 1),
+        w AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) n_words,
+                 CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) dup_words
+          FROM ws)
+        SELECT w.doc_id, n_words, dup_words, top_gram_c, n_grams,
+          CAST(top_gram_c AS DOUBLE) / n_grams AS top_gram_ratio,
+          CAST(dup_words AS DOUBLE) / n_words AS dup_word_ratio,
+          CASE WHEN top_gram_c * 32 <= n_grams
+                AND dup_words * 2 <= n_words THEN 1 ELSE 0 END AS keep
+        FROM w JOIN rep ON w.doc_id = rep.doc_id"""))
   )
 }
