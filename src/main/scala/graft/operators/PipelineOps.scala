@@ -294,6 +294,47 @@ object TextOps {
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
   }
 
+  /** Intra-document repetition (the Gopher boilerplate/spam filter):
+    * top word-k-gram share and duplicate-word ratio per document, with
+    * a keep flag under the supplied maxima. Documents shorter than k
+    * words score their whole text as one gram, so every document is
+    * covered. Per-doc map-then-narrow-agg passes keyed on the id — the
+    * shuffles carry one row per (doc, gram) partial and one skinny row
+    * per doc; nothing is pairwise. Semantics pinned by the
+    * oracle-checked t09 query. Returns (id, n_words, dup_words,
+    * top_gram_c, n_grams, top_gram_ratio, dup_word_ratio, keep).
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxTopGramRatio: Double = 1.0 / 32,
+      maxDupWordRatio: Double = 0.5): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    val base = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("ws"))
+    val parts = (1 to k)
+      .map(i => s"element_at(ws, i + $i)").mkString(", ")
+    val grams = base.select(col("id"), explode(
+      when(size(col("ws")) >= k, expr(
+        s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"))
+        .otherwise(array(array_join(col("ws"), " ")))).as("g"))
+    val rep = grams.groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_gram_c"), sum(col("c")).as("n_grams"))
+    base.select(col("id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(array_distinct(col("ws")))).cast("long")
+          .as("dup_words"))
+      .join(rep, Seq("id"))
+      .select(col("id"), col("n_words"), col("dup_words"),
+        col("top_gram_c"), col("n_grams"),
+        (col("top_gram_c").cast("double") / col("n_grams"))
+          .as("top_gram_ratio"),
+        (col("dup_words").cast("double") / col("n_words"))
+          .as("dup_word_ratio"))
+      .withColumn("keep", col("top_gram_ratio") <= maxTopGramRatio &&
+        col("dup_word_ratio") <= maxDupWordRatio)
+  }
+
   /** Content fingerprints: exact md5 + winnowing-style min-shingle hash
     * (stable under small edits), via the compiled kernel pass. Returns
     * (id, fp_exact, fp_winnow).
@@ -613,8 +654,9 @@ object AnnOps {
 
 /** Batch-prep operators between "corpus is clean" and "tensors ship":
   * sequence packing, stratified sampling, class balancing, embedding
-  * quantization. Semantics are pinned by the oracle-checked
-  * `graft.queries.PipelineExtra` suite (p01-p04).
+  * quantization, split assignment, curriculum binning, decontamination,
+  * domain-mixture budgeting. Semantics are pinned by the oracle-checked
+  * `graft.queries.PipelineExtra` suite (p01-p08).
   */
 object PrepOps {
 
@@ -668,6 +710,51 @@ object PrepOps {
       .withColumn("target", max(col("n_docs")).over(Window.partitionBy()))
       .select(col("class"), col("n_docs"), col("target"),
         (col("target").cast("double") / col("n_docs")).as("weight"))
+
+  /** Domain-mixture token budgeting: allocate a global token budget
+    * across domains to hit target mixture weights, capped by what each
+    * domain actually has. Two-round waterfill in exact long arithmetic
+    * (round 1: min(avail, budget*w/W); round 2: redistribute the
+    * unfilled remainder across domains with spare capacity,
+    * proportional to weight), so the result is bit-identical across
+    * engines and partitionings. The corpus-sized work is one map-side
+    * combinable per-domain token sum; the waterfill runs on the
+    * |domains|-row aggregate (the unpartitioned windows see domain
+    * rows, never data rows). Domains absent from `weights` get
+    * `defaultWeight`. Semantics pinned by the oracle-checked p08
+    * query. Returns (domain, weight, avail_tokens, target_tokens,
+    * alloc_tokens, fill_ratio).
+    */
+  def domainMixture(df: DataFrame, domainCol: String, tokensCol: String,
+      weights: Map[String, Long], budget: Long,
+      defaultWeight: Long = 1L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val weightExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (d, v)) => when(col("domain") === d, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(lit(1))
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+      .withColumn("weight", weightExpr)
+      .withColumn("total_w", sum(col("weight")).over(w))
+      .withColumn("target_tokens",
+        expr(s"(${budget}L * weight) div total_w"))
+      .withColumn("r1_alloc", least(col("avail_tokens"), col("target_tokens")))
+      .withColumn("leftover", lit(budget) - sum(col("r1_alloc")).over(w))
+      .withColumn("rem_cap", col("avail_tokens") - col("r1_alloc"))
+      .withColumn("surplus_w",
+        sum(when(col("rem_cap") > 0, col("weight")).otherwise(0L)).over(w))
+      .withColumn("r2_alloc", least(col("rem_cap"),
+        when(col("rem_cap") > 0 && col("surplus_w") > 0,
+          expr("(leftover * weight) div surplus_w")).otherwise(0L)))
+      .select(col("domain"), col("weight"), col("avail_tokens"),
+        col("target_tokens"),
+        (col("r1_alloc") + col("r2_alloc")).as("alloc_tokens"),
+        ((col("r1_alloc") + col("r2_alloc")).cast("double") /
+          col("target_tokens")).as("fill_ratio"))
+  }
 
   /** Deterministic train/val/test split: the md5(id) bucket mod 100
     * against cumulative percentages. Pure function of the id —

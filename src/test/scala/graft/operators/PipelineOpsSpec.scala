@@ -117,6 +117,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(12L)._1 > 0.5 && out(12L)._1 < 1.0 && !out(12L)._2)
   }
 
+  test("repetitionScore: repeated grams flagged, short docs covered") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // one gram repeated 4x
+      (2L, "a b c d e f g h"),               // 6 distinct grams
+      (3L, "x y"))                           // short doc: whole text
+      .toDF("my_id", "body")
+    val out = TextOps.repetitionScore(df, "my_id", "body",
+        k = 3, maxTopGramRatio = 0.2, maxDupWordRatio = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(7)))).toMap
+    assert(out(1L) == ((6L, 5L, 4L, 4L, false))) // top share 1.0, dup 5/6
+    assert(out(2L) == ((8L, 0L, 1L, 6L, true)))  // top share 1/6 <= 0.2
+    assert(out(3L) == ((2L, 0L, 1L, 1L, false))) // one whole-text gram
+  }
+
   test("simhashNearDups: identical docs at hamming 0") {
     val pairs = DedupOps.simhashNearDups(corpus(), "my_id", "body",
         maxHamming = 3, partitions = 4)

@@ -74,6 +74,26 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w("c") == ((10L, 60L, 6.0)))
   }
 
+  test("domainMixture: waterfill caps, redistributes, never overspends") {
+    val s = spark
+    import s.implicits._
+    // avail: a=100, b=5, c=20; weights a=3, b=1, c=default(1); budget 60
+    // round 1 (W=5): targets 36/12/12 -> alloc 36 / 5 (capped) / 12
+    // round 2: leftover 7 over surplus domains a,c (w 3+1=4):
+    //   a += min(64, 7*3 div 4 = 5) = 5; c += min(8, 7 div 4 = 1) = 1
+    val df = Seq(("a", 40L), ("a", 60L), ("b", 5L), ("c", 20L))
+      .toDF("dom", "toks")
+    val out = PrepOps.domainMixture(df, "dom", "toks",
+        Map("a" -> 3L, "b" -> 1L), budget = 60L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 100L, 36L, 41L)))
+    assert(out("b") == ((1L, 5L, 12L, 5L)))
+    assert(out("c") == ((1L, 20L, 12L, 13L)))
+    assert(out.values.map(_._4).sum <= 60L)
+  }
+
   test("splitAssign: disjoint, covering, deterministic, ~80/10/10") {
     val s = spark
     import s.implicits._
