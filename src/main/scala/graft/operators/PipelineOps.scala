@@ -335,6 +335,32 @@ object TextOps {
         col("dup_word_ratio") <= maxDupWordRatio)
   }
 
+  /** PII scrub: count and mask emails, phone numbers (NANP 555-prefix
+    * form) and IPv4 addresses in a text column. Patterns stay in the
+    * dialect-neutral regex subset (char classes + bounded repetition, no
+    * lookaround/backrefs) so the behavior is identical under Java regex
+    * and RE2-based engines; masking order is email → phone → IP.
+    * Pure map-side row-at-a-time work — zero shuffles, linear at any
+    * corpus size. Semantics pinned by the oracle-checked t10 query.
+    * Returns (id, n_emails, n_phones, n_ips, redacted).
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ipPat), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(
+          regexp_replace(col("t"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"), ipPat, "<IP>").as("redacted"))
+  }
+
   /** Content fingerprints: exact md5 + winnowing-style min-shingle hash
     * (stable under small edits), via the compiled kernel pass. Returns
     * (id, fp_exact, fp_winnow).
@@ -754,6 +780,37 @@ object PrepOps {
         (col("r1_alloc") + col("r2_alloc")).as("alloc_tokens"),
         ((col("r1_alloc") + col("r2_alloc")).cast("double") /
           col("target_tokens")).as("fill_ratio"))
+  }
+
+  /** Sliding-window document chunking: split each document into
+    * overlapping word windows of `window` words advancing by `stride` —
+    * the context-window prep between a cleaned corpus and tensorized
+    * training sequences. The last window starts at the smallest stride
+    * multiple covering the tail, so every word lands in at least one
+    * chunk and no chunk is a strict suffix of its predecessor. Pure
+    * map-side explode (chunk count is exact integer arithmetic on the
+    * word count; rows never leave their input partition) — zero
+    * shuffles, linear at any corpus size. Semantics pinned by the
+    * oracle-checked p09 query. Returns (id, chunk_idx, n_chunk_words,
+    * chunk_text).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"case when n <= $window then 1L else (n - $window + ${stride - 1}) div $stride + 1L end"))
+      .select(col("id"), col("n"),
+        posexplode(expr(
+          s"transform(sequence(0, int(n_chunks) - 1), i -> array_join(slice(ws, i * $stride + 1, $window), ' '))")))
+      .select(col("id"),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(window.toLong), col("n") - col("pos") * stride)
+          .as("n_chunk_words"),
+        col("col").as("chunk_text"))
   }
 
   /** Deterministic train/val/test split: the md5(id) bucket mod 100

@@ -423,6 +423,53 @@ object PipelineExtra {
             CASE WHEN rem_cap > 0 AND surplus_w > 0
               THEN (leftover * weight) // surplus_w ELSE 0 END) AS DOUBLE)
             / target_tokens AS fill_ratio
-        FROM r2"""))
+        FROM r2""")),
+
+    GraftQuery(
+      "p09_chunk_windows",
+      (s, dir) => {
+        import s.implicits._
+        // Sliding-window document chunking: split each doc into overlapping
+        // word windows (32 words, stride 24) — the context-window prep step
+        // between a cleaned corpus and tensorized training sequences. The
+        // last window starts at the smallest stride multiple covering the
+        // tail, so every word lands in >= 1 chunk and no chunk is a strict
+        // suffix of its predecessor. Pure map-side explode: the chunk
+        // count is exact integer arithmetic on the word count, slice
+        // clamps at the end in both engines, and rows never leave their
+        // input partition — zero shuffles, linear at any corpus size.
+        // Chunks are emitted as md5 so the result stays skinny.
+        val W = 32
+        val stride = 24
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .withColumn("n", size($"ws").cast("long"))
+          .withColumn("n_chunks", expr(
+            s"case when n <= $W then 1L else (n - $W + ${stride - 1}) div $stride + 1L end"))
+          .select($"doc_id", $"n",
+            posexplode(expr(
+              s"transform(sequence(0, int(n_chunks) - 1), i -> array_join(slice(ws, i * $stride + 1, $W), ' '))")))
+          .select($"doc_id",
+            $"pos".cast("long").as("chunk_idx"),
+            least(lit(W.toLong), $"n" - $"pos" * stride).as("n_chunk_words"),
+            md5($"col").as("chunk_md5"))
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        c AS (
+          SELECT doc_id, ws, CAST(len(ws) AS BIGINT) n,
+            CASE WHEN len(ws) <= 32 THEN CAST(1 AS BIGINT)
+              ELSE (len(ws) - 32 + 23) // 24 + 1 END AS n_chunks
+          FROM ws
+        )
+        SELECT doc_id,
+          CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx,
+          unnest([CAST(least(32, n - i * 24) AS BIGINT)
+                  for i in range(n_chunks)]) AS n_chunk_words,
+          unnest([md5(array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' '))
+                  for i in range(n_chunks)]) AS chunk_md5
+        FROM c"""))
   )
 }

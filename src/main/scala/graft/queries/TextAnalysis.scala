@@ -364,6 +364,81 @@ object TextAnalysis {
           CAST(dup_words AS DOUBLE) / n_words AS dup_word_ratio,
           CASE WHEN top_gram_c * 32 <= n_grams
                 AND dup_words * 2 <= n_words THEN 1 ELSE 0 END AS keep
-        FROM w JOIN rep ON w.doc_id = rep.doc_id"""))
+        FROM w JOIN rep ON w.doc_id = rep.doc_id""")),
+
+    // ------------------------------------------------- PII scrub/redact
+    GraftQuery(
+      "t10_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        // PII detection + redaction: count and mask emails, phone numbers
+        // and IPv4 addresses. The synthetic corpus contains none, so the
+        // query grafts deterministic PII spans onto each doc (a pure
+        // function of doc_id) before scrubbing — the redaction itself is
+        // what's under test. Regexes stay in the dialect-neutral subset
+        // (char classes + bounded repetition, no lookaround/backrefs) so
+        // Java regex and DuckDB's RE2 match identically. Pure map-side
+        // row-at-a-time work: zero shuffles, linear at any corpus size.
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val decorated = concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail"), ($"doc_id" % 10).cast("string"), lit(".com"),
+          when($"doc_id" % 3 === 0, lit(" cc admin@site.org"))
+            .otherwise(lit("")),
+          lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" * 7 % 256).cast("string"))
+        docs(s, dir)
+          .select($"doc_id", decorated.as("decorated"))
+          .withColumn("redacted", regexp_replace(regexp_replace(
+            regexp_replace($"decorated", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"), ipPat, "<IP>"))
+          .select($"doc_id",
+            size(regexp_extract_all($"decorated", lit(emailPat), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all($"decorated", lit(phonePat), lit(0)))
+              .cast("long").as("n_phones"),
+            size(regexp_extract_all($"decorated", lit(ipPat), lit(0)))
+              .cast("long").as("n_ips"),
+            md5($"redacted").as("redacted_md5"))
+      },
+      Some("""
+        WITH dec AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 10 AS VARCHAR) || '.com'
+              || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.org'
+                 ELSE '' END
+              || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id * 7 % 256 AS VARCHAR) AS decorated
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, decorated,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(decorated,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '555-[0-9]{4}', '<PHONE>', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+              '<IP>', 'g') AS redacted
+          FROM dec
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(decorated,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(decorated,
+            '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(decorated,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+            AS n_ips,
+          md5(redacted) AS redacted_md5
+        FROM red"""))
   )
 }

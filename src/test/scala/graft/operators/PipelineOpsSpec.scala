@@ -135,6 +135,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((2L, 0L, 1L, 1L, false))) // one whole-text gram
   }
 
+  test("piiScrub: counts and masks emails, phones, IPs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail bob@x.org and eve@y.io call 555-1234 from 10.0.0.7"),
+      (2L, "no pii here at all"))
+      .toDF("my_id", "body")
+    val out = TextOps.piiScrub(df, "my_id", "body").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>")))
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
+  }
+
   test("simhashNearDups: identical docs at hamming 0") {
     val pairs = DedupOps.simhashNearDups(corpus(), "my_id", "body",
         maxHamming = 3, partitions = 4)

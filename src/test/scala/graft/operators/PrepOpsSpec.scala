@@ -94,6 +94,25 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._4).sum <= 60L)
   }
 
+  test("chunkDocuments: overlap, tail coverage, short docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 9 words -> starts 0,3,6
+      (2L, "a b c"))                      // short doc -> one chunk
+      .toDF("my_id", "body")
+    val out = PrepOps.chunkDocuments(df, "my_id", "body",
+        window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((3L, "w7 w8 w9")))
+    assert(out((2L, 0L)) == ((3L, "a b c")))
+    assert(out.size == 4)
+  }
+
   test("splitAssign: disjoint, covering, deterministic, ~80/10/10") {
     val s = spark
     import s.implicits._
