@@ -782,6 +782,30 @@ object PrepOps {
           col("target_tokens")).as("fill_ratio"))
   }
 
+  /** Materialize a [[domainMixture]] plan: sample each domain at rate
+    * alloc/avail via the deterministic md5-bucket construction — a doc
+    * is kept iff bucket * avail < alloc * 65536, a pure function of the
+    * id (reproducible under any partitioning/engine; exact long
+    * arithmetic, no float rates). The waterfill runs on the
+    * |domains|-row aggregate and broadcasts back; the keep decision is
+    * map-side. Returns the kept rows of `df` unchanged. Semantics
+    * pinned by the oracle-checked p10 query.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: String, weights: Map[String, Long], budget: Long,
+      defaultWeight: Long = 1L): DataFrame = {
+    val alloc = domainMixture(df, domainCol, tokensCol, weights, budget,
+        defaultWeight)
+      .select(col("domain"), col("avail_tokens"), col("alloc_tokens"))
+    df.withColumn("__bucket",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .join(broadcast(alloc), df(domainCol) === alloc("domain"))
+      .filter(col("__bucket") * col("avail_tokens") <
+        col("alloc_tokens") * 65536L)
+      .drop("__bucket", "domain", "avail_tokens", "alloc_tokens")
+  }
+
   /** Sliding-window document chunking: split each document into
     * overlapping word windows of `window` words advancing by `stride` —
     * the context-window prep between a cleaned corpus and tensorized

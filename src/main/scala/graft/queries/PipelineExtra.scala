@@ -470,6 +470,97 @@ object PipelineExtra {
                   for i in range(n_chunks)]) AS n_chunk_words,
           unnest([md5(array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' '))
                   for i in range(n_chunks)]) AS chunk_md5
-        FROM c"""))
+        FROM c""")),
+
+    GraftQuery(
+      "p10_mixture_sample",
+      (s, dir) => {
+        import s.implicits._
+        // Materialize the p08 mixture plan: turn per-source token
+        // allocations into an actual sampled corpus via deterministic
+        // md5-rate sampling — keep a doc iff bucket * avail < alloc *
+        // 65536, so each source is kept at rate alloc/avail as a pure
+        // function of doc_id (reproducible under any partitioning or
+        // engine; exact long arithmetic, no float rates). The waterfill
+        // runs on the |sources|-row aggregate, broadcasts back, and the
+        // keep decision is map-side — the only corpus-sized shuffles are
+        // the two skinny per-source aggregations. Output is the per-source
+        // audit: docs kept, tokens kept, tokens planned.
+        val w = Window.partitionBy(lit(1))
+        val alloc = Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(sum(expr("n_chars div 4")).as("avail_tokens"))
+          .withColumn("weight",
+            expr("substring(source, 4)").cast("long") % 4 + 1)
+          .withColumn("total_w", sum($"weight").over(w))
+          .withColumn("target_tokens",
+            expr(s"(${MixBudget}L * weight) div total_w"))
+          .withColumn("r1_alloc", least($"avail_tokens", $"target_tokens"))
+          .withColumn("leftover", lit(MixBudget) - sum($"r1_alloc").over(w))
+          .withColumn("rem_cap", $"avail_tokens" - $"r1_alloc")
+          .withColumn("surplus_w",
+            sum(when($"rem_cap" > 0, $"weight").otherwise(0L)).over(w))
+          .withColumn("alloc_tokens", $"r1_alloc" + least($"rem_cap",
+            when($"rem_cap" > 0 && $"surplus_w" > 0,
+              expr("(leftover * weight) div surplus_w")).otherwise(0L)))
+          .select($"source", $"avail_tokens", $"alloc_tokens")
+        Tables.load(s, dir, "documents")
+          .select($"source", expr("n_chars div 4").as("toks"),
+            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+              .cast("long").as("bucket"))
+          .join(broadcast(alloc), Seq("source"))
+          .filter($"bucket" * $"avail_tokens" < $"alloc_tokens" * 65536L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum($"toks").as("kept_tokens"),
+            first($"alloc_tokens").as("alloc_tokens"))
+          .withColumn("fill_ratio",
+            $"kept_tokens".cast("double") / $"alloc_tokens")
+      },
+      Some(s"""
+        WITH avail AS (
+          SELECT source,
+            CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight,
+            CAST(SUM(n_chars // 4) AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY 1
+        ),
+        r1 AS (
+          SELECT source, weight, avail_tokens,
+            ($MixBudget * weight) // CAST(SUM(weight) OVER () AS BIGINT)
+              AS target_tokens
+          FROM avail
+        ),
+        r1a AS (
+          SELECT *, LEAST(avail_tokens, target_tokens) AS r1_alloc FROM r1
+        ),
+        r2 AS (
+          SELECT *,
+            CAST($MixBudget - SUM(r1_alloc) OVER () AS BIGINT) AS leftover,
+            avail_tokens - r1_alloc AS rem_cap,
+            CAST(SUM(CASE WHEN avail_tokens > r1_alloc THEN weight ELSE 0 END)
+              OVER () AS BIGINT) AS surplus_w
+          FROM r1a
+        ),
+        alloc AS (
+          SELECT source, avail_tokens,
+            r1_alloc + LEAST(rem_cap,
+              CASE WHEN rem_cap > 0 AND surplus_w > 0
+                THEN (leftover * weight) // surplus_w ELSE 0 END)
+              AS alloc_tokens
+          FROM r2
+        ),
+        d AS (
+          SELECT source, n_chars // 4 AS toks,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT d.source, COUNT(*) AS n_docs_kept,
+          CAST(SUM(d.toks) AS BIGINT) AS kept_tokens,
+          a.alloc_tokens,
+          CAST(SUM(d.toks) AS DOUBLE) / a.alloc_tokens AS fill_ratio
+        FROM d JOIN alloc a ON d.source = a.source
+        WHERE d.bucket * a.avail_tokens < a.alloc_tokens * 65536
+        GROUP BY d.source, a.alloc_tokens"""))
   )
 }

@@ -37,7 +37,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
     "d05_dedup_embedding_cosine", "d06_dedup_clusters",
     "t08_dup_ngram_ratio", "p07_decontam", "s02_knn_ivf",
-    "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows")
+    "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows",
+    "p10_mixture_sample")
 
   override def beforeAll(): Unit = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
@@ -139,6 +140,13 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = plans("s04_knn_graph").toString()
     assert(s.contains("MapPartitions"), "s04 not on the kernel path")
     assert(!s.contains("SortMergeJoin"), "s04 pair-joins unexpectedly")
+  }
+
+  test("p10 broadcasts the per-domain alloc table back to the corpus") {
+    val s = plans("p10_mixture_sample").toString()
+    assert(s.contains("BroadcastHashJoin"), "p10 lost its broadcast join")
+    assert(!s.contains("SortMergeJoin"),
+      "p10 shuffles the corpus against the tiny alloc table")
   }
 
   test("t10/p09 are pure map-side: no shuffle anywhere in the plan") {

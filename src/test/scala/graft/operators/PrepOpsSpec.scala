@@ -113,6 +113,26 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == 4)
   }
 
+  test("mixtureSample: rate-1 keeps all, deterministic, subset") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("id", "dom", "toks")
+    // budget >= corpus total: every domain fills to avail, rate 1
+    val all = PrepOps.mixtureSample(df, "id", "dom", "toks",
+      Map.empty, budget = 5000L)
+    assert(all.count() == 200L)
+    assert(all.columns.toSeq == Seq("id", "dom", "toks"))
+    // tight budget: a strict deterministic subset
+    val some1 = PrepOps.mixtureSample(df, "id", "dom", "toks",
+      Map("a" -> 3L), budget = 400L).collect().map(_.getLong(0)).toSet
+    val some2 = PrepOps.mixtureSample(df, "id", "dom", "toks",
+      Map("a" -> 3L), budget = 400L).collect().map(_.getLong(0)).toSet
+    assert(some1 == some2)
+    assert(some1.nonEmpty && some1.size < 200)
+    assert(some1.subsetOf((1L to 200L).toSet))
+  }
+
   test("splitAssign: disjoint, covering, deterministic, ~80/10/10") {
     val s = spark
     import s.implicits._
