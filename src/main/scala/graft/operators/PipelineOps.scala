@@ -95,6 +95,31 @@ object DedupOps {
       (col("id") === col("comp")).as("is_survivor"))
   }
 
+  /** Priority-based canonical selection over near-dup clusters: which
+    * copy do we KEEP? [[connectedComponents]] picks the min-id survivor;
+    * real pipelines keep the copy from the most trusted source. Given a
+    * pair list and a (id, priority) table, returns
+    * (id, cluster_id, prio, canonical_id, keep) where canonical_id is
+    * the cluster member with the smallest (priority, id) and keep flags
+    * it. The cluster assignment is the distributed label propagation;
+    * the selection adds one equi-join for the priority and one
+    * unordered min-of-struct window over cluster-sized groups (near-dup
+    * clusters are shallow, so no window partition is ever large).
+    * Semantics pinned by the oracle-checked d07 query.
+    */
+  def canonicalSelection(pairs: DataFrame, aCol: String, bCol: String,
+      priorities: DataFrame, idCol: String, prioCol: String): DataFrame = {
+    val prio = priorities.select(col(idCol).cast("long").as("id"),
+      col(prioCol).cast("long").as("prio"))
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("cluster_id"))
+      .join(prio, Seq("id"))
+      .withColumn("canonical_id",
+        min(struct(col("prio"), col("id"))).over(
+          Window.partitionBy(col("cluster_id"))).getField("id"))
+      .withColumn("keep", col("id") === col("canonical_id"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs (a, b) against
     * per-doc shingle arrays (doc_id, shs). O(candidates): the pair is
     * joined to two ARRAY columns and intersected in-row — never an

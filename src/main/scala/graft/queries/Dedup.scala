@@ -127,6 +127,48 @@ object Dedup {
       .filter($"jaccard" >= JACCARD_T)
   }
 
+  /** Connected components over an (a, b) pair list via min-label
+    * propagation: every round each node takes the min of its own label
+    * and its neighbors'; converges in O(graph diameter) rounds. Each
+    * round is one equi-join + one groupBy, both shuffling on the id —
+    * no driver materialization of the graph, so components wider than
+    * any one executor's memory still resolve. The edge list is
+    * candidate-output-sized (not corpus-sized), and near-dup components
+    * are shallow in practice (dupes of a common source), so the round
+    * count stays small at any corpus size. Returns (id, comp). Shared
+    * by d06 (min-id survivor) and d07 (priority canonical selection).
+    */
+  private def components(s: SparkSession, pairsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = pairsDf.select($"a", $"b").localCheckpoint()
+    val edges = pairs.union(pairs.select($"b", $"a"))
+      .toDF("src", "dst").localCheckpoint()
+    var comp = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("comp")).localCheckpoint()
+    // convergence via sum(comp): labels only ever decrease, so the
+    // sum strictly decreases iff ANY label changed — one cheap
+    // aggregate per round instead of a join-against-previous.
+    // decimal(38,0): exact at any id magnitude x row count (a long
+    // sum could wrap); coalesce covers the empty-graph case (sum
+    // over zero rows is null)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var sumPrev: java.math.BigDecimal = null
+    var sumCur = labelSum(comp)
+    while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
+      val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
+        .select(edges("src").as("id"), col("comp"))
+      // localCheckpoint per round: keeps the lineage O(1) instead of
+      // O(rounds) deep (the classic iterative-algorithm pitfall)
+      comp = comp.union(viaNeighbor)
+        .groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
+      sumPrev = sumCur
+      sumCur = labelSum(comp)
+    }
+    comp
+  }
+
   /** Oracle CTE chain ending in `pairs`(a, b) — the SQL analog of
     * [[minhashPairs]], shared prefix of the d02 and d06 oracles. */
   private def sqlMinhashCtes: String = {
@@ -207,41 +249,9 @@ object Dedup {
         import s.implicits._
         // The step that turns a PAIR list into a dedup DECISION: connected
         // components over the MinHash near-dup graph, survivor = min
-        // doc_id per component. Min-label propagation: every round each
-        // node takes the min of its own label and its neighbors' labels;
-        // converges in O(graph diameter) rounds. Each round is one
-        // equi-join + one groupBy, both shuffling on doc_id — no driver
-        // materialization of the graph, so components wider than any one
-        // executor's memory still resolve. The edge list is candidate-
-        // output-sized (not corpus-sized), and near-dup components are
-        // shallow in practice (dupes of a common source), so the round
-        // count stays small at any corpus size.
-        val pairs = minhashPairs(s, dir).select($"a", $"b").localCheckpoint()
-        val edges = pairs.union(pairs.select($"b", $"a"))
-          .toDF("src", "dst").localCheckpoint()
-        var comp = edges.select($"src".as("id")).distinct()
-          .select($"id", $"id".as("comp")).localCheckpoint()
-        // convergence via sum(comp): labels only ever decrease, so the
-        // sum strictly decreases iff ANY label changed — one cheap
-        // aggregate per round instead of a join-against-previous.
-        // decimal(38,0): exact at any id magnitude x row count (a long
-        // sum could wrap); coalesce covers the empty-graph case (sum
-        // over zero rows is null)
-        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
-            lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-        var sumPrev: java.math.BigDecimal = null
-        var sumCur = labelSum(comp)
-        while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
-          val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
-            .select(edges("src").as("id"), col("comp"))
-          // localCheckpoint per round: keeps the lineage O(1) instead of
-          // O(rounds) deep (the classic iterative-algorithm pitfall)
-          comp = comp.union(viaNeighbor)
-            .groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
-          sumPrev = sumCur
-          sumCur = labelSum(comp)
-        }
+        // doc_id per component (see [[components]] for the propagation
+        // loop and its scale contract).
+        val comp = components(s, minhashPairs(s, dir))
         comp.select($"id".as("doc_id"), $"comp".as("cluster_id"),
           when($"id" === $"comp", 1).otherwise(0).as("is_survivor"))
       },
@@ -259,6 +269,64 @@ object Dedup {
         SELECT id AS doc_id, MIN(node) AS cluster_id,
           CASE WHEN MIN(node) = id THEN 1 ELSE 0 END AS is_survivor
         FROM reach GROUP BY id""")),
+
+    GraftQuery(
+      "d07_canonical_selection",
+      (s, dir) => {
+        import s.implicits._
+        // Which copy do we KEEP? d06 picks the min-id survivor; real
+        // pipelines keep the copy from the most trusted source. Per
+        // near-dup cluster, canonical = argmin (source priority, doc_id)
+        // — priority here derived from the source id (suffix mod 5)
+        // standing in for a user-supplied trust table. The cluster
+        // assignment is d06's distributed label propagation; the
+        // selection adds one equi-join back to the corpus for the
+        // priority and one window over cluster-sized groups (near-dup
+        // clusters are shallow, so no window partition is ever large).
+        val comp = components(s, minhashPairs(s, dir))
+        val prio = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            (expr("substring(source, 4)").cast("long") % 5).as("prio"))
+        comp.select($"id".as("doc_id"), $"comp".as("cluster_id"))
+          .join(prio, Seq("doc_id"))
+          // argmin via min-of-struct: struct ordering is lexicographic
+          // (prio, then doc_id), one unordered window agg per cluster
+          .withColumn("canonical_id",
+            min(struct($"prio", $"doc_id")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy($"cluster_id")).getField("doc_id"))
+          .select($"doc_id", $"cluster_id", $"prio", $"canonical_id",
+            when($"doc_id" === $"canonical_id", 1).otherwise(0).as("keep"))
+      },
+      Some(s"""
+        WITH RECURSIVE $sqlMinhashCtes,
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs
+        ),
+        reach(id, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        comp AS (
+          SELECT id AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY id
+        ),
+        j AS (
+          SELECT c.doc_id, c.cluster_id,
+            CAST(substring(d.source, 4) AS BIGINT) % 5 AS prio
+          FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        ),
+        canon AS (
+          SELECT cluster_id, doc_id AS canonical_id,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY prio ASC, doc_id ASC) AS rn
+          FROM j
+        )
+        SELECT j.doc_id, j.cluster_id, j.prio, c.canonical_id,
+          CASE WHEN j.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
+        FROM j JOIN canon c
+          ON j.cluster_id = c.cluster_id AND c.rn = 1""")),
 
     // ------------------------------------------------------------ SimHash
     GraftQuery(

@@ -135,6 +135,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((2L, 0L, 1L, 1L, false))) // one whole-text gram
   }
 
+  test("canonicalSelection: trusted source wins, min-id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("x", "y")
+    val prio = Seq((1L, 5L), (2L, 1L), (3L, 9L), (10L, 2L), (11L, 2L))
+      .toDF("doc", "trust")
+    val out = DedupOps.canonicalSelection(pairs, "x", "y",
+        prio, "doc", "trust")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // cluster {1,2,3}: canonical = 2 (lowest trust rank)
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true))
+      && out(3L) == ((2L, false)))
+    // cluster {10,11}: tie on trust -> min id 10
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+  }
+
   test("piiScrub: counts and masks emails, phones, IPs") {
     val s = spark
     import s.implicits._
