@@ -283,6 +283,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("cosineNearDupsLsh: null/empty vectors dropped, no NaN pairs") {
+    val s = spark
+    import s.implicits._
+    // degenerate rows must vanish from the signature stage (no NPE on a
+    // null array, no all-ones code for an empty one, no 0/0 = NaN cosine
+    // colliding two empty vectors into a spurious pair)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),
+      (2L, Array.empty[Float]),
+      (3L, Array.empty[Float]))
+      .toDF("vid", "emb")
+      .union(Seq((4L, null.asInstanceOf[Array[Float]])).toDF("vid", "emb"))
+    val got = AnnOps.cosineNearDupsLsh(df, "vid", "emb",
+        threshold = 0.95, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
   test("cosineNearDupsLsh: subset of exact, identical cosines, no grid") {
     val exact = AnnOps.cosineNearDups(vectors(), "vid", "emb",
         threshold = 0.95, blocks = 2, partitions = 2)

@@ -133,6 +133,33 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(some1.subsetOf((1L to 200L).toSet))
   }
 
+  test("chunkDocuments: chunk-count/width invariants over 1..40 words") {
+    val s = spark
+    import s.implicits._
+    val W = 7; val stride = 5
+    val df = (1 to 40)
+      .map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "body")
+    val byDoc = PrepOps.chunkDocuments(df, "id", "body", W, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    (1 to 40).foreach { n =>
+      val chunks = byDoc(n.toLong).sortBy(_._2)
+      val expected = if (n <= W) 1 else (n - W + stride - 1) / stride + 1
+      assert(chunks.length == expected, s"n=$n chunk count")
+      // every chunk but the last is full-width; the last covers the tail
+      chunks.init.foreach(c => assert(c._3 == W, s"n=$n mid chunk width"))
+      val last = chunks.last
+      assert(last._3 == n - (expected - 1) * stride, s"n=$n tail width")
+      assert(last._4.endsWith(s"w$n"), s"n=$n last word covered")
+      // overlap contract: chunk i starts at word i*stride + 1
+      chunks.foreach(c =>
+        assert(c._4.split(" ").head == s"w${c._2 * stride + 1}",
+          s"n=$n chunk ${c._2} start"))
+    }
+  }
+
   test("splitAssign: disjoint, covering, deterministic, ~80/10/10") {
     val s = spark
     import s.implicits._
