@@ -162,6 +162,57 @@ object DedupOps {
     jaccardVerified(cand, shArr, threshold)
   }
 
+  /** Persistable MinHash signature index for incremental dedup: one row
+    * per document carrying its band keys and shingle array —
+    * (doc_id, bkeys array<struct<band, bkey>>, shs). Write this to a
+    * table once per corpus; [[minhashNearDupsAgainstIndex]] dedups each
+    * new batch against it without touching the old corpus text. Same
+    * kernels and parameters as [[minhashNearDups]], so batch and
+    * incremental results agree exactly.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      partitions: Int = 32): DataFrame = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val bkeys = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("band"), col("bkey"))).as("bkeys"))
+    TextKernels.shingleArrays(s, docs, shingleK)
+      .join(bkeys, Seq("doc_id"))
+  }
+
+  /** Incremental MinHash+LSH: near-dup pairs between a NEW batch and an
+    * existing [[minhashIndex]] (new-vs-old and new-vs-new; old-vs-old
+    * pairs are never recomputed). The 100 TB daily-increment pattern:
+    * signature generation is O(new docs), the band-bucket join probes
+    * the index on its equi-key, and exact-Jaccard verification touches
+    * only candidates — the old corpus text is never read. Caller
+    * guarantees ids are unique across old and new. Returns (a, b,
+    * jaccard) with a < b, identical to the [[minhashNearDups]] rows of
+    * the combined corpus that touch at least one new doc.
+    */
+  def minhashNearDupsAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, shingleK: Int = 5,
+      bands: Int = 2, rows: Int = 8, threshold: Double = 0.8,
+      partitions: Int = 32): DataFrame = {
+    val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
+      rows, partitions).localCheckpoint()
+    val allIdx = index.select(col("doc_id"), col("shs"), col("bkeys"))
+      .unionByName(newIdx.select(col("doc_id"), col("shs"), col("bkeys")))
+    def bandRows(idx: DataFrame): DataFrame = idx
+      .select(col("doc_id"), explode(col("bkeys")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = bandRows(newIdx).as("x").join(bandRows(allIdx).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+    jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
+      threshold)
+  }
+
   /** Inverted-index n-gram Jaccard near-dups: candidates share >= 1
     * common RARE word k-gram (use LONG shingles, k ~ 7, so posting lists
     * stay near-unique), then exact-Jaccard verify. Returns (a, b,

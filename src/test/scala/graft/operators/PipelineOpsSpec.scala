@@ -135,6 +135,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((2L, 0L, 1L, 1L, false))) // one whole-text gram
   }
 
+  test("minhashNearDupsAgainstIndex: matches batch result on new pairs") {
+    val s = spark
+    import s.implicits._
+    val all = corpus()
+    val old = all.filter($"my_id" <= 12L)
+    val fresh = all.filter($"my_id" > 12L)
+      // a near-dup of old doc 12 arriving in the new batch
+      .union(Seq((20L,
+        "the quick brown fox jumps over the lazy cat again and again"))
+        .toDF("my_id", "body"))
+    val full = DedupOps.minhashNearDups(old.union(fresh), "my_id", "body",
+        threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val idx = DedupOps.minhashIndex(old, "my_id", "body", partitions = 4)
+    val incr = DedupOps.minhashNearDupsAgainstIndex(fresh, "my_id", "body",
+        idx, threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val newIds = Set(13L, 14L, 20L)
+    val expected = full.filter { case ((a, b), _) =>
+      newIds.contains(a) || newIds.contains(b) }
+    assert(incr == expected)
+    // the new-vs-old near-dup actually surfaced
+    assert(incr.keySet.exists { case (a, b) => b == 20L || a == 20L })
+  }
+
   test("canonicalSelection: trusted source wins, min-id tiebreak") {
     val s = spark
     import s.implicits._
