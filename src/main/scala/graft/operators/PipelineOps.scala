@@ -870,16 +870,20 @@ object PrepOps {
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
       tokensCol: String, weights: Map[String, Long], budget: Long,
       defaultWeight: Long = 1L): DataFrame = {
+    // reserved internal names so the join/drop can never collide with
+    // caller columns (e.g. a domain column literally named "domain")
     val alloc = domainMixture(df, domainCol, tokensCol, weights, budget,
         defaultWeight)
-      .select(col("domain"), col("avail_tokens"), col("alloc_tokens"))
+      .select(col("domain").as("__mix_dom"),
+        col("avail_tokens").as("__mix_avail"),
+        col("alloc_tokens").as("__mix_alloc"))
     df.withColumn("__bucket",
         conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
           .cast("long"))
-      .join(broadcast(alloc), df(domainCol) === alloc("domain"))
-      .filter(col("__bucket") * col("avail_tokens") <
-        col("alloc_tokens") * 65536L)
-      .drop("__bucket", "domain", "avail_tokens", "alloc_tokens")
+      .join(broadcast(alloc), col(domainCol) === col("__mix_dom"))
+      .filter(col("__bucket") * col("__mix_avail") <
+        col("__mix_alloc") * 65536L)
+      .drop("__bucket", "__mix_dom", "__mix_avail", "__mix_alloc")
   }
 
   /** Sliding-window document chunking: split each document into

@@ -131,6 +131,12 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(some1 == some2)
     assert(some1.nonEmpty && some1.size < 200)
     assert(some1.subsetOf((1L to 200L).toSet))
+    // caller columns named like the internals must survive untouched
+    val clash = df.withColumnRenamed("dom", "domain")
+    val kept = PrepOps.mixtureSample(clash, "id", "domain", "toks",
+      Map.empty, budget = 5000L)
+    assert(kept.columns.toSeq == Seq("id", "domain", "toks"))
+    assert(kept.count() == 200L)
   }
 
   test("chunkDocuments: chunk-count/width invariants over 1..40 words") {
