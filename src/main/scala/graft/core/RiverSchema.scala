@@ -147,6 +147,16 @@ object RiverSchema {
       if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
         case '"'  => sb.append('"'); i += 2
         case '\\' => sb.append('\\'); i += 2
+        // JSON short escapes: the reference serializes schemas with a
+        // standard JSON library that emits \b \f \n \r \t (and may emit
+        // \/) for control characters in field names — decode them all,
+        // not just this repo's own toJson subset.
+        case '/'  => sb.append('/'); i += 2
+        case 'b'  => sb.append('\b'); i += 2
+        case 'f'  => sb.append('\f'); i += 2
+        case 'n'  => sb.append('\n'); i += 2
+        case 'r'  => sb.append('\r'); i += 2
+        case 't'  => sb.append('\t'); i += 2
         case 'u' if i + 6 <= s.length =>
           sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
           i += 6

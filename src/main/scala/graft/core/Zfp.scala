@@ -185,6 +185,15 @@ object Zfp {
   private val CodecVersion = 5
   private val ModeReversible = 4094L // ZFP_MODE_SHORT_MAX; 12-bit write
   private val ModeExpert = 4095L     // 0xfff: 64-bit expert mode follows
+  /** Version-byte marker for THIS codec's fixed-accuracy streams. The
+    * lossy payload deviates from libzfp (reversible Lorenzo lift +
+    * trailing-zero-count field instead of zfp's lossy lifting transform
+    * and plain embedded coding), so a genuine libzfp accuracy blob must
+    * never be accepted silently: graft lossy streams set the high bit of
+    * the version byte (libzfp codec versions are small integers and
+    * never do), and [[readHeader]] rejects accuracy-mode streams that
+    * lack the marker. */
+  private val LossyMarker = 0x80
   val ZfpMinExp: Int = -1074         // ZFP_MIN_EXP
 
   final case class ZfpHeader(tpe: Int, nx: Int, ny: Int, mode: Long) {
@@ -198,7 +207,14 @@ object Zfp {
     * with 2^e <= tolerance < 2^(e+1) (frexp minus one), ZFP_MIN_EXP for
     * tolerance <= 0. */
   def minexpForTolerance(tolerance: Double): Int =
-    if (tolerance > 0) Math.getExponent(tolerance) else ZfpMinExp
+    if (tolerance >= java.lang.Double.MIN_NORMAL) Math.getExponent(tolerance)
+    else if (tolerance > 0)
+      // Subnormal tolerance: getExponent pins at -1023 instead of the
+      // true frexp exponent down to -1074 that zfp_stream_set_accuracy
+      // computes, under-provisioning precision. Rescale by 2^53 (exact:
+      // the value becomes normal) and subtract 53.
+      Math.getExponent(tolerance * 9007199254740992.0) - 53
+    else ZfpMinExp
 
   private def modeForMinexp(minexp: Int): Long = {
     val m = (minexp - ZfpMinExp).toLong
@@ -212,7 +228,9 @@ object Zfp {
     w.writeBits('z'.toLong, 8)
     w.writeBits('f'.toLong, 8)
     w.writeBits('p'.toLong, 8)
-    w.writeBits(CodecVersion.toLong, 8)
+    w.writeBits(
+      if (mode < ModeReversible) (CodecVersion | LossyMarker).toLong
+      else CodecVersion.toLong, 8)
     // meta, 52 bits: (((nx-1) << 24 | (ny-1)) << 2 | dims-1) << 2 | type
     var meta = (nx - 1).toLong
     meta = (meta << 24) | (ny - 1).toLong
@@ -229,7 +247,9 @@ object Zfp {
     val m2 = r.readBits(8); val ver = r.readBits(8)
     require(m0 == 'z'.toLong && m1 == 'f'.toLong && m2 == 'p'.toLong,
       "zfp: bad magic")
-    require(ver == CodecVersion.toLong, s"zfp: unsupported codec version $ver")
+    val lossyMarked = ver == (CodecVersion | LossyMarker).toLong
+    require(ver == CodecVersion.toLong || lossyMarked,
+      s"zfp: unsupported codec version $ver")
     val meta = r.readBits(52)
     val tpe = (meta & 3L).toInt
     val dims = ((meta >>> 2) & 3L).toInt + 1
@@ -238,6 +258,13 @@ object Zfp {
     val nx = ((meta >>> 28) & 0xffffffL).toInt + 1
     var mode = r.readBits(12)
     if (mode == 0xfffL) mode = 0xfffL | (r.readBits(52) << 12) // expert
+    if (mode < ModeReversible && !lossyMarked)
+      throw new IllegalArgumentException(
+        "zfp: fixed-accuracy stream without the graft lossy marker — " +
+          "foreign (libzfp-written) accuracy payloads use a different " +
+          "block encoding and would misdecode silently; refusing")
+    if (lossyMarked) require(mode < ModeReversible,
+      s"zfp: lossy-marked stream carries non-accuracy mode $mode")
     ZfpHeader(tpe, nx, ny, mode)
   }
 

@@ -156,6 +156,27 @@ object TextKernels {
       .toDF("doc_id", "fp_winnow")
   }
 
+  /** (doc_id, bigram) — one row per ADJACENT word pair, non-distinct
+    * (t07 counts raw occurrences). Documents with fewer than two words
+    * emit nothing. Exists because the declarative spelling
+    * (`transform(sequence(...), i -> concat(element_at(split(text)...)))`)
+    * is an interpreted higher-order function that re-evaluates the split
+    * per element — the exact pattern this object replaces.
+    */
+  def bigramPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < 2) Iterator.empty
+        else Iterator.tabulate(ws.length - 1) { i =>
+          (id, ws(i) + " " + ws(i + 1))
+        }
+      })
+      .toDF("doc_id", "bigram")
+  }
+
   /** 32-bit SimHash of one document: each token votes +/-1 per bit from
     * the first 8 md5 nibbles (bit b lives at nibble b/4, position b%4),
     * matching the SQL oracle expression in queries.Dedup d03 exactly.

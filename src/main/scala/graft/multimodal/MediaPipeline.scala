@@ -27,14 +27,16 @@ final case class MediaFeatures(
     // 16-bin byte histogram of the payload — stands in for an embedding
     histogram: Array[Long])
 
-/** Multimodal column plumbing with a STUBBED codec layer.
-  *
-  * The container has no image/audio libraries, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything around it — the binary
-  * column synthesis, the `mapPartitions` batch iteration (the Scala
-  * analog of `mapInPandas`: one iterator pass per partition, no
-  * per-row UDF dispatch), the schema and partitioning — is real and
-  * would be unchanged with a real codec swapped in.
+/** Multimodal column plumbing with a two-tier codec layer: REAL image
+  * decode via the JDK's `javax.imageio` ([[ImageCodec]] — PNG/BMP/JPEG,
+  * no new dependencies; exercised end-to-end by the oracle-checked m06
+  * round trip and ImageCodecSpec), with `decodeStub` as the
+  * clearly-marked deterministic fallback for payloads no installed
+  * reader accepts (audio/video — the container has no media libraries —
+  * and the synthesized text-byte corpora). Everything around the codec —
+  * the binary column synthesis, the `mapPartitions` batch iteration
+  * (the Scala analog of `mapInPandas`: one iterator pass per partition,
+  * no per-row UDF dispatch), the schema and partitioning — is real.
   *
   * Scale notes: media rows are wide (payload-dominated), so the extract
   * pass repartitions by byte budget, not row count; decode is per-row
@@ -58,6 +60,33 @@ object MediaPipeline {
     }
     (width, height, frames)
   }
+
+  /** Header decode with the REAL codec first: image payloads that
+    * `javax.imageio` can read (PNG/BMP/JPEG — in every JDK, no new
+    * dependency) report their true dimensions via [[ImageCodec.decode]];
+    * anything unreadable (including this sandbox's synthesized text-byte
+    * payloads) falls back to [[decodeStub]], preserving the
+    * oracle-checked stub behavior. Real corpora with real image bytes
+    * hit the real path.
+    */
+  def decodeMeta(mediaType: String, content: Array[Byte]): (Int, Int, Int) =
+    if (mediaType == "image" && looksLikeImage(content))
+      ImageCodec.decode(content)
+        .map(d => (d.width, d.height, 1))
+        .getOrElse(decodeStub(mediaType, content))
+    else decodeStub(mediaType, content)
+
+  /** Magic-byte sniff (PNG/JPEG/BMP/GIF) so the batch iterator never
+    * pays an ImageIO reader probe on payloads that obviously aren't
+    * images — at 100 TB the non-image rows are the common case in a
+    * mixed corpus and the probe is per-row overhead.
+    */
+  def looksLikeImage(c: Array[Byte]): Boolean =
+    c.length >= 4 && (
+      (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
+      (c(0) == 0xff.toByte && c(1) == 0xd8.toByte) || // JPEG SOI
+      (c(0) == 'B' && c(1) == 'M') ||
+      (c(0) == 'G' && c(1) == 'I' && c(2) == 'F'))
 
   /** Fake "resize": 2x2-pooling stand-in keeping every `factor`-th byte
     * (dims halve, payload drops `factor`x). STUB — a real codec resamples
@@ -94,7 +123,7 @@ object MediaPipeline {
     import spark.implicits._
     media.as[MediaSample].mapPartitions { it =>
       it.map { s =>
-        val (w, h, f) = decodeStub(s.media_type, s.content)
+        val (w, h, f) = decodeMeta(s.media_type, s.content)
         val hist = new Array[Long](16)
         var i = 0
         while (i < s.content.length) {

@@ -213,6 +213,48 @@ object DedupOps {
       threshold)
   }
 
+  /** Paragraph-granularity MinHash+LSH near-dups — the standard second
+    * dedup pass every LLM corpus runs after document level (C4/Gopher
+    * dedup at line/paragraph granularity): boilerplate repeated across
+    * otherwise-distinct documents is invisible to whole-document
+    * MinHash. Documents are split into deterministic `paraWords`-word
+    * blocks ([[PrepOps.chunkDocuments]] with stride == window, so blocks
+    * tile each document exactly), each block keyed
+    * `pid = id * maxParas + idx`, and [[minhashNearDups]] runs unchanged
+    * at paragraph granularity. Returns (doc_a, para_a, doc_b, para_b,
+    * jaccard) with (doc_a, para_a) < (doc_b, para_b) in pid order —
+    * same-document pairs included (repeated boilerplate inside one
+    * document is a real finding). A document with >= maxParas paragraphs
+    * fails loudly at execution (raise maxParas) instead of aliasing two
+    * paragraphs onto one pid. Semantics pinned by the oracle-checked d08
+    * query.
+    */
+  def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
+      paraWords: Int = 25, maxParas: Long = 1L << 20, shingleK: Int = 5,
+      bands: Int = 2, rows: Int = 8, threshold: Double = 0.8,
+      partitions: Int = 32): DataFrame = {
+    require(paraWords >= 1, s"paraWords must be >= 1, got $paraWords")
+    require(maxParas >= 2, s"maxParas must be >= 2, got $maxParas")
+    val paras = PrepOps.chunkDocuments(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text")),
+        "doc_id", "text", paraWords, paraWords)
+      .select(
+        (col("id") * maxParas +
+          when(col("chunk_idx") < maxParas, col("chunk_idx"))
+            .otherwise(raise_error(lit(
+              s"paragraph index overflow (>= $maxParas); raise maxParas"))
+              .cast("long"))).as("pid"),
+        col("chunk_text").as("text"))
+    minhashNearDups(paras, "pid", "text", shingleK, bands, rows,
+        threshold, partitions)
+      .select(expr(s"a div ${maxParas}L").as("doc_a"),
+        (col("a") % maxParas).as("para_a"),
+        expr(s"b div ${maxParas}L").as("doc_b"),
+        (col("b") % maxParas).as("para_b"),
+        col("jaccard"))
+  }
+
   /** Inverted-index n-gram Jaccard near-dups: candidates share >= 1
     * common RARE word k-gram (use LONG shingles, k ~ 7, so posting lists
     * stay near-unique), then exact-Jaccard verify. Returns (a, b,
@@ -520,19 +562,27 @@ object AnnOps {
       k: Int, partitions: Int = 32): DataFrame =
     knnBroadcastFromStaged(scaled(df, idCol, vecCol, partitions), k)
 
-  /** [[knnGraphBroadcast]] / [[knnGraph]] with an automatic size gate:
+  /** [[knnGraphBroadcast]] below a size gate, [[knnGraphLsh]] above it:
     * the corpus footprint is measured (count x dim over the staged,
-    * pinned table — cheap) and the broadcast kernel is used only when it
-    * fits under `maxBroadcastBytes`; above the gate the grid join runs
-    * instead. The two spellings are bit-identical (see PipelineOpsSpec),
-    * so the gate changes the PLAN, never the result. This mirrors the
-    * contract of Spark's own BroadcastExchangeExec — driver-side
-    * materialization is legal only under a hard size cap — but degrades
-    * to the distributed spelling instead of failing.
+    * pinned table — cheap) and the EXACT broadcast kernel is used only
+    * when it fits under `maxBroadcastBytes`; above the gate the
+    * sign-LSH candidate graph runs instead — a bucketed equi-join +
+    * O(candidates) verify, never a full-corpus pair join (the old
+    * above-gate fallback was the blocked exact grid: correct but
+    * O(N^2) dots however you block it, which no gate can save at
+    * 100 TB). The gate therefore changes RESULTS, not just the plan:
+    * below it the graph is exact; above it recall is partial and
+    * documented on [[knnGraphLsh]] (tune rowsPerBand/bands there and
+    * call it directly to control the trade). Callers needing the exact
+    * graph beyond broadcast scale spell it explicitly via [[knnGraph]]
+    * and pay the quadratic cost knowingly. This mirrors the contract of
+    * Spark's own BroadcastExchangeExec — driver-side materialization is
+    * legal only under a hard size cap — but degrades to the scalable
+    * spelling instead of failing.
     */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxBroadcastBytes: Long = 512L << 20, blocks: Int = 16,
-      partitions: Int = 32): DataFrame = {
+      maxBroadcastBytes: Long = 512L << 20, rowsPerBand: Int = 4,
+      bands: Int = 16, partitions: Int = 32): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val (n, dim) = {
       val r = v.agg(count(lit(1)), max(size(col("c")))).head
@@ -541,7 +591,7 @@ object AnnOps {
     // array header + 8B/component + row object overhead, per vector
     val estBytes = n * (dim.toLong * 8 + 64)
     if (estBytes <= maxBroadcastBytes) knnBroadcastFromStaged(v, k)
-    else knnFromStaged(v, k, blocks)
+    else knnLshFromStaged(v, k, rowsPerBand, bands)
   }
 
   private def knnBroadcastFromStaged(v: DataFrame, k: Int): DataFrame = {
@@ -586,43 +636,25 @@ object AnnOps {
     }.toDF("src", "neighbor_id", "cosine", "rank")
   }
 
-  /** [[cosineNearDups]] with sign-LSH candidate generation instead of the
-    * all-pairs grid: a deterministic `bands x rowsPerBand`-bit hyperplane
-    * signature (md5-derived integer plane components — exact integer
-    * arithmetic, so the signature is reproducible in any engine), a
-    * band-bucket equi-join for candidates, and exact [[dot_i64]] cosine
-    * verification of the candidates only. This is the 100 TB spelling:
-    * candidate generation is a bucketed shuffle, verification is
-    * O(candidates), nothing touches all pairs.
-    *
-    * RECALL IS DELIBERATELY PARTIAL and must be reported, not assumed:
-    * output is the subset of true >= threshold pairs whose signatures
-    * collide on >= 1 band. P(catch) = 1-(1-(1-theta/pi)^rows)^bands per
-    * pair. On an isotropic corpus with a LOW threshold (0.45 => 63deg,
-    * per-bit agreement 0.64 vs 0.50 background) no LSH parameterization
-    * reaches full recall with real pruning — measured on the test
-    * corpora at defaults: 13.5% of pairs as candidates (7.4x pruning),
-    * recall 4/7 (sf0.001), 11/14 (sf0.01), 92/144 (sf0.1). High-threshold
-    * near-dup (>= 0.9, the production dedup case) is where banding gets
-    * recall ~1 with steep pruning. Ground truth for recall measurement is
-    * [[cosineNearDups]]; DedupOpsSpec asserts the subset property.
+  /** (id, band, code) sign-LSH band signatures of a staged corpus —
+    * the shared candidate-generation primitive of [[cosineNearDupsLsh]]
+    * and [[knnGraphLsh]]. Hyperplane component hp_{k,i}: md5-derived
+    * integer in [-2^31, 2^31) — the same construction s03 proved
+    * bit-identical across engines. Signatures are computed in a
+    * compiled per-partition kernel: the declarative spelling
+    * (posexplode x broadcast-join x two hash aggs) materializes
+    * |corpus| x 64 x np intermediate rows — 327M rows at sf0.1 — whose
+    * allocation pressure dominated the whole bench JVM. The kernel is
+    * the identical integer arithmetic (plane dot as i64 sum, sign bit
+    * per plane, rowsPerBand bits per band code), one pass, zero
+    * shuffle, ~np*64 multiplies per vector. Result is pinned
+    * (localCheckpoint): every caller self-joins it.
     */
-  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
-      partitions: Int = 32): DataFrame = {
-    val s = df.sparkSession
+  private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
+      bands: Int): DataFrame = {
+    val s = v.sparkSession
     import s.implicits._
     val np = rowsPerBand * bands
-    val v = scaled(df, idCol, vecCol, partitions)
-    // hyperplane component hp_{k,i}: md5-derived integer in [-2^31, 2^31)
-    // — the same construction s03 proved bit-identical across engines.
-    // Signatures are computed in a compiled per-partition kernel: the
-    // declarative spelling (posexplode x broadcast-join x two hash aggs)
-    // materializes |corpus| x 64 x np intermediate rows — 327M rows at
-    // sf0.1 — whose allocation pressure dominated the whole bench JVM.
-    // The kernel is the identical integer arithmetic (plane dot as i64
-    // sum, sign bit per plane, rowsPerBand bits per band code), one pass,
-    // zero shuffle, ~np*64 multiplies per vector.
     val planes: Array[Array[Long]] = Array.tabulate(np) { k =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(64) { i =>
@@ -633,7 +665,7 @@ object AnnOps {
     }
     val rpb = rowsPerBand
     val nb = bands
-    val sig = v.select(col("id"), col("c")).as[(Long, Seq[Long])]
+    v.select(col("id"), col("c")).as[(Long, Seq[Long])]
       .mapPartitions { it =>
         it.flatMap { case (id, cSeq) =>
           // Degenerate vectors (null / empty arrays) get NO signature —
@@ -660,9 +692,79 @@ object AnnOps {
           }
         }
       }.toDF("id", "band", "code")
-      // pin: sig self-joins below; without the pin both sides recompute
-      // the kernel pass
       .localCheckpoint()
+  }
+
+  /** [[knnGraph]] with sign-LSH candidate generation instead of the
+    * all-pairs grid — the true 100 TB kNN-graph spelling: candidates
+    * are the pairs whose [[signLshSignatures]] collide on >= 1 band
+    * (a bucketed equi-join), verification is one exact [[dot_i64]]
+    * cosine per candidate, and the per-source top-k window ranks only
+    * candidates. Nothing ever touches all pairs.
+    *
+    * RECALL IS PARTIAL like [[cosineNearDupsLsh]]: a true neighbor
+    * absent from every shared band is invisible, and a source whose
+    * signatures collide with fewer than k others returns fewer than k
+    * rows. Defaults favor recall (short 4-bit bands, so per-band
+    * collision is common) — on the isotropic test corpus at defaults
+    * this measures ~0.9+ top-k recall vs the exact graph with ~2-3x
+    * pair pruning; clustered real embeddings prune much harder
+    * (background pairs collide at (1/2)^rowsPerBand per band).
+    * PipelineOpsSpec measures recall and asserts the subset/ordering
+    * contract.
+    */
+  def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rowsPerBand: Int = 4, bands: Int = 16,
+      partitions: Int = 32): DataFrame =
+    knnLshFromStaged(scaled(df, idCol, vecCol, partitions), k,
+      rowsPerBand, bands)
+
+  private def knnLshFromStaged(v: DataFrame, k: Int, rowsPerBand: Int,
+      bands: Int): DataFrame = {
+    val sig = signLshSignatures(v, rowsPerBand, bands)
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.code") === col("y.code")
+          && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("neighbor_id"))
+      .distinct()
+    val xs = v.select(col("id").as("src"), col("c").as("xc"),
+      col("nrm").as("xnrm"))
+    val ys = v.select(col("id").as("neighbor_id"), col("c").as("yc"),
+      col("nrm").as("ynrm"))
+    val pairs = cand.join(xs, Seq("src")).join(ys, Seq("neighbor_id"))
+      .select(col("src"), col("neighbor_id"),
+        cosine(col("xc"), col("xnrm"), col("yc"), col("ynrm")).as("cosine"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[cosineNearDups]] with sign-LSH candidate generation instead of the
+    * all-pairs grid: a deterministic `bands x rowsPerBand`-bit hyperplane
+    * signature (md5-derived integer plane components — exact integer
+    * arithmetic, so the signature is reproducible in any engine), a
+    * band-bucket equi-join for candidates, and exact [[dot_i64]] cosine
+    * verification of the candidates only. This is the 100 TB spelling:
+    * candidate generation is a bucketed shuffle, verification is
+    * O(candidates), nothing touches all pairs.
+    *
+    * RECALL IS DELIBERATELY PARTIAL and must be reported, not assumed:
+    * output is the subset of true >= threshold pairs whose signatures
+    * collide on >= 1 band. P(catch) = 1-(1-(1-theta/pi)^rows)^bands per
+    * pair. On an isotropic corpus with a LOW threshold (0.45 => 63deg,
+    * per-bit agreement 0.64 vs 0.50 background) no LSH parameterization
+    * reaches full recall with real pruning — measured on the test
+    * corpora at defaults: 13.5% of pairs as candidates (7.4x pruning),
+    * recall 4/7 (sf0.001), 11/14 (sf0.01), 92/144 (sf0.1). High-threshold
+    * near-dup (>= 0.9, the production dedup case) is where banding gets
+    * recall ~1 with steep pruning. Ground truth for recall measurement is
+    * [[cosineNearDups]]; DedupOpsSpec asserts the subset property.
+    */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
+      partitions: Int = 32): DataFrame = {
+    val v = scaled(df, idCol, vecCol, partitions)
+    val sig = signLshSignatures(v, rowsPerBand, bands)
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.code") === col("y.code")
           && col("x.id") < col("y.id"))
@@ -830,16 +932,51 @@ object PrepOps {
   def domainMixture(df: DataFrame, domainCol: String, tokensCol: String,
       weights: Map[String, Long], budget: Long,
       defaultWeight: Long = 1L): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
     require(defaultWeight > 0 && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val weightExpr = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (d, v)) => when(col("domain") === d, lit(v)).otherwise(acc)
     }
-    val w = Window.partitionBy(lit(1))
-    df.groupBy(col(domainCol).as("domain"))
+    waterfill(df.groupBy(col(domainCol).as("domain"))
       .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
-      .withColumn("weight", weightExpr)
+      .withColumn("weight", weightExpr), budget)
+  }
+
+  /** [[domainMixture]] with weights from a real (domain, weight) TABLE —
+    * the production shape, where mixture weights live in a config table
+    * rather than code. Domains absent from `weights` get
+    * `defaultWeight`; non-positive weights fail at execution. The
+    * weights table is |domains|-sized and broadcast.
+    */
+  def domainMixture(df: DataFrame, domainCol: String, tokensCol: String,
+      weights: DataFrame, weightDomainCol: String, weightCol: String,
+      budget: Long, defaultWeight: Long): DataFrame = {
+    require(defaultWeight > 0, "defaultWeight must be positive")
+    val w = weights.select(col(weightDomainCol).cast("string").as("domain"),
+      col(weightCol).cast("long").as("__w"))
+    waterfill(df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+      .join(broadcast(w), Seq("domain"), "left")
+      .withColumn("weight",
+        when(coalesce(col("__w"), lit(defaultWeight)) > 0,
+          coalesce(col("__w"), lit(defaultWeight)))
+          .otherwise(raise_error(concat(
+            lit("mixture weight must be positive for domain "),
+            col("domain"))).cast("long")))
+      .drop("__w"), budget)
+  }
+
+  /** Two-round exact-long waterfill over a (domain, avail_tokens,
+    * weight) aggregate — the shared core of both [[domainMixture]]
+    * overloads. The unpartitioned windows see |domains| rows, never
+    * data rows. `fill_ratio` is null when a domain's target rounds to
+    * zero tokens (budget*weight div total floors to 0 under many
+    * domains / skewed weights): 0/0 is undefined, not NaN.
+    */
+  private def waterfill(agg: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(lit(1))
+    agg
       .withColumn("total_w", sum(col("weight")).over(w))
       .withColumn("target_tokens",
         expr(s"(${budget}L * weight) div total_w"))
@@ -854,8 +991,10 @@ object PrepOps {
       .select(col("domain"), col("weight"), col("avail_tokens"),
         col("target_tokens"),
         (col("r1_alloc") + col("r2_alloc")).as("alloc_tokens"),
-        ((col("r1_alloc") + col("r2_alloc")).cast("double") /
-          col("target_tokens")).as("fill_ratio"))
+        when(col("target_tokens") > 0,
+          (col("r1_alloc") + col("r2_alloc")).cast("double") /
+            col("target_tokens"))
+          .otherwise(lit(null).cast("double")).as("fill_ratio"))
   }
 
   /** Materialize a [[domainMixture]] plan: sample each domain at rate
@@ -869,11 +1008,25 @@ object PrepOps {
     */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
       tokensCol: String, weights: Map[String, Long], budget: Long,
-      defaultWeight: Long = 1L): DataFrame = {
+      defaultWeight: Long = 1L): DataFrame =
+    mixtureSampleFrom(df, idCol, domainCol,
+      domainMixture(df, domainCol, tokensCol, weights, budget,
+        defaultWeight))
+
+  /** [[mixtureSample]] with weights from a real (domain, weight) TABLE
+    * (see the [[domainMixture]] DataFrame overload). */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, budget: Long, defaultWeight: Long): DataFrame =
+    mixtureSampleFrom(df, idCol, domainCol,
+      domainMixture(df, domainCol, tokensCol, weights, weightDomainCol,
+        weightCol, budget, defaultWeight))
+
+  private def mixtureSampleFrom(df: DataFrame, idCol: String,
+      domainCol: String, mixturePlan: DataFrame): DataFrame = {
     // reserved internal names so the join/drop can never collide with
     // caller columns (e.g. a domain column literally named "domain")
-    val alloc = domainMixture(df, domainCol, tokensCol, weights, budget,
-        defaultWeight)
+    val alloc = mixturePlan
       .select(col("domain").as("__mix_dom"),
         col("avail_tokens").as("__mix_avail"),
         col("alloc_tokens").as("__mix_alloc"))
@@ -934,15 +1087,85 @@ object PrepOps {
         .otherwise("test"))
   }
 
+  /** Exact linearly-interpolated quantile boundaries of a numeric
+    * column, as a ONE-ROW DataFrame (`bs: array<double>`, one entry per
+    * prob in order). Same values as Spark's exact `percentile` (h =
+    * p*(n-1), v_lo + frac*(v_hi - v_lo)) but computed by distributed
+    * selection instead of one exact-percentile aggregation buffer that
+    * materializes every value on a single executor:
+    *
+    *  1. range-partition the values (`repartitionByRange` samples split
+    *     points; correctness never depends on where they land);
+    *  2. per-partition counts -> driver (|partitions| rows, the same
+    *     tiny-metadata class as the broadcast gate) -> cumulative
+    *     offsets per partition;
+    *  3. partition-parallel `row_number` + offset = exact global rank;
+    *     the <= 2*|probs| bracketing ranks are filtered out and
+    *     interpolated.
+    *
+    * Every pass is partition-parallel and the driver only ever sees
+    * per-partition counts, so this is the 100 TB spelling of an exact
+    * quantile.
+    */
+  def exactQuantileBounds(df: DataFrame, scoreCol: String,
+      probs: Seq[Double], partitions: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0, 1], got $probs")
+    val s = df.sparkSession
+    val scores = df.select(col(scoreCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(partitions, col("v"))
+      .select(col("v"), spark_partition_id().as("pid"))
+      .localCheckpoint() // two passes below (counts, then rank lookup)
+    val counts = scores.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, "exactQuantileBounds: no non-null values")
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toMap
+    }
+    // 1-based bracketing ranks + interpolation weights per prob —
+    // structurally Spark's exact-percentile formula
+    // ((higher - pos) * lowerValue + (pos - lower) * higherValue, with
+    // the frac-0 case returning lowerValue exactly), so the boundaries
+    // are bit-identical to the `percentile` spelling they replace
+    val targets = probs.zipWithIndex.map { case (p, qi) =>
+      val h = p * (n - 1)
+      val lower = math.floor(h)
+      val lo = lower.toLong + 1
+      val (wlo, whi) =
+        if (h == lower) (1.0, 0.0) else (math.ceil(h) - h, h - lower)
+      (qi, lo, math.min(lo + 1, n), wlo, whi)
+    }
+    val needed = targets.flatMap(t => Seq(t._2, t._3)).distinct
+    val ranked = scores
+      .withColumn("r", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("v")))
+        + coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      .filter(col("r").isin(needed: _*))
+      .localCheckpoint() // <= 2*|probs| rows; joined twice below
+    val tdf = s.createDataFrame(targets).toDF("qi", "lo", "hi", "wlo", "whi")
+    tdf
+      .join(broadcast(ranked.select(col("r").as("lo"), col("v").as("vlo"))),
+        Seq("lo"))
+      .join(broadcast(ranked.select(col("r").as("hi"), col("v").as("vhi"))),
+        Seq("hi"))
+      .select(col("qi"),
+        (col("wlo") * col("vlo") + col("whi") * col("vhi")).as("b"))
+      .agg(expr("transform(array_sort(collect_list(struct(qi, b))), x -> x.b)")
+        .as("bs"))
+  }
+
   /** Curriculum bucket (0..3) per row by exact quartiles of `scoreCol`.
-    * The boundary row (three doubles from one exact-percentile
-    * aggregate) broadcasts back on a literal key — a broadcast hash
+    * The boundary row (three doubles from [[exactQuantileBounds]]'
+    * distributed selection — never a single-buffer whole-corpus exact
+    * percentile) broadcasts back on a literal key — a broadcast hash
     * join, never a global single-partition window — so the assignment
     * scales as a map-side pass at any corpus size.
     */
   def curriculumBuckets(df: DataFrame, scoreCol: String): DataFrame = {
-    val bounds = df
-      .agg(expr(s"percentile($scoreCol, array(0.25, 0.5, 0.75))").as("bs"))
+    val bounds = exactQuantileBounds(df, scoreCol, Seq(0.25, 0.5, 0.75))
       .withColumn("k", lit(1))
     df.withColumn("k", lit(1))
       .join(broadcast(bounds), Seq("k"))

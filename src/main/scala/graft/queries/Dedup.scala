@@ -170,8 +170,10 @@ object Dedup {
   }
 
   /** Oracle CTE chain ending in `pairs`(a, b) — the SQL analog of
-    * [[minhashPairs]], shared prefix of the d02 and d06 oracles. */
-  private def sqlMinhashCtes: String = {
+    * [[minhashPairs]], shared prefix of the d02/d06/d07 oracles (over
+    * `documents`) and the d08 oracle (over its paragraph CTE: any `src`
+    * with (doc_id, text) works). */
+  private def sqlMinhashCtes(src: String = "documents"): String = {
     val hs = (0 until BANDS * ROWS)
       .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n            ")
     val bandRows = (0 until BANDS).map(b =>
@@ -180,7 +182,7 @@ object Dedup {
         " AS bkey FROM sig").mkString("\n          UNION ALL ")
     s"""sh AS (
           SELECT doc_id, unnest(${sqlShingles(5)}) AS sh
-          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM $src)
         ),
         sig AS (
           SELECT doc_id,
@@ -197,7 +199,7 @@ object Dedup {
         ),
         sharr AS (
           SELECT doc_id, ${sqlShingles(5)} AS shs
-          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM $src)
         ),
         verified AS (
           SELECT c.a, c.b,
@@ -239,7 +241,7 @@ object Dedup {
       "d02_dedup_minhash_lsh",
       (s, dir) => minhashPairs(s, dir),
       Some(s"""
-        WITH $sqlMinhashCtes
+        WITH ${sqlMinhashCtes()}
         SELECT a, b, jaccard FROM pairs""")),
 
     // -------------------------- near-dup cluster resolution (survivors)
@@ -256,7 +258,7 @@ object Dedup {
           when($"id" === $"comp", 1).otherwise(0).as("is_survivor"))
       },
       Some(s"""
-        WITH RECURSIVE $sqlMinhashCtes,
+        WITH RECURSIVE ${sqlMinhashCtes()},
         edges AS (
           SELECT a AS src, b AS dst FROM pairs
           UNION SELECT b, a FROM pairs
@@ -299,7 +301,7 @@ object Dedup {
             when($"doc_id" === $"canonical_id", 1).otherwise(0).as("keep"))
       },
       Some(s"""
-        WITH RECURSIVE $sqlMinhashCtes,
+        WITH RECURSIVE ${sqlMinhashCtes()},
         edges AS (
           SELECT a AS src, b AS dst FROM pairs
           UNION SELECT b, a FROM pairs
@@ -327,6 +329,47 @@ object Dedup {
           CASE WHEN j.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
         FROM j JOIN canon c
           ON j.cluster_id = c.cluster_id AND c.rn = 1""")),
+
+    // --------------------------------------- paragraph-granularity dedup
+    GraftQuery(
+      "d08_dedup_paragraph",
+      (s, dir) => {
+        import s.implicits._
+        // Paragraph-level near-dup — the standard SECOND dedup pass every
+        // LLM corpus runs after document-level (C4/Gopher dedup at line /
+        // paragraph granularity): boilerplate repeated across otherwise
+        // distinct documents is invisible to whole-document MinHash.
+        // Paragraphs are deterministic 25-word blocks (the p09 chunking
+        // contract with stride == window, so blocks tile the document
+        // exactly) keyed pid = doc_id * 100 + idx, and the d02 machinery
+        // (5-gram shingles -> 16 minhashes -> band buckets -> exact
+        // Jaccard verify) runs unchanged at paragraph granularity through
+        // the DedupOps facade. Same scale story as d02: the corpus-sized
+        // work is one compiled signature pass, candidates come from a
+        // bucketed equi-join, verification is O(candidates).
+        graft.operators.DedupOps.paragraphNearDups(
+          docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+          paraWords = 25, maxParas = 100,
+          shingleK = 5, bands = BANDS, rows = ROWS, threshold = JACCARD_T)
+      },
+      Some(s"""
+        WITH ws0 AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ws,
+            unnest(range(CAST((len(ws) + 24) // 25 AS INT))) AS i
+          FROM ws0
+        ),
+        para AS (
+          SELECT doc_id * 100 + i AS doc_id,
+            array_to_string(ws[i*25+1 : i*25+25], ' ') AS text
+          FROM idx
+        ),
+        ${sqlMinhashCtes("para")}
+        SELECT a // 100 AS doc_a, a % 100 AS para_a,
+          b // 100 AS doc_b, b % 100 AS para_b, jaccard
+        FROM pairs""")),
 
     // ------------------------------------------------------------ SimHash
     GraftQuery(

@@ -153,6 +153,51 @@ object Multimodal {
           md5(array_to_string(
             [substr(text, i+1, 1) for i in range(0, len(text), 4)], ''))
             AS resized_md5
+        FROM documents""")),
+
+    GraftQuery(
+      "m06_image_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // REAL image codec end-to-end (javax.imageio — in the JDK, no new
+        // dependency): each document's utf8 bytes become a 16-wide
+        // grayscale image (zero-padded to fill the last row), PNG-encode
+        // via ImageCodec, then DECODE the png back and report stats of
+        // the DECODED pixels. PNG grayscale is lossless, so the oracle
+        // reproduces width/height/pixel-sum from the text alone and
+        // roundtrip_exact must be true for every row — if the codec path
+        // (raster handling, color model, sample layout) were wrong in
+        // any way, the decoded stats would diverge and the hash gate
+        // would catch it. Pure map-side batch iteration, no shuffle.
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val w = 16
+              val h = (bytes.length + w - 1) / w
+              val px = java.util.Arrays.copyOf(bytes, w * h)
+              val png = graft.multimodal.ImageCodec.encodePng(w, h, px)
+              val dec = graft.multimodal.ImageCodec.decode(png)
+                .getOrElse(sys.error(s"m06: png decode failed for doc $id"))
+              var sum = 0L
+              dec.pixels.foreach(b => sum += (b & 0xff))
+              (id, dec.width, dec.height, dec.pixels.length.toLong, sum,
+                dec.width == w && dec.height == h &&
+                  java.util.Arrays.equals(dec.pixels, px))
+            }
+          }
+          .toDF("doc_id", "width", "height", "n_px", "sum_gray",
+            "roundtrip_exact")
+      },
+      Some("""
+        SELECT doc_id, 16 AS width,
+          CAST((octet_length(encode(text)) + 15) // 16 AS INT) AS height,
+          CAST(16 * ((octet_length(encode(text)) + 15) // 16) AS BIGINT)
+            AS n_px,
+          CAST(list_sum([ascii(substr(text, CAST(i+1 AS INT), 1))
+                         for i in range(len(text))]) AS BIGINT) AS sum_gray,
+          true AS roundtrip_exact
         FROM documents"""))
   )
 }

@@ -71,7 +71,7 @@ object PipelineExtra {
           FROM tok
         )
         SELECT source,
-          (cum - toks) // $PackBudget AS pack_id,
+          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
           COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
         FROM cum
         GROUP BY 1, 2""")),
@@ -231,21 +231,25 @@ object PipelineExtra {
         // Curriculum binning: documents bucketed by exact quartiles of a
         // quality score (type-token ratio) — the easy->hard phase
         // assignment a curriculum loader consumes. The quartile
-        // boundaries are an exact percentile aggregated to ONE row and
-        // broadcast back on a literal key (a broadcast hash join; never
-        // a global single-partition window) — at 100 TB the boundary row
-        // is still three doubles. Only bucket STATS are emitted: raw
-        // interpolated boundaries are interpolation-formula-sensitive in
-        // the last ulp across engines, but the ASSIGNMENT is not (an
-        // interpolated boundary either equals a repeated data value in
-        // both engines, or falls strictly between two data values in
-        // both — either way every document lands in the same bucket).
+        // boundaries come from PrepOps.exactQuantileBounds' DISTRIBUTED
+        // two-pass selection (range-partition -> per-partition counts ->
+        // partition-parallel rank lookup of the six bracketing order
+        // statistics) — never Spark's single-buffer exact `percentile`,
+        // which materializes the whole corpus's values in one
+        // aggregation buffer and OOMs at 100 TB. The one-row boundary
+        // result broadcasts back on a literal key. Only bucket STATS are
+        // emitted: raw interpolated boundaries are
+        // interpolation-formula-sensitive in the last ulp across
+        // engines, but the ASSIGNMENT is not (an interpolated boundary
+        // either equals a repeated data value in both engines, or falls
+        // strictly between two data values in both — either way every
+        // document lands in the same bucket).
         val ws = split($"text", " ")
         val sc = Tables.load(s, dir, "documents")
           .select($"doc_id", $"n_chars",
             (size(array_distinct(ws)).cast("double") / size(ws)).as("score"))
-        val bounds = sc
-          .agg(expr("percentile(score, array(0.25, 0.5, 0.75))").as("bs"))
+        val bounds = graft.operators.PrepOps
+          .exactQuantileBounds(sc, "score", Seq(0.25, 0.5, 0.75))
           .withColumn("k", lit(1))
         sc.withColumn("k", lit(1))
           .join(broadcast(bounds), Seq("k"))

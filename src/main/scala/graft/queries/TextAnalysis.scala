@@ -228,12 +228,12 @@ object TextAnalysis {
         // shuffle carries only distinct (bigram, doc) pairs. The final
         // top-k is a bounded TakeOrdered (no full sort), ties broken
         // bigram-ascending so the cutoff is deterministic.
-        docs(s, dir)
-          .filter(size(split($"text", " ")) >= 2)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2), " +
-              "i -> concat(element_at(split(text, ' '), i + 1), ' ', " +
-              "element_at(split(text, ' '), i + 2)))")).as("bigram"))
+        // Bigram extraction runs in the compiled TextKernels pass: the
+        // declarative transform/sequence spelling is an interpreted HOF
+        // that re-evaluates split(text) per element — it was this
+        // query's entire cost at sf0.1.
+        graft.functions.TextKernels
+          .bigramPairs(s, docs(s, dir).select($"doc_id", $"text"))
           .groupBy($"bigram", $"doc_id")
           .agg(count(lit(1)).as("c"))
           .groupBy($"bigram")

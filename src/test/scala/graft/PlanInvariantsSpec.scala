@@ -149,6 +149,20 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "p10 shuffles the corpus against the tiny alloc table")
   }
 
+  test("p06's quartile boundaries avoid the single-buffer exact percentile") {
+    // the boundary row must come from the distributed two-pass selection
+    // (PrepOps.exactQuantileBounds), never Spark's exact `percentile`,
+    // whose single aggregation buffer materializes every corpus value
+    val df = SparkEntry.queries("p06_curriculum_buckets")(spark, sfDir)
+    df.count()
+    val s = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString()
+    assert(!s.toLowerCase.contains("percentile"),
+      "p06 regressed to a whole-corpus exact percentile aggregate")
+  }
+
   test("t10/p09 are pure map-side: no shuffle anywhere in the plan") {
     Seq("t10_pii_redact", "p09_chunk_windows").foreach { name =>
       val shuffles = plans(name).collect { case e: ShuffleExchangeLike => e }

@@ -26,6 +26,16 @@ class RiverSchemaSpec extends AnyFunSuite {
       """{"field_definitions":[{"name":"col1","size":8,"type":"DOUBLE"}]}""")
   }
 
+  test("parse decodes JSON short escapes in field names") {
+    // the reference serializes schemas with a standard JSON library that
+    // emits \n \t \b \f \r (and possibly \/) for control characters in
+    // names — they must decode to the characters, not backslash+letter
+    val j = """{"field_definitions":[""" +
+      """{"name":"a\nb\tc\bd\fe\rf\/g\"h\\i","size":8,"type":"INT64"}]}"""
+    assert(RiverSchema.fromJson(j) == RiverSchema(Seq(
+      RiverField("a\nb\tc\bd\fe\rf/g\"h\\i", RiverType.Int64))))
+  }
+
   test("parse tolerates size as string (reference schema.cpp:57-61)") {
     val j = """{"field_definitions":[{"name":"x","size":"8","type":"INT64"}]}"""
     assert(RiverSchema.fromJson(j) ==

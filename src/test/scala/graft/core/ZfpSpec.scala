@@ -265,6 +265,35 @@ class ZfpSpec extends AnyFunSuite {
     assert(Zfp.minexpForTolerance(1.0) == 0)
     assert(Zfp.minexpForTolerance(0.25) == -2)
     assert(Zfp.minexpForTolerance(0.0) == Zfp.ZfpMinExp)
+    // subnormal tolerances: getExponent alone pins at -1023; the frexp
+    // rescale must recover the true exponent down to ZFP_MIN_EXP
+    assert(Zfp.minexpForTolerance(java.lang.Double.MIN_NORMAL) == -1022)
+    assert(Zfp.minexpForTolerance(java.lang.Double.MIN_NORMAL / 2) == -1023)
+    assert(Zfp.minexpForTolerance(math.pow(2, -1030)) == -1030)
+    assert(Zfp.minexpForTolerance(java.lang.Double.MIN_VALUE) == -1074)
+  }
+
+  test("foreign (unmarked) accuracy streams are rejected, never misdecoded") {
+    // graft lossy payloads deviate from libzfp's accuracy encoding, so a
+    // genuine libzfp accuracy blob — same 12-bit mode field, but version
+    // byte without the graft marker — must fail loudly
+    val data = Array.tabulate(64)(i => (math.sin(i / 3.0) * 100).toFloat)
+    val blob = Zfp.compressFloatLossy(data, 8, 8, 0.5)
+    assert((blob(3) & 0x80) != 0, "graft lossy streams carry the marker")
+    // our own marked stream round-trips
+    val Zfp.DecodedFloat(_, _, back) = Zfp.decompress(blob): @unchecked
+    assert(data.indices.forall(i => math.abs(back(i) - data(i)) <= 2.0))
+    // strip the marker: the same bytes now claim to be libzfp-written
+    val foreign = blob.clone()
+    foreign(3) = (foreign(3) & 0x7f).toByte
+    val e = intercept[IllegalArgumentException](Zfp.decompress(foreign))
+    assert(e.getMessage.contains("lossy marker"))
+    // a marked stream claiming a non-accuracy mode is inconsistent too
+    val lossless = Zfp.compressInt16(sines(), nCh, nSamp)
+    assert((lossless(3) & 0x80) == 0, "reversible streams stay unmarked")
+    val marked = lossless.clone()
+    marked(3) = (marked(3) | 0x80).toByte
+    intercept[IllegalArgumentException](Zfp.decompress(marked))
   }
 
   test("trailing junk bytes after the payload are ignored") {

@@ -162,6 +162,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incr.keySet.exists { case (a, b) => b == 20L || a == 20L })
   }
 
+  test("paragraphNearDups: repeated paragraph found across and within docs") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ") // 6-word block
+    val uniqA = (1 to 6).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 6).map(i => s"c$i").mkString(" ")
+    val uniqD = (1 to 6).map(i => s"d$i").mkString(" ")
+    // doc 1: boiler + unique; doc 2: unique + boiler (cross-doc repeat at
+    // different positions); doc 3: boiler twice (within-doc repeat);
+    // doc 4: all unique
+    val df = Seq(
+      (1L, s"$boiler $uniqA"),
+      (2L, s"$uniqB $boiler"),
+      (3L, s"$boiler $boiler"),
+      (4L, s"$uniqD ${(1 to 6).map(i => s"e$i").mkString(" ")}"))
+      .toDF("doc", "body")
+    val got = DedupOps.paragraphNearDups(df, "doc", "body",
+        paraWords = 6, maxParas = 100, shingleK = 3, bands = 2, rows = 2,
+        threshold = 0.9, partitions = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toSet
+    // the three boiler copies: (1,0), (2,1), (3,0), (3,1) -> all pid-
+    // ordered pairs among them
+    val copies = Seq((1L, 0L), (2L, 1L), (3L, 0L), (3L, 1L))
+    val expected = (for {
+      i <- copies.indices; j <- copies.indices
+      if copies(i)._1 * 100 + copies(i)._2 < copies(j)._1 * 100 + copies(j)._2
+    } yield (copies(i), copies(j))).toSet
+    assert(got == expected, s"got $got")
+    // no paragraph of doc 4 anywhere
+    assert(!got.exists(p => p._1._1 == 4L || p._2._1 == 4L))
+  }
+
   test("canonicalSelection: trusted source wins, min-id tiebreak") {
     val s = spark
     import s.implicits._
@@ -261,26 +295,45 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaKernel == viaJoin) // bit-identical cosines, same ordering
   }
 
-  test("knnGraphAuto falls back to the grid join above the size gate") {
-    // gate = 0 bytes: nothing fits, so the plan must be the distributed
-    // grid-join spelling (window rank over the pair join), never the
-    // broadcast kernel (MapPartitions over a driver-built array)
+  test("knnGraphAuto: above the gate, LSH candidates — no all-pairs join") {
+    // gate = 0 bytes: nothing fits, so the plan must be the sign-LSH
+    // candidate spelling — bucketed signature equi-join + window re-rank
+    // over candidates only; never the broadcast kernel, never any
+    // full-corpus pair join
     val gated = AnnOps.knnGraphAuto(vectors(), "vid", "emb", k = 2,
-      maxBroadcastBytes = 0L, blocks = 2, partitions = 2)
+      maxBroadcastBytes = 0L, partitions = 2)
     val gatedPlan = gated.queryExecution.executedPlan.toString()
     assert(gatedPlan.contains("Window"))
-    assert(!gatedPlan.contains("MapPartitions"))
-    // generous gate: kernel path (MapPartitions, no Window)
+    assert(!gatedPlan.contains("CartesianProduct") &&
+      !gatedPlan.contains("BroadcastNestedLoopJoin"))
+    // the grid spelling joined a blocks x blocks grid with NO equi-key on
+    // the signature; the LSH spelling's only joins are equi-joins
+    // (SortMerge/BroadcastHash) — so a nested-loop-free plan plus the
+    // candidate distinct is the structural fingerprint
+    // generous gate: exact kernel path (MapPartitions, no Window)
     val kernel = AnnOps.knnGraphAuto(vectors(), "vid", "emb", k = 2,
-      maxBroadcastBytes = 1L << 30, blocks = 2, partitions = 2)
+      maxBroadcastBytes = 1L << 30, partitions = 2)
     val kernelPlan = kernel.queryExecution.executedPlan.toString()
     assert(kernelPlan.contains("MapPartitions"))
     assert(!kernelPlan.contains("Window"))
-    // and the gate changes the plan, never the rows
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getInt(3))).toSet
-    assert(rows(gated) == rows(kernel))
+    // above the gate the graph is ANN: on any pair BOTH spellings emit,
+    // the cosine is the identical exact scaled-long value; recall of the
+    // planted near pairs (cos ~0.98+, band collision ~certain) is 1
+    val exact = AnnOps.knnGraph(vectors(), "vid", "emb", k = 2,
+      blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val got = gated.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    got.foreach { case (pair, c, _) =>
+      exact.get(pair).foreach(e => assert(c == e,
+        s"cosine mismatch on $pair")) }
+    val rank1 = got.filter(_._3 == 1).map(t => t._1._1 -> t._1._2).toMap
+    assert(rank1(0L) == 1L && rank1(1L) == 0L, "planted pair 0-1 missed")
+    assert(rank1(2L) == 3L && rank1(3L) == 2L, "planted pair 2-3 missed")
+    // measured top-k recall vs the exact graph, documented on knnGraphLsh
+    val recall = got.count(t => exact.contains(t._1)).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH kNN recall $recall collapsed")
   }
 
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {

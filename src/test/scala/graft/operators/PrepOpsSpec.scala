@@ -94,6 +94,74 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._4).sum <= 60L)
   }
 
+  test("domainMixture: weights from a table match the Map spelling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 40L), ("a", 60L), ("b", 5L), ("c", 20L))
+      .toDF("dom", "toks")
+    val viaMap = PrepOps.domainMixture(df, "dom", "toks",
+        Map("a" -> 3L, "b" -> 1L), budget = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // weight table covers a and b; c (absent) gets defaultWeight = 1
+    val wtab = Seq(("a", 3L), ("b", 1L)).toDF("d", "w")
+    val viaTable = PrepOps.domainMixture(df, "dom", "toks",
+        wtab, "d", "w", budget = 60L, defaultWeight = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaTable == viaMap)
+    // and the sample materialization agrees across the two spellings
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("id", "dom", "toks")
+    val m = PrepOps.mixtureSample(rows, "id", "dom", "toks",
+      Map("a" -> 3L), budget = 300L).collect().map(_.getLong(0)).toSet
+    val t = PrepOps.mixtureSample(rows, "id", "dom", "toks",
+      Seq(("a", 3L)).toDF("d", "w"), "d", "w", budget = 300L,
+      defaultWeight = 1L).collect().map(_.getLong(0)).toSet
+    assert(t == m)
+  }
+
+  test("domainMixture: zero-target domains get null fill_ratio, not NaN") {
+    val s = spark
+    import s.implicits._
+    // 5 domains, budget 3: every target floors to 0 except none — each
+    // target = 3*1 div 5 = 0 -> fill_ratio must be null (0/0), never NaN
+    val df = (0 until 5).map(i => (s"d$i", 10L)).toDF("dom", "toks")
+    val out = PrepOps.domainMixture(df, "dom", "toks", Map.empty,
+      budget = 3L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (r.getLong(3) == 0L) assert(r.isNullAt(5),
+        s"fill_ratio for zero-target ${r.getString(0)} should be null")
+      else assert(!r.getDouble(5).isNaN)
+    }
+  }
+
+  test("exactQuantileBounds matches Spark's exact percentile") {
+    val s = spark
+    import s.implicits._
+    // seeded values WITH duplicates and an uneven distribution
+    var x = 12345
+    val vals = Array.fill(501) {
+      x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+      ((x & 0xff) / 16).toDouble / 3.0
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "score")
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = PrepOps.exactQuantileBounds(df, "score", probs, partitions = 4)
+      .collect().head.getSeq[Double](0)
+    val exp = df.selectExpr(
+        s"percentile(score, array(${probs.mkString(",")})) bs")
+      .collect().head.getSeq[Double](0)
+    assert(got == exp, s"got $got, percentile says $exp")
+    // single-value edge: every prob returns that value
+    val one = PrepOps.exactQuantileBounds(
+      Seq((1L, 42.5)).toDF("id", "score"), "score", Seq(0.25, 0.75))
+      .collect().head.getSeq[Double](0)
+    assert(one == Seq(42.5, 42.5))
+  }
+
   test("chunkDocuments: overlap, tail coverage, short docs") {
     val s = spark
     import s.implicits._

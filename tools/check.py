@@ -51,6 +51,16 @@ for name in sorted(oracle):
     bad = []
     for c in exp.columns:
         e, a = exp[c], act[c]
+        # Driver-strict dtype gate: the driver hashes values as rendered
+        # by their dtype, so an int64 Spark column vs a float64 (e.g.
+        # HUGEINT-widened) oracle column hash-mismatches even when every
+        # value is numerically identical. Fail on kind mismatch here so
+        # local green implies driver green.
+        ek, ak = e.dtype.kind, a.dtype.kind
+        if ek != ak and {ek, ak} & {"f", "i", "u"} and not (
+                {ek, ak} <= {"i", "u"}):
+            bad.append(f"{c}: dtype mismatch oracle={e.dtype} spark={a.dtype}")
+            continue
         if e.dtype.kind == "f" or a.dtype.kind == "f":
             ef = pd.to_numeric(e, errors="coerce").astype(float)
             af = pd.to_numeric(a, errors="coerce").astype(float)
