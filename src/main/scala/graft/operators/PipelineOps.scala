@@ -823,6 +823,96 @@ object AnnOps {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** (id, cell) deterministic k-means assignment over an embedding
+    * column: seeds are the `k` smallest ids' vectors, centroid =
+    * per-cell component SUM (cosine routing is scale-invariant, so sum
+    * == mean and nothing divides), assignment = argmax exact-integer
+    * dot over raw norms with ties broken cell-ascending. Every Lloyd
+    * step is one broadcast of k centroid arrays + a map-side argmax +
+    * a partial-aggregated component sum — the canonical distributed
+    * k-means; no step touches pairs. Semantics pinned by the
+    * oracle-checked s02/s07 queries.
+    */
+  def kmeansCells(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, partitions: Int = 32): DataFrame =
+    kmeansFromStaged(withRawNorm(scaled(df, idCol, vecCol, partitions)),
+      k, iters)
+
+  private def withRawNorm(v: DataFrame): DataFrame =
+    v.select(col("id"), col("c"), col("nrm"),
+        sqrt(dot_i64(col("c"), col("c")).cast("double")).as("nrmr"))
+      .localCheckpoint()
+
+  private def kmeansFromStaged(v: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
+    def centFrom(members: DataFrame): DataFrame =
+      v.join(members, Seq("id"))
+        .select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("s"))
+        .groupBy(col("cell")).agg(
+          transform(array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e.getField("s")).as("cc"),
+          sqrt(sum(col("s").cast(DecimalType(19, 0)) *
+            col("s").cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
+    def assign(cent: DataFrame): DataFrame = {
+      val scored = v
+        .select(col("id"), col("c"), col("nrmr"),
+          explode(sequence(lit(0L), lit((k - 1).toLong))).as("cell"))
+        .join(broadcast(cent), Seq("cell"))
+        .select(col("id"), col("cell"),
+          (dot_i64(col("c"), col("cc")).cast("double") /
+            (col("nrmr") * col("cnrmr"))).as("score"))
+      val wv = Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cell").asc)
+      scored.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("id"), col("cell"))
+    }
+    // seeds: the k smallest ids, cell = rank. The orderBy is bounded by
+    // limit (TakeOrdered, never a full sort); the rank window sees k rows.
+    val seeds = v.select(col("id")).orderBy(col("id")).limit(k)
+      .select(col("id"),
+        (row_number().over(Window.orderBy(col("id"))) - 1)
+          .cast("long").as("cell"))
+    var cent = centFrom(seeds)
+    var members: DataFrame = null
+    for (it <- 1 to iters) {
+      // pin each round: members feeds the next update and the caller
+      members = assign(cent).localCheckpoint()
+      if (it < iters) cent = centFrom(members)
+    }
+    members
+  }
+
+  /** Semantic dedup, SemDeDup-style (cluster-then-dedup): partition the
+    * embedding space with [[kmeansCells]], then report near-duplicate
+    * pairs only WITHIN each cell — near-dups co-cluster, and the
+    * cross-cell pair space (the vast majority of all pairs) is never
+    * touched. Cost is sum(|cell|^2): scale `cells` with the corpus so
+    * cell sizes stay bounded. Verification is the exact scaled-long
+    * cosine. Returns (cell, a, b, cosine), a < b, cosine >= threshold.
+    * RECALL CAVEAT: a true near-pair split across a cell boundary is
+    * invisible — the documented SemDeDup trade. Semantics pinned by the
+    * oracle-checked s07 query.
+    */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cells: Int, iters: Int = 2,
+      partitions: Int = 32): DataFrame = {
+    val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
+    val members = kmeansFromStaged(v, cells, iters)
+    val xa = members.join(v, Seq("id"))
+      .select(col("cell"), col("id").as("a"), col("c").as("ac"),
+        col("nrm").as("anrm"))
+    val xb = members.join(v, Seq("id"))
+      .select(col("cell"), col("id").as("b"), col("c").as("bc"),
+        col("nrm").as("bnrm"))
+    xa.join(xb, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+          (col("anrm") * col("bnrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-space health audit: per-dimension mean, variance, and
     * near-zero count (|x| < zeroEps) — the collapse/anisotropy check
     * run before trusting cosine retrieval. Components are exact scaled

@@ -126,7 +126,13 @@ object Similarity {
     * the decimal re-spelling; mean-rescaling each round lifts that
     * entirely at 100 TB.
     */
-  private def ivfDf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared deterministic k-means core: (v, members) where v = staged
+    * scaled-long vectors with both norms and members = (vec_id, cell)
+    * after KMEANS_ITERS Lloyd steps. Used by s02 (IVF probe), s05
+    * (recall ground-truthing) and s07 (semantic dedup within cells).
+    */
+  private def kmeansMembers(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.graftnative.functions.dot_i64
     val v = Tables.load(s, dir, "embeddings")
@@ -181,6 +187,13 @@ object Similarity {
       members = assign(cent).localCheckpoint()
       if (it < KMEANS_ITERS) cent = centFrom(members)
     }
+    (v, members)
+  }
+
+  private def ivfDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftnative.functions.dot_i64
+    val (v, members) = kmeansMembers(s, dir)
 
     // exact search within the query's own cell
     val qcell = members.filter($"vec_id" < NQUERIES)
@@ -200,9 +213,10 @@ object Similarity {
       .filter($"rank" <= lit(5))
   }
 
-  /** Oracle SQL of [[ivfDf]] — the two Lloyd steps unrolled as CTEs. */
-  private val sqlIvf = s"""
-        WITH comp AS (
+  /** Oracle CTE chain for the deterministic k-means — the two Lloyd
+    * steps unrolled, ending in `assign2`(vec_id, cell). Shared prefix of
+    * the s02 and s07 oracles (SQL analog of [[kmeansMembers]]). */
+  private val sqlKmeansCtes = s"""comp AS (
           SELECT vec_id,
             unnest(range(len(embedding))) i,
             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
@@ -265,7 +279,11 @@ object Similarity {
               JOIN nrm n ON n.vec_id = s.vec_id
               JOIN cnrm1 c1 ON c1.cell = s.cell) t
           WHERE rn = 1
-        ),
+        )"""
+
+  /** Oracle SQL of [[ivfDf]]. */
+  private val sqlIvf = s"""
+        WITH $sqlKmeansCtes,
         q AS (
           SELECT vec_id qid, cell FROM assign2 WHERE vec_id < $NQUERIES
         ),
@@ -577,6 +595,61 @@ object Similarity {
             (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
             / 1000000000000.0 AS variance,
           n_near_zero
-        FROM a"""))
+        FROM a""")),
+
+    // ------------------------------------- semantic dedup (SemDeDup)
+    GraftQuery(
+      "s07_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        // SemDeDup (cluster-then-dedup): partition the embedding space
+        // with the s02 deterministic k-means, then search for
+        // near-duplicate pairs only WITHIN each cell — the published
+        // recipe for semantic dedup at corpus scale, because near-dups
+        // land in the same cell and the cross-cell pair space (the vast
+        // majority of all pairs) is never touched. Cost is
+        // sum(|cell|^2); at 100 TB the cell COUNT scales with the
+        // corpus so cell sizes stay bounded (K here is 3 for the
+        // oracle-checked fixture). Verification arithmetic is the d05
+        // exact scaled-long cosine; the 0.45 threshold sits in the same
+        // documented ulp gap (min true match 0.4516, max non-match
+        // 0.4494), so the >= comparison is engine-stable.
+        val (v, members) = kmeansMembers(s, dir)
+        val xa = members.join(v, Seq("vec_id"))
+          .select($"cell", $"vec_id".as("a"), $"c".as("ac"),
+            $"nrm".as("anrm"))
+        val xb = members.join(v, Seq("vec_id"))
+          .select($"cell", $"vec_id".as("b"), $"c".as("bc"),
+            $"nrm".as("bnrm"))
+        xa.join(xb, Seq("cell"))
+          .filter($"a" < $"b")
+          .select($"cell", $"a", $"b",
+            ((dot_i64($"ac", $"bc").cast("double") / lit(1.0e12)) /
+              ($"anrm" * $"bnrm")).as("cosine"))
+          .filter($"cosine" >= 0.45)
+      },
+      Some(s"""
+        WITH $sqlKmeansCtes,
+        cellpairs AS (
+          SELECT x.cell, x.vec_id a, y.vec_id b
+          FROM assign2 x JOIN assign2 y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ),
+        dotp AS (
+          SELECT p.cell, p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
+          FROM cellpairs p
+            JOIN comp ca ON ca.vec_id = p.a
+            JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+          GROUP BY 1, 2, 3
+        )
+        SELECT d.cell, d.a, d.b,
+          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+            AS cosine
+        FROM dotp d
+          JOIN nrm na ON na.vec_id = d.a
+          JOIN nrm nb ON nb.vec_id = d.b
+        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+          >= 0.45"""))
   )
 }

@@ -403,6 +403,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semanticNearDups: within-cell pairs only, exact cosines") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters far apart, seeds (smallest ids 0, 1) one per
+    // cluster, plus a lone off-axis vector
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),  // near 0
+      (3L, Array(0.01f, 0.999f, 0.0f)),  // near 1
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vid", "emb")
+    val got = AnnOps.semanticNearDups(df, "vid", "emb",
+        threshold = 0.95, cells = 2, partitions = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // the two planted pairs co-cluster with their seed; nothing else
+    // clears the threshold
+    assert(got.keySet == Set((0L, 2L), (1L, 3L)), s"got ${got.keySet}")
+    // verification arithmetic matches the exact all-pairs spelling
+    val exact = AnnOps.cosineNearDups(df, "vid", "emb", threshold = 0.95,
+        blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case (p, c) => assert(exact(p) == c) }
+    // cells are a partition of the ids
+    val cells = AnnOps.kmeansCells(df, "vid", "emb", k = 2, partitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(cells(0L) == cells(2L) && cells(1L) == cells(3L))
+    assert(cells(0L) != cells(1L))
+  }
+
   test("bruteTopK: broadcast queries, corpus never shuffles") {
     val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
         id => id < 1L, k = 2, partitions = 2)
