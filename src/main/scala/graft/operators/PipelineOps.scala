@@ -374,6 +374,34 @@ object TextOps {
         .cast("long").as("re_tokens"),
       floor(length(col(textCol)) / 4).cast("long").as("est_llm_tokens"))
 
+  /** CCNet-style unigram-LM perplexity filter: score each row by its
+    * average negative log-likelihood under a unigram LM trained on the
+    * corpus itself (p(w) = count(w)/total), keep the low-perplexity
+    * head (`avg_nll <= cutoff`). Per-word NLLs are quantized to
+    * DECIMAL(12,6) once per vocab entry and summed exactly, so scores
+    * are reproducible across engines and partitionings. The LM is a
+    * map-side-combinable word-count aggregate (|vocab| rows, broadcast
+    * back); scoring is one broadcast join + one per-id aggregate.
+    * Semantics pinned by the oracle-checked t11 query. Returns
+    * (id, n_words, avg_nll, keep).
+    */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      cutoff: Double = 3.402): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
+      .select(col("w"),
+        (-log(col("c").cast("double") / col("t")))
+          .cast(DecimalType(12, 6)).as("nll"))
+    words.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nll")).as("s"))
+      .select(col("id"), col("n_words"),
+        (col("s").cast("double") / col("n_words")).as("avg_nll"),
+        ((col("s").cast("double") / col("n_words")) <= cutoff).as("keep"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (map-side partial agg
     * + TakeOrdered; never a full sort). Returns (w, cnt). */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
@@ -1250,9 +1278,11 @@ object PrepOps {
   /** Curriculum bucket (0..3) per row by exact quartiles of `scoreCol`.
     * The boundary row (three doubles from [[exactQuantileBounds]]'
     * distributed selection — never a single-buffer whole-corpus exact
-    * percentile) broadcasts back on a literal key — a broadcast hash
-    * join, never a global single-partition window — so the assignment
-    * scales as a map-side pass at any corpus size.
+    * percentile) broadcasts back on a literal key — a one-row broadcast
+    * join (planned as a nested loop of exactly one broadcast row, which
+    * is map-side and scale-invariant), never a global single-partition
+    * window — so the assignment scales as a map-side pass at any corpus
+    * size.
     */
   def curriculumBuckets(df: DataFrame, scoreCol: String): DataFrame = {
     val bounds = exactQuantileBounds(df, scoreCol, Seq(0.25, 0.5, 0.75))

@@ -237,7 +237,12 @@ object PipelineExtra {
         // statistics) — never Spark's single-buffer exact `percentile`,
         // which materializes the whole corpus's values in one
         // aggregation buffer and OOMs at 100 TB. The one-row boundary
-        // result broadcasts back on a literal key. Only bucket STATS are
+        // result broadcasts back on a literal key (Catalyst folds the
+        // constant-key equality and plans a broadcast nested-loop of
+        // exactly ONE broadcast row — each corpus row tests one row,
+        // map-side, no shuffle, scale-invariant; the generic BNLJ hazard
+        // is two DATA-sized sides, which this can never be). Only bucket
+        // STATS are
         // emitted: raw interpolated boundaries are
         // interpolation-formula-sensitive in the last ulp across
         // engines, but the ASSIGNMENT is not (an interpolated boundary

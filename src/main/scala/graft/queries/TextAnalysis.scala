@@ -439,6 +439,63 @@ object TextAnalysis {
             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
             AS n_ips,
           md5(redacted) AS redacted_md5
-        FROM red"""))
+        FROM red""")),
+
+    // -------------------------------------- unigram-LM perplexity filter
+    GraftQuery(
+      "t11_perplexity_filter",
+      (s, dir) => {
+        import s.implicits._
+        // CCNet-style LM quality filter: score each document by its
+        // average negative log-likelihood under a unigram LM trained on
+        // the corpus itself, keep the low-perplexity head. Cross-engine
+        // determinism: p(w) = c/T is an identical double in both
+        // engines; each word's -ln(p) is quantized to DECIMAL(12,6)
+        // ONCE per VOCAB ENTRY (so a last-ulp ln() difference would
+        // have to land exactly on a half-microunit boundary of one of
+        // |vocab| values to matter), per-doc sums are exact decimal
+        // arithmetic, and the final avg is one identical double
+        // division. Scale: the LM is the word-count table — map-side
+        // combinable aggregate, |vocab| rows, broadcast back; scoring
+        // is one broadcast join + one per-doc aggregate. The NLL table
+        // stays broadcastable to ~1e8-word vocabs; beyond that the join
+        // runs as a shuffle on the uniform word key.
+        val words = docs(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+        val vocab = words.groupBy($"w").agg(count(lit(1)).as("c"))
+          .withColumn("t", sum($"c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select($"w",
+            (-log($"c".cast("double") / $"t"))
+              .cast(org.apache.spark.sql.types.DecimalType(12, 6))
+              .as("nll"))
+        words.join(broadcast(vocab), Seq("w"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"), sum($"nll").as("s"))
+          .select($"doc_id", $"n_words",
+            ($"s".cast("double") / $"n_words").as("avg_nll"),
+            when(($"s".cast("double") / $"n_words") <= 3.402, 1)
+              .otherwise(0).as("keep"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents
+        ),
+        v AS (SELECT w, COUNT(*) c FROM w GROUP BY 1),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM v),
+        nll AS (
+          SELECT w, CAST(-ln(CAST(c AS DOUBLE) / (SELECT t FROM t))
+            AS DECIMAL(12,6)) nll
+          FROM v
+        ),
+        d AS (
+          SELECT doc_id, COUNT(*) n_words, SUM(nll) s
+          FROM w JOIN nll USING (w) GROUP BY 1
+        )
+        SELECT doc_id, n_words,
+          CAST(s AS DOUBLE) / n_words AS avg_nll,
+          CASE WHEN CAST(s AS DOUBLE) / n_words <= 3.402
+            THEN 1 ELSE 0 END AS keep
+        FROM d"""))
   )
 }

@@ -38,7 +38,9 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d05_dedup_embedding_cosine", "d06_dedup_clusters",
     "t08_dup_ngram_ratio", "p07_decontam", "s02_knn_ivf",
     "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows",
-    "p10_mixture_sample", "d07_canonical_selection")
+    "p10_mixture_sample", "d07_canonical_selection",
+    "d08_dedup_paragraph", "s07_semantic_dedup", "t07_bigram_stats",
+    "m06_image_roundtrip")
 
   override def beforeAll(): Unit = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

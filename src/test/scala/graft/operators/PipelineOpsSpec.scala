@@ -263,6 +263,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(by(10L)._2 != by(13L)._2)
   }
 
+  test("perplexityScore: common-word docs keep, rare-word docs drop") {
+    val s = spark
+    import s.implicits._
+    // "the" dominates the corpus (low NLL); xq/zv/qj are singletons
+    // (high NLL). With cutoff between the two scores only the common
+    // doc survives.
+    val df = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "xq zv qj")).toDF("id", "body")
+    val out = TextOps.perplexityScore(df, "id", "body", cutoff = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // p(the) = 8/11 -> nll ~0.318; p(rare) = 1/11 -> nll ~2.398
+    assert(out(1L)._1 == 8L && out(2L)._1 == 3L)
+    assert(out(1L)._2 < 0.4 && out(2L)._2 > 2.0)
+    assert(out(1L)._3 && !out(2L)._3)
+    // deterministic across re-runs (decimal-quantized NLL table)
+    val again = TextOps.perplexityScore(df, "id", "body", cutoff = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again(1L) == out(1L)._2 && again(2L) == out(2L)._2)
+  }
+
   private def vectors() = {
     val s = spark
     import s.implicits._
