@@ -371,6 +371,77 @@ object Dedup {
           b // 100 AS doc_b, b % 100 AS para_b, jaccard
         FROM pairs""")),
 
+    // ------------------------------- streaming incremental dedup (st10)
+    GraftQuery(
+      "st10_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // The daily-increment pattern END-TO-END through the streaming
+        // engine: 80% of the corpus (p05's md5 bucket) is the existing
+        // indexed collection — its MinHash signature index is built ONCE
+        // and its text never read again; the remaining 20% arrives as a
+        // STREAM (file source, 3 real microbatches via
+        // maxFilesPerTrigger) and each microbatch is deduped against the
+        // accumulated index via foreachBatch +
+        // DedupOps.minhashNearDupsAgainstIndex, then its signatures are
+        // appended to the index. The union of per-batch outputs is
+        // exactly the d02 pair set restricted to pairs touching >= 1 new
+        // doc, INDEPENDENT of how the stream was batched (new-new pairs
+        // across batches surface when the later doc arrives) — which is
+        // what the batch-SQL oracle checks. Scale: per batch the work is
+        // signature gen O(batch) + a band-bucket probe of the index +
+        // O(candidates) verification; the old corpus text is never read.
+        val docsAll = Tables.load(s, dir, "documents")
+        val bucket = conv(
+          substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldDocs = docsAll.filter(bucket < 80).select($"doc_id", $"text")
+        var idx = graft.operators.DedupOps
+          .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
+          .localCheckpoint()
+        val newDocs = docsAll.filter(bucket >= 80)
+          .select($"doc_id", $"text")
+        val newDir = java.nio.file.Files
+          .createTempDirectory("graft-st10-").toString
+        newDocs.repartition(3).write.mode("overwrite").parquet(newDir)
+        val stream = s.readStream.schema(newDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(newDir)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
+          "st10") { (batch, _) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint()
+            acc += graft.operators.DedupOps.minhashNearDupsAgainstIndex(
+              b, "doc_id", "text", idx, 5, BANDS, ROWS, JACCARD_T)
+              .localCheckpoint()
+            idx = idx.unionByName(graft.operators.DedupOps
+              .minhashIndex(b, "doc_id", "text", 5, BANDS, ROWS))
+              .localCheckpoint()
+          }
+        }
+        acc.reduceOption(_ unionByName _).getOrElse(
+          s.createDataFrame(s.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("a",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("b",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("jaccard",
+                org.apache.spark.sql.types.DoubleType)))))
+      },
+      Some(s"""
+        WITH ${sqlMinhashCtes()},
+        nb AS (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+            % 100 >= 80
+        )
+        SELECT a, b, jaccard FROM pairs
+        WHERE a IN (SELECT doc_id FROM nb)
+           OR b IN (SELECT doc_id FROM nb)""")),
+
     // ------------------------------------------------------------ SimHash
     GraftQuery(
       "d03_dedup_simhash",
