@@ -1001,6 +1001,64 @@ object Relational {
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                              WHERE o_orderpriority = '1-URGENT')
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_nationkey = 0)"""))
+                                WHERE s_nationkey = 0)""")),
+
+    // -------------------------------------------- binned interval join
+    GraftQuery(
+      "q41_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        // Interval (range) join, spelled scale-first: for each 'error'
+        // event, aggregate ALL events in the hour before it (the "what
+        // led up to this" attribution join). Spark has no native
+        // range-join optimization — the naive spelling is a cartesian
+        // with a post-filter — so the engine spelling BINS time at the
+        // window width and equi-joins each interval against its own and
+        // the previous bin (any [t-w, t) interval is covered by exactly
+        // those two bins), then applies the exact range predicate. The
+        // shuffle is on the uniform time-bin key, candidates are
+        // bounded by event-rate x 2 windows at any corpus size, and an
+        // event burst (hot bin) is exactly the skew AQE's skew-join
+        // handles. DuckDB verifies with its native IEJoin range join —
+        // same rows, different machinery.
+        val binUs = 3600000000L // 1 h in micros
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", expr("ts div 1000").as("us"),
+            $"event_type", $"value")
+          .localCheckpoint() // two subtrees below
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id", $"us".as("eus"))
+        val probes = errors.select($"event_id", $"eus",
+          explode(array(expr(s"eus div $binUs") - 1,
+            expr(s"eus div $binUs"))).as("bin"))
+        val x = ev.select($"us".as("xus"), dec($"value").as("xval"))
+          .withColumn("bin", expr(s"xus div $binUs"))
+        val agg = probes.join(x, Seq("bin"))
+          .filter($"xus" >= $"eus" - binUs && $"xus" < $"eus")
+          .groupBy($"event_id")
+          .agg(count(lit(1)).as("n"), sum($"xval").as("sv"))
+        errors.select($"event_id")
+          .join(agg, Seq("event_id"), "left")
+          .select($"event_id",
+            coalesce($"n", lit(0L)).as("n_prior_1h"),
+            coalesce($"sv".cast("double"), lit(0.0)).as("sum_value_1h"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS eus
+          FROM events WHERE event_type = 'error'
+        ),
+        x AS (SELECT epoch_ns(ts) // 1000 AS xus, value FROM events),
+        j AS (
+          SELECT e.event_id, COUNT(*) n,
+            SUM(CAST(x.value AS DECIMAL(18,6))) sv
+          FROM e JOIN x
+            ON x.xus >= e.eus - 3600000000 AND x.xus < e.eus
+          GROUP BY 1
+        )
+        SELECT e.event_id,
+          COALESCE(j.n, 0) AS n_prior_1h,
+          COALESCE(CAST(j.sv AS DOUBLE), 0.0) AS sum_value_1h
+        FROM e LEFT JOIN j USING (event_id)"""))
   )
 }
