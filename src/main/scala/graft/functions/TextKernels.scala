@@ -177,6 +177,33 @@ object TextKernels {
       .toDF("doc_id", "bigram")
   }
 
+  /** (doc_id, pos, g) — one row per word POSITION's k-gram,
+    * non-distinct, 0-based positions; documents with fewer than k words
+    * emit nothing. The positional sibling of [[shingleArrays]] (which
+    * dedups) — span-level dedup needs every occurrence with its
+    * location. Compiled for the same reason as [[bigramPairs]].
+    */
+  def positionalGrams(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < k) Iterator.empty
+        else Iterator.tabulate(ws.length - k + 1) { i =>
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j))
+            j += 1
+          }
+          (id, i, sb.toString)
+        }
+      })
+      .toDF("doc_id", "pos", "g")
+  }
+
   /** 32-bit SimHash of one document: each token votes +/-1 per bit from
     * the first 8 md5 nibbles (bit b lives at nibble b/4, position b%4),
     * matching the SQL oracle expression in queries.Dedup d03 exactly.

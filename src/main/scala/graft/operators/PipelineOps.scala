@@ -440,6 +440,54 @@ object TextOps {
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
   }
 
+  /** Span-level exact-substring dedup (the ExactSubstr idea at fixed
+    * gram length): every word position whose k-gram occurs >= minCount
+    * times anywhere in the corpus marks its [pos, pos+k) span
+    * duplicated; overlapping spans merge (gaps-and-islands) and each
+    * row reports merged-span count, covered words, and coverage ratio
+    * — the per-document removal plan of a substring-dedup pass.
+    * Positional grams come from the compiled kernel; the join back is
+    * position-table-sized (a gram's frequency never multiplies rows);
+    * islands window per doc. Rows with no duplicated grams report
+    * (0, 0, 0.0). Semantics pinned by the oracle-checked d09 query.
+    * Returns (id, n_words, n_dup_spans, dup_words, dup_ratio).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minCount: Int = 2, partitions: Int = 32): DataFrame = {
+    require(k >= 1 && minCount >= 2, s"duplicateSpans: k=$k minCount=$minCount")
+    val docs = DedupOps.staged(df, idCol, textCol, partitions)
+    val base = docs.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val grams = TextKernels.positionalGrams(df.sparkSession, docs, k)
+      .localCheckpoint()
+    val dupg = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("g"))
+    val dup = grams.join(dupg, Seq("g"))
+      .select(col("doc_id").as("id"), col("pos").cast("long").as("pos"),
+        (col("pos") + k).cast("long").as("e"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val perDoc = dup
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wRun))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e0") - col("s0")).as("dup_words"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (coalesce(col("dup_words"), lit(0L)).cast("double") /
+          col("n_words")).as("dup_ratio"))
+  }
+
   /** Intra-document repetition (the Gopher boilerplate/spam filter):
     * top word-k-gram share and duplicate-word ratio per document, with
     * a keep flag under the supplied maxima. Documents shorter than k

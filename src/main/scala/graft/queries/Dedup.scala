@@ -371,6 +371,109 @@ object Dedup {
           b // 100 AS doc_b, b % 100 AS para_b, jaccard
         FROM pairs""")),
 
+    // ------------------------------ duplicate-substring spans (d09)
+    GraftQuery(
+      "d09_dup_spans",
+      (s, dir) => {
+        import s.implicits._
+        // Span-level exact-substring dedup (the ExactSubstr idea from
+        // published dedup work, at fixed gram length): every word
+        // position's 10-gram that occurs >= 2 times ANYWHERE in the
+        // corpus (other docs or elsewhere in the same doc) marks its
+        // [pos, pos+10) span as duplicated; overlapping spans merge
+        // (gaps-and-islands over positions) and each doc reports its
+        // merged-span count, covered word count, and coverage ratio —
+        // the per-doc removal plan a substring-dedup pass executes.
+        // Scale: positional grams come from one compiled kernel pass;
+        // the duplicated-gram cut is a map-side-combinable count on the
+        // uniform gram key; the join back is position-table-sized (a
+        // gram's df never multiplies rows — this is not a self-join);
+        // islands/windows partition by doc. Docs with no duplicated
+        // grams still emit (0, 0, 0.0) via the left join.
+        val k = 10
+        val base = docs(s, dir)
+          .select($"doc_id", size(split($"text", " ")).cast("long")
+            .as("n_words"))
+        val grams = graft.functions.TextKernels
+          .positionalGrams(s, docs(s, dir), k)
+          .localCheckpoint() // feeds both the df count and the join back
+        val dupg = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).select($"g")
+        val dup = grams.join(dupg, Seq("g"))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            ($"pos" + k).cast("long").as("e"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Long.MinValue, -1)
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Long.MinValue, 0)
+        val spans = dup
+          .withColumn("pmax", max($"e").over(wPrev))
+          .withColumn("ni",
+            when($"pmax".isNull || $"pos" > $"pmax", 1L).otherwise(0L))
+          .withColumn("isl", sum($"ni").over(wRun))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"pos").as("s0"), max($"e").as("e0"))
+        val perDoc = spans.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum($"e0" - $"s0").as("dup_words"))
+        base.join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_words",
+            coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+            coalesce($"dup_words", lit(0L)).as("dup_words"),
+            (coalesce($"dup_words", lit(0L)).cast("double") / $"n_words")
+              .as("dup_ratio"))
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        gpos AS (
+          SELECT doc_id, pos, array_to_string(ws[pos+1 : pos+10], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 9)) AS pos
+                FROM ws WHERE len(ws) >= 10)
+        ),
+        dupg AS (
+          SELECT g FROM (SELECT g, COUNT(*) c FROM gpos GROUP BY g)
+          WHERE c >= 2
+        ),
+        dup AS (
+          SELECT doc_id, CAST(pos AS BIGINT) pos, CAST(pos + 10 AS BIGINT) e
+          FROM gpos JOIN dupg USING (g)
+        ),
+        isl AS (
+          SELECT doc_id, pos, e,
+            CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS ni
+          FROM dup
+        ),
+        isl2 AS (
+          SELECT doc_id, pos, e,
+            SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS isl
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, isl, MIN(pos) s0, MAX(e) e0
+          FROM isl2 GROUP BY 1, 2
+        ),
+        pd AS (
+          SELECT doc_id, COUNT(*) n_dup_spans,
+            CAST(SUM(e0 - s0) AS BIGINT) dup_words
+          FROM spans GROUP BY 1
+        )
+        SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+          COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+          COALESCE(pd.dup_words, 0) AS dup_words,
+          CAST(COALESCE(pd.dup_words, 0) AS DOUBLE) / len(w.ws)
+            AS dup_ratio
+        FROM ws w LEFT JOIN pd USING (doc_id)""")),
+
     // ------------------------------- streaming incremental dedup (st10)
     GraftQuery(
       "st10_incremental_dedup",

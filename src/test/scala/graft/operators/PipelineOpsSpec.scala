@@ -263,6 +263,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(by(10L)._2 != by(13L)._2)
   }
 
+  test("duplicateSpans: overlapping spans merge, clean docs report zero") {
+    val s = spark
+    import s.implicits._
+    // 12-word shared run "s1..s12" inside two docs: its three 10-gram
+    // starts (0,1,2 in doc terms) overlap into ONE merged span covering
+    // 12 words; doc 3 shares nothing
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run a1 a2 a3"),
+      (2L, s"b1 b2 $run"),
+      (3L, (1 to 15).map(i => s"c$i").mkString(" ")))
+      .toDF("doc", "body")
+    val out = TextOps.duplicateSpans(df, "doc", "body", k = 10,
+        partitions = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc 1: positions 0,1,2 duplicated -> one island [0, 12): 12 words
+    assert(out(1L) == ((15L, 1L, 12L, 12.0 / 15.0)))
+    // doc 2 (14 words): the run starts at word 2 -> island [2, 14)
+    assert(out(2L) == ((14L, 1L, 12L, 12.0 / 14.0)))
+    assert(out(3L) == ((15L, 0L, 0L, 0.0)))
+  }
+
   test("perplexityScore: common-word docs keep, rare-word docs drop") {
     val s = spark
     import s.implicits._
