@@ -235,12 +235,20 @@ object DedupOps {
       partitions: Int = 32): DataFrame = {
     require(paraWords >= 1, s"paraWords must be >= 1, got $paraWords")
     require(maxParas >= 2, s"maxParas must be >= 2, got $maxParas")
+    // pid = id * maxParas + idx must stay injective and decodable:
+    // reject ids outside [0, Long.MaxValue / maxParas) as loudly as an
+    // overflowing paragraph index — a silent multiply wrap would
+    // attribute pairs to the wrong (doc, para).
+    val maxId = Long.MaxValue / maxParas
     val paras = PrepOps.chunkDocuments(
         df.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).cast("string").as("text")),
         "doc_id", "text", paraWords, paraWords)
       .select(
-        (col("id") * maxParas +
+        (when(col("id") >= 0 && col("id") < maxId, col("id"))
+          .otherwise(raise_error(concat(lit(
+            s"doc id outside [0, $maxId) for maxParas=$maxParas: "),
+            col("id"))).cast("long")) * maxParas +
           when(col("chunk_idx") < maxParas, col("chunk_idx"))
             .otherwise(raise_error(lit(
               s"paragraph index overflow (>= $maxParas); raise maxParas"))
@@ -1118,8 +1126,21 @@ object PrepOps {
       weights: DataFrame, weightDomainCol: String, weightCol: String,
       budget: Long, defaultWeight: Long): DataFrame = {
     require(defaultWeight > 0, "defaultWeight must be positive")
-    val w = weights.select(col(weightDomainCol).cast("string").as("domain"),
-      col(weightCol).cast("long").as("__w"))
+    // Aggregate the weights table per domain so a duplicated config row
+    // can never fan the join out (double-counting total_w and emitting
+    // duplicate allocations silently); conflicting duplicates fail as
+    // loudly as non-positive weights do.
+    val w = weights
+      .select(col(weightDomainCol).cast("string").as("domain"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(col("domain"))
+      .agg(min(col("__w")).as("__wmin"), max(col("__w")).as("__wmax"))
+      .withColumn("__w",
+        when(col("__wmin") === col("__wmax"), col("__wmin"))
+          .otherwise(raise_error(concat(
+            lit("conflicting duplicate weight rows for domain "),
+            col("domain"))).cast("long")))
+      .select(col("domain"), col("__w"))
     waterfill(df.groupBy(col(domainCol).cast("string").as("domain"))
       .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
       .join(broadcast(w), Seq("domain"), "left")

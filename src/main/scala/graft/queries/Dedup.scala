@@ -390,40 +390,12 @@ object Dedup {
         // gram's df never multiplies rows — this is not a self-join);
         // islands/windows partition by doc. Docs with no duplicated
         // grams still emit (0, 0, 0.0) via the left join.
-        val k = 10
-        val base = docs(s, dir)
-          .select($"doc_id", size(split($"text", " ")).cast("long")
-            .as("n_words"))
-        val grams = graft.functions.TextKernels
-          .positionalGrams(s, docs(s, dir), k)
-          .localCheckpoint() // feeds both the df count and the join back
-        val dupg = grams.groupBy($"g").agg(count(lit(1)).as("c"))
-          .filter($"c" >= 2).select($"g")
-        val dup = grams.join(dupg, Seq("g"))
-          .select($"doc_id", $"pos".cast("long").as("pos"),
-            ($"pos" + k).cast("long").as("e"))
-        val wPrev = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-          .rowsBetween(Long.MinValue, -1)
-        val wRun = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-          .rowsBetween(Long.MinValue, 0)
-        val spans = dup
-          .withColumn("pmax", max($"e").over(wPrev))
-          .withColumn("ni",
-            when($"pmax".isNull || $"pos" > $"pmax", 1L).otherwise(0L))
-          .withColumn("isl", sum($"ni").over(wRun))
-          .groupBy($"doc_id", $"isl")
-          .agg(min($"pos").as("s0"), max($"e").as("e0"))
-        val perDoc = spans.groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_dup_spans"),
-            sum($"e0" - $"s0").as("dup_words"))
-        base.join(perDoc, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_words",
-            coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
-            coalesce($"dup_words", lit(0L)).as("dup_words"),
-            (coalesce($"dup_words", lit(0L)).cast("double") / $"n_words")
-              .as("dup_ratio"))
+        // The query IS the facade call, so the oracle genuinely pins
+        // TextOps.duplicateSpans (not a parallel spelling of it).
+        graft.operators.TextOps.duplicateSpans(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            k = 10)
+          .withColumnRenamed("id", "doc_id")
       },
       Some("""
         WITH ws AS (

@@ -169,13 +169,20 @@ object Multimodal {
         // (raster handling, color model, sample layout) were wrong in
         // any way, the decoded stats would diverge and the hash gate
         // would catch it. Pure map-side batch iteration, no shuffle.
+        // Null texts are dropped (the TextKernels null contract); an
+        // empty text still encodes as one zero row (height clamps to 1
+        // in BOTH engines). sum_gray is a sum of UTF-8 BYTES — the
+        // oracle's per-character ascii() spelling coincides because the
+        // corpus is pure ASCII (the same documented assumption as
+        // m01/m02's md5/byte oracles).
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
           .mapPartitions { it =>
             it.map { case (id, text) =>
               val bytes = text.getBytes("UTF-8")
               val w = 16
-              val h = (bytes.length + w - 1) / w
+              val h = math.max(1, (bytes.length + w - 1) / w)
               val px = java.util.Arrays.copyOf(bytes, w * h)
               val png = graft.multimodal.ImageCodec.encodePng(w, h, px)
               val dec = graft.multimodal.ImageCodec.decode(png)
@@ -192,12 +199,14 @@ object Multimodal {
       },
       Some("""
         SELECT doc_id, 16 AS width,
-          CAST((octet_length(encode(text)) + 15) // 16 AS INT) AS height,
-          CAST(16 * ((octet_length(encode(text)) + 15) // 16) AS BIGINT)
-            AS n_px,
-          CAST(list_sum([ascii(substr(text, CAST(i+1 AS INT), 1))
-                         for i in range(len(text))]) AS BIGINT) AS sum_gray,
+          CAST(GREATEST((octet_length(encode(text)) + 15) // 16, 1) AS INT)
+            AS height,
+          CAST(16 * GREATEST((octet_length(encode(text)) + 15) // 16, 1)
+            AS BIGINT) AS n_px,
+          CAST(COALESCE(list_sum([ascii(substr(text, CAST(i+1 AS INT), 1))
+                         for i in range(len(text))]), 0) AS BIGINT)
+            AS sum_gray,
           true AS roundtrip_exact
-        FROM documents"""))
+        FROM documents WHERE text IS NOT NULL"""))
   )
 }

@@ -128,8 +128,10 @@ object Similarity {
     */
   /** Shared deterministic k-means core: (v, members) where v = staged
     * scaled-long vectors with both norms and members = (vec_id, cell)
-    * after KMEANS_ITERS Lloyd steps. Used by s02 (IVF probe), s05
-    * (recall ground-truthing) and s07 (semantic dedup within cells).
+    * after KMEANS_ITERS Lloyd steps. Used by s02 (IVF probe) and s05
+    * (recall ground-truthing); s07 routes through the equivalent
+    * AnnOps.kmeansCells facade (same seeds and arithmetic — the oracle
+    * pins it there).
     */
   private def kmeansMembers(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
@@ -470,12 +472,15 @@ object Similarity {
         // top-3 in a tight primitive loop — no 4M-row pair
         // materialization, no shuffle, same exact scaled-long cosine as
         // Dedup d05 (bit-identical to the grid-join spelling, see
-        // AnnOps.knnGraph / PipelineOpsSpec). The auto variant measures
-        // the corpus first and only takes the broadcast-kernel path under
-        // a hard size gate; above it the grid join (or an ANN candidate
-        // pass, s02/s03) feeds the identical re-rank — so this query stays
-        // valid unchanged at any corpus size.
-        graft.operators.AnnOps.knnGraphAuto(
+        // AnnOps.knnGraph / PipelineOpsSpec). Spelled as the EXPLICIT
+        // broadcast kernel, not knnGraphAuto: this query's oracle is the
+        // exact all-pairs graph, and since round 5 the auto gate's
+        // above-broadcast path is knnGraphLsh (partial recall, measured
+        // in PipelineOpsSpec) — correct library default for 100 TB, but
+        // not what an exact oracle can check. The exact graph beyond
+        // broadcast scale is the explicit quadratic knnGraph; the scale
+        // path is knnGraphLsh.
+        graft.operators.AnnOps.knnGraphBroadcast(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 3)
       },
       Some("""
@@ -601,8 +606,6 @@ object Similarity {
     GraftQuery(
       "s07_semantic_dedup",
       (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.graftnative.functions.dot_i64
         // SemDeDup (cluster-then-dedup): partition the embedding space
         // with the s02 deterministic k-means, then search for
         // near-duplicate pairs only WITHIN each cell — the published
@@ -615,19 +618,14 @@ object Similarity {
         // exact scaled-long cosine; the 0.45 threshold sits in the same
         // documented ulp gap (min true match 0.4516, max non-match
         // 0.4494), so the >= comparison is engine-stable.
-        val (v, members) = kmeansMembers(s, dir)
-        val xa = members.join(v, Seq("vec_id"))
-          .select($"cell", $"vec_id".as("a"), $"c".as("ac"),
-            $"nrm".as("anrm"))
-        val xb = members.join(v, Seq("vec_id"))
-          .select($"cell", $"vec_id".as("b"), $"c".as("bc"),
-            $"nrm".as("bnrm"))
-        xa.join(xb, Seq("cell"))
-          .filter($"a" < $"b")
-          .select($"cell", $"a", $"b",
-            ((dot_i64($"ac", $"bc").cast("double") / lit(1.0e12)) /
-              ($"anrm" * $"bnrm")).as("cosine"))
-          .filter($"cosine" >= 0.45)
+        // The query IS the facade call, so the oracle genuinely pins
+        // AnnOps.semanticNearDups (its k-means seeds — the `cells`
+        // smallest ids — coincide with the s02 kmeansMembers seeds
+        // vec_id < K on this table, and every arithmetic expression is
+        // the same spelling).
+        graft.operators.AnnOps.semanticNearDups(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, cells = 3, iters = 2)
       },
       Some(s"""
         WITH $sqlKmeansCtes,

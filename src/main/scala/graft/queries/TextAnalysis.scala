@@ -460,22 +460,13 @@ object TextAnalysis {
         // is one broadcast join + one per-doc aggregate. The NLL table
         // stays broadcastable to ~1e8-word vocabs; beyond that the join
         // runs as a shuffle on the uniform word key.
-        val words = docs(s, dir)
-          .select($"doc_id", explode(split($"text", " ")).as("w"))
-        val vocab = words.groupBy($"w").agg(count(lit(1)).as("c"))
-          .withColumn("t", sum($"c").over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
-          .select($"w",
-            (-log($"c".cast("double") / $"t"))
-              .cast(org.apache.spark.sql.types.DecimalType(12, 6))
-              .as("nll"))
-        words.join(broadcast(vocab), Seq("w"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_words"), sum($"nll").as("s"))
-          .select($"doc_id", $"n_words",
-            ($"s".cast("double") / $"n_words").as("avg_nll"),
-            when(($"s".cast("double") / $"n_words") <= 3.402, 1)
-              .otherwise(0).as("keep"))
+        // The query IS the facade call, so the oracle genuinely pins
+        // TextOps.perplexityScore (not a parallel spelling of it).
+        graft.operators.TextOps.perplexityScore(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            cutoff = 3.402)
+          .select($"id".as("doc_id"), $"n_words", $"avg_nll",
+            when($"keep", 1).otherwise(0).as("keep"))
       },
       Some("""
         WITH w AS (
