@@ -1059,6 +1059,36 @@ object Relational {
         SELECT e.event_id,
           COALESCE(j.n, 0) AS n_prior_1h,
           COALESCE(CAST(j.sv AS DOUBLE), 0.0) AS sum_value_1h
-        FROM e LEFT JOIN j USING (event_id)"""))
+        FROM e LEFT JOIN j USING (event_id)""")),
+
+    // --------------------------------- typed UDAF: bounded top-k agg
+    GraftQuery(
+      "q42_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        // Per-group top-k via a typed Aggregator (UDAF) instead of a
+        // row_number window: the k-bounded buffer participates in
+        // PARTIAL aggregation, so map tasks reduce their rows locally
+        // and only |groups| x k-row buffers cross the shuffle — a
+        // window rank shuffles and sorts every row of every group. Top-3
+        // event ids per event_type by (value desc, event_id asc); the
+        // oracle is the window spelling, proving the two agree row for
+        // row.
+        val topk = udaf(new graft.functions.TopKByAggregator(3))
+        Tables.load(s, dir, "events")
+          .select($"event_type", $"value", $"event_id")
+          .groupBy($"event_type")
+          .agg(topk($"value", $"event_id").as("top"))
+          .select($"event_type", posexplode($"top"))
+          .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+            $"col".as("event_id"))
+      },
+      Some("""
+        SELECT event_type, rank, event_id FROM (
+          SELECT event_type, event_id,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id ASC) AS rank
+          FROM events) t
+        WHERE rank <= 3"""))
   )
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The top-k Aggregator's algebra: order-insensitivity (any reduce/
+  * merge tree gives the same buffer), tie-breaking, and the k bound —
+  * the properties that make it safe under partial aggregation, where
+  * Spark picks the tree shape.
+  */
+class TopKBySpec extends AnyFunSuite {
+
+  private val agg = new TopKByAggregator(3)
+
+  private def reduceAll(xs: Seq[(Double, Long)]) =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  test("reduce keeps the top k by (key desc, payload asc)") {
+    val xs = Seq((1.0, 10L), (5.0, 20L), (3.0, 30L), (4.0, 40L), (2.0, 50L))
+    assert(agg.finish(reduceAll(xs)) == Seq(20L, 40L, 30L))
+  }
+
+  test("ties break payload-ascending, deterministically") {
+    val xs = Seq((1.0, 7L), (1.0, 3L), (1.0, 9L), (1.0, 5L))
+    assert(agg.finish(reduceAll(xs)) == Seq(3L, 5L, 7L))
+  }
+
+  test("merge of any split equals the unsplit reduce") {
+    var seed = 42
+    def next(): Int = { seed = seed * 1103515245 + 12345; seed >>> 16 }
+    val xs = Seq.fill(40)(((next() % 7).toDouble, (next() % 100).toLong))
+    val whole = agg.finish(reduceAll(xs))
+    for (cut <- Seq(0, 1, 13, 39, 40)) {
+      val (a, b) = xs.splitAt(cut)
+      assert(agg.finish(agg.merge(reduceAll(a), reduceAll(b))) == whole,
+        s"split at $cut diverged")
+      assert(agg.finish(agg.merge(reduceAll(b), reduceAll(a))) == whole,
+        s"swapped merge at $cut diverged")
+    }
+  }
+
+  test("buffers never exceed k, short groups emit what they have") {
+    assert(reduceAll(Seq.tabulate(100)(i => (i.toDouble, i.toLong)))
+      .length == 3)
+    assert(agg.finish(reduceAll(Seq((2.0, 1L)))) == Seq(1L))
+    assert(agg.finish(agg.zero) == Nil)
+  }
+}
