@@ -30,13 +30,15 @@ final case class MediaFeatures(
 /** Multimodal column plumbing with a two-tier codec layer: REAL image
   * decode via the JDK's `javax.imageio` ([[ImageCodec]] — PNG/BMP/JPEG,
   * no new dependencies; exercised end-to-end by the oracle-checked m06
-  * round trip and ImageCodecSpec), with `decodeStub` as the
-  * clearly-marked deterministic fallback for payloads no installed
-  * reader accepts (audio/video — the container has no media libraries —
-  * and the synthesized text-byte corpora). Everything around the codec —
-  * the binary column synthesis, the `mapPartitions` batch iteration
-  * (the Scala analog of `mapInPandas`: one iterator pass per partition,
-  * no per-row UDF dispatch), the schema and partitioning — is real.
+  * round trip and ImageCodecSpec) and REAL audio decode via the JDK's
+  * `javax.sound.sampled` ([[AudioCodec]] — PCM WAV/AIFF/AU; m07 round
+  * trip and AudioCodecSpec), with `decodeStub` as the clearly-marked
+  * deterministic fallback for payloads no installed reader accepts
+  * (video — the container has no video libraries — and the synthesized
+  * text-byte corpora). Everything around the codec — the binary column
+  * synthesis, the `mapPartitions` batch iteration (the Scala analog of
+  * `mapInPandas`: one iterator pass per partition, no per-row UDF
+  * dispatch), the schema and partitioning — is real.
   *
   * Scale notes: media rows are wide (payload-dominated), so the extract
   * pass repartitions by byte budget, not row count; decode is per-row
@@ -73,6 +75,13 @@ object MediaPipeline {
     if (mediaType == "image" && looksLikeImage(content))
       ImageCodec.decode(content)
         .map(d => (d.width, d.height, 1))
+        .getOrElse(decodeStub(mediaType, content))
+    else if (mediaType == "audio" && AudioCodec.looksLikeAudio(content))
+      // audio metadata in the (width, height, frames) triple:
+      // channels, sample rate, frame count
+      AudioCodec.decode(content)
+        .map(d => (d.channels, d.sampleRate.toInt,
+          math.min(d.frames, Int.MaxValue.toLong).toInt))
         .getOrElse(decodeStub(mediaType, content))
     else decodeStub(mediaType, content)
 

@@ -207,6 +207,52 @@ object Multimodal {
                          for i in range(len(text))]), 0) AS BIGINT)
             AS sum_gray,
           true AS roundtrip_exact
+        FROM documents WHERE text IS NOT NULL""")),
+
+    GraftQuery(
+      "m07_audio_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // REAL audio codec end-to-end (javax.sound.sampled — in the
+        // JDK, no new dependency): each document's utf8 bytes become
+        // 8-bit unsigned mono PCM samples at 8 kHz, WAV-encode via
+        // AudioCodec, then DECODE the wav back and report stats of the
+        // DECODED samples. PCM WAV is lossless, so the oracle
+        // reproduces frame count and sample sum from the text alone
+        // (pure-ASCII corpus: byte == char code) and roundtrip_exact
+        // must be true for every row — a wrong header, sample layout,
+        // or signedness in the codec path diverges the stats and the
+        // hash gate catches it. Pure map-side batch iteration.
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val samples = if (bytes.isEmpty) Array[Byte](0) else bytes
+              val wav = graft.multimodal.AudioCodec
+                .encodeWavPcm8(samples, 8000f)
+              val dec = graft.multimodal.AudioCodec.decode(wav)
+                .getOrElse(sys.error(s"m07: wav decode failed for doc $id"))
+              var sum = 0L
+              dec.samples.foreach(b => sum += (b & 0xff))
+              (id, dec.frames, dec.channels, dec.sampleRate.toInt, sum,
+                dec.frames == samples.length.toLong &&
+                  java.util.Arrays.equals(dec.samples, samples))
+            }
+          }
+          .toDF("doc_id", "n_frames", "channels", "sample_rate",
+            "sum_samples", "roundtrip_exact")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(GREATEST(octet_length(encode(text)), 1) AS BIGINT)
+            AS n_frames,
+          1 AS channels, 8000 AS sample_rate,
+          CAST(COALESCE(list_sum([ascii(substr(text, CAST(i+1 AS INT), 1))
+                         for i in range(len(text))]), 0) AS BIGINT)
+            AS sum_samples,
+          true AS roundtrip_exact
         FROM documents WHERE text IS NOT NULL"""))
   )
 }

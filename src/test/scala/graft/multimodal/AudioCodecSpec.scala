@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL audio codec (javax.sound.sampled): lossless PCM-WAV round
+  * trip, honest rejection of non-audio bytes, and the decodeMeta
+  * real-first/stub-fallback contract for the audio media type.
+  */
+class AudioCodecSpec extends AnyFunSuite {
+
+  private def seededSamples(n: Int, seed: Int): Array[Byte] = {
+    var x = seed | 1
+    Array.fill(n) {
+      x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+      x.toByte
+    }
+  }
+
+  test("PCM8 WAV encode -> decode is bit-exact") {
+    for ((n, seed) <- Seq((1, 1), (7, 2), (8192, 3), (10001, 4))) {
+      val px = seededSamples(n, seed)
+      val wav = AudioCodec.encodeWavPcm8(px, 8000f)
+      assert(AudioCodec.looksLikeAudio(wav), "real RIFF container")
+      val dec = AudioCodec.decode(wav).get
+      assert(dec.frames == n.toLong && dec.channels == 1)
+      assert(dec.sampleRate == 8000f)
+      assert(java.util.Arrays.equals(dec.samples, px),
+        s"lossy roundtrip at $n samples")
+    }
+  }
+
+  test("decode returns None on non-audio bytes") {
+    assert(AudioCodec.decode("spark group query row".getBytes).isEmpty)
+    assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
+    // truncated WAV: sniff passes, reader must still fail cleanly
+    val wav = AudioCodec.encodeWavPcm8(seededSamples(64, 9), 8000f)
+    assert(AudioCodec.decode(wav.take(10)).isEmpty)
+  }
+
+  test("decodeMeta: real (channels, rate, frames) for real audio") {
+    val wav = AudioCodec.encodeWavPcm8(seededSamples(123, 5), 8000f)
+    assert(MediaPipeline.decodeMeta("audio", wav) == ((1, 8000, 123)))
+    // text payload: not audio -> the declared stub's arithmetic
+    val text = "the fast key order sort".getBytes
+    assert(MediaPipeline.decodeMeta("audio", text) ==
+      MediaPipeline.decodeStub("audio", text))
+    // image payloads never route through the audio codec
+    assert(MediaPipeline.decodeMeta("image", wav) ==
+      MediaPipeline.decodeStub("image", wav))
+  }
+}
