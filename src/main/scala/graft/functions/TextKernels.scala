@@ -168,13 +168,37 @@ object TextKernels {
     docs.select("doc_id", "text").filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val ws = text.split(" ", -1)
-        if (ws.length < 2) Iterator.empty
-        else Iterator.tabulate(ws.length - 1) { i =>
-          (id, ws(i) + " " + ws(i + 1))
-        }
+        positionalGramsOf(text, 2).iterator.map(g => (id, g))
       })
       .toDF("doc_id", "bigram")
+  }
+
+  /** Positional (non-distinct) word k-grams of one document: index i is
+    * the gram starting at word i; empty for documents shorter than k
+    * words. Pure — the per-row core of [[positionalGrams]] and
+    * [[bigramPairs]], property-checked against the sliding-window
+    * spelling.
+    */
+  def positionalGramsOf(text: String, k: Int): Array[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < k) Array.empty
+    else {
+      val out = new Array[String](ws.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + k <= ws.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
   }
 
   /** (doc_id, pos, g) — one row per word POSITION's k-gram,
@@ -188,18 +212,8 @@ object TextKernels {
     docs.select("doc_id", "text").filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val ws = text.split(" ", -1)
-        if (ws.length < k) Iterator.empty
-        else Iterator.tabulate(ws.length - k + 1) { i =>
-          val sb = new java.lang.StringBuilder
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(ws(i + j))
-            j += 1
-          }
-          (id, i, sb.toString)
-        }
+        val gs = positionalGramsOf(text, k)
+        Iterator.tabulate(gs.length)(i => (id, i, gs(i)))
       })
       .toDF("doc_id", "pos", "g")
   }

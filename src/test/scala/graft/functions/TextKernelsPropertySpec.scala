@@ -68,4 +68,49 @@ class TextKernelsPropertySpec extends AnyFunSuite {
       h1 == h2 && h1 >= 0L && h1 <= 0xffffffffL
     })
   }
+
+  test("property: positionalGramsOf equals the sliding-window spelling") {
+    check(Prop.forAll(for {
+      t <- textGen
+      k <- Gen.choose(1, 6)
+    } yield (t, k)) { case (t, k) =>
+      val ws = t.split(" ", -1)
+      val naive =
+        if (ws.length < k) Seq.empty[String]
+        else ws.sliding(k).map(_.mkString(" ")).toSeq
+      TextKernels.positionalGramsOf(t, k).toSeq == naive
+    })
+  }
+
+  test("property: distinct positional grams == shingleSet above k words") {
+    // the two kernels must agree on what a k-gram IS — d09's positional
+    // pass and the minhash shingle pass share one definition
+    check(Prop.forAll(for {
+      t <- textGen
+      k <- Gen.choose(1, 6)
+    } yield (t, k)) { case (t, k) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < k) true // shingleSet falls back to whole text
+      else TextKernels.positionalGramsOf(t, k).toSeq.distinct ==
+        TextKernels.shingleSet(t, k).toSeq
+    })
+  }
+
+  test("property: gram count and reconstruction invariants") {
+    check(Prop.forAll(for {
+      t <- textGen
+      k <- Gen.choose(1, 6)
+    } yield (t, k)) { case (t, k) =>
+      val ws = t.split(" ", -1)
+      val gs = TextKernels.positionalGramsOf(t, k)
+      val countOk =
+        gs.length == (if (ws.length < k) 0 else ws.length - k + 1)
+      // gram i starts with word i — joining first words + last gram's
+      // tail reconstructs the document
+      val reconOk = gs.isEmpty ||
+        (gs.dropRight(1).map(_.takeWhile(_ != ' ').mkString)
+          :+ gs.last).mkString(" ") == t
+      countOk && reconOk
+    })
+  }
 }
