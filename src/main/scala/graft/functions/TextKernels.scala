@@ -168,25 +168,25 @@ object TextKernels {
     docs.select("doc_id", "text").filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        positionalGramsOf(text, 2).iterator.map(g => (id, g))
+        positionalGramsOf(text, 2).map(g => (id, g))
       })
       .toDF("doc_id", "bigram")
   }
 
-  /** Positional (non-distinct) word k-grams of one document: index i is
-    * the gram starting at word i; empty for documents shorter than k
-    * words. Pure — the per-row core of [[positionalGrams]] and
-    * [[bigramPairs]], property-checked against the sliding-window
-    * spelling.
+  /** Positional (non-distinct) word k-grams of one document, LAZILY:
+    * element i is the gram starting at word i; empty for documents
+    * shorter than k words. An Iterator, not an Array, so the partition
+    * iterator pulls grams on demand and per-row peak memory stays
+    * O(words), not O(all gram strings) (~k x the text bytes). Pure —
+    * the per-row core of [[positionalGrams]] and [[bigramPairs]],
+    * property-checked against the sliding-window spelling.
     */
-  def positionalGramsOf(text: String, k: Int): Array[String] = {
+  def positionalGramsOf(text: String, k: Int): Iterator[String] = {
     val ws = text.split(" ", -1)
-    if (ws.length < k) Array.empty
+    if (ws.length < k) Iterator.empty
     else {
-      val out = new Array[String](ws.length - k + 1)
       val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + k <= ws.length) {
+      Iterator.tabulate(ws.length - k + 1) { i =>
         sb.setLength(0)
         var j = 0
         while (j < k) {
@@ -194,10 +194,8 @@ object TextKernels {
           sb.append(ws(i + j))
           j += 1
         }
-        out(i) = sb.toString
-        i += 1
+        sb.toString
       }
-      out
     }
   }
 
@@ -212,8 +210,8 @@ object TextKernels {
     docs.select("doc_id", "text").filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val gs = positionalGramsOf(text, k)
-        Iterator.tabulate(gs.length)(i => (id, i, gs(i)))
+        positionalGramsOf(text, k).zipWithIndex
+          .map { case (g, i) => (id, i, g) }
       })
       .toDF("doc_id", "pos", "g")
   }

@@ -23,8 +23,14 @@ class TopKByAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
-  private val ord =
-    Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+  // Key order must MATCH the window spelling's ORDER BY key DESC:
+  // negating the key is not order-reversing for NaN (NaN must rank
+  // LARGEST, as in Spark/DuckDB), so compose TotalOrdering.reverse
+  // instead; `+ 0.0` normalizes -0.0 to 0.0 (the engines compare the
+  // two zeros equal, TotalOrdering does not).
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), Double](_._1 + 0.0)(
+      Ordering.Double.TotalOrdering.reverse).orElseBy(_._2)
 
   override def zero: Seq[(Double, Long)] = Nil
 

@@ -43,13 +43,20 @@ object AudioCodec {
         new ByteArrayInputStream(content))
       try {
         val fmt = ais.getFormat
-        val frames = ais.getFrameLength
         val out = new ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = ais.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+        val bytes = out.toByteArray
+        // streaming containers (e.g. AU with the 0xFFFFFFFF length
+        // marker) report frameLength = NOT_SPECIFIED (-1): derive the
+        // true count from the bytes actually read instead of passing a
+        // negative through as metadata
+        val frames =
+          if (ais.getFrameLength >= 0) ais.getFrameLength
+          else bytes.length.toLong / math.max(1, fmt.getFrameSize)
         Some(DecodedAudio(fmt.getSampleRate, fmt.getChannels, frames,
-          out.toByteArray))
+          bytes))
       } finally ais.close()
     } catch { case _: Exception => None }
 

@@ -94,10 +94,13 @@ object Dedup {
   private val DF_CUT = 16
 
   /** st10's pristine old-corpus signature index, cached per
-    * (session identity, sf dir) — see the pay-once note at the query. */
+    * (session, sf dir) — the session REFERENCE, like q31's bucketedFor
+    * cache: an identity hash could collide between a stopped session
+    * and a new one and hand back checkpoint blocks of a dead context.
+    * See the pay-once note at the query. */
   private val st10BaseIndex =
     scala.collection.concurrent.TrieMap
-      .empty[(Int, String), DataFrame]
+      .empty[(SparkSession, String), DataFrame]
 
   /** Verified MinHash near-dup pairs (a < b, jaccard >= JACCARD_T) —
     * the shared candidate-generation + verification core of d02 (which
@@ -485,7 +488,7 @@ object Dedup {
         // the PRISTINE old-corpus index; per-run accumulation below
         // never mutates it.
         var idx = st10BaseIndex.getOrElseUpdate(
-          (System.identityHashCode(s), dir),
+          (s, dir),
           graft.operators.DedupOps
             .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
             .localCheckpoint())

@@ -102,7 +102,7 @@ class TextKernelsPropertySpec extends AnyFunSuite {
       k <- Gen.choose(1, 6)
     } yield (t, k)) { case (t, k) =>
       val ws = t.split(" ", -1)
-      val gs = TextKernels.positionalGramsOf(t, k)
+      val gs = TextKernels.positionalGramsOf(t, k).toVector
       val countOk =
         gs.length == (if (ws.length < k) 0 else ws.length - k + 1)
       // gram i starts with word i — joining first words + last gram's

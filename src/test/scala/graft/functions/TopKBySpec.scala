@@ -38,6 +38,16 @@ class TopKBySpec extends AnyFunSuite {
     }
   }
 
+  test("NaN ranks largest and -0.0 ties 0.0 — the window-spelling order") {
+    // Spark/DuckDB ORDER BY value DESC put NaN first and compare the
+    // two zeros equal; a negated-key ordering gets both wrong
+    val withNaN = Seq((1.0, 2L), (Double.NaN, 1L), (2.0, 3L))
+    assert(agg.finish(reduceAll(withNaN)) == Seq(1L, 3L, 2L))
+    val zeros = Seq((-0.0, 9L), (0.0, 4L), (-0.0, 6L))
+    assert(agg.finish(reduceAll(zeros)) == Seq(4L, 6L, 9L),
+      "zero ties must break payload-ascending, not by zero sign")
+  }
+
   test("buffers never exceed k, short groups emit what they have") {
     assert(reduceAll(Seq.tabulate(100)(i => (i.toDouble, i.toLong)))
       .length == 3)
