@@ -475,6 +475,46 @@ object River {
       },
       Some("""
         SELECT 's1,s2' AS streams, 'graft' AS s1_owner, 'v2' AS s2_k,
-               's2' AS streams_after_delete, 1 AS dup_create_rejected"""))
+               's2' AS streams_after_delete, 1 AS dup_create_rejected""")),
+
+    GraftQuery(
+      "r12_format_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // Sinks/formats beyond Parquet (SURVEY §2.2: "other formats
+        // free via Spark"), proven rather than claimed: the same event
+        // projection is written as JSON lines and CSV through
+        // DataFrameWriter, read back with an explicit schema, and each
+        // format's aggregate must equal the Parquet source's. Doubles
+        // survive because both writers emit Java's round-trippable
+        // Double.toString; strings survive CSV because the writer
+        // quotes them. One row per format — any codec/quoting/schema
+        // drift diverges that row and the oracle catches it.
+        val base = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        val root = tempRoot("fmt")
+        base.write.mode("overwrite").json(s"$root/ev_json")
+        base.write.mode("overwrite").option("header", "true")
+          .csv(s"$root/ev_csv")
+        val back = Seq(
+          "parquet" -> base,
+          "json" -> s.read.schema(base.schema).json(s"$root/ev_json"),
+          "csv" -> s.read.schema(base.schema).option("header", "true")
+            .csv(s"$root/ev_csv"))
+        back.map { case (fmt, df) =>
+          df.agg(
+            count(lit(1)).as("n"),
+            sum($"event_id").as("sum_event_id"),
+            sum(dec($"value")).cast("double").as("total_value"))
+            .withColumn("format", lit(fmt))
+            .select($"format", $"n", $"sum_event_id", $"total_value")
+        }.reduce(_ unionByName _)
+      },
+      Some("""
+        SELECT fmt AS format, COUNT(*) AS n,
+          CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events, (SELECT unnest(['parquet', 'json', 'csv']) AS fmt)
+        GROUP BY 1"""))
   )
 }
