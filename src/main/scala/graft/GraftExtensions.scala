@@ -2,13 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.graftnative.DotI64
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Library entry point for SQL users: registers graft's native Catalyst
-  * expressions with the session's FunctionRegistry, so
+  * expressions AND table functions with the session registries, so
   * `spark.sql("SELECT dot_i64(a, b) ...")` works the same as the
-  * Column-API `graftnative.functions.dot_i64`.
+  * Column-API `graftnative.functions.dot_i64`, and
+  * `SELECT * FROM graft_planes(12)` yields the deterministic sign-LSH
+  * hyperplane table (k, i, hp) that s03/the AnnOps LSH kernels use —
+  * the SQL-surface path to reproducing graft LSH buckets in any query.
+  *
+  * Together these cover Spark's three custom-function altitudes from
+  * SQL text: scalar codegen'd Expression (dot_i64), typed Aggregator
+  * UDAF (functions.TopKByAggregator via `udaf`, q42), and a
+  * table-valued function (graft_planes).
   *
   * Wire it with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * at session build time (the standard third-party extension mechanism —
@@ -29,6 +40,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"dot_i64 expects 2 arguments, got ${args.length}")
         DotI64(args(0), args(1))
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_planes"),
+      new ExpressionInfo(
+        classOf[GraftExtensions].getName,
+        null,
+        "graft_planes",
+        "graft_planes(np) - the deterministic sign-LSH hyperplane table" +
+          " (k, i, hp): np planes x 64 dims, hp = md5-derived integer" +
+          " in [-2^31, 2^31)",
+        ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 && args.head.foldable,
+          "graft_planes expects one literal argument: the plane count")
+        val np = args.head.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_planes: integer plane count expected, got $other")
+        }
+        require(np >= 1 && np <= 4096, s"graft_planes: np out of range: $np")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val rows = for { k <- 0 until np; i <- 0 until 64 } yield {
+          val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
+            .map(b => f"$b%02x").mkString
+          InternalRow(k, i, java.lang.Long.parseLong(hex, 16) - 2147483648L)
+        }
+        LocalRelation(
+          Seq(AttributeReference("k", IntegerType, nullable = false)(),
+            AttributeReference("i", IntegerType, nullable = false)(),
+            AttributeReference("hp", LongType, nullable = false)()),
+          rows)
       }))
   }
 }

@@ -48,4 +48,40 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("dot_i64"))
   }
+
+  test("graft_planes TVF yields the deterministic hyperplane table") {
+    val rows = spark.sql(
+      "SELECT k, i, hp FROM graft_planes(3) ORDER BY k, i").collect()
+    assert(rows.length == 3 * 64)
+    // spot-check against the kernel construction: md5("k:i") first 4
+    // bytes as unsigned int, minus 2^31
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expect(k: Int, i: Int): Long = {
+      val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) - 2147483648L
+    }
+    for ((k, i) <- Seq((0, 0), (1, 17), (2, 63))) {
+      val r = rows(k * 64 + i)
+      assert(r.getInt(0) == k && r.getInt(1) == i)
+      assert(r.getLong(2) == expect(k, i), s"hp($k,$i)")
+    }
+    // all components inside [-2^31, 2^31)
+    assert(rows.forall(r =>
+      r.getLong(2) >= -2147483648L && r.getLong(2) < 2147483648L))
+    // and it composes relationally: the s03 spelling of a plane dot
+    val dot = spark.sql("""
+      SELECT sum(hp) AS s FROM graft_planes(2) WHERE k = 0""")
+      .head().getLong(0)
+    assert(dot == (0 until 64).map(expect(0, _)).sum)
+  }
+
+  test("graft_planes rejects non-literal or out-of-range arguments") {
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_planes(0)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_planes(100000)").collect()
+    }
+  }
 }
