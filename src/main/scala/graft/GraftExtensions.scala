@@ -55,19 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1 && args.head.foldable,
           "graft_planes expects one literal argument: the plane count")
-        val np = args.head.eval() match {
-          case i: Int  => i
-          case l: Long => l.toInt
+        // range-check BEFORE narrowing: a Long literal like 2^32+1
+        // must fail loudly, never wrap to a wrong-sized table
+        val npLong = args.head.eval() match {
+          case i: Int  => i.toLong
+          case l: Long => l
           case other => throw new IllegalArgumentException(
             s"graft_planes: integer plane count expected, got $other")
         }
-        require(np >= 1 && np <= 4096, s"graft_planes: np out of range: $np")
+        require(npLong >= 1 && npLong <= 4096,
+          s"graft_planes: np out of range: $npLong")
+        val np = npLong.toInt
         val md = java.security.MessageDigest.getInstance("MD5")
-        val rows = for { k <- 0 until np; i <- 0 until 64 } yield {
-          val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
-            .map(b => f"$b%02x").mkString
-          InternalRow(k, i, java.lang.Long.parseLong(hex, 16) - 2147483648L)
-        }
+        val rows = for { k <- 0 until np; i <- 0 until 64 } yield
+          InternalRow(k, i, graft.operators.AnnOps.hyperplane(md, k, i))
         LocalRelation(
           Seq(AttributeReference("k", IntegerType, nullable = false)(),
             AttributeReference("i", IntegerType, nullable = false)(),

@@ -734,6 +734,18 @@ object AnnOps {
     * shuffle, ~np*64 multiplies per vector. Result is pinned
     * (localCheckpoint): every caller self-joins it.
     */
+  /** The deterministic sign-LSH hyperplane component hp_{k,i}:
+    * md5("k:i") first 4 bytes as an unsigned int, minus 2^31 — ONE
+    * definition shared by the signature kernels and the `graft_planes`
+    * SQL table function (GraftExtensions), so the TVF can never drift
+    * from the buckets it claims to reproduce. `md` is reset by digest().
+    */
+  def hyperplane(md: java.security.MessageDigest, k: Int, i: Int): Long = {
+    val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) - 2147483648L
+  }
+
   private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
       bands: Int): DataFrame = {
     val s = v.sparkSession
@@ -741,11 +753,7 @@ object AnnOps {
     val np = rowsPerBand * bands
     val planes: Array[Array[Long]] = Array.tabulate(np) { k =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(64) { i =>
-        val hex = md.digest(s"$k:$i".getBytes("UTF-8")).take(4)
-          .map(b => f"$b%02x").mkString
-        java.lang.Long.parseLong(hex, 16) - 2147483648L
-      }
+      Array.tabulate(64)(i => hyperplane(md, k, i))
     }
     val rpb = rowsPerBand
     val nb = bands

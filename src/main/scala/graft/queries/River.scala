@@ -501,20 +501,36 @@ object River {
           "json" -> s.read.schema(base.schema).json(s"$root/ev_json"),
           "csv" -> s.read.schema(base.schema).option("header", "true")
             .csv(s"$root/ev_csv"))
+        // the aggregate must witness EVERY projected column — including
+        // the string one — or a quoting/escaping drift could pass: n,
+        // both id sums, the decimal value sum, and the total
+        // event_type length (any content mangling changes it)
         back.map { case (fmt, df) =>
           df.agg(
             count(lit(1)).as("n"),
             sum($"event_id").as("sum_event_id"),
+            sum($"user_id").as("sum_user_id"),
+            sum(length($"event_type")).as("type_chars"),
             sum(dec($"value")).cast("double").as("total_value"))
             .withColumn("format", lit(fmt))
-            .select($"format", $"n", $"sum_event_id", $"total_value")
+            .select($"format", $"n", $"sum_event_id", $"sum_user_id",
+              $"type_chars", $"total_value")
         }.reduce(_ unionByName _)
       },
+      // aggregate FIRST, then cross-join the format list: agg-without-
+      // groupBy always emits one row per format even on an empty table,
+      // matching the Spark side's shape
       Some("""
-        SELECT fmt AS format, COUNT(*) AS n,
-          CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM events, (SELECT unnest(['parquet', 'json', 'csv']) AS fmt)
-        GROUP BY 1"""))
+        SELECT fmt AS format, n, sum_event_id, sum_user_id, type_chars,
+          total_value
+        FROM (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+            CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+            CAST(SUM(length(event_type)) AS BIGINT) AS type_chars,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              AS total_value
+          FROM events
+        ), (SELECT unnest(['parquet', 'json', 'csv']) AS fmt)"""))
   )
 }

@@ -83,5 +83,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_planes(100000)").collect()
     }
+    // a Long that would wrap to a small positive Int must fail the
+    // range check, never silently truncate to a wrong-sized table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_planes(4294967297)").collect()
+    }
+    // non-foldable argument: the foldable guard, not an eval surprise
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_planes(rand())").collect()
+    }
   }
 }
