@@ -563,6 +563,42 @@ object TextOps {
           phonePat, "<PHONE>"), ipPat, "<IP>").as("redacted"))
   }
 
+  /** The composite quality GATE — the single keep/drop decision a
+    * corpus pipeline actually executes, composing the library's four
+    * established per-document signals: structural quality
+    * ([[qualityFeatures]]' is_quality), corpus-duplicate shingle share
+    * ([[dupShingleRatio]]), intra-document repetition
+    * ([[repetitionScore]]), and unigram-LM perplexity
+    * ([[perplexityScore]]). A document survives only if every
+    * component keeps it. Each component is its own oracle-checked
+    * operator; this facade adds three skinny per-id joins (one row per
+    * doc each side). Semantics pinned by the oracle-checked t12 query.
+    * Returns (id, is_quality, dup_keep, rep_keep, ppl_keep, keep).
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 100, minWords: Int = 20, minTypeToken: Double = 0.3,
+      shingleK: Int = 8, maxDupRatio: Double = 0.5,
+      repK: Int = 3, maxTopGramRatio: Double = 1.0 / 32,
+      maxDupWordRatio: Double = 0.5, pplCutoff: Double = 3.402,
+      partitions: Int = 32): DataFrame = {
+    // the stopword list only feeds the (unused here) stopword_ratio
+    // column; one entry keeps the empty-array expression well-typed
+    val q = qualityFeatures(df, idCol, textCol, Seq("the"),
+        minChars, minWords, minTypeToken)
+      .select(col("id"), col("is_quality"))
+    val dups = dupShingleRatio(df, idCol, textCol, shingleK, maxDupRatio,
+        partitions)
+      .select(col("id"), col("keep").as("dup_keep"))
+    val rep = repetitionScore(df, idCol, textCol, repK, maxTopGramRatio,
+        maxDupWordRatio)
+      .select(col("id"), col("keep").as("rep_keep"))
+    val ppl = perplexityScore(df, idCol, textCol, pplCutoff)
+      .select(col("id"), col("keep").as("ppl_keep"))
+    q.join(dups, Seq("id")).join(rep, Seq("id")).join(ppl, Seq("id"))
+      .withColumn("keep", col("is_quality") && col("dup_keep") &&
+        col("rep_keep") && col("ppl_keep"))
+  }
+
   /** Content fingerprints: exact md5 + winnowing-style min-shingle hash
     * (stable under small edits), via the compiled kernel pass. Returns
     * (id, fp_exact, fp_winnow).

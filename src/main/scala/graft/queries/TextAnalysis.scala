@@ -487,6 +487,96 @@ object TextAnalysis {
           CAST(s AS DOUBLE) / n_words AS avg_nll,
           CASE WHEN CAST(s AS DOUBLE) / n_words <= 3.402
             THEN 1 ELSE 0 END AS keep
-        FROM d"""))
+        FROM d""")),
+
+    // --------------------------------------- composite quality gate
+    GraftQuery(
+      "t12_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        // The FINAL filter decision a corpus pipeline executes: one
+        // keep/drop per document composing the library's established
+        // signals — structural quality (t02's is_quality thresholds),
+        // corpus-duplicate shingle share (t08's dup-ratio cut),
+        // intra-document repetition (t09's Gopher cuts), and
+        // unigram-LM perplexity (t11's CCNet cut). The query IS the
+        // TextOps.qualityGate facade call, so the oracle pins the
+        // composition users run. Each component is per-doc map/agg
+        // work; the gate itself is three skinny per-id joins.
+        graft.operators.TextOps.qualityGate(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"is_quality", $"dup_keep",
+            $"rep_keep", $"ppl_keep", $"keep")
+      },
+      Some("""
+        WITH ws8 AS (
+          SELECT doc_id, text, string_split(text, ' ') ws FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+            (length(text) >= 100 AND len(ws) >= 20
+             AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3)
+              AS is_quality
+          FROM ws8
+        ),
+        sh8 AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+            THEN list_distinct([array_to_string(ws[i+1:i+8], ' ')
+                                for i in range(len(ws) - 7)])
+            ELSE [array_to_string(ws, ' ')] END) sh
+          FROM ws8
+        ),
+        df8 AS (SELECT sh, COUNT(*) df FROM sh8 GROUP BY 1),
+        dup AS (
+          SELECT s.doc_id,
+            (CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) <= 0.5 AS dup_keep
+          FROM sh8 s JOIN df8 d USING (sh) GROUP BY 1
+        ),
+        g3 AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+            THEN [array_to_string(ws[i+1:i+3], ' ')
+                  for i in range(len(ws) - 2)]
+            ELSE [array_to_string(ws, ' ')] END) g
+          FROM ws8
+        ),
+        rep AS (
+          SELECT doc_id, MAX(c) topc, CAST(SUM(c) AS BIGINT) ng
+          FROM (SELECT doc_id, g, COUNT(*) c FROM g3 GROUP BY 1, 2) t
+          GROUP BY 1
+        ),
+        dw AS (
+          SELECT doc_id, len(ws) - len(list_distinct(ws)) dupw,
+            len(ws) nw
+          FROM ws8
+        ),
+        repk AS (
+          SELECT r.doc_id,
+            (CAST(r.topc AS DOUBLE) / r.ng <= 1.0/32
+             AND CAST(d.dupw AS DOUBLE) / d.nw <= 0.5) AS rep_keep
+          FROM rep r JOIN dw d USING (doc_id)
+        ),
+        w AS (SELECT doc_id, unnest(ws) w FROM ws8),
+        v AS (SELECT w, COUNT(*) c FROM w GROUP BY 1),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM v),
+        nll AS (
+          SELECT w, CAST(-ln(CAST(c AS DOUBLE) / (SELECT t FROM t))
+            AS DECIMAL(12,6)) nll
+          FROM v
+        ),
+        pd AS (
+          SELECT doc_id, COUNT(*) n, SUM(nll) s
+          FROM w JOIN nll USING (w) GROUP BY 1
+        ),
+        ppl AS (
+          SELECT doc_id, (CAST(s AS DOUBLE) / n <= 3.402) ppl_keep
+          FROM pd
+        )
+        SELECT q.doc_id, q.is_quality, dup.dup_keep, repk.rep_keep,
+          ppl.ppl_keep,
+          (q.is_quality AND dup.dup_keep AND repk.rep_keep
+           AND ppl.ppl_keep) AS keep
+        FROM q JOIN dup USING (doc_id) JOIN repk USING (doc_id)
+          JOIN ppl USING (doc_id)"""))
   )
 }
