@@ -570,10 +570,15 @@ object TextOps {
     * ([[dupShingleRatio]]), intra-document repetition
     * ([[repetitionScore]]), and unigram-LM perplexity
     * ([[perplexityScore]]). A document survives only if every
-    * component keeps it. Each component is its own oracle-checked
-    * operator; this facade adds three skinny per-id joins (one row per
-    * doc each side). Semantics pinned by the oracle-checked t12 query.
-    * Returns (id, is_quality, dup_keep, rep_keep, ppl_keep, keep).
+    * component keeps it. The corpus is STAGED ONCE (ids cast to long —
+    * the dedup layer's id convention — null-text rows dropped per the
+    * TextKernels contract, rows pinned) so all four component scans see
+    * the identical row set even for a non-deterministic source; the
+    * gate then adds three skinny per-id joins (one row per doc each
+    * side). Cost is honest: four per-doc tokenization passes over the
+    * pinned corpus plus the joins. Semantics pinned by the
+    * oracle-checked t12 query. Returns
+    * (id, is_quality, dup_keep, rep_keep, ppl_keep, keep).
     */
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 100, minWords: Int = 20, minTypeToken: Double = 0.3,
@@ -581,18 +586,20 @@ object TextOps {
       repK: Int = 3, maxTopGramRatio: Double = 1.0 / 32,
       maxDupWordRatio: Double = 0.5, pplCutoff: Double = 3.402,
       partitions: Int = 32): DataFrame = {
+    val corpus = DedupOps.staged(
+      df.filter(col(textCol).isNotNull), idCol, textCol, partitions)
     // the stopword list only feeds the (unused here) stopword_ratio
     // column; one entry keeps the empty-array expression well-typed
-    val q = qualityFeatures(df, idCol, textCol, Seq("the"),
+    val q = qualityFeatures(corpus, "doc_id", "text", Seq("the"),
         minChars, minWords, minTypeToken)
       .select(col("id"), col("is_quality"))
-    val dups = dupShingleRatio(df, idCol, textCol, shingleK, maxDupRatio,
-        partitions)
+    val dups = dupShingleRatio(corpus, "doc_id", "text", shingleK,
+        maxDupRatio, partitions)
       .select(col("id"), col("keep").as("dup_keep"))
-    val rep = repetitionScore(df, idCol, textCol, repK, maxTopGramRatio,
-        maxDupWordRatio)
+    val rep = repetitionScore(corpus, "doc_id", "text", repK,
+        maxTopGramRatio, maxDupWordRatio)
       .select(col("id"), col("keep").as("rep_keep"))
-    val ppl = perplexityScore(df, idCol, textCol, pplCutoff)
+    val ppl = perplexityScore(corpus, "doc_id", "text", pplCutoff)
       .select(col("id"), col("keep").as("ppl_keep"))
     q.join(dups, Seq("id")).join(rep, Seq("id")).join(ppl, Seq("id"))
       .withColumn("keep", col("is_quality") && col("dup_keep") &&

@@ -508,7 +508,7 @@ object TextAnalysis {
           .select($"id".as("doc_id"), $"is_quality", $"dup_keep",
             $"rep_keep", $"ppl_keep", $"keep")
       },
-      Some("""
+      Some(s"""
         WITH ws8 AS (
           SELECT doc_id, text, string_split(text, ' ') ws FROM documents
         ),
@@ -520,11 +520,7 @@ object TextAnalysis {
           FROM ws8
         ),
         sh8 AS (
-          SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
-            THEN list_distinct([array_to_string(ws[i+1:i+8], ' ')
-                                for i in range(len(ws) - 7)])
-            ELSE [array_to_string(ws, ' ')] END) sh
-          FROM ws8
+          SELECT doc_id, unnest(${Dedup.sqlShingles(8)}) sh FROM ws8
         ),
         df8 AS (SELECT sh, COUNT(*) df FROM sh8 GROUP BY 1),
         dup AS (

@@ -32,13 +32,12 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def writeSlice(dir: String, part: Int, ids: Range): Unit = {
+  private def writeSlice(dir: String, ids: Range): Unit = {
     val s = spark
     import s.implicits._
     ids.map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "kind").coalesce(1)
       .write.mode("append").parquet(dir)
-    val _ = part
   }
 
   private def stream(dir: String) = {
@@ -65,14 +64,14 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("offset resume: a second drain never re-reads committed files") {
     val dir = Files.createTempDirectory("resume-src-").toString
     val cp = Files.createTempDirectory("resume-cp-").toString
-    writeSlice(dir, 1, 0 until 100)
+    writeSlice(dir, 0 until 100)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     drain(stream(dir), cp, "append") { b =>
       seen ++= b.select("id").collect().map(_.getLong(0))
     }
     assert(seen.sorted == (0L until 100L).toSeq, "first drain reads file 1")
     // new data lands; SAME checkpoint: only the new file may be read
-    writeSlice(dir, 2, 100 until 250)
+    writeSlice(dir, 100 until 250)
     val seen2 = scala.collection.mutable.ArrayBuffer.empty[Long]
     drain(stream(dir), cp, "append") { b =>
       seen2 ++= b.select("id").collect().map(_.getLong(0))
@@ -84,7 +83,7 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("state resume: post-restart aggregate covers pre-restart rows") {
     val dir = Files.createTempDirectory("resume2-src-").toString
     val cp = Files.createTempDirectory("resume2-cp-").toString
-    writeSlice(dir, 1, 0 until 100) // 50 a, 50 b
+    writeSlice(dir, 0 until 100) // 50 a, 50 b
     def agg = stream(dir).groupBy(col("kind")).count()
     var last: Map[String, Long] = Map.empty
     drain(agg, cp, "complete") { b =>
@@ -95,7 +94,7 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // restart on the same checkpoint with one new file: the complete
     // result must include the FIRST file's rows via restored state,
     // though this drain only read the second file
-    writeSlice(dir, 2, 100 until 160) // 30 a, 30 b
+    writeSlice(dir, 100 until 160) // 30 a, 30 b
     drain(agg, cp, "complete") { b =>
       if (!b.isEmpty)
         last = b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
