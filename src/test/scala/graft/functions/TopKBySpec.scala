@@ -54,4 +54,41 @@ class TopKBySpec extends AnyFunSuite {
     assert(agg.finish(reduceAll(Seq((2.0, 1L)))) == Seq(1L))
     assert(agg.finish(agg.zero) == Nil)
   }
+
+  test("property: any merge tree equals the window-rank reference") {
+    // the partial-aggregation safety argument, property-strength: for
+    // random inputs (with ties, NaN, signed zeros) and random splits,
+    // every reduce/merge tree must equal the row_number-window
+    // reference ordering (NaN largest, zeros equal, payload-asc ties)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.frequency(
+      (8, Gen.choose(-5, 5).map(_.toDouble / 2)),
+      (1, Gen.const(Double.NaN)),
+      (1, Gen.oneOf(0.0, -0.0)))
+    val rowsGen = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        k <- keyGen; p <- Gen.choose(0L, 9L)
+      } yield (k, p))
+      cut <- Gen.choose(0, n)
+    } yield (rows, cut)
+    def refTop3(xs: Seq[(Double, Long)]): Seq[Long] = {
+      // window reference: ORDER BY key DESC (NaN largest, zero signs
+      // equal) then payload ASC; take 3
+      val norm = xs.map { case (k, p) => (k + 0.0, p) }
+      norm.sortWith { case ((k1, p1), (k2, p2)) =>
+        val c = java.lang.Double.compare(k2, k1) // TotalOrder desc
+        if (c != 0) c < 0 else p1 < p2
+      }.take(3).map(_._2)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(Seed(20260813L))
+    val r = SCTest.check(params, Prop.forAll(rowsGen) { case (rows, cut) =>
+      val (a, b) = rows.splitAt(cut)
+      agg.finish(agg.merge(reduceAll(a), reduceAll(b))) == refTop3(rows)
+    })
+    assert(r.passed, r.status.toString)
+  }
 }
