@@ -160,6 +160,22 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 42.5)).toDF("id", "score"), "score", Seq(0.25, 0.75))
       .collect().head.getSeq[Double](0)
     assert(one == Seq(42.5, 42.5))
+    // bit-identity across varied shapes: heavy ties, all-equal, sizes
+    // that don't divide the partition count, extreme probs
+    var y = 777
+    def nxt(): Int = { y ^= y << 13; y ^= y >>> 17; y ^= y << 5; y }
+    for ((n, mod) <- Seq((3, 2), (17, 3), (64, 1), (97, 50), (200, 7))) {
+      val vs = Seq.tabulate(n)(i =>
+        (i.toLong, ((nxt() & 0xffff) % mod).toDouble / 7.0))
+      val dfv = vs.toDF("id", "score")
+      val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+      val g = PrepOps.exactQuantileBounds(dfv, "score", ps, partitions = 4)
+        .collect().head.getSeq[Double](0)
+      val e = dfv.selectExpr(
+          s"percentile(score, array(${ps.mkString(",")})) bs")
+        .collect().head.getSeq[Double](0)
+      assert(g == e, s"n=$n mod=$mod: $g vs $e")
+    }
   }
 
   test("chunkDocuments: overlap, tail coverage, short docs") {
