@@ -110,73 +110,17 @@ object Dedup {
     * from the compiled TextKernels pass (one mapPartitions over the
     * corpus); banding/joining stays relational.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bands = graft.functions.TextKernels
-      .minhashBands(s, docs(s, dir), 5, BANDS, ROWS)
-      .localCheckpoint()
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey"
-          && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-    // exact-jaccard verification of candidates via per-doc shingle
-    // ARRAYS (array_intersect), not an exploded shingle join: the
-    // verification cost is then O(candidates), independent of how
-    // common individual shingles are
-    val shArr = shingleArr(s, dir, 5)
-    cand
-      .join(shArr.as("pa"), $"a" === $"pa.doc_id")
-      .join(shArr.as("pb"), $"b" === $"pb.doc_id")
-      .select($"a", $"b",
-        size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
-        size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
-      .select($"a", $"b",
-        ($"inter".cast("double") /
-          ($"na" + $"nb" - $"inter")).as("jaccard"))
-      .filter($"jaccard" >= JACCARD_T)
-  }
-
-  /** Connected components over an (a, b) pair list via min-label
-    * propagation: every round each node takes the min of its own label
-    * and its neighbors'; converges in O(graph diameter) rounds. Each
-    * round is one equi-join + one groupBy, both shuffling on the id —
-    * no driver materialization of the graph, so components wider than
-    * any one executor's memory still resolve. The edge list is
-    * candidate-output-sized (not corpus-sized), and near-dup components
-    * are shallow in practice (dupes of a common source), so the round
-    * count stays small at any corpus size. Returns (id, comp). Shared
-    * by d06 (min-id survivor) and d07 (priority canonical selection).
+  /** Verified MinHash near-dup pairs (a < b, jaccard >= JACCARD_T) —
+    * the shared candidate-generation + verification core of d02 (which
+    * reports the pairs) and d06/d07 (which resolve them into clusters),
+    * routed through the DedupOps.minhashNearDups facade so the d02
+    * oracle pins the operator users run (kernel signatures, band-bucket
+    * candidates, exact-Jaccard verification of candidates only).
     */
-  private def components(s: SparkSession, pairsDf: DataFrame): DataFrame = {
-    import s.implicits._
-    val pairs = pairsDf.select($"a", $"b").localCheckpoint()
-    val edges = pairs.union(pairs.select($"b", $"a"))
-      .toDF("src", "dst").localCheckpoint()
-    var comp = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("comp")).localCheckpoint()
-    // convergence via sum(comp): labels only ever decrease, so the
-    // sum strictly decreases iff ANY label changed — one cheap
-    // aggregate per round instead of a join-against-previous.
-    // decimal(38,0): exact at any id magnitude x row count (a long
-    // sum could wrap); coalesce covers the empty-graph case (sum
-    // over zero rows is null)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var sumPrev: java.math.BigDecimal = null
-    var sumCur = labelSum(comp)
-    while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
-      val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
-        .select(edges("src").as("id"), col("comp"))
-      // localCheckpoint per round: keeps the lineage O(1) instead of
-      // O(rounds) deep (the classic iterative-algorithm pitfall)
-      comp = comp.union(viaNeighbor)
-        .groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
-      sumPrev = sumCur
-      sumCur = labelSum(comp)
-    }
-    comp
-  }
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupOps.minhashNearDups(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      shingleK = 5, bands = BANDS, rows = ROWS, threshold = JACCARD_T)
 
   /** Oracle CTE chain ending in `pairs`(a, b) — the SQL analog of
     * [[minhashPairs]], shared prefix of the d02/d06/d07 oracles (over
@@ -234,11 +178,12 @@ object Dedup {
         import s.implicits._
         // Exact dedup: hash-groupBy on a content fingerprint; keep the
         // lowest doc_id of each group. One shuffle on the (uniform) md5
-        // key — scales linearly; no skew possible.
-        docs(s, dir)
-          .groupBy(md5(col("text")).as("fingerprint"))
-          .agg(min($"doc_id").as("keep_doc_id"),
-            count(lit(1)).as("n_copies"))
+        // key — scales linearly; no skew possible. The query IS the
+        // DedupOps.exactGroups facade call, oracle-pinned.
+        graft.operators.DedupOps
+          .exactGroups(docs(s, dir), "doc_id", "text")
+          .select($"fingerprint", $"keep_id".as("keep_doc_id"),
+            $"n_copies")
       },
       Some("""
         SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
@@ -260,11 +205,13 @@ object Dedup {
         import s.implicits._
         // The step that turns a PAIR list into a dedup DECISION: connected
         // components over the MinHash near-dup graph, survivor = min
-        // doc_id per component (see [[components]] for the propagation
-        // loop and its scale contract).
-        val comp = components(s, minhashPairs(s, dir))
-        comp.select($"id".as("doc_id"), $"comp".as("cluster_id"),
-          when($"id" === $"comp", 1).otherwise(0).as("is_survivor"))
+        // doc_id per component. The query IS the
+        // DedupOps.connectedComponents facade call (distributed min-label
+        // propagation, decimal-exact convergence check), oracle-pinned.
+        graft.operators.DedupOps
+          .connectedComponents(minhashPairs(s, dir), "a", "b")
+          .select($"id".as("doc_id"), $"cluster_id",
+            when($"is_survivor", 1).otherwise(0).as("is_survivor"))
       },
       Some(s"""
         WITH RECURSIVE ${sqlMinhashCtes()},
@@ -294,20 +241,17 @@ object Dedup {
         // selection adds one equi-join back to the corpus for the
         // priority and one window over cluster-sized groups (near-dup
         // clusters are shallow, so no window partition is ever large).
-        val comp = components(s, minhashPairs(s, dir))
+        // The query IS the DedupOps.canonicalSelection facade call
+        // (label propagation + priority join + min-of-struct argmin
+        // window), oracle-pinned.
         val prio = Tables.load(s, dir, "documents")
           .select($"doc_id",
             (expr("substring(source, 4)").cast("long") % 5).as("prio"))
-        comp.select($"id".as("doc_id"), $"comp".as("cluster_id"))
-          .join(prio, Seq("doc_id"))
-          // argmin via min-of-struct: struct ordering is lexicographic
-          // (prio, then doc_id), one unordered window agg per cluster
-          .withColumn("canonical_id",
-            min(struct($"prio", $"doc_id")).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy($"cluster_id")).getField("doc_id"))
-          .select($"doc_id", $"cluster_id", $"prio", $"canonical_id",
-            when($"doc_id" === $"canonical_id", 1).otherwise(0).as("keep"))
+        graft.operators.DedupOps.canonicalSelection(
+            minhashPairs(s, dir), "a", "b", prio, "doc_id", "prio")
+          .select($"id".as("doc_id"), $"cluster_id", $"prio",
+            $"canonical_id",
+            when($"keep", 1).otherwise(0).as("keep"))
       },
       Some(s"""
         WITH RECURSIVE ${sqlMinhashCtes()},
@@ -546,22 +490,11 @@ object Dedup {
         // Signatures come from the compiled TextKernels pass (the exploded
         // token + 32-column conditional aggregation ran interpreted and
         // dominated the query); banding stays relational.
-        val sig = graft.functions.TextKernels.simhash32(s, docs(s, dir))
-          .localCheckpoint()
-        val bytes = sig.select($"doc_id", $"simhash", explode(array(
-          (0 until 4).map(c => struct(
-            lit(c).as("pos"),
-            shiftright($"simhash", c * 8).bitwiseAND(lit(255)).as("byte"))): _*))
-          .as("bb"))
-          .select($"doc_id", $"simhash", $"bb.pos", $"bb.byte")
-        bytes.as("x").join(bytes.as("y"),
-            $"x.pos" === $"y.pos" && $"x.byte" === $"y.byte"
-              && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
-            $"x.simhash".as("sim_a"), $"y.simhash".as("sim_b")).distinct()
-          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
-          .filter($"hamming" <= 3)
-          .select($"a", $"b", $"hamming")
+        // The query IS the DedupOps.simhashNearDups facade call,
+        // oracle-pinned.
+        graft.operators.DedupOps.simhashNearDups(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
       },
       Some {
         val nibs = (0 until 8).map(j =>
@@ -628,26 +561,12 @@ object Dedup {
         // the clusters d01 (exact, after normalization) and d02
         // (MinHash banding, df-free) exist to catch; DedupOpsSpec
         // asserts the subset property vs the uncut spelling.
-        val shArr = shingleArr(s, dir, 7)
-        val sh = shArr.select($"doc_id", explode($"shs").as("sh"))
-        // the heavy-hitter set is small (<= postings/DF_CUT entries):
-        // broadcast it and prune map-side with an anti join
-        val frequent = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-          .filter($"df" > DF_CUT).select($"sh")
-        val pruned = sh.join(broadcast(frequent), Seq("sh"), "left_anti")
-        val cand = pruned.as("x").join(pruned.as("y"),
-            $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-        cand
-          .join(shArr.as("pa"), $"a" === $"pa.doc_id")
-          .join(shArr.as("pb"), $"b" === $"pb.doc_id")
-          .select($"a", $"b",
-            size(array_intersect($"pa.shs", $"pb.shs")).as("inter"),
-            size($"pa.shs").as("na"), size($"pb.shs").as("nb"))
-          .select($"a", $"b",
-            ($"inter".cast("double") /
-              ($"na" + $"nb" - $"inter")).as("jaccard"))
-          .filter($"jaccard" >= JACCARD_T)
+        // The query IS the DedupOps.ngramJaccardNearDups facade call
+        // (kernel shingling, broadcast-anti df-cut, candidate equi-join,
+        // exact-Jaccard verify), oracle-pinned.
+        graft.operators.DedupOps.ngramJaccardNearDups(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleK = 7, threshold = JACCARD_T, maxDf = DF_CUT)
       },
       Some(s"""
         WITH sh AS (

@@ -45,19 +45,15 @@ object PipelineExtra {
         // across sources — the 100 TB spelling shards the corpus into
         // many such groups and packs each shard independently; nothing
         // needs a global order.
+        // The query IS the PrepOps.packSequences facade call over the
+        // tokenized frame, so the oracle pins the operator users run.
         val tok = Tables.load(s, dir, "documents")
           .select($"source", $"doc_id",
             size(split($"text", " ")).cast("long").as("toks"))
-        val w = Window.partitionBy($"source").orderBy($"doc_id")
-        tok
-          .withColumn("cum", sum($"toks").over(w))
-          // Exact long floor division (`div`), not double division —
-          // bit-exact at any cumulative offset, not just below 2^53.
-          .withColumn("pack_id", expr(s"(cum - toks) div $PackBudget"))
-          .groupBy($"source", $"pack_id")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum($"toks").as("n_tokens"))
+        graft.operators.PrepOps
+          .packSequences(tok, "source", "doc_id", "toks", PackBudget)
+          .select($"group".as("source"), $"pack_id", $"n_docs",
+            $"n_tokens")
       },
       Some(s"""
         WITH tok AS (
@@ -85,13 +81,11 @@ object PipelineExtra {
         // move every multilingual corpus mix does. Membership is a pure
         // function of doc_id (md5 bucket, the q33 construction), so the
         // sample is reproducible under any partitioning / engine.
-        val docs = Tables.load(s, dir, "documents")
-          .withColumn("bucket",
-            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-              .cast("long") % 10)
-        docs
-          .filter(when($"lang" === "en", $"bucket" < 1)
-            .otherwise($"bucket" < 3))
+        // The sample IS the PrepOps.stratifiedSampleByHash facade call,
+        // so the oracle pins the operator users run.
+        graft.operators.PrepOps.stratifiedSampleByHash(
+            Tables.load(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 1), defaultTenths = 3)
           .groupBy($"lang")
           .agg(
             count(lit(1)).as("n_sampled"),
@@ -118,13 +112,10 @@ object PipelineExtra {
         // effective class sizes to the largest class (the loss/sampling
         // weight table handed to the trainer). The window max runs over
         // the per-class AGGREGATE (|classes| rows), not the corpus.
-        val cnt = Tables.load(s, dir, "documents")
-          .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
-        cnt
-          .withColumn("target",
-            max($"n_docs").over(Window.partitionBy()))
-          .select($"lang", $"n_docs", $"target",
-            ($"target".cast("double") / $"n_docs").as("weight"))
+        // The query IS the PrepOps.classBalanceWeights facade call.
+        graft.operators.PrepOps.classBalanceWeights(
+            Tables.load(s, dir, "documents"), "lang")
+          .select($"class".as("lang"), $"n_docs", $"target", $"weight")
       },
       Some("""
         WITH cnt AS (
@@ -198,11 +189,10 @@ object PipelineExtra {
         // any partitioning, engine, or re-run; disjointness and full
         // coverage hold by construction. One map-side assign + a
         // |splits|-row aggregate — nothing shuffles but the 3 rows.
-        val b = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100
-        Tables.load(s, dir, "documents")
-          .withColumn("split",
-            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        // The assignment IS the PrepOps.splitAssign facade call.
+        graft.operators.PrepOps.splitAssign(
+            Tables.load(s, dir, "documents"), "doc_id",
+            trainPct = 80, valPct = 10)
           .groupBy($"split")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -306,27 +296,17 @@ object PipelineExtra {
         // any corpus size. Recall consequence mirrors d04: overlap
         // carried ONLY by >cut shingles is invisible — by design,
         // since matching everyone is not evidence of leakage.
+        // The scan IS the PrepOps.decontamScan facade call over the
+        // p05-split sides, so the oracle pins the operator users run.
         val bucket = conv(
           substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
-        val sh = graft.functions.TextKernels
-          .shingleArrays(s,
-            Tables.load(s, dir, "documents").select($"doc_id", $"text"), 7)
-          .select($"doc_id", explode($"shs").as("sh"))
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test"))
-        val train = sh.filter($"split" === "train")
-          .select($"doc_id".as("train_doc_id"), $"sh")
-        val hot = train.groupBy($"sh")
-          .agg(count(lit(1)).as("df"))
-          .filter($"df" > DecontamDfCut).select($"sh")
-        val trainCut = train.join(broadcast(hot), Seq("sh"), "left_anti")
-        sh.filter($"split" === "test")
-          .join(trainCut, Seq("sh"))
-          .groupBy($"doc_id")
-          .agg(countDistinct($"train_doc_id").as("n_train_docs"),
-            countDistinct($"sh").as("n_contaminated_shingles"))
+        val docsAll = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", bucket.as("bucket"))
+        graft.operators.PrepOps.decontamScan(
+          docsAll.filter($"bucket" < 80),
+          docsAll.filter($"bucket" >= 90),
+          "doc_id", "text", k = 7, dfCut = DecontamDfCut)
       },
       Some(s"""
         WITH ws AS (
@@ -373,31 +353,23 @@ object PipelineExtra {
         // exact integer (long `div`), so the plan is bit-identical across
         // engines and scale factors. The heavy work is one map-side
         // combinable per-source token sum over the corpus; the waterfill
-        // itself runs on the |sources|-row aggregate (the unpartitioned
-        // windows below see ~20 rows, never data rows). Weights come from
+        // itself runs on the |sources|-row aggregate. Weights come from
         // the source id here (suffix mod 4 + 1) standing in for a
-        // user-supplied mixture table.
-        val w = Window.partitionBy(lit(1))
-        Tables.load(s, dir, "documents")
-          .groupBy($"source")
-          .agg(sum(expr("n_chars div 4")).as("avail_tokens"))
-          .withColumn("weight",
-            expr("substring(source, 4)").cast("long") % 4 + 1)
-          .withColumn("total_w", sum($"weight").over(w))
-          .withColumn("target_tokens",
-            expr(s"(${MixBudget}L * weight) div total_w"))
-          .withColumn("r1_alloc", least($"avail_tokens", $"target_tokens"))
-          .withColumn("leftover", lit(MixBudget) - sum($"r1_alloc").over(w))
-          .withColumn("rem_cap", $"avail_tokens" - $"r1_alloc")
-          .withColumn("surplus_w",
-            sum(when($"rem_cap" > 0, $"weight").otherwise(0L)).over(w))
-          .withColumn("r2_alloc", least($"rem_cap",
-            when($"rem_cap" > 0 && $"surplus_w" > 0,
-              expr("(leftover * weight) div surplus_w")).otherwise(0L)))
-          .select($"source", $"weight", $"avail_tokens", $"target_tokens",
-            ($"r1_alloc" + $"r2_alloc").as("alloc_tokens"),
-            (($"r1_alloc" + $"r2_alloc").cast("double") / $"target_tokens")
-              .as("fill_ratio"))
+        // user-supplied mixture table, fed through the facade's
+        // (domain, weight)-TABLE overload — so the query IS the
+        // PrepOps.domainMixture call users run, oracle-pinned. Every
+        // target here is >> 0, so the facade's null-fill_ratio guard
+        // never fires and the oracle's unconditional division matches.
+        val docsT = Tables.load(s, dir, "documents")
+          .select($"source", expr("n_chars div 4").as("toks"))
+        val weights = docsT.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        graft.operators.PrepOps.domainMixture(
+            docsT, "source", "toks", weights, "source", "w",
+            MixBudget, defaultWeight = 1L)
+          .select($"domain".as("source"), $"weight", $"avail_tokens",
+            $"target_tokens", $"alloc_tokens", $"fill_ratio")
       },
       Some(s"""
         WITH avail AS (
@@ -447,21 +419,14 @@ object PipelineExtra {
         // count is exact integer arithmetic on the word count, slice
         // clamps at the end in both engines, and rows never leave their
         // input partition — zero shuffles, linear at any corpus size.
-        // Chunks are emitted as md5 so the result stays skinny.
-        val W = 32
-        val stride = 24
-        Tables.load(s, dir, "documents")
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .withColumn("n", size($"ws").cast("long"))
-          .withColumn("n_chunks", expr(
-            s"case when n <= $W then 1L else (n - $W + ${stride - 1}) div $stride + 1L end"))
-          .select($"doc_id", $"n",
-            posexplode(expr(
-              s"transform(sequence(0, int(n_chunks) - 1), i -> array_join(slice(ws, i * $stride + 1, $W), ' '))")))
-          .select($"doc_id",
-            $"pos".cast("long").as("chunk_idx"),
-            least(lit(W.toLong), $"n" - $"pos" * stride).as("n_chunk_words"),
-            md5($"col").as("chunk_md5"))
+        // Chunks are emitted as md5 so the result stays skinny. The
+        // chunking IS the PrepOps.chunkDocuments facade call,
+        // oracle-pinned.
+        graft.operators.PrepOps.chunkDocuments(
+            Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", window = 32, stride = 24)
+          .select($"id".as("doc_id"), $"chunk_idx", $"n_chunk_words",
+            md5($"chunk_text").as("chunk_md5"))
       },
       Some("""
         WITH ws AS (
@@ -495,34 +460,26 @@ object PipelineExtra {
         // keep decision is map-side — the only corpus-sized shuffles are
         // the two skinny per-source aggregations. Output is the per-source
         // audit: docs kept, tokens kept, tokens planned.
-        val w = Window.partitionBy(lit(1))
-        val alloc = Tables.load(s, dir, "documents")
-          .groupBy($"source")
-          .agg(sum(expr("n_chars div 4")).as("avail_tokens"))
-          .withColumn("weight",
-            expr("substring(source, 4)").cast("long") % 4 + 1)
-          .withColumn("total_w", sum($"weight").over(w))
-          .withColumn("target_tokens",
-            expr(s"(${MixBudget}L * weight) div total_w"))
-          .withColumn("r1_alloc", least($"avail_tokens", $"target_tokens"))
-          .withColumn("leftover", lit(MixBudget) - sum($"r1_alloc").over(w))
-          .withColumn("rem_cap", $"avail_tokens" - $"r1_alloc")
-          .withColumn("surplus_w",
-            sum(when($"rem_cap" > 0, $"weight").otherwise(0L)).over(w))
-          .withColumn("alloc_tokens", $"r1_alloc" + least($"rem_cap",
-            when($"rem_cap" > 0 && $"surplus_w" > 0,
-              expr("(leftover * weight) div surplus_w")).otherwise(0L)))
-          .select($"source", $"avail_tokens", $"alloc_tokens")
-        Tables.load(s, dir, "documents")
-          .select($"source", expr("n_chars div 4").as("toks"),
-            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-              .cast("long").as("bucket"))
-          .join(broadcast(alloc), Seq("source"))
-          .filter($"bucket" * $"avail_tokens" < $"alloc_tokens" * 65536L)
+        // The materialization IS the PrepOps.mixtureSample facade call
+        // (TABLE-weights overload, same synthetic weight construction as
+        // p08), oracle-pinned; the audit joins the kept rows back to the
+        // facade's own plan for alloc_tokens.
+        val docsT = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", expr("n_chars div 4").as("toks"))
+        val weights = docsT.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        val plan = graft.operators.PrepOps.domainMixture(
+            docsT, "source", "toks", weights, "source", "w",
+            MixBudget, defaultWeight = 1L)
+          .select($"domain".as("source"), $"alloc_tokens")
+        graft.operators.PrepOps.mixtureSample(
+            docsT, "doc_id", "source", "toks", weights, "source", "w",
+            MixBudget, defaultWeight = 1L)
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs_kept"),
-            sum($"toks").as("kept_tokens"),
-            first($"alloc_tokens").as("alloc_tokens"))
+            sum($"toks").as("kept_tokens"))
+          .join(broadcast(plan), Seq("source"))
           .withColumn("fill_ratio",
             $"kept_tokens".cast("double") / $"alloc_tokens")
       },

@@ -319,7 +319,14 @@ object Similarity {
 
     GraftQuery(
       "s01_knn_brute",
-      (s, dir) => bruteDf(s, dir),
+      // the query IS the AnnOps.bruteTopK facade call (same staged
+      // scaled-long corpus, broadcast query set, exact dot_i64 cosine,
+      // top-k window), oracle-pinned; bruteDf stays as s05's
+      // ground-truth spelling and PipelineOpsSpec asserts the facade's
+      // corpus side never shuffles
+      (s, dir) => graft.operators.AnnOps.bruteTopK(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < NQUERIES, TOPK),
       Some(sqlBrute)),
 
     GraftQuery(
@@ -561,23 +568,10 @@ object Similarity {
         // posexplode then hash-aggregate on the `dims` keys — map-side
         // partial aggregation emits <= dims rows per task, so the
         // shuffle carries dims rows regardless of corpus size.
-        val comp = Tables.load(s, dir, "embeddings")
-          .select(posexplode(transform($"embedding",
-            x => round(x.cast("double") * lit(1000000.0)).cast("long")))
-            .as(Seq("dim", "c")))
-        comp.groupBy($"dim")
-          .agg(
-            count(lit(1)).as("n"),
-            sum($"c".cast(DecimalType(38, 0))).as("sc"),
-            sum(($"c" * $"c").cast(DecimalType(38, 0))).as("sc2"),
-            sum(when(abs($"c") < 10000L, 1L).otherwise(0L))
-              .as("n_near_zero"))
-          .select($"dim".cast("long").as("dim"), $"n",
-            ($"sc".cast("double") / $"n" / lit(1000000.0)).as("mean"),
-            (($"sc2".cast("double") / $"n" -
-              ($"sc".cast("double") / $"n") * ($"sc".cast("double") / $"n"))
-              / lit(1000000000000.0)).as("variance"),
-            $"n_near_zero")
+        // The query IS the AnnOps.embeddingStats facade call
+        // (zeroEps 0.01 == the 10000-scaled-unit cut), oracle-pinned.
+        graft.operators.AnnOps.embeddingStats(
+          Tables.load(s, dir, "embeddings"), "embedding", zeroEps = 0.01)
       },
       Some("""
         WITH comp AS (

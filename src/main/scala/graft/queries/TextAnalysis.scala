@@ -45,17 +45,12 @@ object TextAnalysis {
         import s.implicits._
         // marker-token voting: explode tokens, broadcast-join the lexicon,
         // count votes per (doc, lang), argmax with lang-asc tiebreak.
-        val lex = s.createDataFrame(lexicon).toDF("w", "cand_lang")
-        val tok = docs(s, dir)
-          .select($"doc_id", explode(split($"text", " ")).as("w"))
-        val votes = tok.join(broadcast(lex), Seq("w"))
-          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("votes"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id")
-          .orderBy($"votes".desc, $"cand_lang".asc)
-        votes.withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"doc_id", $"cand_lang".as("pred_lang"), $"votes")
+        // The query IS the TextOps.langId facade call, so the oracle
+        // pins the operator users run.
+        graft.operators.TextOps.langId(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            lexicon)
+          .select($"id".as("doc_id"), $"pred_lang", $"votes")
       },
       Some(s"""
         WITH lex(w, cand_lang) AS (VALUES $sqlLexicon),
@@ -78,23 +73,16 @@ object TextAnalysis {
       "t02_quality_score",
       (s, dir) => {
         import s.implicits._
-        val ws = split($"text", " ")
-        val stopArr = array(stopwords.map(lit): _*)
-        val nWords = size(ws)
-        val nStop = size(filter(ws, w => array_contains(stopArr, w)))
-        val nDistinct = size(array_distinct(ws))
-        docs(s, dir).select(
-          $"doc_id",
-          $"n_chars",
-          nWords.cast("long").as("n_words"),
-          // mean word length: single double division, engine-identical
-          (($"n_chars" - (nWords - lit(1))).cast("double") / nWords)
-            .as("mean_word_len"),
-          (nStop.cast("double") / nWords).as("stopword_ratio"),
-          (nDistinct.cast("double") / nWords).as("type_token_ratio"),
-          // composite quality flag: cheap boolean heuristics
-          ($"n_chars" >= 100 && nWords >= lit(20) &&
-            (nDistinct.cast("double") / nWords) > 0.3).as("is_quality"))
+        // The query IS the TextOps.qualityFeatures facade call (the
+        // facade computes n_chars = length(text), equal to the table's
+        // n_chars column by construction), so the oracle pins the
+        // operator users run.
+        graft.operators.TextOps.qualityFeatures(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            stopwords)
+          .select($"id".as("doc_id"), $"n_chars", $"n_words",
+            $"mean_word_len", $"stopword_ratio", $"type_token_ratio",
+            $"is_quality")
       },
       Some {
         val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -120,13 +108,13 @@ object TextAnalysis {
         import s.implicits._
         // whitespace tokens + a BPE-ish regex segmentation (letter runs /
         // digit runs / single other chars — dialect-neutral regex) + a
-        // crude chars/4 "llm token" estimate.
-        docs(s, dir).select(
-          $"doc_id",
-          size(split($"text", " ")).cast("long").as("ws_tokens"),
-          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-            .cast("long").as("re_tokens"),
-          floor($"n_chars" / 4).cast("long").as("est_llm_tokens"))
+        // crude chars/4 "llm token" estimate. The query IS the
+        // TextOps.tokenStats facade call (chars/4 over length(text) ==
+        // the table's n_chars by construction).
+        graft.operators.TextOps.tokenStats(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"ws_tokens", $"re_tokens",
+            $"est_llm_tokens")
       },
       Some("""
         SELECT doc_id,
@@ -142,11 +130,9 @@ object TextAnalysis {
         import s.implicits._
         // corpus-level vocabulary: top-20 tokens by frequency. Map-side
         // partial aggregation then a 20-row TakeOrdered — no full sort.
-        docs(s, dir)
-          .select(explode(split($"text", " ")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("cnt"))
-          .orderBy($"cnt".desc, $"w".asc)
-          .limit(20)
+        // The query IS the TextOps.vocabTopK facade call.
+        graft.operators.TextOps.vocabTopK(
+          docs(s, dir).select($"text"), "text", 20)
       },
       Some("""
         SELECT w, COUNT(*) AS cnt
@@ -167,11 +153,11 @@ object TextAnalysis {
         // mins come from the compiled TextKernels pass — the Catalyst HOF
         // spelling ran interpreted AND re-evaluated the inner split per
         // shingle position (O(words^2) per doc, minutes single-threaded).
-        val fp = graft.functions.TextKernels.winnowFingerprints(
-          s, docs(s, dir).repartition(32, $"doc_id"), 8)
-        docs(s, dir).select($"doc_id", md5($"text").as("fp_exact"))
-          .join(fp, Seq("doc_id"))
-          .select($"doc_id", $"fp_exact", $"fp_winnow")
+        // The query IS the TextOps.fingerprints facade call.
+        graft.operators.TextOps.fingerprints(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            shingleK = 8)
+          .select($"id".as("doc_id"), $"fp_exact", $"fp_winnow")
       },
       Some("""
         SELECT doc_id, md5(text) AS fp_exact,
@@ -379,9 +365,8 @@ object TextAnalysis {
         // (char classes + bounded repetition, no lookaround/backrefs) so
         // Java regex and DuckDB's RE2 match identically. Pure map-side
         // row-at-a-time work: zero shuffles, linear at any corpus size.
-        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phonePat = "555-[0-9]{4}"
-        val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        // The scrub itself IS the TextOps.piiScrub facade call over the
+        // decorated frame, so the oracle pins the operator users run.
         val decorated = concat($"text",
           lit(" contact user"), $"doc_id".cast("string"),
           lit("@mail"), ($"doc_id" % 10).cast("string"), lit(".com"),
@@ -391,19 +376,11 @@ object TextAnalysis {
           lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
           lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
           lit("."), ($"doc_id" * 7 % 256).cast("string"))
-        docs(s, dir)
-          .select($"doc_id", decorated.as("decorated"))
-          .withColumn("redacted", regexp_replace(regexp_replace(
-            regexp_replace($"decorated", emailPat, "<EMAIL>"),
-            phonePat, "<PHONE>"), ipPat, "<IP>"))
-          .select($"doc_id",
-            size(regexp_extract_all($"decorated", lit(emailPat), lit(0)))
-              .cast("long").as("n_emails"),
-            size(regexp_extract_all($"decorated", lit(phonePat), lit(0)))
-              .cast("long").as("n_phones"),
-            size(regexp_extract_all($"decorated", lit(ipPat), lit(0)))
-              .cast("long").as("n_ips"),
-            md5($"redacted").as("redacted_md5"))
+        graft.operators.TextOps.piiScrub(
+            docs(s, dir).select($"doc_id", decorated.as("decorated")),
+            "doc_id", "decorated")
+          .select($"id".as("doc_id"), $"n_emails", $"n_phones",
+            $"n_ips", md5($"redacted").as("redacted_md5"))
       },
       Some("""
         WITH dec AS (
