@@ -978,31 +978,113 @@ object AnnOps {
         sqrt(dot_i64(col("c"), col("c")).cast("double")).as("nrmr"))
       .localCheckpoint()
 
+  /** Argmax-cosine assignment of every staged vector to a centroid, as a
+    * single map pass: the (cell, cc, cnrmr) centroid table — k rows, a
+    * few MB even at SemDeDup-realistic k ~ N/1000 — is collected and
+    * broadcast ONCE, and each partition scores its vectors against all k
+    * centroids in a tight primitive loop. No per-vector explode, no N×k
+    * intermediate rows, no window shuffle: the only rows that move are
+    * the (id, cell) output. (The previous spelling exploded k copies of
+    * every vector through a broadcast join and resolved the argmax with
+    * a row_number window — a full shuffle+sort of N×k scored rows, which
+    * at k ~ 100k cells for 100M docs is 10^13 rows.)
+    *
+    * Arithmetic is bit-identical to the declarative spelling the oracle
+    * pins: exact i64 dot (same wrap semantics as [[dot_i64]]), score =
+    * dot.toDouble / (nrmr * cnrmr) (the identical IEEE expression), ties
+    * broken cell-ascending (cells are scored in ascending order and only
+    * a STRICTLY greater score replaces the incumbent; NaN scores — a
+    * zero centroid — order greatest like Spark's descending sort, via
+    * java.lang.Double.compare). The driver-side collect is the measured
+    * k-row centroid table, never the corpus — the same contract as the
+    * [[knnGraphBroadcast]] kernel.
+    */
+  private[graft] def assignCells(v: DataFrame, cent: DataFrame,
+      idCol: String): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val cents = cent.select(col("cell"), col("cc"), col("cnrmr"))
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    v.select(col(idCol), col("c"), col("nrmr"))
+      .as[(Long, Array[Long], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, c, nrmr) =>
+          var bestCell = if (cs.isEmpty) -1L else cs(0)._1
+          var best = Double.NaN
+          var j = 0
+          while (j < cs.length) {
+            val (cell, cc, cnrmr) = cs(j)
+            var dot = 0L
+            var i = 0
+            val n = if (c == null) 0 else math.min(c.length, cc.length)
+            while (i < n) { dot += c(i) * cc(i); i += 1 }
+            val score = dot.toDouble / (nrmr * cnrmr)
+            if (j == 0 || java.lang.Double.compare(score, best) > 0) {
+              best = score; bestCell = cell
+            }
+            j += 1
+          }
+          (id, bestCell)
+        }
+      }.toDF(idCol, "cell")
+  }
+
+  /** Per-cell component sums of the member vectors, pre-combined
+    * map-side: each partition accumulates ONE array per cell it sees and
+    * emits (cell, partial-sum) rows, so the shuffle feeding the final
+    * per-(cell, i) aggregation carries ≤ |cells| × |partitions| rows
+    * instead of the N × dim posexplode of every member vector. Long
+    * addition is associative/commutative (identical wrap semantics
+    * regrouped), so the downstream sums are bit-identical to the
+    * exploded spelling.
+    */
+  private[graft] def cellPartialSums(joined: DataFrame): DataFrame = {
+    val s = joined.sparkSession
+    import s.implicits._
+    joined.select(col("cell"), col("c")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+        it.foreach { case (cell, c) =>
+          if (c != null && c.nonEmpty) {
+            var a = acc.getOrElse(cell, Array.emptyLongArray)
+            if (a.length < c.length) {
+              a = java.util.Arrays.copyOf(a, c.length)
+              acc(cell) = a
+            }
+            var i = 0
+            while (i < c.length) { a(i) += c(i); i += 1 }
+          }
+        }
+        acc.iterator
+      }.toDF("cell", "ps")
+  }
+
+  /** (cell, cc: array<long> component sums, cnrmr: raw norm) of the
+    * member vectors — the Lloyd centroid-update step, fed by the
+    * [[cellPartialSums]] kernel. The per-(cell, i) shuffle sees only the
+    * pre-combined partials; the self-dot runs in decimal(19,0) because
+    * centroid sums square past long range once cells hold ~1e3 vectors.
+    */
+  private[graft] def centFromMembers(v: DataFrame, members: DataFrame,
+      idCol: String): DataFrame =
+    cellPartialSums(v.join(members, Seq(idCol))
+        .select(col("cell"), col("c")))
+      .select(col("cell"), posexplode(col("ps")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("s"))
+      .groupBy(col("cell")).agg(
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          e => e.getField("s")).as("cc"),
+        sqrt(sum(col("s").cast(DecimalType(19, 0)) *
+          col("s").cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
+
   private def kmeansFromStaged(v: DataFrame, k: Int,
       iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     def centFrom(members: DataFrame): DataFrame =
-      v.join(members, Seq("id"))
-        .select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("s"))
-        .groupBy(col("cell")).agg(
-          transform(array_sort(collect_list(struct(col("i"), col("s")))),
-            e => e.getField("s")).as("cc"),
-          sqrt(sum(col("s").cast(DecimalType(19, 0)) *
-            col("s").cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
-    def assign(cent: DataFrame): DataFrame = {
-      val scored = v
-        .select(col("id"), col("c"), col("nrmr"),
-          explode(sequence(lit(0L), lit((k - 1).toLong))).as("cell"))
-        .join(broadcast(cent), Seq("cell"))
-        .select(col("id"), col("cell"),
-          (dot_i64(col("c"), col("cc")).cast("double") /
-            (col("nrmr") * col("cnrmr"))).as("score"))
-      val wv = Window.partitionBy(col("id"))
-        .orderBy(col("score").desc, col("cell").asc)
-      scored.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1).select(col("id"), col("cell"))
-    }
+      centFromMembers(v, members, "id")
+    def assign(cent: DataFrame): DataFrame = assignCells(v, cent, "id")
     // seeds: the k smallest ids, cell = rank. The orderBy is bounded by
     // limit (TakeOrdered, never a full sort); the rank window sees k rows.
     val seeds = v.select(col("id")).orderBy(col("id")).limit(k)
