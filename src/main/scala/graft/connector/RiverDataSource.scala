@@ -369,16 +369,26 @@ class RiverDataWriter(
     } else store.createStream(stream, rs)
   private val fieldIdx: Array[Int] =
     rs.fields.map(f => input.fieldIndex(f.name)).toArray
+  // Spark stores TimestampType/TimestampNTZType internally as epoch
+  // MICROS in a long; river's contract for such fields is epoch NANOS
+  // int64 (RiverSchema.fromStructType) — scale at pack time.
+  private val microsToNanos: Array[Boolean] =
+    fieldIdx.map(i => input.fields(i).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    })
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
 
   override def write(row: InternalRow): Unit = {
-    val vals: Seq[Any] = rs.fields.zip(fieldIdx.toSeq).map { case (f, i) =>
+    val vals: Seq[Any] = rs.fields.indices.map { k =>
+      val f = rs.fields(k); val i = fieldIdx(k)
       f.tpe match {
         case RiverType.Double64           => row.getDouble(i)
         case RiverType.Float32            => row.getFloat(i)
         case RiverType.Int16              => row.getShort(i)
         case RiverType.Int32              => row.getInt(i)
-        case RiverType.Int64              => row.getLong(i)
+        case RiverType.Int64              =>
+          if (microsToNanos(k)) row.getLong(i) * 1000L else row.getLong(i)
         case RiverType.FixedWidthBytes(_) => row.getBinary(i)
         case RiverType.VariableWidthBytes(_) => row.getBinary(i)
       }

@@ -176,6 +176,13 @@ object RiverSchema {
         case ShortType   => RiverType.Int16
         case IntegerType => RiverType.Int32
         case LongType    => RiverType.Int64
+        // Event-time columns: river has no timestamp type — the reference
+        // itself stores time as plain int64 (the derived `timestamp_ms`
+        // column, cpp/ingester/src/ingester.cpp:318-326). Map Spark
+        // timestamps to INT64 epoch NANOS at create; the connector's
+        // writer converts Spark's internal micros on the way in, so a
+        // round-trip reads back as the engine's nanos-long contract.
+        case TimestampType | TimestampNTZType => RiverType.Int64
         case BinaryType  => sys.error(
           s"binary field ${f.name}: choose FixedWidthBytes(n) or VariableWidthBytes(n) explicitly")
         case dt => sys.error(s"unsupported river type for field ${f.name}: $dt")

@@ -979,10 +979,13 @@ object AnnOps {
       .localCheckpoint()
 
   /** Argmax-cosine assignment of every staged vector to a centroid, as a
-    * single map pass: the (cell, cc, cnrmr) centroid table — k rows, a
-    * few MB even at SemDeDup-realistic k ~ N/1000 — is collected and
-    * broadcast ONCE, and each partition scores its vectors against all k
-    * centroids in a tight primitive loop. No per-vector explode, no N×k
+    * single map pass: the (cell, cc, cnrmr) centroid table — k rows,
+    * k × dim × 8 bytes, so ~5 MB at k=10k/dim=64 but ~0.6 GB at
+    * SemDeDup-realistic k=100k/dim=768 — is collected and broadcast ONCE
+    * per Lloyd step (the caller destroys each step's broadcast as soon
+    * as the assignment is pinned; at the large end, bound k by driver
+    * memory or shard the centroid table), and each partition scores its
+    * vectors against all k centroids in a tight primitive loop. No per-vector explode, no N×k
     * intermediate rows, no window shuffle: the only rows that move are
     * the (id, cell) output. (The previous spelling exploded k copies of
     * every vector through a broadcast join and resolved the argmax with
@@ -1000,13 +1003,28 @@ object AnnOps {
     * [[knnGraphBroadcast]] kernel.
     */
   private[graft] def assignCells(v: DataFrame, cent: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame = assignCellsKeepBc(v, cent, idCol)._1
+
+  /** [[assignCells]], also returning the iteration's centroid broadcast
+    * so the caller can destroy() it once the assignment is pinned
+    * (localCheckpoint) — otherwise every Lloyd step's k-row table
+    * accumulates on the executors for the job's lifetime.
+    */
+  private[graft] def assignCellsKeepBc(v: DataFrame, cent: DataFrame,
+      idCol: String)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     val s = v.sparkSession
     import s.implicits._
     val cents = cent.select(col("cell"), col("cc"), col("cnrmr"))
       .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
-    v.select(col(idCol), col("c"), col("nrmr"))
+    // A null embedding (null c ⇒ null nrmr) must not crash the primitive
+    // Double decode; coalesce null nrmr to NaN. Every per-cell score is
+    // then NaN, so the j==0 branch keeps the FIRST (smallest) cell —
+    // exactly where the declarative spelling's row_number (score desc
+    // nulls-last, cell asc tie-break) lands such a row.
+    val out = v.select(col(idCol), col("c"),
+        coalesce(col("nrmr"), lit(Double.NaN)).as("nrmr"))
       .as[(Long, Array[Long], Double)]
       .mapPartitions { it =>
         val cs = bc.value
@@ -1029,6 +1047,7 @@ object AnnOps {
           (id, bestCell)
         }
       }.toDF(idCol, "cell")
+    (out, bc)
   }
 
   /** Per-cell component sums of the member vectors, pre-combined
@@ -1084,7 +1103,6 @@ object AnnOps {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     def centFrom(members: DataFrame): DataFrame =
       centFromMembers(v, members, "id")
-    def assign(cent: DataFrame): DataFrame = assignCells(v, cent, "id")
     // seeds: the k smallest ids, cell = rank. The orderBy is bounded by
     // limit (TakeOrdered, never a full sort); the rank window sees k rows.
     val seeds = v.select(col("id")).orderBy(col("id")).limit(k)
@@ -1094,8 +1112,13 @@ object AnnOps {
     var cent = centFrom(seeds)
     var members: DataFrame = null
     for (it <- 1 to iters) {
-      // pin each round: members feeds the next update and the caller
-      members = assign(cent).localCheckpoint()
+      // pin each round: members feeds the next update and the caller.
+      // localCheckpoint is eager, so the centroid broadcast is consumed
+      // by the time it returns — destroy it (ADVICE: broadcasts
+      // otherwise accumulate one k-row table per Lloyd step).
+      val (assigned, bc) = assignCellsKeepBc(v, cent, "id")
+      members = assigned.localCheckpoint()
+      bc.destroy()
       if (it < iters) cent = centFrom(members)
     }
     members

@@ -150,43 +150,28 @@ object Similarity {
         sqrt(dot_i64($"c", $"c").cast("double")).as("nrmr"))
       .localCheckpoint()
 
-    /** (cell, cc: array<long> component sums, cnrmr: raw norm). The
-      * self-dot runs in decimal(38,0): centroid sums square past long
-      * range once cells hold ~1e3 vectors. */
+    // Lloyd steps run through the shared AnnOps kernels (the same code
+    // s07 uses): centroid update = map-side pre-combined partial sums
+    // (≤ cells × partitions shuffled rows, not the N × dim posexplode),
+    // assignment = one broadcast of the K-row centroid table + a
+    // map-pass argmax (no N×K explode, no row_number window shuffle).
+    // Arithmetic is bit-identical to the declarative spelling the s02
+    // oracle pins — see the kernels' scaladocs.
     def centFrom(members: DataFrame): DataFrame =
-      v.join(members, Seq("vec_id"))
-        .select($"cell", posexplode($"c").as(Seq("i", "x")))
-        .groupBy($"cell", $"i").agg(sum($"x").as("s"))
-        .groupBy($"cell").agg(
-          transform(array_sort(collect_list(struct($"i", $"s"))),
-            e => e.getField("s")).as("cc"),
-          sqrt(sum($"s".cast(DecimalType(19, 0)) *
-            $"s".cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
-
-    /** Argmax-cosine assignment of every vector to a centroid: explode
-      * K cell ids per vector (broadcast-hash join against the K-row
-      * centroid table — never a nested-loop), one codegen'd dot each. */
-    def assign(cent: DataFrame): DataFrame = {
-      val scored = v
-        .select($"vec_id", $"c", $"nrmr",
-          explode(sequence(lit(0L), lit((K - 1).toLong))).as("cell"))
-        .join(broadcast(cent), Seq("cell"))
-        .select($"vec_id", $"cell",
-          (dot_i64($"c", $"cc").cast("double") /
-            ($"nrmr" * $"cnrmr")).as("score"))
-      val wv = Window.partitionBy($"vec_id")
-        .orderBy($"score".desc, $"cell".asc)
-      scored.withColumn("rn", row_number().over(wv))
-        .filter($"rn" === 1).select($"vec_id", $"cell")
-    }
+      graft.operators.AnnOps.centFromMembers(v, members, "vec_id")
 
     var cent = centFrom(v.filter($"vec_id" < K)
       .select($"vec_id", $"vec_id".as("cell")))
     var members: DataFrame = null
     for (it <- 1 to KMEANS_ITERS) {
       // pin each round: members feeds both the next centroid update and
-      // the final cell search; unpinned, the lineage doubles per round
-      members = assign(cent).localCheckpoint()
+      // the final cell search; unpinned, the lineage doubles per round.
+      // localCheckpoint is eager, so each step's centroid broadcast is
+      // spent once it returns — destroy it.
+      val (assigned, bc) =
+        graft.operators.AnnOps.assignCellsKeepBc(v, cent, "vec_id")
+      members = assigned.localCheckpoint()
+      bc.destroy()
       if (it < KMEANS_ITERS) cent = centFrom(members)
     }
     (v, members)

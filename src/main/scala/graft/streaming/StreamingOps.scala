@@ -27,20 +27,25 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingOps {
 
   /** The events table as a bounded stream with a proper `event_time`
-    * timestamp column (`ts` is parquet TIMESTAMP(NANOS), read as nanos
-    * long per Tables.load).
+    * timestamp column. The stream must read the file with its RAW
+    * schema (whatever physical type `ts` was generated with — nanos
+    * int64 or timestamp[us]) and then apply the same
+    * `Tables.normalizeTs` nanos-long normalization as the batch loader:
+    * declaring the post-normalization LongType in `.schema()` would make
+    * the parquet reader silently hand back raw micros as "nanos".
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val batch = Tables.load(spark, sfDir, "events")
+    // raw file schema, before any ts normalization
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // file-source streams read a directory; give the single parquet file
     // one via symlink (no data copy)
     val dir = Files.createTempDirectory("graft-events-stream-")
     Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream
-      .schema(batch.schema)
-      .parquet(dir.toString)
+    Tables.normalizeTs(
+        spark.readStream.schema(raw.schema).parquet(dir.toString))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
   }
 

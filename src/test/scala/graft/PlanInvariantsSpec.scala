@@ -138,6 +138,44 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s02 lost its broadcast centroid/candidate joins")
   }
 
+  test("k-means assignment kernel plans a map pass: no window, no explode") {
+    // The Lloyd assignment both s02/s05 (Similarity.kmeansMembers) and
+    // s07 (AnnOps.kmeansCells) route through must be AnnOps.assignCells:
+    // one k-row broadcast + a mapPartitions argmax. The s02 query's own
+    // final plan can't show this (each Lloyd step is pinned behind a
+    // localCheckpoint), so gate the kernel directly: its plan must have
+    // a MapPartitions and NO window exchange / generate — the N×K
+    // explode + row_number spelling shuffled N×K scored rows (10^13 at
+    // k=100k cells over 100M docs).
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, Array(1L, 0L)), (2L, Array(0L, 2L)),
+      (3L, Array(3L, 4L))).toDF("id", "c")
+      .withColumn("nrmr", sqrt(expr(
+        "aggregate(transform(c, x -> x * x), 0L, (a, x) -> a + x)")
+        .cast("double")))
+    val cent = Seq((0L, Array(1L, 0L)), (1L, Array(0L, 1L)))
+      .toDF("cell", "cc")
+      .withColumn("cnrmr", lit(1.0))
+    val assigned =
+      graft.operators.AnnOps.assignCells(df, cent, "id")
+    assigned.count()
+    val p = assigned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val s = p.toString()
+    assert(s.contains("MapPartitions"), s"assignCells not a map pass:\n$s")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"assignCells has a window exchange: ${windows.map(_.nodeName)}")
+    assert(!s.contains("Generate"),
+      "assignCells explodes rows (N×K regression)")
+  }
+
   test("s04 runs the broadcast kernel below the auto gate") {
     val s = plans("s04_knn_graph").toString()
     assert(s.contains("MapPartitions"), "s04 not on the kernel path")

@@ -31,6 +31,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 n_pass = n_fail = 0
+
+# Verify.scala records every declared query that threw in errors.json —
+# surface those as failures here too, so a dead query can never read as
+# "absent therefore fine" (the round-6 silent-failure mode).
+err_path = f"{OUT}/errors.json"
+if os.path.exists(err_path):
+    for name, msg in sorted(json.load(open(err_path)).items()):
+        print(f"FAIL {name}: query threw: {msg}")
+        n_fail += 1
+
 for name in sorted(oracle):
     sql = oracle[name]
     qdir = f"{OUT}/{name}"
