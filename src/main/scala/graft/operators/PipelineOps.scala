@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextKernels
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.functions.dot_i64
@@ -198,8 +198,23 @@ object DedupOps {
       partitions: Int = 32): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
-    val allIdx = index.select(col("doc_id"), col("shs"), col("bkeys"))
-      .unionByName(newIdx.select(col("doc_id"), col("shs"), col("bkeys")))
+    probeIndex(newIdx, Some(index), threshold)
+  }
+
+  /** The probe shared by the in-memory and durable incremental paths:
+    * band-bucket join of a PREBUILT new-batch index against the
+    * accumulated index (plus the new batch itself, for new-new pairs),
+    * then exact-Jaccard verification of candidates only.
+    */
+  private def probeIndex(newIdx: DataFrame, index: Option[DataFrame],
+      threshold: Double): DataFrame = {
+    val newCols = newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
+    val allIdx = index match {
+      case Some(i) =>
+        i.select(col("doc_id"), col("shs"), col("bkeys"))
+          .unionByName(newCols)
+      case None => newCols
+    }
     def bandRows(idx: DataFrame): DataFrame = idx
       .select(col("doc_id"), explode(col("bkeys")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
@@ -211,6 +226,58 @@ object DedupOps {
         greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
     jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
       threshold)
+  }
+
+  /** Load a durable [[minhashIndex]] rooted at `dir` (written by
+    * [[incrementalMinhashDedupDurable]]): one parquet subdir per
+    * appended batch, partition-discovered as a `batch` column. Returns
+    * None when no batch has ever committed. `excludeBatch` drops one
+    * batch id — the retry guard: a foreachBatch replay must never probe
+    * against its own previous half-committed append.
+    */
+  def loadMinhashIndex(spark: SparkSession, dir: String,
+      excludeBatch: Long = Long.MinValue): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    val hasBatch = root.isDirectory && root.listFiles() != null &&
+      root.listFiles().exists(f => f.isDirectory &&
+        f.getName.startsWith("batch="))
+    if (!hasBatch) None
+    else Some(spark.read.parquet(dir)
+      .filter(col("batch") =!= lit(excludeBatch))
+      .select(col("doc_id"), col("shs"), col("bkeys")))
+  }
+
+  /** Durable incremental MinHash dedup — the restart-safe form of the
+    * daily-increment pattern. Each call: (1) builds the batch's
+    * signatures (O(batch); the accumulated corpus text is never read),
+    * (2) probes them against every batch previously COMMITTED to
+    * `indexDir` (new-vs-old and new-vs-new within this batch), (3)
+    * commits this batch's signatures to `indexDir/batch=<batchId>`, and
+    * returns the verified pairs, eagerly pinned (localCheckpoint) so the
+    * result never re-reads an index that later batches have extended.
+    *
+    * Restart/retry contract (extends the streaming engine's own
+    * checkpoint): the index lives in one parquet subdir per batch, so a
+    * crash between batches loses nothing — the next process reloads
+    * exactly the committed batches; a foreachBatch REPLAY of batch i
+    * overwrites its own subdir idempotently and excludes it from the
+    * probe, so the same (batchId, data) always yields the same pairs.
+    * At 100 TB this is the operator a deployment runs: the index dir is
+    * the persistent store (DFS in production), per-increment cost is
+    * O(batch + candidates), and a restart re-admits nothing.
+    */
+  def incrementalMinhashDedupDurable(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, batchId: Long,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+    val s = batch.sparkSession
+    val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
+      rows, partitions).localCheckpoint()
+    val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
+    val pairs = probeIndex(newIdx, existing, threshold).localCheckpoint()
+    newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    pairs
   }
 
   /** Paragraph-granularity MinHash+LSH near-dups — the standard second
@@ -1140,6 +1207,15 @@ object AnnOps {
       partitions: Int = 32): DataFrame = {
     val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
     val members = kmeansFromStaged(v, cells, iters)
+    pairsWithinCells(v, members, threshold)
+  }
+
+  /** The within-cell exact-cosine verify shared by both semanticNearDups
+    * overloads: self-join the membership on `cell`, a < b, exact
+    * scaled-long cosine against `threshold`.
+    */
+  private def pairsWithinCells(v: DataFrame, members: DataFrame,
+      threshold: Double): DataFrame = {
     val xa = members.join(v, Seq("id"))
       .select(col("cell"), col("id").as("a"), col("c").as("ac"),
         col("nrm").as("anrm"))
@@ -1151,6 +1227,35 @@ object AnnOps {
         ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
           (col("anrm") * col("bnrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[semanticNearDups]] with `cells` derived from the corpus:
+    * cells = max(1, ceil(N / targetCellSize)). This is the facade a
+    * caller should reach for at corpus scale — the fixed-`cells`
+    * overload trusts the caller to keep sum(|cell|^2) bounded, and a
+    * too-small K silently degenerates toward the all-pairs N^2.
+    *
+    * The trade, explicitly: per-cell verify cost is ~targetCellSize^2
+    * pairs (k-means cells are skewed, so the constant hides the skew
+    * factor — AQE's skew-split handles the join side, but a pathological
+    * single-cell corpus is still ~N^2/cells work); recall LOSS grows as
+    * cells shrink the cell diameter past the near-dup radius — true
+    * pairs split across a boundary are never compared. SemDeDup's
+    * published operating point is cells ~ N/1000 (targetCellSize=1000);
+    * smaller targets cut cost quadratically and recall slowly, larger
+    * targets the reverse. One extra count() job over the staged vectors
+    * prices the corpus — negligible next to the Lloyd passes.
+    */
+  def semanticNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetCellSize: Long = 1000L, iters: Int = 2,
+      partitions: Int = 32): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize=$targetCellSize")
+    val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
+    val n = v.count()
+    val cells = math.max(1L,
+      (n + targetCellSize - 1) / targetCellSize).min(Int.MaxValue).toInt
+    val members = kmeansFromStaged(v, cells, iters)
+    pairsWithinCells(v, members, threshold)
   }
 
   /** Embedding-space health audit: per-dimension mean, variance, and

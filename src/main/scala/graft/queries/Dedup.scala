@@ -429,13 +429,21 @@ object Dedup {
         // per (session, dir) like q31's pay-once bucketed layout, so
         // repeated runs (bench passes) measure the increment work, not
         // a rebuild a real deployment never repeats. The cached frame is
-        // the PRISTINE old-corpus index; per-run accumulation below
-        // never mutates it.
-        var idx = st10BaseIndex.getOrElseUpdate(
+        // the PRISTINE old-corpus index; the per-run durable index dir
+        // below never mutates it.
+        val baseIdx = st10BaseIndex.getOrElseUpdate(
           (s, dir),
           graft.operators.DedupOps
             .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
             .localCheckpoint())
+        // The accumulated index is DURABLE (one parquet subdir per
+        // committed batch — DedupOps.incrementalMinhashDedupDurable):
+        // a restart between microbatches reloads exactly the committed
+        // batches instead of silently re-admitting yesterday's
+        // duplicates. Batch -1 seeds the dir with the old corpus.
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-st10-idx-").toString
+        baseIdx.write.mode("overwrite").parquet(s"$idxDir/batch=-1")
         val newDocs = docsAll.filter(bucket >= 80)
           .select($"doc_id", $"text")
         val newDir = java.nio.file.Files
@@ -446,15 +454,11 @@ object Dedup {
         val acc = scala.collection.mutable.ArrayBuffer.empty[
           org.apache.spark.sql.DataFrame]
         graft.streaming.StreamingOps.drainForeachBatch(s, stream,
-          "st10") { (batch, _) =>
+          "st10") { (batch, bid) =>
           if (!batch.isEmpty) {
-            val b = batch.localCheckpoint()
-            acc += graft.operators.DedupOps.minhashNearDupsAgainstIndex(
-              b, "doc_id", "text", idx, 5, BANDS, ROWS, JACCARD_T)
-              .localCheckpoint()
-            idx = idx.unionByName(graft.operators.DedupOps
-              .minhashIndex(b, "doc_id", "text", 5, BANDS, ROWS))
-              .localCheckpoint()
+            acc += graft.operators.DedupOps.incrementalMinhashDedupDurable(
+              batch.localCheckpoint(), "doc_id", "text", idxDir, bid,
+              5, BANDS, ROWS, JACCARD_T)
           }
         }
         acc.reduceOption(_ unionByName _).getOrElse(

@@ -482,6 +482,59 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells(0L) != cells(1L))
   }
 
+  test("semanticNearDupsAuto: derives K from N, bounds per-cell pairs " +
+      "on a skewed fixture") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: 18 vectors clumped around the x axis, 3 around y,
+    // 3 around z — the shape where a caller-picked fixed K degenerates
+    // (too small → all-pairs; too large → empty cells)
+    val rows =
+      (0L until 18L).map(i =>
+        (i, Array(1.0f, 0.001f * i, 0.0f))) ++
+      (18L until 21L).map(i =>
+        (i, Array(0.0f, 1.0f, 0.001f * (i - 18)))) ++
+      (21L until 24L).map(i =>
+        (i, Array(0.001f * (i - 21), 0.0f, 1.0f)))
+    val df = rows.toDF("vid", "emb")
+
+    // targetCellSize=6 over N=24 → 4 cells
+    val got = AnnOps.semanticNearDupsAuto(df, "vid", "emb",
+        threshold = 0.999, targetCellSize = 6, partitions = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+
+    // the derived K must be ceil(24/6) = 4: memberships recomputed with
+    // the same staged pipeline at that K are exactly the auto path's
+    val members = AnnOps.kmeansCells(df, "vid", "emb", k = 4,
+        partitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members.keySet == rows.map(_._1).toSet)
+
+    // every reported pair is within-cell and exact-cosine-correct
+    val exact = AnnOps.cosineNearDups(df, "vid", "emb", threshold = 0.999,
+        blocks = 2, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case ((a, b), c) =>
+      assert(members(a) == members(b), s"cross-cell pair ($a,$b)")
+      assert(exact((a, b)) == c, s"cosine drift on ($a,$b)")
+    }
+    // and it IS the exact result restricted to within-cell pairs — the
+    // documented SemDeDup recall trade, nothing more lost
+    val withinCellExact = exact.keySet.filter { case (a, b) =>
+      members(a) == members(b) }
+    assert(got.keySet == withinCellExact)
+
+    // the candidate space is bounded: sum(|cell|^2) must be well under
+    // N^2 (the skewed clump may not swallow the corpus into one cell)
+    val sizes = members.values.groupBy(identity).map(_._2.size)
+    val candidatePairs = sizes.map(sz => sz.toLong * sz).sum
+    val n = rows.size.toLong
+    assert(candidatePairs < n * n / 2,
+      s"cells degenerated: sizes=$sizes candidate=$candidatePairs")
+  }
+
   test("bruteTopK: broadcast queries, corpus never shuffles") {
     val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
         id => id < 1L, k = 2, partitions = 2)

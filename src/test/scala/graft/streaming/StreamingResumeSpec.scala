@@ -80,6 +80,109 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"resume re-processed committed data: ${seen2.size} rows")
   }
 
+  test("durable incremental dedup index survives a kill between batches") {
+    // st10's scale-soft spot until round 7: the accumulated signature
+    // index lived in localCheckpoint unions, so a restart silently
+    // re-admitted every duplicate of the pre-crash increments. The
+    // durable path (DedupOps.incrementalMinhashDedupDurable) commits one
+    // parquet subdir per batch; this test kills the "process" between
+    // microbatches (new drain, fresh in-memory state, same checkpoint +
+    // index dir) and demands the same pair set as an uninterrupted run.
+    val s = spark
+    import s.implicits._
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve"
+    val tC = "red orange yellow green blue indigo violet crimson amber " +
+      "teal navy gold"
+
+    val idxDir = Files.createTempDirectory("dedup-idx-").toString
+    val srcDir = Files.createTempDirectory("dedup-src-").toString
+    val cp = Files.createTempDirectory("dedup-cp-").toString
+
+    // old corpus committed as batch -1
+    val oldDocs = Seq((0L, tA), (1L, tB)).toDF("doc_id", "text")
+    graft.operators.DedupOps.minhashIndex(oldDocs, "doc_id", "text",
+        5, 2, 8, partitions = 2)
+      .select(col("doc_id"), col("shs"), col("bkeys"))
+      .write.mode("overwrite").parquet(s"$idxDir/batch=-1")
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def docStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    def drainDedup(): Unit = drainWithId(docStream, cp) { (b, bid) =>
+      if (!b.isEmpty)
+        pairs ++= graft.operators.DedupOps.incrementalMinhashDedupDurable(
+          b.localCheckpoint(), "doc_id", "text", idxDir, bid,
+          5, 2, 8, 0.8, partitions = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
+    // session 1: two microbatches — 10 dups old 0; 11 is novel
+    writeDocs(Seq((10L, tA)))
+    writeDocs(Seq((11L, tC)))
+    drainDedup()
+    assert(pairs.toSet == Set((0L, 10L)), s"pre-kill pairs: $pairs")
+
+    // KILL between batches: all in-memory state is gone. A third file
+    // lands: 12 dups 11 (a PRE-crash increment — only a durable index
+    // can see it) and 13 dups both 0 (old corpus) and 10 (increment 1).
+    writeDocs(Seq((12L, tC), (13L, tA)))
+    drainDedup()
+    assert(pairs.toSet ==
+      Set((0L, 10L), (11L, 12L), (0L, 13L), (10L, 13L)),
+      s"post-restart pairs wrong (lost index batches?): $pairs")
+
+    // and the union equals the uninterrupted in-memory run on the same
+    // data — restart changed nothing
+    val allNew = Seq((10L, tA), (11L, tC), (12L, tC), (13L, tA))
+      .toDF("doc_id", "text")
+    val oneShot = graft.operators.DedupOps.minhashNearDupsAgainstIndex(
+        allNew, "doc_id", "text",
+        graft.operators.DedupOps.minhashIndex(oldDocs, "doc_id", "text",
+          5, 2, 8, partitions = 2),
+        5, 2, 8, 0.8, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet == oneShot,
+      s"restart run diverged from one-shot: $pairs vs $oneShot")
+
+    // replay idempotence: re-running a committed batch id with the same
+    // data yields the same pairs and does not double the index
+    val before = graft.operators.DedupOps
+      .loadMinhashIndex(spark, idxDir).get.count()
+    val replay = graft.operators.DedupOps.incrementalMinhashDedupDurable(
+        Seq((12L, tC), (13L, tA)).toDF("doc_id", "text"),
+        "doc_id", "text", idxDir, batchId = 2,
+        5, 2, 8, 0.8, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == Set((11L, 12L), (0L, 13L), (10L, 13L)),
+      s"replay pairs: $replay")
+    val after = graft.operators.DedupOps
+      .loadMinhashIndex(spark, idxDir).get.count()
+    assert(before == after, s"replay grew the index: $before -> $after")
+  }
+
+  private def drainWithId(df: org.apache.spark.sql.DataFrame, cp: String)(
+      f: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch(f)
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   test("state resume: post-restart aggregate covers pre-restart rows") {
     val dir = Files.createTempDirectory("resume2-src-").toString
     val cp = Files.createTempDirectory("resume2-cp-").toString
