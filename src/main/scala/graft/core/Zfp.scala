@@ -241,8 +241,19 @@ object Zfp {
   }
 
   /** Parse a FULL header. Throws on bad magic/version/dims; lossy or
-    * expert modes parse fine (callers inspect `reversible`). */
-  def readHeader(r: BitReader): ZfpHeader = {
+    * expert modes parse fine (callers inspect `reversible`).
+    *
+    * `acceptUnmarkedLossy`: graft versions before the [[LossyMarker]]
+    * wrote fixed-accuracy streams with a plain version byte — a header
+    * BYTE-IDENTICAL to a genuine libzfp accuracy blob, whose payload
+    * encoding differs and would misdecode silently. There is no way to
+    * tell the two apart from the header, so unmarked accuracy streams
+    * are refused by default with both possibilities named; a caller who
+    * KNOWS the stream came from a pre-marker graft writer opts in
+    * explicitly and gets the graft decode.
+    */
+  def readHeader(r: BitReader,
+      acceptUnmarkedLossy: Boolean = false): ZfpHeader = {
     val m0 = r.readBits(8); val m1 = r.readBits(8)
     val m2 = r.readBits(8); val ver = r.readBits(8)
     require(m0 == 'z'.toLong && m1 == 'f'.toLong && m2 == 'p'.toLong,
@@ -258,11 +269,14 @@ object Zfp {
     val nx = ((meta >>> 28) & 0xffffffL).toInt + 1
     var mode = r.readBits(12)
     if (mode == 0xfffL) mode = 0xfffL | (r.readBits(52) << 12) // expert
-    if (mode < ModeReversible && !lossyMarked)
+    if (mode < ModeReversible && !lossyMarked && !acceptUnmarkedLossy)
       throw new IllegalArgumentException(
-        "zfp: fixed-accuracy stream without the graft lossy marker — " +
-          "foreign (libzfp-written) accuracy payloads use a different " +
-          "block encoding and would misdecode silently; refusing")
+        "zfp: fixed-accuracy stream without the graft lossy marker. " +
+          "This is either (a) a libzfp-written accuracy payload, whose " +
+          "block encoding differs and would misdecode silently — not " +
+          "supported — or (b) a legacy graft stream written before the " +
+          "marker existed; if you know it is (b), decode with " +
+          "acceptUnmarkedLossy = true (Zfp.decompressLegacyLossy)")
     if (lossyMarked) require(mode < ModeReversible,
       s"zfp: lossy-marked stream carries non-accuracy mode $mode")
     ZfpHeader(tpe, nx, ny, mode)
@@ -995,9 +1009,22 @@ object Zfp {
   /** Decompress a full-header 2D blob — reversible (lossless) or
     * fixed-accuracy (lossy) mode; expert/long modes are rejected.
     * Trailing bytes beyond the payload are ignored. */
-  def decompress(blob: Array[Byte]): Decoded = {
+  def decompress(blob: Array[Byte]): Decoded =
+    decompress(blob, acceptUnmarkedLossy = false)
+
+  /** [[decompress]] for LEGACY graft fixed-accuracy streams written
+    * before the version-byte lossy marker. Only call this when the
+    * stream's provenance is known to be a pre-marker graft writer — a
+    * genuine libzfp accuracy blob has the identical header and would
+    * misdecode (see [[readHeader]]).
+    */
+  def decompressLegacyLossy(blob: Array[Byte]): Decoded =
+    decompress(blob, acceptUnmarkedLossy = true)
+
+  private def decompress(blob: Array[Byte],
+      acceptUnmarkedLossy: Boolean): Decoded = {
     val r = new BitReader(blob)
-    val h = readHeader(r)
+    val h = readHeader(r, acceptUnmarkedLossy)
     require(h.reversible || h.accuracy,
       s"zfp: unsupported mode ${h.mode} (reversible and fixed-accuracy " +
         "short modes only; expert mode is not supported)")

@@ -455,21 +455,36 @@ object TextOps {
     * head (`avg_nll <= cutoff`). Per-word NLLs are quantized to
     * DECIMAL(12,6) once per vocab entry and summed exactly, so scores
     * are reproducible across engines and partitionings. The LM is a
-    * map-side-combinable word-count aggregate (|vocab| rows, broadcast
-    * back); scoring is one broadcast join + one per-id aggregate.
-    * Semantics pinned by the oracle-checked t11 query. Returns
-    * (id, n_words, avg_nll, keep).
+    * map-side-combinable word-count aggregate (|vocab| rows); the
+    * corpus total comes from the SAME one-row scalar aggregate that
+    * measures the vocab (never an unpartitioned window, which funnels
+    * every vocab row through one task), and the scoring join broadcasts
+    * the vocab only under a measured size gate — an open 100 TB vocab
+    * falls back to a plain equi-join on `w` (same rows, shuffle-hash
+    * plan) instead of OOMing the driver. Semantics pinned by the
+    * oracle-checked t11 query. Returns (id, n_words, avg_nll, keep).
     */
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
-      cutoff: Double = 3.402): DataFrame = {
+      cutoff: Double = 3.402,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("w"))
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
-      .select(col("w"),
-        (-log(col("c").cast("double") / col("t")))
-          .cast(DecimalType(12, 6)).as("nll"))
-    words.join(broadcast(vocab), Seq("w"))
+    // pinned: measured once, then both the nll projection and the
+    // scoring join read the materialized counts
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val m = counts.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
+      coalesce(sum(col("c")), lit(0L)).as("t")).head
+    val (vocabN, vocabChars, total) =
+      (m.getLong(0), m.getLong(1), m.getLong(2))
+    val vocab = counts.select(col("w"),
+      (-log(col("c").cast("double") / lit(total)))
+        .cast(DecimalType(12, 6)).as("nll"))
+    // row overhead + UTF-16 word + decimal nll, per vocab entry
+    val estBytes = vocabN * 80L + vocabChars * 2L
+    val vv = if (estBytes <= maxBroadcastBytes) broadcast(vocab) else vocab
+    words.join(vv, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nll")).as("s"))
       .select(col("id"), col("n_words"),
@@ -773,6 +788,12 @@ object AnnOps {
     * Spark's own BroadcastExchangeExec — driver-side materialization is
     * legal only under a hard size cap — but degrades to the scalable
     * spelling instead of failing.
+    *
+    * Which side of the gate ran is SURFACED, not silent: every output
+    * row carries `is_approx` (false = exact kernel, true = LSH partial
+    * recall), so a downstream consumer — or an audit six months later —
+    * can tell whether a neighbor list is ground truth without re-running
+    * the size measurement.
     */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxBroadcastBytes: Long = 512L << 20, rowsPerBand: Int = 4,
@@ -784,8 +805,11 @@ object AnnOps {
     }
     // array header + 8B/component + row object overhead, per vector
     val estBytes = n * (dim.toLong * 8 + 64)
-    if (estBytes <= maxBroadcastBytes) knnBroadcastFromStaged(v, k)
-    else knnLshFromStaged(v, k, rowsPerBand, bands)
+    if (estBytes <= maxBroadcastBytes)
+      knnBroadcastFromStaged(v, k).withColumn("is_approx", lit(false))
+    else
+      knnLshFromStaged(v, k, rowsPerBand, bands)
+        .withColumn("is_approx", lit(true))
   }
 
   private def knnBroadcastFromStaged(v: DataFrame, k: Int): DataFrame = {
@@ -1600,7 +1624,13 @@ object PrepOps {
       .join(broadcast(ranked.select(col("r").as("hi"), col("v").as("vhi"))),
         Seq("hi"))
       .select(col("qi"),
-        (col("wlo") * col("vlo") + col("whi") * col("vhi")).as("b"))
+        // frac == 0 (whi == 0) must return lowerValue EXACTLY, like
+        // Spark's percentile: the weighted form would evaluate
+        // 0.0 * vhi, which is NaN when the bracketing-higher value is
+        // ±Infinity — a divergence on any corpus containing infinities
+        when(col("whi") === 0.0, col("vlo"))
+          .otherwise(col("wlo") * col("vlo") + col("whi") * col("vhi"))
+          .as("b"))
       .agg(expr("transform(array_sort(collect_list(struct(qi, b))), x -> x.b)")
         .as("bs"))
   }

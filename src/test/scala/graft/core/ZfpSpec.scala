@@ -288,12 +288,41 @@ class ZfpSpec extends AnyFunSuite {
     foreign(3) = (foreign(3) & 0x7f).toByte
     val e = intercept[IllegalArgumentException](Zfp.decompress(foreign))
     assert(e.getMessage.contains("lossy marker"))
+    // the message must name BOTH possibilities (a libzfp blob and a
+    // legacy pre-marker graft stream share this exact header) and point
+    // at the explicit legacy escape hatch
+    assert(e.getMessage.contains("libzfp") && e.getMessage.contains("legacy"),
+      s"rejection message must not claim foreign-only provenance: " +
+        e.getMessage)
     // a marked stream claiming a non-accuracy mode is inconsistent too
     val lossless = Zfp.compressInt16(sines(), nCh, nSamp)
     assert((lossless(3) & 0x80) == 0, "reversible streams stay unmarked")
     val marked = lossless.clone()
     marked(3) = (marked(3) | 0x80).toByte
     intercept[IllegalArgumentException](Zfp.decompress(marked))
+  }
+
+  test("legacy pre-marker graft lossy streams decode via the explicit " +
+      "opt-in") {
+    // A graft stream written before the LossyMarker existed is the SAME
+    // bytes as a marker-stripped modern stream; the caller who knows the
+    // provenance gets the graft decode, bit-identical to the marked one
+    val data = Array.tabulate(64)(i => (math.cos(i / 5.0) * 50).toFloat)
+    val marked = Zfp.compressFloatLossy(data, 8, 8, 0.5)
+    val legacy = marked.clone()
+    legacy(3) = (legacy(3) & 0x7f).toByte // pre-marker version byte
+    intercept[IllegalArgumentException](Zfp.decompress(legacy))
+    val Zfp.DecodedFloat(_, _, viaOptIn) =
+      Zfp.decompressLegacyLossy(legacy): @unchecked
+    val Zfp.DecodedFloat(_, _, viaMarked) =
+      Zfp.decompress(marked): @unchecked
+    assert(java.util.Arrays.equals(viaOptIn, viaMarked),
+      "legacy opt-in decode diverged from the marked decode")
+    // the opt-in does NOT weaken the marked-stream consistency check
+    val inconsistent = Zfp.compressInt16(sines(), nCh, nSamp).clone()
+    inconsistent(3) = (inconsistent(3) | 0x80).toByte
+    intercept[IllegalArgumentException](
+      Zfp.decompressLegacyLossy(inconsistent))
   }
 
   test("trailing junk bytes after the payload are ignored") {

@@ -309,6 +309,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(1L) == out(1L)._2 && again(2L) == out(2L)._2)
   }
 
+  test("perplexityScore: no unpartitioned window; broadcast is gated") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "xq zv qj")).toDF("id", "body")
+    // the corpus total must come from a scalar aggregate, never a
+    // Window.partitionBy() (one task funnels the whole vocab)
+    val scored = TextOps.perplexityScore(df, "id", "body", cutoff = 1.0)
+    scored.count()
+    val plan = scored.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"perplexityScore regressed to a window total:\n$plan")
+    // above the gate the join degrades to a non-broadcast equi-join
+    // with IDENTICAL rows
+    val wide = TextOps.perplexityScore(df, "id", "body", cutoff = 1.0,
+        maxBroadcastBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val tight = scored
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(wide == tight, "gated plan changed the result rows")
+  }
+
   private def vectors() = {
     val s = spark
     import s.implicits._
@@ -350,6 +375,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxBroadcastBytes = 0L, partitions = 2)
     val gatedPlan = gated.queryExecution.executedPlan.toString()
     assert(gatedPlan.contains("Window"))
+    // the silent-switch audit trail: above the gate every row is marked
+    // approximate, below none is
+    assert(gated.collect().forall(_.getAs[Boolean]("is_approx")),
+      "LSH path must mark rows is_approx = true")
     assert(!gatedPlan.contains("CartesianProduct") &&
       !gatedPlan.contains("BroadcastNestedLoopJoin"))
     // the grid spelling joined a blocks x blocks grid with NO equi-key on
@@ -362,6 +391,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kernelPlan = kernel.queryExecution.executedPlan.toString()
     assert(kernelPlan.contains("MapPartitions"))
     assert(!kernelPlan.contains("Window"))
+    assert(kernel.collect().forall(!_.getAs[Boolean]("is_approx")),
+      "exact kernel path must mark rows is_approx = false")
     // above the gate the graph is ANN: on any pair BOTH spellings emit,
     // the cosine is the identical exact scaled-long value; recall of the
     // planted near pairs (cos ~0.98+, band collision ~certain) is 1
@@ -533,6 +564,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = rows.size.toLong
     assert(candidatePairs < n * n / 2,
       s"cells degenerated: sizes=$sizes candidate=$candidatePairs")
+  }
+
+  test("kmeansCells: a null embedding row assigns to the first cell, " +
+      "never crashes the encoder") {
+    val s = spark
+    import s.implicits._
+    // null c ⇒ null nrm/nrmr after staging; decoding that into a
+    // primitive Double crashed the round-6 kernel. The declarative
+    // spelling assigned such a row to the smallest cell (all-null
+    // scores, cell-ascending tie-break) — the kernel must match.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vid", "emb")
+    val cells = AnnOps.kmeansCells(df, "vid", "emb", k = 2,
+        partitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.keySet == Set(0L, 1L, 2L), s"lost rows: $cells")
+    assert(cells(2L) == cells.values.min,
+      s"null-embedding row not in the first cell: $cells")
   }
 
   test("bruteTopK: broadcast queries, corpus never shuffles") {

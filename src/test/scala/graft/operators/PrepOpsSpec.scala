@@ -178,6 +178,26 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exactQuantileBounds: frac-0 next to an infinity returns the " +
+      "lower value, not NaN") {
+    val s = spark
+    import s.implicits._
+    // p=0.5 over 3 values lands EXACTLY on rank 2 (frac 0); the
+    // bracketing-higher value is +Inf, so the weighted form would
+    // compute 2.0 + 0.0 * Inf = NaN. Spark's percentile returns the
+    // lower value exactly — so must we.
+    val df = Seq((1L, 1.0), (2L, 2.0),
+      (3L, Double.PositiveInfinity)).toDF("id", "score")
+    val got = PrepOps.exactQuantileBounds(df, "score",
+        Seq(0.0, 0.5, 1.0), partitions = 2)
+      .collect().head.getSeq[Double](0)
+    val exp = df.selectExpr(
+        "percentile(score, array(0.0, 0.5, 1.0)) bs")
+      .collect().head.getSeq[Double](0)
+    assert(got == exp, s"got $got, percentile says $exp")
+    assert(got(1) == 2.0 && !got(1).isNaN)
+  }
+
   test("chunkDocuments: overlap, tail coverage, short docs") {
     val s = spark
     import s.implicits._
