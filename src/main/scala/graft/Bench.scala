@@ -66,8 +66,24 @@ object Bench {
 
     def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // noop write, NOT count(): count() lets Catalyst eliminate any
+      // subtree that can't change the row count — q41's whole interval
+      // join (left join on a unique aggregate key) optimized down to a
+      // filter scan, so the bench timed ~nothing. The noop sink
+      // references every column: full evaluation, zero sink cost.
+      val failed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          false
+        } catch { case e: Throwable =>
+          // a throw must POISON the pass, not record the (fast) time it
+          // took to die: round 6's st10 "timings" were 0.1 s
+          // checkpoint-lost exceptions that min() happily selected
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          true
+        }
+      val dt =
+        if (failed) 1e9 else (System.nanoTime() - t0) / 1e9
       // drop blocks pinned by this query's localCheckpoints so dozens of
       // queries in one JVM don't accumulate executor-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

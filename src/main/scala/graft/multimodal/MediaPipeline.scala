@@ -32,10 +32,15 @@ final case class MediaFeatures(
   * no new dependencies; exercised end-to-end by the oracle-checked m06
   * round trip and ImageCodecSpec) and REAL audio decode via the JDK's
   * `javax.sound.sampled` ([[AudioCodec]] — PCM WAV/AIFF/AU; m07 round
-  * trip and AudioCodecSpec), with `decodeStub` as the clearly-marked
-  * deterministic fallback for payloads no installed reader accepts
-  * (video — the container has no video libraries — and the synthesized
-  * text-byte corpora). Everything around the codec — the binary column
+  * trip and AudioCodecSpec), and REAL video-frame decode for the GVC1
+  * container ([[VideoCodec]] — MJPEG-style length-prefixed PNG frames,
+  * decoded with the same JDK PNG codec; oracle-checked m08 round trip
+  * and VideoCodecSpec). `decodeStub` remains the clearly-marked
+  * deterministic fallback for payloads no installed reader accepts:
+  * inter-frame-compressed video (H.264/VP9/AV1 — the JDK ships no such
+  * codec; a real deployment adds an ffmpeg JNI bridge behind the same
+  * bytes=>frames contract) and the synthesized text-byte corpora.
+  * Everything around the codec — the binary column
   * synthesis, the `mapPartitions` batch iteration (the Scala analog of
   * `mapInPandas`: one iterator pass per partition, no per-row UDF
   * dispatch), the schema and partitioning — is real.

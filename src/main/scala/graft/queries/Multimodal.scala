@@ -253,6 +253,73 @@ object Multimodal {
                          for i in range(len(text))]), 0) AS BIGINT)
             AS sum_samples,
           true AS roundtrip_exact
+        FROM documents WHERE text IS NOT NULL""")),
+
+    GraftQuery(
+      "m08_video_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // REAL video path — the round-7 resolution of the video
+        // boundary: each document becomes a GVC1 container (the
+        // MJPEG-style format VideoCodec defines: length-prefixed REAL
+        // PNG frames, 8x8 grayscale, 64 source bytes per frame,
+        // zero-padded tail), then every 4th frame is SAMPLED — skipped
+        // frames are seeked over by their length prefix and never hit
+        // the PNG decoder, the honest keyframe-extraction IO pattern.
+        // Grayscale PNG is lossless, so the oracle reproduces the frame
+        // counts and the sampled frames' decoded pixel sum from the
+        // text alone (pure-ASCII corpus: byte == char code), and
+        // roundtrip_exact must hold for every sampled frame. Pure
+        // map-side batch iteration, no shuffle.
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val fw = 8
+              val perFrame = fw * fw
+              val nf = math.max(1, (bytes.length + perFrame - 1) / perFrame)
+              val pngs = (0 until nf).map { f =>
+                val px = new Array[Byte](perFrame)
+                val start = f * perFrame
+                val n = math.min(perFrame, math.max(0, bytes.length - start))
+                if (n > 0) System.arraycopy(bytes, start, px, 0, n)
+                graft.multimodal.ImageCodec.encodePng(fw, fw, px)
+              }
+              val gvc = graft.multimodal.VideoCodec.encodeGvc(pngs)
+              val sampled = graft.multimodal.VideoCodec
+                .sampleDecoded(gvc, stride = 4)
+              var sum = 0L
+              var exact = true
+              sampled.zipWithIndex.foreach { case (fr, si) =>
+                fr.pixels.foreach(b => sum += (b & 0xff))
+                val start = si * 4 * perFrame
+                val n = math.min(perFrame,
+                  math.max(0, bytes.length - start))
+                val src = new Array[Byte](perFrame)
+                if (n > 0) System.arraycopy(bytes, start, src, 0, n)
+                exact &&= fr.width == fw && fr.height == fw &&
+                  java.util.Arrays.equals(fr.pixels, src)
+              }
+              (id, graft.multimodal.VideoCodec.frameCount(gvc).toLong,
+                sampled.size.toLong, sum, exact)
+            }
+          }
+          .toDF("doc_id", "n_frames", "n_sampled", "sum_sampled_gray",
+            "roundtrip_exact")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(GREATEST((octet_length(encode(text)) + 63) // 64, 1)
+            AS BIGINT) AS n_frames,
+          CAST((GREATEST((octet_length(encode(text)) + 63) // 64, 1) + 3)
+            // 4 AS BIGINT) AS n_sampled,
+          CAST(COALESCE(list_sum(
+            [ascii(substr(text, CAST(i+1 AS INT), 1))
+             for i in range(len(text)) if (i // 64) % 4 = 0]), 0)
+            AS BIGINT) AS sum_sampled_gray,
+          true AS roundtrip_exact
         FROM documents WHERE text IS NOT NULL"""))
   )
 }
