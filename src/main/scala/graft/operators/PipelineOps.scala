@@ -1687,6 +1687,49 @@ object PrepOps {
         countDistinct(col("sh")).as("n_contaminated_shingles"))
   }
 
+  /** [[decontamScan]] with a broadcast Bloom prefilter on the TEST side
+    * — the 100 TB spelling. The inverted-index join is already
+    * candidate-bounded, but every test shingle still enters the shuffle
+    * to discover it matches nothing; at eval-suite-vs-corpus scale the
+    * clean side dominates. Here the pruned train shingles feed one
+    * Bloom filter (`df.stat.bloomFilter` — MBs for billions of entries
+    * at 1% fpp, the classic broadcast sketch), and a map-side probe
+    * drops every test shingle the Bloom rejects BEFORE the shuffle.
+    * Bloom filters have no false negatives, and false positives die in
+    * the exact join, so the output is IDENTICAL to [[decontamScan]] —
+    * the fpp knob trades broadcast bytes against wasted shuffle rows,
+    * never correctness. Returns (doc_id, n_train_docs,
+    * n_contaminated_shingles), same as [[decontamScan]].
+    */
+  def decontamScanBloom(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 7, dfCut: Int = 16, fpp: Double = 0.01): DataFrame = {
+    val s = train.sparkSession
+    def shingles(df: DataFrame): DataFrame =
+      graft.functions.TextKernels.shingleArrays(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), k)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val tr = shingles(train)
+      .withColumnRenamed("doc_id", "train_doc_id")
+    val hot = tr.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut).select(col("sh"))
+    // pinned: the pruned index feeds the bloom build, the (cheap)
+    // expected-items count, and the exact verify join
+    val trc = tr.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
+    val nIdx = math.max(1L, trc.count())
+    val bloom = trc.stat.bloomFilter("sh", nIdx, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightHit = udf((sh: String) => bc.value.mightContainString(sh))
+    shingles(test)
+      .filter(mightHit(col("sh"))) // map-side: clean shingles never shuffle
+      .join(trc, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("train_doc_id")).as("n_train_docs"),
+        countDistinct(col("sh")).as("n_contaminated_shingles"))
+  }
+
   /** Symmetric int8 quantization audit: per-vector scale = max|c|/127
     * over scaled-long components, plus the max reconstruction error in
     * original units. Returns (id, q_max, q_min, max_abs_err). Map-side

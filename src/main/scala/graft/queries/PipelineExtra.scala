@@ -26,6 +26,42 @@ object PipelineExtra {
     * this leave the contamination index (d04's df-cut contract). */
   private val DecontamDfCut = 16
 
+  /** Shared by p07 (inverted-index scan) and p11 (the same scan behind
+    * the broadcast-Bloom test-side prefilter): the Bloom is a plan
+    * optimization with zero effect on the rows, so both queries pin
+    * against the identical oracle.
+    */
+  private def decontamOracleSql: String = s"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            unnest(CASE WHEN len(ws) >= 7
+              THEN list_distinct([array_to_string(ws[i+1:i+7], ' ')
+                                  for i in range(len(ws) - 6)])
+              ELSE [array_to_string(ws, ' ')] END) AS sh,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 100 AS bucket
+          FROM ws
+        ),
+        tr AS (
+          SELECT doc_id AS train_doc_id, sh FROM sh WHERE bucket < 80
+        ),
+        hot AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) df FROM tr GROUP BY sh) t
+          WHERE df > $DecontamDfCut
+        ),
+        trc AS (
+          SELECT t.train_doc_id, t.sh FROM tr t ANTI JOIN hot h ON t.sh = h.sh
+        ),
+        te AS (SELECT doc_id, sh FROM sh WHERE bucket >= 90)
+        SELECT te.doc_id AS doc_id,
+          COUNT(DISTINCT trc.train_doc_id) AS n_train_docs,
+          COUNT(DISTINCT te.sh) AS n_contaminated_shingles
+        FROM te JOIN trc ON te.sh = trc.sh
+        GROUP BY 1"""
+
   /** p08 global token budget to allocate across sources. Below the
     * sf0.01 corpus total (~37k est. tokens), so the waterfill exercises
     * both capped and topped-up sources at the correctness SF. */
@@ -308,36 +344,31 @@ object PipelineExtra {
           docsAll.filter($"bucket" >= 90),
           "doc_id", "text", k = 7, dfCut = DecontamDfCut)
       },
-      Some(s"""
-        WITH ws AS (
-          SELECT doc_id, string_split(text, ' ') ws FROM documents
-        ),
-        sh AS (
-          SELECT doc_id,
-            unnest(CASE WHEN len(ws) >= 7
-              THEN list_distinct([array_to_string(ws[i+1:i+7], ' ')
-                                  for i in range(len(ws) - 6)])
-              ELSE [array_to_string(ws, ' ')] END) AS sh,
-            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-              % 100 AS bucket
-          FROM ws
-        ),
-        tr AS (
-          SELECT doc_id AS train_doc_id, sh FROM sh WHERE bucket < 80
-        ),
-        hot AS (
-          SELECT sh FROM (SELECT sh, COUNT(*) df FROM tr GROUP BY sh) t
-          WHERE df > $DecontamDfCut
-        ),
-        trc AS (
-          SELECT t.train_doc_id, t.sh FROM tr t ANTI JOIN hot h ON t.sh = h.sh
-        ),
-        te AS (SELECT doc_id, sh FROM sh WHERE bucket >= 90)
-        SELECT te.doc_id AS doc_id,
-          COUNT(DISTINCT trc.train_doc_id) AS n_train_docs,
-          COUNT(DISTINCT te.sh) AS n_contaminated_shingles
-        FROM te JOIN trc ON te.sh = trc.sh
-        GROUP BY 1""")),
+      Some(decontamOracleSql)),
+
+    GraftQuery(
+      "p11_decontam_bloom",
+      (s, dir) => {
+        import s.implicits._
+        // p07's scan with the broadcast-Bloom test-side prefilter —
+        // the 100 TB spelling (PrepOps.decontamScanBloom): the pruned
+        // train-shingle index feeds one Bloom sketch, broadcast once,
+        // and every CLEAN test shingle is dropped map-side before the
+        // shuffle. Blooms have no false negatives and false positives
+        // die in the exact join, so the result — and therefore the
+        // oracle — is IDENTICAL to p07's: the sketch changes the plan,
+        // never the rows. Same p05 md5 split, same df-cut.
+        val bucket = conv(
+          substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val docsAll = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text", bucket.as("bucket"))
+        graft.operators.PrepOps.decontamScanBloom(
+          docsAll.filter($"bucket" < 80),
+          docsAll.filter($"bucket" >= 90),
+          "doc_id", "text", k = 7, dfCut = DecontamDfCut)
+      },
+      Some(decontamOracleSql)),
 
     GraftQuery(
       "p08_domain_mixture",

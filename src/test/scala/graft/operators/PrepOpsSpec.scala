@@ -324,6 +324,35 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(10L -> ((1L, 1L)), 12L -> ((1L, 2L))), s"$out")
   }
 
+  test("decontamScanBloom == decontamScan exactly, even at terrible fpp") {
+    val s = spark
+    import s.implicits._
+    // 7-word shingles; doc 10 shares one with train doc 1, doc 11 is
+    // clean, doc 12 shares with docs 1 AND 2
+    val mk = (w: String) => s"$w b c d e f g h i j"
+    val train = Seq((1L, mk("alpha")), (2L, mk("beta")))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, mk("alpha")), // shares every shingle with train doc 1
+      (11L, "gamma delta epsilon zeta eta theta iota kappa"), // clean
+      (12L, "b c d e f g h i j k")) // shares the tail shingles of both
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val exact = rows(PrepOps.decontamScan(train, test, "doc_id", "text",
+      k = 7, dfCut = 16))
+    val bloom = rows(PrepOps.decontamScanBloom(train, test, "doc_id",
+      "text", k = 7, dfCut = 16))
+    assert(bloom == exact, s"bloom path diverged: $bloom vs $exact")
+    assert(exact.map(_._1) == Set(10L, 12L), s"fixture broken: $exact")
+    // a near-useless bloom (fpp ~ 1) lets everything through — false
+    // positives MUST die in the exact join, leaving rows identical
+    val sloppy = rows(PrepOps.decontamScanBloom(train, test, "doc_id",
+      "text", k = 7, dfCut = 16, fpp = 0.9))
+    assert(sloppy == exact, "high-fpp bloom changed the rows")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
