@@ -24,6 +24,19 @@ final case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
   */
 object ImageCodec {
 
+  // One PNG ImageWriter per thread, reused across calls: ImageIO.write
+  // re-runs the writer-SPI registry scan and allocates a fresh
+  // MemoryCacheImageOutputStream on EVERY call — pure overhead when a
+  // kernel encodes tens of thousands of tiny frames per partition
+  // (m08's container path). Writers are stateful but reusable via
+  // setOutput; each thread owns its instance, so no synchronization.
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+      val it = ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "imageio: no PNG writer")
+      it.next()
+    }
+
   /** Encode row-major 8-bit grayscale pixels as PNG. */
   def encodePng(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && gray.length == width * height,
@@ -31,7 +44,11 @@ object ImageCodec {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, gray)
     val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", bos), "imageio: no PNG writer")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriter.get()
+    w.setOutput(ios)
+    w.write(img)
+    ios.close()
     bos.toByteArray
   }
 
