@@ -1030,10 +1030,15 @@ object Relational {
         // handles. DuckDB verifies with its native IEJoin range join —
         // same rows, different machinery.
         val binUs = 3600000000L // 1 h in micros
+        // NOT pinned: the two subtrees below re-scan the parquet source
+        // instead of localCheckpoint-ing a whole-table projection — at
+        // 100 TB a checkpoint materializes the entire events table to
+        // executor storage, while two scans each prune to their own
+        // columns (errors: event_id+ts+event_type; x: ts+value) and
+        // push their own filters
         val ev = Tables.load(s, dir, "events")
           .select($"event_id", expr("ts div 1000").as("us"),
             $"event_type", $"value")
-          .localCheckpoint() // two subtrees below
         val errors = ev.filter($"event_type" === "error")
           .select($"event_id", $"us".as("eus"))
         val probes = errors.select($"event_id", $"eus",
