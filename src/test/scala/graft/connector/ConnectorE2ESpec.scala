@@ -211,6 +211,32 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       p.getFileName.toString.startsWith("p=")))
   }
 
+  test("timestamp columns map to INT64 epoch nanos through the sink") {
+    // RiverSchema.fromStructType maps TimestampType/TimestampNTZType to
+    // Int64 (river has no timestamp type — the reference stores time as
+    // plain int64, ingester.cpp:318-326), and the writer scales Spark's
+    // internal MICROS to the engine's nanos contract at pack time. A
+    // timestamp-typed DataFrame must round-trip as nanos longs.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val root = newRoot()
+    val micros = 1704164645123456L // 2024-01-02T03:04:05.123456 UTC
+    Seq((1L, micros), (2L, micros + 5L)).toDF("event_id", "us")
+      .select($"event_id", expr("timestamp_micros(us)").as("ts"))
+      .orderBy($"event_id").coalesce(1)
+      .write.format("river")
+      .option("root", root.toString).option("stream", "tsrt")
+      .mode("append").save()
+    val back = spark.read.format("river")
+      .option("root", root.toString).option("stream", "tsrt").load()
+      .select($"event_id", $"ts").orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.toSeq == Seq(
+      (1L, micros * 1000L), (2L, (micros + 5L) * 1000L)),
+      s"timestamp round trip wrong: ${back.toSeq}")
+  }
+
   test("multi-field packed struct offsets (FIXTURES §3)") {
     val schema = RiverSchema(Seq(
       RiverField("field1", RiverType.Int32),
