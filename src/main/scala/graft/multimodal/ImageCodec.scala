@@ -47,8 +47,13 @@ object ImageCodec {
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val w = pngWriter.get()
     w.setOutput(ios)
-    w.write(img)
-    ios.close()
+    // finally: close the stream and detach it from the cached writer
+    // even on a throw — otherwise the thread-local writer pins the last
+    // image's buffer until the next encode and is left mid-write
+    try w.write(img)
+    finally {
+      try ios.close() finally w.setOutput(null)
+    }
     bos.toByteArray
   }
 

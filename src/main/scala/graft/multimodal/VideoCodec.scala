@@ -31,7 +31,10 @@ object VideoCodec {
 
   /** Assemble PNG frame blobs into a GVC1 container. */
   def encodeGvc(frames: Seq[Array[Byte]]): Array[Byte] = {
-    val total = 8 + frames.map(f => 4 + f.length).sum
+    val totalL = 8L + frames.map(f => 4L + f.length).sum
+    require(totalL <= Int.MaxValue,
+      s"gvc: container would be $totalL bytes (2 GiB array limit)")
+    val total = totalL.toInt
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(Magic)
     buf.putInt(frames.length)
@@ -64,7 +67,9 @@ object VideoCodec {
     while (i < n) {
       require(off + 4 <= gvc.length, s"gvc: truncated at frame $i header")
       val len = buf.getInt(off)
-      require(len >= 0 && off + 4 + len <= gvc.length,
+      // overflow-free: `off + 4 + len` wraps negative for an adversarial
+      // len near Int.MaxValue and would pass the naive comparison
+      require(len >= 0 && len <= gvc.length - off - 4,
         s"gvc: truncated at frame $i payload (len=$len)")
       if (i % stride == 0) {
         val png = java.util.Arrays.copyOfRange(gvc, off + 4, off + 4 + len)

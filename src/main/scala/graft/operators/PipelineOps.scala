@@ -238,9 +238,10 @@ object DedupOps {
   def loadMinhashIndex(spark: SparkSession, dir: String,
       excludeBatch: Long = Long.MinValue): Option[DataFrame] = {
     val root = new java.io.File(dir)
-    val hasBatch = root.isDirectory && root.listFiles() != null &&
-      root.listFiles().exists(f => f.isDirectory &&
-        f.getName.startsWith("batch="))
+    val entries =
+      if (root.isDirectory) Option(root.listFiles()) else None
+    val hasBatch = entries.exists(_.exists(f =>
+      f.isDirectory && f.getName.startsWith("batch=")))
     if (!hasBatch) None
     else Some(spark.read.parquet(dir)
       .filter(col("batch") =!= lit(excludeBatch))
@@ -277,8 +278,27 @@ object DedupOps {
     val pairs = probeIndex(newIdx, existing, threshold).localCheckpoint()
     newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    // newIdx is fully consumed (pairs are pinned, the commit is on
+    // disk): release its checkpoint blocks NOW. A long-running stream
+    // calls this once per microbatch — without the release, every
+    // batch's signature table accumulates in executor storage for the
+    // job's lifetime. Dataset.unpersist can't do it (localCheckpoint
+    // blocks aren't CacheManager entries); unpersist the checkpointed
+    // RDD the plan wraps. The returned `pairs` checkpoint is the
+    // caller's to hold or drop.
+    releaseLocalCheckpoint(newIdx)
     pairs
   }
+
+  /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
+    * No-op if the plan isn't the expected checkpoint shape.
+    */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Paragraph-granularity MinHash+LSH near-dups — the standard second
     * dedup pass every LLM corpus runs after document level (C4/Gopher
@@ -1692,18 +1712,23 @@ object PrepOps {
     * candidate-bounded, but every test shingle still enters the shuffle
     * to discover it matches nothing; at eval-suite-vs-corpus scale the
     * clean side dominates. Here the pruned train shingles feed one
-    * Bloom filter (`df.stat.bloomFilter` — MBs for billions of entries
-    * at 1% fpp, the classic broadcast sketch), and a map-side probe
-    * drops every test shingle the Bloom rejects BEFORE the shuffle.
-    * Bloom filters have no false negatives, and false positives die in
-    * the exact join, so the output is IDENTICAL to [[decontamScan]] —
-    * the fpp knob trades broadcast bytes against wasted shuffle rows,
-    * never correctness. Returns (doc_id, n_train_docs,
-    * n_contaminated_shingles), same as [[decontamScan]].
+    * Bloom filter (`df.stat.bloomFilter` — ~9.6 bits/entry at 1% fpp:
+    * ~12 MB at 1e7 entries, ~1.2 GB at 1e9; it is driver-collected and
+    * broadcast, so it needs a size GATE like every other driver-side
+    * materialization), and a map-side probe drops every test shingle
+    * the Bloom rejects BEFORE the shuffle. When the predicted filter
+    * size exceeds `maxBloomBytes`, the prefilter is SKIPPED and the
+    * scan degrades to the plain [[decontamScan]] join shape. Same rows
+    * either way: Bloom filters have no false negatives and false
+    * positives die in the exact join, so fpp and the gate trade
+    * broadcast bytes against wasted shuffle rows, never correctness.
+    * Returns (doc_id, n_train_docs, n_contaminated_shingles), same as
+    * [[decontamScan]].
     */
   def decontamScanBloom(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 7, dfCut: Int = 16, fpp: Double = 0.01): DataFrame = {
+      k: Int = 7, dfCut: Int = 16, fpp: Double = 0.01,
+      maxBloomBytes: Long = 256L << 20): DataFrame = {
     val s = train.sparkSession
     def shingles(df: DataFrame): DataFrame =
       graft.functions.TextKernels.shingleArrays(s,
@@ -1719,11 +1744,22 @@ object PrepOps {
     val trc = tr.join(broadcast(hot), Seq("sh"), "left_anti")
       .localCheckpoint()
     val nIdx = math.max(1L, trc.count())
-    val bloom = trc.stat.bloomFilter("sh", nIdx, fpp)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightHit = udf((sh: String) => bc.value.mightContainString(sh))
-    shingles(test)
-      .filter(mightHit(col("sh"))) // map-side: clean shingles never shuffle
+    // optimal bloom bits = -n ln(fpp) / ln(2)^2 (what bloomFilter
+    // allocates); gate BEFORE building so an over-budget filter is
+    // never collected on the driver
+    val predictedBytes =
+      (-nIdx * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
+    val testSh = shingles(test)
+    val probed =
+      if (predictedBytes > maxBloomBytes) testSh
+      else {
+        val bloom = trc.stat.bloomFilter("sh", nIdx, fpp)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightHit = udf((sh: String) => bc.value.mightContainString(sh))
+        // map-side: clean shingles never shuffle
+        testSh.filter(mightHit(col("sh")))
+      }
+    probed
       .join(trc, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("train_doc_id")).as("n_train_docs"),

@@ -449,11 +449,15 @@ object Dedup {
         // committed batch — DedupOps.incrementalMinhashDedupDurable):
         // a restart between microbatches reloads exactly the committed
         // batches instead of silently re-admitting yesterday's
-        // duplicates. Batch -1 seeds the dir with the old corpus.
+        // duplicates. Batch -1 seeds the dir with the old corpus via a
+        // SYMLINK to the pay-once cache (no data copy — a read+rewrite
+        // of the base index per run would charge O(base) IO to every
+        // timed pass, the rebuild cost the cache exists to avoid).
         val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-st10-idx-").toString
-        s.read.parquet(basePath)
-          .write.mode("overwrite").parquet(s"$idxDir/batch=-1")
+          .createTempDirectory("graft-st10-idx-")
+        java.nio.file.Files.createSymbolicLink(
+          idxDir.resolve("batch=-1"), java.nio.file.Paths.get(basePath))
+        val idxDirS = idxDir.toString
         val newDocs = docsAll.filter(bucket >= 80)
           .select($"doc_id", $"text")
         val newDir = java.nio.file.Files
@@ -467,7 +471,7 @@ object Dedup {
           "st10") { (batch, bid) =>
           if (!batch.isEmpty) {
             acc += graft.operators.DedupOps.incrementalMinhashDedupDurable(
-              batch.localCheckpoint(), "doc_id", "text", idxDir, bid,
+              batch.localCheckpoint(), "doc_id", "text", idxDirS, bid,
               5, BANDS, ROWS, JACCARD_T)
           }
         }

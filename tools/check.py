@@ -35,13 +35,17 @@ n_pass = n_fail = 0
 # Verify.scala records every declared query that threw in errors.json —
 # surface those as failures here too, so a dead query can never read as
 # "absent therefore fine" (the round-6 silent-failure mode).
+threw = {}
 err_path = f"{OUT}/errors.json"
 if os.path.exists(err_path):
-    for name, msg in sorted(json.load(open(err_path)).items()):
+    threw = json.load(open(err_path))
+    for name, msg in sorted(threw.items()):
         print(f"FAIL {name}: query threw: {msg}")
         n_fail += 1
 
 for name in sorted(oracle):
+    if name in threw:
+        continue  # already counted above; don't double-fail on no-output
     sql = oracle[name]
     qdir = f"{OUT}/{name}"
     files = glob.glob(f"{qdir}/*.parquet")
