@@ -36,7 +36,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q19_topk", "q31_bucketed_join", "q34_salted_skew_join",
     "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
     "d05_dedup_embedding_cosine", "d06_dedup_clusters",
-    "t08_dup_ngram_ratio", "p07_decontam", "s02_knn_ivf",
+    "t08_dup_ngram_ratio", "p07_decontam", "p11_decontam_bloom",
+    "s02_knn_ivf",
     "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows",
     "p10_mixture_sample", "d07_canonical_selection",
     "d08_dedup_paragraph", "s07_semantic_dedup", "t07_bigram_stats",
@@ -128,6 +129,20 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("LeftAnti"), "p07 lost the heavy-hitter anti join")
     assert(s.contains("BroadcastHashJoin"),
       "p07's anti join is not broadcast (map-side)")
+  }
+
+  test("p11's bloom probe filters the test side BEFORE the index join") {
+    // the whole point of the bloom spelling: the UDF probe must sit
+    // below the shingle equi-join so clean test shingles never shuffle.
+    // (The df-cut anti join lives behind the pruned-index localCheckpoint
+    // here and is plan-gated via p07, which shares the spelling.)
+    val s = plans("p11_decontam_bloom").toString()
+    val joinAt = s.indexOf("Join [sh")
+    val probeAt = s.indexOf("UDF(sh")
+    assert(probeAt >= 0, "p11 lost its bloom probe filter (UDF on sh)")
+    assert(joinAt >= 0, "p11 lost the shingle equi-join")
+    assert(probeAt > joinAt,
+      "p11's bloom probe is not below the index join")
   }
 
   test("s02's k-means routes through broadcast centroid joins") {
