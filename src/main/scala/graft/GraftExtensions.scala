@@ -30,12 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_i64"),
-      new ExpressionInfo(
-        classOf[DotI64].getName,
-        null,
-        "dot_i64",
-        "dot_i64(a, b) - integer dot product of two array<bigint> columns",
-        ""),
+      // 3-arg constructor: the 5-arg (usage, extended) form is
+      // deprecated since 3.0; usage lives in DotI64's scaladoc
+      new ExpressionInfo(classOf[DotI64].getName, null, "dot_i64"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"dot_i64 expects 2 arguments, got ${args.length}")
@@ -44,14 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectTableFunction((
       FunctionIdentifier("graft_planes"),
+      // 3-arg constructor (5-arg deprecated): graft_planes(np) yields
+      // the deterministic sign-LSH hyperplane table (k, i, hp) — np
+      // planes x 64 dims, hp = md5-derived integer in [-2^31, 2^31)
       new ExpressionInfo(
-        classOf[GraftExtensions].getName,
-        null,
-        "graft_planes",
-        "graft_planes(np) - the deterministic sign-LSH hyperplane table" +
-          " (k, i, hp): np planes x 64 dims, hp = md5-derived integer" +
-          " in [-2^31, 2^31)",
-        ""),
+        classOf[GraftExtensions].getName, null, "graft_planes"),
       (args: Seq[Expression]) => {
         require(args.length == 1 && args.head.foldable,
           "graft_planes expects one literal argument: the plane count")

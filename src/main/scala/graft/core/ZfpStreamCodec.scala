@@ -126,6 +126,10 @@ object ZfpStreamCodec {
         bb.asDoubleBuffer().get(a)
         tol.fold(Zfp.compressDouble(a, p.numCols, n))(
           Zfp.compressDoubleLossy(a, p.numCols, n, _))
+      case (other, _) =>
+        // ZfpParams validates dataType at construction; loud here too so
+        // a future params change can't fall through to silent garbage
+        sys.error(s"zfp codec: unsupported dataType $other")
     }
     val out = new Array[Byte](blob.length + 1)
     out(0) = p.typeCode

@@ -30,7 +30,7 @@ object Compaction {
     val bak = dir.resolveSibling(dir.getFileName.toString + ".compact-old")
 
     val df = spark.read.parquet(dir.toString)
-    val partCols = df.schema.fields.map(_.name)
+    val partCols = df.schema.fields.map(_.name).toSeq
       .filter(c => Files.list(dir).anyMatch(p =>
         p.getFileName.toString.startsWith(s"$c=")))
     val writer = df.repartition(n).write.mode("overwrite")

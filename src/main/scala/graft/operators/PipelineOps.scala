@@ -79,7 +79,7 @@ object DedupOps {
     // coalesce covers the empty-graph case (sum over zero rows is null)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var sumPrev: java.math.BigDecimal = null
     var sumCur = labelSum(comp)
     while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
@@ -495,7 +495,7 @@ object TextOps {
       .localCheckpoint()
     val m = counts.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
-      coalesce(sum(col("c")), lit(0L)).as("t")).head
+      coalesce(sum(col("c")), lit(0L)).as("t")).head()
     val (vocabN, vocabChars, total) =
       (m.getLong(0), m.getLong(1), m.getLong(2))
     val vocab = counts.select(col("w"),
@@ -820,7 +820,7 @@ object AnnOps {
       bands: Int = 16, partitions: Int = 32): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val (n, dim) = {
-      val r = v.agg(count(lit(1)), max(size(col("c")))).head
+      val r = v.agg(count(lit(1)), max(size(col("c")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
     }
     // array header + 8B/component + row object overhead, per vector
@@ -1122,8 +1122,8 @@ object AnnOps {
     * accumulates on the executors for the job's lifetime.
     */
   private[graft] def assignCellsKeepBc(v: DataFrame, cent: DataFrame,
-      idCol: String)
-      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
+      idCol: String): (DataFrame, org.apache.spark.broadcast
+        .Broadcast[Array[(Long, Array[Long], Double)]]) = {
     val s = v.sparkSession
     import s.implicits._
     val cents = cent.select(col("cell"), col("cc"), col("cnrmr"))

@@ -42,7 +42,7 @@ object SkewProbe {
 
     val ev = graft.Tables.load(spark, sfDir, "events")
     // plant the burst in the hour after the corpus max ts, probes after
-    val maxTs = ev.agg(max($"ts")).head.getLong(0)
+    val maxTs = ev.agg(max($"ts")).head().getLong(0)
     val hourNs = 3600L * 1000 * 1000 * 1000
     val burstStart = (maxTs / hourNs + 1) * hourNs
     val burst = spark.range(burstRows).select(
