@@ -60,14 +60,25 @@ package graft.core
   *    kmin = intprec - precision instead of coding every plane;
   *  - integer fields ignore minexp (zfp codes them at full maxprec;
   *    tolerance applies to floating-point fields only), so "lossy"
-  *    int16/int32 streams round-trip exactly here;
-  *  - DEVIATION, documented: libzfp's lossy path uses its non-orthogonal
-  *    lifting transform; this implementation reuses the reversible
-  *    Lorenzo lift for the accuracy mode too. The truncation error bound
-  *    (~2^minexp per value <= tolerance) is preserved — the reversible
-  *    lift only removes libzfp's additional transform rounding — and no
-  *    reference-written blobs exist in this sandbox to require bit
-  *    parity (writer and reader are both this object).
+  *    int16/int32 streams round-trip exactly here.
+  *
+  * TWO accuracy-mode payload layouts coexist, distinguished by the
+  * version-byte [[LossyMarker]]:
+  *  - GRAFT layout (marked): reuses the reversible Lorenzo lift and the
+  *    trailing-zero elision for the accuracy mode. Strictly tighter
+  *    reconstruction than libzfp (no transform rounding; integer fields
+  *    exact); graft's own transport writes this.
+  *  - STANDARD layout (unmarked): libzfp's actual accuracy-mode coding —
+  *    the non-orthogonal lifting transform, the (2*(emax+EBIAS)+1,
+  *    EBITS+1)-bit block-float header, and the plain embedded plane
+  *    coder with no prefix field. [[decompress]] reads any unmarked
+  *    accuracy stream through this path, so genuine libzfp-written
+  *    fixed-accuracy blobs (what the reference engine's
+  *    zfp_stream_set_accuracy path produces) decode directly; the
+  *    `*LossyStd` compressors write it for interop. Spec-derived: no
+  *    libzfp binary exists in this sandbox to cross-validate bytes
+  *    against, so the layout is pinned by round-trip + error-bound
+  *    specs rather than binary fixtures (documented in ZfpSpec).
   *
   * [[ZfpHeader]] exposes the parsed mode; unknown/expert modes are
   * rejected loudly by [[decompress]].
@@ -185,18 +196,17 @@ object Zfp {
   private val CodecVersion = 5
   private val ModeReversible = 4094L // ZFP_MODE_SHORT_MAX; 12-bit write
   private val ModeExpert = 4095L     // 0xfff: 64-bit expert mode follows
-  /** Version-byte marker for THIS codec's fixed-accuracy streams. The
-    * lossy payload deviates from libzfp (reversible Lorenzo lift +
-    * trailing-zero-count field instead of zfp's lossy lifting transform
-    * and plain embedded coding), so a genuine libzfp accuracy blob must
-    * never be accepted silently: graft lossy streams set the high bit of
-    * the version byte (libzfp codec versions are small integers and
-    * never do), and [[readHeader]] rejects accuracy-mode streams that
-    * lack the marker. */
+  /** Version-byte marker for the GRAFT-layout fixed-accuracy payload
+    * (reversible Lorenzo lift + trailing-zero-count field). Graft lossy
+    * streams set the high bit of the version byte — libzfp codec
+    * versions are small integers and never do — so [[readHeader]] can
+    * route marked streams to the graft decode and unmarked accuracy
+    * streams to the standard libzfp-layout decode. */
   private val LossyMarker = 0x80
   val ZfpMinExp: Int = -1074         // ZFP_MIN_EXP
 
-  final case class ZfpHeader(tpe: Int, nx: Int, ny: Int, mode: Long) {
+  final case class ZfpHeader(tpe: Int, nx: Int, ny: Int, mode: Long,
+      graftLossy: Boolean = false) {
     def reversible: Boolean = mode == ModeReversible
     /** Fixed-accuracy short mode: codes minexp - ZFP_MIN_EXP. */
     def accuracy: Boolean = mode < ModeReversible
@@ -224,12 +234,13 @@ object Zfp {
   }
 
   private def writeHeader(w: BitWriter, tpe: Int, nx: Int, ny: Int,
-      mode: Long = ModeReversible): Unit = {
+      mode: Long = ModeReversible, graftMarked: Boolean = true): Unit = {
     w.writeBits('z'.toLong, 8)
     w.writeBits('f'.toLong, 8)
     w.writeBits('p'.toLong, 8)
     w.writeBits(
-      if (mode < ModeReversible) (CodecVersion | LossyMarker).toLong
+      if (mode < ModeReversible && graftMarked)
+        (CodecVersion | LossyMarker).toLong
       else CodecVersion.toLong, 8)
     // meta, 52 bits: (((nx-1) << 24 | (ny-1)) << 2 | dims-1) << 2 | type
     var meta = (nx - 1).toLong
@@ -243,14 +254,17 @@ object Zfp {
   /** Parse a FULL header. Throws on bad magic/version/dims; lossy or
     * expert modes parse fine (callers inspect `reversible`).
     *
-    * `acceptUnmarkedLossy`: graft versions before the [[LossyMarker]]
-    * wrote fixed-accuracy streams with a plain version byte — a header
-    * BYTE-IDENTICAL to a genuine libzfp accuracy blob, whose payload
-    * encoding differs and would misdecode silently. There is no way to
-    * tell the two apart from the header, so unmarked accuracy streams
-    * are refused by default with both possibilities named; a caller who
-    * KNOWS the stream came from a pre-marker graft writer opts in
-    * explicitly and gets the graft decode.
+    * Accuracy-mode provenance: an UNMARKED accuracy stream (plain
+    * version byte) is presumed to carry the standard libzfp payload
+    * layout — the shape a genuine libzfp writer, and this object's
+    * `*LossyStd` compressors, produce — and `graftLossy` comes back
+    * false. A [[LossyMarker]]-marked stream carries the graft-enhanced
+    * payload (reversible transform + trailing-zero elision) and sets
+    * `graftLossy`. The one ambiguity: graft versions before the marker
+    * wrote the graft payload under a plain version byte,
+    * header-indistinguishable from libzfp; a caller who KNOWS a stream's
+    * provenance is that era opts in via `acceptUnmarkedLossy` and gets
+    * the graft decode ([[decompressLegacyLossy]]).
     */
   def readHeader(r: BitReader,
       acceptUnmarkedLossy: Boolean = false): ZfpHeader = {
@@ -269,17 +283,11 @@ object Zfp {
     val nx = ((meta >>> 28) & 0xffffffL).toInt + 1
     var mode = r.readBits(12)
     if (mode == 0xfffL) mode = 0xfffL | (r.readBits(52) << 12) // expert
-    if (mode < ModeReversible && !lossyMarked && !acceptUnmarkedLossy)
-      throw new IllegalArgumentException(
-        "zfp: fixed-accuracy stream without the graft lossy marker. " +
-          "This is either (a) a libzfp-written accuracy payload, whose " +
-          "block encoding differs and would misdecode silently — not " +
-          "supported — or (b) a legacy graft stream written before the " +
-          "marker existed; if you know it is (b), decode with " +
-          "acceptUnmarkedLossy = true (Zfp.decompressLegacyLossy)")
     if (lossyMarked) require(mode < ModeReversible,
       s"zfp: lossy-marked stream carries non-accuracy mode $mode")
-    ZfpHeader(tpe, nx, ny, mode)
+    ZfpHeader(tpe, nx, ny, mode,
+      graftLossy = mode < ModeReversible &&
+        (lossyMarked || acceptUnmarkedLossy))
   }
 
   // ----------------------------------------- block machinery (2D, 4x4)
@@ -361,6 +369,87 @@ object Zfp {
     while (y < 4) { invRevLift64(b, 4 * y, 1); y += 1 }
   }
 
+  /** Standard (libzfp) forward lift of a 4-vector — the non-orthogonal
+    * decorrelating transform 1/16 * [4 4 4 4; 5 1 -1 -5; -4 4 4 -4;
+    * -2 6 -6 2] factored into lifting steps, from the published zfp
+    * algorithm (Lindstrom, "Fixed-Rate Compressed Floating-Point
+    * Arrays", TVCG 2014, and the zfp docs' algorithm section). Unlike
+    * the reversible Lorenzo lift above, the `>>1` steps round: forward
+    * followed by inverse reproduces inputs only to within a few units
+    * of the block's fixed-point scale, which is why libzfp (and this
+    * file) use it for the ACCURACY modes only. */
+  private def fwdStdLift32(p: Array[Int], o: Int, s: Int): Unit = {
+    var x = p(o); var y = p(o + s); var z = p(o + 2 * s); var w = p(o + 3 * s)
+    x += w; x >>= 1; w -= x
+    z += y; z >>= 1; y -= z
+    x += z; x >>= 1; z -= x
+    w += y; w >>= 1; y -= w
+    w += y >> 1; y -= w >> 1
+    p(o) = x; p(o + s) = y; p(o + 2 * s) = z; p(o + 3 * s) = w
+  }
+
+  /** Standard inverse lift: each lifting step of [[fwdStdLift32]]
+    * reversed (exact inverse modulo the forward pass's shift rounding). */
+  private def invStdLift32(p: Array[Int], o: Int, s: Int): Unit = {
+    var x = p(o); var y = p(o + s); var z = p(o + 2 * s); var w = p(o + 3 * s)
+    y += w >> 1; w -= y >> 1
+    y += w; w <<= 1; w -= y
+    z += x; x <<= 1; x -= z
+    y += z; z <<= 1; z -= y
+    w += x; x <<= 1; x -= w
+    p(o) = x; p(o + s) = y; p(o + 2 * s) = z; p(o + 3 * s) = w
+  }
+
+  private def fwdStdLift64(p: Array[Long], o: Int, s: Int): Unit = {
+    var x = p(o); var y = p(o + s); var z = p(o + 2 * s); var w = p(o + 3 * s)
+    x += w; x >>= 1; w -= x
+    z += y; z >>= 1; y -= z
+    x += z; x >>= 1; z -= x
+    w += y; w >>= 1; y -= w
+    w += y >> 1; y -= w >> 1
+    p(o) = x; p(o + s) = y; p(o + 2 * s) = z; p(o + 3 * s) = w
+  }
+
+  private def invStdLift64(p: Array[Long], o: Int, s: Int): Unit = {
+    var x = p(o); var y = p(o + s); var z = p(o + 2 * s); var w = p(o + 3 * s)
+    y += w >> 1; w -= y >> 1
+    y += w; w <<= 1; w -= y
+    z += x; x <<= 1; x -= z
+    y += z; z <<= 1; z -= y
+    w += x; x <<= 1; x -= w
+    p(o) = x; p(o + s) = y; p(o + 2 * s) = z; p(o + 3 * s) = w
+  }
+
+  /** 2D standard transforms: same row/column traversal as the
+    * reversible ones (zfp fwd_xform_2 / inv_xform_2). */
+  private def fwdStdXform32(b: Array[Int]): Unit = {
+    var y = 0
+    while (y < 4) { fwdStdLift32(b, 4 * y, 1); y += 1 }
+    var x = 0
+    while (x < 4) { fwdStdLift32(b, x, 4); x += 1 }
+  }
+
+  private def invStdXform32(b: Array[Int]): Unit = {
+    var x = 0
+    while (x < 4) { invStdLift32(b, x, 4); x += 1 }
+    var y = 0
+    while (y < 4) { invStdLift32(b, 4 * y, 1); y += 1 }
+  }
+
+  private def fwdStdXform64(b: Array[Long]): Unit = {
+    var y = 0
+    while (y < 4) { fwdStdLift64(b, 4 * y, 1); y += 1 }
+    var x = 0
+    while (x < 4) { fwdStdLift64(b, x, 4); x += 1 }
+  }
+
+  private def invStdXform64(b: Array[Long]): Unit = {
+    var x = 0
+    while (x < 4) { invStdLift64(b, x, 4); x += 1 }
+    var y = 0
+    while (y < 4) { invStdLift64(b, 4 * y, 1); y += 1 }
+  }
+
   /** Two's complement -> negabinary (int32). */
   private def int2uint32(x: Int): Long =
     (((x + 0xaaaaaaaa) ^ 0xaaaaaaaa) & 0xffffffffL)
@@ -409,10 +498,19 @@ object Zfp {
       while (j < 16) { ublock(j) = ublock(j) >>> tz; j += 1 }
     }
     // plane k of the shifted coefficients is plane k+tz of the original
-    val kStop = math.max(0, kmin - tz)
-    var k = intprec - tz
+    codePlanes(w, ublock, intprec - tz, math.max(0, kmin - tz))
+  }
+
+  /** zfp's embedded group-tested bit-plane coder (the encode_ints plane
+    * loop), planes `kmax-1` down to `kmin`, MSB->LSB. Shared verbatim by
+    * the reversible coder (after its trailing-zero elision) and the
+    * standard-layout accuracy coder, which codes planes directly with no
+    * prefix field — libzfp's actual fixed-accuracy layout. */
+  private def codePlanes(w: BitWriter, ublock: Array[Long],
+      kmax: Int, kmin: Int): Unit = {
+    var k = kmax
     var n = 0
-    while (k > kStop) {
+    while (k > kmin) {
       k -= 1
       // extract bit plane k
       var x = 0L
@@ -449,10 +547,19 @@ object Zfp {
     val tz = r.readBits(if (intprec > 32) 7 else 6).toInt
     require(tz <= intprec, s"zfp: corrupt trailing-zero count $tz")
     if (tz == intprec) return // all-zero block
-    val kStop = math.max(0, kmin - tz)
-    var k = intprec - tz
+    decodePlanes(r, ublock, intprec - tz, math.max(0, kmin - tz))
+    if (tz > 0) {
+      var j = 0
+      while (j < 16) { ublock(j) = ublock(j) << tz; j += 1 }
+    }
+  }
+
+  /** Mirror of [[codePlanes]]; `ublock` must be zero-filled on entry. */
+  private def decodePlanes(r: BitReader, ublock: Array[Long],
+      kmax: Int, kmin: Int): Unit = {
+    var k = kmax
     var n = 0
-    while (k > kStop) {
+    while (k > kmin) {
       k -= 1
       var x = r.readBits(n)
       // group-test decode of the remainder of the plane
@@ -481,10 +588,6 @@ object Zfp {
         i += 1
         xx >>>= 1
       }
-    }
-    if (tz > 0) {
-      var j = 0
-      while (j < 16) { ublock(j) = ublock(j) << tz; j += 1 }
     }
   }
 
@@ -559,14 +662,15 @@ object Zfp {
     w.toBytes
   }
 
-  private def decodeInt32Payload(r: BitReader, nx: Int, ny: Int): Array[Int] = {
+  private def decodeInt32Payload(r: BitReader, nx: Int, ny: Int,
+      std: Boolean = false): Array[Int] = {
     val out = new Array[Int](nx * ny)
     val block = new Array[Int](16)
     var by = 0
     while (by < ny) {
       var bx = 0
       while (bx < nx) {
-        decodeBlockInt32(r, block)
+        if (std) decodeBlockInt32Std(r, block) else decodeBlockInt32(r, block)
         val mx = math.min(4, nx - bx)
         val my = math.min(4, ny - by)
         var j = 0
@@ -908,6 +1012,114 @@ object Zfp {
     while (i < 16) { fblock(i) = inv * iblock(i); i += 1 }
   }
 
+  // ------------------- standard-layout (libzfp) fixed-accuracy coders
+  //
+  // The graft lossy coders above keep the reversible transform and the
+  // trailing-zero elision (strictly tighter reconstruction; integer
+  // fields round-trip exactly). The *Std coders below implement the
+  // STANDARD zfp accuracy layout instead — non-orthogonal lifting
+  // transform, block-floating-point header of (2*(emax+EBIAS)+1) in
+  // EBITS+1 bits (9 for float, 12 for double), and the plain embedded
+  // plane coder with no prefix field — the bit layout a genuine libzfp
+  // writer produces, reconstructed from the published format. No libzfp
+  // binary exists in this sandbox to cross-validate bytes against; the
+  // layout is spec-derived and pinned by round-trip + error-bound specs.
+
+  private def encodeBlockFloatStd(w: BitWriter, fblock: Array[Float],
+      minexp: Int): Unit = {
+    var fmax = 0f
+    var i = 0
+    while (i < 16) { val a = math.abs(fblock(i)); if (a > fmax) fmax = a; i += 1 }
+    val emax = exponentF(fmax)
+    val maxprec = precisionFor(emax, 32, minexp)
+    val e = if (maxprec > 0) (emax + 127).toLong else 0L
+    if (e == 0L) { w.writeBit(0); return } // zero block (fmax == 0)
+    w.writeBits(2 * e + 1, 9) // flag LSB + 8-bit biased exponent (EBITS+1)
+    val s = java.lang.Math.scalb(1f, 30 - emax)
+    val iblock = new Array[Int](16)
+    i = 0
+    while (i < 16) { iblock(i) = (s * fblock(i)).toInt; i += 1 }
+    fwdStdXform32(iblock)
+    val ublock = new Array[Long](16)
+    i = 0
+    while (i < 16) { ublock(i) = int2uint32(iblock(Perm2(i))); i += 1 }
+    codePlanes(w, ublock, 32, 32 - maxprec)
+  }
+
+  private def decodeBlockFloatStd(r: BitReader, fblock: Array[Float],
+      minexp: Int): Unit = {
+    if (r.readBit() == 0) { java.util.Arrays.fill(fblock, 0f); return }
+    val emax = (r.readBits(8) - 127).toInt
+    val maxprec = precisionFor(emax, 32, minexp)
+    val ublock = new Array[Long](16)
+    decodePlanes(r, ublock, 32, math.max(0, 32 - maxprec))
+    val iblock = new Array[Int](16)
+    var i = 0
+    while (i < 16) { iblock(Perm2(i)) = uint2int32(ublock(i)); i += 1 }
+    invStdXform32(iblock)
+    val inv = java.lang.Math.scalb(1f, emax - 30)
+    i = 0
+    while (i < 16) { fblock(i) = inv * iblock(i); i += 1 }
+  }
+
+  private def encodeBlockDoubleStd(w: BitWriter, fblock: Array[Double],
+      minexp: Int): Unit = {
+    var fmax = 0.0
+    var i = 0
+    while (i < 16) { val a = math.abs(fblock(i)); if (a > fmax) fmax = a; i += 1 }
+    val emax = exponentD(fmax)
+    val maxprec = precisionFor(emax, 64, minexp)
+    val e = if (maxprec > 0) (emax + 1023).toLong else 0L
+    if (e == 0L) { w.writeBit(0); return } // zero block (fmax == 0)
+    w.writeBits(2 * e + 1, 12) // flag LSB + 11-bit biased exponent
+    val s = java.lang.Math.scalb(1.0, 62 - emax)
+    val iblock = new Array[Long](16)
+    i = 0
+    while (i < 16) { iblock(i) = (s * fblock(i)).toLong; i += 1 }
+    fwdStdXform64(iblock)
+    val ublock = new Array[Long](16)
+    i = 0
+    while (i < 16) { ublock(i) = int2uint64(iblock(Perm2(i))); i += 1 }
+    codePlanes(w, ublock, 64, 64 - maxprec)
+  }
+
+  private def decodeBlockDoubleStd(r: BitReader, fblock: Array[Double],
+      minexp: Int): Unit = {
+    if (r.readBit() == 0) { java.util.Arrays.fill(fblock, 0.0); return }
+    val emax = (r.readBits(11) - 1023).toInt
+    val maxprec = precisionFor(emax, 64, minexp)
+    val ublock = new Array[Long](16)
+    decodePlanes(r, ublock, 64, math.max(0, 64 - maxprec))
+    val iblock = new Array[Long](16)
+    var i = 0
+    while (i < 16) { iblock(Perm2(i)) = uint2int64(ublock(i)); i += 1 }
+    invStdXform64(iblock)
+    val inv = java.lang.Math.scalb(1.0, emax - 62)
+    i = 0
+    while (i < 16) { fblock(i) = inv * iblock(i); i += 1 }
+  }
+
+  /** Standard accuracy-mode integer block: full-precision planes (zfp's
+    * tolerance knob applies to floating point only), but through the
+    * rounding non-orthogonal transform — so unlike the graft coder,
+    * integers reconstruct only to within the transform's few-unit
+    * rounding, exactly as libzfp behaves. */
+  private def encodeBlockInt32Std(w: BitWriter, block: Array[Int]): Unit = {
+    fwdStdXform32(block)
+    val ublock = new Array[Long](16)
+    var i = 0
+    while (i < 16) { ublock(i) = int2uint32(block(Perm2(i))); i += 1 }
+    codePlanes(w, ublock, 32, 0)
+  }
+
+  private def decodeBlockInt32Std(r: BitReader, block: Array[Int]): Unit = {
+    val ublock = new Array[Long](16)
+    decodePlanes(r, ublock, 32, 0)
+    var i = 0
+    while (i < 16) { block(Perm2(i)) = uint2int32(ublock(i)); i += 1 }
+    invStdXform32(block)
+  }
+
   /** Fixed-accuracy float compression: |error| <~ tolerance per value. */
   def compressFloatLossy(data: Array[Float], nx: Int, ny: Int,
       tolerance: Double): Array[Byte] = {
@@ -999,6 +1211,115 @@ object Zfp {
     compressInt32Lossy(promoted, nx, ny, tolerance)
   }
 
+  /** Fixed-accuracy compression in the STANDARD libzfp bit layout (plain
+    * version byte, non-orthogonal transform, plain plane coder). Use
+    * when the stream must be readable by other zfp implementations;
+    * [[decompress]] reads it back through the same standard path any
+    * unmarked accuracy stream takes. |error| <= tolerance per value for
+    * finite inputs (zfp's accuracy guarantee); NaN/Inf are unsupported
+    * in this mode, as in libzfp. */
+  def compressFloatLossyStd(data: Array[Float], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    val minexp = minexpForTolerance(tolerance)
+    val w = new BitWriter
+    writeHeader(w, TypeFloat, nx, ny, modeForMinexp(minexp),
+      graftMarked = false)
+    val block = new Array[Float](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var i = 0
+        while (i < mx) {
+          block(4 * j + i) = data((by + j) * nx + (bx + i))
+          i += 1
+        }
+        padBlockF(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var i = 0
+      while (i < 4) { padBlockF(block, i, my, 4); i += 1 }
+      encodeBlockFloatStd(w, block, minexp)
+    }
+    w.toBytes
+  }
+
+  /** [[compressFloatLossyStd]] for doubles. */
+  def compressDoubleLossyStd(data: Array[Double], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    val minexp = minexpForTolerance(tolerance)
+    val w = new BitWriter
+    writeHeader(w, TypeDouble, nx, ny, modeForMinexp(minexp),
+      graftMarked = false)
+    val block = new Array[Double](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var i = 0
+        while (i < mx) {
+          block(4 * j + i) = data((by + j) * nx + (bx + i))
+          i += 1
+        }
+        padBlockD(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var i = 0
+      while (i < 4) { padBlockD(block, i, my, 4); i += 1 }
+      encodeBlockDoubleStd(w, block, minexp)
+    }
+    w.toBytes
+  }
+
+  /** Standard-layout fixed-accuracy int32: all planes coded (tolerance
+    * applies to floats only in zfp), values reconstruct to within the
+    * non-orthogonal transform's rounding — NOT exactly, matching libzfp.
+    * zfp's 2D int32 codec requires |value| < 2^30 to avoid transform
+    * overflow (zfp docs, "limitations"); enforced loudly here. */
+  def compressInt32LossyStd(data: Array[Int], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    require(data.length == nx * ny, "zfp: data length != nx*ny")
+    var i = 0
+    while (i < data.length) {
+      require(data(i) >= -(1 << 30) && data(i) < (1 << 30),
+        s"zfp std accuracy int32: value must be in [-2^30, 2^30), got " +
+          s"${data(i)}") // -2^30 inclusive: Short.MinValue << 15
+      i += 1
+    }
+    val w = new BitWriter
+    writeHeader(w, TypeInt32, nx, ny,
+      modeForMinexp(minexpForTolerance(tolerance)), graftMarked = false)
+    val block = new Array[Int](16)
+    forEachBlock(nx, ny) { (bx, by, mx, my) =>
+      var j = 0
+      while (j < my) {
+        var k = 0
+        while (k < mx) {
+          block(4 * j + k) = data((by + j) * nx + (bx + k))
+          k += 1
+        }
+        padBlock32(block, 4 * j, mx, 1)
+        j += 1
+      }
+      var k = 0
+      while (k < 4) { padBlock32(block, k, my, 4); k += 1 }
+      encodeBlockInt32Std(w, block)
+    }
+    w.toBytes
+  }
+
+  /** Standard-layout fixed-accuracy int16: the reference's `<<15`
+    * promotion, then [[compressInt32LossyStd]] — magnitudes stay below
+    * 2^30 by construction. Reconstruction is within ±1 int16 unit (the
+    * transform's few-unit rounding at the promoted scale, >> 15). */
+  def compressInt16LossyStd(data: Array[Short], nx: Int, ny: Int,
+      tolerance: Double): Array[Byte] = {
+    val promoted = new Array[Int](data.length)
+    var i = 0
+    while (i < data.length) { promoted(i) = data(i).toInt << 15; i += 1 }
+    compressInt32LossyStd(promoted, nx, ny, tolerance)
+  }
+
   // ------------------------------------------------------ decompress
 
   sealed trait Decoded { def nx: Int; def ny: Int }
@@ -1008,15 +1329,23 @@ object Zfp {
 
   /** Decompress a full-header 2D blob — reversible (lossless) or
     * fixed-accuracy (lossy) mode; expert/long modes are rejected.
-    * Trailing bytes beyond the payload are ignored. */
+    * Trailing bytes beyond the payload are ignored.
+    *
+    * Accuracy streams dispatch on provenance: the graft [[LossyMarker]]
+    * selects the graft-enhanced payload decode; an unmarked accuracy
+    * stream decodes through the STANDARD libzfp layout — so a genuine
+    * libzfp-written fixed-accuracy blob (the reference engine's
+    * `zfp_stream_set_accuracy` output, `zfp_compressor.cpp:93-134`)
+    * is read directly. */
   def decompress(blob: Array[Byte]): Decoded =
     decompress(blob, acceptUnmarkedLossy = false)
 
   /** [[decompress]] for LEGACY graft fixed-accuracy streams written
-    * before the version-byte lossy marker. Only call this when the
-    * stream's provenance is known to be a pre-marker graft writer — a
-    * genuine libzfp accuracy blob has the identical header and would
-    * misdecode (see [[readHeader]]).
+    * before the version-byte lossy marker. Such streams carry the graft
+    * payload under a plain version byte — header-indistinguishable from
+    * libzfp, so the default decode would read them as standard-layout
+    * garbage. Only call this when the stream's provenance is known to
+    * be a pre-marker graft writer (see [[readHeader]]).
     */
   def decompressLegacyLossy(blob: Array[Byte]): Decoded =
     decompress(blob, acceptUnmarkedLossy = true)
@@ -1028,13 +1357,16 @@ object Zfp {
     require(h.reversible || h.accuracy,
       s"zfp: unsupported mode ${h.mode} (reversible and fixed-accuracy " +
         "short modes only; expert mode is not supported)")
+    val std = h.accuracy && !h.graftLossy // standard libzfp payload layout
     h.tpe match {
-      case TypeInt32 => DecodedInt32(h.nx, h.ny, decodeInt32Payload(r, h.nx, h.ny))
+      case TypeInt32 =>
+        DecodedInt32(h.nx, h.ny, decodeInt32Payload(r, h.nx, h.ny, std))
       case TypeFloat =>
         val out = new Array[Float](h.nx * h.ny)
         val block = new Array[Float](16)
         forEachBlock(h.nx, h.ny) { (bx, by, mx, my) =>
           if (h.reversible) decodeBlockFloat(r, block)
+          else if (std) decodeBlockFloatStd(r, block, h.minexp)
           else decodeBlockFloatLossy(r, block, h.minexp)
           var j = 0
           while (j < my) {
@@ -1052,6 +1384,7 @@ object Zfp {
         val block = new Array[Double](16)
         forEachBlock(h.nx, h.ny) { (bx, by, mx, my) =>
           if (h.reversible) decodeBlockDouble(r, block)
+          else if (std) decodeBlockDoubleStd(r, block, h.minexp)
           else decodeBlockDoubleLossy(r, block, h.minexp)
           var j = 0
           while (j < my) {

@@ -25,9 +25,12 @@ import java.nio.{ByteBuffer, ByteOrder}
 object ZfpStreamCodec {
 
   /** `tolerance` None = reversible (lossless); Some(t >= 0) = zfp
-    * fixed-accuracy mode. */
+    * fixed-accuracy mode. `stdLayout` selects the standard libzfp
+    * accuracy bit layout (readable by other zfp implementations) over
+    * graft's enhanced layout (tighter reconstruction, exact integers)
+    * for lossy writes; reads auto-detect either. */
   final case class Params(dataType: String, numCols: Int,
-      tolerance: Option[Double] = None) {
+      tolerance: Option[Double] = None, stdLayout: Boolean = false) {
     val width: Int = dataType match {
       case "int16" => 2
       case "int32" | "float" => 4
@@ -46,6 +49,7 @@ object ZfpStreamCodec {
   private val NumColsRe = """"num_cols"\s*:\s*"?(\d+)"?""".r
   private val ToleranceRe =
     """"tolerance"\s*:\s*"?(-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)"?""".r
+  private val LayoutRe = """"layout"\s*:\s*"([A-Za-z_]+)"""".r
 
   /** Parse + validate params against the stream schema. Returns None for
     * absent params (uncompressed). Throws loudly for lossy/unknown
@@ -71,8 +75,13 @@ object ZfpStreamCodec {
       val dt = DataTypeRe.findFirstMatchIn(j).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(
           s"$name params missing data_type: $j"))
+      // optional extension over the reference's param shape: "layout":
+      // "std" writes lossy batches in the standard libzfp accuracy bit
+      // layout instead of the graft-enhanced one (see [[Zfp]])
+      val std = tol.isDefined &&
+        LayoutRe.findFirstMatchIn(j).exists(_.group(1) == "std")
       val p = Params(dt, NumColsRe.findFirstMatchIn(j).map(_.group(1).toInt)
-        .getOrElse(schema.fields.size), tol)
+        .getOrElse(schema.fields.size), tol, std)
       val riverType = dt match {
         case "int16" => RiverType.Int16
         case "int32" => RiverType.Int32
@@ -109,23 +118,27 @@ object ZfpStreamCodec {
       case ("int16", tol) =>
         val a = new Array[Short](n * p.numCols)
         bb.asShortBuffer().get(a)
-        tol.fold(Zfp.compressInt16(a, p.numCols, n))(
-          Zfp.compressInt16Lossy(a, p.numCols, n, _))
+        tol.fold(Zfp.compressInt16(a, p.numCols, n))(t =>
+          if (p.stdLayout) Zfp.compressInt16LossyStd(a, p.numCols, n, t)
+          else Zfp.compressInt16Lossy(a, p.numCols, n, t))
       case ("int32", tol) =>
         val a = new Array[Int](n * p.numCols)
         bb.asIntBuffer().get(a)
-        tol.fold(Zfp.compressInt32(a, p.numCols, n))(
-          Zfp.compressInt32Lossy(a, p.numCols, n, _))
+        tol.fold(Zfp.compressInt32(a, p.numCols, n))(t =>
+          if (p.stdLayout) Zfp.compressInt32LossyStd(a, p.numCols, n, t)
+          else Zfp.compressInt32Lossy(a, p.numCols, n, t))
       case ("float", tol) =>
         val a = new Array[Float](n * p.numCols)
         bb.asFloatBuffer().get(a)
-        tol.fold(Zfp.compressFloat(a, p.numCols, n))(
-          Zfp.compressFloatLossy(a, p.numCols, n, _))
+        tol.fold(Zfp.compressFloat(a, p.numCols, n))(t =>
+          if (p.stdLayout) Zfp.compressFloatLossyStd(a, p.numCols, n, t)
+          else Zfp.compressFloatLossy(a, p.numCols, n, t))
       case ("double", tol) =>
         val a = new Array[Double](n * p.numCols)
         bb.asDoubleBuffer().get(a)
-        tol.fold(Zfp.compressDouble(a, p.numCols, n))(
-          Zfp.compressDoubleLossy(a, p.numCols, n, _))
+        tol.fold(Zfp.compressDouble(a, p.numCols, n))(t =>
+          if (p.stdLayout) Zfp.compressDoubleLossyStd(a, p.numCols, n, t)
+          else Zfp.compressDoubleLossy(a, p.numCols, n, t))
       case (other, _) =>
         // ZfpParams validates dataType at construction; loud here too so
         // a future params change can't fall through to silent garbage

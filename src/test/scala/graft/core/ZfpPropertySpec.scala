@@ -101,6 +101,53 @@ class ZfpPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: std-layout lossy double error is within tolerance") {
+    // the standard libzfp accuracy layout (non-orthogonal transform,
+    // plain plane coder): zfp's documented accuracy guarantee is
+    // |error| <= tolerance for finite inputs
+    val tolGen = Gen.oneOf(0.01, 0.5, 1.0, 20.0, 100.0)
+    check(Prop.forAll(shapeGen.flatMap { case (nx, ny) =>
+      for {
+        tol <- tolGen
+        d <- Gen.containerOfN[Array, Double](nx * ny,
+          Gen.chooseNum(-1.0e6, 1.0e6))
+      } yield (nx, ny, tol, d)
+    }) { case (nx, ny, tol, data) =>
+      val Zfp.DecodedDouble(_, _, back) =
+        Zfp.decompress(
+          Zfp.compressDoubleLossyStd(data, nx, ny, tol)): @unchecked
+      data.indices.forall(i => math.abs(back(i) - data(i)) <= tol)
+    })
+  }
+
+  test("property: std-layout lossy float error is within tolerance") {
+    val tolGen = Gen.oneOf(0.5, 1.0, 20.0, 100.0)
+    check(Prop.forAll(shapeGen.flatMap { case (nx, ny) =>
+      for {
+        tol <- tolGen
+        d <- Gen.containerOfN[Array, Float](nx * ny,
+          Gen.chooseNum(-1.0e6f, 1.0e6f))
+      } yield (nx, ny, tol, d)
+    }) { case (nx, ny, tol, data) =>
+      val Zfp.DecodedFloat(_, _, back) =
+        Zfp.decompress(
+          Zfp.compressFloatLossyStd(data, nx, ny, tol)): @unchecked
+      data.indices.forall(i => math.abs(back(i) - data(i)) <= tol)
+    })
+  }
+
+  test("property: std-layout int16 reconstructs within 1 unit") {
+    check(Prop.forAll(shapeGen.flatMap { case (nx, ny) =>
+      Gen.containerOfN[Array, Short](nx * ny,
+          Gen.chooseNum(Short.MinValue, Short.MaxValue))
+        .map(d => (nx, ny, d))
+    }) { case (nx, ny, data) =>
+      val (_, _, back) =
+        Zfp.decompressInt16(Zfp.compressInt16LossyStd(data, nx, ny, 20.0))
+      data.indices.forall(i => math.abs(back(i) - data(i)) <= 1)
+    })
+  }
+
   test("property: lossy integer streams ignore tolerance, exact trip") {
     check(Prop.forAll(shapeGen.flatMap { case (nx, ny) =>
       Gen.containerOfN[Array, Short](nx * ny,

@@ -86,6 +86,29 @@ class IngestFeaturesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DUMMY"))
   }
 
+  test("""ZFP_LOSSY "layout": "std" writes the standard libzfp accuracy """ +
+      "bit layout end-to-end") {
+    // the opt-in standard layout: segments carry unmarked accuracy
+    // blobs (what a genuine libzfp writer produces), read back through
+    // the auto-detecting decode within zfp's |err| <= tolerance bound
+    val store = newStore()
+    val params =
+      """{"name":"ZFP_LOSSY","params":{"num_cols":"1",""" +
+        """"data_type":"double","tolerance":"0.5","layout":"std"}}"""
+    val w = store.createStream("cs", schema,
+      compressionParamsJson = Some(params))
+    val values = (0 until 257).map(i => math.cos(i / 7.0) * 1000.0)
+    w.write(values.map(v => Seq[Any](v)))
+    w.stop()
+    val r = store.openReader("cs")
+    val rows = r.read(1000, 0).get
+    assert(rows.size == 257)
+    val back = rows.map(_._3(0).asInstanceOf[Double])
+    val maxErr = values.indices.map(i => math.abs(back(i) - values(i))).max
+    assert(maxErr <= 0.5, s"std layout max err $maxErr > tolerance")
+    assert(store.segmentFile("cs", 0).length() < 257 * 8)
+  }
+
   test("variable-width streams refuse compression (writer.cpp:131-134)") {
     val store = newStore()
     val vw = RiverSchema(Seq(
