@@ -44,7 +44,7 @@ object MatBridge {
     * whichever first; returns the row count written. Byte-typed fields
     * have no numeric-matrix representation and are rejected loudly. */
   def exportStream(store: StreamStore, stream: String, path: Path,
-      maxRows: Int = Int.MaxValue): Long = {
+      maxRows: Int = Int.MaxValue, timeoutMs: Long = 60000): Long = {
     val schema = store.metadata(stream).schema
     schema.fields.foreach { f =>
       require(f.tpe.isInstanceOf[RiverType.Double64.type] ||
@@ -58,8 +58,15 @@ object MatBridge {
     val r = store.openReader(stream)
     val idx = new ArrayBuffer[Long]
     val cols = schema.fields.map(_ => new ArrayBuffer[Any]).toArray
+    val deadline = System.currentTimeMillis() + timeoutMs
     var done = false
     while (!done && idx.length < maxRows) {
+      // a live (never-stopped) stream would otherwise poll forever: the
+      // deadline turns the scaladoc precondition into a loud failure
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"mat bridge: stream '$stream' produced no EOF within " +
+            s"$timeoutMs ms — is its writer stopped?")
       r.read(math.min(8192, maxRows - idx.length), 2000) match {
         case None => done = true // EOF
         case Some(rows) =>
@@ -122,6 +129,13 @@ object MatBridge {
       if (v.cols == 1) Seq(RiverField(v.name, tpe))
       else (1 to v.cols).map(c => RiverField(s"${v.name}_$c", tpe))
     }
+    // the N x C suffix expansion can collide with a literally-named
+    // variable (matrix 'a' -> a_1 vs a vector named a_1); a duplicate
+    // field would silently shadow on every name-keyed read downstream
+    val dup = fields.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty,
+      s"mat bridge: expanded field names collide: ${dup.mkString(", ")} — " +
+        "rename the .mat variables")
     val w = store.createStream(streamName, RiverSchema(fields))
     // column-major source: value (row i, col c) of var v sits at c*n + i
     def cell(v: MatFile.MatVar, i: Int, c: Int): Any = v.data match {
@@ -149,8 +163,11 @@ object MatBridge {
   /** Export a DataFrame's NUMERIC columns (byte/short/int/long/float/
     * double; others have no plain-matrix representation and are listed
     * back untouched) to `path`, `maxRows` capped, one column vector per
-    * column. Returns (exported names, skipped names). Driver-side
-    * collect by design — see the object scaladoc. */
+    * column. Returns (exported names, skipped names). NULL handling:
+    * float/double nulls become NaN (MATLAB's missing marker); integer
+    * columns have no such sentinel, so a null integer value is rejected
+    * loudly — cast to double (null -> NaN) or fill before exporting.
+    * Driver-side collect by design — see the object scaladoc. */
   def exportDataFrame(df: DataFrame, path: Path,
       maxRows: Int): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.types._
@@ -170,17 +187,20 @@ object MatBridge {
     val vars = numeric.zipWithIndex.map { case (f, c) =>
       val name = sanitizeName(f.name, taken)
       taken += name
+      def noNull(r: org.apache.spark.sql.Row): Unit =
+        if (r.isNullAt(c)) throw new IllegalArgumentException(
+          s"mat bridge: null in integer column '${f.name}' — integers " +
+            "have no MATLAB missing marker; cast to double (null -> NaN) " +
+            "or fill before exporting")
       val data = f.dataType match {
         case ByteType =>
-          MatFile.Int16s(rows.map(r =>
-            if (r.isNullAt(c)) 0.toShort else r.getByte(c).toShort))
+          MatFile.Int16s(rows.map { r => noNull(r); r.getByte(c).toShort })
         case ShortType =>
-          MatFile.Int16s(rows.map(r =>
-            if (r.isNullAt(c)) 0.toShort else r.getShort(c)))
+          MatFile.Int16s(rows.map { r => noNull(r); r.getShort(c) })
         case IntegerType =>
-          MatFile.Int32s(rows.map(r => if (r.isNullAt(c)) 0 else r.getInt(c)))
+          MatFile.Int32s(rows.map { r => noNull(r); r.getInt(c) })
         case LongType =>
-          MatFile.Int64s(rows.map(r => if (r.isNullAt(c)) 0L else r.getLong(c)))
+          MatFile.Int64s(rows.map { r => noNull(r); r.getLong(c) })
         case FloatType =>
           MatFile.Singles(rows.map(r =>
             if (r.isNullAt(c)) Float.NaN else r.getFloat(c)))

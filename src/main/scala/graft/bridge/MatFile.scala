@@ -124,10 +124,18 @@ object MatFile {
 
   private def writeMatrix(out: DataOutputStream, v: MatVar): Unit = {
     val nameBytes = v.name.getBytes("US-ASCII")
-    val dataBytes = v.data.length * widthOf(v.data)
-    // subelement sizes, each 8-byte tag + padded payload
-    val total = (8 + 8) + (8 + 8) + (8 + nameBytes.length + pad8(nameBytes.length)) +
-      (8 + dataBytes + pad8(dataBytes))
+    val dataBytesL = v.data.length.toLong * widthOf(v.data)
+    // the miMATRIX element size field is uint32; fail loudly rather
+    // than wrap into a silently corrupt file near the 2 GiB boundary
+    val totalL = (8L + 8) + (8 + 8) +
+      (8 + nameBytes.length + pad8(nameBytes.length)) +
+      (8 + dataBytesL + pad8((dataBytesL & 7).toInt))
+    require(totalL <= Int.MaxValue,
+      s"mat: variable '${v.name}' needs $dataBytesL payload bytes; the " +
+        "Level 5 element size field caps a variable near 2 GiB — export " +
+        "fewer rows (maxRows) or split columns across files")
+    val dataBytes = dataBytesL.toInt
+    val total = totalL.toInt
     out.write(le4(MiMatrix)); out.write(le4(total))
     // array flags: u32 (class | flags byte << 8), u32 reserved
     out.write(le4(MiUInt32)); out.write(le4(8))
@@ -178,7 +186,8 @@ object MatFile {
         case MiCompressed =>
           val packed = new Array[Byte](n)
           bb.get(packed)
-          bb.position(bb.position() + pad8(n))
+          // real writers (MATLAB, scipy) do NOT pad compressed elements
+          // to the 8-byte boundary other elements get — advance exactly n
           val inflated = inflate(packed)
           val ib = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
           val itpe = ib.getInt(); val in = ib.getInt()
@@ -270,7 +279,6 @@ object MatFile {
     }
     val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     val n = rows * cols
-    def widen(to: MatData): MatData = to
     val raw: MatData = pt match {
       case MiDouble =>
         val a = new Array[Double](n); pb.asDoubleBuffer().get(a); Doubles(a)
@@ -313,7 +321,7 @@ object MatFile {
       case (MxDouble, _) => Doubles(toDoubles(raw))
       case (MxSingle, Singles(_)) => raw
       case (MxSingle, _) => Singles(toDoubles(raw).map(_.toFloat))
-      case _ => widen(raw)
+      case _ => raw
     }
     MatVar(name, rows, cols, data)
   }

@@ -77,9 +77,21 @@ object ZfpStreamCodec {
           s"$name params missing data_type: $j"))
       // optional extension over the reference's param shape: "layout":
       // "std" writes lossy batches in the standard libzfp accuracy bit
-      // layout instead of the graft-enhanced one (see [[Zfp]])
-      val std = tol.isDefined &&
-        LayoutRe.findFirstMatchIn(j).exists(_.group(1) == "std")
+      // layout instead of the graft-enhanced one (see [[Zfp]]). An
+      // unknown layout name must not silently fall back — the caller
+      // asked for a specific wire format and would discover the wrong
+      // one only on the foreign reader.
+      val std = LayoutRe.findFirstMatchIn(j).map(_.group(1)) match {
+        case None => false
+        case Some("graft") => false
+        case Some("std") =>
+          require(tol.isDefined,
+            """"layout": "std" applies to ZFP_LOSSY only (the lossless """ +
+              "reversible layout is already the standard one)")
+          true
+        case Some(other) => throw new IllegalArgumentException(
+          s"""unknown zfp "layout": "$other" (expected "std" or "graft")""")
+      }
       val p = Params(dt, NumColsRe.findFirstMatchIn(j).map(_.group(1).toInt)
         .getOrElse(schema.fields.size), tol, std)
       val riverType = dt match {
@@ -151,7 +163,14 @@ object ZfpStreamCodec {
   }
 
   /** Expand a framed blob into per-sample packed payloads. Self-contained:
-    * the type byte + zfp header carry everything needed. */
+    * the type byte + zfp header carry everything needed. Accuracy blobs
+    * auto-dispatch on the graft lossy marker (marked = graft layout,
+    * unmarked = standard libzfp layout — see [[Zfp.decompress]]).
+    * CAVEAT: segments written by a pre-marker graft build (sandbox
+    * rounds <= 5 only; no such deployment exists) carry the graft
+    * payload under a plain version byte and would misdecode through the
+    * standard path — re-extract those with [[Zfp.decompressLegacyLossy]]
+    * directly. */
   def expand(framed: Array[Byte]): Array[Array[Byte]] = {
     val typeCode = framed(0)
     val blob = java.util.Arrays.copyOfRange(framed, 1, framed.length)

@@ -237,11 +237,14 @@ object DedupOps {
     */
   def loadMinhashIndex(spark: SparkSession, dir: String,
       excludeBatch: Long = Long.MinValue): Option[DataFrame] = {
-    val root = new java.io.File(dir)
-    val entries =
-      if (root.isDirectory) Option(root.listFiles()) else None
-    val hasBatch = entries.exists(_.exists(f =>
-      f.isDirectory && f.getName.startsWith("batch=")))
+    // Hadoop FS, not java.io.File: the index dir is a DFS path in
+    // production (hdfs://, s3a://), where a local-File existence probe
+    // is always false and would silently skip the whole index —
+    // re-admitting every cross-batch duplicate with no error
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasBatch = fs.exists(hPath) && fs.listStatus(hPath).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatch) None
     else Some(spark.read.parquet(dir)
       .filter(col("batch") =!= lit(excludeBatch))
@@ -1739,11 +1742,18 @@ object PrepOps {
       .withColumnRenamed("doc_id", "train_doc_id")
     val hot = tr.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCut).select(col("sh"))
-    // pinned: the pruned index feeds the bloom build, the (cheap)
-    // expected-items count, and the exact verify join
+    // The pruned index feeds three consumers (expected-items count,
+    // bloom build, exact verify join). A localCheckpoint here would pin
+    // the ENTIRE pruned train-shingle explosion in executor storage and
+    // leak it past return (the returned plan references it) — the exact
+    // shape the q41 rewrite removed. Instead: a DISK_ONLY persist scoped
+    // to the two internal actions, released before return; the caller's
+    // verify-join evaluation re-derives the index once (one train scan
+    // + the df-cut shuffle — the same cost the non-bloom decontamScan
+    // pays), with zero executor-memory residency.
     val trc = tr.join(broadcast(hot), Seq("sh"), "left_anti")
-      .localCheckpoint()
-    val nIdx = math.max(1L, trc.count())
+    val pinned = trc.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nIdx = math.max(1L, pinned.count())
     // optimal bloom bits = -n ln(fpp) / ln(2)^2 (what bloomFilter
     // allocates); gate BEFORE building so an over-budget filter is
     // never collected on the driver
@@ -1753,12 +1763,13 @@ object PrepOps {
     val probed =
       if (predictedBytes > maxBloomBytes) testSh
       else {
-        val bloom = trc.stat.bloomFilter("sh", nIdx, fpp)
+        val bloom = pinned.stat.bloomFilter("sh", nIdx, fpp)
         val bc = s.sparkContext.broadcast(bloom)
         val mightHit = udf((sh: String) => bc.value.mightContainString(sh))
         // map-side: clean shingles never shuffle
         testSh.filter(mightHit(col("sh")))
       }
+    pinned.unpersist(blocking = false)
     probed
       .join(trc, Seq("sh"))
       .groupBy(col("doc_id"))

@@ -96,7 +96,10 @@ class MatBridgeSpec extends AnyFunSuite {
     val packed = new Array[Byte](256)
     val packedLen = deflater.deflate(packed)
     deflater.end()
-    val out = ByteBuffer.allocate(128 + 8 + packedLen + 8)
+    // real writers do NOT pad compressed elements to 8 bytes; follow an
+    // odd-length compressed element immediately with a plain matrix to
+    // prove the cursor lands exactly past it
+    val out = ByteBuffer.allocate(128 + 8 + packedLen + 96)
       .order(ByteOrder.LITTLE_ENDIAN)
     val head = new Array[Byte](116)
     java.util.Arrays.fill(head, ' '.toByte)
@@ -105,14 +108,23 @@ class MatBridgeSpec extends AnyFunSuite {
     out.put(0x00.toByte).put(0x01.toByte)
     out.put('I'.toByte).put('M'.toByte)
     out.putInt(15).putInt(packedLen).put(packed, 0, packedLen)
-    out.put(new Array[Byte]((8 - (packedLen & 7)) & 7))
+    out.putInt(14).putInt(48) // uncompressed int32 "y" = [7], unpadded gap
+    out.putInt(6).putInt(8).putInt(12).putInt(0) // flags: mxINT32
+    out.putInt(5).putInt(8).putInt(1).putInt(1) // dims 1 x 1
+    out.putInt((1 << 16) | 1) // small name 'y'
+    out.put('y'.toByte).put(new Array[Byte](3))
+    out.putInt((4 << 16) | 5) // small data: miINT32, 4 bytes
+    out.putInt(7)
     val p = tmp(".mat")
     Files.write(p, java.util.Arrays.copyOf(out.array(), out.position()))
-    val Seq(v) = MatFile.read(p)
+    val Seq(v, y) = MatFile.read(p)
     assert(v.name == "x" && v.rows == 1 && v.cols == 3)
     // miUINT8 storage under an mxDOUBLE class widens back to doubles
     val MatFile.Doubles(a) = v.data: @unchecked
     assert(a.sameElements(Array(1.0, 2.0, 3.0)))
+    assert(y.name == "y")
+    val MatFile.Int32s(yv) = y.data: @unchecked
+    assert(yv.sameElements(Array(7)))
   }
 
   test("unsupported classes and big-endian files are rejected by name") {
