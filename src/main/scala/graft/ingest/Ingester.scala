@@ -72,10 +72,20 @@ final class Ingester(
 
   /** Highest persisted sample_index, read back from the newest part file
     * (reference read_existing_files, ingester.cpp:649-711), or -1.
+    *
+    * With no parts, the compacted `data.parquet` (if any) IS the
+    * persisted state: a crash after compaction but before the sidecar/
+    * stream-delete step would otherwise read a -1 frontier and re-ingest
+    * the whole stream into a duplicate part.
     */
   def persistedFrontier(stream: String): Long =
     partFiles(stream).lastOption match {
-      case None => -1L
+      case None =>
+        val merged = outDir(stream).resolve("data.parquet")
+        if (Files.exists(merged))
+          spark.read.parquet(merged.toString)
+            .agg(max("sample_index")).head().getLong(0)
+        else -1L
       case Some(last) =>
         spark.read.parquet(last.getAbsolutePath)
           .agg(max("sample_index")).head().getLong(0)
@@ -217,17 +227,39 @@ final class Ingester(
     */
   private def compact(stream: String): Unit = {
     val parts = partFiles(stream)
-    if (parts.nonEmpty) {
-      val merged = outDir(stream).resolve("data.parquet")
+    val merged = outDir(stream).resolve("data.parquet")
+    if (parts.nonEmpty && Files.exists(merged)) {
+      // Crash window: a previous compaction MOVED the merged file but
+      // died before dropping the parts. Compaction only runs at EOF, and
+      // after EOF no new rows can land, so the merged file is a superset
+      // of every part — recovery is dropping the parts, never re-merging
+      // (the old refuse-to-overwrite here wedged the stream forever:
+      // every rerun errored before reaching the COMPLETED sidecar).
+      // Guard the superset claim with footer-count metadata reads.
+      val mergedMax = spark.read.parquet(merged.toString)
+        .agg(max("sample_index")).head().getLong(0)
+      val partsMax = spark.read.parquet(parts.map(_.getAbsolutePath): _*)
+        .agg(max("sample_index")).head().getLong(0)
+      require(mergedMax >= partsMax,
+        s"compaction recovery: $merged frontier $mergedMax < parts " +
+          s"frontier $partsMax — merged file is not a superset, refusing " +
+          "to drop parts")
+      parts.foreach(f =>
+        org.apache.commons.io.FileUtils.deleteDirectory(f))
+    } else if (parts.nonEmpty) {
       val tmp = outDir(stream).resolve(".tmp_data.parquet")
       spark.read.parquet(parts.map(_.getAbsolutePath): _*)
         .orderBy("sample_index").coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (Files.exists(merged))
-        sys.error(s"refusing to overwrite $merged")
       Files.move(tmp, merged, StandardCopyOption.ATOMIC_MOVE)
-      parts.foreach(_.delete())
+      parts.foreach(f =>
+        org.apache.commons.io.FileUtils.deleteDirectory(f))
     }
+    // hygiene: crashed sweeps can orphan write-temp dirs; at EOF nothing
+    // will ever publish them, so clear them with the compaction
+    Option(outDir(stream).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_data"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
   }
 
   /** metadata.json sidecar: user metadata + stream name + status

@@ -41,7 +41,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows",
     "p10_mixture_sample", "d07_canonical_selection",
     "d08_dedup_paragraph", "s07_semantic_dedup", "t07_bigram_stats",
-    "m06_image_roundtrip")
+    "m06_image_roundtrip", "q37_ohlc_resample", "q41_interval_join")
 
   override def beforeAll(): Unit = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
@@ -134,8 +134,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("p11's bloom probe filters the test side BEFORE the index join") {
     // the whole point of the bloom spelling: the UDF probe must sit
     // below the shingle equi-join so clean test shingles never shuffle.
-    // (The df-cut anti join lives behind the pruned-index localCheckpoint
-    // here and is plan-gated via p07, which shares the spelling.)
+    // (The df-cut anti join is plan-gated via p07, which shares the
+    // spelling.)
     val s = plans("p11_decontam_bloom").toString()
     val joinAt = s.indexOf("Join [sh")
     val probeAt = s.indexOf("UDF(sh")
@@ -143,6 +143,23 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joinAt >= 0, "p11 lost the shingle equi-join")
     assert(probeAt > joinAt,
       "p11's bloom probe is not below the index join")
+  }
+
+  test("q41's interval join is a hash equi-join on the time bin, " +
+      "never a checkpointed scan") {
+    // the binned range-join spelling: candidates come from an equi-join
+    // on the uniform hour-bin key (hash join of either flavor; the
+    // cartesian gate above rules out the naive range spelling), the
+    // exact range predicate applies post-join, and both subtrees scan
+    // parquet directly — a whole-table localCheckpoint (Scan
+    // ExistingRDD) would materialize the events table to executor
+    // storage at 100 TB
+    val s = plans("q41_interval_join").toString()
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), "q41 lost the bin equi-join")
+    assert(!s.contains("ExistingRDD"),
+      "q41 scans a checkpointed RDD instead of parquet")
+    assert(s.contains("Scan parquet"), "q41 lost its direct parquet scans")
   }
 
   test("s02's k-means routes through broadcast centroid joins") {
