@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.graftnative.DotI64
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** Library entry point for SQL users: registers graft's native Catalyst
   * expressions AND table functions with the session registries, so
@@ -37,6 +38,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"dot_i64 expects 2 arguments, got ${args.length}")
         DotI64(args(0), args(1))
+      }))
+
+    // Dedup-pipeline signature kernels as SQL scalar functions: a
+    // SQL-only consumer reproduces the engine's shingle/MinHash/SimHash
+    // values byte-for-byte without the DataFrame facades. StaticInvoke
+    // binds the pure JVM kernel straight into generated code — no
+    // ScalaUDF serialization, null-propagating, codegen-friendly.
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
+        null, "graft_simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_simhash32 expects 1 argument (text), got ${args.length}")
+        StaticInvoke(graft.functions.SqlKernels.getClass, LongType,
+          "simhash32", args, inputTypes = Seq(StringType),
+          returnNullable = false)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
+        null, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_shingles expects (text, k), got ${args.length} args")
+        StaticInvoke(graft.functions.SqlKernels.getClass,
+          ArrayType(StringType, containsNull = false), "shingles", args,
+          inputTypes = Seq(StringType, IntegerType),
+          returnNullable = false)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
+        null, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_minhash expects (text, k, nh), got ${args.length} args")
+        StaticInvoke(graft.functions.SqlKernels.getClass,
+          ArrayType(StringType, containsNull = false), "minhash", args,
+          inputTypes = Seq(StringType, IntegerType, IntegerType),
+          returnNullable = false)
       }))
 
     ext.injectTableFunction((

@@ -76,6 +76,62 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dot == (0 until 64).map(expect(0, _)).sum)
   }
 
+  test("graft_simhash32/graft_shingles/graft_minhash match the kernels " +
+      "from SQL text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "a b a b a b")).toDF("id", "body")
+    docs.createOrReplaceTempView("docs_sqlk")
+    val got = spark.sql(
+      """SELECT id, graft_simhash32(body) AS sh,
+        |  graft_shingles(body, 2) AS sg,
+        |  graft_minhash(body, 2, 4) AS mh
+        |FROM docs_sqlk ORDER BY id""".stripMargin).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.orderBy("id").collect().zip(got).foreach { case (in, out) =>
+      val body = in.getString(1)
+      assert(out.getLong(1) ==
+        graft.functions.TextKernels.simhashOf(md, body))
+      val shs = graft.functions.TextKernels.shingleSet(body, 2)
+      assert(out.getSeq[String](2) == shs.toSeq)
+      assert(out.getSeq[String](3) ==
+        graft.functions.TextKernels.minhashSig(md, shs, 4).toSeq)
+    }
+  }
+
+  test("graft SQL kernels propagate nulls and reject bad arguments") {
+    val r = spark.sql(
+      "SELECT graft_simhash32(CAST(NULL AS STRING)) AS a, " +
+        "graft_minhash(CAST(NULL AS STRING), 2, 4) AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash32('a', 'b')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash('a', 0, 4)").collect() // k < 1
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash('a', 2, 99999)").collect() // nh cap
+    }
+  }
+
+  test("graft SQL kernels stay inside whole-stage codegen") {
+    val df = spark.sql(
+      "SELECT graft_simhash32(CAST(id AS STRING)) AS s FROM range(10)")
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "StaticInvoke kernel fell out of codegen:\n" +
+      df.queryExecution.executedPlan.toString())
+    // the projection itself (not just the range) must sit inside the
+    // codegen stage
+    assert(wsc.exists(_.toString().contains("static_invoke")),
+      "projection with the kernel is outside the codegen stage")
+    assert(df.collect().length == 10)
+  }
+
   test("graft_planes rejects non-literal or out-of-range arguments") {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_planes(0)").collect()
