@@ -64,6 +64,38 @@ object Dedup {
        | THEN list_distinct([array_to_string(ws[i+1:i+$k], ' ') for i in range(len(ws)-${k - 1})])
        | ELSE [array_to_string(ws, ' ')] END""".stripMargin
 
+  /** Oracle CTE chain ending in `sig`(doc_id, simhash BIGINT) — DuckDB's
+    * spelling of [[graft.functions.TextKernels.simhashOf]] (32-bit
+    * md5-nibble SimHash, +/-1 votes). Shared by the d03 oracle and the
+    * q43 SQL-surface oracle. `src` must provide (doc_id, text). */
+  private[queries] def sqlSimhashSig(src: String = "documents"): String = {
+    val nibs = (0 until 8).map(j =>
+      s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j")
+      .mkString(",\n            ")
+    val bitSums = (0 until 32).map { b =>
+      val j = b / 4; val k = b % 4
+      s"SUM(((n$j >> $k) & 1) * 2 - 1) AS s$b"
+    }.mkString(",\n            ")
+    val simhash = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+          SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+          FROM $src
+        ),
+        nib AS (
+          SELECT doc_id,
+            $nibs
+          FROM tok
+        ),
+        sums AS (
+          SELECT doc_id,
+            $bitSums
+          FROM nib GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM sums)"""
+  }
+
   /** doc_id -> per-doc distinct shingle ARRAY, materialized once.
     *
     * Computed by the compiled [[graft.functions.TextKernels]] mapPartitions
@@ -515,35 +547,11 @@ object Dedup {
           maxHamming = 3)
       },
       Some {
-        val nibs = (0 until 8).map(j =>
-          s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j")
-          .mkString(",\n            ")
-        val bitSums = (0 until 32).map { b =>
-          val j = b / 4; val k = b % 4
-          s"SUM(((n$j >> $k) & 1) * 2 - 1) AS s$b"
-        }.mkString(",\n            ")
-        val simhash = (0 until 32)
-          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-          .mkString(" + ")
         val byteRows = (0 until 4).map(c =>
           s"SELECT doc_id, simhash, $c AS pos, (simhash >> ${c * 8}) & 255 AS byte FROM sig")
           .mkString("\n          UNION ALL ")
         s"""
-        WITH tok AS (
-          SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-          FROM documents
-        ),
-        nib AS (
-          SELECT doc_id,
-            $nibs
-          FROM tok
-        ),
-        sums AS (
-          SELECT doc_id,
-            $bitSums
-          FROM nib GROUP BY doc_id
-        ),
-        sig AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM sums),
+        WITH ${sqlSimhashSig()},
         bytes AS (
           $byteRows
         ),
@@ -690,6 +698,43 @@ object Dedup {
         FROM vdot v
           JOIN nrm na ON na.vec_id = v.a
           JOIN nrm nb ON nb.vec_id = v.b
-        WHERE (CAST(v.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) >= 0.45"""))
+        WHERE (CAST(v.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm) >= 0.45""")),
+
+    // -------------------------- SQL-surface signature functions
+    GraftQuery(
+      "q43_sql_kernels",
+      (s, dir) => {
+        // The registered SQL functions (GraftExtensions ->
+        // functions.SqlKernels via StaticInvoke) driven from SQL TEXT —
+        // a SQL-only consumer's view of the dedup signatures. The values
+        // are byte-identical to the d02/d03 kernel outputs, so the
+        // oracle is the same DuckDB spelling those queries pin.
+        Tables.load(s, dir, "documents").createOrReplaceTempView("q43_docs")
+        s.sql("""
+          SELECT doc_id,
+            graft_simhash32(text) AS simhash32,
+            CAST(size(graft_shingles(text, 5)) AS BIGINT) AS n_shingles,
+            graft_minhash(text, 5, 2)[0] AS mh0,
+            graft_minhash(text, 5, 2)[1] AS mh1
+          FROM q43_docs
+          WHERE text IS NOT NULL""")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ),
+        ${sqlSimhashSig("d")},
+        w AS (SELECT doc_id, string_split(text, ' ') ws FROM d),
+        sh AS (SELECT doc_id, ${sqlShingles(5)} AS shs FROM w),
+        mh AS (
+          SELECT doc_id,
+            CAST(len(shs) AS BIGINT) AS n_shingles,
+            list_min(list_transform(shs, g -> md5('0:' || g))) AS mh0,
+            list_min(list_transform(shs, g -> md5('1:' || g))) AS mh1
+          FROM sh
+        )
+        SELECT sig.doc_id, sig.simhash AS simhash32,
+          mh.n_shingles, mh.mh0, mh.mh1
+        FROM sig JOIN mh USING (doc_id)"""))
   )
 }
