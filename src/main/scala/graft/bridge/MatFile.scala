@@ -177,12 +177,16 @@ object MatFile {
     val vars = Vector.newBuilder[MatVar]
     while (bb.remaining() >= 8) {
       val tpe = bb.getInt(); val n = bb.getInt()
+      // every allocation below is sized by n — a corrupt/hostile size
+      // field must fail loudly here, not as an OOM attempt
+      require(n >= 0 && n <= bb.remaining(),
+        s"mat: element claims $n bytes with ${bb.remaining()} left")
       tpe match {
         case MiMatrix =>
           val slice = bb.slice().order(ByteOrder.LITTLE_ENDIAN)
           slice.limit(n)
           vars += parseMatrix(slice)
-          bb.position(bb.position() + n + pad8(n))
+          bb.position(bb.position() + n + math.min(pad8(n), bb.remaining() - n))
         case MiCompressed =>
           val packed = new Array[Byte](n)
           bb.get(packed)
@@ -204,6 +208,12 @@ object MatFile {
     vars.result()
   }
 
+  /** Inflated-size ceiling: 1 GiB. A hand-crafted deflate stream can
+    * expand thousands of times; without a cap a small hostile file
+    * could OOM the JVM during parse. Real MATLAB variables this large
+    * should be saved uncompressed (or split). */
+  private val MaxInflatedBytes = 1L << 30
+
   private def inflate(packed: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(packed)
@@ -214,6 +224,12 @@ object MatFile {
       if (k == 0 && inf.needsInput())
         throw new IllegalArgumentException("mat: truncated zlib element")
       out.write(buf, 0, k)
+      if (out.size() > MaxInflatedBytes) {
+        inf.end()
+        throw new IllegalArgumentException(
+          s"mat: compressed element inflates past $MaxInflatedBytes " +
+            "bytes — refusing (zip-bomb guard)")
+      }
     }
     inf.end()
     out.toByteArray
@@ -258,14 +274,19 @@ object MatFile {
     require(dt == MiInt32 && dSmall == null, "mat: bad dimensions subelement")
     require(dn == 8, s"mat: only 2-D matrices supported, got ${dn / 4} dims")
     val rows = bb.getInt(); val cols = bb.getInt()
-    // name
+    require(rows >= 0 && cols >= 0 &&
+      rows.toLong * cols <= Int.MaxValue.toLong,
+      s"mat: corrupt dimensions $rows x $cols")
+    // name (size fields are file-controlled: bound before allocating)
     val (nt, nn, nSmall) = readTag(bb)
     require(nt == MiInt8, s"mat: bad name subelement type $nt")
     val name = if (nSmall != null) new String(nSmall, "US-ASCII")
     else {
+      require(nn >= 0 && nn <= bb.remaining(),
+        s"mat: name claims $nn bytes with ${bb.remaining()} left")
       val b = new Array[Byte](nn)
       bb.get(b)
-      bb.position(bb.position() + pad8(nn))
+      bb.position(bb.position() + math.min(pad8(nn), bb.remaining()))
       new String(b, "US-ASCII")
     }
     // real part: honor the PAYLOAD type (MATLAB may narrow storage,
@@ -273,12 +294,23 @@ object MatFile {
     val (pt, pn, pSmall) = readTag(bb)
     val payload = if (pSmall != null) pSmall
     else {
+      require(pn >= 0 && pn <= bb.remaining(),
+        s"mat: payload claims $pn bytes with ${bb.remaining()} left")
       val b = new Array[Byte](pn)
       bb.get(b)
       b
     }
     val pb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     val n = rows * cols
+    val ptWidth = pt match {
+      case MiInt8 | MiUInt8 => 1
+      case MiInt16 | MiUInt16 => 2
+      case MiInt32 | MiUInt32 | MiSingle => 4
+      case _ => 8
+    }
+    require(payload.length.toLong >= n.toLong * ptWidth,
+      s"mat: $rows x $cols needs ${n.toLong * ptWidth} payload bytes, " +
+        s"element holds ${payload.length}")
     val raw: MatData = pt match {
       case MiDouble =>
         val a = new Array[Double](n); pb.asDoubleBuffer().get(a); Doubles(a)

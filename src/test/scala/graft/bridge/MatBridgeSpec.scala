@@ -149,6 +149,57 @@ class MatBridgeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("big-endian"))
   }
 
+  test("corrupt size fields fail loudly before any large allocation") {
+    // a valid single-variable file, then corrupt the element size field
+    // to claim far more bytes than the file holds
+    val p = tmp(".mat")
+    MatFile.write(p, Seq(MatFile.MatVar("v", 2, 1,
+      MatFile.Doubles(Array(1.0, 2.0)))))
+    val good = Files.readAllBytes(p)
+    val bad = good.clone()
+    val bb = ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(132, Int.MaxValue - 7) // miMATRIX size field
+    Files.write(p, bad)
+    val e = intercept[IllegalArgumentException](MatFile.read(p))
+    assert(e.getMessage.contains("left"), e.getMessage)
+    // corrupt DIMENSIONS: huge rows x cols must be rejected before the
+    // value-array allocation
+    val bad2 = good.clone()
+    val b2 = ByteBuffer.wrap(bad2).order(ByteOrder.LITTLE_ENDIAN)
+    // dims payload sits after: 128 header + 8 matrix tag + 16 flags + 8 dims tag
+    b2.putInt(160, Int.MaxValue); b2.putInt(164, Int.MaxValue)
+    Files.write(p, bad2)
+    val e2 = intercept[IllegalArgumentException](MatFile.read(p))
+    assert(e2.getMessage.contains("dimensions") ||
+      e2.getMessage.contains("payload"), e2.getMessage)
+  }
+
+  test("a zlib bomb in a compressed element is refused, not inflated") {
+    // ~4 GiB of zeros deflates to ~4 MB; the reader must stop at its
+    // 1 GiB inflation cap instead of materializing the bomb
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED)
+    val chunk = new Array[Byte](1 << 20)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(out, deflater, 1 << 16)
+    var written = 0L
+    while (written < (4L << 30)) { dos.write(chunk); written += chunk.length }
+    dos.finish()
+    val packed = out.toByteArray
+    val f = ByteBuffer.allocate(128 + 8 + packed.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val head = new Array[Byte](116)
+    java.util.Arrays.fill(head, ' '.toByte)
+    f.put(head).put(new Array[Byte](8))
+    f.put(0x00.toByte).put(0x01.toByte)
+    f.put('I'.toByte).put('M'.toByte)
+    f.putInt(15).putInt(packed.length).put(packed)
+    val p = tmp(".mat")
+    Files.write(p, f.array())
+    val e = intercept[IllegalArgumentException](MatFile.read(p))
+    assert(e.getMessage.contains("zip-bomb"), e.getMessage)
+  }
+
   test("sanitizeName yields valid, deduped MATLAB identifiers") {
     assert(MatBridge.sanitizeName("col") == "col")
     assert(MatBridge.sanitizeName("2col") == "x2col")
