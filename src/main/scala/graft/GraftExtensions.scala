@@ -45,43 +45,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // values byte-for-byte without the DataFrame facades. StaticInvoke
     // binds the pure JVM kernel straight into generated code — no
     // ScalaUDF serialization, null-propagating, codegen-friendly.
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
-        null, "graft_simhash32"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1,
-          s"graft_simhash32 expects 1 argument (text), got ${args.length}")
-        StaticInvoke(graft.functions.SqlKernels.getClass, LongType,
-          "simhash32", args, inputTypes = Seq(StringType),
-          returnNullable = false)
-      }))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
-        null, "graft_shingles"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"graft_shingles expects (text, k), got ${args.length} args")
-        StaticInvoke(graft.functions.SqlKernels.getClass,
-          ArrayType(StringType, containsNull = false), "shingles", args,
-          inputTypes = Seq(StringType, IntegerType),
-          returnNullable = false)
-      }))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
-        null, "graft_minhash"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3,
-          s"graft_minhash expects (text, k, nh), got ${args.length} args")
-        StaticInvoke(graft.functions.SqlKernels.getClass,
-          ArrayType(StringType, containsNull = false), "minhash", args,
-          inputTypes = Seq(StringType, IntegerType, IntegerType),
-          returnNullable = false)
-      }))
+    val stringArray = ArrayType(StringType, containsNull = false)
+    val kernelFns = Seq(
+      ("graft_simhash32", "simhash32", "(text)",
+        LongType: org.apache.spark.sql.types.DataType,
+        Seq[org.apache.spark.sql.types.DataType](StringType)),
+      ("graft_shingles", "shingles", "(text, k)", stringArray,
+        Seq[org.apache.spark.sql.types.DataType](
+          StringType, IntegerType)),
+      ("graft_minhash", "minhash", "(text, k, nh)", stringArray,
+        Seq[org.apache.spark.sql.types.DataType](
+          StringType, IntegerType, IntegerType)))
+    kernelFns.foreach { case (sqlName, method, usage, ret, ins) =>
+      ext.injectFunction((
+        FunctionIdentifier(sqlName),
+        new ExpressionInfo(graft.functions.SqlKernels.getClass.getName,
+          null, sqlName),
+        (args: Seq[Expression]) => {
+          require(args.length == ins.length,
+            s"$sqlName expects ${ins.length} arguments $usage, " +
+              s"got ${args.length}")
+          StaticInvoke(graft.functions.SqlKernels.getClass, ret, method,
+            args, inputTypes = ins, returnNullable = false)
+        }))
+    }
 
     ext.injectTableFunction((
       FunctionIdentifier("graft_planes"),

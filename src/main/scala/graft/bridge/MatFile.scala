@@ -221,8 +221,16 @@ object MatFile {
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val k = inf.inflate(buf)
-      if (k == 0 && inf.needsInput())
-        throw new IllegalArgumentException("mat: truncated zlib element")
+      // stall states: truncated stream (needsInput) or a preset-
+      // dictionary stream (needsDictionary — no dictionary can exist in
+      // a .mat, and looping on it would spin forever). k == 0 with the
+      // stream finished is the normal final-block exit.
+      if (k == 0 && !inf.finished()) {
+        inf.end()
+        throw new IllegalArgumentException(
+          "mat: zlib element stalled (truncated stream or " +
+            "preset-dictionary header) — refusing")
+      }
       out.write(buf, 0, k)
       if (out.size() > MaxInflatedBytes) {
         inf.end()

@@ -82,14 +82,17 @@ final class Ingester(
     partFiles(stream).lastOption match {
       case None =>
         val merged = outDir(stream).resolve("data.parquet")
-        if (Files.exists(merged))
-          spark.read.parquet(merged.toString)
-            .agg(max("sample_index")).head().getLong(0)
+        if (Files.exists(merged)) maxSampleIndex(merged.toString)
         else -1L
-      case Some(last) =>
-        spark.read.parquet(last.getAbsolutePath)
-          .agg(max("sample_index")).head().getLong(0)
+      case Some(last) => maxSampleIndex(last.getAbsolutePath)
     }
+
+  /** max(sample_index) of a parquet path; -1 for zero rows (max() is
+    * NULL there — a bare getLong would NPE on a truncated/empty file). */
+  private def maxSampleIndex(paths: String*): Long =
+    Option(spark.read.parquet(paths: _*)
+      .agg(max("sample_index")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
 
   /** Date-partitioned variant of [[ingestOnce]]: appends into a
     * partitioned parquet dataset (no per-sweep part files, no EOF
@@ -100,12 +103,12 @@ final class Ingester(
     val dateCol = settings.datePartitionColumn.getOrElse(
       sys.error("ingestOncePartitioned needs datePartitionColumn"))
     val meta = store.metadata(stream)
+    guardIncarnation(stream, meta)
     writeSidecar(stream, meta, "IN_PROGRESS")
     val dataDir = outDir(stream).resolve("data_parts")
     val from =
       if (!Files.exists(dataDir)) -1L
-      else spark.read.parquet(dataDir.toString)
-        .agg(max("sample_index")).head().getLong(0)
+      else maxSampleIndex(dataDir.toString)
 
     val keepUserCols = meta.schema.fields.map(_.name).filter(settings.keepColumn)
     val cols = Seq("sample_index", "key", "timestamp_ms") ++ keepUserCols
@@ -135,6 +138,7 @@ final class Ingester(
     */
   def ingestOnce(stream: String): Long = {
     val meta = store.metadata(stream)
+    guardIncarnation(stream, meta)
     writeSidecar(stream, meta, "IN_PROGRESS")
     val from = persistedFrontier(stream)
 
@@ -178,6 +182,31 @@ final class Ingester(
       store.deleteStream(stream) // reference deletes Redis metadata on EOF
     }
     n
+  }
+
+  /** Refuse to ingest a stream into an out dir that belongs to a
+    * DIFFERENT incarnation of the same name. A completed ingest keeps
+    * its data.parquet; if a new stream is later created under the old
+    * name, [[persistedFrontier]] would read the stale merged frontier
+    * and silently drop the new stream's rows (sample_index restarts at
+    * 0). The sidecar stamps the store's creation time
+    * (`initialized_at_us`); a mismatch is a name reuse, not a crash
+    * window — every genuine crash state carries the SAME stamp. */
+  private def guardIncarnation(stream: String,
+      meta: StreamMetadata): Unit = {
+    val sidecar = outDir(stream).resolve("metadata.json")
+    if (Files.exists(sidecar)) {
+      val j = new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
+      """"initialized_at_us"\s*:\s*"(\d+)"""".r.findFirstMatchIn(j)
+        .map(_.group(1).toLong).foreach { prev =>
+          require(prev == meta.initializedAtUs,
+            s"out dir ${outDir(stream)} belongs to a previous incarnation " +
+              s"of stream '$stream' (sidecar created_at ${prev}us, live " +
+              s"stream ${meta.initializedAtUs}us). Re-using a completed " +
+              "stream name would read a stale frontier and silently drop " +
+              "rows — move/delete the old output dir or use a new name")
+        }
+    }
   }
 
   /** Staleness finalizer (I8, reference add_eof_if_necessary
@@ -236,10 +265,8 @@ final class Ingester(
       // (the old refuse-to-overwrite here wedged the stream forever:
       // every rerun errored before reaching the COMPLETED sidecar).
       // Guard the superset claim with footer-count metadata reads.
-      val mergedMax = spark.read.parquet(merged.toString)
-        .agg(max("sample_index")).head().getLong(0)
-      val partsMax = spark.read.parquet(parts.map(_.getAbsolutePath): _*)
-        .agg(max("sample_index")).head().getLong(0)
+      val mergedMax = maxSampleIndex(merged.toString)
+      val partsMax = maxSampleIndex(parts.map(_.getAbsolutePath): _*)
       require(mergedMax >= partsMax,
         s"compaction recovery: $merged frontier $mergedMax < parts " +
           s"frontier $partsMax — merged file is not a superset, refusing " +
@@ -275,6 +302,7 @@ final class Ingester(
     }
     val um = (meta.userMetadata ++ Map(
       "stream_name" -> stream,
+      "initialized_at_us" -> meta.initializedAtUs.toString,
       "ingestion_status" -> status)).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     val tmp = outDir(stream).resolve("metadata.json.tmp")

@@ -710,14 +710,20 @@ object Dedup {
         // are byte-identical to the d02/d03 kernel outputs, so the
         // oracle is the same DuckDB spelling those queries pin.
         Tables.load(s, dir, "documents").createOrReplaceTempView("q43_docs")
+        // the minhash array is projected ONCE in the inner query and
+        // indexed twice outside — two graft_minhash(...) calls would
+        // recompute the shingle pass per row wherever subexpression
+        // elimination doesn't apply
         s.sql("""
-          SELECT doc_id,
-            graft_simhash32(text) AS simhash32,
-            CAST(size(graft_shingles(text, 5)) AS BIGINT) AS n_shingles,
-            graft_minhash(text, 5, 2)[0] AS mh0,
-            graft_minhash(text, 5, 2)[1] AS mh1
-          FROM q43_docs
-          WHERE text IS NOT NULL""")
+          SELECT doc_id, simhash32, n_shingles,
+            mh[0] AS mh0, mh[1] AS mh1
+          FROM (
+            SELECT doc_id,
+              graft_simhash32(text) AS simhash32,
+              CAST(size(graft_shingles(text, 5)) AS BIGINT) AS n_shingles,
+              graft_minhash(text, 5, 2) AS mh
+            FROM q43_docs
+            WHERE text IS NOT NULL)""")
       },
       Some(s"""
         WITH d AS (

@@ -157,6 +157,30 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a superset"))
   }
 
+  test("re-creating a completed stream name refuses the stale out dir " +
+      "instead of silently dropping rows") {
+    val (store, out, ing) = fixture()
+    val w = store.createStream("s", schema)
+    w.write(rows(0, 60)); w.stop()
+    ing.ingestOnce("s") // completes: data.parquet + COMPLETED, stream gone
+    assertRecovered(store, out, "s", 60)
+    // a NEW stream under the same name: sample_index restarts at 0, so
+    // the stale merged frontier (59) would filter every new row away
+    Thread.sleep(2) // initializedAtUs must differ
+    val w2 = store.createStream("s", schema)
+    w2.write(rows(0, 30)); w2.stop()
+    val e = intercept[IllegalArgumentException](ing.ingestOnce("s"))
+    assert(e.getMessage.contains("previous incarnation"), e.getMessage)
+    // every CRASH state carries the live stream's own stamp, so the
+    // guard never blocks genuine recovery — reruns after the guard
+    // removal path (new out dir) proceed normally
+    val out2 = Files.createTempDirectory("graft-crash-out2-")
+    val ing2 = new Ingester(spark, store.root, out2,
+      IngestSettings(trimConsumedSegments = false))
+    ing2.ingestOnce("s")
+    assertRecovered(store, out2, "s", 30)
+  }
+
   private def copyDir(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     Option(src.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
