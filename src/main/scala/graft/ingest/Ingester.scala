@@ -121,6 +121,15 @@ final class Ingester(
       .withColumn("p_date",
         to_date(timestamp_micros(expr(s"$dateCol div 1000"))))
 
+    // A crashed append leaves task files under _temporary/0; Hadoop's
+    // committer reuses jobId 0 for every job, so the NEXT append's
+    // commit trips over them (FileNotFoundException mid-commit, or
+    // worse, foreign task dirs committed). Single-ingester contract =>
+    // any leftover _temporary here is dead weight from a crash; clear it.
+    val stale = dataDir.resolve("_temporary")
+    if (Files.exists(stale))
+      org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
+
     df.write.mode("append").partitionBy("p_date").parquet(dataDir.toString)
     val total = spark.read.parquet(dataDir.toString).count()
 

@@ -157,6 +157,37 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a superset"))
   }
 
+  test("partitioned ingest: a crashed append's _temporary leftovers are " +
+      "invisible to resume") {
+    // the date-partitioned path appends through Spark's commit protocol;
+    // a crash mid-append leaves task files under _temporary, which the
+    // frontier read and later appends must ignore (no duplicate, no
+    // phantom rows)
+    val storeRoot = Files.createTempDirectory("graft-crash-store-")
+    val outRoot = Files.createTempDirectory("graft-crash-out-")
+    val ing = new Ingester(spark, storeRoot, outRoot,
+      IngestSettings(trimConsumedSegments = false,
+        datePartitionColumn = Some("ts")))
+    val store = new StreamStore(storeRoot)
+    val tsSchema = RiverSchema(Seq(RiverField("ts", RiverType.Int64)))
+    val w = store.createStream("p", tsSchema)
+    val dayNs = 86400L * 1000000000L
+    w.write((0 until 50).map(i => Seq[Any](i.toLong * dayNs / 25)))
+    ing.ingestOncePartitioned("p")
+    // simulate the crashed second append: an uncommitted task file
+    val dataDir = outRoot.resolve("p").resolve("data_parts")
+    val tempDir = dataDir.resolve("_temporary").resolve("0")
+    Files.createDirectories(tempDir)
+    Files.write(tempDir.resolve("task-garbage"), Array[Byte](1, 2, 3))
+    w.write((50 until 80).map(i => Seq[Any](i.toLong * dayNs / 25)))
+    w.stop()
+    val n2 = ing.ingestOncePartitioned("p")
+    assert(n2 == 30, s"resumed append ingested $n2 rows, expected 30")
+    val df = spark.read.parquet(dataDir.toString)
+    assert(df.count() == 80)
+    assert(df.select("sample_index").distinct().count() == 80)
+  }
+
   test("re-creating a completed stream name refuses the stale out dir " +
       "instead of silently dropping rows") {
     val (store, out, ing) = fixture()
