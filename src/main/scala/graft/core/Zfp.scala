@@ -1357,6 +1357,17 @@ object Zfp {
     require(h.reversible || h.accuracy,
       s"zfp: unsupported mode ${h.mode} (reversible and fixed-accuracy " +
         "short modes only; expert mode is not supported)")
+    // dims are file-controlled 24-bit fields: nx*ny can overflow Int
+    // (hostile allocation size), and a tiny blob claiming millions of
+    // blocks would decode garbage from the zero-padded tail — reject
+    // both before allocating. Every genuine block costs >= 1 payload
+    // bit (the zero-block flag), so blocks <= payload bits.
+    require(h.nx.toLong * h.ny <= Int.MaxValue.toLong,
+      s"zfp: corrupt field dimensions ${h.nx} x ${h.ny}")
+    val blocksL = ((h.nx + 3L) / 4) * ((h.ny + 3L) / 4)
+    require(blocksL <= blob.length.toLong * 8,
+      s"zfp: header claims $blocksL blocks, stream holds only " +
+        s"${blob.length} bytes")
     val std = h.accuracy && !h.graftLossy // standard libzfp payload layout
     h.tpe match {
       case TypeInt32 =>

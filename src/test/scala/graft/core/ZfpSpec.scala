@@ -393,6 +393,39 @@ class ZfpSpec extends AnyFunSuite {
     assert(z.forall(_ == 0.0), "below-tolerance std block must decode to 0")
   }
 
+  test("corrupt header dimensions are rejected before allocation") {
+    // dims live in the 52-bit meta field (bits 32..83 of the stream =
+    // bytes 4..10 after the 4-byte magic). Craft a valid tiny blob,
+    // then rewrite meta to claim 2^24-1 x 2^24-1 (Int-overflowing
+    // product) and, separately, plausible-but-unpayable dims.
+    val good = Zfp.compressInt32(Array.tabulate(16)(identity), 4, 4)
+    def withMeta(nx: Long, ny: Long): Array[Byte] = {
+      val b = good.clone()
+      val meta = (nx - 1) << 28 | (ny - 1) << 4 | (1L << 2) | 0L // int32
+      var bit = 0
+      while (bit < 52) { // meta is written LSB-first starting at bit 32
+        val abs = 32 + bit
+        val byteI = abs / 8; val bitI = abs % 8
+        b(byteI) = ((b(byteI) & ~(1 << bitI)) |
+          (((meta >>> bit) & 1L).toInt << bitI)).toByte
+        bit += 1
+      }
+      b
+    }
+    // sanity: the crafting round-trips the original dims
+    val Zfp.DecodedInt32(n4x, n4y, _) =
+      Zfp.decompress(withMeta(4, 4)): @unchecked
+    assert(n4x == 4 && n4y == 4)
+    // Int-overflowing nx * ny
+    val e1 = intercept[IllegalArgumentException](Zfp.decompress(
+      withMeta((1 << 24) - 1, (1 << 24) - 1)))
+    assert(e1.getMessage.contains("dimensions"), e1.getMessage)
+    // 1000 x 1000 = 62.5k claimed blocks vs a few hundred stream bits
+    val e2 = intercept[IllegalArgumentException](
+      Zfp.decompress(withMeta(1000, 1000)))
+    assert(e2.getMessage.contains("blocks"), e2.getMessage)
+  }
+
   test("trailing junk bytes after the payload are ignored") {
     // the reference slices its buffer with +96 junk tail bytes
     // (zfp_compressor.cpp:129-133 adds the header BIT count to bytes)
