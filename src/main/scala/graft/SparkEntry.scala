@@ -26,8 +26,18 @@ object SparkEntry {
     allQueries.head.build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // toMap SILENTLY drops earlier entries on a duplicate name — a
+    // copy-pasted query name would vanish from the driver's correctness
+    // gate without a trace (the round-6 silent-death mode through
+    // another door). Refuse loudly instead.
+    val dup = allQueries.groupBy(_.name).collect {
+      case (n, qs) if qs.size > 1 => n
+    }
+    require(dup.isEmpty,
+      s"duplicate query names would shadow in the gate: ${dup.mkString(", ")}")
     allQueries.map(q => q.name -> q.build).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -50,6 +50,20 @@ class VerifySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"errors.json does not record the dead query: $errJson")
   }
 
+  test("SparkEntry declares unique query names, each with an oracle") {
+    // Map.toMap silently shadows duplicates — a copy-pasted name would
+    // drop a query from the driver gate without a trace. The guard in
+    // SparkEntry.queries must refuse; this pins both the guard and the
+    // current oracle coverage (every declared query is oracle-checked).
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(", ")}")
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "every declared query must carry an oracle (rows-only checks are " +
+        "a weaker gate; this engine oracles everything)")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("an all-green run writes an empty errors.json") {
     val out = Files.createTempDirectory("verify-spec-").toString
     val good: (SparkSession, String) => DataFrame =
