@@ -38,12 +38,26 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
         Files.exists(f.toPath.resolve("metadata.json")))
       .map(_.getName).toSeq.sorted
 
-  private def metadataJson(s: String): Option[String] = {
-    val p = outRoot.resolve(s).resolve("metadata.json")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p),
-      StandardCharsets.UTF_8))
-    else None
-  }
+  /** URL stream segment -> directory under outRoot, or None for
+    * anything that could escape it. Stream names never contain
+    * separators (StreamStore.createStream forbids '/'), so any
+    * separator or dot-segment in the request is a traversal attempt,
+    * not a name — e.g. `/api/streams/../../etc/x/data.parquet` must
+    * 404, never read outside the root. */
+  private def safeStreamDir(s: String): Option[Path] =
+    if (s.isEmpty || s.contains('/') || s.contains('\\') ||
+      s == "." || s == "..") None
+    else {
+      val p = outRoot.resolve(s).normalize()
+      if (p.getParent == outRoot.toAbsolutePath.normalize() ||
+        p.getParent == outRoot.normalize()) Some(p)
+      else None
+    }
+
+  private def metadataJson(s: String): Option[String] =
+    safeStreamDir(s).map(_.resolve("metadata.json"))
+      .filter(Files.exists(_))
+      .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -57,9 +71,11 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
           respond(ex, 200, "application/json", body)
         case p if p.endsWith("/data.parquet") =>
           val stream = p.stripSuffix("/data.parquet")
-          val f = outRoot.resolve(stream).resolve("data.parquet")
-          if (!Files.exists(f)) respond(ex, 404, "text/plain", "not found")
+          val safe = safeStreamDir(stream).map(_.resolve("data.parquet"))
+            .filter(Files.exists(_))
+          if (safe.isEmpty) respond(ex, 404, "text/plain", "not found")
           else {
+            val f = safe.get
             // parquet "file" may be a directory (spark part layout): serve
             // the single part file inside it
             val target =

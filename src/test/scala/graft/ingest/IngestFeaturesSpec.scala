@@ -179,6 +179,27 @@ class IngestFeaturesSpec extends AnyFunSuite {
       assert(data.body().toSeq == payload.toSeq)
 
       assert(get(s"$base/nope").statusCode() == 404)
+
+      // traversal attempts must 404, never read outside the root: plant
+      // a decoy next to the out dir that a naive resolve would serve
+      val decoyDir = out.getParent.resolve(
+        out.getFileName.toString + "-decoy")
+      Files.createDirectories(decoyDir)
+      Files.writeString(decoyDir.resolve("metadata.json"),
+        """{"secret":"leak"}""")
+      Files.write(decoyDir.resolve("data.parquet"), Array[Byte](9, 9))
+      val decoy = decoyDir.getFileName.toString
+      for (evil <- Seq(
+          s"$base/..%2F$decoy",
+          s"$base/%2e%2e%2F$decoy",
+          s"$base/..%2F$decoy/data.parquet",
+          s"$base/%2e%2e/$decoy/data.parquet")) {
+        val r = get(evil)
+        assert(r.statusCode() == 404 || r.statusCode() == 400,
+          s"$evil -> ${r.statusCode()}")
+        assert(!new String(r.body()).contains("leak"),
+          s"$evil leaked outside the root")
+      }
     } finally srv.stop()
   }
 }
