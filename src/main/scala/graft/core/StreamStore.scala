@@ -331,7 +331,11 @@ final class StreamStore(val root: Path) {
       keysPerSegment: Long = StreamStore.DefaultKeysPerSegment,
       compressionParamsJson: Option[String] = None): StreamWriter = {
     require(name.nonEmpty && name.length < 256, s"invalid stream name: $name")
-    require(!name.contains('/'), s"invalid stream name: $name")
+    // both separators: '/' breaks the store layout everywhere, '\' only
+    // on Windows — but allowing it would also force the HTTP facade to
+    // serve backslash names, conflicting with its traversal guard
+    require(!name.contains('/') && !name.contains('\\'),
+      s"invalid stream name: $name")
     // variable-width streams forbid compression (reference writer.cpp:131-134)
     require(compressionParamsJson.isEmpty || !schema.hasVariableWidth,
       "compression is not supported for variable-width streams")

@@ -205,6 +205,12 @@ object Zfp {
   private val LossyMarker = 0x80
   val ZfpMinExp: Int = -1074         // ZFP_MIN_EXP
 
+  /** Decode output ceiling in values (2^28 = 2 GiB of doubles): bounds
+    * the legal ~1000x compression amplification of all-zero fields so a
+    * hostile or absurd header fails with a diagnosis instead of an
+    * executor-killing OutOfMemoryError. */
+  val MaxDecodedValues: Long = 1L << 28
+
   final case class ZfpHeader(tpe: Int, nx: Int, ny: Int, mode: Long,
       graftLossy: Boolean = false) {
     def reversible: Boolean = mode == ModeReversible
@@ -1361,9 +1367,16 @@ object Zfp {
     // (hostile allocation size), and a tiny blob claiming millions of
     // blocks would decode garbage from the zero-padded tail — reject
     // both before allocating. Every genuine block costs >= 1 payload
-    // bit (the zero-block flag), so blocks <= payload bits.
-    require(h.nx.toLong * h.ny <= Int.MaxValue.toLong,
-      s"zfp: corrupt field dimensions ${h.nx} x ${h.ny}")
+    // bit (the zero-block flag), so blocks <= payload bits. The
+    // MaxDecodedValues ceiling bounds the remaining ~1000x legal
+    // amplification (all-zero blocks: 1 bit -> 16 doubles): without it
+    // a ~17 MB blob could demand a 17 GB output array and kill the
+    // process with OutOfMemoryError instead of a catchable diagnosis.
+    // 2^28 values (2 GiB of doubles) is far above any transport batch
+    // (the reference writes numCols x batchRows fields).
+    require(h.nx.toLong * h.ny <= MaxDecodedValues,
+      s"zfp: field dimensions ${h.nx} x ${h.ny} exceed the " +
+        s"$MaxDecodedValues-value decode ceiling")
     val blocksL = ((h.nx + 3L) / 4) * ((h.ny + 3L) / 4)
     require(blocksL <= blob.length.toLong * 8,
       s"zfp: header claims $blocksL blocks, stream holds only " +

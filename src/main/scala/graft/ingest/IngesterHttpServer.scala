@@ -38,20 +38,23 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
         Files.exists(f.toPath.resolve("metadata.json")))
       .map(_.getName).toSeq.sorted
 
-  /** URL stream segment -> directory under outRoot, or None for
-    * anything that could escape it. Stream names never contain
-    * separators (StreamStore.createStream forbids '/'), so any
-    * separator or dot-segment in the request is a traversal attempt,
-    * not a name — e.g. `/api/streams/../../etc/x/data.parquet` must
-    * 404, never read outside the root. */
+  // absolute+normalized so safeStreamDir's parent check works for
+  // relative roots too (a "." root's resolved children have a null
+  // parent after normalize)
+  private val servedRoot = outRoot.toAbsolutePath.normalize()
+
+  /** URL stream segment -> directory under the served root, or None for
+    * anything that could escape it. Stream names never contain path
+    * separators (StreamStore.createStream forbids both '/' and '\\'),
+    * so any separator or dot-segment in the request is a traversal
+    * attempt, not a name — e.g. `/api/streams/../../etc/x/data.parquet`
+    * must 404, never read outside the root. */
   private def safeStreamDir(s: String): Option[Path] =
     if (s.isEmpty || s.contains('/') || s.contains('\\') ||
       s == "." || s == "..") None
     else {
-      val p = outRoot.resolve(s).normalize()
-      if (p.getParent == outRoot.toAbsolutePath.normalize() ||
-        p.getParent == outRoot.normalize()) Some(p)
-      else None
+      val p = servedRoot.resolve(s).normalize()
+      if (p.getParent == servedRoot) Some(p) else None
     }
 
   private def metadataJson(s: String): Option[String] =
@@ -77,12 +80,15 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
           else {
             val f = safe.get
             // parquet "file" may be a directory (spark part layout): serve
-            // the single part file inside it
+            // the single part file inside it. Close the listing stream —
+            // an unclosed DirectoryStream leaks one fd per request.
             val target =
-              if (Files.isDirectory(f))
-                Files.list(f).filter(_.getFileName.toString.endsWith(".parquet"))
+              if (Files.isDirectory(f)) {
+                val ls = Files.list(f)
+                try ls.filter(_.getFileName.toString.endsWith(".parquet"))
                   .findFirst().orElseThrow()
-              else f
+                finally ls.close()
+              } else f
             ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
             ex.sendResponseHeaders(200, Files.size(target))
             val out = ex.getResponseBody
