@@ -17,6 +17,10 @@ object ExplainAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the registered graft_* SQL functions (q43) resolve only with
+      // the extensions installed — without this the audit would report
+      // a build failure instead of the plan
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
