@@ -300,6 +300,195 @@ object Similarity {
           FROM cos) t
         WHERE rank <= 5"""
 
+  // ------------------------------------------------ PQ-ADC (s08)
+
+  private val PQ_M = 4      // subspaces over the 64-dim embeddings
+  private val PQ_DSUB = 16  // dims per subspace
+  private val PQ_KS = 4     // codes (centroids) per subspace
+  private val PQ_ITERS = 2  // Lloyd steps per codebook, matching s02
+
+  /** Product-quantization ANN with an asymmetric-distance (ADC) scan —
+    * the memory-bound production method: each vector is stored as M
+    * sub-codes (here 4 x 2 bits vs 64 x 8 B raw = the compression that
+    * lets a 100 TB corpus's scan set fit executor memory), and a query
+    * scores a vector by summing M table lookups instead of a 64-dim
+    * dot product.
+    *
+    * Construction is fully deterministic and oracle-checked end-to-end:
+    *  - per-subspace codebooks come from the SAME Lloyd kernel the
+    *    s02/s07 k-means uses ([[graft.operators.AnnOps]]: broadcast
+    *    centroid table + map-pass argmax; seeds = first PQ_KS ids'
+    *    subvectors, cosine routing, ties cell-ascending);
+    *  - codes and per-(query, subspace, code) partial dots are exact
+    *    scaled-long integer arithmetic; the ONLY floating-point step is
+    *    the final sum/1e12 division, an identical IEEE expression in
+    *    both engines.
+    *
+    * Scale story: codebook build is M tiny broadcasts + map passes; the
+    * ADC scan joins the (vec_id, m, code) table against a broadcast
+    * NQ x M x KS lookup table and partial-aggregates the per-pair sum
+    * map-side — no shuffle carries more than |corpus| x M skinny rows.
+    * The final per-query top-k window mirrors s01/s02 (bounded by the
+    * ranked candidate count; the TopKBy aggregator is the 100 TB
+    * replacement, q42).
+    */
+  private def pqDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftnative.functions.dot_i64
+    val full = Tables.load(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("c"))
+      .localCheckpoint() // staged once; M subspace slices read it
+    val perM = (0 until PQ_M).map { m =>
+      val sub = full.select($"vec_id",
+          slice($"c", m * PQ_DSUB + 1, PQ_DSUB).as("c"))
+        .withColumn("nrmr", sqrt(dot_i64($"c", $"c").cast("double")))
+        .localCheckpoint()
+      def centFrom(members: DataFrame): DataFrame =
+        graft.operators.AnnOps.centFromMembers(sub, members, "vec_id")
+      var cent = centFrom(sub.filter($"vec_id" < PQ_KS)
+        .select($"vec_id", $"vec_id".as("cell")))
+      var members: DataFrame = null
+      for (it <- 1 to PQ_ITERS) {
+        val (assigned, bc) =
+          graft.operators.AnnOps.assignCellsKeepBc(sub, cent, "vec_id")
+        members = assigned.localCheckpoint()
+        bc.destroy()
+        if (it < PQ_ITERS) cent = centFrom(members)
+      }
+      // this subspace's ADC lookup table: queries' subvectors x the
+      // FINAL centroid table (the one the last assignment used)
+      val qsub = sub.filter($"vec_id" < NQUERIES)
+        .select($"vec_id".as("qid"), $"c".as("qc"))
+      val lut = qsub.crossJoin(cent.select($"cell".as("code"), $"cc"))
+        .select($"qid", $"code", dot_i64($"qc", $"cc").as("pdot"))
+      (members.select($"vec_id", $"cell".as("code"), lit(m).as("m")),
+        lut.select($"qid", $"code", $"pdot", lit(m).as("m")))
+    }
+    val codes = perM.map(_._1).reduce(_ unionByName _)
+    val luts = perM.map(_._2).reduce(_ unionByName _)
+    val scored = codes.join(broadcast(luts), Seq("m", "code"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg((sum($"pdot").cast("double") / lit(1.0e12)).as("approx_dot"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"approx_dot".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= lit(5))
+      .select($"qid", $"vec_id".as("neighbor_id"), $"approx_dot", $"rank")
+  }
+
+  /** One subspace's oracle CTE chain (suffix `_m`): the two Lloyd steps
+    * unrolled over the subvector components — the s02 pattern with an
+    * i-range filter — ending in `part$m`(vec_id, qid, pdot). */
+  private def sqlPqSubspace(m: Int): String = {
+    val lo = m * PQ_DSUB
+    val hi = lo + PQ_DSUB
+    s"""scomp$m AS (
+          SELECT vec_id, i - $lo AS i, c FROM comp
+          WHERE i >= $lo AND i < $hi
+        ),
+        snrm$m AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)) nrmr
+          FROM scomp$m GROUP BY vec_id
+        ),
+        cent0_$m AS (
+          SELECT vec_id AS cell, i, c AS s FROM scomp$m
+          WHERE vec_id < $PQ_KS
+        ),
+        cnrm0_$m AS (
+          SELECT cell,
+            sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) cnrmr
+          FROM cent0_$m GROUP BY cell
+        ),
+        score1_$m AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM scomp$m v JOIN cent0_$m ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign1_$m AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c0.cnrmr) DESC, s.cell ASC) rn
+            FROM score1_$m s
+              JOIN snrm$m n ON n.vec_id = s.vec_id
+              JOIN cnrm0_$m c0 ON c0.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        cent1_$m AS (
+          SELECT a.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM assign1_$m a JOIN scomp$m c ON c.vec_id = a.vec_id
+          GROUP BY 1, 2
+        ),
+        cnrm1_$m AS (
+          SELECT cell,
+            sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) cnrmr
+          FROM cent1_$m GROUP BY cell
+        ),
+        score2_$m AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM scomp$m v JOIN cent1_$m ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign2_$m AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c1.cnrmr) DESC, s.cell ASC) rn
+            FROM score2_$m s
+              JOIN snrm$m n ON n.vec_id = s.vec_id
+              JOIN cnrm1_$m c1 ON c1.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        lut$m AS (
+          SELECT q.vec_id AS qid, ct.cell AS code,
+            CAST(SUM(q.c * ct.s) AS BIGINT) pdot
+          FROM scomp$m q JOIN cent1_$m ct ON q.i = ct.i
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        part$m AS (
+          SELECT a.vec_id, l.qid, l.pdot
+          FROM assign2_$m a JOIN lut$m l ON l.code = a.cell
+        )"""
+  }
+
+  private def sqlPq: String = {
+    val subs = (0 until PQ_M).map(sqlPqSubspace).mkString(",\n        ")
+    val parts = (0 until PQ_M).map(m => s"SELECT * FROM part$m")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        $subs,
+        adc AS (
+          SELECT qid, vec_id,
+            CAST(CAST(SUM(pdot) AS BIGINT) AS DOUBLE) / 1000000000000.0
+              AS approx_dot
+          FROM (
+          $parts)
+          WHERE vec_id <> qid
+          GROUP BY 1, 2
+        )
+        SELECT qid, neighbor_id, approx_dot, rank FROM (
+          SELECT qid, vec_id AS neighbor_id, approx_dot,
+            row_number() OVER (
+              PARTITION BY qid ORDER BY approx_dot DESC, vec_id ASC) rank
+          FROM adc) t
+        WHERE rank <= 5"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -627,6 +816,12 @@ object Similarity {
           JOIN nrm na ON na.vec_id = d.a
           JOIN nrm nb ON nb.vec_id = d.b
         WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
-          >= 0.45"""))
+          >= 0.45""")),
+
+    // ---------------------------------------- product quantization ANN
+    GraftQuery(
+      "s08_knn_pq",
+      (s, dir) => pqDf(s, dir),
+      Some(sqlPq))
   )
 }
