@@ -723,6 +723,57 @@ object TextOps {
       .join(fp.withColumnRenamed("doc_id", "id"), Seq("id"))
       .select(col("id"), col("fp_exact"), col("fp_winnow"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
+    * document ranked by `tf * ln(N/df)` (raw in-document term count
+    * times inverse document frequency). Returns
+    * (id, term, tf, df, score, rank), rank <= k, ties broken
+    * term-ascending.
+    *
+    * Engine-portable scoring: each vocab entry's idf is quantized to
+    * DECIMAL(18,12) ONCE (so a last-ulp ln() divergence between engines
+    * cannot flip a ranking), and `tf * idf` is then an exact integer x
+    * decimal product — identical in any engine, like t11's NLL
+    * quantization. tf is the raw count, not count/doc_len: within one
+    * document the ranking is identical (the length divisor is constant
+    * per doc) and the score stays exact.
+    *
+    * Scale shape: one map-side-combinable (id, term) count shuffle, a
+    * |vocab|-row df aggregate off it, a scoring join on `term`
+    * (broadcast under the same measured gate as [[perplexityScore]];
+    * an open 100 TB vocab falls back to a shuffle join — same rows),
+    * and a k-bounded rank window on id. Nothing is ever all-pairs and
+    * no stage holds more than the exploded token stream.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val nDocs = df.count()
+    val tf = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // pinned: df-count and scoring join both read it
+    // tf has one row per distinct (doc, term), so count(*) per term = df
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val m = dfreq.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars")).head()
+    val (vocabN, vocabChars) = (m.getLong(0), m.getLong(1))
+    val idf = dfreq.select(col("w"), col("df"),
+      log(lit(nDocs.toDouble) / col("df"))
+        .cast(DecimalType(18, 12)).as("idf"))
+    val estBytes = vocabN * 96L + vocabChars * 2L
+    val vv = if (estBytes <= maxBroadcastBytes) broadcast(idf) else idf
+    // tf narrowed to DECIMAL(10,0) so the product is decimal(29,12) —
+    // exact in Spark AND DuckDB; a raw bigint tf would push Spark past
+    // precision 38 and silently truncate the scale
+    val scored = tf.join(vv, Seq("w"))
+      .select(col("id"), col("w").as("term"), col("tf"), col("df"),
+        (col("tf").cast(DecimalType(10, 0)) * col("idf"))
+          .cast("double").as("score"))
+    val win = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Nearest-neighbor / embedding-similarity operators. Vectors are any

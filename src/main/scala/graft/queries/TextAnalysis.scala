@@ -550,6 +550,46 @@ object TextAnalysis {
           (q.is_quality AND dup.dup_keep AND repk.rep_keep
            AND ppl.ppl_keep) AS keep
         FROM q JOIN dup USING (doc_id) JOIN repk USING (doc_id)
-          JOIN ppl USING (doc_id)"""))
+          JOIN ppl USING (doc_id)""")),
+
+    // --------------------------------------- TF-IDF keyword extraction
+    GraftQuery(
+      "t13_tfidf_topk",
+      (s, dir) => {
+        import s.implicits._
+        // Top-3 terms per document by tf * ln(N/df). The query IS the
+        // TextOps.tfidfTopTerms facade call; idf is decimal-quantized
+        // once per vocab entry (the t11 trick) so tf x idf is an exact
+        // product and the per-doc ranking is engine-identical.
+        graft.operators.TextOps.tfidfTopTerms(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text", 3)
+          .select($"id".as("doc_id"), $"term", $"tf", $"df",
+            $"score", $"rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        idf AS (
+          SELECT w, df,
+            CAST(ln(CAST((SELECT n FROM n) AS DOUBLE) / df)
+              AS DECIMAL(18,12)) AS idf
+          FROM dfreq
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.w AS term, tf.tf, idf.df,
+            CAST(CAST(tf.tf AS DECIMAL(10,0)) * idf.idf AS DOUBLE) AS score
+          FROM tf JOIN idf USING (w)
+        )
+        SELECT doc_id, term, tf, df, score, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 3"""))
   )
 }

@@ -263,6 +263,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(by(10L)._2 != by(13L)._2)
   }
 
+  test("tfidfTopTerms: corpus-wide words score zero, rare words rank first") {
+    val out = TextOps.tfidfTopTerms(corpus(), "my_id", "body", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // k-bounded: exactly 2 rows per doc, ranks 1..2
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.size == 5 && byDoc.values.forall(_.length == 2))
+    byDoc.values.foreach(g => assert(g.map(_._6).sorted.toSeq == Seq(1, 2)))
+    // "again" appears in docs 10-12 (df=3) twice each; "fox" df=3 once:
+    // within doc 10 "again" (tf=2) must outrank "fox" (tf=1), and a
+    // df=5 word would score exactly 0 (ln(5/5)) so never beats df<5
+    val d10 = byDoc(10L).sortBy(_._6)
+    assert(d10.head._5 > 0.0)
+    assert(out.forall { case (_, _, _, df, score, _) =>
+      (df < 5 && score > 0.0) || (df == 5 && score == 0.0) })
+    // exact quantized arithmetic: score == tf * round(ln(5/df), 12)
+    out.foreach { case (_, _, tf, df, score, _) =>
+      val idf = BigDecimal(math.log(5.0 / df))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(score - (BigDecimal(tf) * idf).toDouble) == 0.0)
+    }
+  }
+
   test("duplicateSpans: overlapping spans merge, clean docs report zero") {
     val s = spark
     import s.implicits._
