@@ -1102,6 +1102,92 @@ object Relational {
             row_number() OVER (PARTITION BY event_type
               ORDER BY value DESC, event_id ASC) AS rank
           FROM events) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ------------------------------------------------ lateral subquery join
+    GraftQuery(
+      "q44_lateral_topn",
+      (s, dir) => {
+        // correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+        // customers by balance per nation, written as the SQL-standard
+        // lateral join (not a hand-rolled window). Catalyst decorrelates
+        // the limit into a per-key rank (one shuffle on the correlation
+        // key, k-bounded output) — the outer side never re-executes the
+        // inner per row. The oracle runs the IDENTICAL text.
+        t(s, dir, "nation").createOrReplaceTempView("nation_lt")
+        t(s, dir, "customer").createOrReplaceTempView("customer_lt")
+        s.sql("""
+          SELECT n.n_name, c.c_name, c.c_acctbal
+          FROM nation_lt n,
+          LATERAL (SELECT c_name, c_acctbal FROM customer_lt
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) c""")
+      },
+      Some("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) c""")),
+
+    // --------------------------------------------------- recursive CTE walk
+    GraftQuery(
+      "q45_recursive_sessions",
+      (s, dir) => {
+        // WITH RECURSIVE over a real successor graph: each user's
+        // events chain to their next event when the gap is < 60 s;
+        // the recursion walks every chain from its session head,
+        // emitting (head, event, depth) for the first 8 events of each
+        // session. Seeds and edges come from one lag() window pass
+        // (one shuffle on user_id); each recursive step is a join on
+        // the frontier only — rows never revisit, so total work is
+        // O(events x min(depth, 8)) regardless of corpus size. The
+        // depth < 8 cap bounds the iteration count identically in both
+        // engines. ts is the engine's epoch-nanos BIGINT contract
+        // (Tables.load), so the gap arithmetic is exact integer.
+        t(s, dir, "events").createOrReplaceTempView("events_rc")
+        s.sql("""
+          WITH RECURSIVE ev AS (
+            SELECT user_id, event_id, ts,
+              lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_ts,
+              lag(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_id
+            FROM events_rc),
+          edges AS (
+            SELECT prev_id AS src, event_id AS dst FROM ev
+            WHERE prev_ts IS NOT NULL AND ts - prev_ts < 60000000000),
+          starts AS (
+            SELECT event_id FROM ev
+            WHERE prev_ts IS NULL OR ts - prev_ts >= 60000000000),
+          walk(session_head, event_id, depth) AS (
+            SELECT event_id, event_id, 1 FROM starts
+            UNION ALL
+            SELECT w.session_head, e.dst, w.depth + 1
+            FROM walk w JOIN edges e ON e.src = w.event_id
+            WHERE w.depth < 8)
+          SELECT session_head, event_id, depth FROM walk""")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+            lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch_ns(ts), event_id) AS prev_ts,
+            lag(event_id) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS prev_id
+          FROM events),
+        edges AS (
+          SELECT prev_id AS src, event_id AS dst FROM ev
+          WHERE prev_ts IS NOT NULL AND tsn - prev_ts < 60000000000),
+        starts AS (
+          SELECT event_id FROM ev
+          WHERE prev_ts IS NULL OR tsn - prev_ts >= 60000000000),
+        walk(session_head, event_id, depth) AS (
+          SELECT event_id, event_id, 1 FROM starts
+          UNION ALL
+          SELECT w.session_head, e.dst, w.depth + 1
+          FROM walk w JOIN edges e ON e.src = w.event_id
+          WHERE w.depth < 8)
+        SELECT session_head, event_id, depth FROM walk"""))
   )
 }
