@@ -377,6 +377,73 @@ object Streaming {
           MIN(event_id) AS min_event_id,
           MAX(event_id) AS max_event_id,
           CAST(1 AS INT) AS sink_ran
-        FROM events"""))
+        FROM events""")),
+
+    // ----------------------------- transformWithState (Spark 4 API)
+    GraftQuery(
+      "st11_transform_with_state",
+      (s, dir) => {
+        import s.implicits._
+        // transformWithState, the successor to mapGroupsWithState:
+        // per-user running (count, exact cents) in a declared
+        // ValueState (graft.streaming.RunningTotalsProcessor). Same
+        // semantics as st04 through the NEW stateful API — typed state
+        // variables via the handle, RocksDB-backed state store
+        // (transformWithState requires the RocksDB provider; restored
+        // after the drain).
+        val typed = StreamingOps.eventsStream(s, dir)
+          .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+        val updated = typed.transformWithState(
+          new graft.streaming.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        val drained =
+          try StreamingOps.drain(s,
+            updated.toDF("user_id", "n_events", "cents"), "st11", "update")
+            .localCheckpoint() // pin before the provider conf reverts
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        drained
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"), max($"cents").as("cents"))
+          .select($"user_id", $"n_events",
+            ($"cents".cast("double") / 100.0).as("total_value"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS total_value
+        FROM events GROUP BY 1""")),
+
+    // ------------------------- dedup bounded by the watermark horizon
+    GraftQuery(
+      "st12_dedup_within_watermark",
+      (s, dir) => {
+        import s.implicits._
+        // dropDuplicatesWithinWatermark: first-occurrence keep per
+        // (user_id, event_type) where state lives only inside the
+        // watermark horizon — the production spelling when keys recur
+        // forever but only near-time duplicates matter (unbounded
+        // dropDuplicates state in st05 never shrinks). Aggregated so
+        // the result is independent of which duplicate won.
+        val deduped = StreamingOps.eventsStream(s, dir)
+          .withWatermark("event_time", "1 hour")
+          .select($"user_id", $"event_type", $"event_time")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+        StreamingOps.drain(s, deduped, "st12", "append")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY 1"""))
   )
 }
