@@ -774,6 +774,71 @@ object TextOps {
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
   }
+
+  /** Byte-pair-encoding merge learning over the corpus — the tokenizer
+    * training kernel. Runs `merges` Lloyd-style rounds: count adjacent
+    * symbol pairs across the (word, freq)-compressed corpus, pick the
+    * most frequent pair (ties lexicographic-ascending), rewrite every
+    * word with the pair merged, repeat. Returns the learned merge table
+    * (step, pair, merged, cnt) — `merges` rows.
+    *
+    * Distribution shape: the corpus compresses to its |vocab| distinct
+    * words up front (one shuffle; at 100 TB this is the classic orders-
+    * of-magnitude shrink — pair statistics are identical on weighted
+    * distinct words), then each round is a map-side pair explode + a
+    * map-side-combinable weighted count on pair keys + a ONE-ROW argmax
+    * collect + a map-only rewrite. Driver state is one merge rule per
+    * round. Greedy left-to-right non-overlapping merge semantics come
+    * from regexp_replace with a literal-quoted pattern — the exact
+    * semantics of `replace()` in any engine, so the DuckDB oracle can
+    * replay the same rounds.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int = 3)
+      : DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
+    // Working representation: every symbol wrapped in its OWN spaces —
+    // "hello" -> " h  e  l  l  o ". A pair's occurrence (" a  b ") then
+    // never shares boundary characters with the next occurrence, so a
+    // plain non-overlapping left-to-right literal replace applies the
+    // merge with EXACT greedy BPE semantics even through runs of the
+    // same symbol (" a  a  a  a  a " -> " aa  aa  a ") — a single-space
+    // separator gets this wrong (adjacent matches share the separator,
+    // so the scan skips every second occurrence).
+    var words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sp"), col("freq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val withSym = words.withColumn("sym", split(trim(col("sp")), "  "))
+      val pairs = withSym.select(col("freq"), explode(
+        zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pr"))
+      val top = pairs.groupBy(col("pr"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (pr, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val Array(pa, pb) = pr.split(" ", 2)
+        val merged = pa + pb
+        learned += ((step, pr, merged, cnt))
+        words = words.select(
+          regexp_replace(col("sp"),
+            lit(Pattern.quote(s" $pa  $pb ")),
+            lit(Matcher.quoteReplacement(s" $merged "))).as("sp"),
+          col("freq"))
+          .localCheckpoint()
+      }
+    }
+    df.sparkSession.createDataFrame(learned.toSeq)
+      .toDF("step", "pair", "merged", "cnt")
+  }
 }
 
 /** Nearest-neighbor / embedding-similarity operators. Vectors are any

@@ -590,6 +590,65 @@ object TextAnalysis {
           SELECT *, row_number() OVER
             (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
           FROM scored) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ------------------------------------------- BPE tokenizer training
+    GraftQuery(
+      "t14_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        // learn 3 byte-pair-encoding merges from the corpus — the
+        // tokenizer-training kernel. The query IS the TextOps.bpeLearn
+        // facade call; the oracle unrolls the same 3 rounds as CTE
+        // stages (count adjacent symbol pairs weighted by word freq,
+        // argmax with pair-ascending ties, greedy left-to-right merge
+        // via the wrapped-symbol literal replace).
+        graft.operators.TextOps.bpeLearn(
+          docs(s, dir).select($"text"), "text", merges = 3)
+      },
+      Some(bpeOracle(3)))
   )
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeLearn]], unrolled
+    * to `merges` CTE stages. Stage i: pairs from the wrapped-symbol
+    * representation (split on the DOUBLE space), weighted argmax, then
+    * the same boundary-safe literal replace. */
+  private def bpeOracle(merges: Int): String = {
+    val stages = (1 to merges).map { i =>
+      val apply =
+        if (i == merges) ""
+        else s""",
+        s${i + 1} AS (
+          SELECT replace(sp,
+            ' ' || string_split((SELECT pr FROM m$i), ' ')[1] || '  ' ||
+                   string_split((SELECT pr FROM m$i), ' ')[2] || ' ',
+            ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sp,
+            freq
+          FROM s$i)"""
+      s"""
+        p$i AS (
+          SELECT unnest([sym[i+1] || ' ' || sym[i+2]
+                         for i in range(len(sym) - 1)]) AS pr, freq
+          FROM (SELECT string_split(trim(sp), '  ') AS sym, freq FROM s$i)
+        ),
+        m$i AS (
+          SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i
+          GROUP BY 1 ORDER BY cnt DESC, pr ASC LIMIT 1
+        )$apply"""
+    }.mkString(",")
+    val rows = (1 to merges).map { i =>
+      s"""SELECT CAST($i AS INT) AS step, pr AS pair,
+            replace(pr, ' ', '') AS merged, cnt FROM m$i"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH w0 AS (
+          SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) > 0 GROUP BY 1
+        ),
+        s1 AS (
+          SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp, freq FROM w0
+        ),$stages
+        $rows"""
+  }
 }

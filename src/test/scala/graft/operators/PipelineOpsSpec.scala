@@ -263,6 +263,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(by(10L)._2 != by(13L)._2)
   }
 
+  test("bpeLearn: frequency argmax, greedy run merging, chained merges") {
+    val s = spark
+    import s.implicits._
+    // freq: aaaaa=3, bd=3. Round 1: (a,a) counts 4 adjacencies x 3
+    // words = 12 (overlaps count), beats (b,d)=3. GREEDY merge turns
+    // [a,a,a,a,a] into [aa,aa,a] — a single-space-guard replace would
+    // have produced [aa,a,aa] (boundary-space sharing skips the middle
+    // site) and round 2 would then see (a,aa) instead of (aa,a).
+    // Round 2: three-way tie (aa,aa)=(aa,a)=(b,d)=3 resolves
+    // pair-ascending to "aa a" -> [aa,aaa]. Round 3: tie again,
+    // "aa aaa" < "b d".
+    val df = Seq("aaaaa bd", "aaaaa bd", "aaaaa", "bd").toDF("body")
+    val out = TextOps.bpeLearn(df, "body", merges = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1, "a a", "aa", 12L)))
+    assert(out(1) == ((2, "aa a", "aaa", 3L)))
+    assert(out(2) == ((3, "aa aaa", "aaaaa", 3L)))
+  }
+
   test("tfidfTopTerms: corpus-wide words score zero, rare words rank first") {
     val out = TextOps.tfidfTopTerms(corpus(), "my_id", "body", k = 2)
       .collect()
