@@ -795,6 +795,38 @@ object TextOps {
     */
   def bpeLearn(df: DataFrame, textCol: String, merges: Int = 3)
       : DataFrame = {
+    val (learned, _) = bpeRounds(df, textCol, merges)
+    df.sparkSession.createDataFrame(learned)
+      .toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** [[bpeLearn]] applied back to the corpus: segment every document
+    * with the learned merge table and report per-document token counts
+    * (id, n_words, n_bpe_tokens). The segmentation join is w ->
+    * final-representation on the |vocab|-row word table (broadcast
+    * under the measured gate; an open vocab falls back to a shuffle
+    * join), so tokenizing 100 TB is one map-side explode + one
+    * vocab join + one per-id count — documents are never rewritten.
+    */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+      merges: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val (_, words) = bpeRounds(df, textCol, merges)
+    val ntok = words.select(col("w"),
+      size(split(trim(col("sp")), "  ")).cast("long").as("ntok"))
+    val m = ntok.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars")).head()
+    val estBytes = m.getLong(0) * 96L + m.getLong(1) * 2L
+    val vv = if (estBytes <= maxBroadcastBytes) broadcast(ntok) else ntok
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vv, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+  }
+
+  private def bpeRounds(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import java.util.regex.{Matcher, Pattern}
     // Working representation: every symbol wrapped in its OWN spaces —
     // "hello" -> " h  e  l  l  o ". A pair's occurrence (" a  b ") then
@@ -808,7 +840,8 @@ object TextOps {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sp"), col("freq"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("sp"),
+        col("freq"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -828,7 +861,7 @@ object TextOps {
         val Array(pa, pb) = pr.split(" ", 2)
         val merged = pa + pb
         learned += ((step, pr, merged, cnt))
-        words = words.select(
+        words = words.select(col("w"),
           regexp_replace(col("sp"),
             lit(Pattern.quote(s" $pa  $pb ")),
             lit(Matcher.quoteReplacement(s" $merged "))).as("sp"),
@@ -836,8 +869,7 @@ object TextOps {
           .localCheckpoint()
       }
     }
-    df.sparkSession.createDataFrame(learned.toSeq)
-      .toDF("step", "pair", "merged", "cnt")
+    (learned.toSeq, words)
   }
 }
 

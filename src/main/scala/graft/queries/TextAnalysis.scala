@@ -606,25 +606,31 @@ object TextAnalysis {
         graft.operators.TextOps.bpeLearn(
           docs(s, dir).select($"text"), "text", merges = 3)
       },
-      Some(bpeOracle(3)))
+      Some(bpeOracle(3))),
+
+    GraftQuery(
+      "t15_bpe_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        // apply the 3 learned merges back to the corpus: per-document
+        // BPE token counts via one vocab join — the segmentation side
+        // of the tokenizer (documents are never rewritten; only the
+        // |vocab|-row word table carries the merged representations).
+        graft.operators.TextOps.bpeSegment(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            merges = 3)
+          .select($"id".as("doc_id"), $"n_words", $"n_bpe_tokens")
+      },
+      Some(bpeSegmentOracle(3)))
   )
 
-  /** DuckDB spelling of [[graft.operators.TextOps.bpeLearn]], unrolled
-    * to `merges` CTE stages. Stage i: pairs from the wrapped-symbol
-    * representation (split on the DOUBLE space), weighted argmax, then
-    * the same boundary-safe literal replace. */
-  private def bpeOracle(merges: Int): String = {
+  /** The shared CTE prefix of the BPE oracles, unrolled to `merges`
+    * stages. Stage i: pairs from the wrapped-symbol representation
+    * (split on the DOUBLE space), weighted argmax m_i, then the same
+    * boundary-safe literal replace into s_{i+1}. Ends with
+    * s_{merges+1} = the fully merged representation (w, sp, freq). */
+  private def bpeStages(merges: Int): String = {
     val stages = (1 to merges).map { i =>
-      val apply =
-        if (i == merges) ""
-        else s""",
-        s${i + 1} AS (
-          SELECT replace(sp,
-            ' ' || string_split((SELECT pr FROM m$i), ' ')[1] || '  ' ||
-                   string_split((SELECT pr FROM m$i), ' ')[2] || ' ',
-            ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sp,
-            freq
-          FROM s$i)"""
       s"""
         p$i AS (
           SELECT unnest([sym[i+1] || ' ' || sym[i+2]
@@ -634,12 +640,15 @@ object TextAnalysis {
         m$i AS (
           SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i
           GROUP BY 1 ORDER BY cnt DESC, pr ASC LIMIT 1
-        )$apply"""
+        ),
+        s${i + 1} AS (
+          SELECT w, replace(sp,
+            ' ' || string_split((SELECT pr FROM m$i), ' ')[1] || '  ' ||
+                   string_split((SELECT pr FROM m$i), ' ')[2] || ' ',
+            ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sp,
+            freq
+          FROM s$i)"""
     }.mkString(",")
-    val rows = (1 to merges).map { i =>
-      s"""SELECT CAST($i AS INT) AS step, pr AS pair,
-            replace(pr, ' ', '') AS merged, cnt FROM m$i"""
-    }.mkString("\n        UNION ALL ")
     s"""
         WITH w0 AS (
           SELECT w, COUNT(*) AS freq FROM (
@@ -647,8 +656,35 @@ object TextAnalysis {
           WHERE len(w) > 0 GROUP BY 1
         ),
         s1 AS (
-          SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp, freq FROM w0
-        ),$stages
+          SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp, freq
+          FROM w0
+        ),$stages"""
+  }
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeLearn]]. */
+  private def bpeOracle(merges: Int): String = {
+    val rows = (1 to merges).map { i =>
+      s"""SELECT CAST($i AS INT) AS step, pr AS pair,
+            replace(pr, ' ', '') AS merged, cnt FROM m$i"""
+    }.mkString("\n        UNION ALL ")
+    s"""${bpeStages(merges)}
         $rows"""
   }
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeSegment]]. */
+  private def bpeSegmentOracle(merges: Int): String =
+    s"""${bpeStages(merges)},
+        ntok AS (
+          SELECT w, CAST(len(string_split(trim(sp), '  ')) AS BIGINT)
+            AS ntok
+          FROM s${merges + 1}
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+          CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+        FROM tok JOIN ntok USING (w)
+        GROUP BY 1"""
 }
