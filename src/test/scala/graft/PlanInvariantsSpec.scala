@@ -41,7 +41,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s03_knn_lsh", "s04_knn_graph", "t10_pii_redact", "p09_chunk_windows",
     "p10_mixture_sample", "d07_canonical_selection",
     "d08_dedup_paragraph", "s07_semantic_dedup", "t07_bigram_stats",
-    "m06_image_roundtrip", "q37_ohlc_resample", "q41_interval_join")
+    "m06_image_roundtrip", "q37_ohlc_resample", "q41_interval_join",
+    "t13_tfidf_topk", "q44_lateral_topn", "t15_bpe_tokenize")
 
   override def beforeAll(): Unit = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
@@ -241,5 +242,28 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(shuffles.isEmpty,
         s"$name shuffles: ${shuffles.map(_.nodeName)}")
     }
+  }
+
+  test("t13/t15 score through a broadcast vocab join, never a " +
+      "single-partition funnel") {
+    Seq("t13_tfidf_topk", "t15_bpe_tokenize").foreach { name =>
+      val s = plans(name).toString()
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name vocab join is not broadcast")
+      val single = plans(name).collect {
+        case e: ShuffleExchangeLike
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(single.isEmpty,
+        s"$name funnels through a 1-partition exchange")
+    }
+  }
+
+  test("q44's lateral limit decorrelates into map-side group limits") {
+    // the partial WindowGroupLimit prunes each correlation key to k
+    // rows BEFORE the exchange — only k x |keys| rows ever shuffle
+    val s = plans("q44_lateral_topn").toString()
+    assert(s.contains("WindowGroupLimit"),
+      "q44 lost the WindowGroupLimit decorrelation")
   }
 }
