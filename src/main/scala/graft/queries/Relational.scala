@@ -1145,6 +1145,12 @@ object Relational {
         // depth < 8 cap bounds the iteration count identically in both
         // engines. ts is the engine's epoch-nanos BIGINT contract
         // (Tables.load), so the gap arithmetic is exact integer.
+        //
+        // The walk legitimately emits ~|events| rows, so Spark's
+        // 1M-row recursion safety valve trips at bench scale; raise it
+        // session-wide to the depth-capped true bound (depth < 8 already
+        // bounds the iteration count — the row valve is redundant here).
+        s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
         t(s, dir, "events").createOrReplaceTempView("events_rc")
         s.sql("""
           WITH RECURSIVE ev AS (

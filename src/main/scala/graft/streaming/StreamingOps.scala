@@ -38,14 +38,22 @@ object StreamingOps {
     // raw file schema, before any ts normalization
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // file-source streams read a directory; give the single parquet file
-    // one via symlink (no data copy)
-    val dir = Files.createTempDirectory("graft-events-stream-")
-    Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // file-source streams read a directory. Driver testdata ships
+    // events.parquet as a single FILE (symlink it into a scratch dir,
+    // no data copy); scaled/engine-written data ships it as a parquet
+    // DIRECTORY of part-files, which streams as-is — without this
+    // branch the symlinked directory nests one level too deep and the
+    // stream silently reads ZERO files.
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (Files.isDirectory(src)) src
+      else {
+        val dir = Files.createTempDirectory("graft-events-stream-")
+        Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+        dir
+      }
     Tables.normalizeTs(
-        spark.readStream.schema(raw.schema).parquet(dir.toString))
+        spark.readStream.schema(raw.schema).parquet(streamDir.toString))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
   }
 
