@@ -487,6 +487,17 @@ object TextOps {
     * plan) instead of OOMing the driver. Semantics pinned by the
     * oracle-checked t11 query. Returns (id, n_words, avg_nll, keep).
     */
+  /** Broadcast a |vocab|-row scoring table only under a measured size
+    * gate (conservative estimate: 96 bytes row overhead + UTF-16 word
+    * chars per entry); above the gate return it unhinted so the scoring
+    * join runs as a plain shuffle on `w` — same rows either way, never
+    * a driver OOM. Shared by every vocab-join operator
+    * ([[perplexityScore]], [[tfidfTopTerms]], [[bpeSegment]]).
+    */
+  private def gateBroadcast(vocab: DataFrame, rows: Long, chars: Long,
+      maxBytes: Long): DataFrame =
+    if (rows * 96L + chars * 2L <= maxBytes) broadcast(vocab) else vocab
+
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
       cutoff: Double = 3.402,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
@@ -504,9 +515,7 @@ object TextOps {
     val vocab = counts.select(col("w"),
       (-log(col("c").cast("double") / lit(total)))
         .cast(DecimalType(12, 6)).as("nll"))
-    // row overhead + UTF-16 word + decimal nll, per vocab entry
-    val estBytes = vocabN * 80L + vocabChars * 2L
-    val vv = if (estBytes <= maxBroadcastBytes) broadcast(vocab) else vocab
+    val vv = gateBroadcast(vocab, vocabN, vocabChars, maxBroadcastBytes)
     words.join(vv, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nll")).as("s"))
@@ -750,18 +759,19 @@ object TextOps {
     val nDocs = df.count()
     val tf = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0) // ragged spacing yields "" tokens —
+                                    // never a keyword candidate
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // pinned: df-count and scoring join both read it
     // tf has one row per distinct (doc, term), so count(*) per term = df
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val m = dfreq.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col("w"))), lit(0L)).as("chars")).head()
-    val (vocabN, vocabChars) = (m.getLong(0), m.getLong(1))
     val idf = dfreq.select(col("w"), col("df"),
       log(lit(nDocs.toDouble) / col("df"))
         .cast(DecimalType(18, 12)).as("idf"))
-    val estBytes = vocabN * 96L + vocabChars * 2L
-    val vv = if (estBytes <= maxBroadcastBytes) broadcast(idf) else idf
+    val vv = gateBroadcast(idf, m.getLong(0), m.getLong(1),
+      maxBroadcastBytes)
     // tf narrowed to DECIMAL(10,0) so the product is decimal(29,12) —
     // exact in Spark AND DuckDB; a raw bigint tf would push Spark past
     // precision 38 and silently truncate the scale
@@ -800,23 +810,39 @@ object TextOps {
       .toDF("step", "pair", "merged", "cnt")
   }
 
+  /** The learned (w, sp, freq) word table after `merges` BPE rounds —
+    * the artifact segmentation consumes. Train ONCE, reuse across every
+    * corpus/partition you tokenize (persist it like any vocab). */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int = 3): DataFrame =
+    bpeRounds(df, textCol, merges)._2
+
   /** [[bpeLearn]] applied back to the corpus: segment every document
     * with the learned merge table and report per-document token counts
-    * (id, n_words, n_bpe_tokens). The segmentation join is w ->
-    * final-representation on the |vocab|-row word table (broadcast
-    * under the measured gate; an open vocab falls back to a shuffle
-    * join), so tokenizing 100 TB is one map-side explode + one
-    * vocab join + one per-id count — documents are never rewritten.
+    * (id, n_words, n_bpe_tokens). This convenience overload RE-LEARNS
+    * the merges from `df` itself (fine when train corpus == scored
+    * corpus, as in the t15 gate query); the production path at scale is
+    * train once with [[bpeVocab]], then call the vocab overload, which
+    * pays only one map-side explode + one gated vocab join + one per-id
+    * count — documents are never rewritten.
     */
   def bpeSegment(df: DataFrame, idCol: String, textCol: String,
-      merges: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val (_, words) = bpeRounds(df, textCol, merges)
-    val ntok = words.select(col("w"),
+      merges: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    bpeSegment(df, idCol, textCol, bpeVocab(df, textCol, merges),
+      maxBroadcastBytes)
+
+  /** Segment with an ALREADY-LEARNED vocab (`bpeVocab`'s (w, sp, ...)
+    * table): the 100 TB path — no learning jobs, just the scoring join
+    * (broadcast under the measured gate; an open vocab falls back to a
+    * shuffle join on `w`). Words absent from the vocab are dropped, so
+    * score a corpus with a vocab trained on it or a superset. */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxBroadcastBytes: Long): DataFrame = {
+    val ntok = vocab.select(col("w"),
       size(split(trim(col("sp")), "  ")).cast("long").as("ntok"))
     val m = ntok.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col("w"))), lit(0L)).as("chars")).head()
-    val estBytes = m.getLong(0) * 96L + m.getLong(1) * 2L
-    val vv = if (estBytes <= maxBroadcastBytes) broadcast(ntok) else ntok
+    val vv = gateBroadcast(ntok, m.getLong(0), m.getLong(1),
+      maxBroadcastBytes)
     df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)

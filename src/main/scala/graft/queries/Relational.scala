@@ -1146,11 +1146,12 @@ object Relational {
         // engines. ts is the engine's epoch-nanos BIGINT contract
         // (Tables.load), so the gap arithmetic is exact integer.
         //
-        // The walk legitimately emits ~|events| rows, so Spark's
-        // 1M-row recursion safety valve trips at bench scale; raise it
-        // session-wide to the depth-capped true bound (depth < 8 already
-        // bounds the iteration count — the row valve is redundant here).
-        s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue)
+        // The walk legitimately emits ~|events| rows, which trips
+        // Spark's 1M-row recursion safety valve at bench scale. The
+        // explicit LIMIT on the CTE reference replaces the valve FOR
+        // THIS QUERY ONLY (the session-wide conf stays at its default
+        // for any other recursive query); 2e9 is a no-op bound here —
+        // the depth < 8 cap means true output is <= |events|.
         t(s, dir, "events").createOrReplaceTempView("events_rc")
         s.sql("""
           WITH RECURSIVE ev AS (
@@ -1172,7 +1173,8 @@ object Relational {
             SELECT w.session_head, e.dst, w.depth + 1
             FROM walk w JOIN edges e ON e.src = w.event_id
             WHERE w.depth < 8)
-          SELECT session_head, event_id, depth FROM walk""")
+          SELECT session_head, event_id, depth FROM walk
+          LIMIT 2000000000""")
       },
       Some("""
         WITH RECURSIVE ev AS (
@@ -1194,6 +1196,7 @@ object Relational {
           SELECT w.session_head, e.dst, w.depth + 1
           FROM walk w JOIN edges e ON e.src = w.event_id
           WHERE w.depth < 8)
-        SELECT session_head, event_id, depth FROM walk"""))
+        SELECT session_head, event_id, depth FROM walk
+        LIMIT 2000000000"""))
   )
 }

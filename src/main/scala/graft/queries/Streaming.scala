@@ -434,8 +434,17 @@ object Streaming {
         // forever but only near-time duplicates matter (unbounded
         // dropDuplicates state in st05 never shrinks). Aggregated so
         // the result is independent of which duplicate won.
+        //
+        // Horizon choice: for THIS bounded backfill drain the horizon
+        // (35 d) must cover the replayed corpus (30 d of events) — a
+        // shorter one makes re-emission of an expired key legitimate
+        // streaming behavior the moment the drain runs as >1 microbatch
+        // (file-count admission control, growing directory), and no
+        // batch SQL can reproduce which batch boundary did it. Live
+        // incremental deployments pick the horizon for state size; a
+        // backfill picks it for corpus coverage.
         val deduped = StreamingOps.eventsStream(s, dir)
-          .withWatermark("event_time", "1 hour")
+          .withWatermark("event_time", "35 days")
           .select($"user_id", $"event_type", $"event_time")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
         StreamingOps.drain(s, deduped, "st12", "append")

@@ -568,7 +568,9 @@ object TextAnalysis {
       },
       Some("""
         WITH tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+          WHERE len(w) > 0
         ),
         tf AS (
           SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
@@ -642,10 +644,15 @@ object TextAnalysis {
           GROUP BY 1 ORDER BY cnt DESC, pr ASC LIMIT 1
         ),
         s${i + 1} AS (
-          SELECT w, replace(sp,
-            ' ' || string_split((SELECT pr FROM m$i), ' ')[1] || '  ' ||
-                   string_split((SELECT pr FROM m$i), ' ')[2] || ' ',
-            ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sp,
+          -- a round with no pairs left (degenerate corpus) leaves the
+          -- representation unchanged, like the engine's skipped round;
+          -- without the guard the NULL pattern would NULL every sp
+          SELECT w, CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN sp
+            ELSE replace(sp,
+              ' ' || string_split((SELECT pr FROM m$i), ' ')[1] || '  ' ||
+                     string_split((SELECT pr FROM m$i), ' ')[2] || ' ',
+              ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ')
+            END AS sp,
             freq
           FROM s$i)"""
     }.mkString(",")
