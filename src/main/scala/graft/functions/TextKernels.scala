@@ -105,6 +105,26 @@ object TextKernels {
     mins
   }
 
+  /** (doc_id, mins array<string>) — the raw `nh` minhashes per document,
+    * ONE kernel pass. Banding is then a pure projection, so several LSH
+    * parameterizations (band/row splits of the same hashes) can be
+    * derived from a single signature computation — the operating-curve
+    * measurement path.
+    */
+  def minhashSignatures(
+      s: SparkSession, docs: DataFrame, k: Int, nh: Int): DataFrame = {
+    import s.implicits._
+    docs.select("doc_id", "text").filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          (id, minhashSig(md, shingleSet(text, k), nh))
+        }
+      }
+      .toDF("doc_id", "mins")
+  }
+
   /** (doc_id, band, bkey) LSH band buckets: band key = concat of the
     * band's ROWS minhashes. One output row per (doc, band).
     */

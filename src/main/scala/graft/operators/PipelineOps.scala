@@ -201,6 +201,59 @@ object DedupOps {
     probeIndex(newIdx, Some(index), threshold)
   }
 
+  /** Measured LSH operating curve: candidate volume and confirmed
+    * near-dup pairs at several (bands, rows) splits of the SAME minhash
+    * signatures — how you pick d02's parameters before committing a
+    * 100 TB run. Returns one row per config:
+    * (bands, rows, n_hashes, candidate_pairs, confirmed_pairs).
+    *
+    * Signatures are ONE kernel pass (max hashes over the grid) and
+    * banding is a pure projection of that table, so each extra
+    * operating point costs only its band-bucket join and the exact
+    * verification of ITS candidates — run it on a sample (this facade
+    * on a `.sample` of the corpus) and read the curve: more rows per
+    * band prunes background similarity harder (collision ~ j^rows),
+    * more bands buys recall at the threshold (1-(1-j^rows)^bands).
+    */
+  def lshOperatingCurve(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5,
+      configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
+      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+    require(configs.nonEmpty, "need at least one (bands, rows) config")
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val nh = configs.map { case (b, r) => b * r }.max
+    val sig = TextKernels.minhashSignatures(s, docs, shingleK, nh)
+      .localCheckpoint()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK)
+      .localCheckpoint()
+    configs.map { case (bands, rows) =>
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until rows).map(r =>
+            element_at(col("mins"), b * rows + r + 1)): _*).as("bkey"))
+      }
+      val bb = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+      val cand = bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .localCheckpoint() // pinned: counted AND verified below
+      val confirmed = jaccardVerified(cand, shArr, threshold)
+      cand.agg(count(lit(1)).as("candidate_pairs")).crossJoin(
+          confirmed.agg(count(lit(1)).as("confirmed_pairs")))
+        .select(lit(bands).cast("int").as("bands"),
+          lit(rows).cast("int").as("rows_per_band"),
+          lit(bands * rows).cast("int").as("n_hashes"),
+          col("candidate_pairs"), col("confirmed_pairs"))
+    }.reduce(_ unionAll _)
+  }
+
   /** The probe shared by the in-memory and durable incremental paths:
     * band-bucket join of a PREBUILT new-batch index against the
     * accumulated index (plus the new batch itself, for new-new pairs),

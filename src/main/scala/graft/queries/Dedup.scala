@@ -206,6 +206,64 @@ object Dedup {
         )"""
   }
 
+  /** DuckDB spelling of [[graft.operators.DedupOps.lshOperatingCurve]]:
+    * one shared sig CTE (max hashes over the grid), then per config a
+    * band-union, candidate join, and verified count — the d10 oracle. */
+  private def sqlLshCurve(configs: Seq[(Int, Int)]): String = {
+    val nh = configs.map { case (b, r) => b * r }.max
+    val hs = (0 until nh)
+      .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n            ")
+    val perConfig = configs.map { case (bands, rows) =>
+      val tag = s"${bands}_$rows"
+      val bandRows = (0 until bands).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          (0 until rows).map(r => s"h${b * rows + r}").mkString(" || ") +
+          " AS bkey FROM sig").mkString("\n          UNION ALL ")
+      s"""
+        b_$tag AS (
+          $bandRows
+        ),
+        c_$tag AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM b_$tag x JOIN b_$tag y
+            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        ),
+        v_$tag AS (
+          SELECT COUNT(*) n FROM (
+            SELECT c.a FROM c_$tag c
+              JOIN sharr pa ON pa.doc_id = c.a
+              JOIN sharr pb ON pb.doc_id = c.b
+            WHERE CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE)
+              / (len(pa.shs) + len(pb.shs)
+                 - len(list_intersect(pa.shs, pb.shs))) >= $JACCARD_T)
+        ),
+        n_$tag AS (SELECT COUNT(*) n FROM c_$tag)"""
+    }.mkString(",")
+    val rows = configs.map { case (bands, rows) =>
+      val tag = s"${bands}_$rows"
+      s"""SELECT CAST($bands AS INT) AS bands,
+            CAST($rows AS INT) AS rows_per_band,
+            CAST(${bands * rows} AS INT) AS n_hashes,
+            (SELECT n FROM n_$tag) AS candidate_pairs,
+            (SELECT n FROM v_$tag) AS confirmed_pairs"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(${sqlShingles(5)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        ),
+        sig AS (
+          SELECT doc_id,
+            $hs
+          FROM sh GROUP BY doc_id
+        ),
+        sharr AS (
+          SELECT doc_id, ${sqlShingles(5)} AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        ),$perConfig
+        $rows"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------ exact
@@ -360,6 +418,23 @@ object Dedup {
         SELECT a // 100 AS doc_a, a % 100 AS para_a,
           b // 100 AS doc_b, b % 100 AS para_b, jaccard
         FROM pairs""")),
+
+    // -------------------------- LSH operating-curve measurement (d10)
+    GraftQuery(
+      "d10_lsh_operating_curve",
+      (s, dir) => {
+        // How d02's (bands, rows) get CHOSEN: measure candidate volume
+        // and confirmed pairs at three band/row splits of the same 16
+        // minhashes — (8,2) recall-heavy, (4,4) middle, (2,8) the
+        // production precision point. Signatures are one kernel pass;
+        // each extra operating point costs only its band join + its
+        // candidates' verification. The query IS the
+        // DedupOps.lshOperatingCurve facade call.
+        graft.operators.DedupOps.lshOperatingCurve(
+          docs(s, dir), "doc_id", "text", shingleK = 5,
+          configs = Seq((8, 2), (4, 4), (2, 8)), threshold = JACCARD_T)
+      },
+      Some(sqlLshCurve(Seq((8, 2), (4, 4), (2, 8))))),
 
     // ------------------------------ duplicate-substring spans (d09)
     GraftQuery(

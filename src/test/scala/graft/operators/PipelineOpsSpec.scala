@@ -263,6 +263,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(by(10L)._2 != by(13L)._2)
   }
 
+  test("lshOperatingCurve: monotone recall in bands, exact dups always " +
+      "caught, confirmed <= candidates") {
+    val out = DedupOps.lshOperatingCurve(corpus(), "my_id", "body",
+        shingleK = 3, configs = Seq((8, 2), (4, 4), (2, 8)),
+        threshold = 0.8, partitions = 2)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3)
+    out.values.foreach { case (cand, conf) => assert(conf <= cand) }
+    // docs 10/11 are identical — every banding catches jaccard 1.0
+    out.values.foreach { case (_, conf) => assert(conf >= 1) }
+    // fewer rows per band can only widen the candidate set (same hashes,
+    // coarser keys subsume finer collisions is NOT generally true — but
+    // the recall-heavy (8,2) must catch at least the production (2,8)
+    // CONFIRMED pairs on this corpus, where all true pairs collide)
+    assert(out((8, 2))._2 >= out((2, 8))._2)
+  }
+
   test("bpeLearn: frequency argmax, greedy run merging, chained merges") {
     val s = spark
     import s.implicits._
