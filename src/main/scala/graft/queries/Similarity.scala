@@ -28,6 +28,7 @@ object Similarity {
 
   private val NQUERIES = 5 // vec_id < 5 act as the query set
   private val TOPK = 10
+  private val MMRK = 3 // MMR selection steps per query (s09)
 
   /** Exact brute-force top-k per query vector (shared by s01 and the
     * s05 recall measurement).
@@ -41,10 +42,12 @@ object Similarity {
     * form. The broadcast side is NQUERIES rows — the nested-loop expand
     * over it is a map-side operation, no corpus shuffle at any size.
     */
-  private def bruteDf(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, c scaled-long components, nrm) — the staged exact-cosine
+    * vector table shared by s01/s05/s09. */
+  private def scaledVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftnative.functions.dot_i64
-    val v = Tables.load(s, dir, "embeddings")
+    Tables.load(s, dir, "embeddings")
       .select($"vec_id",
         transform($"embedding",
           x => round(x.cast("double") * lit(1000000.0)).cast("long"))
@@ -54,6 +57,12 @@ object Similarity {
       // pin: the interpreted transform is evaluated once per vector, not
       // re-inlined into the pair-level projection
       .localCheckpoint()
+  }
+
+  private def bruteDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftnative.functions.dot_i64
+    val v = scaledVecs(s, dir)
     val q = v.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
     val cos = v.join(broadcast(q), $"vec_id" =!= $"qid")
@@ -822,6 +831,170 @@ object Similarity {
     GraftQuery(
       "s08_knn_pq",
       (s, dir) => pqDf(s, dir),
-      Some(sqlPq))
+      Some(sqlPq)),
+
+    // ------------------------------------------- MMR diverse reranking
+    GraftQuery(
+      "s09_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        // Maximal-Marginal-Relevance reranking of each query's top-10
+        // brute candidates down to 3 DIVERSE results: step 1 takes the
+        // most relevant candidate; each later step takes
+        // argmax(relevance - max similarity to already-selected), ties
+        // id-ascending (lambda = 0.5, which orders identically to
+        // rel - maxsim). All cosines are the exact scaled-long form, so
+        // subtraction and argmax are engine-identical. Candidate sets
+        // are k-bounded per query, so the rerank cost is O(queries *
+        // k^2) — independent of corpus size; the corpus-sized work is
+        // the candidate generation it shares with s01.
+        val v = scaledVecs(s, dir)
+        val cand = bruteDf(s, dir)
+          .select($"qid", $"neighbor_id", $"cosine")
+          .localCheckpoint()
+        // pairwise sims among one query's candidates (k^2 per query)
+        val ids = cand.select($"qid", $"neighbor_id")
+        val psim = ids.select($"qid", $"neighbor_id".as("a"))
+          .join(ids.select($"qid", $"neighbor_id".as("b")), Seq("qid"))
+          .filter($"a" =!= $"b")
+          .join(v.select($"vec_id".as("a"), $"c".as("ac"),
+            $"nrm".as("anrm")), Seq("a"))
+          .join(v.select($"vec_id".as("b"), $"c".as("bc"),
+            $"nrm".as("bnrm")), Seq("b"))
+          .select($"qid", $"a", $"b",
+            ((dot_i64($"ac", $"bc").cast("double") / lit(1.0e12)) /
+              ($"anrm" * $"bnrm")).as("sim"))
+          .localCheckpoint()
+        val w1 = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        var sel = cand.withColumn("rn", row_number().over(w1))
+          .filter($"rn" === 1)
+          .select($"qid", lit(1).as("step"), $"neighbor_id",
+            $"cosine".as("mmr_score"))
+          .localCheckpoint()
+        for (step <- 2 to MMRK) {
+          val maxSim = psim
+            .join(sel.select($"qid", $"neighbor_id".as("b")), Seq("qid", "b"))
+            .groupBy($"qid", $"a").agg(max($"sim").as("max_sim"))
+          val remaining = cand.join(
+            sel.select($"qid", $"neighbor_id"), Seq("qid", "neighbor_id"),
+            "left_anti")
+          val scored = remaining
+            .join(maxSim, remaining("qid") === maxSim("qid") &&
+              remaining("neighbor_id") === maxSim("a"))
+            .select(remaining("qid"), $"neighbor_id",
+              ($"cosine" - $"max_sim").as("score"))
+          val w = Window.partitionBy($"qid")
+            .orderBy($"score".desc, $"neighbor_id".asc)
+          val next = scored.withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"qid", lit(step).as("step"), $"neighbor_id",
+              $"score".as("mmr_score"))
+          sel = sel.unionByName(next).localCheckpoint()
+        }
+        sel
+      },
+      Some(sqlMmr(MMRK)))
   )
+
+  /** DuckDB spelling of s09: the s01 candidate CTEs, candidate-pair
+    * sims, then `steps` unrolled greedy selections. */
+  private def sqlMmr(steps: Int): String = {
+    val stages = (2 to steps).map { i =>
+      s""",
+        sc$i AS (
+          SELECT r.qid, r.neighbor_id, r.cosine - mx.max_sim AS score
+          FROM cand r
+          JOIN (SELECT p.qid, p.a, MAX(p.sim) AS max_sim
+                FROM psim p
+                JOIN selu${i - 1} s ON p.qid = s.qid AND p.b = s.neighbor_id
+                GROUP BY 1, 2) mx
+            ON mx.qid = r.qid AND mx.a = r.neighbor_id
+          WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s
+                            WHERE s.qid = r.qid
+                              AND s.neighbor_id = r.neighbor_id)
+        ),
+        sel$i AS (
+          SELECT qid, neighbor_id, score AS mmr_score FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY score DESC, neighbor_id ASC) rn
+            FROM sc$i) t
+          WHERE rn = 1
+        ),
+        selu$i AS (
+          SELECT qid, neighbor_id FROM selu${i - 1}
+          UNION ALL SELECT qid, neighbor_id FROM sel$i
+        )"""
+    }.mkString
+    val out = (1 to steps).map { i =>
+      s"""SELECT qid, CAST($i AS INT) AS step, neighbor_id, mmr_score
+          FROM sel$i"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT q.vec_id qid, c.vec_id neighbor_id,
+            CAST(SUM(q.c * c.c) AS BIGINT) dot
+          FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        ),
+        cand AS (
+          SELECT qid, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) rank
+            FROM cos) t
+          WHERE rank <= $TOPK
+        ),
+        cpair AS (
+          SELECT ca.qid, ca.neighbor_id a, cb.neighbor_id b
+          FROM cand ca JOIN cand cb
+            ON ca.qid = cb.qid AND ca.neighbor_id <> cb.neighbor_id
+        ),
+        pdot AS (
+          SELECT p.qid, p.a, p.b, CAST(SUM(x.c * y.c) AS BIGINT) dot
+          FROM cpair p
+            JOIN comp x ON x.vec_id = p.a
+            JOIN comp y ON y.vec_id = p.b AND y.i = x.i
+          GROUP BY 1, 2, 3
+        ),
+        psim AS (
+          SELECT d.qid, d.a, d.b,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (na.nrm * nb.nrm) AS sim
+          FROM pdot d
+            JOIN nrm na ON na.vec_id = d.a
+            JOIN nrm nb ON nb.vec_id = d.b
+        ),
+        sel1 AS (
+          SELECT qid, neighbor_id, cosine AS mmr_score FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) rn
+            FROM cand) t
+          WHERE rn = 1
+        ),
+        selu1 AS (SELECT qid, neighbor_id FROM sel1)$stages
+        $out"""
+  }
 }
