@@ -1104,6 +1104,33 @@ object Relational {
           FROM events) t
         WHERE rank <= 3""")),
 
+    // ------------------------------------------------------------ unpivot
+    GraftQuery(
+      "q46_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        // unpivot (melt): fold q35's wide per-type columns back to long
+        // (user_id, event_type, total) rows, dropping the NULL cells
+        // absent users never produced. The round trip pivot -> unpivot
+        // must equal the direct grouped aggregate — which is exactly
+        // what the oracle computes. Unpivot is a zero-shuffle
+        // projection (one output row per (row, value column)).
+        val types = Seq("click", "view", "purchase", "error")
+        val piv = t(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(sum(dec($"value")).cast("double"))
+        piv.unpivot(Array($"user_id"), types.map(col).toArray,
+            "event_type", "total")
+          .filter($"total".isNotNull)
+      },
+      Some("""
+        SELECT user_id, event_type,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase', 'error')
+        GROUP BY 1, 2""")),
+
     // ------------------------------------------------ lateral subquery join
     GraftQuery(
       "q44_lateral_topn",
