@@ -371,6 +371,48 @@ object PipelineExtra {
       Some(decontamOracleSql)),
 
     GraftQuery(
+      "p12_semantic_packing",
+      (s, dir) => {
+        import s.implicits._
+        // Curriculum-style SEMANTIC batching: documents are assigned to
+        // embedding-space cells by the shared deterministic k-means
+        // (the s02/s07 kernels), then packed into context windows
+        // WITHIN each cell — so every training batch carries
+        // topically-coherent sequences (the SemDeDup-cluster +
+        // concat-then-chunk combination). The cell assignment is one
+        // broadcast argmax map pass; the packing is p01's per-group
+        // windowed running sum with cell as the group — both
+        // shuffle-light at any corpus size.
+        val cells = graft.operators.AnnOps.kmeansCells(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 3, iters = 2)
+          .select($"id".as("doc_id"), $"cell")
+        val tok = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("toks"))
+          .join(cells, Seq("doc_id"))
+        graft.operators.PrepOps
+          .packSequences(tok, "cell", "doc_id", "toks", PackBudget)
+          .select($"group".as("cell"), $"pack_id", $"n_docs", $"n_tokens")
+      },
+      Some(s"""
+        WITH ${Similarity.sqlKmeansCtes},
+        tok AS (
+          SELECT d.doc_id, a.cell,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) toks
+          FROM documents d JOIN assign2 a ON a.vec_id = d.doc_id
+        ),
+        cum AS (
+          SELECT cell, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY cell ORDER BY doc_id) cum
+          FROM tok
+        )
+        SELECT cell,
+          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2""")),
+
+    GraftQuery(
       "p08_domain_mixture",
       (s, dir) => {
         import s.implicits._

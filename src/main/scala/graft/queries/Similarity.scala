@@ -212,7 +212,7 @@ object Similarity {
   /** Oracle CTE chain for the deterministic k-means — the two Lloyd
     * steps unrolled, ending in `assign2`(vec_id, cell). Shared prefix of
     * the s02 and s07 oracles (SQL analog of [[kmeansMembers]]). */
-  private val sqlKmeansCtes = s"""comp AS (
+  private[queries] val sqlKmeansCtes = s"""comp AS (
           SELECT vec_id,
             unnest(range(len(embedding))) i,
             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
