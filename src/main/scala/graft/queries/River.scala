@@ -483,7 +483,7 @@ object River {
         import s.implicits._
         // Sinks/formats beyond Parquet (SURVEY §2.2: "other formats
         // free via Spark"), proven rather than claimed: the same event
-        // projection is written as JSON lines and CSV through
+        // projection is written as JSON lines, CSV, and ORC through
         // DataFrameWriter, read back with an explicit schema, and each
         // format's aggregate must equal the Parquet source's. Doubles
         // survive because both writers emit Java's round-trippable
@@ -496,11 +496,13 @@ object River {
         base.write.mode("overwrite").json(s"$root/ev_json")
         base.write.mode("overwrite").option("header", "true")
           .csv(s"$root/ev_csv")
+        base.write.mode("overwrite").orc(s"$root/ev_orc")
         val back = Seq(
           "parquet" -> base,
           "json" -> s.read.schema(base.schema).json(s"$root/ev_json"),
           "csv" -> s.read.schema(base.schema).option("header", "true")
-            .csv(s"$root/ev_csv"))
+            .csv(s"$root/ev_csv"),
+          "orc" -> s.read.schema(base.schema).orc(s"$root/ev_orc"))
         // the aggregate must witness EVERY projected column — including
         // the string one — or a quoting/escaping drift could pass: n,
         // both id sums, the decimal value sum, and the total
@@ -531,6 +533,6 @@ object River {
             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
               AS total_value
           FROM events
-        ), (SELECT unnest(['parquet', 'json', 'csv']) AS fmt)"""))
+        ), (SELECT unnest(['parquet', 'json', 'csv', 'orc']) AS fmt)"""))
   )
 }
