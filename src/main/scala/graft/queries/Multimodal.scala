@@ -320,6 +320,66 @@ object Multimodal {
              for i in range(len(text)) if (i // 64) % 4 = 0]), 0)
             AS BIGINT) AS sum_sampled_gray,
           true AS roundtrip_exact
-        FROM documents WHERE text IS NOT NULL"""))
+        FROM documents WHERE text IS NOT NULL""")),
+
+    GraftQuery(
+      "m09_audio_frames",
+      (s, dir) => {
+        import s.implicits._
+        // The decode -> frame -> feature pipeline over REAL WAV decode:
+        // each doc's PCM (the m07 construction) is split into
+        // 160-sample windows (20 ms at 8 kHz, the standard speech
+        // frame) and reduced to integer window features — window count,
+        // loudest-window sample sum, total energy (sum of squares).
+        // All-integer features, so the byte-arithmetic oracle
+        // reproduces them exactly from the text; a framing bug (off by
+        // one at a window boundary, dropped tail window) diverges
+        // max_window_sum. Pure map-side.
+        val frame = 160
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val samples = if (bytes.isEmpty) Array[Byte](0) else bytes
+              val wav = graft.multimodal.AudioCodec
+                .encodeWavPcm8(samples, 8000f)
+              val dec = graft.multimodal.AudioCodec.decode(wav)
+                .getOrElse(sys.error(s"m09: wav decode failed for doc $id"))
+              var i = 0; var cur = 0L; var maxw = 0L; var sq = 0L
+              var nw = 0
+              while (i < dec.samples.length) {
+                val v = (dec.samples(i) & 0xff).toLong
+                cur += v; sq += v * v
+                i += 1
+                if (i % frame == 0 || i == dec.samples.length) {
+                  if (cur > maxw) maxw = cur
+                  cur = 0L; nw += 1
+                }
+              }
+              (id, dec.samples.length.toLong, nw.toLong, maxw, sq)
+            }
+          }
+          .toDF("doc_id", "n_samples", "n_windows", "max_window_sum",
+            "sum_sq")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(GREATEST(octet_length(encode(text)), 1) AS BIGINT)
+            AS n_samples,
+          CAST((GREATEST(octet_length(encode(text)), 1) + 159) // 160
+            AS BIGINT) AS n_windows,
+          CAST(COALESCE(list_max(
+            [list_sum(codes[w*160+1 : (w+1)*160])
+             for w in range((GREATEST(len(text), 1) + 159) // 160)]), 0)
+            AS BIGINT) AS max_window_sum,
+          CAST(COALESCE(list_sum([c * c for c in codes]), 0) AS BIGINT)
+            AS sum_sq
+        FROM (
+          SELECT doc_id, text,
+            [ascii(substr(text, CAST(i+1 AS INT), 1))
+             for i in range(len(text))] AS codes
+          FROM documents WHERE text IS NOT NULL)"""))
   )
 }
