@@ -1104,6 +1104,37 @@ object Relational {
           FROM events) t
         WHERE rank <= 3""")),
 
+    // ------------------------------------------- range (time) window frame
+    GraftQuery(
+      "q47_window_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        // RANGE frame over event time: each event's trailing 1-hour
+        // sum/count per user — the time-based moving aggregate (q18's
+        // frame counts ROWS; this one bounds by the ORDER-BY VALUE, so
+        // peers at the same timestamp aggregate together and sparse
+        // users don't over-reach). ts is the epoch-nanos long contract,
+        // so the frame bound is exact integer arithmetic in both
+        // engines.
+        val w = Window.partitionBy($"user_id").orderBy($"ts")
+          .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+        t(s, dir, "events")
+          .select($"user_id", $"event_id",
+            sum(dec($"value")).over(w).cast("double").as("hour_sum"),
+            count(lit(1)).over(w).as("hour_n"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS hour_sum,
+          COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+            AS hour_n
+        FROM events""")),
+
     // ------------------------------------------------------------ unpivot
     GraftQuery(
       "q46_unpivot",
