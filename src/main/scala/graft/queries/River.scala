@@ -533,6 +533,57 @@ object River {
             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
               AS total_value
           FROM events
-        ), (SELECT unnest(['parquet', 'json', 'csv', 'orc']) AS fmt)"""))
+        ), (SELECT unnest(['parquet', 'json', 'csv', 'orc']) AS fmt)""")),
+
+    GraftQuery(
+      "r13_stream_event_time",
+      (s, dir) => {
+        import s.implicits._
+        // Event-time ANALYTICS over the river DSv2 micro-batch source:
+        // st01's watermarked tumbling window running on r07's custom
+        // transport instead of a file stream -- the live-stream
+        // analytics composition the engine exists for. Events land in a
+        // river stream (ts preserved as INT64 nanos by the connector's
+        // RiverSchema mapping), stream back out through readStream
+        // .format("river"), and aggregate into 1-hour event-time
+        // windows, COMPLETE mode (the st01 backfill construction: the
+        // whole aggregation state emits at the end — the river DSv2
+        // source drains in one AvailableNow batch and, unlike a file
+        // stream, runs no trailing no-data batch, so append-mode
+        // watermark closure never fires; complete mode is the honest
+        // bounded-drain spelling here).
+        val root = tempRoot("evt")
+        graft.queries.River.writeThroughFacade(
+          s, dir, root, "evt") // (helper writes event_id,user_id,ts,value)
+        val stream = s.readStream.format("river")
+          .option("root", root.toString).option("stream", "evt")
+          .load()
+          .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+          .groupBy(window($"event_time", "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        graft.streaming.StreamingOps.drain(s, stream, "r13", "complete")
+          .select(unix_timestamp($"window.start").as("window_start"),
+            $"n_events", $"total_value")
+      },
+      Some("""
+        SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1"""))
   )
+
+  /** Write (event_id, user_id, ts, value) into a river stream through
+    * the DSv2 sink — r13's staging step. */
+  private[queries] def writeThroughFacade(s: SparkSession, dir: String,
+      root: java.nio.file.Path, stream: String): Unit = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .orderBy($"event_id")
+      .coalesce(1)
+      .write.format("river")
+      .option("root", root.toString).option("stream", stream)
+      .mode("append").save()
+  }
 }
