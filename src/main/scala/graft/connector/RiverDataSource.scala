@@ -206,7 +206,8 @@ object RiverOffset {
 
 class RiverMicroBatchStream(
     root: String, stream: String, rs: RiverSchema, required: StructType)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def store = new StreamStore(java.nio.file.Paths.get(root))
 
@@ -233,6 +234,32 @@ class RiverMicroBatchStream(
     if (segs.isEmpty) RiverOffset(0L, 0L)
     else RiverOffset(segs.last, alignedEnd(segs.last))
   }
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ----
+  // The engine calls prepareForTriggerAvailableNow once at query start;
+  // we pin the frontier THEN, and every admission-controlled
+  // latestOffset(start, limit) returns the pinned frontier — so the run
+  // drains exactly what existed at start (a live writer appending
+  // mid-run is next run's data), and the engine's no-data-batch
+  // machinery can fire afterwards, advancing the watermark so
+  // append-mode windows/dedup close. Without this interface Spark falls
+  // back to a wrapper that stops at the last DATA batch — event-time
+  // closure never happens on a bounded drain.
+  private var availableNowEnd: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(latestOffset())
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset =
+    availableNowEnd.getOrElse(latestOffset())
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = RiverOffset.fromJson(json)
 

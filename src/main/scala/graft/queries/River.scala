@@ -545,13 +545,12 @@ object River {
         // analytics composition the engine exists for. Events land in a
         // river stream (ts preserved as INT64 nanos by the connector's
         // RiverSchema mapping), stream back out through readStream
-        // .format("river"), and aggregate into 1-hour event-time
-        // windows, COMPLETE mode (the st01 backfill construction: the
-        // whole aggregation state emits at the end — the river DSv2
-        // source drains in one AvailableNow batch and, unlike a file
-        // stream, runs no trailing no-data batch, so append-mode
-        // watermark closure never fires; complete mode is the honest
-        // bounded-drain spelling here).
+        // .format("river"), and aggregate under a 1-hour watermark in
+        // APPEND mode: only windows the final watermark closed emit.
+        // Append-mode closure needs the trailing no-data batch, which
+        // the engine runs only for sources implementing
+        // SupportsTriggerAvailableNow — RiverMicroBatchStream pins its
+        // frontier in prepareForTriggerAvailableNow exactly for this.
         val root = tempRoot("evt")
         graft.queries.River.writeThroughFacade(
           s, dir, root, "evt") // (helper writes event_id,user_id,ts,value)
@@ -559,18 +558,24 @@ object River {
           .option("root", root.toString).option("stream", "evt")
           .load()
           .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("event_time", "1 hour")
           .groupBy(window($"event_time", "1 hour"))
           .agg(count(lit(1)).as("n_events"),
             sum(dec($"value")).cast("double").as("total_value"))
-        graft.streaming.StreamingOps.drain(s, stream, "r13", "complete")
+        graft.streaming.StreamingOps.drain(s, stream, "r13", "append")
           .select(unix_timestamp($"window.start").as("window_start"),
             $"n_events", $"total_value")
       },
       Some("""
+        WITH wm AS (
+          SELECT MAX(epoch_ns(ts)) // 1000000000 - 3600 AS w FROM events
+        )
         SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
           COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1"""))
+        FROM events
+        GROUP BY 1
+        HAVING window_start + 3600 <= (SELECT w FROM wm)"""))
   )
 
   /** Write (event_id, user_id, ts, value) into a river stream through
