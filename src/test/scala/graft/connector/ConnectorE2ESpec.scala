@@ -169,6 +169,55 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.toSeq == (0L until Total.toLong))
   }
 
+  test("AvailableNow pins the frontier: mid-run appends are next run's " +
+      "data; append-mode watermark closure fires (r13 contract)") {
+    val root = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(
+      RiverField("ts", RiverType.Int64),
+      RiverField("v", RiverType.Double64)))
+    val w = store.createStream("evt", schema)
+    val hourNs = 3600L * 1000000000L
+    // 3 full hours of events, 4 per hour
+    val rows: Seq[Seq[Any]] = (0 until 12).map(k =>
+      Seq[Any](k / 4 * hourNs + (k % 4) * 60L * 1000000000L, k.toDouble))
+    w.write(rows)
+
+    // unit-level pinning contract on the stream itself
+    val mbs = new graft.connector.RiverMicroBatchStream(root.toString,
+      "evt", schema, null)
+    mbs.prepareForTriggerAvailableNow()
+    val pinned = mbs.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+    w.write(Seq(Seq[Any](99L * hourNs, 99.0))) // mid-run append
+    assert(mbs.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable()).json == pinned.json,
+      "admission-controlled offset moved past the pinned frontier")
+    assert(mbs.reportLatestOffset().json != pinned.json,
+      "live frontier should see the mid-run append")
+    w.stop()
+
+    // e2e: append-mode windows close (needs the trailing no-data batch)
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val stream = s.readStream.format("river")
+      .option("root", root.toString).option("stream", "evt").load()
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val out = graft.streaming.StreamingOps
+      .drain(s, stream, "e2e_an_close", "append")
+      .select(unix_timestamp($"window.start").as("ws"), $"n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // final watermark = 99h - 1h; hours 0,1,2 closed (4 events each),
+    // the watermark-donor event's own hour-99 window is NOT closed
+    assert(out == Map(0L -> 4L, 3600L -> 4L, 7200L -> 4L))
+  }
+
   test("parallel sweep ingests multiple streams concurrently (I1)") {
     val root = newRoot()
     val out = newRoot()
