@@ -36,8 +36,68 @@ object AudioCodec {
   /** Decode any javax.sound-readable payload (WAV/AIFF/AU) to its raw
     * sample bytes; None when no installed reader accepts the bytes —
     * the honest non-audio signal, callers fall back to the stub.
+    *
+    * Plain PCM RIFF/WAVE (the overwhelmingly common case, and
+    * everything [[encodeWavPcm8]] emits) decodes through a direct
+    * header parse: `AudioSystem.getAudioInputStream` runs a
+    * synchronized provider probe per call, which collapses under 32
+    * concurrent decode tasks — the m07/m09 sf1 probe measured ~17x for
+    * 10x docs before this fast path. Non-PCM or non-RIFF payloads
+    * still take the general javax.sound route.
     */
-  def decode(content: Array[Byte]): Option[DecodedAudio] =
+  def decode(content: Array[Byte]): Option[DecodedAudio] = {
+    val riff = decodeRiffPcm(content)
+    if (riff.isDefined) riff else decodeViaAudioSystem(content)
+  }
+
+  /** Direct RIFF/WAVE parse for format 1 (integer PCM): fmt + data
+    * chunks, little-endian, word-aligned chunk walk. Returns None for
+    * anything that isn't a self-contained PCM WAV — the caller then
+    * probes the installed readers.
+    */
+  private def decodeRiffPcm(b: Array[Byte]): Option[DecodedAudio] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 44 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var off = 12
+    var haveFmt = false
+    var rate = 0f; var ch = 0; var blockAlign = 1
+    var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= b.length && (!haveFmt || dataOff < 0)) {
+      val sz = u32(off + 4)
+      val isFmt = b(off) == 'f' && b(off + 1) == 'm' &&
+        b(off + 2) == 't' && b(off + 3) == ' '
+      val isData = b(off) == 'd' && b(off + 1) == 'a' &&
+        b(off + 2) == 't' && b(off + 3) == 'a'
+      if (isFmt) {
+        if (sz < 16 || off + 8 + 16 > b.length) return None
+        if (u16(off + 8) != 1) return None // non-PCM: general path
+        ch = u16(off + 10)
+        rate = u32(off + 12).toFloat
+        blockAlign = math.max(1, u16(off + 20))
+        haveFmt = true
+      } else if (isData) {
+        dataOff = off + 8
+        dataLen = sz
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
+      if (off < 0) return None // corrupt size wrapped
+    }
+    if (!haveFmt || dataOff < 0 || dataLen < 0 ||
+      dataOff + dataLen > b.length) None
+    else {
+      val bytes =
+        java.util.Arrays.copyOfRange(b, dataOff, (dataOff + dataLen).toInt)
+      Some(DecodedAudio(rate, ch, bytes.length.toLong / blockAlign, bytes))
+    }
+  }
+
+  private def decodeViaAudioSystem(
+      content: Array[Byte]): Option[DecodedAudio] =
     try {
       val ais = AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(content))
