@@ -69,6 +69,10 @@ object AudioCodec {
     var dataOff = -1; var dataLen = -1L
     while (off + 8 <= b.length && (!haveFmt || dataOff < 0)) {
       val sz = u32(off + 4)
+      // a size field beyond the buffer is corrupt; rejecting it here
+      // also guarantees the chunk walk ALWAYS advances (a 0xFFFFFFF8
+      // size would truncate to a step of 0 and spin this loop forever)
+      if (sz > b.length) return None
       val isFmt = b(off) == 'f' && b(off + 1) == 'm' &&
         b(off + 2) == 't' && b(off + 3) == ' '
       val isData = b(off) == 'd' && b(off + 1) == 'a' &&
@@ -78,14 +82,21 @@ object AudioCodec {
         if (u16(off + 8) != 1) return None // non-PCM: general path
         ch = u16(off + 10)
         rate = u32(off + 12).toFloat
-        blockAlign = math.max(1, u16(off + 20))
+        val bits = u16(off + 22)
+        blockAlign = u16(off + 20)
+        // reject headers javax.sound would reject, so the fast path
+        // never WIDENS decode()'s readable-audio contract: a malformed
+        // PCM header must still fall through to the stub, not emit
+        // metadata the general path would have refused
+        if (ch < 1 || rate <= 0f ||
+          (bits != 8 && bits != 16 && bits != 24 && bits != 32) ||
+          blockAlign != ch * (bits / 8)) return None
         haveFmt = true
       } else if (isData) {
         dataOff = off + 8
         dataLen = sz
       }
       off += 8 + sz.toInt + (sz.toInt & 1)
-      if (off < 0) return None // corrupt size wrapped
     }
     if (!haveFmt || dataOff < 0 || dataLen < 0 ||
       dataOff + dataLen > b.length) None

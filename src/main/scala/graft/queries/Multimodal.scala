@@ -364,11 +364,14 @@ object Multimodal {
           .toDF("doc_id", "n_samples", "n_windows", "max_window_sum",
             "sum_sq")
       },
+      // like m07, the oracle assumes the pure-ASCII corpus (byte ==
+      // char code), and spells EVERY measure over the same char-indexed
+      // codes list — mixing octet_length with char indexing would make
+      // the oracle internally inconsistent on non-ASCII text
       Some("""
         SELECT doc_id,
-          CAST(GREATEST(octet_length(encode(text)), 1) AS BIGINT)
-            AS n_samples,
-          CAST((GREATEST(octet_length(encode(text)), 1) + 159) // 160
+          CAST(GREATEST(len(text), 1) AS BIGINT) AS n_samples,
+          CAST((GREATEST(len(text), 1) + 159) // 160
             AS BIGINT) AS n_windows,
           CAST(COALESCE(list_max(
             [list_sum(codes[w*160+1 : (w+1)*160])

@@ -59,10 +59,15 @@ object Similarity {
       .localCheckpoint()
   }
 
-  private def bruteDf(s: SparkSession, dir: String): DataFrame = {
+  private def bruteDf(s: SparkSession, dir: String): DataFrame =
+    bruteFromStaged(s, scaledVecs(s, dir))
+
+  /** [[bruteDf]] over an ALREADY-STAGED [[scaledVecs]] table — s09
+    * shares one staging pass between candidate generation and its
+    * pairwise sims instead of scanning the corpus twice. */
+  private def bruteFromStaged(s: SparkSession, v: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftnative.functions.dot_i64
-    val v = scaledVecs(s, dir)
     val q = v.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("qid"), $"c".as("qc"), $"nrm".as("qnrm"))
     val cos = v.join(broadcast(q), $"vec_id" =!= $"qid")
@@ -850,7 +855,7 @@ object Similarity {
         // k^2) — independent of corpus size; the corpus-sized work is
         // the candidate generation it shares with s01.
         val v = scaledVecs(s, dir)
-        val cand = bruteDf(s, dir)
+        val cand = bruteFromStaged(s, v)
           .select($"qid", $"neighbor_id", $"cosine")
           .localCheckpoint()
         // pairwise sims among one query's candidates (k^2 per query)

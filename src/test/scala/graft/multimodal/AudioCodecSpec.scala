@@ -37,6 +37,25 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode(wav.take(10)).isEmpty)
   }
 
+  test("corrupt RIFF never hangs or widens the decode contract") {
+    val wav = AudioCodec.encodeWavPcm8(seededSamples(64, 7), 8000f)
+    // a chunk size of 0xFFFFFFF8 truncates to a step of 0 in a naive
+    // walk — the fast path must reject (size beyond buffer), not spin
+    val spin = wav.clone()
+    spin(16) = 0xF8.toByte; spin(17) = 0xFF.toByte
+    spin(18) = 0xFF.toByte; spin(19) = 0xFF.toByte
+    assert(AudioCodec.decode(spin).isEmpty)
+    // malformed PCM header (0 channels): javax.sound refuses it, so the
+    // fast path must too — same input, same stub fallback as before
+    val zeroCh = wav.clone()
+    zeroCh(22) = 0; zeroCh(23) = 0
+    assert(AudioCodec.decode(zeroCh).isEmpty)
+    // bogus bits-per-sample
+    val badBits = wav.clone()
+    badBits(34) = 13
+    assert(AudioCodec.decode(badBits).isEmpty)
+  }
+
   test("decodeMeta: real (channels, rate, frames) for real audio") {
     val wav = AudioCodec.encodeWavPcm8(seededSamples(123, 5), 8000f)
     assert(MediaPipeline.decodeMeta("audio", wav) == ((1, 8000, 123)))
