@@ -19,9 +19,46 @@ final case class DecodedAudio(
   */
 object AudioCodec {
 
-  /** Encode 8-bit unsigned mono PCM samples as a WAV file. */
+  /** Encode 8-bit unsigned mono PCM samples as a WAV file.
+    *
+    * Emits the canonical 44-byte-header RIFF/WAVE layout directly —
+    * byte-identical to `AudioSystem.write`'s output for this format
+    * (pinned by AudioCodecSpec's golden compare), without the
+    * synchronized writer-provider probe the JDK runs per call (the
+    * encode-side twin of the [[decode]] contention fix).
+    */
   def encodeWavPcm8(samples: Array[Byte], sampleRate: Float): Array[Byte] = {
     require(samples.nonEmpty, "encodeWavPcm8: empty clip")
+    val n = samples.length
+    val out = new Array[Byte](44 + n)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, o)
+    val rate = math.round(sampleRate).toLong
+    tag(0, "RIFF"); w32(4, 36L + n); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16L)
+    w16(20, 1) // integer PCM
+    w16(22, 1) // mono
+    w32(24, rate)
+    w32(28, rate) // byte rate = rate * blockAlign(1)
+    w16(32, 1) // block align
+    w16(34, 8) // bits per sample
+    tag(36, "data"); w32(40, n.toLong)
+    System.arraycopy(samples, 0, out, 44, n)
+    out
+  }
+
+  /** The javax.sound spelling of [[encodeWavPcm8]] — kept as the golden
+    * reference the spec compares against byte-for-byte. */
+  private[multimodal] def encodeWavPcm8ViaAudioSystem(
+      samples: Array[Byte], sampleRate: Float): Array[Byte] = {
     // 8-bit PCM is unsigned in WAV; mono; frame = 1 byte
     val fmt = new AudioFormat(
       AudioFormat.Encoding.PCM_UNSIGNED, sampleRate, 8, 1, 1, sampleRate,

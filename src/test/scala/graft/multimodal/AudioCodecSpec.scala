@@ -29,6 +29,21 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("direct RIFF writer is byte-identical to AudioSystem.write") {
+    for ((n, seed) <- Seq((1, 11), (160, 12), (8192, 13), (10001, 14))) {
+      val px = seededSamples(n, seed)
+      assert(java.util.Arrays.equals(
+        AudioCodec.encodeWavPcm8(px, 8000f),
+        AudioCodec.encodeWavPcm8ViaAudioSystem(px, 8000f)),
+        s"header/payload drift at $n samples")
+    }
+    // non-integral rate rounds like the JDK writer
+    val px = seededSamples(64, 15)
+    assert(java.util.Arrays.equals(
+      AudioCodec.encodeWavPcm8(px, 44100f),
+      AudioCodec.encodeWavPcm8ViaAudioSystem(px, 44100f)))
+  }
+
   test("decode returns None on non-audio bytes") {
     assert(AudioCodec.decode("spark group query row".getBytes).isEmpty)
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
