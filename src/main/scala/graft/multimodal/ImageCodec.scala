@@ -57,6 +57,33 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  // The decode-side twin of pngWriter: ImageIO.read runs the
+  // reader-SPI registry scan per call; PNG payloads (the m06/m08 hot
+  // path) go through a per-thread reused reader instead. Non-PNG
+  // payloads still take the general ImageIO.read probe.
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
+      val it = ImageIO.getImageReadersByFormatName("png")
+      require(it.hasNext, "imageio: no PNG reader")
+      it.next()
+    }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
+
+  private def readImage(content: Array[Byte]): BufferedImage =
+    if (isPng(content)) {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(content))
+      val r = pngReader.get()
+      r.setInput(iis)
+      try r.read(0)
+      finally {
+        try iis.close() finally r.setInput(null)
+      }
+    } else ImageIO.read(new ByteArrayInputStream(content))
+
   /** Decode any imageio-readable payload (PNG/BMP/JPEG/GIF) to 8-bit
     * grayscale; None when no installed reader accepts the bytes (the
     * honest signal that the payload is not an image — callers fall back
@@ -64,7 +91,7 @@ object ImageCodec {
     */
   def decode(content: Array[Byte]): Option[DecodedImage] = {
     val img =
-      try ImageIO.read(new ByteArrayInputStream(content))
+      try readImage(content)
       catch { case _: Exception => null }
     if (img == null) None
     else {
