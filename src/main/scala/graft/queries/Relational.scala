@@ -1209,7 +1209,10 @@ object Relational {
         // explicit LIMIT on the CTE reference replaces the valve FOR
         // THIS QUERY ONLY (the session-wide conf stays at its default
         // for any other recursive query); 2e9 is a no-op bound here —
-        // the depth < 8 cap means true output is <= |events|.
+        // the depth < 8 cap means true output is <= |events|. Spark's
+        // LIMIT is int-bounded, so a corpus where the walk legitimately
+        // exceeds 2^31 rows sizes spark.sql.cteRecursionRowLimit per
+        // job instead of using this spelling.
         t(s, dir, "events").createOrReplaceTempView("events_rc")
         s.sql("""
           WITH RECURSIVE ev AS (
