@@ -577,6 +577,79 @@ object TextOps {
         ((col("s").cast("double") / col("n_words")) <= cutoff).as("keep"))
   }
 
+  /** Interpolated bigram-LM perplexity (the n-gram upgrade of
+    * [[perplexityScore]]): each document scored by its average NLL
+    * under p(b|a) = 0.7 * c(a,b)/c1(a) + 0.3 * c(b)/T, where c1(a) is
+    * a's count as a bigram left context; the first token scores
+    * unigram-only. Like t11, every NLL is quantized to DECIMAL(12,6)
+    * ONCE per (bigram | vocab) entry so a last-ulp ln() divergence
+    * between engines cannot move a score, and per-doc sums are exact
+    * decimal adds. Returns (id, n_words, avg_nll, keep).
+    *
+    * Scale shape: three map-side-combinable count aggregates (unigram,
+    * bigram, left-context), two gated scoring joins (bigram stream on
+    * the |bigram-vocab| table; first tokens on the |vocab| table), one
+    * per-id re-aggregate. Nothing is ever quadratic; the LM tables are
+    * the only broadcast candidates.
+    */
+  def bigramPerplexityScore(df: DataFrame, idCol: String, textCol: String,
+      cutoff: Double = 3.402, lambda: Double = 0.7,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val words = toks.select(col("id"), explode(col("ws")).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val bigrams = toks.select(col("id"), explode(
+      zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint()
+    val ctx = bi.select(split(col("bg"), " ").getItem(0).as("w"),
+        col("cab"))
+      .groupBy(col("w")).agg(sum(col("cab")).as("c1"))
+    // NLL per bigram entry: quantized once, exact thereafter
+    val biNll = bi
+      .select(col("bg"), split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"), col("cab"))
+      .join(ctx.withColumnRenamed("w", "a"), Seq("a"))
+      .join(uni.withColumnRenamed("w", "b"), Seq("b"))
+      .select(col("bg"),
+        (-log(lit(lambda) * (col("cab").cast("double") / col("c1")) +
+          lit(1.0 - lambda) * (col("c").cast("double") / lit(total))))
+          .cast(DecimalType(12, 6)).as("nll"))
+    val uniNll = uni.select(col("w"),
+      (-log(col("c").cast("double") / lit(total)))
+        .cast(DecimalType(12, 6)).as("nll"))
+    val mBi = biNll.agg(count(lit(1)), coalesce(sum(length(col("bg"))),
+      lit(0L))).head()
+    val mUni = uniNll.agg(count(lit(1)), coalesce(sum(length(col("w"))),
+      lit(0L))).head()
+    val vb = gateBroadcast(biNll, mBi.getLong(0), mBi.getLong(1),
+      maxBroadcastBytes)
+    val vu = gateBroadcast(uniNll, mUni.getLong(0), mUni.getLong(1),
+      maxBroadcastBytes)
+    val biScores = bigrams.join(vb, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("nb"), sum(col("nll")).as("sb"))
+    val firstScores = toks
+      .select(col("id"), element_at(col("ws"), 1).as("w"))
+      .join(vu, Seq("w"))
+      .select(col("id"), col("nll").as("s1"))
+    firstScores.join(biScores, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("nb"), lit(0L)) + lit(1L)).as("n_words"),
+        ((col("s1") + coalesce(col("sb"),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(22, 6))))
+          .cast("double") /
+          (coalesce(col("nb"), lit(0L)) + lit(1L))).as("avg_nll"))
+      .withColumn("keep", col("avg_nll") <= cutoff)
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (map-side partial agg
     * + TakeOrdered; never a full sort). Returns (w, cnt). */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =

@@ -623,7 +623,69 @@ object TextAnalysis {
             merges = 3)
           .select($"id".as("doc_id"), $"n_words", $"n_bpe_tokens")
       },
-      Some(bpeSegmentOracle(3)))
+      Some(bpeSegmentOracle(3))),
+
+    // ---------------------------------- interpolated bigram perplexity
+    GraftQuery(
+      "t16_bigram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        // the n-gram upgrade of t11: interpolated bigram LM, NLLs
+        // decimal-quantized once per (bigram | vocab) entry. The query
+        // IS the TextOps.bigramPerplexityScore facade call.
+        graft.operators.TextOps.bigramPerplexityScore(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_words", $"avg_nll", $"keep")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+          WHERE len(string_split(text, ' ')) > 0
+        ),
+        w AS (SELECT doc_id, unnest(ws) w FROM toks),
+        uni AS (SELECT w, COUNT(*) c FROM w GROUP BY 1),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM uni),
+        bgs AS (
+          SELECT doc_id,
+            unnest([ws[i+1] || ' ' || ws[i+2]
+                    for i in range(len(ws) - 1)]) bg
+          FROM toks
+        ),
+        bi AS (SELECT bg, COUNT(*) cab FROM bgs GROUP BY 1),
+        ctx AS (
+          SELECT string_split(bg, ' ')[1] w, CAST(SUM(cab) AS BIGINT) c1
+          FROM bi GROUP BY 1
+        ),
+        binll AS (
+          SELECT b.bg,
+            CAST(-ln(0.7 * (CAST(b.cab AS DOUBLE) / x.c1)
+              + 0.3 * (CAST(u.c AS DOUBLE) / (SELECT t FROM t)))
+              AS DECIMAL(12,6)) nll
+          FROM bi b
+            JOIN ctx x ON x.w = string_split(b.bg, ' ')[1]
+            JOIN uni u ON u.w = string_split(b.bg, ' ')[2]
+        ),
+        uninll AS (
+          SELECT w, CAST(-ln(CAST(c AS DOUBLE) / (SELECT t FROM t))
+            AS DECIMAL(12,6)) nll
+          FROM uni
+        ),
+        bs AS (
+          SELECT g.doc_id, COUNT(*) nb, SUM(n.nll) sb
+          FROM bgs g JOIN binll n USING (bg) GROUP BY 1
+        ),
+        fs AS (
+          SELECT tk.doc_id, n.nll s1
+          FROM (SELECT doc_id, ws[1] w FROM toks) tk
+          JOIN uninll n USING (w)
+        )
+        SELECT f.doc_id,
+          CAST(COALESCE(b.nb, 0) + 1 AS BIGINT) AS n_words,
+          CAST(f.s1 + COALESCE(b.sb, 0) AS DOUBLE)
+            / (COALESCE(b.nb, 0) + 1) AS avg_nll,
+          (CAST(f.s1 + COALESCE(b.sb, 0) AS DOUBLE)
+            / (COALESCE(b.nb, 0) + 1)) <= 3.402 AS keep
+        FROM fs f LEFT JOIN bs b USING (doc_id)"""))
   )
 
   /** The shared CTE prefix of the BPE oracles, unrolled to `merges`
