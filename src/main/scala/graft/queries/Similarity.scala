@@ -838,6 +838,105 @@ object Similarity {
       (s, dir) => pqDf(s, dir),
       Some(sqlPq)),
 
+    // ----------------------------------- int8-quantized retrieval (s10)
+    GraftQuery(
+      "s10_knn_quantized",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        // Retrieval in p04's int8 space + the recall audit every
+        // quantized index ships with: corpus vectors quantize to
+        // symmetric int8 (per-vector scale = max|c|/127), candidates
+        // score by the EXACT integer quantized dot rescaled by the
+        // corpus side's scale/nrm (query-side constants can't change a
+        // per-query ranking), recall@10 measured against the exact s01
+        // ground truth. The quantized index is 8x smaller than the
+        // scaled-long table — the memory story — while the dot stays
+        // exact integer arithmetic.
+        val v = scaledVecs(s, dir)
+        val vq = v
+          .withColumn("mx",
+            aggregate($"c", lit(0L), (m, x) => greatest(m, abs(x))))
+          .filter($"mx" > 0)
+          .withColumn("scale", $"mx".cast("double") / lit(127.0))
+          .withColumn("q",
+            transform($"c", x => round(x.cast("double") / $"scale")
+              .cast("long")))
+          .localCheckpoint()
+        val q = vq.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"q".as("qq"))
+        val scored = vq.join(broadcast(q), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("neighbor_id"),
+            (dot_i64($"qq", $"q").cast("double") * $"scale" / $"nrm")
+              .as("qscore"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"qscore".desc, $"neighbor_id".asc)
+        val hits = scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= TOPK)
+          .select($"qid".as("iqid"), $"neighbor_id".as("ineighbor"))
+        bruteFromStaged(s, v).filter($"rank" <= TOPK)
+          .select($"qid", $"neighbor_id")
+          .join(hits,
+            $"qid" === $"iqid" && $"neighbor_id" === $"ineighbor", "left")
+          .groupBy($"qid")
+          .agg(count($"ineighbor").as("n_matched"))
+          .select($"qid", $"n_matched",
+            ($"n_matched".cast("double") / lit(TOPK.toDouble))
+              .as("recall_at_10"))
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        mx AS (SELECT vec_id, MAX(ABS(c)) mx FROM comp GROUP BY 1),
+        qv AS (
+          SELECT comp.vec_id, comp.i,
+            CAST(round(CAST(comp.c AS DOUBLE)
+              / (CAST(mx.mx AS DOUBLE) / 127.0)) AS BIGINT) q,
+            CAST(mx.mx AS DOUBLE) / 127.0 AS scale
+          FROM comp JOIN mx USING (vec_id) WHERE mx.mx > 0
+        ),
+        qdot AS (
+          SELECT a.vec_id qid, b.vec_id neighbor_id,
+            CAST(SUM(a.q * b.q) AS BIGINT) dot
+          FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        sc AS (SELECT DISTINCT vec_id, scale FROM qv),
+        qscored AS (
+          SELECT d.qid, d.neighbor_id,
+            CAST(d.dot AS DOUBLE) * s.scale / n.nrm AS qscore
+          FROM qdot d
+            JOIN sc s ON s.vec_id = d.neighbor_id
+            JOIN nrm n ON n.vec_id = d.neighbor_id
+        ),
+        qhits AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY qscore DESC, neighbor_id ASC) rn
+            FROM qscored) t
+          WHERE rn <= $TOPK
+        )
+        SELECT b.qid, COUNT(i.neighbor_id) AS n_matched,
+          CAST(COUNT(i.neighbor_id) AS DOUBLE) / ${TOPK.toDouble}
+            AS recall_at_10
+        FROM ($sqlBrute) b
+          LEFT JOIN qhits i
+            ON i.qid = b.qid AND i.neighbor_id = b.neighbor_id
+        WHERE b.rank <= $TOPK
+        GROUP BY b.qid""")),
+
     // ------------------------------------------- MMR diverse reranking
     GraftQuery(
       "s09_mmr_rerank",
