@@ -243,10 +243,21 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-        .localCheckpoint() // pinned: counted AND verified below
-      val confirmed = jaccardVerified(cand, shArr, threshold)
-      cand.agg(count(lit(1)).as("candidate_pairs")).crossJoin(
-          confirmed.agg(count(lit(1)).as("confirmed_pairs")))
+      // ONE verification pass yields both counts (candidate volume +
+      // threshold survivors) as a single scalar aggregate — no
+      // second action, no 1x1 cross join of separate aggs
+      val scored = cand
+        .join(shArr.as("pa"), col("a") === col("pa.doc_id"))
+        .join(shArr.as("pb"), col("b") === col("pb.doc_id"))
+        .select(
+          (size(array_intersect(col("pa.shs"), col("pb.shs")))
+            .cast("double") /
+            (size(col("pa.shs")) + size(col("pb.shs")) -
+              size(array_intersect(col("pa.shs"), col("pb.shs")))))
+            .as("jaccard"))
+      scored.agg(count(lit(1)).as("candidate_pairs"),
+          coalesce(sum(when(col("jaccard") >= threshold, 1L)
+            .otherwise(0L)), lit(0L)).as("confirmed_pairs"))
         .select(lit(bands).cast("int").as("bands"),
           lit(rows).cast("int").as("rows_per_band"),
           lit(bands * rows).cast("int").as("n_hashes"),

@@ -42,7 +42,13 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p10_mixture_sample", "d07_canonical_selection",
     "d08_dedup_paragraph", "s07_semantic_dedup", "t07_bigram_stats",
     "m06_image_roundtrip", "q37_ohlc_resample", "q41_interval_join",
-    "t13_tfidf_topk", "q44_lateral_topn", "t15_bpe_tokenize")
+    "t13_tfidf_topk", "q44_lateral_topn", "t15_bpe_tokenize",
+    "t16_bigram_perplexity",
+    "p12_semantic_packing", "d10_lsh_operating_curve")
+  // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
+  // audit: their candidate scan is the documented tiny-broadcast
+  // nested-loop expand (NQUERIES rows broadcast against the corpus — a
+  // map-side operation at any corpus size, not a pair blowup)
 
   override def beforeAll(): Unit = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
@@ -244,9 +250,10 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("t13/t15 score through a broadcast vocab join, never a " +
+  test("t13/t15/t16 score through a broadcast vocab join, never a " +
       "single-partition funnel") {
-    Seq("t13_tfidf_topk", "t15_bpe_tokenize").foreach { name =>
+    Seq("t13_tfidf_topk", "t15_bpe_tokenize",
+        "t16_bigram_perplexity").foreach { name =>
       val s = plans(name).toString()
       assert(s.contains("BroadcastHashJoin"),
         s"$name vocab join is not broadcast")
@@ -257,6 +264,15 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(single.isEmpty,
         s"$name funnels through a 1-partition exchange")
     }
+  }
+
+  test("s10's quantized scan broadcasts the query side") {
+    // the corpus side must never shuffle for the scan itself — the
+    // NQUERIES-row quantized query table broadcasts (s01's shape);
+    // plan built here because s10 is outside the blanket audit set
+    assert(finalPlan("s10_knn_quantized").toString()
+      .contains("BroadcastExchange"),
+      "s10 lost the broadcast query side")
   }
 
   test("q44's lateral limit decorrelates into map-side group limits") {

@@ -282,6 +282,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((8, 2))._2 >= out((2, 8))._2)
   }
 
+  test("bigramPerplexityScore: word counts, single-token docs, copies " +
+      "score identically, first-token unigram term") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a"),
+      (4L, "c c c")).toDF("my_id", "body")
+    val out = TextOps.bigramPerplexityScore(df, "my_id", "body")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 4L && out(3L)._1 == 1L && out(4L)._1 == 3L)
+    assert(out(1L) == out(2L)) // identical docs, identical scores
+    // doc 3 is unigram-only: avg_nll == quantized -ln(c(a)/T) exactly
+    // (a appears 5x in 12 tokens)
+    val nll1 = BigDecimal(-math.log(5.0 / 12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L)._2 == nll1)
+    out.values.foreach { case (_, nll) => assert(nll > 0.0) }
+  }
+
   test("bpeLearn: frequency argmax, greedy run merging, chained merges") {
     val s = spark
     import s.implicits._
