@@ -1104,6 +1104,32 @@ object Relational {
           FROM events) t
         WHERE rank <= 3""")),
 
+    // -------------------------------------------------- map-typed columns
+    GraftQuery(
+      "q48_map_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // MapType surface: fold each user's per-type counts into ONE
+        // map column (collect_list of structs -> map_from_entries),
+        // then explode the map back to rows — the round trip must
+        // equal the direct grouped aggregate, which is exactly what
+        // the oracle computes. Maps are how per-entity feature bags
+        // travel through a pipeline without N columns; the build is a
+        // |user| x |types|-bounded aggregate, never wide rows.
+        t(s, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct($"event_type", $"n"))))
+            .as("type_counts"))
+          .select($"user_id",
+            explode($"type_counts").as(Seq("event_type", "n_events")))
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2""")),
+
     // ------------------------------------------- range (time) window frame
     GraftQuery(
       "q47_window_range_frame",
