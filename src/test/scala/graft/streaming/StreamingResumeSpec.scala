@@ -205,4 +205,58 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Map("a" -> 80L, "b" -> 80L),
       s"state not restored across restart: $last")
   }
+
+  test("event-time results are batch-split invariant (1 vs 3 batches)") {
+    // the st01/st12 operators' semantics must not depend on HOW the
+    // bounded drain is microbatched: run the same tumbling-window
+    // count and watermark-horizon dedup over one 3-file corpus as a
+    // single batch and as three (maxFilesPerTrigger=1); results must
+    // be identical. The dedup's horizon covers the corpus span — the
+    // r13/st12 backfill contract; a shorter horizon makes re-emission
+    // across batches legitimate streaming behavior, not a bug.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-split-").toString
+    def slice(ids: Range): Unit =
+      ids.map(i => (i.toLong % 5,
+        new java.sql.Timestamp(i.toLong * 60L * 1000L), 1.0))
+        .toDF("user_id", "event_time", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    slice(0 until 40); slice(40 until 80); slice(80 until 120)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_time",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    def run(tag: String, split: Boolean): (Map[Long, Long], Long) = {
+      val rs0 = spark.readStream.schema(sch)
+      val rs = (if (split) rs0.option("maxFilesPerTrigger", 1) else rs0)
+        .parquet(dir)
+      val win = rs
+        .groupBy(window($"event_time", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val winOut = graft.streaming.StreamingOps
+        .drain(s, win, s"split_win_$tag", "complete")
+        .select(unix_timestamp($"window.start").as("ws"), $"n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dedup = rs
+        .withWatermark("event_time", "30 days")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select($"user_id")
+      val dedupOut = graft.streaming.StreamingOps
+        .drain(s, dedup, s"split_dd_$tag", "append")
+        .count()
+      (winOut, dedupOut)
+    }
+    val (w1, d1) = run("one", split = false)
+    val (w3, d3) = run("three", split = true)
+    assert(w1 == w3, "window counts differ across batch splits")
+    assert(w1.values.sum == 120L)
+    assert(d1 == 5L && d3 == 5L,
+      s"dedup not batch-split invariant: $d1 vs $d3")
+  }
 }
