@@ -41,7 +41,10 @@ object AudioCodec {
     }
     def tag(o: Int, s: String): Unit =
       s.getBytes("US-ASCII").copyToArray(out, o)
-    val rate = math.round(sampleRate).toLong
+    // the JDK writer (int)-casts the float rate — TRUNCATION, not
+    // rounding; match it exactly or the byte-identity contract breaks
+    // on fractional rates
+    val rate = sampleRate.toLong
     tag(0, "RIFF"); w32(4, 36L + n); tag(8, "WAVE")
     tag(12, "fmt "); w32(16, 16L)
     w16(20, 1) // integer PCM

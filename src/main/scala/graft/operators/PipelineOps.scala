@@ -128,6 +128,17 @@ object DedupOps {
     */
   def jaccardVerified(candidates: DataFrame, shingles: DataFrame,
       threshold: Double): DataFrame =
+    jaccardScored(candidates, shingles)
+      .filter(col("jaccard") >= threshold)
+
+  /** [[jaccardVerified]] without the threshold cut: every candidate's
+    * exact Jaccard, (a, b, jaccard). The ONE spelling of the verify
+    * arithmetic — [[lshOperatingCurve]] measures with it, the dedup
+    * paths filter it, so a semantics change cannot silently diverge
+    * the operating-curve measurement from the dedup it parameterizes.
+    */
+  def jaccardScored(candidates: DataFrame,
+      shingles: DataFrame): DataFrame =
     candidates
       .join(shingles.as("pa"), col("a") === col("pa.doc_id"))
       .join(shingles.as("pb"), col("b") === col("pb.doc_id"))
@@ -137,7 +148,6 @@ object DedupOps {
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
 
   /** MinHash+LSH near-duplicate pairs: word-k-gram shingles -> bands*rows
     * minhashes -> band-bucket candidate join -> exact-Jaccard verify.
@@ -245,16 +255,10 @@ object DedupOps {
         .distinct()
       // ONE verification pass yields both counts (candidate volume +
       // threshold survivors) as a single scalar aggregate — no
-      // second action, no 1x1 cross join of separate aggs
-      val scored = cand
-        .join(shArr.as("pa"), col("a") === col("pa.doc_id"))
-        .join(shArr.as("pb"), col("b") === col("pb.doc_id"))
-        .select(
-          (size(array_intersect(col("pa.shs"), col("pb.shs")))
-            .cast("double") /
-            (size(col("pa.shs")) + size(col("pb.shs")) -
-              size(array_intersect(col("pa.shs"), col("pb.shs")))))
-            .as("jaccard"))
+      // second action, no 1x1 cross join of separate aggs; the
+      // arithmetic is the shared jaccardScored kernel, so this
+      // measurement can never drift from the dedup it parameterizes
+      val scored = jaccardScored(cand, shArr)
       scored.agg(count(lit(1)).as("candidate_pairs"),
           coalesce(sum(when(col("jaccard") >= threshold, 1L)
             .otherwise(0L)), lit(0L)).as("confirmed_pairs"))
@@ -612,7 +616,12 @@ object TextOps {
     val words = toks.select(col("id"), explode(col("ws")).as("w"))
     val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val total = uni.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // one measured pass over each checkpointed count table: total
+    // tokens + the uni gate's size, then the bi gate's size — no
+    // per-NLL-table extra jobs (t11's single-`m` pattern)
+    val mUni = uni.agg(coalesce(sum(col("c")), lit(0L)),
+      count(lit(1)), coalesce(sum(length(col("w"))), lit(0L))).head()
+    val total = mUni.getLong(0)
     val bigrams = toks.select(col("id"), explode(
       zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
@@ -620,10 +629,17 @@ object TextOps {
         (a, b) => concat(a, lit(" "), b))).as("bg"))
     val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
       .localCheckpoint()
+    val mBi = bi.agg(count(lit(1)),
+      coalesce(sum(length(col("bg"))), lit(0L))).head()
     val ctx = bi.select(split(col("bg"), " ").getItem(0).as("w"),
         col("cab"))
       .groupBy(col("w")).agg(sum(col("cab")).as("c1"))
-    // NLL per bigram entry: quantized once, exact thereafter
+    // NLL per bigram entry: quantized once, exact thereafter. The
+    // interpolation coefficients must PARSE identically in both
+    // engines: the oracle spells (1.0 - lambda-literal), matching this
+    // computed double exactly — a 0.3 literal differs from (1.0 - 0.7)
+    // by one ulp BEFORE quantization, the divergence class the decimal
+    // cast exists to kill.
     val biNll = bi
       .select(col("bg"), split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"), col("cab"))
@@ -636,13 +652,9 @@ object TextOps {
     val uniNll = uni.select(col("w"),
       (-log(col("c").cast("double") / lit(total)))
         .cast(DecimalType(12, 6)).as("nll"))
-    val mBi = biNll.agg(count(lit(1)), coalesce(sum(length(col("bg"))),
-      lit(0L))).head()
-    val mUni = uniNll.agg(count(lit(1)), coalesce(sum(length(col("w"))),
-      lit(0L))).head()
     val vb = gateBroadcast(biNll, mBi.getLong(0), mBi.getLong(1),
       maxBroadcastBytes)
-    val vu = gateBroadcast(uniNll, mUni.getLong(0), mUni.getLong(1),
+    val vu = gateBroadcast(uniNll, mUni.getLong(1), mUni.getLong(2),
       maxBroadcastBytes)
     val biScores = bigrams.join(vb, Seq("bg"))
       .groupBy(col("id"))

@@ -659,7 +659,7 @@ object TextAnalysis {
         binll AS (
           SELECT b.bg,
             CAST(-ln(0.7 * (CAST(b.cab AS DOUBLE) / x.c1)
-              + 0.3 * (CAST(u.c AS DOUBLE) / (SELECT t FROM t)))
+              + (1.0 - 0.7) * (CAST(u.c AS DOUBLE) / (SELECT t FROM t)))
               AS DECIMAL(12,6)) nll
           FROM bi b
             JOIN ctx x ON x.w = string_split(b.bg, ' ')[1]

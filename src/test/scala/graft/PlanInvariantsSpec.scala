@@ -267,12 +267,16 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("s10's quantized scan broadcasts the query side") {
-    // the corpus side must never shuffle for the scan itself — the
-    // NQUERIES-row quantized query table broadcasts (s01's shape);
-    // plan built here because s10 is outside the blanket audit set
-    assert(finalPlan("s10_knn_quantized").toString()
-      .contains("BroadcastExchange"),
-      "s10 lost the broadcast query side")
+    // the corpus side must never shuffle for either scan: the
+    // ground-truth side (bruteFromStaged) AND the quantized scan each
+    // broadcast their NQUERIES-row query table — one BroadcastExchange
+    // apiece. Counting both makes the gate sensitive to losing the
+    // QUANTIZED side's hint (a single contains() would stay green on
+    // the ground truth's exchange alone). Plan built here because s10
+    // is outside the blanket audit set.
+    val s = finalPlan("s10_knn_quantized").toString()
+    val n = "BroadcastExchange".r.findAllIn(s).length
+    assert(n >= 2, s"expected both query-side broadcasts, saw $n")
   }
 
   test("q44's lateral limit decorrelates into map-side group limits") {

@@ -37,11 +37,12 @@ class AudioCodecSpec extends AnyFunSuite {
         AudioCodec.encodeWavPcm8ViaAudioSystem(px, 8000f)),
         s"header/payload drift at $n samples")
     }
-    // non-integral rate rounds like the JDK writer
+    // genuinely fractional rate: the JDK writer TRUNCATES to 11025 —
+    // the direct writer must match byte-for-byte, not round to 11026
     val px = seededSamples(64, 15)
     assert(java.util.Arrays.equals(
-      AudioCodec.encodeWavPcm8(px, 44100f),
-      AudioCodec.encodeWavPcm8ViaAudioSystem(px, 44100f)))
+      AudioCodec.encodeWavPcm8(px, 11025.5f),
+      AudioCodec.encodeWavPcm8ViaAudioSystem(px, 11025.5f)))
   }
 
   test("decode returns None on non-audio bytes") {
