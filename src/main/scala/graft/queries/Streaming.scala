@@ -453,6 +453,65 @@ object Streaming {
       },
       Some("""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // --------------------------- transformWithState ListState top-k
+    GraftQuery(
+      "st13_stream_topk",
+      (s, dir) => {
+        import s.implicits._
+        // the streaming leaderboard: per-event-type running top-3 by
+        // (cents desc, event_id asc) in a typed ListState
+        // (graft.streaming.RunningTopKProcessor) — k-bounded state,
+        // order-independent accumulation, so the drain's final
+        // emission equals the batch top-3 under ANY microbatching.
+        // With st11 this covers the new API's scalar AND list state
+        // variables.
+        val typed = StreamingOps.eventsStream(s, dir)
+          .select($"event_type", $"event_id",
+            round($"value" * 100).cast("long").as("cents"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+        val ranked = typed.transformWithState(
+          new graft.streaming.RunningTopKProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        val drained =
+          try StreamingOps.drain(s,
+            ranked.toDF("event_type", "rank", "event_id", "cents"),
+            "st13", "update").localCheckpoint()
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        // update mode re-emits a key's board every batch it changes;
+        // the FINAL board per (type, rank) is the min (cents desc =>
+        // later boards only improve, so the final rank-r row has the
+        // max cents; tie-broken rows are identical) — with the bounded
+        // single-batch drain there is exactly one emission, and this
+        // reduction keeps the result well-defined under replays
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type", $"rank")
+          .orderBy($"cents".desc, $"event_id".asc)
+        drained.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_type", $"rank", $"event_id",
+            ($"cents".cast("double") / 100.0).as("value_approx"))
+      },
+      Some("""
+        SELECT event_type, rank, event_id,
+          CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0
+            AS value_approx
+        FROM (
+          SELECT event_type, event_id, value,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                       event_id ASC) AS INT) AS rank
+          FROM events) t
+        WHERE rank <= 3"""))
   )
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** `transformWithState` with a typed [[ListState]]: per-key running
+  * top-`k` rows by (cents desc, id asc) — the streaming leaderboard.
+  * The k-bounded state makes every batch's work O(batch + k) per key,
+  * and top-k accumulation is ORDER-INDEPENDENT, so the bounded drain's
+  * final emission equals the batch top-k however the input is split
+  * into microbatches. Companion to [[RunningTotalsProcessor]]'s
+  * ValueState: together they cover the new API's scalar and list state
+  * variables.
+  */
+class RunningTopKProcessor(k: Int)
+    extends StatefulProcessor[String, (String, Long, Long),
+      (String, Int, Long, Long)] {
+
+  @transient private var top: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    top = getHandle.getListState[(Long, Long)](
+      "top", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Long, Long)],
+      timers: TimerValues): Iterator[(String, Int, Long, Long)] = {
+    // (event_id, cents), ranked cents-desc then id-asc
+    val merged = (top.get().toSeq ++ rows.map(r => (r._2, r._3)))
+      .sortBy { case (id, cents) => (-cents, id) }
+      .take(k)
+    top.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case ((id, cents), i) =>
+      (key, i + 1, id, cents)
+    }
+  }
+}
