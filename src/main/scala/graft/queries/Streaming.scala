@@ -17,6 +17,7 @@ import GraftQuery._
 object Streaming {
 
   private val HOUR_NS = 3600L * 1000000000L
+  private val ST13_K = 3 // st13 leaderboard depth (Scala AND oracle)
   private val HALF_NS = 1800L * 1000000000L
 
   val all: Seq[GraftQuery] = Seq(
@@ -399,18 +400,11 @@ object Streaming {
           new graft.streaming.RunningTotalsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-          "state.RocksDBStateStoreProvider")
-        val drained =
-          try StreamingOps.drain(s,
+        val drained = StreamingOps.withRocksDb(s) {
+          StreamingOps.drain(s,
             updated.toDF("user_id", "n_events", "cents"), "st11", "update")
             .localCheckpoint() // pin before the provider conf reverts
-          finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
-          }
+        }
         drained
           .groupBy($"user_id")
           .agg(max($"n_events").as("n_events"), max($"cents").as("cents"))
@@ -473,27 +467,22 @@ object Streaming {
           .as[(String, Long, Long)]
           .groupByKey(_._1)
         val ranked = typed.transformWithState(
-          new graft.streaming.RunningTopKProcessor(3),
+          new graft.streaming.RunningTopKProcessor(ST13_K),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-          "state.RocksDBStateStoreProvider")
-        val drained =
-          try StreamingOps.drain(s,
+        val drained = StreamingOps.withRocksDb(s) {
+          StreamingOps.drain(s,
             ranked.toDF("event_type", "rank", "event_id", "cents"),
             "st13", "update").localCheckpoint()
-          finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
-          }
-        // update mode re-emits a key's board every batch it changes;
-        // the FINAL board per (type, rank) is the min (cents desc =>
-        // later boards only improve, so the final rank-r row has the
-        // max cents; tie-broken rows are identical) — with the bounded
-        // single-batch drain there is exactly one emission, and this
-        // reduction keeps the result well-defined under replays
+        }
+        // update mode re-emits a key's board every batch it improves;
+        // per (type, rank) the LATEST emission is the one with the
+        // HIGHEST cents (boards only improve over time; among
+        // equal-cents emissions the rows are identical), so rn = 1
+        // under (cents desc, id asc) recovers the final board — with
+        // the bounded single-batch drain there is exactly one emission
+        // anyway, and this reduction keeps the result well-defined
+        // under multi-batch replays
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"event_type", $"rank")
           .orderBy($"cents".desc, $"event_id".asc)
@@ -502,7 +491,7 @@ object Streaming {
           .select($"event_type", $"rank", $"event_id",
             ($"cents".cast("double") / 100.0).as("value_approx"))
       },
-      Some("""
+      Some(s"""
         SELECT event_type, rank, event_id,
           CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100.0
             AS value_approx
@@ -512,6 +501,6 @@ object Streaming {
               ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
                        event_id ASC) AS INT) AS rank
           FROM events) t
-        WHERE rank <= 3"""))
+        WHERE rank <= $ST13_K"""))
   )
 }

@@ -27,12 +27,17 @@ class RunningTopKProcessor(k: Int)
       rows: Iterator[(String, Long, Long)],
       timers: TimerValues): Iterator[(String, Int, Long, Long)] = {
     // (event_id, cents), ranked cents-desc then id-asc
-    val merged = (top.get().toSeq ++ rows.map(r => (r._2, r._3)))
+    val prev = top.get().toSeq
+    val merged = (prev ++ rows.map(r => (r._2, r._3)))
       .sortBy { case (id, cents) => (-cents, id) }
       .take(k)
-    top.put(merged.toArray)
-    merged.iterator.zipWithIndex.map { case ((id, cents), i) =>
-      (key, i + 1, id, cents)
+    if (merged == prev) Iterator.empty // board unchanged: no state
+                                       // write, no re-emission
+    else {
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case ((id, cents), i) =>
+        (key, i + 1, id, cents)
+      }
     }
   }
 }

@@ -74,6 +74,24 @@ object StreamingOps {
     Files.createDirectories(base.resolve("graft-cp"))
   }
 
+  /** Run `body` with the RocksDB state store provider installed
+    * (transformWithState requires it), restoring the previous provider
+    * after. Callers must PIN the drained result (localCheckpoint)
+    * inside `body` — a lazy plan evaluated after the restore would run
+    * against the wrong provider.
+    */
+  def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def drain(
       spark: SparkSession,
       stream: DataFrame,
