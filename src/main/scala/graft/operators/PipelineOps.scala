@@ -1406,9 +1406,10 @@ object AnnOps {
     * oracle-checked s02/s07 queries.
     */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, partitions: Int = 32): DataFrame =
+      iters: Int = 2, partitions: Int = 32,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame =
     kmeansFromStaged(withRawNorm(scaled(df, idCol, vecCol, partitions)),
-      k, iters)
+      k, iters, maxCentroidBytes)
 
   private def withRawNorm(v: DataFrame): DataFrame =
     v.select(col("id"), col("c"), col("nrm"),
@@ -1420,8 +1421,9 @@ object AnnOps {
     * k × dim × 8 bytes, so ~5 MB at k=10k/dim=64 but ~0.6 GB at
     * SemDeDup-realistic k=100k/dim=768 — is collected and broadcast ONCE
     * per Lloyd step (the caller destroys each step's broadcast as soon
-    * as the assignment is pinned; at the large end, bound k by driver
-    * memory or shard the centroid table), and each partition scores its
+    * as the assignment is pinned; past [[DefaultMaxCentroidBytes]] the
+    * Lloyd loop routes to [[assignCellsSharded]] instead, so the driver
+    * never holds the full table), and each partition scores its
     * vectors against all k centroids in a tight primitive loop. No per-vector explode, no N×k
     * intermediate rows, no window shuffle: the only rows that move are
     * the (id, cell) output. (The previous spelling exploded k copies of
@@ -1441,6 +1443,14 @@ object AnnOps {
     */
   private[graft] def assignCells(v: DataFrame, cent: DataFrame,
       idCol: String): DataFrame = assignCellsKeepBc(v, cent, idCol)._1
+
+  /** Broadcast-size budget for one centroid table: above it the Lloyd
+    * assignment shards the table instead of collecting all k rows on the
+    * driver at once ([[assignCellsSharded]]). 64 MiB holds k=100k at
+    * dim≈80 or k=10k at dim=768 — past that, SemDeDup-realistic tables
+    * reach ~0.6 GB and the single collect becomes the driver bound.
+    */
+  val DefaultMaxCentroidBytes: Long = 64L << 20
 
   /** [[assignCells]], also returning the iteration's centroid broadcast
     * so the caller can destroy() it once the assignment is pinned
@@ -1485,6 +1495,100 @@ object AnnOps {
         }
       }.toDF(idCol, "cell")
     (out, bc)
+  }
+
+  /** [[assignCellsKeepBc]] when the k-row centroid table exceeds a
+    * driver/broadcast byte budget: the table is split into contiguous
+    * ascending cell-range SHARDS, each collected and broadcast
+    * separately (the driver holds one deserialized shard at a time, and
+    * each map task deserializes only its branch's shard), each shard
+    * scored by the same tight map-pass argmax, and the per-shard bests
+    * reduced by a skinny (id, cell, score) shuffle — S×N 24-byte rows,
+    * never a vector.
+    *
+    * Bit-identical to the unsharded kernel: the global winner there is
+    * "the SMALLEST cell among those with the maximum
+    * java.lang.Double.compare score" (ascending scan, strictly-greater
+    * replaces). Per-shard bests have that property within their range;
+    * the cross-shard pick uses the same total order (compare desc, cell
+    * asc on ties), which is associative/commutative, so the reduce
+    * reproduces the global scan exactly — including the all-NaN
+    * null-embedding row, which keeps the globally smallest cell. Plan
+    * shape gated by PlanInvariantsSpec; parity spec in PipelineOpsSpec.
+    *
+    * Returns the assignment plus a release() thunk destroying every
+    * shard broadcast — call it only after the assignment is pinned.
+    */
+  private[graft] def assignCellsSharded(v: DataFrame, cent: DataFrame,
+      idCol: String, maxCentroidBytes: Long,
+      dimBytes: Long): (DataFrame, () => Unit) = {
+    val s = v.sparkSession
+    import s.implicits._
+    // pin the k-row table once so the S shard collects don't re-run the
+    // centroid-update aggregation S times
+    val centP = cent.localCheckpoint()
+    val cells = centP.select(col("cell")).as[Long].collect().sorted
+    val perShard = math.max(1L, maxCentroidBytes / math.max(1L, dimBytes))
+      .min(Int.MaxValue).toInt
+    val ranges = cells.grouped(perShard).map(a => (a.head, a.last)).toArray
+    val bcs = ranges.map { case (lo, hi) =>
+      val shard = centP.filter(col("cell").between(lo, hi))
+        .select(col("cell"), col("cc"), col("cnrmr"))
+        .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      s.sparkContext.broadcast(shard)
+    }
+    val staged = v.select(col(idCol), col("c"),
+        coalesce(col("nrmr"), lit(Double.NaN)).as("nrmr"))
+      .as[(Long, Array[Long], Double)]
+    val shardBests = bcs.map { bc =>
+      staged.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, c, nrmr) =>
+          var bestCell = if (cs.isEmpty) -1L else cs(0)._1
+          var best = Double.NaN
+          var j = 0
+          while (j < cs.length) {
+            val (cell, cc, cnrmr) = cs(j)
+            var dot = 0L
+            var i = 0
+            val n = if (c == null) 0 else math.min(c.length, cc.length)
+            while (i < n) { dot += c(i) * cc(i); i += 1 }
+            val score = dot.toDouble / (nrmr * cnrmr)
+            if (j == 0 || java.lang.Double.compare(score, best) > 0) {
+              best = score; bestCell = cell
+            }
+            j += 1
+          }
+          (id, bestCell, best)
+        }
+      }
+    }
+    val out = shardBests.reduce(_ union _)
+      .groupByKey(_._1)
+      .reduceGroups { (x: (Long, Long, Double), y: (Long, Long, Double)) =>
+        val c = java.lang.Double.compare(x._3, y._3)
+        if (c > 0) x else if (c < 0) y else if (x._2 <= y._2) x else y
+      }
+      .map { case (_, (id, cell, _)) => (id, cell) }
+      .toDF(idCol, "cell")
+    DedupOps.releaseLocalCheckpoint(centP)
+    (out, () => bcs.foreach(_.destroy()))
+  }
+
+  /** One Lloyd assignment step, routed by the centroid-table byte
+    * budget: under `maxCentroidBytes` the single-broadcast
+    * [[assignCellsKeepBc]] kernel (unchanged small-k path, zero extra
+    * jobs); over it the [[assignCellsSharded]] kernel. `k` and `dim`
+    * are known to the caller, so the gate costs no measurement job.
+    */
+  private[graft] def assignCellsAuto(v: DataFrame, cent: DataFrame,
+      idCol: String, k: Long, dim: Int,
+      maxCentroidBytes: Long): (DataFrame, () => Unit) = {
+    val dimBytes = dim.toLong * 8 + 64 // components + array/row overhead
+    if (k * dimBytes <= maxCentroidBytes) {
+      val (out, bc) = assignCellsKeepBc(v, cent, idCol)
+      (out, () => bc.destroy())
+    } else assignCellsSharded(v, cent, idCol, maxCentroidBytes, dimBytes)
   }
 
   /** Per-cell component sums of the member vectors, pre-combined
@@ -1535,9 +1639,17 @@ object AnnOps {
         sqrt(sum(col("s").cast(DecimalType(19, 0)) *
           col("s").cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
 
-  private def kmeansFromStaged(v: DataFrame, k: Int,
-      iters: Int): DataFrame = {
+  private def kmeansFromStaged(v: DataFrame, k: Int, iters: Int,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
+    val s = v.sparkSession
+    import s.implicits._
+    // dim prices the centroid table (k is already known), so the
+    // sharding gate costs one 1-row job over the pinned staging — the
+    // small-k path then runs the single-broadcast kernel with zero
+    // extra work per Lloyd step.
+    val dim = v.select(coalesce(max(size(col("c"))), lit(0)))
+      .as[Int].head()
     def centFrom(members: DataFrame): DataFrame =
       centFromMembers(v, members, "id")
     // seeds: the k smallest ids, cell = rank. The orderBy is bounded by
@@ -1550,12 +1662,13 @@ object AnnOps {
     var members: DataFrame = null
     for (it <- 1 to iters) {
       // pin each round: members feeds the next update and the caller.
-      // localCheckpoint is eager, so the centroid broadcast is consumed
-      // by the time it returns — destroy it (ADVICE: broadcasts
-      // otherwise accumulate one k-row table per Lloyd step).
-      val (assigned, bc) = assignCellsKeepBc(v, cent, "id")
+      // localCheckpoint is eager, so the centroid broadcast(s) are
+      // consumed by the time it returns — release them (ADVICE:
+      // broadcasts otherwise accumulate one k-row table per Lloyd step).
+      val (assigned, release) =
+        assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
       members = assigned.localCheckpoint()
-      bc.destroy()
+      release()
       if (it < iters) cent = centFrom(members)
     }
     members
@@ -1574,9 +1687,10 @@ object AnnOps {
     */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cells: Int, iters: Int = 2,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
-    val members = kmeansFromStaged(v, cells, iters)
+    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
     pairsWithinCells(v, members, threshold)
   }
 
@@ -1618,13 +1732,14 @@ object AnnOps {
     */
   def semanticNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetCellSize: Long = 1000L, iters: Int = 2,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize=$targetCellSize")
     val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
     val n = v.count()
     val cells = math.max(1L,
       (n + targetCellSize - 1) / targetCellSize).min(Int.MaxValue).toInt
-    val members = kmeansFromStaged(v, cells, iters)
+    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
     pairsWithinCells(v, members, threshold)
   }
 

@@ -215,6 +215,50 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "assignCells explodes rows (N×K regression)")
   }
 
+  test("sharded k-means assignment plans shard map passes + a skinny " +
+      "reduce: no window, no explode, no cartesian") {
+    // Past the centroid byte budget the Lloyd assignment must be S
+    // per-shard MapPartitions branches unioned into one (id, cell,
+    // score) aggregate — never a window shuffle, a generate, or a pair
+    // join. Vectors move only through the map passes; the union/reduce
+    // carries 24-byte rows.
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, Array(1L, 0L)), (2L, Array(0L, 2L)),
+      (3L, Array(3L, 4L))).toDF("id", "c")
+      .withColumn("nrmr", sqrt(expr(
+        "aggregate(transform(c, x -> x * x), 0L, (a, x) -> a + x)")
+        .cast("double")))
+    val cent = Seq((0L, Array(1L, 0L)), (1L, Array(0L, 1L)),
+      (2L, Array(1L, 1L))).toDF("cell", "cc")
+      .withColumn("cnrmr", lit(1.0))
+    // dimBytes=1 with budget 1 → one cell per shard → 3 shard branches
+    val (assigned, release) = graft.operators.AnnOps
+      .assignCellsSharded(df, cent, "id", maxCentroidBytes = 1L,
+        dimBytes = 1L)
+    assigned.count()
+    release()
+    val p = assigned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val s = p.toString()
+    assert(s.contains("MapPartitions"),
+      s"sharded assign lost its map passes:\n$s")
+    assert(s.contains("Union"), s"sharded assign lost the shard union:\n$s")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"sharded assign has a window exchange: ${windows.map(_.nodeName)}")
+    assert(!s.contains("Generate"),
+      "sharded assign explodes rows (N×K regression)")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "sharded assign pair-joins")
+  }
+
   test("s04 runs the broadcast kernel below the auto gate") {
     val s = plans("s04_knn_graph").toString()
     assert(s.contains("MapPartitions"), "s04 not on the kernel path")

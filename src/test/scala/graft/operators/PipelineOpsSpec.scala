@@ -672,6 +672,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-embedding row not in the first cell: $cells")
   }
 
+  test("kmeansCells sharded: assignments bit-identical to the unsharded " +
+      "kernel, including cross-shard ties and a null embedding") {
+    val s = spark
+    import s.implicits._
+    // k=6 seeds (ids 0..5) with seeds 0 and 1 IDENTICAL, so cells 0 and
+    // 1 carry identical centroids — every row ties across them, and with
+    // one cell per shard the tie resolves in the cross-shard reduce, the
+    // exact case sharding could get wrong. Plus a null-embedding row
+    // (all-NaN scores must keep the globally smallest cell) and a spread
+    // of member vectors.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)), // == seed 0: permanent tie
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f)),
+      (5L, Array(0.0f, 0.7f, 0.7f)),
+      (6L, null.asInstanceOf[Array[Float]])) ++
+      (7L until 40L).map(i => (i,
+        Array((i % 5).toFloat, (i % 3).toFloat, (i % 7).toFloat)))
+    val df = rows.toDF("vid", "emb")
+    def cellsAt(budget: Long): Map[Long, Long] =
+      AnnOps.kmeansCells(df, "vid", "emb", k = 6, iters = 2,
+          partitions = 2, maxCentroidBytes = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unsharded = cellsAt(Long.MaxValue)
+    // dimBytes = 3*8+64 = 88: budget 100 → 1 cell/shard (6 shards),
+    // budget 200 → 2 cells/shard (3 shards)
+    val oneCellShards = cellsAt(100L)
+    val twoCellShards = cellsAt(200L)
+    assert(unsharded.keySet == rows.map(_._1).toSet)
+    assert(oneCellShards == unsharded,
+      s"1-cell shards drifted: $oneCellShards vs $unsharded")
+    assert(twoCellShards == unsharded,
+      s"2-cell shards drifted: $twoCellShards vs $unsharded")
+    // the planted tie and the null row landed where the ascending scan
+    // puts them: the smaller of the two identical cells
+    assert(unsharded(1L) == 0L, s"tie not broken cell-ascending")
+    assert(unsharded(6L) == unsharded.values.min)
+  }
+
   test("bruteTopK: broadcast queries, corpus never shuffles") {
     val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
         id => id < 1L, k = 2, partitions = 2)
