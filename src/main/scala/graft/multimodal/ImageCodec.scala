@@ -61,6 +61,11 @@ object ImageCodec {
   // reader-SPI registry scan per call; PNG payloads (the m06/m08 hot
   // path) go through a per-thread reused reader instead. Non-PNG
   // payloads still take the general ImageIO.read probe.
+  // Retention is INTENTIONAL and bounded: one reader (and one writer,
+  // above) per executor thread for the JVM lifetime — exactly what the
+  // reuse buys; the JDK PNG reader holds no native resources beyond
+  // its decode buffers, and setInput(null) drops those after each
+  // image. A task-exit dispose() would re-pay the SPI scan per task.
   private val pngReader =
     ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
       val it = ImageIO.getImageReadersByFormatName("png")

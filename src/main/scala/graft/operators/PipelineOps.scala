@@ -921,12 +921,14 @@ object TextOps {
         .cast(DecimalType(18, 12)).as("idf"))
     val vv = gateBroadcast(idf, m.getLong(0), m.getLong(1),
       maxBroadcastBytes)
-    // tf narrowed to DECIMAL(10,0) so the product is decimal(29,12) —
-    // exact in Spark AND DuckDB; a raw bigint tf would push Spark past
-    // precision 38 and silently truncate the scale
+    // tf as DECIMAL(19,0) — every bigint count fits — so the product is
+    // decimal(38,12): exact in Spark (p1+p2+1 = 38, no scale truncation)
+    // AND DuckDB (width 37); a raw bigint tf would make Spark widen past
+    // precision 38 and silently truncate the scale, and the previous
+    // DECIMAL(10,0) overflowed to null past tf = 1e10
     val scored = tf.join(vv, Seq("w"))
       .select(col("id"), col("w").as("term"), col("tf"), col("df"),
-        (col("tf").cast(DecimalType(10, 0)) * col("idf"))
+        (col("tf").cast(DecimalType(19, 0)) * col("idf"))
           .cast("double").as("score"))
     val win = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("term").asc)
@@ -1036,12 +1038,22 @@ object TextOps {
         val Array(pa, pb) = pr.split(" ", 2)
         val merged = pa + pb
         learned += ((step, pr, merged, cnt))
+        val prev = words
         words = words.select(col("w"),
           regexp_replace(col("sp"),
             lit(Pattern.quote(s" $pa  $pb ")),
             lit(Matcher.quoteReplacement(s" $merged "))).as("sp"),
           col("freq"))
           .localCheckpoint()
+        // localCheckpoint is eager, so the superseded round's table is
+        // fully consumed by the time it returns: release its blocks
+        // NOW. A real vocabulary is 30k-50k merge rounds — without the
+        // release every round's word table accumulates in executor
+        // storage for the job's lifetime (the round-7 durable-dedup
+        // lesson, same fix). Cost model stays: one bounded aggregation
+        // job + one 1-row driver argmax per merge over the DISTINCT
+        // word table (shrunk once, up front), never the corpus.
+        DedupOps.releaseLocalCheckpoint(prev)
       }
     }
     (learned.toSeq, words)

@@ -585,7 +585,7 @@ object TextAnalysis {
         ),
         scored AS (
           SELECT tf.doc_id, tf.w AS term, tf.tf, idf.df,
-            CAST(CAST(tf.tf AS DECIMAL(10,0)) * idf.idf AS DOUBLE) AS score
+            CAST(CAST(tf.tf AS DECIMAL(19,0)) * idf.idf AS DOUBLE) AS score
           FROM tf JOIN idf USING (w)
         )
         SELECT doc_id, term, tf, df, score, rank FROM (

@@ -27,9 +27,12 @@ class RunningTopKProcessor(k: Int)
       rows: Iterator[(String, Long, Long)],
       timers: TimerValues): Iterator[(String, Int, Long, Long)] = {
     // (event_id, cents), ranked cents-desc then id-asc
+    // rank by an explicit Ordering, not `sortBy(-cents)`: arithmetic
+    // negation overflows at Long.MinValue and would sort that row last
     val prev = top.get().toSeq
     val merged = (prev ++ rows.map(r => (r._2, r._3)))
-      .sortBy { case (id, cents) => (-cents, id) }
+      .sorted(Ordering.by[(Long, Long), Long](_._2).reverse
+        .orElseBy(_._1))
       .take(k)
     if (merged == prev) Iterator.empty // board unchanged: no state
                                        // write, no re-emission

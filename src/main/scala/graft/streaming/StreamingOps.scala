@@ -74,23 +74,34 @@ object StreamingOps {
     Files.createDirectories(base.resolve("graft-cp"))
   }
 
+  private val rocksDbLock = new Object
+
   /** Run `body` with the RocksDB state store provider installed
     * (transformWithState requires it), restoring the previous provider
     * after. Callers must PIN the drained result (localCheckpoint)
     * inside `body` — a lazy plan evaluated after the restore would run
     * against the wrong provider.
+    *
+    * The provider key is SESSION-scoped mutable state, so the toggle is
+    * not reentrant: a second query started on the same session during
+    * `body` would plan under RocksDB too (or, racing the restore, under
+    * the wrong provider). Concurrent callers therefore serialize on a
+    * process-wide lock — correct and cheap for the sequential
+    * Verify/Bench harness; a service wanting true concurrency should
+    * set the provider per-query via the writeStream option instead.
     */
-  def withRocksDb[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  def withRocksDb[A](spark: SparkSession)(body: => A): A =
+    rocksDbLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
   def drain(
       spark: SparkSession,

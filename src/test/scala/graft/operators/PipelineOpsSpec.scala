@@ -672,6 +672,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-embedding row not in the first cell: $cells")
   }
 
+  test("bpeVocab at 100 merge rounds: superseded round checkpoints are " +
+      "released, executor storage stays flat") {
+    val s = spark
+    import s.implicits._
+    // 30 distinct 30-char words => ~870 available merges, far past 100;
+    // a real vocabulary is 30k-50k rounds, so the per-round discipline
+    // (release the prior round's localCheckpoint as soon as the next is
+    // pinned) is what keeps a production run's executor storage flat.
+    val words = (0 until 26).map { i =>
+      (0 until 30).map(j => ('a' + ((i * 7 + j * 11) % 26)).toChar).mkString
+    }
+    val df = Seq(words.mkString(" ")).toDF("body")
+    val before = s.sparkContext.getPersistentRDDs.size
+    val vocab = TextOps.bpeVocab(df, "body", merges = 100)
+    assert(vocab.count() == 26)
+    val after = s.sparkContext.getPersistentRDDs.size
+    // only the FINAL round's table may remain pinned (it is the
+    // returned artifact); 100 rounds must not leave 100 block sets
+    assert(after - before <= 1,
+      s"leaked round checkpoints: before=$before after=$after")
+    // and the learned table is still a real 100-round vocabulary: every
+    // word re-concatenates to itself through the merges
+    val back = vocab.select(col("w"),
+        org.apache.spark.sql.functions.regexp_replace(
+          col("sp"), " ", "").as("cat"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("kmeansCells sharded: assignments bit-identical to the unsharded " +
       "kernel, including cross-shard ties and a null embedding") {
     val s = spark
