@@ -35,11 +35,15 @@ final case class MediaFeatures(
   * trip and AudioCodecSpec), and REAL video-frame decode for the GVC1
   * container ([[VideoCodec]] — MJPEG-style length-prefixed PNG frames,
   * decoded with the same JDK PNG codec; oracle-checked m08 round trip
-  * and VideoCodecSpec). `decodeStub` remains the clearly-marked
-  * deterministic fallback for payloads no installed reader accepts:
-  * inter-frame-compressed video (H.264/VP9/AV1 — the JDK ships no such
-  * codec; a real deployment adds an ffmpeg JNI bridge behind the same
-  * bytes=>frames contract) and the synthesized text-byte corpora.
+  * and VideoCodecSpec). bytes⇒frames is PLUGGABLE: consumers route
+  * through the [[FrameDecoders]] registry (GVC1 → [[VideoCodec]],
+  * still images → [[ImageCodec]], else the stub entry), so a real
+  * deployment drops in an ffmpeg JNI bridge for inter-frame formats
+  * (H.264/VP9/AV1 — the JDK ships no such codec) with
+  * `FrameDecoders.register`, touching no query code. `decodeStub`
+  * remains the clearly-marked deterministic fallback for payloads no
+  * installed reader accepts (it backs the registry's stub entry and
+  * the synthesized text-byte corpora).
   * Everything around the codec — the binary column
   * synthesis, the `mapPartitions` batch iteration (the Scala analog of
   * `mapInPandas`: one iterator pass per partition, no per-row UDF

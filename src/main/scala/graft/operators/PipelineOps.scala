@@ -25,6 +25,23 @@ import org.apache.spark.sql.types.DecimalType
   *  - similarity arithmetic is exact (integer/decimal) until one final
   *    double division, so results are reproducible across engines.
   */
+/** Partition-count resolution for every operator's `partitions` knob:
+  * the default `0` means "the session's `spark.sql.shuffle.partitions`"
+  * — the number the deployment already sized for its executor fleet —
+  * so a facade call scales with the cluster instead of silently
+  * under-partitioning behind a fixed literal (32 tasks over 100 TB is
+  * ~3 TB per task). A positive value is honored verbatim for callers
+  * that measured something better. Results everywhere are
+  * partitioning-INVARIANT by construction (hash staging feeds
+  * key-grouped joins/aggs and order-free kernels), so the knob affects
+  * parallelism, never answers — the oracle suite pins that.
+  */
+private[graft] object Parts {
+  def of(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+}
+
 object DedupOps {
 
   /** Stage a corpus: canonical (doc_id, text) columns, hash-distributed
@@ -34,10 +51,10 @@ object DedupOps {
     * referencing subtree.
     */
   def staged(df: DataFrame, idCol: String, textCol: String,
-      partitions: Int = 32): DataFrame =
+      partitions: Int = 0): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
-      .repartition(partitions, col("doc_id"))
+      .repartition(Parts.of(df, partitions), col("doc_id"))
       .localCheckpoint()
 
   /** Exact duplicate groups by content hash.
@@ -159,7 +176,7 @@ object DedupOps {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
-      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+      threshold: Double = 0.8, partitions: Int = 0): DataFrame = {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bandBuckets = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
@@ -182,7 +199,7 @@ object DedupOps {
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bkeys = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
@@ -205,7 +222,7 @@ object DedupOps {
   def minhashNearDupsAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, index: DataFrame, shingleK: Int = 5,
       bands: Int = 2, rows: Int = 8, threshold: Double = 0.8,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
     probeIndex(newIdx, Some(index), threshold)
@@ -228,7 +245,7 @@ object DedupOps {
   def lshOperatingCurve(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5,
       configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
-      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+      threshold: Double = 0.8, partitions: Int = 0): DataFrame = {
     require(configs.nonEmpty, "need at least one (bands, rows) config")
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
@@ -341,7 +358,7 @@ object DedupOps {
   def incrementalMinhashDedupDurable(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, batchId: Long,
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
-      threshold: Double = 0.8, partitions: Int = 32): DataFrame = {
+      threshold: Double = 0.8, partitions: Int = 0): DataFrame = {
     val s = batch.sparkSession
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
@@ -390,7 +407,7 @@ object DedupOps {
   def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
       paraWords: Int = 25, maxParas: Long = 1L << 20, shingleK: Int = 5,
       bands: Int = 2, rows: Int = 8, threshold: Double = 0.8,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     require(paraWords >= 1, s"paraWords must be >= 1, got $paraWords")
     require(maxParas >= 2, s"maxParas must be >= 2, got $maxParas")
     // pid = id * maxParas + idx must stay injective and decodable:
@@ -437,7 +454,7 @@ object DedupOps {
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 7, threshold: Double = 0.8, maxDf: Int = 16,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
       .localCheckpoint()
@@ -457,7 +474,7 @@ object DedupOps {
     * hamming filter. Returns (a, b, hamming).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, partitions: Int = 32): DataFrame = {
+      maxHamming: Int = 3, partitions: Int = 0): DataFrame = {
     require(maxHamming <= 3,
       "byte banding only guarantees recall for hamming <= 3 of 32 bits")
     val docs = staged(df, idCol, textCol, partitions)
@@ -694,7 +711,7 @@ object TextOps {
     */
   def dupShingleRatio(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, maxDupRatio: Double = 0.5,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val docs = DedupOps.staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, k)
       .localCheckpoint()
@@ -724,7 +741,7 @@ object TextOps {
     * Returns (id, n_words, n_dup_spans, dup_words, dup_ratio).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 10, minCount: Int = 2, partitions: Int = 32): DataFrame = {
+      k: Int = 10, minCount: Int = 2, partitions: Int = 0): DataFrame = {
     require(k >= 1 && minCount >= 2, s"duplicateSpans: k=$k minCount=$minCount")
     val docs = DedupOps.staged(df, idCol, textCol, partitions)
     val base = docs.select(col("doc_id").as("id"),
@@ -848,7 +865,7 @@ object TextOps {
       shingleK: Int = 8, maxDupRatio: Double = 0.5,
       repK: Int = 3, maxTopGramRatio: Double = 1.0 / 32,
       maxDupWordRatio: Double = 0.5, pplCutoff: Double = 3.402,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val corpus = DedupOps.staged(
       df.filter(col(textCol).isNotNull), idCol, textCol, partitions)
     // the stopword list only feeds the (unused here) stopword_ratio
@@ -874,7 +891,7 @@ object TextOps {
     * (id, fp_exact, fp_winnow).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, partitions: Int = 32): DataFrame = {
+      shingleK: Int = 8, partitions: Int = 0): DataFrame = {
     val docs = DedupOps.staged(df, idCol, textCol, partitions)
     val fp = TextKernels.winnowFingerprints(df.sparkSession, docs, shingleK)
     docs.select(col("doc_id").as("id"), md5(col("text")).as("fp_exact"))
@@ -1070,11 +1087,11 @@ object AnnOps {
 
   /** (id, c: array<long> scaled components, nrm: double) staged + pinned. */
   def scaled(df: DataFrame, idCol: String, vecCol: String,
-      partitions: Int = 32): DataFrame =
+      partitions: Int = 0): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol),
           x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"))
-      .repartition(partitions, col("id"))
+      .repartition(Parts.of(df, partitions), col("id"))
       .select(col("id"), col("c"),
         sqrt(dot_i64(col("c"), col("c")).cast("double") / lit(1.0e12)).as("nrm"))
       .localCheckpoint()
@@ -1092,7 +1109,7 @@ object AnnOps {
     * Returns (src, neighbor_id, cosine, rank), rank <= k.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      blocks: Int = 16, partitions: Int = 32): DataFrame =
+      blocks: Int = 16, partitions: Int = 0): DataFrame =
     knnFromStaged(scaled(df, idCol, vecCol, partitions), k, blocks)
 
   private def knnFromStaged(v: DataFrame, k: Int, blocks: Int): DataFrame = {
@@ -1126,7 +1143,7 @@ object AnnOps {
     * integer dots, same double expression, ties broken id-ascending.
     */
   def knnGraphBroadcast(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, partitions: Int = 32): DataFrame =
+      k: Int, partitions: Int = 0): DataFrame =
     knnBroadcastFromStaged(scaled(df, idCol, vecCol, partitions), k)
 
   /** [[knnGraphBroadcast]] below a size gate, [[knnGraphLsh]] above it:
@@ -1155,7 +1172,7 @@ object AnnOps {
     */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxBroadcastBytes: Long = 512L << 20, rowsPerBand: Int = 4,
-      bands: Int = 16, partitions: Int = 32): DataFrame = {
+      bands: Int = 16, partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val (n, dim) = {
       val r = v.agg(count(lit(1)), max(size(col("c")))).head()
@@ -1299,7 +1316,7 @@ object AnnOps {
     */
   def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rowsPerBand: Int = 4, bands: Int = 16,
-      partitions: Int = 32): DataFrame =
+      partitions: Int = 0): DataFrame =
     knnLshFromStaged(scaled(df, idCol, vecCol, partitions), k,
       rowsPerBand, bands)
 
@@ -1346,7 +1363,7 @@ object AnnOps {
     */
   def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val sig = signLshSignatures(v, rowsPerBand, bands)
     val cand = sig.as("x").join(sig.as("y"),
@@ -1371,7 +1388,7 @@ object AnnOps {
     * a < b, via the same blocked grid. Returns (a, b, cosine).
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blocks: Int = 16, partitions: Int = 32): DataFrame = {
+      threshold: Double, blocks: Int = 16, partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val s = df.sparkSession
     val grid = s.createDataFrame(
@@ -1395,7 +1412,7 @@ object AnnOps {
     * cosine, rank), rank <= k.
     */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column => Column, k: Int, partitions: Int = 32): DataFrame = {
+      isQuery: Column => Column, k: Int, partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val q = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("c").as("qc"), col("nrm").as("qnrm"))
@@ -1418,7 +1435,7 @@ object AnnOps {
     * oracle-checked s02/s07 queries.
     */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, partitions: Int = 32,
+      iters: Int = 2, partitions: Int = 0,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame =
     kmeansFromStaged(withRawNorm(scaled(df, idCol, vecCol, partitions)),
       k, iters, maxCentroidBytes)
@@ -1699,7 +1716,7 @@ object AnnOps {
     */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cells: Int, iters: Int = 2,
-      partitions: Int = 32,
+      partitions: Int = 0,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
     val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
@@ -1744,7 +1761,7 @@ object AnnOps {
     */
   def semanticNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetCellSize: Long = 1000L, iters: Int = 2,
-      partitions: Int = 32,
+      partitions: Int = 0,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize=$targetCellSize")
     val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
@@ -2053,13 +2070,13 @@ object PrepOps {
     * quantile.
     */
   def exactQuantileBounds(df: DataFrame, scoreCol: String,
-      probs: Seq[Double], partitions: Int = 32): DataFrame = {
+      probs: Seq[Double], partitions: Int = 0): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"probs must be in [0, 1], got $probs")
     val s = df.sparkSession
     val scores = df.select(col(scoreCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .repartitionByRange(partitions, col("v"))
+      .repartitionByRange(Parts.of(df, partitions), col("v"))
       .select(col("v"), spark_partition_id().as("pid"))
       .localCheckpoint() // two passes below (counts, then rank lookup)
     val counts = scores.groupBy(col("pid")).agg(count(lit(1)).as("c"))

@@ -288,8 +288,11 @@ object Multimodal {
                 graft.multimodal.ImageCodec.encodePng(fw, fw, px)
               }
               val gvc = graft.multimodal.VideoCodec.encodeGvc(pngs)
-              val sampled = graft.multimodal.VideoCodec
-                .sampleDecoded(gvc, stride = 4)
+              // bytes => frames via the pluggable registry: the GVC1
+              // builtin claims this payload; an ffmpeg bridge would
+              // claim foreign containers with NO change to this query
+              val dec = graft.multimodal.FrameDecoders.forContent(gvc)
+              val sampled = dec.sampleDecoded(gvc, stride = 4)
               var sum = 0L
               var exact = true
               sampled.zipWithIndex.foreach { case (fr, si) =>
@@ -302,7 +305,7 @@ object Multimodal {
                 exact &&= fr.width == fw && fr.height == fw &&
                   java.util.Arrays.equals(fr.pixels, src)
               }
-              (id, graft.multimodal.VideoCodec.frameCount(gvc).toLong,
+              (id, dec.frameCount(gvc).toLong,
                 sampled.size.toLong, sum, exact)
             }
           }
