@@ -78,7 +78,9 @@ package graft.core
   *    `*LossyStd` compressors write it for interop. Spec-derived: no
   *    libzfp binary exists in this sandbox to cross-validate bytes
   *    against, so the layout is pinned by round-trip + error-bound
-  *    specs rather than binary fixtures (documented in ZfpSpec).
+  *    specs AND by hand-derived golden bitstreams (ZfpGoldenSpec
+  *    re-assembles expected bytes from the published format with an
+  *    independent bit packer and asserts byte-exact encode + decode).
   *
   * [[ZfpHeader]] exposes the parsed mode; unknown/expert modes are
   * rejected loudly by [[decompress]].
@@ -1029,7 +1031,8 @@ object Zfp {
   // plane coder with no prefix field — the bit layout a genuine libzfp
   // writer produces, reconstructed from the published format. No libzfp
   // binary exists in this sandbox to cross-validate bytes against; the
-  // layout is spec-derived and pinned by round-trip + error-bound specs.
+  // layout is spec-derived, pinned by round-trip + error-bound specs
+  // and by the hand-derived golden bitstreams in ZfpGoldenSpec.
 
   private def encodeBlockFloatStd(w: BitWriter, fblock: Array[Float],
       minexp: Int): Unit = {
