@@ -212,6 +212,88 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRecovered(store, out2, "s", 30)
   }
 
+  test("live kill-restart: ingest loop killed mid-flight under a " +
+      "concurrent jittered writer; a fresh ingester resumes to exactly " +
+      "the written data") {
+    // The reference's integration test runs write+ingest concurrently
+    // with jitter (cpp/ingester/src/integration_test.cpp:112-169). The
+    // matrix above constructs crash STATES; this test produces one
+    // LIVE: an ingest loop is killed at whatever point it happens to
+    // be (its Spark jobs cancelled with it, like a process death)
+    // while a writer keeps appending, then a fresh ingester over the
+    // same roots must converge to exactly the written rows.
+    val (store, out, ing) = fixture()
+    val w = store.createStream("s", schema)
+    val total = 3000
+    // the writer holds back the final third + EOF until AFTER the kill:
+    // the kill is guaranteed to land mid-stream (no EOF yet) with the
+    // writer live, and the post-kill rows prove resume consumes data
+    // written after the crash, not just what the dead loop saw
+    val killHappened = new java.util.concurrent.CountDownLatch(1)
+    val writerDone = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val rnd = new java.util.Random(20260814L)
+      var i = 0
+      while (i < 2000) {
+        val n = math.min(20 + rnd.nextInt(30), 2000 - i)
+        w.write(rows(i, i + n))
+        i += n
+        Thread.sleep(1 + rnd.nextInt(4)) // jitter
+      }
+      killHappened.await(180, java.util.concurrent.TimeUnit.SECONDS)
+      while (i < total) {
+        val n = math.min(20 + rnd.nextInt(30), total - i)
+        w.write(rows(i, i + n))
+        i += n
+        Thread.sleep(1 + rnd.nextInt(4))
+      }
+      w.stop()
+      writerDone.countDown()
+    }, "kill-test-writer")
+    @volatile var sweeps = 0
+    val ingThread = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup("kill-test-ingest", "ingest loop",
+          interruptOnCancel = true)
+        while (true) { ing.ingestOnce("s"); sweeps += 1; Thread.sleep(2) }
+      } catch { case _: Throwable => () } // the kill lands here
+    }, "kill-test-ingest")
+    writer.start()
+    ingThread.start()
+    // let the loop commit at least one sweep, then kill it mid-flight
+    // (the next sweep is already running against the live stream)
+    val t0 = System.nanoTime()
+    while (sweeps < 1 && System.nanoTime() - t0 < 120L * 1000000000L)
+      Thread.sleep(5)
+    assert(sweeps >= 1, "ingest loop made no progress before the kill")
+    Thread.sleep(50) // land inside the NEXT sweep, not between sweeps
+    assert(store.streamExists("s"), "stream finished before the kill")
+    ingThread.interrupt()
+    spark.sparkContext.cancelJobGroup("kill-test-ingest")
+    ingThread.join(60000)
+    assert(!ingThread.isAlive, "ingest loop survived the kill")
+    killHappened.countDown()
+    assert(writerDone.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "writer did not finish")
+    // fresh ingester over the same roots (a restarted process) drives
+    // the stream to completion from whatever the kill left on disk
+    val ing2 = new Ingester(spark, store.root, out,
+      IngestSettings(trimConsumedSegments = false))
+    val t1 = System.nanoTime()
+    while (store.streamExists("s") &&
+        System.nanoTime() - t1 < 120L * 1000000000L) {
+      ing2.ingestOnce("s")
+      Thread.sleep(5)
+    }
+    assertRecovered(store, out, "s", total)
+    // and the VALUES survived, not just the indexes: v == sample_index
+    val df = spark.read.parquet(
+      out.resolve("s").resolve("data.parquet").toString)
+    assert(df.filter(org.apache.spark.sql.functions.col("v") =!=
+      org.apache.spark.sql.functions.col("sample_index")
+        .cast("double")).count() == 0, "row values drifted through the kill")
+  }
+
   private def copyDir(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     Option(src.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
