@@ -1528,78 +1528,86 @@ object AnnOps {
 
   /** [[assignCellsKeepBc]] when the k-row centroid table exceeds a
     * driver/broadcast byte budget: the table is split into contiguous
-    * ascending cell-range SHARDS, each collected and broadcast
-    * separately (the driver holds one deserialized shard at a time, and
-    * each map task deserializes only its branch's shard), each shard
-    * scored by the same tight map-pass argmax, and the per-shard bests
-    * reduced by a skinny (id, cell, score) shuffle — S×N 24-byte rows,
-    * never a vector.
+    * ascending cell-range SHARDS ([i*perShard, (i+1)*perShard) over the
+    * seed range 0..k-1 — cells are ranks by construction), each
+    * collected and broadcast separately, so the driver's working set is
+    * ONE shard at a time (each shard's local array is dropped right
+    * after its broadcast; the block-manager copies are spillable),
+    * never the 0.6 GB table the SemDeDup operating point produces. The
+    * assignment itself stays ONE map pass over the staged vectors —
+    * each task walks the shard broadcasts in ascending cell order in
+    * the same tight primitive loop — so there is no extra scan, no
+    * union, and no reduce shuffle; the only rows that move are the
+    * (id, cell) output, exactly like the unsharded kernel, and cost
+    * stays flat in k at fixed N×k×dim work (SCALE_r08 probe).
     *
-    * Bit-identical to the unsharded kernel: the global winner there is
-    * "the SMALLEST cell among those with the maximum
-    * java.lang.Double.compare score" (ascending scan, strictly-greater
-    * replaces). Per-shard bests have that property within their range;
-    * the cross-shard pick uses the same total order (compare desc, cell
-    * asc on ties), which is associative/commutative, so the reduce
-    * reproduces the global scan exactly — including the all-NaN
-    * null-embedding row, which keeps the globally smallest cell. Plan
-    * shape gated by PlanInvariantsSpec; parity spec in PipelineOpsSpec.
+    * Bit-identical to the unsharded kernel: shards are disjoint
+    * ascending ranges walked in order, so the concatenated scan IS the
+    * global ascending scan — same j==0 initialization (the first cell
+    * of the first non-empty shard), same strictly-greater
+    * java.lang.Double.compare replacement, same all-NaN null-embedding
+    * behavior (keeps the globally smallest cell). Plan shape gated by
+    * PlanInvariantsSpec; parity spec in PipelineOpsSpec.
+    *
+    * Executor-side, `bc.value` caches each deserialized shard in the
+    * block manager (memory-and-disk), so a long-lived executor
+    * eventually holds the full table — the acceptable side of the
+    * trade: executors are many and spill; the driver is one.
     *
     * Returns the assignment plus a release() thunk destroying every
     * shard broadcast — call it only after the assignment is pinned.
     */
   private[graft] def assignCellsSharded(v: DataFrame, cent: DataFrame,
-      idCol: String, maxCentroidBytes: Long,
+      idCol: String, k: Long, maxCentroidBytes: Long,
       dimBytes: Long): (DataFrame, () => Unit) = {
     val s = v.sparkSession
     import s.implicits._
-    // pin the k-row table once so the S shard collects don't re-run the
-    // centroid-update aggregation S times
-    val centP = cent.localCheckpoint()
-    val cells = centP.select(col("cell")).as[Long].collect().sorted
+    // pin the k-row table once (single block) so the per-shard collects
+    // are 1-task scans, not re-runs of the centroid-update aggregation
+    val centP = cent.coalesce(1).localCheckpoint()
     val perShard = math.max(1L, maxCentroidBytes / math.max(1L, dimBytes))
-      .min(Int.MaxValue).toInt
-    val ranges = cells.grouped(perShard).map(a => (a.head, a.last)).toArray
-    val bcs = ranges.map { case (lo, hi) =>
+    val nShards = ((k + perShard - 1) / perShard).toInt
+    val bcs = (0 until nShards).iterator.map { si =>
+      val lo = si * perShard
+      val hi = math.min(k - 1, lo + perShard - 1)
       val shard = centP.filter(col("cell").between(lo, hi))
         .select(col("cell"), col("cc"), col("cnrmr"))
         .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      // the local `shard` reference dies with this iteration: the
+      // driver never holds two deserialized shards in user heap
       s.sparkContext.broadcast(shard)
-    }
-    val staged = v.select(col(idCol), col("c"),
+    }.toArray
+    val out = v.select(col(idCol), col("c"),
         coalesce(col("nrmr"), lit(Double.NaN)).as("nrmr"))
       .as[(Long, Array[Long], Double)]
-    val shardBests = bcs.map { bc =>
-      staged.mapPartitions { it =>
-        val cs = bc.value
+      .mapPartitions { it =>
+        val shards = bcs.map(_.value)
         it.map { case (id, c, nrmr) =>
-          var bestCell = if (cs.isEmpty) -1L else cs(0)._1
+          var bestCell = -1L
           var best = Double.NaN
-          var j = 0
-          while (j < cs.length) {
-            val (cell, cc, cnrmr) = cs(j)
-            var dot = 0L
-            var i = 0
-            val n = if (c == null) 0 else math.min(c.length, cc.length)
-            while (i < n) { dot += c(i) * cc(i); i += 1 }
-            val score = dot.toDouble / (nrmr * cnrmr)
-            if (j == 0 || java.lang.Double.compare(score, best) > 0) {
-              best = score; bestCell = cell
+          var first = true
+          var sdx = 0
+          while (sdx < shards.length) {
+            val cs = shards(sdx)
+            var j = 0
+            while (j < cs.length) {
+              val (cell, cc, cnrmr) = cs(j)
+              var dot = 0L
+              var i = 0
+              val n = if (c == null) 0 else math.min(c.length, cc.length)
+              while (i < n) { dot += c(i) * cc(i); i += 1 }
+              val score = dot.toDouble / (nrmr * cnrmr)
+              if (first || java.lang.Double.compare(score, best) > 0) {
+                best = score; bestCell = cell
+              }
+              first = false
+              j += 1
             }
-            j += 1
+            sdx += 1
           }
-          (id, bestCell, best)
+          (id, bestCell)
         }
-      }
-    }
-    val out = shardBests.reduce(_ union _)
-      .groupByKey(_._1)
-      .reduceGroups { (x: (Long, Long, Double), y: (Long, Long, Double)) =>
-        val c = java.lang.Double.compare(x._3, y._3)
-        if (c > 0) x else if (c < 0) y else if (x._2 <= y._2) x else y
-      }
-      .map { case (_, (id, cell, _)) => (id, cell) }
-      .toDF(idCol, "cell")
+      }.toDF(idCol, "cell")
     DedupOps.releaseLocalCheckpoint(centP)
     (out, () => bcs.foreach(_.destroy()))
   }
@@ -1617,7 +1625,7 @@ object AnnOps {
     if (k * dimBytes <= maxCentroidBytes) {
       val (out, bc) = assignCellsKeepBc(v, cent, idCol)
       (out, () => bc.destroy())
-    } else assignCellsSharded(v, cent, idCol, maxCentroidBytes, dimBytes)
+    } else assignCellsSharded(v, cent, idCol, k, maxCentroidBytes, dimBytes)
   }
 
   /** Per-cell component sums of the member vectors, pre-combined

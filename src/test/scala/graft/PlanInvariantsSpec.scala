@@ -215,13 +215,13 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "assignCells explodes rows (N×K regression)")
   }
 
-  test("sharded k-means assignment plans shard map passes + a skinny " +
-      "reduce: no window, no explode, no cartesian") {
-    // Past the centroid byte budget the Lloyd assignment must be S
-    // per-shard MapPartitions branches unioned into one (id, cell,
-    // score) aggregate — never a window shuffle, a generate, or a pair
-    // join. Vectors move only through the map passes; the union/reduce
-    // carries 24-byte rows.
+  test("sharded k-means assignment stays ONE map pass: no shuffle, no " +
+      "window, no explode, no cartesian") {
+    // Past the centroid byte budget the Lloyd assignment must remain a
+    // single MapPartitions over the staged vectors (each task walks the
+    // shard broadcasts in ascending cell order) — never an extra scan
+    // per shard, a union/reduce shuffle, a window, a generate, or a
+    // pair join. The only rows that move are the (id, cell) output.
     import org.apache.spark.sql.functions._
     val ss = spark
     import ss.implicits._
@@ -233,10 +233,10 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cent = Seq((0L, Array(1L, 0L)), (1L, Array(0L, 1L)),
       (2L, Array(1L, 1L))).toDF("cell", "cc")
       .withColumn("cnrmr", lit(1.0))
-    // dimBytes=1 with budget 1 → one cell per shard → 3 shard branches
+    // dimBytes=1 with budget 1 → one cell per shard → 3 shards
     val (assigned, release) = graft.operators.AnnOps
-      .assignCellsSharded(df, cent, "id", maxCentroidBytes = 1L,
-        dimBytes = 1L)
+      .assignCellsSharded(df, cent, "id", k = 3L,
+        maxCentroidBytes = 1L, dimBytes = 1L)
     assigned.count()
     release()
     val p = assigned.queryExecution.executedPlan match {
@@ -245,8 +245,12 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val s = p.toString()
     assert(s.contains("MapPartitions"),
-      s"sharded assign lost its map passes:\n$s")
-    assert(s.contains("Union"), s"sharded assign lost the shard union:\n$s")
+      s"sharded assign lost its map pass:\n$s")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"sharded assign shuffles: ${exchanges.map(_.nodeName)}")
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
