@@ -469,6 +469,49 @@ object DedupOps {
     jaccardVerified(cand, shArr, threshold)
   }
 
+  /** Inverted-index shingle CONTAINMENT near-dups: containment =
+    * |A ∩ B| / min(|A|, |B|) — the asymmetric near-dup measure that
+    * catches QUOTE/SUPERSET duplication (a short document embedded in a
+    * long one), which symmetric Jaccard structurally misses: a
+    * 50-shingle excerpt inside a 5000-shingle original has jaccard
+    * ~ 0.01 but containment 1.0. MinHash banding is NOT usable for
+    * candidates here — band collision probability tracks JACCARD, so
+    * high-containment/low-jaccard pairs never collide — so candidates
+    * come from the same df-cut shingle inverted index as
+    * [[ngramJaccardNearDups]] (an excerpt shares every one of its rare
+    * shingles with its source), with the identical `maxDf` recall
+    * contract; verification is exact set arithmetic over candidate
+    * pairs only. Returns (a, b, containment, jaccard) with a < b and
+    * containment >= threshold. Semantics pinned by the oracle-checked
+    * d11 query.
+    */
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 7, threshold: Double = 0.9, maxDf: Int = 16,
+      partitions: Int = 0): DataFrame = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
+      .localCheckpoint()
+    val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val frequent = posting.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("sh"))
+    val pruned = posting.join(broadcast(frequent), Seq("sh"), "left_anti")
+    val cand = pruned.as("x").join(pruned.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(shArr.as("pa"), col("a") === col("pa.doc_id"))
+      .join(shArr.as("pb"), col("b") === col("pb.doc_id"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("pa.shs"), col("pb.shs"))).as("inter"),
+        size(col("pa.shs")).as("na"), size(col("pb.shs")).as("nb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("containment"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 32-bit simhash over word unigrams, byte
     * banding (hamming <= 3 implies >= 1 equal byte, by pigeonhole), exact
     * hamming filter. Returns (a, b, hamming).
@@ -727,6 +770,33 @@ object TextOps {
           .as("dup_ratio"))
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
   }
+
+  /** Per-document lexical-diversity profile — the vocabulary-collapse
+    * quality signals (templated/degenerate text shows a low type-token
+    * ratio and a hapax-poor vocabulary; natural prose is hapax-rich):
+    * token count, type count (distinct words), type-token ratio, hapax
+    * count (words occurring exactly once IN the document) and
+    * hapax/type ratio. Exact integer arithmetic until the two final
+    * double divisions, so the scores are engine-reproducible. One
+    * id-keyed shuffle (the per-(id, word) counts pre-combine map-side);
+    * no joins — scales as a pure scan. Semantics pinned by the
+    * oracle-checked t17 query.
+    * Returns (id, n_tokens, n_types, ttr, n_hapax, hapax_ratio).
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
 
   /** Span-level exact-substring dedup (the ExactSubstr idea at fixed
     * gram length): every word position whose k-gram occurs >= minCount

@@ -816,6 +816,77 @@ object Dedup {
         )
         SELECT sig.doc_id, sig.simhash AS simhash32,
           mh.n_shingles, mh.mh0, mh.mh1
-        FROM sig JOIN mh USING (doc_id)"""))
+        FROM sig JOIN mh USING (doc_id)""")),
+
+    // ----------------------------------- containment (superset) dedup
+    GraftQuery(
+      "d11_dedup_containment",
+      (s, dir) => {
+        import s.implicits._
+        // Asymmetric containment dedup — the quote/excerpt duplication
+        // case symmetric Jaccard structurally misses (an excerpt inside
+        // a long original has jaccard ~ |excerpt|/|original| but
+        // containment 1.0). The corpus is documents UNION planted
+        // excerpts (first half of the words of every 10th long doc,
+        // id + 100000), so the fixture GUARANTEES containment-1.0 /
+        // low-jaccard pairs exist; prefix word k-grams are a subset of
+        // the source's k-grams, so exact containment is 1.0 by
+        // construction. The query IS the DedupOps.containmentNearDups
+        // facade call: df-cut inverted-index candidates (MinHash
+        // banding can't find these pairs — collision tracks jaccard),
+        // exact set verification of candidates only.
+        val base = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+        val excerpts = base
+          .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
+          .select(($"doc_id" + 100000L).as("doc_id"),
+            array_join(slice(split($"text", " "), lit(1),
+              (size(split($"text", " ")) / 2).cast("int")), " ").as("text"))
+        graft.operators.DedupOps.containmentNearDups(
+          base.unionByName(excerpts), "doc_id", "text",
+          shingleK = 7, threshold = 0.9, maxDf = DF_CUT)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(ws[1:len(ws)//2], ' ')
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+          WHERE doc_id % 10 = 0 AND len(ws) >= 20
+        ),
+        sh AS (
+          SELECT doc_id, unnest(${sqlShingles(7)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM corpus)
+        ),
+        freq AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) df FROM sh GROUP BY sh) t
+          WHERE df > $DF_CUT
+        ),
+        pruned AS (
+          SELECT s.doc_id, s.sh FROM sh s ANTI JOIN freq f ON s.sh = f.sh
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM pruned x JOIN pruned y
+            ON x.sh = y.sh AND x.doc_id < y.doc_id
+        ),
+        sharr AS (
+          SELECT doc_id, ${sqlShingles(7)} AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM corpus)
+        ),
+        verified AS (
+          SELECT c.a, c.b,
+            len(list_intersect(pa.shs, pb.shs)) AS inter,
+            len(pa.shs) AS na, len(pb.shs) AS nb
+          FROM cand c
+            JOIN sharr pa ON pa.doc_id = c.a
+            JOIN sharr pb ON pb.doc_id = c.b
+        )
+        SELECT a, b,
+          CAST(inter AS DOUBLE) / least(na, nb) AS containment,
+          CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM verified
+        WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9"""))
   )
 }

@@ -1284,6 +1284,86 @@ object Relational {
           FROM walk w JOIN edges e ON e.src = w.event_id
           WHERE w.depth < 8)
         SELECT session_head, event_id, depth FROM walk
-        LIMIT 2000000000"""))
+        LIMIT 2000000000""")),
+
+    // ----------------------------------- histogram median + mode (q49)
+    GraftQuery(
+      "q49_median_mode",
+      (s, dir) => {
+        import s.implicits._
+        // Exact grouped MEDIAN and MODE from one frequency-table
+        // aggregation — the scalable exact-median pattern for
+        // bounded-domain measures (l_quantity has ~50 distinct values):
+        // the heavy pass is a map-side-combinable (flag, value) count,
+        // the cumulative window then sees <= |domain| rows per group,
+        // so nothing ever buffers a group's raw values (Spark's
+        // percentile()/median() aggregates collect per-group buffers —
+        // a single-executor bomb when one group holds a trillion rows;
+        // same reason p06 avoids them). Median = mean of the values at
+        // 1-based positions (n+1) div 2 and (n+2) div 2 (odd n: the
+        // same row covers both); mode = argmax count, ties broken
+        // value-ascending. Unbounded domains use the p06/
+        // exactQuantileBounds two-pass instead — that is the trade.
+        val li = Tables.load(s, dir, "lineitem")
+        val h = li.groupBy($"l_returnflag",
+            $"l_quantity".cast("double").as("q"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // median and mode both read it
+        val wCum = Window.partitionBy($"l_returnflag").orderBy($"q")
+        val cum = h.withColumn("hi", sum($"c").over(wCum))
+          .withColumn("lo", $"hi" - $"c" + 1)
+          .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+          .withColumn("p1", expr("(n + 1) div 2"))
+          .withColumn("p2", expr("(n + 2) div 2"))
+        val med = cum
+          .filter(($"p1" >= $"lo" && $"p1" <= $"hi") ||
+            ($"p2" >= $"lo" && $"p2" <= $"hi"))
+          .groupBy($"l_returnflag")
+          .agg(max($"n").as("n"),
+            (sum(when($"p1" >= $"lo" && $"p1" <= $"hi", $"q").otherwise(0.0) +
+              when($"p2" >= $"lo" && $"p2" <= $"hi", $"q").otherwise(0.0)) /
+              2.0).as("median_qty"))
+        val wMode = Window.partitionBy($"l_returnflag")
+          .orderBy($"c".desc, $"q".asc)
+        val mode = h.withColumn("rn", row_number().over(wMode))
+          .filter($"rn" === 1)
+          .select($"l_returnflag", $"q".as("mode_qty"), $"c".as("mode_n"))
+        med.join(mode, Seq("l_returnflag"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT l_returnflag, CAST(l_quantity AS DOUBLE) q, COUNT(*) c
+          FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT l_returnflag, q, c,
+            SUM(c) OVER (PARTITION BY l_returnflag ORDER BY q
+                         ROWS UNBOUNDED PRECEDING) hi,
+            SUM(c) OVER (PARTITION BY l_returnflag ORDER BY q
+                         ROWS UNBOUNDED PRECEDING) - c + 1 lo,
+            SUM(c) OVER (PARTITION BY l_returnflag) n
+          FROM h
+        ),
+        pos AS (
+          SELECT *, (n + 1) // 2 p1, (n + 2) // 2 p2 FROM cum
+        ),
+        med AS (
+          SELECT l_returnflag, CAST(MAX(n) AS BIGINT) n,
+            SUM(CASE WHEN p1 BETWEEN lo AND hi THEN q ELSE 0 END +
+                CASE WHEN p2 BETWEEN lo AND hi THEN q ELSE 0 END) / 2.0
+              AS median_qty
+          FROM pos
+          WHERE p1 BETWEEN lo AND hi OR p2 BETWEEN lo AND hi
+          GROUP BY 1
+        ),
+        md AS (
+          SELECT l_returnflag, q mode_qty, c mode_n FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY l_returnflag ORDER BY c DESC, q ASC) rn
+            FROM h) t
+          WHERE rn = 1
+        )
+        SELECT m.l_returnflag, m.n, m.median_qty, d.mode_qty, d.mode_n
+        FROM med m JOIN md d USING (l_returnflag)"""))
   )
 }

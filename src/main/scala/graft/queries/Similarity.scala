@@ -809,28 +809,7 @@ object Similarity {
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.45, cells = 3, iters = 2)
       },
-      Some(s"""
-        WITH $sqlKmeansCtes,
-        cellpairs AS (
-          SELECT x.cell, x.vec_id a, y.vec_id b
-          FROM assign2 x JOIN assign2 y
-            ON x.cell = y.cell AND x.vec_id < y.vec_id
-        ),
-        dotp AS (
-          SELECT p.cell, p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
-          FROM cellpairs p
-            JOIN comp ca ON ca.vec_id = p.a
-            JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
-          GROUP BY 1, 2, 3
-        )
-        SELECT d.cell, d.a, d.b,
-          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
-            AS cosine
-        FROM dotp d
-          JOIN nrm na ON na.vec_id = d.a
-          JOIN nrm nb ON nb.vec_id = d.b
-        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
-          >= 0.45""")),
+      Some(sqlSemanticDedup)),
 
     // ---------------------------------------- product quantization ANN
     GraftQuery(
@@ -999,8 +978,56 @@ object Similarity {
         }
         sel
       },
-      Some(sqlMmr(MMRK)))
+      Some(sqlMmr(MMRK))),
+
+    // ------------------------- sharded-centroid semantic dedup (s11)
+    GraftQuery(
+      "s11_semantic_dedup_sharded",
+      (s, dir) => {
+        // s07 through the SHARDED Lloyd assignment: maxCentroidBytes=1
+        // forces one cell per shard (3 shards at k=3), so every Lloyd
+        // step runs AnnOps.assignCellsSharded — the 100 TB path for
+        // centroid tables past driver memory. The kernel contract is
+        // BIT-IDENTICAL assignments, so the oracle is the SAME SQL as
+        // s07's unsharded spelling: the driver's hash compare is the
+        // end-to-end proof the sharded path changes nothing but the
+        // broadcast shape (plan gate: PlanInvariantsSpec's
+        // no-shuffle/one-map-pass assertions on the kernel).
+        graft.operators.AnnOps.semanticNearDups(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, cells = 3, iters = 2,
+          maxCentroidBytes = 1L)
+      },
+      Some(sqlSemanticDedup))
   )
+
+  /** DuckDB spelling of s07/s11 (2 unrolled Lloyd iterations at k=3,
+    * within-cell exact-cosine pairs): s11's sharded kernel is
+    * bit-identical to s07's single-broadcast kernel, so both queries
+    * pin against the SAME oracle text.
+    */
+  private def sqlSemanticDedup: String = s"""
+        WITH $sqlKmeansCtes,
+        cellpairs AS (
+          SELECT x.cell, x.vec_id a, y.vec_id b
+          FROM assign2 x JOIN assign2 y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ),
+        dotp AS (
+          SELECT p.cell, p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
+          FROM cellpairs p
+            JOIN comp ca ON ca.vec_id = p.a
+            JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+          GROUP BY 1, 2, 3
+        )
+        SELECT d.cell, d.a, d.b,
+          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+            AS cosine
+        FROM dotp d
+          JOIN nrm na ON na.vec_id = d.a
+          JOIN nrm nb ON nb.vec_id = d.b
+        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+          >= 0.45"""
 
   /** DuckDB spelling of s09: the s01 candidate CTEs, candidate-pair
     * sims, then `steps` unrolled greedy selections. */

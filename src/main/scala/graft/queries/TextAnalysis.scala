@@ -685,7 +685,42 @@ object TextAnalysis {
             / (COALESCE(b.nb, 0) + 1) AS avg_nll,
           (CAST(f.s1 + COALESCE(b.sb, 0) AS DOUBLE)
             / (COALESCE(b.nb, 0) + 1)) <= 3.402 AS keep
-        FROM fs f LEFT JOIN bs b USING (doc_id)"""))
+        FROM fs f LEFT JOIN bs b USING (doc_id)""")),
+
+    // ------------------------------------------ lexical diversity (t17)
+    GraftQuery(
+      "t17_lexical_diversity",
+      (s, dir) => {
+        import s.implicits._
+        // Vocabulary-collapse quality signals: type-token ratio and
+        // hapax richness per document (templated/degenerate text is
+        // TTR-low and hapax-poor; natural prose is hapax-rich). Exact
+        // integer counts until the two final double divisions; one
+        // id-keyed shuffle, map-side combined, no joins. The query IS
+        // the TextOps.lexicalDiversity facade call.
+        graft.operators.TextOps.lexicalDiversity(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_tokens", $"n_types", $"ttr",
+            $"n_hapax", $"hapax_ratio")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, w, COUNT(*) AS c FROM w
+          WHERE len(w) > 0 GROUP BY 1, 2
+        )
+        SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_types,
+          CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS hapax_ratio
+        FROM c GROUP BY doc_id"""))
   )
 
   /** The shared CTE prefix of the BPE oracles, unrolled to `merges`
