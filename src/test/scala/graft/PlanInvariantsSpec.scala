@@ -44,7 +44,9 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m06_image_roundtrip", "q37_ohlc_resample", "q41_interval_join",
     "t13_tfidf_topk", "q44_lateral_topn", "t15_bpe_tokenize",
     "t16_bigram_perplexity",
-    "p12_semantic_packing", "d10_lsh_operating_curve")
+    "p12_semantic_packing", "d10_lsh_operating_curve",
+    "d11_dedup_containment", "s11_semantic_dedup_sharded",
+    "t17_lexical_diversity", "q49_median_mode")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -129,6 +131,14 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("LeftAnti"), "d04 lost the heavy-hitter anti join")
     assert(s.contains("BroadcastHashJoin"),
       "d04's anti join is not broadcast (map-side)")
+  }
+
+  test("d11's df-cut prunes via a broadcast anti join (containment " +
+      "candidates come from the inverted index, never a pair grid)") {
+    val s = plans("d11_dedup_containment").toString()
+    assert(s.contains("LeftAnti"), "d11 lost the heavy-hitter anti join")
+    assert(s.contains("BroadcastHashJoin"),
+      "d11's anti join is not broadcast (map-side)")
   }
 
   test("p07's df-cut prunes the train index via a broadcast anti join") {

@@ -672,6 +672,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-embedding row not in the first cell: $cells")
   }
 
+  test("containmentNearDups: a planted excerpt scores containment 1.0 " +
+      "where jaccard is low; disjoint docs never pair") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct words
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ") // prefix third
+    val df = Seq(
+      (1L, long),
+      (2L, excerpt),
+      (3L, "entirely different vocabulary nothing shared here at all"))
+      .toDF("k", "body")
+    val rows = DedupOps.containmentNearDups(df, "k", "body",
+        shingleK = 3, threshold = 0.9, maxDf = 16, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"got ${rows.keySet}")
+    val (containment, jaccard) = rows((1L, 2L))
+    // a prefix's k-grams are a subset of the source's: containment
+    // exactly 1.0 while jaccard is the subset-size ratio (10/38)
+    assert(containment == 1.0)
+    assert(jaccard < 0.5, s"jaccard $jaccard not the asymmetric case")
+  }
+
+  test("lexicalDiversity: exact counts on a hand-computable doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "a a b c"), (8L, "x x x x")).toDF("k", "body")
+    val got = TextOps.lexicalDiversity(df, "k", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got(7L) == ((4L, 3L, 0.75, 2L, 2.0 / 3.0)))
+    assert(got(8L) == ((4L, 1L, 0.25, 0L, 0.0)))
+  }
+
   test("bpeVocab at 100 merge rounds: superseded round checkpoints are " +
       "released, executor storage stays flat") {
     val s = spark
