@@ -447,6 +447,64 @@ object River {
         FROM events""")),
 
     GraftQuery(
+      "r14_stream_lossy_std",
+      (s, dir) => {
+        import s.implicits._
+        // r11's interop twin: the SAME lossy stream round trip but with
+        // "layout": "std" — batches written in the STANDARD libzfp
+        // accuracy bit layout (non-orthogonal lifting transform, plain
+        // plane coder; the bytes another zfp implementation reads) and
+        // in DOUBLE precision, so the std double coder pinned by
+        // ZfpGoldenSpec's hand-derived bitstreams is exercised through
+        // the whole transport: writer framing -> segment files -> DSv2
+        // read -> auto-dispatch on the unmarked header. Self-validating
+        // like r11: |err| <= tolerance (the std coder's documented
+        // accuracy guarantee — tighter than r11's 4x bound because std
+        // always block-floats), correlation >= 0.95, genuine on-disk
+        // compression vs 32 B/row raw.
+        val root = tempRoot("zfpstd")
+        val store = new StreamStore(root)
+        val tol = 20.0
+        val schema = RiverSchema(Seq("a", "b", "c", "d")
+          .map(RiverField(_, RiverType.Double64)))
+        val w = store.createStream("ev", schema, compressionParamsJson =
+          Some("""{"name":"ZFP_LOSSY","params":{"num_cols":"4",""" +
+            """"data_type":"double","tolerance":"20",""" +
+            """"layout":"std"}}"""))
+        var idx = 0L
+        def f(c: Int, i: Long): Double =
+          math.sin((c + 1) * i / 10.0) * 16384.0
+        val n = appendVia(w, orderedEvents(s, dir), batch = 4096,
+          rowToVals = { _ =>
+            val i = idx; idx += 1
+            Seq[Any](f(0, i), f(1, i), f(2, i), f(3, i))
+          })
+        w.stop()
+        val segBytes = store.segments("ev")
+          .map(i => store.segmentFile("ev", i).length()).sum
+        val df = s.read.format("river")
+          .option("root", root.toString).option("stream", "ev")
+          .load()
+        val errs = (0 until 4).map { c =>
+          val orig = sin(lit(c + 1) * $"sample_index" / lit(10.0)) * lit(16384.0)
+          abs(col(Seq("a", "b", "c", "d")(c)) - orig)
+        }
+        df.select($"sample_index", $"a",
+            greatest(errs: _*).as("err"),
+            (sin(lit(1) * $"sample_index" / lit(10.0)) * lit(16384.0)).as("oa"))
+          .agg(
+            count(lit(1)).as("n"),
+            (max($"err") <= lit(tol)).as("err_within_tol"),
+            (corr($"a", $"oa") >= lit(0.95)).as("corr_ge_095"))
+          .withColumn("compressed_smaller",
+            lit(if (segBytes < n * 32) 1 else 0))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, true AS err_within_tol,
+          true AS corr_ge_095, 1 AS compressed_smaller
+        FROM events""")),
+
+    GraftQuery(
       "r06_stream_metadata",
       (s, dir) => {
         import s.implicits._
