@@ -49,7 +49,11 @@ object FrameDecoders {
   }
 
   /** A still image is a 1-frame video: PNG/BMP/JPEG/GIF payloads decode
-    * through the JDK codec ([[ImageCodec]]).
+    * through the JDK codec ([[ImageCodec]]). A payload whose magic
+    * passes the sniff but whose body fails to decode errors LOUDLY
+    * (the [[VideoCodec]] convention) so frameCount (always 1 for a
+    * claimed still) and sampleDecoded stay consistent — a silent empty
+    * Seq would fake coverage for truncated files.
     */
   object Still extends FrameDecoder {
     val name = "still-image"
@@ -57,7 +61,10 @@ object FrameDecoders {
     def frameCount(c: Array[Byte]): Int = 1
     def sampleDecoded(c: Array[Byte], stride: Int): Seq[DecodedImage] = {
       require(stride >= 1, s"still: stride must be >= 1, got $stride")
-      ImageCodec.decode(c).toSeq // frame 0 is always sampled
+      // frame 0 is always sampled
+      Seq(ImageCodec.decode(c).getOrElse(sys.error(
+        "still: payload has an image magic but failed to decode " +
+          "(truncated or corrupt)")))
     }
   }
 
@@ -93,13 +100,32 @@ object FrameDecoders {
 
   private val builtins: Seq[FrameDecoder] = Seq(Gvc, Still)
 
-  // registration is rare (process init); reads are the hot path — a
-  // volatile immutable Vector makes lookup allocation- and lock-free
+  /** `java.util.ServiceLoader` providers — THE production registration
+    * path on a cluster: a third-party bridge ships a
+    * `META-INF/services/graft.multimodal.FrameDecoder` entry in its
+    * jar, and because the jar is on every executor's classpath, the
+    * provider is discovered in EVERY JVM. (`register()` below mutates
+    * this JVM's registry only — fine for driver-local tooling and
+    * tests, but a decoder registered programmatically on the driver is
+    * invisible to executors, where `forContent` actually runs inside
+    * mapPartitions closures.) Loaded lazily once per JVM.
+    */
+  private lazy val serviceProviders: Vector[FrameDecoder] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[FrameDecoder])
+      .iterator().asScala.toVector
+  }
+
+  // programmatic registration is rare (tests, driver-local tools);
+  // reads are the hot path — a volatile immutable Vector makes lookup
+  // allocation- and lock-free
   @volatile private var registered: Vector[FrameDecoder] = Vector.empty
 
-  /** Install a third-party decoder. Registered decoders are consulted
-    * BEFORE the builtins, so a bridge may also override a builtin
-    * format. Idempotent per name (re-registering replaces).
+  /** Install a third-party decoder IN THIS JVM. Registered decoders are
+    * consulted before ServiceLoader providers and builtins, so a bridge
+    * may also override a builtin format. Idempotent per name
+    * (re-registering replaces). Per-JVM only — for cluster-wide
+    * registration ship a ServiceLoader entry (see [[serviceProviders]]).
     */
   def register(d: FrameDecoder): Unit = synchronized {
     registered = registered.filterNot(_.name == d.name) :+ d
@@ -111,9 +137,12 @@ object FrameDecoders {
   }
 
   /** The decoder claiming this payload — total, never throws: the stub
-    * accepts everything.
+    * accepts everything. Precedence: programmatic registrations, then
+    * ServiceLoader providers (jar-shipped, present on every executor),
+    * then builtins, then the stub.
     */
   def forContent(content: Array[Byte]): FrameDecoder =
-    (registered.iterator ++ builtins.iterator)
+    (registered.iterator ++ serviceProviders.iterator ++
+      builtins.iterator)
       .find(_.accepts(content)).getOrElse(Stub)
 }

@@ -455,18 +455,32 @@ object DedupOps {
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 7, threshold: Double = 0.8, maxDf: Int = 16,
       partitions: Int = 0): DataFrame = {
+    val (cand, shArr) = dfCutCandidates(df, idCol, textCol, shingleK,
+      maxDf, partitions)
+    jaccardVerified(cand, shArr, threshold)
+  }
+
+  /** The df-cut inverted-index candidate pass shared by
+    * [[ngramJaccardNearDups]] and [[containmentNearDups]]: stage, kernel
+    * shingle arrays (pinned), explode to postings, drop shingles with
+    * df > maxDf via a broadcast anti join (heavy hitters are few,
+    * <= postings/maxDf), self-join the pruned postings on the shingle
+    * key. Returns (cand(a, b) with a < b, pinned shingle arrays).
+    */
+  private def dfCutCandidates(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, maxDf: Int,
+      partitions: Int): (DataFrame, DataFrame) = {
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
       .localCheckpoint()
     val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // heavy hitters are few (<= postings/maxDf): broadcast anti join
     val frequent = posting.groupBy(col("sh"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("sh"))
     val pruned = posting.join(broadcast(frequent), Seq("sh"), "left_anti")
     val cand = pruned.as("x").join(pruned.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    jaccardVerified(cand, shArr, threshold)
+    (cand, shArr)
   }
 
   /** Inverted-index shingle CONTAINMENT near-dups: containment =
@@ -488,16 +502,8 @@ object DedupOps {
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 7, threshold: Double = 0.9, maxDf: Int = 16,
       partitions: Int = 0): DataFrame = {
-    val docs = staged(df, idCol, textCol, partitions)
-    val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
-      .localCheckpoint()
-    val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val frequent = posting.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("sh"))
-    val pruned = posting.join(broadcast(frequent), Seq("sh"), "left_anti")
-    val cand = pruned.as("x").join(pruned.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val (cand, shArr) = dfCutCandidates(df, idCol, textCol, shingleK,
+      maxDf, partitions)
     cand
       .join(shArr.as("pa"), col("a") === col("pa.doc_id"))
       .join(shArr.as("pb"), col("b") === col("pb.doc_id"))
@@ -1632,9 +1638,13 @@ object AnnOps {
       dimBytes: Long): (DataFrame, () => Unit) = {
     val s = v.sparkSession
     import s.implicits._
-    // pin the k-row table once (single block) so the per-shard collects
-    // are 1-task scans, not re-runs of the centroid-update aggregation
-    val centP = cent.coalesce(1).localCheckpoint()
+    // pin the k-row table once so the per-shard collects are cheap
+    // scans of pinned blocks, not re-runs of the centroid-update
+    // aggregation. NO coalesce: collapsing to one partition would also
+    // collapse the centroid-update's reduce into a single task and a
+    // single ~k×dim×8 B block on one executor — a funnel (and past 2 GB
+    // a hard failure) at exactly the scale that triggers sharding.
+    val centP = cent.localCheckpoint()
     val perShard = math.max(1L, maxCentroidBytes / math.max(1L, dimBytes))
     val nShards = ((k + perShard - 1) / perShard).toInt
     val bcs = (0 until nShards).iterator.map { si =>
@@ -1751,12 +1761,15 @@ object AnnOps {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     val s = v.sparkSession
     import s.implicits._
-    // dim prices the centroid table (k is already known), so the
-    // sharding gate costs one 1-row job over the pinned staging — the
-    // small-k path then runs the single-broadcast kernel with zero
-    // extra work per Lloyd step.
-    val dim = v.select(coalesce(max(size(col("c"))), lit(0)))
-      .as[Int].head()
+    // dim prices the centroid table (k is already known). A limit-1
+    // probe of the first non-null vector — NOT a max over all rows:
+    // that would be a full extra pass over the pinned staging on every
+    // call, including the small-k callers the gate exists to leave
+    // untouched. dim is constant by scaled()'s transform; a ragged
+    // corpus could under-price the gate and fall back to the unsharded
+    // kernel, which is correct (just driver-heavier) at any dim.
+    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+      .limit(1).as[Int].collect().headOption.getOrElse(0)
     def centFrom(members: DataFrame): DataFrame =
       centFromMembers(v, members, "id")
     // seeds: the k smallest ids, cell = rank. The orderBy is bounded by

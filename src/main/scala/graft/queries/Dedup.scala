@@ -828,18 +828,27 @@ object Dedup {
         // a long original has jaccard ~ |excerpt|/|original| but
         // containment 1.0). The corpus is documents UNION planted
         // excerpts (first half of the words of every 10th long doc,
-        // id + 100000), so the fixture GUARANTEES containment-1.0 /
+        // id + 1e11), so the fixture GUARANTEES containment-1.0 /
         // low-jaccard pairs exist; prefix word k-grams are a subset of
         // the source's k-grams, so exact containment is 1.0 by
-        // construction. The query IS the DedupOps.containmentNearDups
-        // facade call: df-cut inverted-index candidates (MinHash
-        // banding can't find these pairs — collision tracks jaccard),
-        // exact set verification of candidates only.
+        // construction. The excerpt-id offset is GUARDED in-plan (the
+        // d08 pid-encoding pattern): a corpus with doc_id >= 1e11 would
+        // collide excerpt ids with real ids and corrupt the pair set in
+        // a way the oracle (same arithmetic) could not see — so it must
+        // throw, not silently union. The query IS the
+        // DedupOps.containmentNearDups facade call: df-cut
+        // inverted-index candidates (MinHash banding can't find these
+        // pairs — collision tracks jaccard), exact set verification of
+        // candidates only.
+        val idOffset = 100000000000L // 1e11
         val base = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
         val excerpts = base
           .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
-          .select(($"doc_id" + 100000L).as("doc_id"),
+          .select((when($"doc_id" < idOffset, $"doc_id")
+            .otherwise(raise_error(lit(
+              s"d11: doc_id >= $idOffset collides with excerpt ids"))
+              .cast("long")) + idOffset).as("doc_id"),
             array_join(slice(split($"text", " "), lit(1),
               (size(split($"text", " ")) / 2).cast("int")), " ").as("text"))
         graft.operators.DedupOps.containmentNearDups(
@@ -850,7 +859,7 @@ object Dedup {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 100000,
+          SELECT doc_id + 100000000000,
             array_to_string(ws[1:len(ws)//2], ' ')
           FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
           WHERE doc_id % 10 = 0 AND len(ws) >= 20

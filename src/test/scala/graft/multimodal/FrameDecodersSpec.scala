@@ -83,6 +83,30 @@ class FrameDecodersSpec extends AnyFunSuite {
     assert(FrameDecoders.forContent(gvc).frameCount(gvc) == 1)
   }
 
+  test("a ServiceLoader-shipped decoder is discovered without any " +
+      "register() call (the cluster-wide registration path)") {
+    // declared in src/test/resources/META-INF/services — the exact
+    // mechanism a third-party jar uses, visible in every JVM that has
+    // the jar on its classpath (driver AND executors)
+    val payload = "SVCDab".getBytes("ISO-8859-1")
+    val d = FrameDecoders.forContent(payload)
+    assert(d.name == "service-loaded")
+    assert(d.frameCount(payload) == 2)
+    assert(d.sampleDecoded(payload, 1).size == 2)
+  }
+
+  test("a claimed still image that fails to decode errors loudly " +
+      "(frameCount/sampleDecoded consistency)") {
+    // PNG magic, truncated body: Still claims it (sniff passes), so a
+    // silent empty Seq would contradict frameCount = 1
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val d = FrameDecoders.forContent(corrupt)
+    assert(d.name == "still-image")
+    assert(d.frameCount(corrupt) == 1)
+    val e = intercept[RuntimeException](d.sampleDecoded(corrupt, 1))
+    assert(e.getMessage.contains("failed to decode"))
+  }
+
   test("stub frames are deterministic, stride-sampled, and match the " +
       "declared header fake") {
     val c = "not any container".getBytes

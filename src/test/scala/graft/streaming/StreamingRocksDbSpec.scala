@@ -37,12 +37,18 @@ class StreamingRocksDbSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().map(_.toString).sorted.toSeq
 
   // st01–st09, st11–st13 live in Streaming.all; st10 (incremental
-  // dedup, a foreachBatch drain) is defined with its dedup siblings
+  // dedup, a foreachBatch drain) is defined with its dedup siblings.
+  // st11/st13 REQUIRE RocksDB (transformWithState) and toggle it
+  // inside their own build(), so there is no default-provider run to
+  // compare against — for those two the honest check is drain-to-drain
+  // determinism under RocksDB, not provider parity.
+  private val rocksOnly = Set("st11_transform_with_state",
+    "st13_stream_topk")
   private def stQueries =
     graft.queries.Streaming.all ++
       graft.queries.Dedup.all.filter(_.name.startsWith("st"))
 
-  for (q <- stQueries) {
+  for (q <- stQueries if !rocksOnly(q.name)) {
     test(s"${q.name}: identical results under RocksDB and the default " +
         "provider") {
       // each drain creates a fresh checkpoint dir, so the two runs
@@ -61,6 +67,16 @@ class StreamingRocksDbSpec extends AnyFunSuite with BeforeAndAfterAll {
       default.zip(rocks).foreach { case (d, r) =>
         assert(d == r, s"${q.name}: row drifted under RocksDB")
       }
+    }
+  }
+
+  for (q <- stQueries if rocksOnly(q.name)) {
+    test(s"${q.name}: RocksDB-required query drains deterministically " +
+        "across two independent runs") {
+      val first = rows(q.build(spark, sfDir))
+      val second = rows(q.build(spark, sfDir))
+      assert(first.nonEmpty, s"${q.name}: empty drain")
+      assert(first == second, s"${q.name}: re-drain drifted")
     }
   }
 }
