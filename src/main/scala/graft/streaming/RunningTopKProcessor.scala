@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * ValueState: together they cover the new API's scalar and list state
   * variables.
   */
+object RunningTopKProcessor {
+  /** (cents desc, id asc) as an explicit Ordering, not `sortBy(-cents)`:
+    * arithmetic negation overflows at Long.MinValue and would sort that
+    * row LAST instead of last-but-correctly. Unit-pinned in
+    * StreamingResumeSpec.
+    */
+  private[streaming] val ranking: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), Long](_._2).reverse.orElseBy(_._1)
+}
+
 class RunningTopKProcessor(k: Int)
     extends StatefulProcessor[String, (String, Long, Long),
       (String, Int, Long, Long)] {
@@ -26,13 +36,10 @@ class RunningTopKProcessor(k: Int)
       key: String,
       rows: Iterator[(String, Long, Long)],
       timers: TimerValues): Iterator[(String, Int, Long, Long)] = {
-    // (event_id, cents), ranked cents-desc then id-asc
-    // rank by an explicit Ordering, not `sortBy(-cents)`: arithmetic
-    // negation overflows at Long.MinValue and would sort that row last
+    // (event_id, cents), ranked by the overflow-safe companion Ordering
     val prev = top.get().toSeq
     val merged = (prev ++ rows.map(r => (r._2, r._3)))
-      .sorted(Ordering.by[(Long, Long), Long](_._2).reverse
-        .orElseBy(_._1))
+      .sorted(RunningTopKProcessor.ranking)
       .take(k)
     if (merged == prev) Iterator.empty // board unchanged: no state
                                        // write, no re-emission

@@ -259,4 +259,81 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1 == 5L && d3 == 5L,
       s"dedup not batch-split invariant: $d1 vs $d3")
   }
+
+  test("transformWithState EVENT-TIME TIMERS: inactivity expiries fire " +
+      "as the watermark crosses them, re-arm on activity, and survive " +
+      "a restart") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("timer-src-").toString
+    val cp = Files.createTempDirectory("timer-cp-").toString
+    def writeFile(rows: Seq[(String, Long)]): Unit = {
+      rows.toDF("user", "ms")
+        .select($"user", timestamp_millis($"ms").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5) // distinct mtimes keep file->batch order stable
+    }
+    def drainTimers(): Seq[(String, Long, Long)] = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select($"user", unix_millis($"ts").as("ms"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+      val expired = src.transformWithState(
+        new InactivityExpiryProcessor(10000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      StreamingOps.withRocksDb(spark) {
+        val q = expired.toDF("user", "n_events", "expiry_ms").writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+            out ++= b.collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2))): Unit)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      out.toSeq
+    }
+    // gap = 10 s. Three controlled microbatches (one file each):
+    //  B1: u1@1s,2s (timer 12s), u2@5s (timer 15s); wm after = 5s
+    //  B2: u1@30s re-arms u1 to 40s; wm 5s fires nothing; wm after = 30s
+    //  B3: u3@60s (timer 70s); wm 30s fires u2@15s -> (u2, 1, 15000)
+    //  final flush batch: wm 60s fires u1@40s -> (u1, 3, 40000)
+    writeFile(Seq(("u1", 1000L), ("u1", 2000L), ("u2", 5000L)))
+    writeFile(Seq(("u1", 30000L)))
+    writeFile(Seq(("u3", 60000L)))
+    val first = drainTimers().sorted
+    assert(first == Seq(("u1", 3L, 40000L), ("u2", 1L, 15000L)),
+      s"first drain fired: $first")
+    // restart (fresh drain, SAME checkpoint): u3's 70 s timer must have
+    // survived in the store; a u4 event pushes the watermark past it
+    writeFile(Seq(("u4", 200000L)))
+    val second = drainTimers().sorted
+    assert(second == Seq(("u3", 1L, 70000L)),
+      s"restarted drain fired: $second")
+  }
+
+  test("top-k leaderboard ranking is overflow-safe at Long.MinValue " +
+      "(the sortBy(-cents) bug)") {
+    // -Long.MinValue == Long.MinValue, so arithmetic negation sorted
+    // the most-negative row as if it were the LARGEST; the explicit
+    // reverse Ordering must rank it last, with id-ascending ties
+    val rows = Seq(
+      (1L, Long.MinValue), (2L, 100L), (3L, -5L), (4L, 100L))
+    val ranked = rows.sorted(RunningTopKProcessor.ranking)
+    assert(ranked == Seq(
+      (2L, 100L), (4L, 100L), (3L, -5L), (1L, Long.MinValue)),
+      s"got $ranked")
+  }
 }
