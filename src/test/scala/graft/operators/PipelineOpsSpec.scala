@@ -777,6 +777,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unsharded(6L) == unsharded.values.min)
   }
 
+  test("kmeansCells sharded: randomized parity sweep across budgets " +
+      "(seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val dim = 2 + rnd.nextInt(5)
+      val k = 2 + rnd.nextInt(6)
+      val rows = (0L until n.toLong).map { i =>
+        (i, Array.fill(dim)(rnd.nextInt(2000) / 1000.0f - 1.0f))
+      }
+      val df = rows.toDF("vid", "emb")
+      val unsharded = AnnOps.kmeansCells(df, "vid", "emb", k = k,
+          iters = 2, partitions = 2, maxCentroidBytes = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a budget below one centroid row forces one cell per shard — the
+      // maximally sharded split
+      val sharded = AnnOps.kmeansCells(df, "vid", "emb", k = k,
+          iters = 2, partitions = 2, maxCentroidBytes = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sharded == unsharded,
+        s"trial $trial (n=$n dim=$dim k=$k): sharded assignments drifted")
+    }
+  }
+
   test("bruteTopK: broadcast queries, corpus never shuffles") {
     val top = AnnOps.bruteTopK(vectors(), "vid", "emb",
         id => id < 1L, k = 2, partitions = 2)
