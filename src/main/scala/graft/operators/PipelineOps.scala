@@ -1740,21 +1740,46 @@ object AnnOps {
 
   /** (cell, cc: array<long> component sums, cnrmr: raw norm) of the
     * member vectors — the Lloyd centroid-update step, fed by the
-    * [[cellPartialSums]] kernel. The per-(cell, i) shuffle sees only the
-    * pre-combined partials; the self-dot runs in decimal(19,0) because
-    * centroid sums square past long range once cells hold ~1e3 vectors.
+    * [[cellPartialSums]] kernel. Partials merge as WHOLE ARRAYS through
+    * a typed element-wise reduce, so the update shuffle carries at most
+    * |cells| × |partitions| array rows — the previous posexplode
+    * spelling shuffled |cells| × |partitions| × dim scalar rows plus a
+    * per-cell collect_list sort, a dim× row blowup (~10^10 rows at the
+    * SemDeDup operating point of k=100k, dim=768, 1000 map partitions)
+    * for the same bytes. Long addition is associative/commutative
+    * (identical wrap semantics regrouped) and the self-dot sums exact
+    * BigInteger squares with ONE correctly-rounded double conversion —
+    * the same exact value (hence bit-identical double) as the previous
+    * decimal(19,0)^2 aggregate, which the s02/s07/s11 oracles pin.
     */
   private[graft] def centFromMembers(v: DataFrame, members: DataFrame,
-      idCol: String): DataFrame =
+      idCol: String): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
     cellPartialSums(v.join(members, Seq(idCol))
         .select(col("cell"), col("c")))
-      .select(col("cell"), posexplode(col("ps")).as(Seq("i", "x")))
-      .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("s"))
-      .groupBy(col("cell")).agg(
-        transform(array_sort(collect_list(struct(col("i"), col("s")))),
-          e => e.getField("s")).as("cc"),
-        sqrt(sum(col("s").cast(DecimalType(19, 0)) *
-          col("s").cast(DecimalType(19, 0))).cast("double")).as("cnrmr"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups { (a: Array[Long], b: Array[Long]) =>
+        val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+        val out = java.util.Arrays.copyOf(big, big.length)
+        var i = 0
+        while (i < small.length) { out(i) += small(i); i += 1 }
+        out
+      }
+      .map { case (cell, cc) =>
+        var sq = java.math.BigInteger.ZERO
+        var i = 0
+        while (i < cc.length) {
+          val c = java.math.BigInteger.valueOf(cc(i))
+          sq = sq.add(c.multiply(c))
+          i += 1
+        }
+        (cell, cc, math.sqrt(sq.doubleValue()))
+      }
+      .toDF("cell", "cc", "cnrmr")
+  }
 
   private def kmeansFromStaged(v: DataFrame, k: Int, iters: Int,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
