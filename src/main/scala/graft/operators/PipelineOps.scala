@@ -2360,6 +2360,37 @@ object PrepOps {
         countDistinct(col("sh")).as("n_contaminated_shingles"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws key = u^(1/w) with
+    * u a deterministic md5-uniform in (0, 1], and the sample is the
+    * global top-`k` keys; inclusion probability then scales with the
+    * weight exactly as published. This fills the gap between
+    * [[stratifiedSample]] (uniform within a stratum) and the mixture
+    * samplers (uniform within a source): "keep high-quality documents
+    * at a higher rate" with ONE pass and no rate tuning. Key ranking is
+    * engine-reproducible via decimal(12, 6) quantization of the one
+    * transcendental (pow) — the t11 NLL trick; quantization ties break
+    * id-ascending identically in both engines. Top-k is orderBy.limit
+    * (TakeOrderedAndProject: per-partition heaps, never a global sort).
+    * Rows with weight <= 0 are excluded (A-ES is undefined there).
+    * Returns (id, w, akey), akey descending. Semantics pinned by the
+    * oracle-checked p13 query.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k=$k")
+    val u = (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 1.0) / 4294967296.0
+    df.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("akey",
+        pow(u, lit(1.0) / col("w")).cast(DecimalType(12, 6)))
+      .orderBy(col("akey").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("w"), col("akey").cast("double").as("akey"))
+  }
+
   /** Symmetric int8 quantization audit: per-vector scale = max|c|/127
     * over scaled-long components, plus the max reconstruction error in
     * original units. Returns (id, q_max, q_min, max_abs_err). Map-side

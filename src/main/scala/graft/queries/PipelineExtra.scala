@@ -600,6 +600,52 @@ object PipelineExtra {
           CAST(SUM(d.toks) AS DOUBLE) / a.alloc_tokens AS fill_ratio
         FROM d JOIN alloc a ON d.source = a.source
         WHERE d.bucket * a.avail_tokens < a.alloc_tokens * 65536
-        GROUP BY d.source, a.alloc_tokens"""))
+        GROUP BY d.source, a.alloc_tokens""")),
+
+    // ------------------------------ weighted sampling, A-ES (p13)
+    GraftQuery(
+      "p13_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        // Quality-weighted subsampling via Efraimidis–Spirakis A-ES:
+        // key = u^(1/w), take the global top-k keys — inclusion
+        // probability scales with the weight, no rate tuning, one pass.
+        // Weight here is the document's word count / 100 (standing in
+        // for any quality score); u is a deterministic md5-uniform so
+        // both engines draw the identical sample. The one
+        // transcendental (pow) is quantized to decimal(12,6) before
+        // ranking (the t11 trick), ties break id-ascending. The query
+        // IS the PrepOps.weightedSample facade call; top-k plans as
+        // TakeOrderedAndProject (per-partition heaps), never a global
+        // sort.
+        val weighted = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            (size(split($"text", " ")).cast("double") / 100.0).as("wq"))
+        graft.operators.PrepOps
+          .weightedSample(weighted, "doc_id", "wq", k = 50)
+          .select($"id".as("doc_id"), $"w", $"akey")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS w
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, w,
+            (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT AS DOUBLE) + 1.0) / 4294967296.0 AS u
+          FROM w WHERE w > 0
+        ),
+        keyed AS (
+          SELECT doc_id, w,
+            CAST(pow(u, 1.0 / w) AS DECIMAL(12,6)) AS akey
+          FROM u
+        )
+        SELECT doc_id, w, CAST(akey AS DOUBLE) AS akey FROM (
+          SELECT *, row_number() OVER
+            (ORDER BY akey DESC, doc_id ASC) AS rn
+          FROM keyed) t
+        WHERE rn <= 50"""))
   )
 }

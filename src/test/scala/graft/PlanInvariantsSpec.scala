@@ -46,7 +46,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t16_bigram_perplexity",
     "p12_semantic_packing", "d10_lsh_operating_curve",
     "d11_dedup_containment", "s11_semantic_dedup_sharded",
-    "t17_lexical_diversity", "q49_median_mode")
+    "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -277,6 +277,13 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = plans("s04_knn_graph").toString()
     assert(s.contains("MapPartitions"), "s04 not on the kernel path")
     assert(!s.contains("SortMergeJoin"), "s04 pair-joins unexpectedly")
+  }
+
+  test("p13's weighted top-k is TakeOrdered, never a global sort") {
+    val s = plans("p13_weighted_sample").toString()
+    assert(s.contains("TakeOrderedAndProject"),
+      "p13 lost its per-partition-heap top-k")
+    assert(!s.contains("Sort ["), "p13 plans a full sort")
   }
 
   test("p10 broadcasts the per-domain alloc table back to the corpus") {

@@ -353,6 +353,31 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sloppy == exact, "high-fpp bloom changed the rows")
   }
 
+  test("weightedSample: heavy weights dominate inclusion, draws are " +
+      "deterministic, non-positive weights are excluded") {
+    val s = spark
+    import s.implicits._
+    // one overwhelming weight among near-zero ones: key = u^(1/w) with
+    // w=1000 is ~1 while w=0.01 keys are u^100 ~ 0 — the heavy doc must
+    // always be drawn, at any k
+    val df = ((0L until 20L).map(i => (i, 0.01)) :+ (50L, 1000.0) :+
+      (99L, 0.0) :+ (98L, -5.0)).toDF("k", "wt")
+    val top3 = PrepOps.weightedSample(df, "k", "wt", k = 3)
+      .collect().map(r => r.getLong(0))
+    assert(top3.contains(50L), s"heavy doc missing from $top3")
+    // zero/negative weights never sampled (A-ES undefined there)
+    assert(!top3.contains(99L) && !top3.contains(98L))
+    // deterministic: same call, same draw, same order
+    val again = PrepOps.weightedSample(df, "k", "wt", k = 3)
+      .collect().map(r => r.getLong(0))
+    assert(top3.toSeq == again.toSeq)
+    // k >= population: everything with positive weight comes back
+    val all = PrepOps.weightedSample(df, "k", "wt", k = 100)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(all == (0L until 20L).toSet + 50L,
+      s"sample universe wrong: $all")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
