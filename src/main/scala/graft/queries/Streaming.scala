@@ -501,6 +501,39 @@ object Streaming {
               ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
                        event_id ASC) AS INT) AS rank
           FROM events) t
-        WHERE rank <= $ST13_K"""))
+        WHERE rank <= $ST13_K""")),
+
+    // --------------------------- MapState per-entity feature bag (st14)
+    GraftQuery(
+      "st14_map_state",
+      (s, dir) => {
+        import s.implicits._
+        // transformWithState with a typed MAP state — the last of the
+        // new API's state-variable kinds (st11 ValueState, st13
+        // ListState, timer coverage in StreamingResumeSpec): per user a
+        // (event_type -> running count) map, the per-entity feature
+        // bag, where each event updates ONE map entry instead of
+        // rewriting a whole per-key bag. Counts are monotone and each
+        // batch emits the entries it touched, so the drain-end max per
+        // (user, type) equals the batch groupBy — the oracle.
+        val typed = StreamingOps.eventsStream(s, dir)
+          .select($"user_id", $"event_type")
+          .as[(Long, String)]
+          .groupByKey(_._1)
+        val updated = typed.transformWithState(
+          new graft.streaming.PerTypeCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        val drained = StreamingOps.withRocksDb(s) {
+          StreamingOps.drain(s,
+            updated.toDF("user_id", "event_type", "n"), "st14", "update")
+            .localCheckpoint() // pin before the provider conf reverts
+        }
+        drained.groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n_events"))
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2"""))
   )
 }

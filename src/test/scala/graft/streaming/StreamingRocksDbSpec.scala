@@ -43,7 +43,7 @@ class StreamingRocksDbSpec extends AnyFunSuite with BeforeAndAfterAll {
   // compare against — for those two the honest check is drain-to-drain
   // determinism under RocksDB, not provider parity.
   private val rocksOnly = Set("st11_transform_with_state",
-    "st13_stream_topk")
+    "st13_stream_topk", "st14_map_state")
   private def stQueries =
     graft.queries.Streaming.all ++
       graft.queries.Dedup.all.filter(_.name.startsWith("st"))
