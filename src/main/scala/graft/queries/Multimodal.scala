@@ -386,6 +386,61 @@ object Multimodal {
           SELECT doc_id, text,
             [ascii(substr(text, CAST(i+1 AS INT), 1))
              for i in range(len(text))] AS codes
-          FROM documents WHERE text IS NOT NULL)"""))
+          FROM documents WHERE text IS NOT NULL)""")),
+
+    // -------------------------------- REAL pixel-space resize (m10)
+    GraftQuery(
+      "m10_image_resize_real",
+      (s, dir) => {
+        import s.implicits._
+        // The REAL resize path (m05's resizeStub keeps raw bytes; this
+        // resamples PIXELS): each document becomes the m08-style 8x8
+        // gray PNG (first 64 text bytes, zero-padded), decodes through
+        // the JDK codec, average-pools 2x2 -> 4x4 with exact integer
+        // rounded means (ImageCodec.resizePooled — deterministic on any
+        // JVM, unlike Graphics2D resamplers), re-encodes, and re-decodes
+        // to prove the resized raster survives a codec round trip.
+        // Gray PNG is lossless and the corpus is pure ASCII, so the
+        // oracle reproduces every pooled pixel from the text bytes:
+        // out(r,c) = (p[16r+2c] + p[16r+2c+1] + p[16r+8+2c] +
+        // p[16r+8+2c+1] + 2) // 4. Pure map-side batch iteration.
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val px = new Array[Byte](64)
+              System.arraycopy(bytes, 0, px, 0, math.min(64, bytes.length))
+              val png = graft.multimodal.ImageCodec.encodePng(8, 8, px)
+              val dec = graft.multimodal.ImageCodec.decode(png).get
+              val small = graft.multimodal.ImageCodec.resizePooled(dec, 2)
+              val png2 = graft.multimodal.ImageCodec
+                .encodePng(small.width, small.height, small.pixels)
+              val dec2 = graft.multimodal.ImageCodec.decode(png2).get
+              var sum = 0L
+              dec2.pixels.foreach(b => sum += (b & 0xff))
+              val exact = dec2.width == 4 && dec2.height == 4 &&
+                java.util.Arrays.equals(dec2.pixels, small.pixels)
+              (id, dec2.width, dec2.height, sum, exact)
+            }
+          }
+          .toDF("doc_id", "out_w", "out_h", "sum_resized", "roundtrip_exact")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id,
+            [CASE WHEN i < octet_length(encode(text))
+               THEN ascii(substr(text, CAST(i+1 AS INT), 1)) ELSE 0 END
+             for i in range(64)] AS p
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, 4 AS out_w, 4 AS out_h,
+          CAST(list_sum(
+            [(p[16*(i//4)+2*(i%4)+1] + p[16*(i//4)+2*(i%4)+2] +
+              p[16*(i//4)+2*(i%4)+9] + p[16*(i//4)+2*(i%4)+10] + 2) // 4
+             for i in range(16)]) AS BIGINT) AS sum_resized,
+          true AS roundtrip_exact
+        FROM px"""))
   )
 }
