@@ -534,6 +534,72 @@ object Streaming {
       },
       Some("""
         SELECT user_id, event_type, COUNT(*) AS n_events
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // ------------------------- dynamic-gap session windows (st15)
+    GraftQuery(
+      "st15_session_dynamic_gap",
+      (s, dir) => {
+        import s.implicits._
+        // session_window with a PER-EVENT gap expression — the dynamic
+        // overload st03's fixed 30-minute gap doesn't touch: error
+        // events keep sessions alive for 30 minutes, everything else
+        // for an hour (the "failure bursts end sessions sooner" shape).
+        // Each event contributes [t, t + gap(t)); overlapping windows
+        // merge, so a session's end is max(t_i + gap_i) and a new
+        // session starts when an event's time reaches the running max
+        // end — which is exactly the gaps-and-islands spelling the
+        // oracle runs (running MAX over prior ends, d09's machinery).
+        // Watermark delay = the LARGEST gap, so append emits every
+        // session not still extendable.
+        val sess = StreamingOps.eventsStream(s, dir)
+          .withWatermark("event_time", "1 hour")
+          .groupBy(session_window($"event_time",
+            when($"event_type" === "error", lit("30 minutes"))
+              .otherwise(lit("1 hour"))), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        StreamingOps.drain(s, sess, "st15", "append")
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("session_start"),
+            $"n_events", $"total_value")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, value, epoch_ns(ts) // 1000 AS us,
+            CASE WHEN event_type = 'error' THEN 1800000000
+                 ELSE 3600000000 END AS gap_us
+          FROM events
+        ),
+        m AS (
+          SELECT *,
+            MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_max_end
+          FROM o
+        ),
+        i AS (
+          SELECT *, CASE WHEN prev_max_end IS NULL OR us >= prev_max_end
+            THEN 1 ELSE 0 END AS new_sess
+          FROM m
+        ),
+        sess AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM i
+        ),
+        agg AS (
+          SELECT user_id, sid, MIN(us) AS start_us,
+            MAX(us + gap_us) AS end_us,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              AS total_value
+          FROM sess GROUP BY 1, 2
+        ),
+        wm AS (SELECT MAX(epoch_ns(ts) // 1000) - 3600000000 AS w
+               FROM events)
+        SELECT user_id, start_us // 1000000 AS session_start,
+          n_events, total_value
+        FROM agg WHERE end_us <= (SELECT w FROM wm)"""))
   )
 }
