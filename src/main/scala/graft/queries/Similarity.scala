@@ -998,7 +998,82 @@ object Similarity {
           threshold = 0.45, cells = 3, iters = 2,
           maxCentroidBytes = 1L)
       },
-      Some(sqlSemanticDedup))
+      Some(sqlSemanticDedup)),
+
+    // --------------------------------- filtered vector search (s12)
+    GraftQuery(
+      "s12_filtered_knn",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftnative.functions.dot_i64
+        // FILTERED vector search — "top-k WHERE metadata matches", the
+        // retrieval pattern every RAG/search deployment needs.
+        // POST-filtering a fixed-k candidate list loses recall (a
+        // k-list can contain zero matching rows); here the filter
+        // applies to the CORPUS SIDE BEFORE scoring, so cost scales
+        // with the matching subset and recall within it is exact. Each
+        // query (vec_id < NQUERIES) carries its document's source; the
+        // candidate join requires source equality (the pre-filter) and
+        // scores with the exact scaled-long cosine; top-3 per query.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val v = scaledVecs(s, dir)
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"c", $"nrm", $"source")
+          .localCheckpoint()
+        val q = v.filter($"vec_id" < NQUERIES)
+          .select($"vec_id".as("qid"), $"c".as("qc"),
+            $"nrm".as("qnrm"), $"source".as("qsource"))
+        val cos = v.join(broadcast(q),
+            $"source" === $"qsource" && $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("neighbor_id"),
+            ((dot_i64($"qc", $"c").cast("double") / lit(1.0e12)) /
+              ($"qnrm" * $"nrm")).as("cosine"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)
+        cos.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"qid", $"neighbor_id", $"cosine", $"rank")
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        dot AS (
+          SELECT q.vec_id qid, c.vec_id neighbor_id,
+            CAST(SUM(q.c * c.c) AS BIGINT) dot
+          FROM comp q
+            JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
+            JOIN src sq ON sq.doc_id = q.vec_id
+            JOIN src sc ON sc.doc_id = c.vec_id AND sc.source = sq.source
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
+        WHERE rank <= 3"""))
   )
 
   /** DuckDB spelling of s07/s11 (2 unrolled Lloyd iterations at k=3,

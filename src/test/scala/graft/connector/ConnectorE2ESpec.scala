@@ -68,6 +68,35 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.sliding(2).forall { case Array(a, b) => a < b })
   }
 
+  test("DSv2 scan prunes SEGMENTS from pushed sample_index bounds and " +
+      "reads only required columns") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val root = newRoot()
+    val store = new StreamStore(root)
+    val schema = RiverSchema(Seq(RiverField("v", RiverType.Double64)))
+    val w = store.createStream("seg", schema, keysPerSegment = 100)
+    w.write((0 until 1000).map(i => Seq[Any](i.toDouble))); w.stop()
+    val df = spark.read.format("river")
+      .option("root", root.toString).option("stream", "seg").load()
+    // 10 segments on disk; [850, inf) overlaps exactly the last two
+    val filtered = df.filter(col("sample_index") >= 850L)
+      .select("sample_index", "v")
+    assert(filtered.count() == 150)
+    assert(df.select("v").rdd.getNumPartitions == 10,
+      "fixture broken: expected 10 segments")
+    assert(filtered.rdd.getNumPartitions == 2,
+      s"segment pruning lost: planned ${filtered.rdd.getNumPartitions} " +
+        "partitions for a 2-segment range")
+    // column pruning reached the scan: its output is the required set
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name).toSet == Set("sample_index", "v"),
+      s"scan reads ${scan.output.map(_.name)}")
+    // bounds stay EXACT row-level (pushdown is advisory: everything is
+    // residual-filtered by Spark, pruning only skips whole segments)
+    val mm = filtered.agg(min("sample_index"), max("sample_index")).head()
+    assert(mm.getLong(0) == 850L && mm.getLong(1) == 999L)
+  }
+
   test("variable-width stream: store -> DSv2 -> ingester (FIXTURES §2)") {
     val root = newRoot()
     val out = newRoot()
