@@ -175,6 +175,26 @@ object AudioCodec {
     * [[MediaPipeline.looksLikeImage]]: skip the reader probe on
     * payloads that obviously aren't audio containers.
     */
+  /** Real sample-rate reduction: decimate unsigned 8-bit PCM by 2 with
+    * a 2-tap mean (the boxcar anti-alias filter) — out(i) = rounded
+    * mean of samples 2i and 2i+1; an odd trailing sample passes
+    * through. Exact integer arithmetic, deterministic on any JVM;
+    * halves the rate (8 kHz -> 4 kHz). Semantics pinned by the
+    * oracle-checked m11 query.
+    */
+  def downsample2(samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte]((n + 1) / 2)
+    var i = 0
+    while (2 * i + 1 < n) {
+      out(i) = (((samples(2 * i) & 0xff) + (samples(2 * i + 1) & 0xff)
+        + 1) / 2).toByte
+      i += 1
+    }
+    if (n % 2 == 1) out(out.length - 1) = samples(n - 1)
+    out
+  }
+
   def looksLikeAudio(c: Array[Byte]): Boolean =
     c.length >= 4 && (
       (c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F') ||

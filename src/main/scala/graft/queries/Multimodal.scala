@@ -441,6 +441,61 @@ object Multimodal {
               p[16*(i//4)+2*(i%4)+9] + p[16*(i//4)+2*(i%4)+10] + 2) // 4
              for i in range(16)]) AS BIGINT) AS sum_resized,
           true AS roundtrip_exact
-        FROM px"""))
+        FROM px""")),
+
+    // ------------------------------ REAL audio downsample (m11)
+    GraftQuery(
+      "m11_audio_downsample",
+      (s, dir) => {
+        import s.implicits._
+        // Real sample-rate reduction through the real codec: each doc's
+        // 8 kHz PCM (the m07 construction) decimates by 2 with a 2-tap
+        // mean (AudioCodec.downsample2 — exact integer rounding, an odd
+        // trailing sample passes through), re-encodes as a 4 kHz WAV,
+        // and decodes back; PCM WAV is lossless, so the oracle
+        // reproduces the decimated sample sum from the text bytes and
+        // roundtrip_exact must hold everywhere. Pure map-side.
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").filter($"text".isNotNull)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val samples = if (bytes.isEmpty) Array[Byte](0) else bytes
+              val down = graft.multimodal.AudioCodec.downsample2(samples)
+              val wav = graft.multimodal.AudioCodec
+                .encodeWavPcm8(down, 4000f)
+              val dec = graft.multimodal.AudioCodec.decode(wav)
+                .getOrElse(sys.error(s"m11: wav decode failed for doc $id"))
+              var sum = 0L
+              dec.samples.foreach(b => sum += (b & 0xff))
+              (id, samples.length.toLong, dec.frames,
+                dec.sampleRate.toInt, sum,
+                dec.frames == ((samples.length + 1) / 2).toLong &&
+                  java.util.Arrays.equals(dec.samples, down))
+            }
+          }
+          .toDF("doc_id", "in_frames", "out_frames", "out_rate",
+            "sum_down", "roundtrip_exact")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+            CASE WHEN len(text) = 0 THEN [0]
+              ELSE [ascii(substr(text, CAST(i+1 AS INT), 1))
+                    for i in range(len(text))] END AS codes
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+          CAST(len(codes) AS BIGINT) AS in_frames,
+          CAST((len(codes) + 1) // 2 AS BIGINT) AS out_frames,
+          4000 AS out_rate,
+          CAST(COALESCE(list_sum(
+              [(codes[2*i+1] + codes[2*i+2] + 1) // 2
+               for i in range(len(codes) // 2)]), 0)
+            + CASE WHEN len(codes) % 2 = 1
+                THEN codes[len(codes)] ELSE 0 END AS BIGINT) AS sum_down,
+          true AS roundtrip_exact
+        FROM c"""))
   )
 }

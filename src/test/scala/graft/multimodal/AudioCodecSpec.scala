@@ -90,4 +90,17 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeMeta("image", wav) ==
       MediaPipeline.decodeStub("image", wav))
   }
+
+  test("downsample2: rounded pair means, odd tail passes through") {
+    def u(a: Array[Byte]) = a.map(_ & 0xff).toSeq
+    // even length: exact rounded means, including the 255 ceiling
+    assert(u(AudioCodec.downsample2(
+      Array[Byte](0, 1, 10, 20, -1 /*255*/, -2 /*254*/))) ==
+      Seq(1, 15, 255)) // (0+1+1)/2=1, (10+20+1)/2=15, (255+254+1)/2=255
+    // odd length: last sample unchanged
+    assert(u(AudioCodec.downsample2(Array[Byte](4, 6, 9))) == Seq(5, 9))
+    // singleton and empty
+    assert(u(AudioCodec.downsample2(Array[Byte](7))) == Seq(7))
+    assert(AudioCodec.downsample2(Array.emptyByteArray).isEmpty)
+  }
 }
