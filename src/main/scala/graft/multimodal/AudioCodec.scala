@@ -171,10 +171,6 @@ object AudioCodec {
       } finally ais.close()
     } catch { case _: Exception => None }
 
-  /** Magic-byte sniff (RIFF/WAVE, AIFF FORM, AU .snd) — same role as
-    * [[MediaPipeline.looksLikeImage]]: skip the reader probe on
-    * payloads that obviously aren't audio containers.
-    */
   /** Real sample-rate reduction: decimate unsigned 8-bit PCM by 2 with
     * a 2-tap mean (the boxcar anti-alias filter) — out(i) = rounded
     * mean of samples 2i and 2i+1; an odd trailing sample passes
@@ -195,6 +191,10 @@ object AudioCodec {
     out
   }
 
+  /** Magic-byte sniff (RIFF/WAVE, AIFF FORM, AU .snd) — same role as
+    * [[MediaPipeline.looksLikeImage]]: skip the reader probe on
+    * payloads that obviously aren't audio containers.
+    */
   def looksLikeAudio(c: Array[Byte]): Boolean =
     c.length >= 4 && (
       (c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F') ||

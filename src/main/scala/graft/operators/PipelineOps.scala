@@ -2383,7 +2383,10 @@ object PrepOps {
       .cast("long").cast("double") + 1.0) / 4294967296.0
     df.select(col(idCol).cast("long").as("id"),
         col(weightCol).cast("double").as("w"))
-      .filter(col("w") > 0)
+      // NaN > 0 is TRUE in Spark's ordering; exclude it explicitly or a
+      // NaN-weight row rides through with akey = null (and the oracle
+      // cast errors instead) — A-ES is undefined off (0, inf)
+      .filter(col("w") > 0 && !isnan(col("w")))
       .withColumn("akey",
         pow(u, lit(1.0) / col("w")).cast(DecimalType(12, 6)))
       .orderBy(col("akey").desc, col("id").asc)

@@ -24,11 +24,15 @@ class InactivityExpiryProcessor(gapMs: Long)
     extends StatefulProcessor[String, (String, Long),
       (String, Long, Long)] {
 
-  @transient private var count: ValueState[Long] = _
+  // (event count, max event time seen) — the max must PERSIST across
+  // batches: re-arming from only the current batch's max would let a
+  // LATE (within-watermark) event drag the deadline backwards and fire
+  // the session early, contradicting "last activity + gap"
+  @transient private var state: ValueState[(Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    count = getHandle.getValueState[Long](
-      "n", Encoders.scalaLong, TTLConfig.NONE)
+    state = getHandle.getValueState[(Long, Long)](
+      "n_maxts", Encoders.product[(Long, Long)], TTLConfig.NONE)
 
   override def handleInputRows(
       key: String,
@@ -40,11 +44,14 @@ class InactivityExpiryProcessor(gapMs: Long)
       n += 1
       if (ts > maxTs) maxTs = ts
     }
-    count.update((if (count.exists()) count.get() else 0L) + n)
-    // exactly one live timer per key: re-arm at the newest activity
+    val (n0, max0) =
+      if (state.exists()) state.get() else (0L, Long.MinValue)
+    val newMax = math.max(max0, maxTs)
+    state.update((n0 + n, newMax))
+    // exactly one live timer per key, at the NEWEST activity ever seen
     val h = getHandle
     h.listTimers().foreach(t => h.deleteTimer(t))
-    h.registerTimer(maxTs + gapMs)
+    h.registerTimer(newMax + gapMs)
     Iterator.empty
   }
 
@@ -52,8 +59,8 @@ class InactivityExpiryProcessor(gapMs: Long)
       key: String,
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, Long)] = {
-    val n = if (count.exists()) count.get() else 0L
-    count.clear()
+    val n = if (state.exists()) state.get()._1 else 0L
+    state.clear()
     Iterator.single((key, n, expiredTimerInfo.getExpiryTimeInMs))
   }
 }

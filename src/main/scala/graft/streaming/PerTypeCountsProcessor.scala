@@ -30,12 +30,21 @@ class PerTypeCountsProcessor
       key: Long,
       rows: Iterator[(Long, String)],
       timers: TimerValues): Iterator[(Long, String, Long)] = {
-    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    // accumulate the batch locally first: ONE store read + ONE write
+    // per touched type per batch, not three RocksDB round trips per
+    // input row
+    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     rows.foreach { case (_, tpe) =>
-      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
-      counts.updateValue(tpe, cur + 1L)
-      touched += tpe
+      delta.update(tpe, delta.getOrElse(tpe, 0L) + 1L)
     }
-    touched.iterator.map(tpe => (key, tpe, counts.getValue(tpe)))
+    // materialized eagerly: the state writes must not hide inside a
+    // lazily-consumed iterator
+    val out = delta.iterator.map { case (tpe, d) =>
+      val n = (if (counts.containsKey(tpe)) counts.getValue(tpe)
+               else 0L) + d
+      counts.updateValue(tpe, n)
+      (key, tpe, n)
+    }.toVector
+    out.iterator
   }
 }

@@ -282,7 +282,7 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
           org.apache.spark.sql.types.TimestampType)))
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
-        .withWatermark("ts", "0 seconds")
+        .withWatermark("ts", "25 seconds")
         .select($"user", unix_millis($"ts").as("ms"))
         .as[(String, Long)]
         .groupByKey(_._1)
@@ -305,22 +305,28 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       out.toSeq
     }
-    // gap = 10 s. Three controlled microbatches (one file each):
-    //  B1: u1@1s,2s (timer 12s), u2@5s (timer 15s); wm after = 5s
-    //  B2: u1@30s re-arms u1 to 40s; wm 5s fires nothing; wm after = 30s
-    //  B3: u3@60s (timer 70s); wm 30s fires u2@15s -> (u2, 1, 15000)
-    //  final flush batch: wm 60s fires u1@40s -> (u1, 3, 40000)
+    // gap = 10 s, watermark delay 25 s. Controlled microbatches (one
+    // file each); wm trails the max event time by 25 s:
+    //  B1: u1@1s,2s (timer 12s), u2@5s (timer 15s); wm after = 0
+    //  B2: u1@30s re-arms u1 to 40s; wm after = 5s
+    //  B3: u3@60s (timer 70s) AND a LATE u1@8s — above the 5 s
+    //      watermark so it reaches the processor, below u1's stored
+    //      max (30s): the count grows to 4 but the deadline must STAY
+    //      40s (re-arming from the batch max alone would drag it back
+    //      to 18s and fire the session early). wm after = 35s
+    //  flush: wm 35s fires u2@15s only -> (u2, 1, 15000)
     writeFile(Seq(("u1", 1000L), ("u1", 2000L), ("u2", 5000L)))
     writeFile(Seq(("u1", 30000L)))
-    writeFile(Seq(("u3", 60000L)))
+    writeFile(Seq(("u3", 60000L), ("u1", 8000L)))
     val first = drainTimers().sorted
-    assert(first == Seq(("u1", 3L, 40000L), ("u2", 1L, 15000L)),
+    assert(first == Seq(("u2", 1L, 15000L)),
       s"first drain fired: $first")
-    // restart (fresh drain, SAME checkpoint): u3's 70 s timer must have
-    // survived in the store; a u4 event pushes the watermark past it
+    // restart (fresh drain, SAME checkpoint): u1's 40 s and u3's 70 s
+    // timers must have survived in the store; a u4 event pushes the
+    // watermark (200s - 25s) past both
     writeFile(Seq(("u4", 200000L)))
     val second = drainTimers().sorted
-    assert(second == Seq(("u3", 1L, 70000L)),
+    assert(second == Seq(("u1", 4L, 40000L), ("u3", 1L, 70000L)),
       s"restarted drain fired: $second")
   }
 
