@@ -1364,6 +1364,35 @@ object Relational {
           WHERE rn = 1
         )
         SELECT m.l_returnflag, m.n, m.median_qty, d.mode_qty, d.mode_n
-        FROM med m JOIN md d USING (l_returnflag)"""))
+        FROM med m JOIN md d USING (l_returnflag)""")),
+
+    // ------------------------------------------ pagination (q50)
+    GraftQuery(
+      "q50_pagination",
+      (s, dir) => {
+        import s.implicits._
+        // ORDER BY + LIMIT + OFFSET — the paging surface (Spark 3.4+'s
+        // Dataset.offset): page 2 (rows 11-20) of the per-customer
+        // revenue ranking, ties broken by key so the page boundary is
+        // deterministic. The global order is a top-(offset+limit)
+        // problem, so the plan stays a bounded TakeOrdered-style
+        // selection of 20 rows, never a full materialized sort of the
+        // ranking — paging deep into a 100 TB ranking is an
+        // anti-pattern regardless (offset cost grows with the page
+        // number); keyset pagination (WHERE total < last_seen) is the
+        // production spelling past the first pages.
+        val totals = Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(dec($"o_totalprice")).cast("double").as("total"))
+        totals.orderBy($"total".desc, $"o_custkey".asc)
+          .offset(10).limit(10)
+      },
+      Some("""
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            AS total
+        FROM orders GROUP BY 1
+        ORDER BY total DESC, o_custkey ASC
+        LIMIT 10 OFFSET 10"""))
   )
 }

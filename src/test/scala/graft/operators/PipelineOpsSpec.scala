@@ -695,6 +695,49 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jaccard < 0.5, s"jaccard $jaccard not the asymmetric case")
   }
 
+  test("containmentNearDups: randomized sweep matches brute-force " +
+      "containment exactly; the df-cut only ever shrinks the set") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(8L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel")
+    val k = 3
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ").toSeq
+      if (ws.size >= k) ws.sliding(k).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val docs = (0L until 12L).map { i =>
+        val n = 6 + rnd.nextInt(15)
+        (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("k", "body")
+      val sets = docs.map { case (i, t) => i -> shingles(t) }.toMap
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) & sets(b)).size
+        cont = inter.toDouble / math.min(sets(a).size, sets(b).size)
+        if cont >= 0.6
+      } yield (a, b) -> cont).toMap
+      // df-cut disabled: the operator must equal brute force exactly
+      val got = DedupOps.containmentNearDups(df, "k", "body",
+          shingleK = k, threshold = 0.6, maxDf = 1000, partitions = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got.keySet == expect.keySet,
+        s"trial $trial: ${got.keySet} vs ${expect.keySet}")
+      got.foreach { case (p, c) => assert(c == expect(p), s"trial $trial $p") }
+      // an aggressive df-cut may lose recall but never invents pairs
+      val cut = DedupOps.containmentNearDups(df, "k", "body",
+          shingleK = k, threshold = 0.6, maxDf = 2, partitions = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cut.subsetOf(expect.keySet), s"trial $trial: df-cut grew")
+    }
+  }
+
   test("lexicalDiversity: exact counts on a hand-computable doc") {
     val s = spark
     import s.implicits._
