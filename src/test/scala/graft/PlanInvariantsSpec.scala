@@ -46,7 +46,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t16_bigram_perplexity",
     "p12_semantic_packing", "d10_lsh_operating_curve",
     "d11_dedup_containment", "s11_semantic_dedup_sharded",
-    "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample")
+    "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample",
+    "q50_pagination")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -277,6 +278,14 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = plans("s04_knn_graph").toString()
     assert(s.contains("MapPartitions"), "s04 not on the kernel path")
     assert(!s.contains("SortMergeJoin"), "s04 pair-joins unexpectedly")
+  }
+
+  test("q50's offset page is a bounded TakeOrdered selection, never a " +
+      "full materialized sort of the ranking") {
+    val s = plans("q50_pagination").toString()
+    assert(s.contains("TakeOrderedAndProject"),
+      "q50 lost its bounded top-(offset+limit) selection")
+    assert(!s.contains("Sort ["), "q50 plans a full sort")
   }
 
   test("p13's weighted top-k is TakeOrdered, never a global sort") {
