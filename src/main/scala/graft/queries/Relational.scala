@@ -1393,6 +1393,66 @@ object Relational {
             AS total
         FROM orders GROUP BY 1
         ORDER BY total DESC, o_custkey ASC
-        LIMIT 10 OFFSET 10"""))
+        LIMIT 10 OFFSET 10""")),
+
+    // ------------------------------ explicit NULLS ordering (q51)
+    GraftQuery(
+      "q51_nulls_ordering",
+      (s, dir) => {
+        import s.implicits._
+        // Explicit NULLS FIRST/LAST — the ordering trap engines
+        // disagree on by DEFAULT (Spark: NULLS FIRST on ASC, NULLS
+        // LAST on DESC; DuckDB defaults to NULLS LAST either way), so
+        // portable rankings must spell it out. Customers without
+        // orders get a NULL total through the left join; two rankings
+        // over the same rows pin both spellings: rnk_last (total desc
+        // NULLS LAST — no-order customers rank at the bottom) and
+        // rnk_first (total asc NULLS FIRST — they rank at the top).
+        // Key tie-breaks keep every rank deterministic. The global
+        // window ranks the per-CUSTOMER aggregate — dimension-sized,
+        // already reduced — which is the only place a global
+        // row_number belongs; fact-sized rankings take pages via
+        // orderBy.limit instead (TakeOrdered — the q19/q50 shape).
+        val cust = Tables.load(s, dir, "customer")
+          .select($"c_custkey")
+        val totals = Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(dec($"o_totalprice")).cast("double").as("total"))
+        val joined = cust.join(totals, $"c_custkey" === $"o_custkey",
+            "left")
+          .select($"c_custkey", $"total")
+        val wLast = Window.orderBy($"total".desc_nulls_last,
+          $"c_custkey".asc)
+        val wFirst = Window.orderBy($"total".asc_nulls_first,
+          $"c_custkey".asc)
+        joined
+          .withColumn("rnk_last", row_number().over(wLast))
+          .withColumn("rnk_first", row_number().over(wFirst))
+          .filter($"rnk_last" <= 10 || $"rnk_first" <= 10)
+          .select($"c_custkey", $"total", $"rnk_last", $"rnk_first")
+      },
+      Some("""
+        WITH totals AS (
+          SELECT o_custkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+              AS total
+          FROM orders GROUP BY 1
+        ),
+        j AS (
+          SELECT c.c_custkey, t.total
+          FROM customer c LEFT JOIN totals t ON t.o_custkey = c.c_custkey
+        ),
+        r AS (
+          SELECT c_custkey, total,
+            CAST(row_number() OVER
+              (ORDER BY total DESC NULLS LAST, c_custkey ASC) AS INT)
+              AS rnk_last,
+            CAST(row_number() OVER
+              (ORDER BY total ASC NULLS FIRST, c_custkey ASC) AS INT)
+              AS rnk_first
+          FROM j
+        )
+        SELECT c_custkey, total, rnk_last, rnk_first FROM r
+        WHERE rnk_last <= 10 OR rnk_first <= 10"""))
   )
 }
