@@ -102,5 +102,15 @@ class AudioCodecSpec extends AnyFunSuite {
     // singleton and empty
     assert(u(AudioCodec.downsample2(Array[Byte](7))) == Seq(7))
     assert(AudioCodec.downsample2(Array.emptyByteArray).isEmpty)
+    // randomized sweep vs a naive reference (seeded)
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(40)
+      val s = Array.fill(n)(rnd.nextInt(256).toByte)
+      val naive = s.map(_ & 0xff).grouped(2).map { g =>
+        if (g.length == 2) (g(0) + g(1) + 1) / 2 else g(0)
+      }.toSeq
+      assert(u(AudioCodec.downsample2(s)) == naive, s"drift at n=$n")
+    }
   }
 }

@@ -51,6 +51,31 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(odd.width == 3 && odd.height == 2)
   }
 
+  test("resizePooled: randomized sweep vs a naive reference (seeded)") {
+    val rnd = new scala.util.Random(20260814L)
+    def naive(img: DecodedImage, f: Int): Seq[Int] = {
+      val ow = math.max(1, (img.width + f - 1) / f)
+      val oh = math.max(1, (img.height + f - 1) / f)
+      for (oy <- 0 until oh; ox <- 0 until ow) yield {
+        val block = for {
+          y <- oy * f until math.min((oy + 1) * f, img.height)
+          x <- ox * f until math.min((ox + 1) * f, img.width)
+        } yield img.pixels(y * img.width + x) & 0xff
+        (block.sum + block.size / 2) / block.size
+      }
+    }
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      val f = 1 + rnd.nextInt(4)
+      val img = DecodedImage(w, h,
+        Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val out = ImageCodec.resizePooled(img, f)
+      assert(out.pixels.map(_ & 0xff).toSeq == naive(img, f),
+        s"drift at ${w}x$h factor $f")
+    }
+  }
+
   test("decodeMeta: real dimensions for real images, stub otherwise") {
     val px = seededPixels(20 * 11, 5)
     val png = ImageCodec.encodePng(20, 11, px)
