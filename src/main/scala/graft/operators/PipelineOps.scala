@@ -37,9 +37,13 @@ import org.apache.spark.sql.types.DecimalType
   * parallelism, never answers — the oracle suite pins that.
   */
 private[graft] object Parts {
-  def of(df: DataFrame, partitions: Int): Int =
+  def of(df: DataFrame, partitions: Int): Int = {
+    require(partitions >= 0,
+      s"partitions=$partitions: 0 selects the session default, " +
+        "positive values are honored verbatim; negatives are a caller bug")
     if (partitions > 0) partitions
     else df.sparkSession.sessionState.conf.numShufflePartitions
+  }
 }
 
 object DedupOps {
@@ -2363,13 +2367,21 @@ object PrepOps {
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis A-ES scheme: each row draws key = u^(1/w) with
     * u a deterministic md5-uniform in (0, 1], and the sample is the
-    * global top-`k` keys; inclusion probability then scales with the
-    * weight exactly as published. This fills the gap between
-    * [[stratifiedSample]] (uniform within a stratum) and the mixture
-    * samplers (uniform within a source): "keep high-quality documents
-    * at a higher rate" with ONE pass and no rate tuning. Key ranking is
-    * engine-reproducible via decimal(12, 6) quantization of the one
-    * transcendental (pow) — the t11 NLL trick; quantization ties break
+    * global top-`k` keys; inclusion probability scales with the weight
+    * as published UP TO the key quantization below. This fills the gap
+    * between [[stratifiedSample]] (uniform within a stratum) and the
+    * mixture samplers (uniform within a source): "keep high-quality
+    * documents at a higher rate" with ONE pass and no rate tuning. Key
+    * ranking is engine-reproducible via decimal(12, 6) quantization of
+    * the one transcendental (pow) — the t11 NLL trick; a finer scale
+    * (e.g. 18 digits) would expose the last-ulp libm disagreement
+    * between JVM pow and the oracle engine's. The trade's caveat: for
+    * weights >~ 1e5 the key u^(1/w) saturates toward 1.000000 at six
+    * digits, so heavy rows collapse into one tie class and selection
+    * among them degenerates to id-ascending — weight fidelity is LOST
+    * above that band. A-ES ranking is invariant under global weight
+    * scaling (x -> x^(1/c) is monotone), so callers with huge raw
+    * weights should rescale into roughly (1e-3, 1e4) first; ties break
     * id-ascending identically in both engines. Top-k is orderBy.limit
     * (TakeOrderedAndProject: per-partition heaps, never a global sort).
     * Rows with weight <= 0 are excluded (A-ES is undefined there).

@@ -832,23 +832,25 @@ object Dedup {
         // low-jaccard pairs exist; prefix word k-grams are a subset of
         // the source's k-grams, so exact containment is 1.0 by
         // construction. The excerpt-id offset is GUARDED in-plan (the
-        // d08 pid-encoding pattern): a corpus with doc_id >= 1e11 would
-        // collide excerpt ids with real ids and corrupt the pair set in
-        // a way the oracle (same arithmetic) could not see — so it must
-        // throw, not silently union. The query IS the
-        // DedupOps.containmentNearDups facade call: df-cut
-        // inverted-index candidates (MinHash banding can't find these
-        // pairs — collision tracks jaccard), exact set verification of
-        // candidates only.
+        // d08 pid-encoding pattern) on EVERY corpus row, not only rows
+        // selected as excerpt sources: a >= 1e11 doc that is short or
+        // not % 10 == 0 would skip a source-side-only check yet its id
+        // can still equal another doc's generated excerpt id, silently
+        // corrupting the pair set in a way the oracle (same arithmetic)
+        // could not see — so any >= 1e11 id must throw, not silently
+        // union. The query IS the DedupOps.containmentNearDups facade
+        // call: df-cut inverted-index candidates (MinHash banding can't
+        // find these pairs — collision tracks jaccard), exact set
+        // verification of candidates only.
         val idOffset = 100000000000L // 1e11
         val base = Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text")
-        val excerpts = base
-          .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
-          .select((when($"doc_id" < idOffset, $"doc_id")
+          .select(when($"doc_id" < idOffset, $"doc_id")
             .otherwise(raise_error(lit(
               s"d11: doc_id >= $idOffset collides with excerpt ids"))
-              .cast("long")) + idOffset).as("doc_id"),
+              .cast("long")).as("doc_id"), $"text")
+        val excerpts = base
+          .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
+          .select(($"doc_id" + idOffset).as("doc_id"),
             array_join(slice(split($"text", " "), lit(1),
               (size(split($"text", " ")) / 2).cast("int")), " ").as("text"))
         graft.operators.DedupOps.containmentNearDups(
