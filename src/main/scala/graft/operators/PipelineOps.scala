@@ -1610,10 +1610,15 @@ object AnnOps {
     * driver/broadcast byte budget: the table is split into contiguous
     * ascending cell-range SHARDS ([i*perShard, (i+1)*perShard) over the
     * seed range 0..k-1 — cells are ranks by construction), each
-    * collected and broadcast separately, so the driver's working set is
-    * ONE shard at a time (each shard's local array is dropped right
-    * after its broadcast; the block-manager copies are spillable),
-    * never the 0.6 GB table the SemDeDup operating point produces. The
+    * broadcast separately, so the driver's working set is a handful of
+    * shards at a time (the staging resultHandler drops each shard's
+    * array right after its broadcast; in-flight deserialization is
+    * bounded by the task-result-getter pool; the block-manager copies
+    * are spillable), never the 0.6 GB table the SemDeDup operating
+    * point produces. Staging is one partitionBy shuffle of the k-row
+    * table plus maxResultSize-bounded wide runJob batches — NOT S
+    * sequential collect jobs, whose launch latency round 8 measured at
+    * 3.1x the assignment itself at S=72. The
     * assignment itself stays ONE map pass over the staged vectors —
     * each task walks the shard broadcasts in ascending cell order in
     * the same tight primitive loop — so there is no extra scan, no
@@ -1651,16 +1656,54 @@ object AnnOps {
     val centP = cent.localCheckpoint()
     val perShard = math.max(1L, maxCentroidBytes / math.max(1L, dimBytes))
     val nShards = ((k + perShard - 1) / perShard).toInt
-    val bcs = (0 until nShards).iterator.map { si =>
-      val lo = si * perShard
-      val hi = math.min(k - 1, lo + perShard - 1)
-      val shard = centP.filter(col("cell").between(lo, hi))
-        .select(col("cell"), col("cc"), col("cnrmr"))
-        .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
-      // the local `shard` reference dies with this iteration: the
-      // driver never holds two deserialized shards in user heap
-      s.sparkContext.broadcast(shard)
-    }.toArray
+    // Stage ALL shards through ONE partitionBy shuffle plus a few
+    // wide `runJob` batches instead of S sequential filter+collect
+    // jobs — round 8 measured the sequential spelling at 3.1x the
+    // unsharded time at S=72, pure per-job launch latency (~75 ms x
+    // S per Lloyd step). Each result task sorts its shard
+    // executor-side; the resultHandler broadcasts each shard as its
+    // task result lands and drops the reference, so the driver
+    // user-heap working set is bounded by the task-result-getter's
+    // deserialization pool (4 shards), never S. Batching exists
+    // because spark.driver.maxResultSize caps CUMULATIVE task-result
+    // bytes PER JOB (the per-shard jobs never hit it; one giant job
+    // would at ~16+ default-size shards): each batch stays under half
+    // the cap, so staging is ceil(tableBytes / (maxResultSize/2))
+    // jobs — 1 at probe scale, ~S/8 at 64 MiB shards — each batch
+    // overlapping all its shard scans in one scheduler round.
+    val sc = s.sparkContext
+    val shardOf = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val shardRdd = centP
+      .select(col("cell"), col("cc"), col("cnrmr"))
+      .as[(Long, Array[Long], Double)]
+      .rdd
+      .map(r => ((r._1 / perShard).toInt, r))
+      .partitionBy(shardOf)
+      .values
+    val bcs = new Array[org.apache.spark.broadcast.Broadcast[
+      Array[(Long, Array[Long], Double)]]](nShards)
+    val maxResult =
+      sc.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val shardsPerJob = if (maxResult <= 0L) nShards
+      else math.max(1L, (maxResult / 2) /
+        math.max(1L, maxCentroidBytes)).toInt
+    var jlo = 0
+    while (jlo < nShards) {
+      val jhi = math.min(nShards, jlo + shardsPerJob)
+      val base = jlo
+      sc.runJob(
+        shardRdd,
+        (_: org.apache.spark.TaskContext,
+            it: Iterator[(Long, Array[Long], Double)]) =>
+          it.toArray.sortBy(_._1),
+        base until jhi,
+        (idx: Int, shard: Array[(Long, Array[Long], Double)]) =>
+          bcs(base + idx) = sc.broadcast(shard))
+      jlo = jhi
+    }
     val out = v.select(col(idCol), col("c"),
         coalesce(col("nrmr"), lit(Double.NaN)).as("nrmr"))
       .as[(Long, Array[Long], Double)]
