@@ -1335,15 +1335,39 @@ object AnnOps {
     java.lang.Long.parseLong(hex, 16) - 2147483648L
   }
 
+  /** The md5-derived hyperplane grid for `np` planes over <= 64 dims. */
+  private def bandPlanes(np: Int): Array[Array[Long]] =
+    Array.tabulate(np) { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(64)(i => hyperplane(md, k, i))
+    }
+
+  /** Per-band sign codes of one vector: bit j of band b is the sign of
+    * the exact integer dot with plane b*rpb+j. Shared by the plain and
+    * key-scoped signature kernels so the arithmetic cannot drift.
+    */
+  private def bandCodesOf(planes: Array[Array[Long]], rpb: Int, nb: Int,
+      c: Array[Long]): Array[Long] = {
+    val codes = new Array[Long](nb)
+    val np = rpb * nb
+    var k = 0
+    while (k < np) {
+      val hp = planes(k)
+      var pd = 0L
+      var i = 0
+      val n = math.min(c.length, 64)
+      while (i < n) { pd += c(i) * hp(i); i += 1 }
+      if (pd >= 0) codes(k / rpb) |= (1L << (k % rpb))
+      k += 1
+    }
+    codes
+  }
+
   private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
       bands: Int): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
-    val np = rowsPerBand * bands
-    val planes: Array[Array[Long]] = Array.tabulate(np) { k =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(64)(i => hyperplane(md, k, i))
-    }
+    val planes = bandPlanes(rowsPerBand * bands)
     val rpb = rowsPerBand
     val nb = bands
     v.select(col("id"), col("c")).as[(Long, Seq[Long])]
@@ -1357,19 +1381,8 @@ object AnnOps {
           // Spark's NaN ordering treats as >= threshold.
           if (cSeq == null || cSeq.isEmpty) Iterator.empty
           else {
-          val c = cSeq.toArray
-          val codes = new Array[Long](nb)
-          var k = 0
-          while (k < np) {
-            val hp = planes(k)
-            var pd = 0L
-            var i = 0
-            val n = math.min(c.length, 64)
-            while (i < n) { pd += c(i) * hp(i); i += 1 }
-            if (pd >= 0) codes(k / rpb) |= (1L << (k % rpb))
-            k += 1
-          }
-          (0 until nb).iterator.map(b => (id, b, codes(b)))
+            val codes = bandCodesOf(planes, rpb, nb, cSeq.toArray)
+            (0 until nb).iterator.map(b => (id, b, codes(b)))
           }
         }
       }.toDF("id", "band", "code")
@@ -1418,6 +1431,98 @@ object AnnOps {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[scaled]] carrying a metadata filter key through staging. The key
+    * is cast to string so one typed kernel serves every key type;
+    * string-cast equality matches native equality for the scalar
+    * metadata keys a filter targets (source, category, language, ...).
+    */
+  private def scaledKeyed(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, partitions: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"),
+        col(keyCol).cast("string").as("key"))
+      .repartition(Parts.of(df, partitions), col("id"))
+      .select(col("id"), col("c"), col("key"),
+        sqrt(dot_i64(col("c"), col("c")).cast("double") / lit(1.0e12))
+          .as("nrm"))
+      .localCheckpoint()
+
+  /** [[signLshSignatures]] over a keyed staging: (id, key, band, code).
+    * Same [[bandCodesOf]] arithmetic; the key rides along so candidate
+    * generation can require key equality IN the band join.
+    */
+  private def signLshSignaturesKeyed(v: DataFrame, rowsPerBand: Int,
+      bands: Int): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val planes = bandPlanes(rowsPerBand * bands)
+    val rpb = rowsPerBand
+    val nb = bands
+    v.select(col("id"), col("key"), col("c"))
+      .as[(Long, String, Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, key, cSeq) =>
+          if (cSeq == null || cSeq.isEmpty) Iterator.empty
+          else {
+            val codes = bandCodesOf(planes, rpb, nb, cSeq.toArray)
+            (0 until nb).iterator.map(b => (id, key, b, codes(b)))
+          }
+        }
+      }.toDF("id", "key", "band", "code")
+      .localCheckpoint()
+  }
+
+  /** FILTERED approximate vector search — "top-k WHERE metadata
+    * matches" with LSH candidate generation SCOPED BY the filter key:
+    * the band join key is (key, band, code), so a corpus row is a
+    * candidate only when it shares the query's key AND collides on
+    * >= 1 band. This composes the s12 lesson (POST-filtering a k-list
+    * loses recall — the filter must precede scoring) with the s03
+    * lesson (exact scoring of the matching subset is brute force —
+    * candidates must come from an index): cost is
+    * O(matching-subset collisions), never the filtered brute-force
+    * scan and never a pair grid. Verification is the exact scaled-long
+    * cosine of candidates only; top-k per query by (cosine desc, id
+    * asc).
+    *
+    * RECALL IS PARTIAL within the filter subset exactly like
+    * [[knnGraphLsh]] (P(catch) = 1-(1-(1-theta/pi)^rows)^bands per
+    * pair); PipelineOpsSpec measures recall@k against the exact
+    * filtered ground truth and asserts the subset/key contract. Rows
+    * with a NULL key never match any query (SQL equality semantics of
+    * the pre-filter they replace).
+    *
+    * Returns (qid, neighbor_id, cosine, rank), rank <= k.
+    */
+  def filteredTopKLsh(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, isQuery: Column => Column, k: Int,
+      rowsPerBand: Int = 4, bands: Int = 8,
+      partitions: Int = 0): DataFrame = {
+    require(k >= 1, s"filteredTopKLsh: k=$k")
+    val v = scaledKeyed(df, idCol, vecCol, keyCol, partitions)
+    val sig = signLshSignaturesKeyed(v, rowsPerBand, bands)
+    val qsig = sig.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("key"), col("band"), col("code"))
+    // queries are few (the s01/s03 convention): broadcast the query
+    // bands against the corpus signature index — a key-scoped equi-join,
+    // map-side at any corpus size
+    val cand = broadcast(qsig)
+      .join(sig, Seq("key", "band", "code"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    val qv = v.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("c").as("qc"),
+        col("nrm").as("qnrm"))
+    val cos = broadcast(cand).join(v, Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** [[cosineNearDups]] with sign-LSH candidate generation instead of the

@@ -1073,6 +1073,94 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos) t
+        WHERE rank <= 3""")),
+
+    // ----------------------------- filtered ANN via scoped LSH (s13)
+    GraftQuery(
+      "s13_filtered_knn_lsh",
+      (s, dir) => {
+        import s.implicits._
+        // s12 composed with candidate generation: the filter key
+        // (document source) is PART of the LSH band join key, so a
+        // corpus row is a candidate only when it shares the query's
+        // source AND collides on >= 1 sign band — filtered top-k
+        // without brute-forcing the matching subset (s12's residual)
+        // and without post-filtering a k-list (which loses recall).
+        // Fully oracle-checkable: plane components, sign bits and band
+        // codes are exact integer arithmetic (the s03 convention), the
+        // re-rank is the exact scaled-long cosine. The query IS the
+        // AnnOps.filteredTopKLsh facade call; recall vs the exact
+        // filtered ground truth is measured in PipelineOpsSpec.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+        graft.operators.AnnOps.filteredTopKLsh(
+          emb, "vec_id", "embedding", "source",
+          _ < NQUERIES, k = 3, rowsPerBand = 4, bands = 8)
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        planes AS (
+          SELECT k, i,
+            CAST(('0x'||substr(md5(k||':'||i),1,8)) AS BIGINT)
+              - 2147483648 AS hp
+          FROM range(32) t(k), range(64) u(i)
+        ),
+        pd AS (
+          SELECT c.vec_id, p.k, SUM(c.c * p.hp) AS pd
+          FROM comp c JOIN planes p ON c.i = p.i
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT vec_id, CAST(k // 4 AS INT) AS band,
+            SUM(CASE WHEN pd >= 0
+              THEN (1::BIGINT << CAST(k % 4 AS INT)) ELSE 0 END) AS code
+          FROM pd GROUP BY 1, 2
+        ),
+        ksig AS (
+          SELECT s.vec_id, d.source AS key, s.band, s.code
+          FROM sig s JOIN documents d ON d.doc_id = s.vec_id
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, s.vec_id
+          FROM ksig q JOIN ksig s
+            ON s.key = q.key AND s.band = q.band AND s.code = q.code
+          WHERE q.vec_id < $NQUERIES AND s.vec_id <> q.vec_id
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        dot AS (
+          SELECT ca.qid, ca.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+          FROM cand ca
+            JOIN comp qc ON qc.vec_id = ca.qid
+            JOIN comp cc ON cc.vec_id = ca.vec_id AND cc.i = qc.i
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.vec_id AS neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (nq.nrm * nn.nrm)
+              AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nn ON nn.vec_id = d.vec_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
         WHERE rank <= 3"""))
   )
 

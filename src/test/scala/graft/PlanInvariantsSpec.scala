@@ -47,7 +47,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p12_semantic_packing", "d10_lsh_operating_curve",
     "d11_dedup_containment", "s11_semantic_dedup_sharded",
     "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample",
-    "q50_pagination")
+    "q50_pagination", "s13_filtered_knn_lsh")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -351,6 +351,21 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = finalPlan("s10_knn_quantized").toString()
     val n = "BroadcastExchange".r.findAllIn(s).length
     assert(n >= 2, s"expected both query-side broadcasts, saw $n")
+  }
+
+  test("s13's filtered candidates come from the key-scoped band join, " +
+      "never a filtered brute-force scan or a pair grid") {
+    // the filter key is part of the band equi-join key (broadcast hash,
+    // query side tiny), so candidate generation is an index probe — the
+    // blanket audit above already excludes cartesian/NLJ; here pin the
+    // positive shape: broadcast hash joins present, and no corpus-width
+    // SortMergeJoin (which would mean the signature index shuffled
+    // against itself corpus x corpus)
+    val s = plans("s13_filtered_knn_lsh").toString()
+    assert(s.contains("BroadcastHashJoin"),
+      "s13 lost its broadcast band-index probe")
+    assert(!s.contains("SortMergeJoin"),
+      "s13 shuffles corpus against corpus")
   }
 
   test("q51 ranks via TakeOrdered + count, never a single-partition " +

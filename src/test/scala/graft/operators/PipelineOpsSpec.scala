@@ -498,6 +498,84 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"LSH kNN recall $recall collapsed")
   }
 
+  test("filteredTopKLsh: key scoping is absolute, recall within the " +
+      "filter subset measured vs exact filtered ground truth") {
+    val s = spark
+    import s.implicits._
+    // planted: 1 is near 0 in key group "a"; 2 is nearER 0 but in key
+    // group "b" — the key scope must exclude it no matter the cosine.
+    // 5 has a NULL key: never a candidate, never a query match.
+    val planted = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (1L, Array(0.999f, 0.01f, 0.0f), "a"),
+      (2L, Array(0.9999f, 0.001f, 0.0f), "b"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "a"),
+      (4L, Array(0.0f, 0.98f, 0.2f), "b"),
+      (5L, Array(0.999f, 0.0f, 0.01f), null.asInstanceOf[String]))
+      .toDF("vid", "emb", "grp")
+    val got = AnnOps.filteredTopKLsh(planted, "vid", "emb", "grp",
+        _ < 2, k = 2, rowsPerBand = 4, bands = 8, partitions = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val keyOf = Map(0L -> "a", 1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b")
+    got.foreach { case (qid, nid, _, _) =>
+      assert(keyOf.get(nid).contains(keyOf(qid)),
+        s"neighbor $nid of query $qid crossed the key scope")
+      assert(nid != 5L, "null-key row surfaced as a candidate")
+    }
+    // near-identical same-key vectors share every sign band: planted
+    // neighbor is rank 1 with the exact scaled-long cosine
+    val rank1 = got.filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1(0L) == 1L && rank1(1L) == 0L, "planted a-pair missed")
+
+    // recall@3 vs exact filtered ground truth on a seeded corpus of
+    // 2 key groups x 40 vectors (the s05 discipline: measure, don't
+    // assume). Exact side computed driver-side with the identical
+    // scaled-long arithmetic.
+    val rnd = new scala.util.Random(4177)
+    val rows = (0 until 80).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat),
+        if (i % 2 == 0) "even" else "odd")
+    }
+    val df = rows.toDF("vid", "emb", "grp")
+    val scaledRows = rows.map { case (id, v, g) =>
+      val c = v.map(x => math.round(x.toDouble * 1000000.0))
+      val nrm = math.sqrt(c.map(x => x * x).sum.toDouble / 1.0e12)
+      (id, c, nrm, g)
+    }
+    def exactTop3(qid: Long): Seq[Long] = {
+      val (_, qc, qn, qg) = scaledRows(qid.toInt)
+      scaledRows.filter(r => r._1 != qid && r._4 == qg)
+        .map { case (id, c, n, _) =>
+          val dot = qc.zip(c).map { case (x, y) => x * y }.sum
+          (id, (dot.toDouble / 1.0e12) / (qn * n))
+        }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(3).map(_._1)
+    }
+    val lsh = AnnOps.filteredTopKLsh(df, "vid", "emb", "grp",
+        _ < 10, k = 3, rowsPerBand = 4, bands = 8, partitions = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // subset/exactness contract: every hit is same-key and carries the
+    // exact cosine the ground-truth arithmetic produces
+    lsh.foreach { case (qid, nid, cos) =>
+      assert(nid % 2 == qid % 2, s"hit $nid crossed the key scope of $qid")
+      val (_, qc, qn, _) = scaledRows(qid.toInt)
+      val (_, nc, nn, _) = scaledRows(nid.toInt)
+      val dot = qc.zip(nc).map { case (x, y) => x * y }.sum
+      assert(cos == (dot.toDouble / 1.0e12) / (qn * nn),
+        s"cosine drifted on ($qid, $nid)")
+    }
+    val truth = (0L until 10L).flatMap(q => exactTop3(q).map(q -> _)).toSet
+    val hits = lsh.map(t => (t._1, t._2)).toSet
+    val recall = hits.count(truth).toDouble / truth.size
+    assert(recall >= 0.5,
+      s"filtered LSH recall@3 $recall collapsed (defaults favor recall)")
+    info(f"filtered LSH recall@3 vs exact filtered: $recall%.2f " +
+      s"(${hits.size} hits, ${truth.size} truth pairs)")
+  }
+
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {
     val s = spark
     import s.implicits._
