@@ -1051,18 +1051,27 @@ object TextOps {
     * semantics of `replace()` in any engine, so the DuckDB oracle can
     * replay the same rounds.
     */
-  def bpeLearn(df: DataFrame, textCol: String, merges: Int = 3)
-      : DataFrame = {
-    val (learned, _) = bpeRounds(df, textCol, merges)
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int = 3,
+      maxBatch: Int = 64,
+      driverFinishBytes: Long = 64L << 20): DataFrame = {
+    val (learned, _) = bpeRounds(df, textCol, merges, maxBatch,
+      driverFinishBytes)
     df.sparkSession.createDataFrame(learned)
       .toDF("step", "pair", "merged", "cnt")
   }
 
   /** The learned (w, sp, freq) word table after `merges` BPE rounds —
     * the artifact segmentation consumes. Train ONCE, reuse across every
-    * corpus/partition you tokenize (persist it like any vocab). */
-  def bpeVocab(df: DataFrame, textCol: String, merges: Int = 3): DataFrame =
-    bpeRounds(df, textCol, merges)._2
+    * corpus/partition you tokenize (persist it like any vocab).
+    * `maxBatch` caps merges per distributed counting round (1 = the
+    * literal one-at-a-time process; any value produces identical
+    * output — see [[bpeRounds]]); `driverFinishBytes` is the word-table
+    * byte budget under which learning finishes driver-side (0 = always
+    * distributed). */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int = 3,
+      maxBatch: Int = 64,
+      driverFinishBytes: Long = 64L << 20): DataFrame =
+    bpeRounds(df, textCol, merges, maxBatch, driverFinishBytes)._2
 
   /** [[bpeLearn]] applied back to the corpus: segment every document
     * with the learned merge table and report per-document token counts
@@ -1099,9 +1108,62 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
   }
 
-  private def bpeRounds(df: DataFrame, textCol: String, merges: Int)
+  /** BPE learning loop, BATCHED: each counting round applies up to
+    * `maxBatch` merges in one pass, with the batch chosen so the result
+    * is PROVABLY IDENTICAL to the one-at-a-time process (same learned
+    * table, same counts, same final vocab — BpePropertySpec sweeps the
+    * equivalence on adversarial run-heavy corpora). One merge per round
+    * is one aggregation job + one driver round trip (~0.2 s measured);
+    * a real 30k-50k-merge vocabulary spelled one-at-a-time is tens of
+    * thousands of sequential Spark jobs — hours of pure launch
+    * overhead. Batching divides the job count by the mean batch size
+    * (Zipfian counts are mostly distinct, so early rounds batch near
+    * the cap; tools/BpeBatchProbe measures jobs << merges at 1000).
+    *
+    * Why the batch rule is exact (rank order = cnt desc, pair asc):
+    *  - The batch is a RANK-PREFIX of pairwise symbol-DISJOINT pairs;
+    *    the scan STOPS at the first pair sharing a symbol with an
+    *    accepted one (skipping it and continuing would be wrong: the
+    *    skipped pair's count is often untouched by the earlier merge,
+    *    so the sequential process would pick IT next).
+    *  - Disjoint pairs' occurrences cannot overlap, so applying the
+    *    batch as one chained left-to-right replace IS sequential
+    *    application, and no batch merge changes another batch pair's
+    *    count.
+    *  - A merge of (a,b), a != b, only DECREASES old counts (pairs
+    *    touching a or b) and CREATES pairs involving the new symbol;
+    *    every new pair (x,ab)/(ab,y)/(ab,ab) count is bounded by the
+    *    count of an old pair touching a or b — an INTERACTING pair,
+    *    which ranks at or after the stop. So requiring every batch
+    *    member's count STRICTLY above the stop pair's count
+    *    (`takeWhile > stopCnt`) guarantees no new pair can outrank a
+    *    later batch member in the sequential process. (Count ties with
+    *    a new pair would tie-break on the pair string, which CAN
+    *    invert once symbols are multi-char — strictness sidesteps the
+    *    whole case.)
+    *  - A SELF-pair (a,a) is the exception to that bound: through runs
+    *    its merge creates (aa,aa) and trailing (aa,a) pairs whose
+    *    counts are bounded only by cnt(a,a) itself, so a self-pair
+    *    closes its batch (it is always safe as the LAST member — its
+    *    new pairs only matter in the next round). The seeded
+    *    BpePropertySpec sweep is what caught this case.
+    *  - A merged string can COLLIDE with a symbol created in an
+    *    earlier round (e.g. "a"+"bc" == "ab"+"c" == "abc"), and then
+    *    the merge INCREASES existing pair counts, breaking the bound —
+    *    so the batch truncates right after any member whose merged
+    *    string was already created (initial symbols are single chars,
+    *    merged strings are >= 2 chars, so the driver-tracked merged-set
+    *    is the complete collision universe).
+    *  - The first-ranked pair is always kept: a 1-element batch is
+    *    literally the sequential step.
+    */
+  private def bpeRounds(df: DataFrame, textCol: String, merges: Int,
+      maxBatch: Int = 64, driverFinishBytes: Long = 64L << 20)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import java.util.regex.{Matcher, Pattern}
+    require(maxBatch >= 1, s"bpeRounds: maxBatch=$maxBatch")
+    require(driverFinishBytes >= 0L,
+      s"bpeRounds: driverFinishBytes=$driverFinishBytes")
     // Working representation: every symbol wrapped in its OWN spaces —
     // "hello" -> " h  e  l  l  o ". A pair's occurrence (" a  b ") then
     // never shares boundary characters with the next occurrence, so a
@@ -1119,7 +1181,32 @@ object TextOps {
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
-    for (step <- 1 to merges) {
+    val mergedSyms = scala.collection.mutable.HashSet.empty[String]
+    var step = 1
+    var exhausted = false
+    // The distinct-word table is VOCABULARY-bounded (corpus-size-
+    // independent — like the k-means centroid table), so once it fits
+    // the driver budget, learning finishes in ONE collect + an indexed
+    // in-memory sequential trainer: O(1) Spark jobs for ANY merge
+    // count. The distributed batched rounds below cover only the
+    // above-budget phase. This split is measured, not assumed:
+    // batching ALONE cannot deliver jobs << merges on natural text —
+    // character-pair counts are dominated by a few hot symbols, so the
+    // first interacting pair appears at rank 2-3 and the mean exact
+    // batch is ~1.1 (tools/BpeBatchProbe) — while the collected table
+    // for real corpora is tens of MB (1M words x ~30 B).
+    def tableBytes(): Long = {
+      val r = words.agg(
+        coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
+        count(lit(1)).as("n")).head()
+      // sp holds ~3 chars per w char (" X " per symbol; merges only
+      // shrink it), 2 JVM bytes per char, ~96 B row overhead
+      r.getLong(0) * 8 + r.getLong(1) * 96
+    }
+    // budget 0 = always-distributed: skip the per-round size probe too
+    while (step <= merges && !exhausted && (driverFinishBytes == 0L ||
+        tableBytes() > driverFinishBytes)) {
+      val cap = math.min(maxBatch, merges - step + 1)
       val withSym = words.withColumn("sym", split(trim(col("sp")), "  "))
       val pairs = withSym.select(col("freq"), explode(
         zip_with(
@@ -1129,31 +1216,214 @@ object TextOps {
       val top = pairs.groupBy(col("pr"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (pr, cnt) = (top(0).getString(0), top(0).getLong(1))
-        val Array(pa, pb) = pr.split(" ", 2)
-        val merged = pa + pb
-        learned += ((step, pr, merged, cnt))
-        val prev = words
-        words = words.select(col("w"),
-          regexp_replace(col("sp"),
+        .limit(cap + 1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // rank-prefix scan: accept while symbol-disjoint, stop at the
+        // first interacting pair; the first NON-accepted count bounds
+        // every pair a batch merge can create
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        var stopCnt = 0L
+        var stopped = false
+        while (i < top.length && !stopped && accepted.length < cap) {
+          val pr = top(i).getString(0)
+          val cnt = top(i).getLong(1)
+          val Array(pa, pb) = pr.split(" ", 2)
+          if (used.contains(pa) || used.contains(pb)) {
+            stopped = true; stopCnt = cnt
+          } else {
+            accepted += ((pr, cnt)); used += pa; used += pb; i += 1
+            // a SELF-pair (a,a) terminates the batch: through runs its
+            // merge creates (aa,aa) and (aa,a) whose counts are bounded
+            // only by cnt(a,a) itself — the top count — not by any
+            // interacting pair, so no later member could be proven safe
+            if (pa == pb) {
+              stopped = true
+              if (i < top.length) stopCnt = top(i).getLong(1)
+            }
+          }
+        }
+        if (!stopped && i < top.length) stopCnt = top(i).getLong(1)
+        var keep = accepted.takeWhile(_._2 > stopCnt)
+        if (keep.isEmpty) keep = accepted.take(1)
+        // collision truncation: stop right after a merge whose string
+        // already exists as a symbol
+        val batch = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long)]
+        var collided = false
+        keep.foreach { case (pr, cnt) =>
+          if (!collided) {
+            batch += ((pr, cnt))
+            val Array(pa, pb) = pr.split(" ", 2)
+            if (mergedSyms.contains(pa + pb)) collided = true
+          }
+        }
+        // one chained replace applies the whole batch in rank order
+        var spCol = col("sp")
+        batch.foreach { case (pr, cnt) =>
+          val Array(pa, pb) = pr.split(" ", 2)
+          val merged = pa + pb
+          learned += ((step, pr, merged, cnt))
+          mergedSyms += merged
+          spCol = regexp_replace(spCol,
             lit(Pattern.quote(s" $pa  $pb ")),
-            lit(Matcher.quoteReplacement(s" $merged "))).as("sp"),
-          col("freq"))
+            lit(Matcher.quoteReplacement(s" $merged ")))
+          step += 1
+        }
+        val prev = words
+        words = words.select(col("w"), spCol.as("sp"), col("freq"))
           .localCheckpoint()
         // localCheckpoint is eager, so the superseded round's table is
         // fully consumed by the time it returns: release its blocks
-        // NOW. A real vocabulary is 30k-50k merge rounds — without the
-        // release every round's word table accumulates in executor
-        // storage for the job's lifetime (the round-7 durable-dedup
-        // lesson, same fix). Cost model stays: one bounded aggregation
-        // job + one 1-row driver argmax per merge over the DISTINCT
-        // word table (shrunk once, up front), never the corpus.
+        // NOW (the round-7 durable-dedup lesson). Cost model: one
+        // bounded aggregation job + one driver round trip per BATCH
+        // over the DISTINCT word table (shrunk once, up front), never
+        // the corpus.
         DedupOps.releaseLocalCheckpoint(prev)
       }
     }
+    if (step <= merges && !exhausted && driverFinishBytes > 0L) {
+      // driver finish: collect the (vocab-bounded) table once, run the
+      // remaining merges through the indexed sequential trainer, and
+      // rebuild the word table as a local relation
+      val local = words.select(col("w"), col("sp"), col("freq"))
+        .collect()
+        .map { r =>
+          val sp = r.getString(1).trim
+          val syms = if (sp.isEmpty) Array.empty[String]
+            else sp.split("  ")
+          (r.getString(0), syms, r.getLong(2))
+        }
+      DedupOps.releaseLocalCheckpoint(words)
+      val rest = driverSequential(local, step, merges)
+      learned ++= rest
+      val s = df.sparkSession
+      words = s.createDataFrame(local.toSeq.map { case (w, syms, f) =>
+        (w, syms.map(x => s" $x ").mkString, f)
+      }).toDF("w", "sp", "freq")
+    }
     (learned.toSeq, words)
+  }
+
+  /** UTF-8 binary string order — what Spark's orderBy and the oracle
+    * engine's binary collation both use; Java String.compareTo (UTF-16
+    * code units) deviates off-ASCII, so the driver trainer must not
+    * use it. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy non-overlapping left-to-right merge of one symbol array —
+    * the fold BpePropertySpec proves identical to the wrapped-symbol
+    * regexp_replace the distributed rounds execute. A merged token
+    * never re-merges in the same pass (a+b != a since b is non-empty).
+    */
+  private def greedyMergeArr(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { cur =>
+      if (out.nonEmpty && out.last == a && cur == b)
+        out(out.length - 1) = a + b
+      else out += cur
+    }
+    out.toArray
+  }
+
+  /** The in-memory sequential trainer: argmax (cnt desc, pair
+    * utf8-asc), greedy merge, incremental recount — the definitional
+    * one-at-a-time process, so equivalence needs no batch-rule proof.
+    * Indexed so each merge touches only the words containing its pair
+    * (global pair counts + a pair -> word-ids occurrence index + a
+    * lazy-deletion max-heap), the standard single-node BPE trainer
+    * shape: total cost ~ O(sum over merges of affected-word symbols),
+    * minutes for a 50k-merge vocabulary over millions of distinct
+    * words. MUTATES `table` in place to the post-merge segmentation.
+    */
+  private def driverSequential(
+      table: Array[(String, Array[String], Long)],
+      startStep: Int, merges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+    table.iterator.zipWithIndex.foreach { case ((_, syms, f), wid) =>
+      pairsOf(syms).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + f
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(1, counts.size),
+      new java.util.Comparator[(Long, String, String)] {
+        override def compare(x: (Long, String, String),
+            y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else {
+            val (px, py) = (s"${x._2} ${x._3}", s"${y._2} ${y._3}")
+            if (px == py) 0 else if (utf8Less(px, py)) -1 else 1
+          }
+        }
+      })
+    counts.foreach { case ((a, b), c) => heap.add((c, a, b)) }
+    val learned = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = startStep
+    while (step <= merges && !heap.isEmpty) {
+      // lazy deletion: stale entries (count changed since push) discard
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top != null) {
+        val (cnt, a, b) = top
+        learned += ((step, s"$a $b", a + b, cnt))
+        val affected = occ.getOrElse((a, b), mutable.HashSet.empty).toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { wid =>
+          val (w, syms, f) = table(wid)
+          val merged = greedyMergeArr(syms, a, b)
+          val oldP = pairsOf(syms).toArray
+          val newP = pairsOf(merged).toArray
+          oldP.foreach { p =>
+            val c = counts(p) - f
+            if (c == 0L) counts.remove(p) else counts(p) = c
+            changed += p
+          }
+          newP.foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+            changed += p
+          }
+          val oldS = oldP.toSet
+          val newS = newP.toSet
+          (oldS -- newS).foreach { p =>
+            occ.get(p).foreach { s => s -= wid; if (s.isEmpty) occ.remove(p) }
+          }
+          (newS -- oldS).foreach { p =>
+            occ.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+          }
+          table(wid) = (w, merged, f)
+        }
+        changed.foreach { p =>
+          counts.get(p).foreach(c => heap.add((c, p._1, p._2)))
+        }
+        step += 1
+      }
+    }
+    learned.toSeq
   }
 }
 

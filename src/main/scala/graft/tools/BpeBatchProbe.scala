@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale probe for batched BPE learning (TextOps.bpeRounds):
+  * one-at-a-time learning is one aggregation job + one driver round
+  * trip PER MERGE (~0.2 s measured), so a real 30k-50k-merge
+  * vocabulary is hours of pure job-launch overhead; the exact batch
+  * rule (rank-prefix of symbol-disjoint pairs, strict count dominance,
+  * self-pair/collision truncation — equivalence proven in
+  * BpePropertySpec) must cut the JOB COUNT far below the merge count
+  * while producing the identical learned table.
+  *
+  * Measures: jobs and wall seconds for sequential (maxBatch=1) at a
+  * small merge count, batched (maxBatch=64) at `merges`, plus a
+  * learned-prefix equality check between the two spellings.
+  *
+  * Usage: BpeBatchProbe <sfDir> [merges]
+  */
+object BpeBatchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val merges = if (args.length > 1) args(1).toInt else 1000
+    val seqMerges = math.min(200, merges)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("text"))
+
+    def learn(m: Int, maxBatch: Int, driverFinishBytes: Long)
+        : (Double, Int, Array[(Int, String, String, Long)]) = {
+      val j0 = jobs.get
+      val t0 = System.nanoTime()
+      val learned = graft.operators.TextOps
+        .bpeLearn(docs, "text", m, maxBatch, driverFinishBytes)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .sortBy(_._1)
+      ((System.nanoTime() - t0) / 1e9, jobs.get - j0, learned)
+    }
+
+    learn(5, 64, 0L) // warm, untimed
+    val (tSeq, jSeq, lSeq) = learn(seqMerges, 1, 0L)
+    val (tBat, jBat, lBat) = learn(merges, 64, 0L)
+    val (tDrv, jDrv, lDrv) = learn(merges, 64, 64L << 20)
+    val prefixEqual = lBat.take(lSeq.length).sameElements(lSeq) &&
+      lDrv.sameElements(lBat)
+
+    println(
+      s"""{"probe":"bpe_batch","sf_dir":"$sfDir",""" +
+      s""""seq_merges":$seqMerges,"seq_jobs":$jSeq,"seq_sec":$tSeq,""" +
+      s""""batched_merges":${lBat.length},"batched_jobs":$jBat,""" +
+      s""""batched_sec":$tBat,""" +
+      s""""driver_merges":${lDrv.length},"driver_jobs":$jDrv,""" +
+      s""""driver_sec":$tDrv,""" +
+      s""""jobs_per_merge_seq":${jSeq.toDouble / math.max(1, lSeq.length)},""" +
+      s""""jobs_per_merge_batched":${jBat.toDouble / math.max(1, lBat.length)},""" +
+      s""""jobs_per_merge_driver":${jDrv.toDouble / math.max(1, lDrv.length)},""" +
+      s""""learned_equal_across_paths":$prefixEqual}""")
+    spark.stop()
+  }
+}

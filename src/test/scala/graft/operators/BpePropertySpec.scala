@@ -14,7 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * merge when the accumulator ends with the unconsumed left symbol and
   * the next symbol is the right one. Seeded, so failures reproduce.
   */
-class BpePropertySpec extends AnyFunSuite {
+class BpePropertySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private val params = SCTest.Parameters.default
     .withMinSuccessfulTests(500)
@@ -91,5 +94,120 @@ class BpePropertySpec extends AnyFunSuite {
         syms.count(_ == a + b)
       syms.length - merged.length == sites
     })
+  }
+
+  // ------------------------------------------------------------------
+  // batched learning == one-at-a-time learning (the TextOps.bpeRounds
+  // batch rule: rank-prefix of symbol-disjoint pairs, strict count
+  // dominance over the stop pair, collision truncation)
+
+  /** Pure one-at-a-time reference: argmax (cnt desc, pair asc), greedy
+    * merge, recount — the definitional sequential process. */
+  private def refLearn(corpus: Seq[String], merges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Seq[(List[String], Long)] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      words.foreach { case (syms, f) =>
+        syms.lazyZip(syms.drop(1)).foreach((a, b) => counts((a, b)) += f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) =>
+          (-c, s"$x $y")
+        }
+        learned += ((step, s"$a $b", a + b, cnt))
+        words = words.map { case (syms, f) => (mergeGreedy(syms, a, b), f) }
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  private var spark: org.apache.spark.sql.SparkSession = _
+  private def sparkUp(): org.apache.spark.sql.SparkSession = {
+    if (spark == null) {
+      spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName("bpe-batch-equivalence")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+    }
+    spark
+  }
+  private def sparkLearn(corpus: Seq[String], merges: Int, maxBatch: Int,
+      driverFinishBytes: Long = 0L): Seq[(Int, String, String, Long)] = {
+    val s = sparkUp()
+    import s.implicits._
+    TextOps.bpeLearn(corpus.toDF("t"), "t", merges, maxBatch,
+        driverFinishBytes)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("batched == one-at-a-time on adversarial run-heavy corpora " +
+      "(runs, ties, symbol collisions)") {
+    val corpora = Seq(
+      // pure runs: every pair interacts with itself and its neighbors
+      Seq("aaaaaaaa aaaa aa a"),
+      // alternations: merges create self-adjacent new pairs (ab,ab)
+      Seq("abababab abab ab ba bab"),
+      // collision course: "ab"+"c" and "a"+"bc" both spell "abc"
+      Seq("abc abc abc ab ab bc bc zbc zab c a"),
+      // flat tie plateau: all counts equal, strictness must clamp
+      Seq("ab ab cd cd ef ef gh gh"),
+      // tie between interacting pairs
+      Seq("ab ab ac ac", "ab ac"),
+      // mixed natural-ish text with runs
+      Seq("the theme thethe there", "aaa aaab baaa", "oooo oo o"))
+    corpora.foreach { corpus =>
+      val ref = refLearn(corpus, 12)
+      // all three production paths must equal the definitional process:
+      // distributed one-at-a-time, distributed exact-batched, and the
+      // collected driver-side indexed trainer
+      val seqL = sparkLearn(corpus, 12, maxBatch = 1)
+      val batched = sparkLearn(corpus, 12, maxBatch = 8)
+      val driver = sparkLearn(corpus, 12, maxBatch = 8,
+        driverFinishBytes = 64L << 20)
+      assert(seqL == ref, s"one-at-a-time drifted from reference on " +
+        s"$corpus:\n$seqL\nvs\n$ref")
+      assert(batched == ref, s"batched drifted from reference on " +
+        s"$corpus:\n$batched\nvs\n$ref")
+      assert(driver == ref, s"driver trainer drifted from reference on " +
+        s"$corpus:\n$driver\nvs\n$ref")
+    }
+  }
+
+  test("batched == one-at-a-time on seeded random run-heavy corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 10).foreach { _ =>
+      // tiny alphabet + geometric run lengths: maximal pair interaction
+      val words = (1 to rnd.between(3, 9)).map { _ =>
+        (1 to rnd.between(1, 7)).map { _ =>
+          val ch = "ab" (rnd.nextInt(2)).toString
+          ch * rnd.between(1, 4)
+        }.mkString
+      }
+      val corpus = Seq(words.mkString(" "))
+      val ref = refLearn(corpus, 10)
+      val batched = sparkLearn(corpus, 10, maxBatch = 8)
+      val driver = sparkLearn(corpus, 10, maxBatch = 8,
+        driverFinishBytes = 64L << 20)
+      assert(batched == ref,
+        s"batched drifted on $corpus:\n$batched\nvs\n$ref")
+      assert(driver == ref,
+        s"driver trainer drifted on $corpus:\n$driver\nvs\n$ref")
+    }
   }
 }
