@@ -2782,6 +2782,45 @@ object PrepOps {
         countDistinct(col("sh")).as("n_contaminated_shingles"))
   }
 
+  /** KEYSET pagination — the production spelling of "next page" past
+    * the first few pages, named (but not shipped) by q50's comment:
+    * OFFSET k scans and discards k rows, so walking a ranking costs
+    * O(sum of offsets) = O(N^2 / pageSize) total and the deep pages
+    * each pay O(N); the keyset page instead REMEMBERS the last row's
+    * (sort, key) and asks for rows strictly after it in (sortCol desc
+    * NULLS excluded, keyCol asc) order:
+    *
+    *   WHERE sort < lastSort OR (sort = lastSort AND key > lastKey)
+    *   ORDER BY sort DESC, key ASC LIMIT pageSize
+    *
+    * Callers pass the boundary as LITERALS (what a real cursor carries
+    * between requests), so the predicate reaches the scan as a pushed
+    * filter and the plan is a bounded TakeOrdered of pageSize rows —
+    * FLAT in page number (PlanInvariantsSpec gates the shape; the
+    * oracle-checked q52 proves keyset page 2 == OFFSET page 2
+    * hash-exactly). `keyCol` must be unique (the tie-break that makes
+    * the cursor total); rows with NULL sortCol are excluded — a NULL
+    * boundary is not a position in the keyset order.
+    */
+  def keysetPage(df: DataFrame, sortCol: String, keyCol: String,
+      lastSort: Column, lastKey: Column, pageSize: Int): DataFrame = {
+    require(pageSize >= 1, s"keysetPage: pageSize=$pageSize")
+    df.filter(col(sortCol).isNotNull &&
+        (col(sortCol) < lastSort ||
+          (col(sortCol) === lastSort && col(keyCol) > lastKey)))
+      .orderBy(col(sortCol).desc, col(keyCol).asc)
+      .limit(pageSize)
+  }
+
+  /** The first page of the same keyset order — the cursor's seed. */
+  def firstPage(df: DataFrame, sortCol: String, keyCol: String,
+      pageSize: Int): DataFrame = {
+    require(pageSize >= 1, s"firstPage: pageSize=$pageSize")
+    df.filter(col(sortCol).isNotNull)
+      .orderBy(col(sortCol).desc, col(keyCol).asc)
+      .limit(pageSize)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis A-ES scheme: each row draws key = u^(1/w) with
     * u a deterministic md5-uniform in (0, 1], and the sample is the

@@ -1495,6 +1495,39 @@ object Relational {
           FROM j
         )
         SELECT c_custkey, total, rnk_last, rnk_first FROM r
-        WHERE rnk_last <= 10 OR rnk_first <= 10"""))
+        WHERE rnk_last <= 10 OR rnk_first <= 10""")),
+
+    // --------------------------------------- keyset pagination (q52)
+    GraftQuery(
+      "q52_keyset_page",
+      (s, dir) => {
+        import s.implicits._
+        // The production "next page": q50's OFFSET spelling pays O(N)
+        // per deep page (scan and discard), a keyset cursor pays
+        // O(pageSize). The Spark side is the KEYSET spelling — page 1's
+        // last row collected as the cursor (a bounded 10-row TakeOrdered
+        // collect, the q19 discipline; exactly what a real cursor
+        // carries between requests as literals, which is what lets the
+        // predicate push to the parquet scan) — while the ORACLE is the
+        // OFFSET spelling, so the hash gate itself proves keyset page 2
+        // == OFFSET page 2. Ordering (o_totalprice desc, o_orderkey
+        // asc) is total: the key tie-break makes the cursor exact.
+        val orders = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val p1last = graft.operators.PrepOps
+          .firstPage(orders, "o_totalprice", "o_orderkey", 10)
+          .orderBy($"o_totalprice".asc, $"o_orderkey".desc)
+          .limit(1).collect()
+        if (p1last.isEmpty) orders.limit(0)
+        else graft.operators.PrepOps.keysetPage(
+          orders, "o_totalprice", "o_orderkey",
+          lit(p1last(0).getDouble(1)), lit(p1last(0).getLong(0)), 10)
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 10"""))
   )
 }

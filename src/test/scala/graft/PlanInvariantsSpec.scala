@@ -47,7 +47,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p12_semantic_packing", "d10_lsh_operating_curve",
     "d11_dedup_containment", "s11_semantic_dedup_sharded",
     "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample",
-    "q50_pagination", "s13_filtered_knn_lsh")
+    "q50_pagination", "s13_filtered_knn_lsh", "q52_keyset_page")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -366,6 +366,20 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s13 lost its broadcast band-index probe")
     assert(!s.contains("SortMergeJoin"),
       "s13 shuffles corpus against corpus")
+  }
+
+  test("q52's keyset page is a pushed filter + bounded TakeOrdered, " +
+      "flat in page number") {
+    // the cursor bounds arrive as literals, so the keyset predicate
+    // must reach the parquet scan and the page must be a TakeOrdered
+    // of pageSize rows — never an offset-style scan-and-discard or a
+    // full sort
+    val s = plans("q52_keyset_page").toString()
+    assert(s.contains("TakeOrderedAndProject"),
+      "q52 lost its bounded page selection")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined,
+      "q52's keyset predicate did not reach the scan")
+    assert(!s.contains("Sort ["), "q52 plans a full sort")
   }
 
   test("q51 ranks via TakeOrdered + count, never a single-partition " +
