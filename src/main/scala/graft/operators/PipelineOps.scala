@@ -508,6 +508,16 @@ object DedupOps {
       partitions: Int = 0): DataFrame = {
     val (cand, shArr) = dfCutCandidates(df, idCol, textCol, shingleK,
       maxDf, partitions)
+    containmentScored(cand, shArr)
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Exact containment+jaccard of candidate pairs against the staged
+    * shingle arrays — the verification kernel shared by
+    * [[containmentNearDups]] and [[containmentOperatingCurve]] so the
+    * measurement can never drift from the dedup it parameterizes. */
+  private def containmentScored(cand: DataFrame,
+      shArr: DataFrame): DataFrame =
     cand
       .join(shArr.as("pa"), col("a") === col("pa.doc_id"))
       .join(shArr.as("pb"), col("b") === col("pb.doc_id"))
@@ -519,7 +529,66 @@ object DedupOps {
           .as("containment"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("containment") >= threshold)
+
+  /** How [[containmentNearDups]]'s `maxDf` gets CHOSEN — the d10
+    * treatment for the containment index: measure candidate volume,
+    * confirmed pairs, and RECALL against the uncut inverted index at
+    * several df cuts, sharing one staging + one shingle pass + one
+    * document-frequency table across every operating point. The uncut
+    * spelling (every posting joins) is the recall denominator: the
+    * df-cut candidate set is a SUBSET of the uncut one, so
+    * recall = confirmed(maxDf) / confirmed(uncut) exactly. The uncut
+    * join is O(sum df^2) — affordable at measurement scale, which is
+    * the point of an operating-curve query (run it on a sample, pick
+    * maxDf with data, run the dedup on the corpus). Returns one row
+    * per cut: (max_df, candidate_pairs, confirmed_pairs,
+    * uncut_candidate_pairs, uncut_confirmed_pairs, recall); recall is
+    * 1.0 when the uncut index confirms nothing (nothing to miss).
+    * Semantics pinned by the oracle-checked d12 query.
+    */
+  def containmentOperatingCurve(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 7, threshold: Double = 0.9,
+      maxDfs: Seq[Int] = Seq(4, 8, 16, 32),
+      partitions: Int = 0): DataFrame = {
+    require(maxDfs.nonEmpty, "need at least one maxDf operating point")
+    val docs = staged(df, idCol, textCol, partitions)
+    val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
+      .localCheckpoint()
+    val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfTab = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    def candFrom(p: DataFrame): DataFrame =
+      p.as("x").join(p.as("y"),
+          col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    // ONE verification pass per operating point yields both counts as
+    // a single scalar aggregate (the d10 convention)
+    def countsOf(cand: DataFrame): DataFrame =
+      containmentScored(cand, shArr).agg(
+        count(lit(1)).as("candidate_pairs"),
+        coalesce(sum(when(col("containment") >= threshold, 1L)
+          .otherwise(0L)), lit(0L)).as("confirmed_pairs"))
+    val uncut = countsOf(candFrom(posting))
+      .select(col("candidate_pairs").as("uncut_candidate_pairs"),
+        col("confirmed_pairs").as("uncut_confirmed_pairs"))
+    val perCut = maxDfs.map { m =>
+      val frequent = dfTab.filter(col("df") > m).select(col("sh"))
+      val pruned = posting.join(broadcast(frequent), Seq("sh"), "left_anti")
+      countsOf(candFrom(pruned))
+        .select(lit(m).cast("int").as("max_df"),
+          col("candidate_pairs"), col("confirmed_pairs"))
+    }.reduce(_ unionAll _)
+    // 1-row uncut side joined onto the |maxDfs|-row sweep (the bounded
+    // 1xN agg-join convention)
+    perCut.crossJoin(uncut)
+      .select(col("max_df"), col("candidate_pairs"),
+        col("confirmed_pairs"), col("uncut_candidate_pairs"),
+        col("uncut_confirmed_pairs"),
+        when(col("uncut_confirmed_pairs") === 0L, lit(1.0))
+          .otherwise(col("confirmed_pairs").cast("double") /
+            col("uncut_confirmed_pairs")).as("recall"))
   }
 
   /** SimHash near-dup pairs: 32-bit simhash over word unigrams, byte

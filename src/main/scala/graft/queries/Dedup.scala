@@ -55,6 +55,39 @@ object Dedup {
       .repartition(32, org.apache.spark.sql.functions.col("doc_id"))
       .localCheckpoint()
 
+  /** The d11/d12 containment fixture: documents UNION planted excerpts
+    * (first half of the words of every 10th long doc, id + 1e11), so
+    * the corpus GUARANTEES containment-1.0 / low-jaccard pairs exist.
+    * The excerpt-id offset is guarded in-plan on EVERY corpus row (a
+    * >= 1e11 doc that skips the excerpt filter could still collide
+    * with a generated excerpt id — see d11's comment).
+    */
+  private def containmentFixture(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val idOffset = 100000000000L // 1e11
+    val base = Tables.load(s, dir, "documents")
+      .select(when($"doc_id" < idOffset, $"doc_id")
+        .otherwise(raise_error(lit(
+          s"d11: doc_id >= $idOffset collides with excerpt ids"))
+          .cast("long")).as("doc_id"), $"text")
+    val excerpts = base
+      .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
+      .select(($"doc_id" + idOffset).as("doc_id"),
+        array_join(slice(split($"text", " "), lit(1),
+          (size(split($"text", " ")) / 2).cast("int")), " ").as("text"))
+    base.unionByName(excerpts)
+  }
+
+  /** Oracle CTE spelling of [[containmentFixture]]. */
+  private val sqlContainmentCorpus: String = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000000000,
+          array_to_string(ws[1:len(ws)//2], ' ')
+        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+        WHERE doc_id % 10 = 0 AND len(ws) >= 20"""
+
   /** SQL spelling of the word k-gram shingle set (DuckDB list
     * comprehension) — the oracle analog of
     * [[graft.functions.TextKernels.shingleSet]].
@@ -842,29 +875,12 @@ object Dedup {
         // call: df-cut inverted-index candidates (MinHash banding can't
         // find these pairs — collision tracks jaccard), exact set
         // verification of candidates only.
-        val idOffset = 100000000000L // 1e11
-        val base = Tables.load(s, dir, "documents")
-          .select(when($"doc_id" < idOffset, $"doc_id")
-            .otherwise(raise_error(lit(
-              s"d11: doc_id >= $idOffset collides with excerpt ids"))
-              .cast("long")).as("doc_id"), $"text")
-        val excerpts = base
-          .filter($"doc_id" % 10 === 0 && size(split($"text", " ")) >= 20)
-          .select(($"doc_id" + idOffset).as("doc_id"),
-            array_join(slice(split($"text", " "), lit(1),
-              (size(split($"text", " ")) / 2).cast("int")), " ").as("text"))
         graft.operators.DedupOps.containmentNearDups(
-          base.unionByName(excerpts), "doc_id", "text",
+          containmentFixture(s, dir), "doc_id", "text",
           shingleK = 7, threshold = 0.9, maxDf = DF_CUT)
       },
       Some(s"""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000000000,
-            array_to_string(ws[1:len(ws)//2], ' ')
-          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
-          WHERE doc_id % 10 = 0 AND len(ws) >= 20
+        WITH corpus AS ($sqlContainmentCorpus
         ),
         sh AS (
           SELECT doc_id, unnest(${sqlShingles(7)}) AS sh
@@ -898,6 +914,94 @@ object Dedup {
           CAST(inter AS DOUBLE) / least(na, nb) AS containment,
           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         FROM verified
-        WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9"""))
+        WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9""")),
+
+    // ------------------- containment maxDf operating curve (d12)
+    GraftQuery(
+      "d12_containment_curve",
+      (s, dir) => {
+        // How d11's maxDf gets CHOSEN — the d10 treatment for the
+        // containment index: candidate volume, confirmed pairs, and
+        // recall vs the UNCUT inverted index at four df cuts, over the
+        // same planted-excerpt fixture (so the curve measures real
+        // containment pairs, not an empty denominator). One staging,
+        // one shingle pass, one document-frequency table shared across
+        // every operating point; the uncut join prices the recall
+        // denominator exactly (df-cut candidates are a subset). The
+        // query IS the DedupOps.containmentOperatingCurve facade call.
+        graft.operators.DedupOps.containmentOperatingCurve(
+          containmentFixture(s, dir), "doc_id", "text",
+          shingleK = 7, threshold = 0.9, maxDfs = Seq(2, 4, 8, DF_CUT))
+      },
+      Some(sqlContainmentCurve(Seq(2, 4, 8, DF_CUT), 0.9)))
   )
+
+  /** DuckDB spelling of [[graft.operators.DedupOps
+    * .containmentOperatingCurve]] over [[sqlContainmentCorpus]]: per-cut
+    * candidate/confirmed counts UNION ALL'd, cross-joined with the
+    * uncut denominator. SUM(CASE ...) must cast back to BIGINT (DuckDB
+    * widens to HUGEINT, which would reach the comparer as float64).
+    */
+  private def sqlContainmentCurve(maxDfs: Seq[Int], threshold: Double)
+      : String = {
+    val perCut = maxDfs.map { m =>
+      s"""
+        SELECT $m AS max_df,
+          COUNT(*) AS candidate_pairs,
+          CAST(COALESCE(SUM(CASE WHEN containment >= $threshold
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS confirmed_pairs
+        FROM (
+          SELECT CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE)
+              / least(len(pa.shs), len(pb.shs)) AS containment
+          FROM (
+            SELECT DISTINCT x.doc_id a, y.doc_id b
+            FROM pruned_$m x JOIN pruned_$m y
+              ON x.sh = y.sh AND x.doc_id < y.doc_id) c
+            JOIN sharr pa ON pa.doc_id = c.a
+            JOIN sharr pb ON pb.doc_id = c.b)"""
+    }.mkString(" UNION ALL ")
+    val prunedCtes = maxDfs.map { m =>
+      s"""pruned_$m AS (
+          SELECT s.doc_id, s.sh FROM sh s JOIN dfreq d USING (sh)
+          WHERE d.df <= $m
+        )"""
+    }.mkString(",\n        ")
+    s"""
+        WITH corpus AS ($sqlContainmentCorpus
+        ),
+        sh AS (
+          SELECT doc_id, unnest(${sqlShingles(7)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM corpus)
+        ),
+        dfreq AS (
+          SELECT sh, COUNT(*) df FROM sh GROUP BY sh
+        ),
+        sharr AS (
+          SELECT doc_id, ${sqlShingles(7)} AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM corpus)
+        ),
+        $prunedCtes,
+        uncut AS (
+          SELECT COUNT(*) AS uncut_candidate_pairs,
+            CAST(COALESCE(SUM(CASE WHEN containment >= $threshold
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+              AS uncut_confirmed_pairs
+          FROM (
+            SELECT CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE)
+                / least(len(pa.shs), len(pb.shs)) AS containment
+            FROM (
+              SELECT DISTINCT x.doc_id a, y.doc_id b
+              FROM sh x JOIN sh y
+                ON x.sh = y.sh AND x.doc_id < y.doc_id) c
+              JOIN sharr pa ON pa.doc_id = c.a
+              JOIN sharr pb ON pb.doc_id = c.b)
+        ),
+        cuts AS ($perCut)
+        SELECT t.max_df, t.candidate_pairs, t.confirmed_pairs,
+          u.uncut_candidate_pairs, u.uncut_confirmed_pairs,
+          CASE WHEN u.uncut_confirmed_pairs = 0 THEN 1.0
+            ELSE CAST(t.confirmed_pairs AS DOUBLE)
+              / u.uncut_confirmed_pairs END AS recall
+        FROM cuts t CROSS JOIN uncut u"""
+  }
 }

@@ -142,6 +142,20 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d11's anti join is not broadcast (map-side)")
   }
 
+  test("d12's sweep shares d11's broadcast anti-join df-cut shape; its " +
+      "only nested loop is the 1-row uncut denominator join") {
+    // d12 stays outside the blanket NLJ audit: the uncut scalar joins
+    // onto the 4-row sweep as a bounded 1xN cross join (the
+    // Relational.scala:774 convention). The candidate generation itself
+    // must keep the index shape.
+    val p = finalPlan("d12_containment_curve")
+    val s = p.toString()
+    assert(s.contains("LeftAnti"), "d12 lost the heavy-hitter anti join")
+    assert(s.contains("BroadcastHashJoin"),
+      "d12's anti join is not broadcast (map-side)")
+    assert(!s.contains("CartesianProduct"), "d12 has a CartesianProduct")
+  }
+
   test("p07's df-cut prunes the train index via a broadcast anti join") {
     val s = plans("p07_decontam").toString()
     assert(s.contains("LeftAnti"), "p07 lost the heavy-hitter anti join")
