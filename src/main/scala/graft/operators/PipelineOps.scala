@@ -1217,12 +1217,15 @@ object TextOps {
     *    new pairs only matter in the next round). The seeded
     *    BpePropertySpec sweep is what caught this case.
     *  - A merged string can COLLIDE with a symbol created in an
-    *    earlier round (e.g. "a"+"bc" == "ab"+"c" == "abc"), and then
-    *    the merge INCREASES existing pair counts, breaking the bound —
-    *    so the batch truncates right after any member whose merged
-    *    string was already created (initial symbols are single chars,
-    *    merged strings are >= 2 chars, so the driver-tracked merged-set
-    *    is the complete collision universe).
+    *    earlier round OR earlier in the same batch (e.g. "a"+"bc" ==
+    *    "ab"+"c" == "abc"): a prior-round collision INCREASES existing
+    *    pair counts, and a same-batch collision makes two merges feed
+    *    the SAME new pairs, whose combined count (two <= stopCnt
+    *    bounds added) escapes the strictness argument — so the batch
+    *    truncates right after any member whose merged string was
+    *    already created in either place (initial symbols are single
+    *    chars, merged strings are >= 2 chars, so the prior-round set
+    *    plus the batch-so-far set is the complete collision universe).
     *  - The first-ranked pair is always kept: a 1-element batch is
     *    literally the sequential step.
     */
@@ -1264,17 +1267,23 @@ object TextOps {
     // first interacting pair appears at rank 2-3 and the mean exact
     // batch is ~1.1 (tools/BpeBatchProbe) — while the collected table
     // for real corpora is tens of MB (1M words x ~30 B).
-    def tableBytes(): Long = {
-      val r = words.agg(
-        coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
-        count(lit(1)).as("n")).head()
-      // sp holds ~3 chars per w char (" X " per symbol; merges only
-      // shrink it), 2 JVM bytes per char, ~96 B row overhead
-      r.getLong(0) * 8 + r.getLong(1) * 96
-    }
-    // budget 0 = always-distributed: skip the per-round size probe too
-    while (step <= merges && !exhausted && (driverFinishBytes == 0L ||
-        tableBytes() > driverFinishBytes)) {
+    // the estimate depends only on w lengths and row count, which no
+    // merge changes (sp only SHRINKS), so it is computed ONCE, never
+    // per round: a run that starts over budget stays distributed, one
+    // under it goes straight to the driver trainer. Budget 0 =
+    // always-distributed, no probe job at all.
+    val wordTableBytes: Long =
+      if (driverFinishBytes == 0L) Long.MaxValue
+      else {
+        val r = words.agg(
+          coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
+          count(lit(1)).as("n")).head()
+        // sp holds ~3 chars per w char (" X " per symbol; merges only
+        // shrink it), 2 JVM bytes per char, ~96 B row overhead
+        r.getLong(0) * 8 + r.getLong(1) * 96
+      }
+    while (step <= merges && !exhausted &&
+        wordTableBytes > driverFinishBytes) {
       val cap = math.min(maxBatch, merges - step + 1)
       val withSym = words.withColumn("sym", split(trim(col("sp")), "  "))
       val pairs = withSym.select(col("freq"), explode(
@@ -1319,15 +1328,24 @@ object TextOps {
         var keep = accepted.takeWhile(_._2 > stopCnt)
         if (keep.isEmpty) keep = accepted.take(1)
         // collision truncation: stop right after a merge whose string
-        // already exists as a symbol
+        // already exists as a symbol — including one created EARLIER IN
+        // THIS BATCH: two disjoint pairs can spell the same string
+        // ("a"+"bc" == "ab"+"c" == "abc"), and then both merges feed
+        // the same new pairs, whose combined count (two <= stopCnt
+        // bounds ADDED) can outrank a later member in the sequential
+        // process
         val batch = scala.collection.mutable.ArrayBuffer
           .empty[(String, Long)]
+        val batchSyms = scala.collection.mutable.HashSet.empty[String]
         var collided = false
         keep.foreach { case (pr, cnt) =>
           if (!collided) {
             batch += ((pr, cnt))
             val Array(pa, pb) = pr.split(" ", 2)
-            if (mergedSyms.contains(pa + pb)) collided = true
+            val m = pa + pb
+            if (mergedSyms.contains(m) || batchSyms.contains(m))
+              collided = true
+            batchSyms += m
           }
         }
         // one chained replace applies the whole batch in rank order
@@ -1507,13 +1525,28 @@ object AnnOps {
   /** (id, c: array<long> scaled components, nrm: double) staged + pinned. */
   def scaled(df: DataFrame, idCol: String, vecCol: String,
       partitions: Int = 0): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"))
+    scaledImpl(df, idCol, vecCol, None, partitions)
+
+  /** ONE staging pipeline for the plain and keyed spellings (an
+    * optional metadata column rides along, cast to string so one typed
+    * kernel serves every key type — string-cast equality matches native
+    * equality for the scalar metadata keys a filter targets). A single
+    * body so the quantization scale / partitioning / norm arithmetic
+    * cannot drift between the two.
+    */
+  private def scaledImpl(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: Option[String], partitions: Int): DataFrame = {
+    val head = Seq(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"))
+    val key = keyCol.map(k => col(k).cast("string").as("key")).toSeq
+    val out = Seq(col("id"), col("c")) ++ keyCol.map(_ => col("key")).toSeq
+    df.select(head ++ key: _*)
       .repartition(Parts.of(df, partitions), col("id"))
-      .select(col("id"), col("c"),
-        sqrt(dot_i64(col("c"), col("c")).cast("double") / lit(1.0e12)).as("nrm"))
+      .select(out :+ sqrt(dot_i64(col("c"), col("c")).cast("double") /
+        lit(1.0e12)).as("nrm"): _*)
       .localCheckpoint()
+  }
 
   /** Exact cosine between two staged sides, as a Column expression. */
   private def cosine(xc: Column, xn: Column, yc: Column, yn: Column): Column =
@@ -1702,16 +1735,24 @@ object AnnOps {
     codes
   }
 
-  private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
-      bands: Int): DataFrame = {
+  /** ONE signature kernel for the plain (id, band, code) and keyed
+    * (id, key, band, code) spellings: the unkeyed path rides through
+    * with an empty key that is dropped before the checkpoint, so the
+    * plane-dot / null-guard / band-emit behavior cannot drift between
+    * the two.
+    */
+  private def signLshSignaturesImpl(v: DataFrame, rowsPerBand: Int,
+      bands: Int, keyed: Boolean): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
     val planes = bandPlanes(rowsPerBand * bands)
     val rpb = rowsPerBand
     val nb = bands
-    v.select(col("id"), col("c")).as[(Long, Seq[Long])]
+    val src = if (keyed) v.select(col("id"), col("key"), col("c"))
+      else v.select(col("id"), lit("").as("key"), col("c"))
+    val out = src.as[(Long, String, Seq[Long])]
       .mapPartitions { it =>
-        it.flatMap { case (id, cSeq) =>
+        it.flatMap { case (id, key, cSeq) =>
           // Degenerate vectors (null / empty arrays) get NO signature —
           // the same behavior as the old declarative posexplode spelling
           // (and the d05 oracle): they can never appear as candidates.
@@ -1721,12 +1762,16 @@ object AnnOps {
           if (cSeq == null || cSeq.isEmpty) Iterator.empty
           else {
             val codes = bandCodesOf(planes, rpb, nb, cSeq.toArray)
-            (0 until nb).iterator.map(b => (id, b, codes(b)))
+            (0 until nb).iterator.map(b => (id, key, b, codes(b)))
           }
         }
-      }.toDF("id", "band", "code")
-      .localCheckpoint()
+      }.toDF("id", "key", "band", "code")
+    (if (keyed) out else out.drop("key")).localCheckpoint()
   }
+
+  private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
+      bands: Int): DataFrame =
+    signLshSignaturesImpl(v, rowsPerBand, bands, keyed = false)
 
   /** [[knnGraph]] with sign-LSH candidate generation instead of the
     * all-pairs grid — the true 100 TB kNN-graph spelling: candidates
@@ -1772,47 +1817,18 @@ object AnnOps {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** [[scaled]] carrying a metadata filter key through staging. The key
-    * is cast to string so one typed kernel serves every key type;
-    * string-cast equality matches native equality for the scalar
-    * metadata keys a filter targets (source, category, language, ...).
-    */
+  /** [[scaled]] carrying a metadata filter key through staging —
+    * delegates to the shared [[scaledImpl]] body. */
   private def scaledKeyed(df: DataFrame, idCol: String, vecCol: String,
       keyCol: String, partitions: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("c"),
-        col(keyCol).cast("string").as("key"))
-      .repartition(Parts.of(df, partitions), col("id"))
-      .select(col("id"), col("c"), col("key"),
-        sqrt(dot_i64(col("c"), col("c")).cast("double") / lit(1.0e12))
-          .as("nrm"))
-      .localCheckpoint()
+    scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
 
-  /** [[signLshSignatures]] over a keyed staging: (id, key, band, code).
-    * Same [[bandCodesOf]] arithmetic; the key rides along so candidate
-    * generation can require key equality IN the band join.
-    */
+  /** [[signLshSignatures]] over a keyed staging: (id, key, band, code)
+    * from the shared kernel, so candidate generation can require key
+    * equality IN the band join. */
   private def signLshSignaturesKeyed(v: DataFrame, rowsPerBand: Int,
-      bands: Int): DataFrame = {
-    val s = v.sparkSession
-    import s.implicits._
-    val planes = bandPlanes(rowsPerBand * bands)
-    val rpb = rowsPerBand
-    val nb = bands
-    v.select(col("id"), col("key"), col("c"))
-      .as[(Long, String, Seq[Long])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, key, cSeq) =>
-          if (cSeq == null || cSeq.isEmpty) Iterator.empty
-          else {
-            val codes = bandCodesOf(planes, rpb, nb, cSeq.toArray)
-            (0 until nb).iterator.map(b => (id, key, b, codes(b)))
-          }
-        }
-      }.toDF("id", "key", "band", "code")
-      .localCheckpoint()
-  }
+      bands: Int): DataFrame =
+    signLshSignaturesImpl(v, rowsPerBand, bands, keyed = true)
 
   /** FILTERED approximate vector search — "top-k WHERE metadata
     * matches" with LSH candidate generation SCOPED BY the filter key:
@@ -2131,9 +2147,14 @@ object AnnOps {
       Array[(Long, Array[Long], Double)]]](nShards)
     val maxResult =
       sc.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    // a shard's result bytes are perShard x dimBytes — NOT
+    // maxCentroidBytes, which UNDERcounts when the budget is below one
+    // row (perShard clamps to 1, e.g. the force-shard test pattern
+    // maxCentroidBytes = 1) and would then put the whole table in one
+    // job, tripping the per-job maxResultSize abort
+    val shardBytes = math.max(1L, perShard * dimBytes)
     val shardsPerJob = if (maxResult <= 0L) nShards
-      else math.max(1L, (maxResult / 2) /
-        math.max(1L, maxCentroidBytes)).toInt
+      else math.max(1L, (maxResult / 2) / shardBytes).toInt
     var jlo = 0
     while (jlo < nShards) {
       val jhi = math.min(nShards, jlo + shardsPerJob)

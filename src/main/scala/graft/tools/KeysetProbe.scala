@@ -32,7 +32,13 @@ object KeysetProbe {
     val orders = graft.Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     val n = orders.count()
-    val deepPos = math.min(deep.toLong, n - 20).toInt
+    if (n < 40) {
+      println(s"""{"probe":"keyset_page","sf_dir":"$sfDir",""" +
+        s""""n_orders":$n,"error":"table too small to probe"}""")
+      spark.stop()
+      return
+    }
+    val deepPos = math.max(1L, math.min(deep.toLong, n - 20)).toInt
 
     def boundaryAt(pos: Int): (Double, Long) = {
       val r = orders.filter(col("o_totalprice").isNotNull)
