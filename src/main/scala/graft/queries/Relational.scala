@@ -1434,9 +1434,13 @@ object Relational {
         val totals = Tables.load(s, dir, "orders")
           .groupBy($"o_custkey")
           .agg(sum(dec($"o_totalprice")).cast("double").as("total"))
+        // pin: three consumers (two TakeOrdered candidate selections +
+        // the count pass) would otherwise each re-run the orders
+        // aggregation and the dimension join
         val joined = cust.join(totals, $"c_custkey" === $"o_custkey",
             "left")
           .select($"c_custkey", $"total")
+          .localCheckpoint()
         val topLast = joined
           .orderBy($"total".desc_nulls_last, $"c_custkey".asc)
           .limit(10)
