@@ -65,6 +65,31 @@ object BpeBatchProbe {
     val prefixEqual = lBat.take(lSeq.length).sameElements(lSeq) &&
       lDrv.sameElements(lBat)
 
+    // large-vocabulary stress for the driver trainer: the synthetic
+    // documents corpus has a tiny CLOSED vocabulary (the pair table
+    // exhausts at ~89 merges at every SF), so the real-vocabulary
+    // claim needs its own fixture — 200k distinct xorshift words over
+    // an 8-letter alphabet, merges in the tokenizer-training range
+    val bigVocab = {
+      var x = 88172645463325252L
+      def nxt(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+      (0 until 200000).map { _ =>
+        val len = 3 + (math.abs(nxt()) % 10).toInt
+        (0 until len).map(_ => ('a' + (math.abs(nxt()) % 8)).toChar)
+          .mkString
+      }
+    }
+    val sqlc = spark
+    import sqlc.implicits._
+    val bigDf = bigVocab.toDF("text")
+    val bigMerges = 10000
+    val jBig0 = jobs.get
+    val tBig0 = System.nanoTime()
+    val bigLearned = graft.operators.TextOps
+      .bpeLearn(bigDf, "text", bigMerges, 64, 64L << 20).count()
+    val tBig = (System.nanoTime() - tBig0) / 1e9
+    val jBig = jobs.get - jBig0
+
     println(
       s"""{"probe":"bpe_batch","sf_dir":"$sfDir",""" +
       s""""seq_merges":$seqMerges,"seq_jobs":$jSeq,"seq_sec":$tSeq,""" +
@@ -75,7 +100,9 @@ object BpeBatchProbe {
       s""""jobs_per_merge_seq":${jSeq.toDouble / math.max(1, lSeq.length)},""" +
       s""""jobs_per_merge_batched":${jBat.toDouble / math.max(1, lBat.length)},""" +
       s""""jobs_per_merge_driver":${jDrv.toDouble / math.max(1, lDrv.length)},""" +
-      s""""learned_equal_across_paths":$prefixEqual}""")
+      s""""learned_equal_across_paths":$prefixEqual,""" +
+      s""""big_vocab_words":200000,"big_vocab_merges":$bigLearned,""" +
+      s""""big_vocab_sec":$tBig,"big_vocab_jobs":$jBig}""")
     spark.stop()
   }
 }
