@@ -210,4 +210,28 @@ class BpePropertySpec extends AnyFunSuite
         s"driver trainer drifted on $corpus:\n$driver\nvs\n$ref")
     }
   }
+
+  test("driver trainer == full-recount reference over a deep merge " +
+      "sequence (incremental index stress)") {
+    // the indexed trainer's risk surface is its INCREMENTAL updates
+    // (pair-count deltas, occurrence-set add/remove, heap staleness)
+    // compounding over many merges — a medium corpus driven deep pins
+    // it against the naive full-recount reference: 600 words over a
+    // 6-letter alphabet, 80 merges (several vocabulary regimes: hot
+    // char pairs, then multi-char symbol pairs, then long-tail)
+    val rnd = new scala.util.Random(91L)
+    val words = (1 to 600).map { _ =>
+      (1 to rnd.between(2, 10)).map(_ => "abcdef"(rnd.nextInt(6)))
+        .mkString
+    }
+    val corpus = Seq(words.mkString(" "))
+    val ref = refLearn(corpus, 80)
+    val driver = sparkLearn(corpus, 80, maxBatch = 8,
+      driverFinishBytes = 64L << 20)
+    assert(driver.length == ref.length,
+      s"merge count drifted: ${driver.length} vs ${ref.length}")
+    driver.zip(ref).foreach { case (d, r) =>
+      assert(d == r, s"first divergence at step ${r._1}: $d vs $r")
+    }
+  }
 }
