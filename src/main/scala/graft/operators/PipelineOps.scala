@@ -1880,6 +1880,52 @@ object AnnOps {
     cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** FILTERED IVF search — the OTHER composition of a metadata
+    * pre-filter with candidate generation (s13/[[filteredTopKLsh]] is
+    * the band-scoped spelling): corpus rows are clustered once by the
+    * deterministic Lloyd kernel, and a row is a candidate for a query
+    * iff it shares the query's CELL and its FILTER KEY — a (cell, key)
+    * equi-join, so cost is O(matching rows in the query's cell), never
+    * the filtered brute force and never a pair grid. The trade vs the
+    * band spelling: one shared cluster structure (reusable across
+    * queries and filters, the s02 IVF asset) and recall loss only at
+    * cell boundaries, vs per-corpus signature bands and recall loss
+    * from band non-collision; PipelineOpsSpec measures both against
+    * the same exact filtered ground truth. Exact scaled-long cosine
+    * re-rank of candidates only; rows with NULL keys never match (SQL
+    * equality semantics). Returns (qid, neighbor_id, cosine, rank).
+    */
+  def filteredTopKIvf(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, isQuery: Column => Column, k: Int,
+      cells: Int = 16, iters: Int = 2, partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+    require(k >= 1, s"filteredTopKIvf: k=$k")
+    require(cells >= 1, s"filteredTopKIvf: cells=$cells")
+    val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
+    val keys = staged.select(col("id"), col("key"))
+    val v = withRawNorm(staged)
+    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
+    val keyed = members.join(keys, Seq("id"))
+    val qside = keyed.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cell"), col("key"))
+    // queries are few (the s01/s03 convention): broadcast the query
+    // (cell, key) pairs against the clustered corpus — map-side at any
+    // corpus size
+    val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    val qv = v.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("c").as("qc"),
+        col("nrm").as("qnrm"))
+    val cos = broadcast(cand).join(v, Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** [[cosineNearDups]] with sign-LSH candidate generation instead of the
     * all-pairs grid: a deterministic `bands x rowsPerBand`-bit hyperplane
     * signature (md5-derived integer plane components — exact integer

@@ -1161,6 +1161,69 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos) t
+        WHERE rank <= 3""")),
+
+    // ------------------------------ filtered ANN via IVF cells (s14)
+    GraftQuery(
+      "s14_filtered_knn_ivf",
+      (s, dir) => {
+        import s.implicits._
+        // The OTHER filtered-ANN composition (s13 scopes LSH bands by
+        // the filter key; here the s02 IVF structure is scoped): a
+        // corpus row is a candidate iff it shares the query's k-means
+        // CELL and its SOURCE — a (cell, key) equi-join over one
+        // shared, reusable cluster assignment. Recall loss comes only
+        // from cell boundaries (vs band non-collision for s13);
+        // PipelineOpsSpec measures both spellings against the same
+        // exact filtered ground truth. Fully oracle-checkable: the
+        // same two unrolled Lloyd steps as s02/s07 (sqlKmeansCtes),
+        // exact scaled-long cosine re-rank. The query IS the
+        // AnnOps.filteredTopKIvf facade call.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+        graft.operators.AnnOps.filteredTopKIvf(
+          emb, "vec_id", "embedding", "source",
+          _ < NQUERIES, k = 3, cells = K, iters = 2)
+      },
+      Some(s"""
+        WITH $sqlKmeansCtes,
+        ka AS (
+          SELECT a.vec_id, a.cell, d.source
+          FROM assign2 a JOIN documents d ON d.doc_id = a.vec_id
+        ),
+        q AS (
+          SELECT vec_id qid, cell, source FROM ka
+          WHERE vec_id < $NQUERIES
+        ),
+        cand AS (
+          SELECT q.qid, a.vec_id
+          FROM q JOIN ka a
+            ON a.cell = q.cell AND a.source = q.source
+              AND a.vec_id <> q.qid
+        ),
+        dot AS (
+          SELECT ca.qid, ca.vec_id, CAST(SUM(qc.c * cc2.c) AS BIGINT) dot
+          FROM cand ca
+            JOIN comp qc ON qc.vec_id = ca.qid
+            JOIN comp cc2 ON cc2.vec_id = ca.vec_id AND cc2.i = qc.i
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.vec_id neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (nq.nrm * nn.nrm)
+              AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nn ON nn.vec_id = d.vec_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
         WHERE rank <= 3"""))
   )
 

@@ -47,7 +47,8 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p12_semantic_packing", "d10_lsh_operating_curve",
     "d11_dedup_containment", "s11_semantic_dedup_sharded",
     "t17_lexical_diversity", "q49_median_mode", "p13_weighted_sample",
-    "q50_pagination", "s13_filtered_knn_lsh", "q52_keyset_page")
+    "q50_pagination", "s13_filtered_knn_lsh", "q52_keyset_page",
+    "s14_filtered_knn_ivf")
   // s01/s05/s09/s10 are deliberately OUTSIDE the blanket cartesian/NLJ
   // audit: their candidate scan is the documented tiny-broadcast
   // nested-loop expand (NQUERIES rows broadcast against the corpus — a
@@ -380,6 +381,17 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s13 lost its broadcast band-index probe")
     assert(!s.contains("SortMergeJoin"),
       "s13 shuffles corpus against corpus")
+  }
+
+  test("s14's filtered candidates come from the (cell, key) equi-join " +
+      "over one shared cluster assignment, never a pair grid") {
+    // the blanket audit above already excludes cartesian/NLJ; pin the
+    // positive shape: the query side broadcasts into the clustered
+    // corpus (cell+key equi-join), and the Lloyd assignment itself is
+    // the kernel map pass (covered by its own gates via s02/s11)
+    val s = plans("s14_filtered_knn_ivf").toString()
+    assert(s.contains("BroadcastHashJoin"),
+      "s14 lost its broadcast (cell, key) probe")
   }
 
   test("q52's keyset page is a pushed filter + bounded TakeOrdered, " +

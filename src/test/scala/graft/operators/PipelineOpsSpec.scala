@@ -574,6 +574,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filtered LSH recall@3 $recall collapsed (defaults favor recall)")
     info(f"filtered LSH recall@3 vs exact filtered: $recall%.2f " +
       s"(${hits.size} hits, ${truth.size} truth pairs)")
+
+    // the OTHER filtered composition — IVF cells scoped by the key —
+    // measured against the SAME ground truth: the two spellings trade
+    // cell-boundary loss vs band-non-collision loss; both must honor
+    // the absolute key scope and exact cosines
+    val ivf = AnnOps.filteredTopKIvf(df, "vid", "emb", "grp",
+        _ < 10, k = 3, cells = 4, iters = 2, partitions = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ivf.foreach { case (qid, nid, cos) =>
+      assert(nid % 2 == qid % 2,
+        s"IVF hit $nid crossed the key scope of $qid")
+      val (_, qc, qn, _) = scaledRows(qid.toInt)
+      val (_, nc, nn, _) = scaledRows(nid.toInt)
+      val dot = qc.zip(nc).map { case (x, y) => x * y }.sum
+      assert(cos == (dot.toDouble / 1.0e12) / (qn * nn),
+        s"IVF cosine drifted on ($qid, $nid)")
+    }
+    val ivfHits = ivf.map(t => (t._1, t._2)).toSet
+    val ivfRecall = ivfHits.count(truth).toDouble / truth.size
+    assert(ivfRecall >= 0.3,
+      s"filtered IVF recall@3 $ivfRecall collapsed (4 cells over 8 dims)")
+    info(f"filtered IVF recall@3 vs the same truth: $ivfRecall%.2f " +
+      f"(${ivfHits.size} hits; LSH got $recall%.2f)")
   }
 
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {
