@@ -600,6 +600,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"(${ivfHits.size} hits; LSH got $recall%.2f)")
   }
 
+  test("filtered ANN spellings on a CLUSTERED corpus: IVF recall " +
+      "recovers when the data has real cluster structure") {
+    // the isotropic sweep above shows cell boundaries are harsh
+    // without natural clusters (IVF ~0.4 vs LSH ~0.8). The claim that
+    // clustered corpora favor the reusable IVF structure needs its own
+    // measurement: 4 well-separated centers, small noise, 2 key
+    // groups — neighbors now co-locate in cells, so cell-scoped
+    // candidates capture them
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7311)
+    val centers = Array(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rows = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
+        if (i % 2 == 0) "even" else "odd")
+    }
+    val df = rows.toDF("vid", "emb", "grp")
+    val scaledRows = rows.map { case (id, v, g) =>
+      val c = v.map(x => math.round(x.toDouble * 1000000.0))
+      val nrm = math.sqrt(c.map(x => x * x).sum.toDouble / 1.0e12)
+      (id, c, nrm, g)
+    }
+    def exactTop3(qid: Long): Seq[Long] = {
+      val (_, qc, qn, qg) = scaledRows(qid.toInt)
+      scaledRows.filter(r => r._1 != qid && r._4 == qg)
+        .map { case (id, c, n, _) =>
+          val dot = qc.zip(c).map { case (x, y) => x * y }.sum
+          (id, (dot.toDouble / 1.0e12) / (qn * n))
+        }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(3).map(_._1)
+    }
+    val truth = (0L until 8L).flatMap(q => exactTop3(q).map(q -> _)).toSet
+    def recallOf(hits: Set[(Long, Long)]): Double =
+      hits.count(truth).toDouble / truth.size
+    val ivf = AnnOps.filteredTopKIvf(df, "vid", "emb", "grp",
+        _ < 8, k = 3, cells = 4, iters = 2, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnOps.filteredTopKLsh(df, "vid", "emb", "grp",
+        _ < 8, k = 3, rowsPerBand = 4, bands = 8, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ri, rl) = (recallOf(ivf), recallOf(lsh))
+    // with real clusters the cell scope captures true neighbors:
+    // IVF must reach high recall here (it was ~0.4 isotropic)
+    assert(ri >= 0.8, s"clustered IVF recall $ri did not recover")
+    info(f"clustered corpus recall@3: IVF $ri%.2f, LSH $rl%.2f " +
+      s"(isotropic was ~0.43 vs ~0.83)")
+  }
+
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {
     val s = spark
     import s.implicits._
