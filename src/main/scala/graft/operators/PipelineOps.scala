@@ -1868,6 +1868,18 @@ object AnnOps {
       .join(sig, Seq("key", "band", "code"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()
+    rerankCandidates(v, cand, isQuery, k)
+  }
+
+  /** Exact cosine re-rank of a (qid, id) candidate table against the
+    * staged corpus: top-k per query by (cosine desc, id asc). ONE body
+    * shared by the filtered-ANN spellings so the scoring arithmetic
+    * and tie-break cannot drift between them (the scaledImpl
+    * discipline). Candidates and the query vectors broadcast — both
+    * are query-bounded, tiny next to the corpus.
+    */
+  private def rerankCandidates(v: DataFrame, cand: DataFrame,
+      isQuery: Column => Column, k: Int): DataFrame = {
     val qv = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("c").as("qc"),
         col("nrm").as("qnrm"))
@@ -1914,16 +1926,7 @@ object AnnOps {
     val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val qv = v.filter(isQuery(col("id")))
-      .select(col("id").as("qid"), col("c").as("qc"),
-        col("nrm").as("qnrm"))
-    val cos = broadcast(cand).join(v, Seq("id"))
-      .join(broadcast(qv), Seq("qid"))
-      .select(col("qid"), col("id").as("neighbor_id"),
-        cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rerankCandidates(v, cand, isQuery, k)
   }
 
   /** [[cosineNearDups]] with sign-LSH candidate generation instead of the

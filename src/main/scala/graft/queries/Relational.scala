@@ -1434,13 +1434,16 @@ object Relational {
         val totals = Tables.load(s, dir, "orders")
           .groupBy($"o_custkey")
           .agg(sum(dec($"o_totalprice")).cast("double").as("total"))
-        // pin: three consumers (two TakeOrdered candidate selections +
-        // the count pass) would otherwise each re-run the orders
-        // aggregation and the dimension join
+        // deliberately NOT localCheckpoint'd despite three consumers
+        // (two TakeOrdered selections + the count pass re-run the
+        // aggregation): a checkpoint truncates lineage to a LogicalRDD,
+        // which would BLIND the q51 plan gate (no global Sort, no
+        // Window, no 1-partition exchange) to this whole upstream
+        // stage — exactly the stage the round-8 verdict flagged. Three
+        // parallel scans are cheap; an invisible regression is not.
         val joined = cust.join(totals, $"c_custkey" === $"o_custkey",
             "left")
           .select($"c_custkey", $"total")
-          .localCheckpoint()
         val topLast = joined
           .orderBy($"total".desc_nulls_last, $"c_custkey".asc)
           .limit(10)

@@ -216,14 +216,27 @@ object Similarity {
 
   /** Oracle CTE chain for the deterministic k-means — the two Lloyd
     * steps unrolled, ending in `assign2`(vec_id, cell). Shared prefix of
-    * the s02 and s07 oracles (SQL analog of [[kmeansMembers]]). */
-  private[queries] val sqlKmeansCtes = s"""comp AS (
+    * the s02 and s07 oracles (SQL analog of [[kmeansMembers]]).
+    * `srcSql` is the (vec_id, embedding) corpus the clustering runs
+    * over — it must be the SAME row set the Spark side stages
+    * (k-means is global, so a corpus mismatch between engine and
+    * oracle diverges every assignment; s14 clusters the
+    * documents-joined subset, not raw embeddings).
+    */
+  private[queries] def sqlKmeansCtesOver(srcSql: String): String =
+    s"""comp AS (
           SELECT vec_id,
             unnest(range(len(embedding))) i,
             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
               AS BIGINT) c
-          FROM embeddings
-        ),
+          FROM ($srcSql)
+        ),""" + sqlKmeansTail
+
+  private[queries] lazy val sqlKmeansCtes: String =
+    sqlKmeansCtesOver("SELECT vec_id, embedding FROM embeddings")
+
+  // a def so sqlKmeansCtesOver is order-independent of object init
+  private def sqlKmeansTail: String = s"""
         nrm AS (
           SELECT vec_id,
             sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)
@@ -1178,7 +1191,12 @@ object Similarity {
         // exact filtered ground truth. Fully oracle-checkable: the
         // same two unrolled Lloyd steps as s02/s07 (sqlKmeansCtes),
         // exact scaled-long cosine re-rank. The query IS the
-        // AnnOps.filteredTopKIvf facade call.
+        // AnnOps.filteredTopKIvf facade call. NOTE the oracle's
+        // k-means corpus is the SAME documents-joined subset the
+        // facade stages (sqlKmeansCtesOver) — k-means is global, so
+        // the engine and oracle must cluster identical row sets; with
+        // raw-embeddings CTEs the two sides would agree only while
+        // the fixture happens to be 1:1.
         val src = Tables.load(s, dir, "documents")
           .select($"doc_id", $"source")
         val emb = Tables.load(s, dir, "embeddings")
@@ -1189,7 +1207,9 @@ object Similarity {
           _ < NQUERIES, k = 3, cells = K, iters = 2)
       },
       Some(s"""
-        WITH $sqlKmeansCtes,
+        WITH ${sqlKmeansCtesOver(
+          """SELECT e.vec_id, e.embedding
+             FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id""")},
         ka AS (
           SELECT a.vec_id, a.cell, d.source
           FROM assign2 a JOIN documents d ON d.doc_id = a.vec_id

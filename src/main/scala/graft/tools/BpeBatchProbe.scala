@@ -68,8 +68,10 @@ object BpeBatchProbe {
     // large-vocabulary stress for the driver trainer: the synthetic
     // documents corpus has a tiny CLOSED vocabulary (the pair table
     // exhausts at ~89 merges at every SF), so the real-vocabulary
-    // claim needs its own fixture — 200k distinct xorshift words over
-    // an 8-letter alphabet, merges in the tokenizer-training range
+    // claim needs its own fixture — 200k xorshift word draws over an
+    // 8-letter alphabet (short lengths collide, so the DISTINCT
+    // vocabulary is smaller; the probe reports the measured count,
+    // not the draw count), merges in the tokenizer-training range
     val bigVocab = {
       var x = 88172645463325252L
       def nxt(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
@@ -82,6 +84,7 @@ object BpeBatchProbe {
     val sqlc = spark
     import sqlc.implicits._
     val bigDf = bigVocab.toDF("text")
+    val bigDistinct = bigVocab.distinct.size
     val bigMerges = 10000
     val jBig0 = jobs.get
     val tBig0 = System.nanoTime()
@@ -101,7 +104,9 @@ object BpeBatchProbe {
       s""""jobs_per_merge_batched":${jBat.toDouble / math.max(1, lBat.length)},""" +
       s""""jobs_per_merge_driver":${jDrv.toDouble / math.max(1, lDrv.length)},""" +
       s""""learned_equal_across_paths":$prefixEqual,""" +
-      s""""big_vocab_words":200000,"big_vocab_merges":$bigLearned,""" +
+      s""""big_vocab_word_draws":200000,""" +
+      s""""big_vocab_distinct_words":$bigDistinct,""" +
+      s""""big_vocab_merges":$bigLearned,""" +
       s""""big_vocab_sec":$tBig,"big_vocab_jobs":$jBig}""")
     spark.stop()
   }
