@@ -193,6 +193,180 @@ object DedupOps {
     jaccardVerified(cand, shArr, threshold)
   }
 
+  /** Bucket-occupancy split — the hot-bucket guard shared by every
+    * capped banded-dedup spelling ([[minhashNearDupsCapped]],
+    * [[simhashNearDupsCapped]], [[AnnOps.cosineNearDupsLshCapped]]).
+    *
+    * The unguarded band join emits O(m²/2) candidate pairs for a bucket
+    * of occupancy m — a SEMANTIC quadratic no AQE skew split can reduce
+    * (the pair count is the product, not the partitioning). Real web
+    * corpora are boilerplate-heavy: one degenerate bucket (empty pages,
+    * error templates — millions of near-identical docs) makes a single
+    * join key produce ~10¹² pairs at 100× scale. The guard is the d04
+    * df-cut discipline applied to the band axis: count occupancy per
+    * bucket key, keep sub-`cap` buckets on the exact pair-join path,
+    * and route SATURATED buckets out of the join entirely — their
+    * members are emitted as star edges (bucket-min id → each other
+    * member, m−1 edges instead of m(m−1)/2 pairs) for direct cluster
+    * resolution through [[connectedComponents]]/[[canonicalSelection]]:
+    * at real occupancy caps, co-residents of a saturated bucket are
+    * near-certain duplicates (the [[bandOccupancyCurve]] query measures
+    * exactly that claim, so `cap` is chosen with data, like d12 prices
+    * d04's maxDf).
+    *
+    * Saturated-key joins broadcast: there are at most
+    * |bucket rows|/cap saturated keys (each holds > cap rows), the
+    * same boundedness argument as dfCutCandidates' heavy-hitter
+    * anti-join. Returns (sub-cap candidate pairs (a, b) with a < b,
+    * star edges (a, b) with a = bucket min < b).
+    */
+  private[graft] def occupancySplit(buckets: DataFrame, idCol: String,
+      keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
+    require(cap >= 1, s"occupancySplit: cap=$cap must be >= 1")
+    val keys = keyCols.map(col)
+    val sat = buckets.groupBy(keys: _*).agg(count(lit(1)).as("m"))
+      .filter(col("m") > cap).select(keys: _*)
+      .localCheckpoint()
+    val sub = buckets.join(broadcast(sat), keyCols, "left_anti")
+    val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
+    val cand = sub.as("x").join(sub.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val satRows = buckets.join(broadcast(sat), keyCols)
+    val roots = satRows.groupBy(keys: _*).agg(min(col(idCol)).as("a"))
+    val star = satRows.join(broadcast(roots), keyCols)
+      .filter(col(idCol) =!= col("a"))
+      .select(col("a"), col(idCol).as("b"))
+      .distinct()
+    (cand, star)
+  }
+
+  /** [[minhashNearDups]] with the hot-bucket occupancy guard — the
+    * 100 TB spelling of banded MinHash dedup. Buckets with occupancy
+    * <= `maxOccupancy` run the exact pair join + Jaccard verification
+    * unchanged; saturated buckets bypass the O(m²) join and surface as
+    * UNVERIFIED star edges instead. Returns (a, b, jaccard, saturated):
+    * verified pairs carry their exact jaccard and saturated = false;
+    * star edges carry jaccard = null and saturated = true. Both kinds
+    * feed [[connectedComponents]]/[[canonicalSelection]] directly — a
+    * saturated bucket resolves as ONE dup cluster through its m−1 star
+    * edges. A pair may appear both verified (via a sub-cap bucket) and
+    * as a star edge (via a saturated one); component resolution is
+    * insensitive to the duplicate edge.
+    *
+    * Contract (pinned by PipelineOpsSpec): with `maxOccupancy` at or
+    * above the corpus's max bucket occupancy this returns EXACTLY
+    * [[minhashNearDups]]'s rows (saturated = false throughout); choose
+    * the cap with [[bandOccupancyCurve]].
+    */
+  def minhashNearDupsCapped(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      threshold: Double = 0.8, maxOccupancy: Int = 1000,
+      partitions: Int = 0): DataFrame = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val bandBuckets = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
+      .localCheckpoint()
+    val (cand, star) = occupancySplit(bandBuckets, "doc_id",
+      Seq("band", "bkey"), maxOccupancy)
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK).localCheckpoint()
+    jaccardVerified(cand, shArr, threshold)
+      .select(col("a"), col("b"), col("jaccard"),
+        lit(false).as("saturated"))
+      .unionByName(star.select(col("a"), col("b"),
+        lit(null).cast("double").as("jaccard"),
+        lit(true).as("saturated")))
+  }
+
+  /** How [[minhashNearDupsCapped]]'s `maxOccupancy` gets CHOSEN — the
+    * d12 treatment for the band axis. For each cap the curve measures
+    * what the guard keeps, what it delegates, and what the delegation
+    * costs: (max_occupancy, n_saturated_buckets, candidate_pairs and
+    * confirmed_pairs of the sub-cap join, saturated_pairs — the
+    * candidate volume the guard REMOVED from the join — with
+    * saturated_confirmed_pairs and sat_precision = the fraction of
+    * delegated pairs that really are >= threshold dups, i.e. how safe
+    * it is to resolve a saturated bucket as one cluster), against the
+    * uncut join (uncut_candidate_pairs / uncut_confirmed_pairs) and
+    * pair_recall = confirmed / uncut_confirmed — the fraction still
+    * individually verified. Every uncut pair shares >= 1 bucket, so
+    * verified ∪ delegated COVERS the uncut set by construction; the
+    * curve's job is pricing the precision of the delegated share.
+    * The uncut join and the per-cap saturated-pair scoring are
+    * O(Σm²) BY DESIGN — this is a measurement query, run at sample
+    * scale (the d12 discipline), then the capped dedup runs on the
+    * corpus. Semantics pinned by the oracle-checked d13 query.
+    * sat_precision is 1.0 when nothing is delegated; pair_recall is
+    * 1.0 when the uncut join confirms nothing.
+    */
+  def bandOccupancyCurve(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      threshold: Double = 0.8, caps: Seq[Int] = Seq(1, 2, 4, 8),
+      partitions: Int = 0): DataFrame = {
+    require(caps.nonEmpty, "need at least one occupancy-cap point")
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val bb = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
+      .localCheckpoint()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK)
+      .localCheckpoint()
+    val occ = bb.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("m")).localCheckpoint()
+    val bocc = bb.join(occ, Seq("band", "bkey"))
+    def pairsOf(rowsDf: DataFrame): DataFrame =
+      rowsDf.as("x").join(rowsDf.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    // ONE verification pass per pair set yields both counts as a
+    // single scalar aggregate (the d10/d12 convention), through the
+    // shared jaccardScored kernel so the measurement can never drift
+    // from the dedup it parameterizes
+    def countsOf(cand: DataFrame): DataFrame =
+      jaccardScored(cand, shArr).agg(
+        count(lit(1)).as("cp"),
+        coalesce(sum(when(col("jaccard") >= threshold, 1L)
+          .otherwise(0L)), lit(0L)).as("vp"))
+    val uncut = countsOf(pairsOf(bb))
+      .select(col("cp").as("uncut_candidate_pairs"),
+        col("vp").as("uncut_confirmed_pairs"))
+    val perCap = caps.map { cap =>
+      val sub = countsOf(pairsOf(
+          bocc.filter(col("m") <= cap)
+            .select(col("doc_id"), col("band"), col("bkey"))))
+        .select(col("cp").as("candidate_pairs"),
+          col("vp").as("confirmed_pairs"))
+      val satCnt = countsOf(pairsOf(
+          bocc.filter(col("m") > cap)
+            .select(col("doc_id"), col("band"), col("bkey"))))
+        .select(col("cp").as("saturated_pairs"),
+          col("vp").as("saturated_confirmed_pairs"))
+      val nSat = occ.agg(coalesce(sum(when(col("m") > cap, 1L)
+        .otherwise(0L)), lit(0L)).as("n_saturated_buckets"))
+      // 1×1×1 cross joins of scalar aggregates (the bounded 1×N
+      // agg-join convention)
+      sub.crossJoin(satCnt).crossJoin(nSat)
+        .select(lit(cap).cast("int").as("max_occupancy"),
+          col("n_saturated_buckets"),
+          col("candidate_pairs"), col("confirmed_pairs"),
+          col("saturated_pairs"), col("saturated_confirmed_pairs"))
+    }.reduce(_ unionAll _)
+    perCap.crossJoin(uncut)
+      .select(col("max_occupancy"), col("n_saturated_buckets"),
+        col("candidate_pairs"), col("confirmed_pairs"),
+        col("saturated_pairs"), col("saturated_confirmed_pairs"),
+        when(col("saturated_pairs") === 0L, lit(1.0))
+          .otherwise(col("saturated_confirmed_pairs").cast("double") /
+            col("saturated_pairs")).as("sat_precision"),
+        col("uncut_candidate_pairs"), col("uncut_confirmed_pairs"),
+        when(col("uncut_confirmed_pairs") === 0L, lit(1.0))
+          .otherwise(col("confirmed_pairs").cast("double") /
+            col("uncut_confirmed_pairs")).as("pair_recall"))
+  }
+
   /** Persistable MinHash signature index for incremental dedup: one row
     * per document carrying its band keys and shingle array —
     * (doc_id, bkeys array<struct<band, bkey>>, shs). Write this to a
@@ -615,6 +789,46 @@ object DedupOps {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** [[simhashNearDups]] with the hot-bucket occupancy guard (see
+    * [[occupancySplit]] — same contract as [[minhashNearDupsCapped]],
+    * bucket key = (byte position, byte value)). SimHash byte buckets
+    * saturate even faster than MinHash bands on boilerplate corpora:
+    * there are only 4 × 256 bucket keys in total, so ANY m-doc
+    * duplicate family lands all m members in the same four buckets.
+    * Returns (a, b, hamming, saturated): verified pairs carry their
+    * exact hamming and saturated = false; saturated-bucket star edges
+    * carry hamming = null and saturated = true, for direct resolution
+    * through [[connectedComponents]]/[[canonicalSelection]]. With
+    * `maxOccupancy` at or above the max bucket occupancy this returns
+    * exactly [[simhashNearDups]]'s rows (PipelineOpsSpec pins it).
+    */
+  def simhashNearDupsCapped(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxOccupancy: Int = 1000,
+      partitions: Int = 0): DataFrame = {
+    require(maxHamming <= 3,
+      "byte banding only guarantees recall for hamming <= 3 of 32 bits")
+    val docs = staged(df, idCol, textCol, partitions)
+    val sig = TextKernels.simhash32(df.sparkSession, docs).localCheckpoint()
+    val bytes = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(c => struct(
+          lit(c).as("pos"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(255)).as("byte"))): _*))
+      .as("bb"))
+      .select(col("doc_id"), col("bb.pos"), col("bb.byte"))
+    val (cand, star) = occupancySplit(bytes, "doc_id",
+      Seq("pos", "byte"), maxOccupancy)
+    val sa = sig.select(col("doc_id").as("a"), col("simhash").as("sim_a"))
+    val sb = sig.select(col("doc_id").as("b"), col("simhash").as("sim_b"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"),
+        lit(false).as("saturated"))
+      .unionByName(star.select(col("a"), col("b"),
+        lit(null).cast("int").as("hamming"),
+        lit(true).as("saturated")))
   }
 }
 
@@ -1175,6 +1389,112 @@ object TextOps {
       .join(vv, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+  }
+
+  /** TRUE merge-apply BPE segmentation — tokenize ANY corpus with a
+    * learned merge table, out-of-vocabulary words included. The
+    * [[bpeSegment]] vocab join is a lookup of CACHED training-corpus
+    * segmentations: cheap, but a word absent from the training corpus
+    * silently vanishes from the counts — and the production pattern
+    * for the trainer (train once on corpus A, tokenize corpus B
+    * forever) is exactly where B has unseen words, which would corrupt
+    * every downstream consumer keyed on token counts (p08 token
+    * budgeting, p10 mixtures, packing). Real BPE segmentation applies
+    * the learned merge RANKS to any word: split into code points,
+    * repeatedly merge the lowest-rank adjacent pair present (the same
+    * greedy non-overlapping fold the trainer uses — [[greedyMergeArr]]),
+    * stop when no pair has a rank. Symbols that never merge remain
+    * single code points, so NO word ever drops a token — an unseen
+    * word costs at most its code-point count.
+    *
+    * Applying "lowest-rank-present repeatedly" equals replaying the
+    * full merge list in rank order (the definitional process): a merge
+    * only creates pairs involving its NEW symbol, and any such pair
+    * was learned — if at all — at a LATER step than the one that
+    * created the symbol, so no application can ever unlock an
+    * earlier-rank pair. BpePropertySpec sweeps this equivalence
+    * against the naive full-list fold, and pins encode == the vocab
+    * join on in-vocab words (also the t18 oracle's hash gate) plus
+    * exact unseen-word costs on train ∪ unseen corpora.
+    *
+    * Scale shape: the merge table is VOCABULARY-bounded (the k-means
+    * centroid argument — |merges| rows, never corpus-sized), collected
+    * once and broadcast; segmentation is one map pass, no shuffle
+    * except the per-id count aggregation. Returns
+    * (id, n_words, n_bpe_tokens) — every input row present, zero-word
+    * documents included with counts 0 (nothing is dropped, which is
+    * the operator's point).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ranks: Map[(String, String), Int] = mergeTable
+      .select(col("step").cast("int"), col("pair").cast("string"))
+      .as[(Int, String)].collect()
+      .map { case (step, pr) =>
+        val Array(a, b) = pr.split(" ", 2)
+        (a, b) -> step
+      }.toMap
+    val bc = s.sparkContext.broadcast(ranks)
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, text) =>
+          var nWords = 0L
+          var nTok = 0L
+          val words = if (text == null) Array.empty[String]
+            else text.split(" ")
+          words.foreach { w =>
+            if (w.nonEmpty) {
+              nWords += 1
+              nTok += bpeEncodeLen(w, r)
+            }
+          }
+          (id, nWords, nTok)
+        }
+      }.toDF("id", "n_words", "n_bpe_tokens")
+  }
+
+  /** Token count of one word under the learned ranks: code-point
+    * symbols, repeatedly apply the lowest-rank adjacent pair present
+    * via the shared greedy fold. Exposed to BpePropertySpec. */
+  private[graft] def bpeEncodeLen(w: String,
+      ranks: Map[(String, String), Int]): Int = {
+    // code-point split — the trainer's regexp_replace("(.)") splits on
+    // code points, so a supplementary character is ONE initial symbol
+    // on both paths
+    var syms: Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        syms = greedyMergeArr(syms, bestA, bestB)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.length
   }
 
   /** BPE learning loop, BATCHED: each counting round applies up to
@@ -1906,23 +2226,67 @@ object AnnOps {
     * the same exact filtered ground truth. Exact scaled-long cosine
     * re-rank of candidates only; rows with NULL keys never match (SQL
     * equality semantics). Returns (qid, neighbor_id, cosine, rank).
+    *
+    * `nprobe` is the standard IVF recall dial: search the query's
+    * top-P cells BY CENTROID SCORE instead of only its own. Rank 1 is
+    * the query's own assignment (same exact integer-dot argmax, ties
+    * cell-ascending — [[kmeansFromStagedWithCent]]'s contract, parity
+    * pinned by PipelineOpsSpec), so nprobe = 1 is EXACTLY the
+    * single-cell search and higher P strictly widens the candidate
+    * set: cost grows ~linearly in P (P (cell, key) probes per query),
+    * recall climbs toward the filtered brute force — on unclustered
+    * data, where single-cell recall is weakest (measured 0.43
+    * isotropic vs 1.00 clustered at P = 1), the curve is steepest.
+    * The probe scoring is one broadcast of the query vectors against
+    * the k-row centroid table — map-side, centroid-table-sized, never
+    * corpus-sized.
     */
   def filteredTopKIvf(df: DataFrame, idCol: String, vecCol: String,
       keyCol: String, isQuery: Column => Column, k: Int,
-      cells: Int = 16, iters: Int = 2, partitions: Int = 0,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 1,
+      partitions: Int = 0,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
     require(k >= 1, s"filteredTopKIvf: k=$k")
     require(cells >= 1, s"filteredTopKIvf: cells=$cells")
+    require(nprobe >= 1, s"filteredTopKIvf: nprobe=$nprobe")
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
-    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
+    val (members, cent) =
+      kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
     val keyed = members.join(keys, Seq("id"))
-    val qside = keyed.filter(isQuery(col("id")))
-      .select(col("id").as("qid"), col("cell"), col("key"))
+    val qside =
+      if (nprobe == 1)
+        keyed.filter(isQuery(col("id")))
+          .select(col("id").as("qid"), col("cell"), col("key"))
+      else {
+        // multi-probe: each query's top-P cells by the SAME scoring
+        // arithmetic the assignment kernel uses (exact dot_i64 over
+        // raw norms, score desc with NaN greatest, cell-ascending
+        // ties), against the centroid table the final assignment
+        // scored — so rank 1 reproduces the member cell and P > 1
+        // only adds cells. The cross join is |queries| × k rows:
+        // query-bounded × centroid-bounded, never corpus-sized.
+        val qv = v.filter(isQuery(col("id")))
+          .select(col("id").as("qid"), col("c").as("qc"),
+            col("nrmr").as("qnrmr"))
+        val scored = cent.crossJoin(broadcast(qv))
+          .select(col("qid"), col("cell"),
+            (dot_i64(col("qc"), col("cc")).cast("double") /
+              (col("qnrmr") * col("cnrmr"))).as("score"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cell").asc)
+        scored.withColumn("pr", row_number().over(wq))
+          .filter(col("pr") <= nprobe)
+          .select(col("qid"), col("cell"))
+          .join(broadcast(keys.filter(isQuery(col("id")))
+            .select(col("id").as("qid"), col("key"))), Seq("qid"))
+      }
     // queries are few (the s01/s03 convention): broadcast the query
     // (cell, key) pairs against the clustered corpus — map-side at any
-    // corpus size
+    // corpus size. No distinct needed at any nprobe: a corpus row
+    // belongs to exactly ONE cell, so (qid, id) can match at most once
+    // even when a query probes several cells.
     val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
@@ -1971,6 +2335,41 @@ object AnnOps {
         ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
           (col("anrm") * col("bnrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[cosineNearDupsLsh]] with the hot-bucket occupancy guard (see
+    * [[DedupOps.occupancySplit]] — same contract as
+    * [[DedupOps.minhashNearDupsCapped]], bucket key = (band, code)): an
+    * embedding corpus with a large family of near-identical vectors
+    * (boilerplate docs embed near-identically) puts all m members in
+    * the same sign-band buckets, and the unguarded join emits O(m²)
+    * candidates inside one key. Sub-cap buckets verify exactly;
+    * saturated buckets emit star edges for cluster resolution. Returns
+    * (a, b, cosine, saturated) — cosine null on star edges. With
+    * `maxOccupancy` at or above the max bucket occupancy this returns
+    * exactly [[cosineNearDupsLsh]]'s rows (PipelineOpsSpec pins it).
+    */
+  def cosineNearDupsLshCapped(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
+      maxOccupancy: Int = 1000, partitions: Int = 0): DataFrame = {
+    val v = scaled(df, idCol, vecCol, partitions)
+    val sig = signLshSignatures(v, rowsPerBand, bands)
+    val (cand, star) = DedupOps.occupancySplit(sig, "id",
+      Seq("band", "code"), maxOccupancy)
+    val av = v.select(col("id").as("a"), col("c").as("ac"),
+      col("nrm").as("anrm"))
+    val bv = v.select(col("id").as("b"), col("c").as("bc"),
+      col("nrm").as("bnrm"))
+    cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
+      .select(col("a"), col("b"),
+        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+          (col("anrm") * col("bnrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"),
+        lit(false).as("saturated"))
+      .unionByName(star.select(col("a"), col("b"),
+        lit(null).cast("double").as("cosine"),
+        lit(true).as("saturated")))
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,
@@ -2343,7 +2742,21 @@ object AnnOps {
   }
 
   private def kmeansFromStaged(v: DataFrame, k: Int, iters: Int,
-      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame =
+    kmeansFromStagedWithCent(v, k, iters, maxCentroidBytes)._1
+
+  /** [[kmeansFromStaged]] also returning the centroid table the FINAL
+    * Lloyd assignment scored against — the multi-probe contract: the
+    * rank-1 cell of any member vector under this table IS its `members`
+    * assignment (same exact integer-dot argmax, ties cell-ascending),
+    * so a top-P probe against it strictly widens the search
+    * ([[filteredTopKIvf]]'s nprobe; PipelineOpsSpec pins the rank-1
+    * parity). The table is k rows over pinned inputs — cheap to
+    * re-evaluate; callers that score it more than once should pin it.
+    */
+  private def kmeansFromStagedWithCent(v: DataFrame, k: Int, iters: Int,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes)
+      : (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     val s = v.sparkSession
     import s.implicits._
@@ -2358,12 +2771,16 @@ object AnnOps {
       .limit(1).as[Int].collect().headOption.getOrElse(0)
     def centFrom(members: DataFrame): DataFrame =
       centFromMembers(v, members, "id")
-    // seeds: the k smallest ids, cell = rank. The orderBy is bounded by
-    // limit (TakeOrdered, never a full sort); the rank window sees k rows.
-    val seeds = v.select(col("id")).orderBy(col("id")).limit(k)
-      .select(col("id"),
-        (row_number().over(Window.orderBy(col("id"))) - 1)
-          .cast("long").as("cell"))
+    // seeds: the k smallest ids, cell = rank. TakeOrdered bounds the
+    // collect at k ids × 8 bytes — strictly smaller than the k×dim×8
+    // centroid table the SAME loop already gates on the driver — and
+    // the rank is assigned driver-side, so no single-partition window
+    // ever appears in the plan (production logs stay clean of the
+    // "No Partition Defined for Window" WARN the plan gates hunt).
+    val seedIds = v.select(col("id")).orderBy(col("id")).limit(k)
+      .as[Long].collect().sorted
+    val seeds = s.createDataFrame(seedIds.toSeq.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }).toDF("id", "cell")
     var cent = centFrom(seeds)
     var members: DataFrame = null
     for (it <- 1 to iters) {
@@ -2377,7 +2794,7 @@ object AnnOps {
       release()
       if (it < iters) cent = centFrom(members)
     }
-    members
+    (members, cent)
   }
 
   /** Semantic dedup, SemDeDup-style (cluster-then-dedup): partition the
@@ -2447,6 +2864,102 @@ object AnnOps {
       (n + targetCellSize - 1) / targetCellSize).min(Int.MaxValue).toInt
     val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
     pairsWithinCells(v, members, threshold)
+  }
+
+  /** Durable incremental SEMANTIC dedup — the embedding-space sibling
+    * of [[DedupOps.incrementalMinhashDedupDurable]] (st10): nightly
+    * embedding batches must NOT re-cluster the world. The FIRST batch
+    * defines the space — k-means trains on it and the centroid table
+    * FREEZES at `indexDir/centroids`; every later batch is one
+    * [[assignCellsAuto]] map pass against the frozen table (no Lloyd
+    * iterations ever again), its (id, cell, vector) rows commit to
+    * `indexDir/batches/batch=<id>`, and near-dup search touches only
+    * the cells the new batch lands in — a cell-keyed join against the
+    * stored assignments, never a re-cluster and never a cross-batch
+    * all-pairs.
+    *
+    * Returns the exact-cosine pairs (a, b, cosine >= threshold) with
+    * a < b that touch >= 1 doc of THIS batch — union over batches =
+    * all within-cell pairs of the combined corpus under the frozen
+    * clustering that touch any post-first-batch doc, independent of
+    * batching (each pair surfaces exactly once, when its later
+    * endpoint arrives). The frozen-centroid contract is what makes
+    * batch == incremental provable: every batch's cell is
+    * argmax-cosine against the SAME table ([[kmeansFromStagedWithCent]]
+    * returns the members' own table, so a replay of the training batch
+    * through the frozen path reassigns bit-identically). The
+    * oracle-checked s15 query pins the two-batch composition; the
+    * restart/replay proof (crash between batches, foreachBatch replay
+    * overwriting its own subdir idempotently) is PipelineOpsSpec's —
+    * the st10 contract, verbatim, in embedding space.
+    *
+    * RECALL CAVEAT inherited from [[semanticNearDups]]: pairs split
+    * across a frozen cell boundary are invisible, and a frozen table
+    * slowly drifts from the true distribution as the corpus grows —
+    * the documented trade for never re-clustering (re-train
+    * deliberately by starting a new indexDir, then re-probe).
+    */
+  def incrementalSemanticDedupDurable(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, batchId: Long,
+      threshold: Double, cells: Int = 16, iters: Int = 2,
+      partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val v = withRawNorm(scaled(batch, idCol, vecCol, partitions))
+    // Hadoop FS, not java.io.File: DFS paths in production (the
+    // loadMinhashIndex lesson)
+    val conf = s.sessionState.newHadoopConf()
+    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = centPath.getFileSystem(conf)
+    val (assignedRaw, release): (DataFrame, () => Unit) =
+      if (!fs.exists(centPath)) {
+        val (members, cent) =
+          kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+        cent.write.mode("overwrite").parquet(centPath.toString)
+        (members, () => ())
+      } else {
+        val cent = s.read.parquet(centPath.toString)
+        val k = cent.count()
+        val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+          .limit(1).as[Int].collect().headOption.getOrElse(0)
+        assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+      }
+    val own = assignedRaw.join(v, Seq("id"))
+      .select(col("id"), col("cell"), col("c"), col("nrm"))
+      .localCheckpoint()
+    release()
+    own.write.mode("overwrite")
+      .parquet(s"$indexDir/batches/batch=$batchId")
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$indexDir/batches")
+    val hasOther = fs.listStatus(batchesPath).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        st.getPath.getName != s"batch=$batchId")
+    val all = if (!hasOther) own.select("id", "cell", "c", "nrm")
+      else s.read.parquet(batchesPath.toString)
+        // exclude own (half-committed) batch on replay, probe the
+        // committed rest + this run's own pinned rows
+        .filter(col("batch") =!= lit(batchId))
+        .select(col("id"), col("cell"), col("c"), col("nrm"))
+        .unionByName(own.select("id", "cell", "c", "nrm"))
+    val xa = own.select(col("cell"), col("id").as("na_id"),
+      col("c").as("ac"), col("nrm").as("anrm"))
+    val xb = all.select(col("cell"), col("id").as("nb_id"),
+      col("c").as("bc"), col("nrm").as("bnrm"))
+    // cosine computed BEFORE the a/b canonicalization (it is exactly
+    // symmetric — same integer dot, same double expression — so the
+    // distinct collapses the own-own double orientation)
+    val pairs = xa.join(xb, Seq("cell"))
+      .filter(col("na_id") =!= col("nb_id"))
+      .select(least(col("na_id"), col("nb_id")).as("a"),
+        greatest(col("na_id"), col("nb_id")).as("b"),
+        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+          (col("anrm") * col("bnrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .localCheckpoint()
+    DedupOps.releaseLocalCheckpoint(own)
+    pairs
   }
 
   /** Embedding-space health audit: per-dimension mean, variance, and
@@ -3024,5 +3537,89 @@ object PrepOps {
       .groupBy(col("id"))
       .agg(max(col("q")).as("q_max"), min(col("q")).as("q_min"),
         max(col("err_units")).as("max_abs_err"))
+  }
+
+  /** END-TO-END corpus build — the capstone composition: every stage of
+    * a training-data pipeline exists as a proven operator, but
+    * composition is where id/count contracts break silently (a stage
+    * that drops or double-counts rows corrupts everything downstream
+    * with no error), so this facade chains them ONCE, in the
+    * production order, and the oracle-checked p14 query pins the whole
+    * chain end to end:
+    *
+    *  1. quality gate — [[TextOps.qualityFeatures]]: keep docs with
+    *     >= minWords words and type-token ratio > minTypeToken;
+    *  2. dedup — [[DedupOps.minhashNearDups]] pairs over the gated
+    *     corpus, [[DedupOps.connectedComponents]] resolution, keep
+    *     survivors (docs in no pair keep themselves);
+    *  3. split — [[splitAssign]] md5 buckets (train/val/test);
+    *  4. decontam — [[decontamScan]] with the EVAL side as the index:
+    *     a train doc sharing >= 1 rare-in-test `decontamShingleK`-gram
+    *     with any test doc leaves the train set (rare-in-test = the
+    *     d04 df-cut contract, so eval boilerplate never mass-kills
+    *     train docs);
+    *  5. mixture — [[mixtureSample]]: deterministic per-source
+    *     sampling to the waterfilled `tokenBudget` (tokens = word
+    *     count);
+    *  6. packing — [[packSequences]]: the sampled train docs
+    *     concatenate in doc-id order per source into
+    *     `packBudget`-token context windows.
+    *
+    * Returns the final packed-window table (source, pack_id, n_docs,
+    * n_tokens) — what ships to the trainer. Scale shape is inherited
+    * stage by stage: the gate is map-side, dedup is the banded
+    * candidate join, split/mixture are pure id functions, decontam is
+    * the df-cut inverted index, packing windows per source — no stage
+    * adds a corpus-sized funnel the component operators don't already
+    * document. Stage boundaries are pinned (localCheckpoint) so no
+    * stage recomputes its upstream per referencing subtree.
+    */
+  def corpusBuild(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, tokenBudget: Long, packBudget: Long,
+      minWords: Int = 10, minTypeToken: Double = 0.2,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      jaccardThreshold: Double = 0.8, trainPct: Int = 80,
+      valPct: Int = 10, decontamShingleK: Int = 7,
+      decontamDfCut: Int = 16, partitions: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"),
+        col(sourceCol).cast("string").as("source"))
+      .repartition(Parts.of(df, partitions), col("doc_id"))
+      .localCheckpoint()
+    // 1. quality gate (no stopword list: the gate here is length +
+    // lexical diversity; callers wanting the full t12 composite run it
+    // upstream and pass the survivors in)
+    val q = TextOps.qualityFeatures(base, "doc_id", "text",
+        stopwords = Seq.empty, minChars = 1, minWords = minWords,
+        minTypeToken = minTypeToken)
+      .filter(col("is_quality")).select(col("id").as("doc_id"))
+    val gated = base.join(q, Seq("doc_id")).localCheckpoint()
+    // 2. near-dup resolution: survivors stay
+    val pairs = DedupOps.minhashNearDups(gated, "doc_id", "text",
+      shingleK, bands, rows, jaccardThreshold, partitions)
+    val nonSurvivors = DedupOps.connectedComponents(pairs, "a", "b")
+      .filter(!col("is_survivor")).select(col("id").as("doc_id"))
+    val deduped = gated.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 3. deterministic split
+    val assigned = splitAssign(deduped, "doc_id", trainPct, valPct)
+    val train = assigned.filter(col("split") === "train")
+    val test = assigned.filter(col("split") === "test")
+    // 4. decontam: the TEST side is the index (df cut over test
+    // shingles), train docs are the probe — output ids are the
+    // contaminated TRAIN docs to drop
+    val contaminated = decontamScan(test, train, "doc_id", "text",
+        decontamShingleK, decontamDfCut)
+      .select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. mixture sampling to the token budget
+    val withToks = clean.withColumn("toks",
+      size(split(col("text"), " ")).cast("long"))
+    val sampled = mixtureSample(withToks, "doc_id", "source", "toks",
+      weights, weightDomainCol, weightCol, tokenBudget,
+      defaultWeight = 1L)
+    // 6. pack into context windows
+    packSequences(sampled, "source", "doc_id", "toks", packBudget)
   }
 }

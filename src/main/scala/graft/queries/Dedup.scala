@@ -79,6 +79,42 @@ object Dedup {
     base.unionByName(excerpts)
   }
 
+  /** The d13 hot-bucket fixture: documents UNION a planted boilerplate
+    * family — a FIXED-SIZE class of identical docs (every 5th doc_id
+    * below 1000, id + 2e11, all carrying the same template text), the
+    * web-corpus pathology the occupancy guard exists for: all family
+    * members share identical minhash signatures, so one (band, bkey)
+    * bucket holds the whole family and the unguarded join would emit
+    * C(family, 2) pairs inside a single key. The family size is
+    * absolute (not proportional to SF) so the curve's uncut
+    * denominator stays measurement-affordable at bench SF — the same
+    * run-at-sample-scale discipline as d12's uncut index.
+    */
+  private val boilerplateText =
+    "the same boilerplate error page template text repeated across mirrors"
+  private def boilerplateFixture(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val idOffset = 200000000000L // 2e11
+    val base = Tables.load(s, dir, "documents")
+      .select(when($"doc_id" < idOffset, $"doc_id")
+        .otherwise(raise_error(lit(
+          s"d13: doc_id >= $idOffset collides with boilerplate ids"))
+          .cast("long")).as("doc_id"), $"text")
+    val family = base
+      .filter($"doc_id" % 5 === 0 && $"doc_id" < 1000)
+      .select(($"doc_id" + idOffset).as("doc_id"),
+        lit(boilerplateText).as("text"))
+    base.unionByName(family)
+  }
+
+  /** Oracle CTE spelling of [[boilerplateFixture]]. */
+  private val sqlBoilerplateCorpus: String = s"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000000000, '$boilerplateText'
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000"""
+
   /** Oracle CTE spelling of [[containmentFixture]]. */
   private val sqlContainmentCorpus: String = """
         SELECT doc_id, text FROM documents
@@ -196,7 +232,7 @@ object Dedup {
     * [[minhashPairs]], shared prefix of the d02/d06/d07 oracles (over
     * `documents`) and the d08 oracle (over its paragraph CTE: any `src`
     * with (doc_id, text) works). */
-  private def sqlMinhashCtes(src: String = "documents"): String = {
+  private[queries] def sqlMinhashCtes(src: String = "documents"): String = {
     val hs = (0 until BANDS * ROWS)
       .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n            ")
     val bandRows = (0 until BANDS).map(b =>
@@ -933,8 +969,107 @@ object Dedup {
           containmentFixture(s, dir), "doc_id", "text",
           shingleK = 7, threshold = 0.9, maxDfs = Seq(2, 4, 8, DF_CUT))
       },
-      Some(sqlContainmentCurve(Seq(2, 4, 8, DF_CUT), 0.9)))
+      Some(sqlContainmentCurve(Seq(2, 4, 8, DF_CUT), 0.9))),
+
+    // ------------------- band-occupancy operating curve (d13)
+    GraftQuery(
+      "d13_band_occupancy_curve",
+      (s, dir) => {
+        // How the hot-bucket guard's maxOccupancy gets CHOSEN — the
+        // d12 treatment for the band axis, over a fixture carrying the
+        // exact pathology the guard exists for (a fixed-size family of
+        // identical boilerplate docs collapsing into one bucket). Per
+        // cap: the sub-cap join's candidate/confirmed volume, the
+        // delegated (saturated) volume with its measured precision —
+        // how safe it is to resolve a saturated bucket as ONE dup
+        // cluster — and pair recall vs the uncut join. The query IS
+        // the DedupOps.bandOccupancyCurve facade call; the uncut
+        // denominator is O(Σm²) BY DESIGN (it prices the cap) — run
+        // at sample scale, like d12.
+        graft.operators.DedupOps.bandOccupancyCurve(
+          boilerplateFixture(s, dir), "doc_id", "text",
+          shingleK = 5, bands = BANDS, rows = ROWS,
+          threshold = JACCARD_T, caps = Seq(2, 8, 32, 128))
+      },
+      Some(sqlOccupancyCurve(Seq(2, 8, 32, 128))))
   )
+
+  /** DuckDB spelling of [[graft.operators.DedupOps.bandOccupancyCurve]]
+    * over [[sqlBoilerplateCorpus]]: the shared minhash CTE chain's
+    * `bands`/`sharr`, an occupancy table, then per cap a sub-cap join,
+    * a saturated join, and a bucket count — the d12 curve conventions
+    * (SUM(CASE) cast back to BIGINT; 1-row denominators cross-joined).
+    */
+  private def sqlOccupancyCurve(caps: Seq[Int]): String = {
+    def cnt(candSql: String): String = s"""
+          SELECT COUNT(*) AS cp,
+            CAST(COALESCE(SUM(CASE WHEN jac >= $JACCARD_T
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS vp
+          FROM (
+            SELECT CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE)
+              / (len(pa.shs) + len(pb.shs)
+                 - len(list_intersect(pa.shs, pb.shs))) AS jac
+            FROM ($candSql) c
+              JOIN sharr pa ON pa.doc_id = c.a
+              JOIN sharr pb ON pb.doc_id = c.b)"""
+    def selfJoin(src: String): String = s"""
+            SELECT DISTINCT x.doc_id a, y.doc_id b
+            FROM $src x JOIN $src y
+              ON x.band = y.band AND x.bkey = y.bkey
+                AND x.doc_id < y.doc_id"""
+    val perCap = caps.map { cap =>
+      s"""
+        sub_$cap AS (
+          SELECT b.doc_id, b.band, b.bkey FROM bands b
+            JOIN occ o ON o.band = b.band AND o.bkey = b.bkey
+          WHERE o.m <= $cap
+        ),
+        sat_$cap AS (
+          SELECT b.doc_id, b.band, b.bkey FROM bands b
+            JOIN occ o ON o.band = b.band AND o.bkey = b.bkey
+          WHERE o.m > $cap
+        ),
+        vs_$cap AS (${cnt(selfJoin(s"sub_$cap"))}
+        ),
+        sv_$cap AS (${cnt(selfJoin(s"sat_$cap"))}
+        ),
+        ns_$cap AS (
+          SELECT CAST(COUNT(*) AS BIGINT) n FROM occ WHERE m > $cap
+        )"""
+    }.mkString(",")
+    val rows = caps.map { cap =>
+      s"""SELECT CAST($cap AS INT) AS max_occupancy,
+            (SELECT n FROM ns_$cap) AS n_saturated_buckets,
+            (SELECT cp FROM vs_$cap) AS candidate_pairs,
+            (SELECT vp FROM vs_$cap) AS confirmed_pairs,
+            (SELECT cp FROM sv_$cap) AS saturated_pairs,
+            (SELECT vp FROM sv_$cap) AS saturated_confirmed_pairs"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH corpus AS ($sqlBoilerplateCorpus
+        ),
+        ${sqlMinhashCtes("corpus")},
+        occ AS (
+          SELECT band, bkey, COUNT(*) AS m FROM bands GROUP BY 1, 2
+        ),
+        uncut AS (${cnt(selfJoin("bands"))}
+        ),$perCap,
+        curve AS (
+          $rows
+        )
+        SELECT t.max_occupancy, t.n_saturated_buckets,
+          t.candidate_pairs, t.confirmed_pairs,
+          t.saturated_pairs, t.saturated_confirmed_pairs,
+          CASE WHEN t.saturated_pairs = 0 THEN 1.0
+            ELSE CAST(t.saturated_confirmed_pairs AS DOUBLE)
+              / t.saturated_pairs END AS sat_precision,
+          u.cp AS uncut_candidate_pairs,
+          u.vp AS uncut_confirmed_pairs,
+          CASE WHEN u.vp = 0 THEN 1.0
+            ELSE CAST(t.confirmed_pairs AS DOUBLE) / u.vp END
+            AS pair_recall
+        FROM curve t CROSS JOIN uncut u"""
+  }
 
   /** DuckDB spelling of [[graft.operators.DedupOps
     * .containmentOperatingCurve]] over [[sqlContainmentCorpus]]: per-cut

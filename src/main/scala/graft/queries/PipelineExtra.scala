@@ -602,6 +602,32 @@ object PipelineExtra {
         WHERE d.bucket * a.avail_tokens < a.alloc_tokens * 65536
         GROUP BY d.source, a.alloc_tokens""")),
 
+    // ---------------------- end-to-end corpus build capstone (p14)
+    GraftQuery(
+      "p14_corpus_build",
+      (s, dir) => {
+        import s.implicits._
+        // THE CAPSTONE: every pipeline stage exists as a proven
+        // operator (t02 gate, d02/d06 dedup, p05 split, p07 decontam,
+        // p08/p10 mixture, p01 packing) but composition is where
+        // id/count contracts break silently — so ONE query runs the
+        // full chain on documents and asserts the FINAL packed-window
+        // table against the same chain spelled in DuckDB (the t14/d06
+        // unrolled-CTE discipline, all six stages composed). The query
+        // IS the PrepOps.corpusBuild facade call; weights are the p08
+        // construction (source-id suffix mod 4 + 1).
+        val d = Tables.load(s, dir, "documents")
+        val weights = d.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        graft.operators.PrepOps.corpusBuild(
+            d, "doc_id", "text", "source", weights, "source", "w",
+            tokenBudget = MixBudget, packBudget = PackBudget)
+          .select($"group".as("source"), $"pack_id", $"n_docs",
+            $"n_tokens")
+      },
+      Some(corpusBuildOracle)),
+
     // ------------------------------ weighted sampling, A-ES (p13)
     GraftQuery(
       "p13_weighted_sample",
@@ -648,4 +674,129 @@ object PipelineExtra {
           FROM keyed) t
         WHERE rn <= 50"""))
   )
+
+  /** DuckDB spelling of [[graft.operators.PrepOps.corpusBuild]] — the
+    * six pipeline stages composed as one CTE chain: quality gate,
+    * MinHash near-dup resolution (reusing d02's CTE generator over the
+    * gated corpus + d06's recursive component resolution), md5 split,
+    * test-indexed decontam (p07's df-cut shape with the eval side as
+    * the index), the p08/p10 waterfill + deterministic sample, and
+    * p01's pack windowing. Constants mirror the facade defaults the
+    * p14 query passes.
+    */
+  private def corpusBuildOracle: String = s"""
+        WITH RECURSIVE gate AS (
+          SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source, string_split(text, ' ') ws
+            FROM documents)
+          WHERE len(ws) >= 10
+            AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.2
+        ),
+        ${Dedup.sqlMinhashCtes("gate")},
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs
+        ),
+        reach(id, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        nonsurv AS (
+          SELECT id AS doc_id
+          FROM (SELECT id, MIN(node) m FROM reach GROUP BY id)
+          WHERE m <> id
+        ),
+        dedup AS (
+          SELECT g.doc_id, g.text, g.source FROM gate g
+          ANTI JOIN nonsurv n ON g.doc_id = n.doc_id
+        ),
+        spl AS (
+          SELECT *,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 100 AS bucket
+          FROM dedup
+        ),
+        train AS (
+          SELECT doc_id, text, source FROM spl WHERE bucket < 80
+        ),
+        tst AS (SELECT doc_id, text FROM spl WHERE bucket >= 90),
+        tesh AS (
+          SELECT doc_id, unnest(${Dedup.sqlShingles(7)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM tst)
+        ),
+        hot AS (
+          SELECT sh FROM (SELECT sh, COUNT(*) df FROM tesh GROUP BY sh)
+          WHERE df > $DecontamDfCut
+        ),
+        teshc AS (
+          SELECT t.doc_id, t.sh FROM tesh t ANTI JOIN hot h ON t.sh = h.sh
+        ),
+        trsh AS (
+          SELECT doc_id, unnest(${Dedup.sqlShingles(7)}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM train)
+        ),
+        contam AS (
+          SELECT DISTINCT tr.doc_id FROM trsh tr
+          JOIN teshc te ON tr.sh = te.sh
+        ),
+        clean AS (
+          SELECT t.doc_id, t.text, t.source FROM train t
+          ANTI JOIN contam c ON t.doc_id = c.doc_id
+        ),
+        tok AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM clean
+        ),
+        avail AS (
+          SELECT source,
+            CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight,
+            CAST(SUM(toks) AS BIGINT) AS avail_tokens
+          FROM tok GROUP BY 1
+        ),
+        r1 AS (
+          SELECT source, weight, avail_tokens,
+            ($MixBudget * weight) // CAST(SUM(weight) OVER () AS BIGINT)
+              AS target_tokens
+          FROM avail
+        ),
+        r1a AS (
+          SELECT *, LEAST(avail_tokens, target_tokens) AS r1_alloc FROM r1
+        ),
+        r2 AS (
+          SELECT *,
+            CAST($MixBudget - SUM(r1_alloc) OVER () AS BIGINT) AS leftover,
+            avail_tokens - r1_alloc AS rem_cap,
+            CAST(SUM(CASE WHEN avail_tokens > r1_alloc THEN weight ELSE 0 END)
+              OVER () AS BIGINT) AS surplus_w
+          FROM r1a
+        ),
+        alloc AS (
+          SELECT source, avail_tokens,
+            r1_alloc + LEAST(rem_cap,
+              CASE WHEN rem_cap > 0 AND surplus_w > 0
+                THEN (leftover * weight) // surplus_w ELSE 0 END)
+              AS alloc_tokens
+          FROM r2
+        ),
+        keep AS (
+          SELECT t.source, t.doc_id, t.toks
+          FROM (
+            SELECT *,
+              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                ::INT AS BIGINT) AS bucket
+            FROM tok) t
+          JOIN alloc a ON t.source = a.source
+          WHERE t.bucket * a.avail_tokens < a.alloc_tokens * 65536
+        ),
+        cum AS (
+          SELECT source, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM keep
+        )
+        SELECT source,
+          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2"""
 }

@@ -720,7 +720,29 @@ object TextAnalysis {
             AS n_hapax,
           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*) AS hapax_ratio
-        FROM c GROUP BY doc_id"""))
+        FROM c GROUP BY doc_id""")),
+
+    // ----------------------------- merge-apply BPE tokenization (t18)
+    GraftQuery(
+      "t18_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        // TRUE merge-apply segmentation: broadcast the learned merge
+        // RANKS and tokenize every word per-partition with the trainer's
+        // own greedy fold — the spelling that handles out-of-vocabulary
+        // words (t15's vocab join silently drops them; see the
+        // bpeEncode scaladoc). On an in-vocab corpus (here: scored
+        // corpus == train corpus) the two spellings are provably
+        // equal, so the oracle is t15's cached-segmentation SQL — the
+        // hash gate IS the equivalence proof; the OOV side is pinned
+        // by BpePropertySpec's train ∪ unseen sweeps.
+        val d = docs(s, dir).select($"doc_id", $"text")
+        val mergeTable = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        graft.operators.TextOps.bpeEncode(d, "doc_id", "text", mergeTable)
+          .select($"id".as("doc_id"), $"n_words", $"n_bpe_tokens")
+      },
+      Some(bpeSegmentOracle(3)))
   )
 
   /** The shared CTE prefix of the BPE oracles, unrolled to `merges`

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the hot-bucket occupancy guard (round-10 ask #1):
+  * on a boilerplate-heavy fixture — documents plus a duplicate class
+  * sized at 10% of the corpus, the web-corpus pathology where one
+  * (band, bkey) bucket holds the whole class — time the capped
+  * spelling ([[graft.operators.DedupOps.minhashNearDupsCapped]])
+  * against the uncut one at two SFs. The uncut join's candidate count
+  * inside the saturated bucket is C(m, 2): 10× data → 10× family →
+  * 100× pairs, while the capped spelling emits m−1 star edges and
+  * stays ~linear. The probe prints one JSON line with times, pair
+  * volumes, and the capped/uncut output-equivalence count at the
+  * smaller SF (cluster resolution parity is the spec's job;
+  * PipelineOpsSpec pins it).
+  *
+  * Usage: HotBucketProbe <sfDirSmall> <sfDirLarge>
+  */
+object HotBucketProbe {
+  def main(args: Array[String]): Unit = {
+    val (sfSmall, sfLarge) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val boiler =
+      "the same boilerplate error page template text repeated across mirrors"
+
+    // documents + a duplicate class of ~N/div (one fixed template,
+    // fresh ids above the corpus id range)
+    def fixture(dir: String, div: Long): (DataFrame, Long, Long) = {
+      val base = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = base.count()
+      val m = math.max(10L, n / div)
+      val fam = spark.range(m)
+        .select((col("id") + 1000000000L).as("doc_id"),
+          lit(boiler).as("text"))
+      (base.unionByName(fam).localCheckpoint(), n, m)
+    }
+
+    def timeIt(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    // release only the blocks a timed pass created — the fixture's own
+    // localCheckpoint must survive across passes
+    def release(keep: Set[Int]): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(r => !keep.contains(r.id)).foreach(_.unpersist(false))
+
+    def probe(dir: String, div: Long, runUncut: Boolean): String = {
+      val (docs, n, m) = fixture(dir, div)
+      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val cap = 64
+      val (capSec, capRows) = {
+        val r = (1 to 3).map { _ =>
+          val t = timeIt {
+            graft.operators.DedupOps.minhashNearDupsCapped(
+              docs, "doc_id", "text", maxOccupancy = cap).count()
+          }
+          release(keep); t
+        }
+        (r.map(_._1).min, r.head._2)
+      }
+      val (uncutSec, uncutRows) = if (runUncut) {
+        val r = (1 to 3).map { _ =>
+          val t = timeIt {
+            graft.operators.DedupOps.minhashNearDups(
+              docs, "doc_id", "text").count()
+          }
+          release(keep); t
+        }
+        (r.map(_._1).min, r.head._2)
+      } else (-1.0, -1L)
+      s"""{"sf_dir":"$dir","n_docs":$n,"family":$m,""" +
+        s""""family_uncut_pairs":${m * (m - 1) / 2},""" +
+        s""""capped_cap":$cap,"capped_sec":$capSec,""" +
+        s""""capped_rows":$capRows,""" +
+        s""""uncut_sec":$uncutSec,"uncut_rows":$uncutRows}"""
+    }
+
+    val small = probe(sfSmall, 10L, runUncut = true)
+    val large = probe(sfLarge, 10L, runUncut = true)
+    // stress: the family at 100% of N — the scale point where the
+    // uncut join's C(m,2) verification dominates wall-clock while the
+    // capped spelling stays flat
+    val stress = probe(sfLarge, 1L, runUncut = true)
+    println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
+      s""""large":$large,"stress":$stress}""")
+    spark.stop()
+  }
+}

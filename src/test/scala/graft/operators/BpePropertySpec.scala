@@ -234,4 +234,107 @@ class BpePropertySpec extends AnyFunSuite
       assert(d == r, s"first divergence at step ${r._1}: $d vs $r")
     }
   }
+
+  /** Ranks map from a learned merge list, as bpeEncode builds it. */
+  private def ranksOf(learned: Seq[(Int, String, String, Long)])
+      : Map[(String, String), Int] =
+    learned.map { case (step, pr, _, _) =>
+      val Array(a, b) = pr.split(" ", 2)
+      (a, b) -> step
+    }.toMap
+
+  /** The definitional encode: replay the FULL merge list in rank order
+    * with the greedy fold — the reference bpeEncode's
+    * lowest-rank-present loop must equal. */
+  private def replayEncode(w: String,
+      learned: Seq[(Int, String, String, Long)]): List[String] =
+    learned.sortBy(_._1).foldLeft(w.map(_.toString).toList) {
+      case (syms, (_, pr, _, _)) =>
+        val Array(a, b) = pr.split(" ", 2)
+        mergeGreedy(syms, a, b)
+    }
+
+  test("bpeEncode kernel == full-merge-list replay == trained " +
+      "segmentation, on train AND unseen words (OOV never drops)") {
+    // seeded sweep: random corpora, deep merges; every TRAIN word's
+    // encode length must equal both the definitional full-list replay
+    // and the trained word table's segmentation (what the t15 vocab
+    // join serves); every UNSEEN word must equal the replay and never
+    // lose a token (>= 1, <= its code points)
+    val rnd = new scala.util.Random(4243L)
+    (1 to 8).foreach { trial =>
+      val words = (1 to 120).map { _ =>
+        (1 to rnd.between(1, 9)).map(_ => "abcde"(rnd.nextInt(5)))
+          .mkString
+      }
+      val corpus = Seq(words.mkString(" "))
+      val merges = rnd.between(3, 30)
+      val learned = refLearn(corpus, merges)
+      val ranks = ranksOf(learned)
+      // trained segmentation per word: the reference trainer's final
+      // state, recomputed by replay (refLearn mutates nothing)
+      words.distinct.foreach { w =>
+        val replayed = replayEncode(w, learned)
+        val got = TextOps.bpeEncodeLen(w, ranks)
+        assert(got == replayed.length,
+          s"trial $trial: train word '$w': encode $got != " +
+            s"replay ${replayed.length} (merges=$merges)")
+        assert(replayed.mkString == w, "replay must preserve the word")
+      }
+      val unseen = (1 to 40).map { _ =>
+        (1 to rnd.between(1, 12)).map(_ => "abcdef"(rnd.nextInt(6)))
+          .mkString
+      }.filterNot(words.toSet)
+      unseen.foreach { w =>
+        val replayed = replayEncode(w, learned)
+        val got = TextOps.bpeEncodeLen(w, ranks)
+        assert(got == replayed.length,
+          s"trial $trial: unseen word '$w': encode $got != " +
+            s"replay ${replayed.length}")
+        assert(got >= 1 && got <= w.length,
+          s"unseen word '$w' lost tokens: $got")
+      }
+    }
+  }
+
+  test("bpeEncode end-to-end: equals bpeSegment on the train corpus, " +
+      "and counts unseen words the vocab join silently drops") {
+    val s = sparkUp()
+    import s.implicits._
+    val train = Seq(
+      (1L, "abab abab cdcd"), (2L, "abab cdcd cdcd dada"),
+      (3L, "dada abab"))
+    val trainDf = train.toDF("id", "t")
+    val mergeTable = TextOps.bpeLearn(trainDf.select($"t"), "t",
+      merges = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // in-vocab: the merge-apply spelling IS the cached-segmentation
+    // lookup (the t18 oracle's claim, pinned here without DuckDB)
+    val seg = rows(TextOps.bpeSegment(trainDf, "id", "t",
+      TextOps.bpeVocab(trainDf.select($"t"), "t", merges = 4),
+      maxBroadcastBytes = 256L << 20))
+    val enc = rows(TextOps.bpeEncode(trainDf, "id", "t", mergeTable))
+    assert(enc == seg, s"in-vocab drift: $enc vs $seg")
+    // OOV: doc 9 mixes one train word with two unseen words — the
+    // vocab join sees 1 word; the merge-apply spelling counts all 3,
+    // costing the unseen words their replayed segmentations
+    val mixed = Seq((9L, "abab zzyy qqq")).toDF("id", "t")
+    val segM = rows(TextOps.bpeSegment(mixed, "id", "t",
+      TextOps.bpeVocab(trainDf.select($"t"), "t", merges = 4),
+      maxBroadcastBytes = 256L << 20))
+    assert(segM.forall(_._2 == 1L),
+      s"vocab join should only see the train word: $segM")
+    val encM = rows(TextOps.bpeEncode(mixed, "id", "t", mergeTable))
+    assert(encM.size == 1 && encM.head._2 == 3L,
+      s"merge-apply must count all 3 words: $encM")
+    val learned = mergeTable.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val expected = Seq("abab", "zzyy", "qqq")
+      .map(w => replayEncode(w, learned).length.toLong).sum
+    assert(encM.head._3 == expected,
+      s"OOV token counts drifted: ${encM.head._3} vs $expected")
+  }
 }

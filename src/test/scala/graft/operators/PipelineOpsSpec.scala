@@ -55,6 +55,119 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 14L || p._2 == 14L))
   }
 
+  test("capped banded dedup: uncut == capped when no bucket saturates " +
+      "(all three spellings)") {
+    val c = corpus()
+    // corpus max bucket occupancy is tiny; cap=1000 saturates nothing,
+    // so every capped spelling must return EXACTLY its uncut rows with
+    // saturated = false throughout — the guard is provably free when
+    // the pathology is absent
+    val mh = DedupOps.minhashNearDups(c, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val mhc = DedupOps.minhashNearDupsCapped(c, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5,
+      maxOccupancy = 1000, partitions = 4).collect()
+    assert(mhc.forall(!_.getBoolean(3)), "nothing may saturate")
+    assert(mhc.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == mh)
+
+    val sh = DedupOps.simhashNearDups(c, "my_id", "body", partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shc = DedupOps.simhashNearDupsCapped(c, "my_id", "body",
+      maxOccupancy = 1000, partitions = 4).collect()
+    assert(shc.forall(!_.getBoolean(3)))
+    assert(shc.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet == sh)
+
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.14, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vid", "v")
+    val cl = AnnOps.cosineNearDupsLsh(vecs, "vid", "v", threshold = 0.9,
+      partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val clc = AnnOps.cosineNearDupsLshCapped(vecs, "vid", "v",
+      threshold = 0.9, maxOccupancy = 1000, partitions = 4).collect()
+    assert(clc.forall(!_.getBoolean(3)))
+    assert(clc.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == cl)
+  }
+
+  test("capped minhash: a saturated boilerplate family bypasses the " +
+      "pair join as star edges, and cluster resolution matches uncut") {
+    val s = spark
+    import s.implicits._
+    // the hot-bucket pathology: a 40-member identical family. Uncapped,
+    // the band join emits C(40,2) = 780 pairs inside one bucket key;
+    // capped at 8 the family must surface as 39 star edges per
+    // saturated bucket instead, and connectedComponents must resolve
+    // the SAME clusters either way.
+    val fam = (0 until 40).map(i =>
+      (1000L + i, "identical boilerplate error page text shown on every mirror"))
+    val docs = corpus().union(fam.toDF("my_id", "body"))
+    val capped = DedupOps.minhashNearDupsCapped(docs, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5,
+      maxOccupancy = 8, partitions = 4).localCheckpoint()
+    val famVerified = capped.filter(!col("saturated") &&
+      col("a") >= 1000L).count()
+    assert(famVerified == 0,
+      "saturated family pairs must never reach the exact pair join")
+    val stars = capped.filter(col("saturated")).collect()
+    assert(stars.forall(_.isNullAt(2)), "star edges carry no jaccard")
+    assert(stars.forall(r => r.getLong(0) == 1000L),
+      "star root is the bucket min id")
+    assert(stars.map(_.getLong(1)).toSet == (1001L to 1039L).toSet,
+      "every family member hangs off the root")
+    // the non-family pairs are exactly the uncut operator's
+    val uncut = DedupOps.minhashNearDups(docs, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val nonFam = capped.filter(!col("saturated")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nonFam == uncut.filter(_._1 < 1000L))
+    // end-to-end: cluster resolution over capped edges == over uncut
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncutDf = DedupOps.minhashNearDups(docs, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5, partitions = 4)
+    assert(clusters(capped.select("a", "b")) == clusters(uncutDf),
+      "capped star edges must resolve the same components")
+  }
+
+  test("bandOccupancyCurve: volumes split exactly, precision and " +
+      "recall priced against the uncut join") {
+    val s = spark
+    import s.implicits._
+    val fam = (0 until 10).map(i =>
+      (1000L + i, "identical boilerplate error page text shown on every mirror"))
+    val docs = corpus().union(fam.toDF("my_id", "body"))
+    val curve = DedupOps.bandOccupancyCurve(docs, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, threshold = 0.5,
+      caps = Seq(4, 64), partitions = 4)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val lo = curve(4); val hi = curve(64)
+    // at cap 64 nothing saturates: sub-cap join IS the uncut join
+    assert(hi.getLong(1) == 0 && hi.getLong(4) == 0)
+    assert(hi.getLong(2) == hi.getLong(7) && hi.getLong(3) == hi.getLong(8))
+    assert(hi.getDouble(6) == 1.0 && hi.getDouble(9) == 1.0)
+    // at cap 4 the family's buckets saturate: its C(10,2) pairs move
+    // from the candidate column to the saturated column, all confirmed
+    // (identical docs), so measured precision is 1.0
+    assert(lo.getLong(1) > 0)
+    assert(lo.getLong(4) >= 45L)
+    assert(lo.getDouble(6) == 1.0)
+    assert(lo.getLong(2) + lo.getLong(4) >= lo.getLong(7),
+      "sub-cap + saturated candidates cover the uncut set")
+    assert(lo.getDouble(9) < 1.0, "delegation shows up as pair recall")
+  }
+
   test("ngramJaccardNearDups verifies with exact jaccard") {
     val rows = DedupOps.ngramJaccardNearDups(
       corpus(), "my_id", "body", shingleK = 3, threshold = 0.5,
@@ -598,6 +711,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filtered IVF recall@3 $ivfRecall collapsed (4 cells over 8 dims)")
     info(f"filtered IVF recall@3 vs the same truth: $ivfRecall%.2f " +
       f"(${ivfHits.size} hits; LSH got $recall%.2f)")
+
+    // multi-probe: the IVF recall dial on exactly the corpus where
+    // single-cell search is weakest (isotropic data, harsh cell
+    // boundaries). Recall must be non-decreasing in P, and at
+    // P = cells every cell is probed so the result IS the exact
+    // filtered brute force — recall 1.0 by construction, not by luck.
+    val recallAtP = Seq(1, 2, 4).map { p =>
+      val hitsP = AnnOps.filteredTopKIvf(df, "vid", "emb", "grp",
+          _ < 10, k = 3, cells = 4, iters = 2, nprobe = p,
+          partitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> (hitsP.count(truth).toDouble / truth.size, hitsP)
+    }
+    assert(recallAtP.head._2._2 == ivfHits,
+      "nprobe = 1 must be exactly the single-cell search")
+    recallAtP.sliding(2).foreach { case Seq((pl, (rl2, _)), (ph, (rh, _))) =>
+      assert(rh >= rl2,
+        s"recall fell from $rl2 (P=$pl) to $rh (P=$ph)")
+    }
+    assert(recallAtP.last._2._1 == 1.0,
+      "nprobe = cells probes every cell: exact filtered brute force")
+    info("isotropic IVF recall@3 by nprobe: " + recallAtP
+      .map { case (p, (r, _)) => f"P=$p $r%.2f" }.mkString(", "))
   }
 
   test("filtered ANN spellings on a CLUSTERED corpus: IVF recall " +
@@ -650,6 +786,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri >= 0.8, s"clustered IVF recall $ri did not recover")
     info(f"clustered corpus recall@3: IVF $ri%.2f, LSH $rl%.2f " +
       s"(isotropic was ~0.43 vs ~0.83)")
+    // multi-probe on the clustered corpus: already-high single-cell
+    // recall must not regress as P widens (the dial is monotone on
+    // BOTH corpus shapes)
+    val clusteredAtP = Seq(2, 4).map { p =>
+      val hitsP = AnnOps.filteredTopKIvf(df, "vid", "emb", "grp",
+          _ < 8, k = 3, cells = 4, iters = 2, nprobe = p,
+          partitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> recallOf(hitsP)
+    }
+    assert(clusteredAtP.forall(_._2 >= ri),
+      s"multi-probe regressed clustered recall: $clusteredAtP vs $ri")
+    assert(clusteredAtP.last._2 == 1.0,
+      "nprobe = cells is the exact filtered brute force")
+    info("clustered IVF recall@3 by nprobe: " +
+      (Seq(1 -> ri) ++ clusteredAtP)
+        .map { case (p, r) => f"P=$p $r%.2f" }.mkString(", "))
   }
 
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {
