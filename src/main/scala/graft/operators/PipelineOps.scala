@@ -35,6 +35,12 @@ import org.apache.spark.sql.types.DecimalType
   * partitioning-INVARIANT by construction (hash staging feeds
   * key-grouped joins/aggs and order-free kernels), so the knob affects
   * parallelism, never answers — the oracle suite pins that.
+  *
+  * API NOTE (deliberate hardening, round 9): negative values THROW.
+  * Earlier rounds silently fell back to the session default, so an
+  * external caller using a negative sentinel must switch to `0` — the
+  * documented "session default" spelling. A loud require beats a
+  * sentinel silently changing meaning.
   */
 private[graft] object Parts {
   def of(df: DataFrame, partitions: Int): Int = {
@@ -354,7 +360,7 @@ object DedupOps {
           col("candidate_pairs"), col("confirmed_pairs"),
           col("saturated_pairs"), col("saturated_confirmed_pairs"))
     }.reduce(_ unionAll _)
-    perCap.crossJoin(uncut)
+    val curve = perCap.crossJoin(uncut)
       .select(col("max_occupancy"), col("n_saturated_buckets"),
         col("candidate_pairs"), col("confirmed_pairs"),
         col("saturated_pairs"), col("saturated_confirmed_pairs"),
@@ -365,6 +371,14 @@ object DedupOps {
         when(col("uncut_confirmed_pairs") === 0L, lit(1.0))
           .otherwise(col("confirmed_pairs").cast("double") /
             col("uncut_confirmed_pairs")).as("pair_recall"))
+    // |caps| rows: pin the result, free the staged band/shingle/
+    // occupancy blocks (the operating-curve release discipline)
+    val pinned = curve.localCheckpoint()
+    releaseLocalCheckpoint(occ)
+    releaseLocalCheckpoint(shArr)
+    releaseLocalCheckpoint(bb)
+    releaseLocalCheckpoint(docs)
+    pinned
   }
 
   /** Persistable MinHash signature index for incremental dedup: one row
@@ -432,7 +446,7 @@ object DedupOps {
       .localCheckpoint()
     val shArr = TextKernels.shingleArrays(s, docs, shingleK)
       .localCheckpoint()
-    configs.map { case (bands, rows) =>
+    val curve = configs.map { case (bands, rows) =>
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat((0 until rows).map(r =>
@@ -462,6 +476,15 @@ object DedupOps {
           lit(bands * rows).cast("int").as("n_hashes"),
           col("candidate_pairs"), col("confirmed_pairs"))
     }.reduce(_ unionAll _)
+    // the curve is |configs| rows: pin IT eagerly and free the staged
+    // corpus/signature/shingle blocks now (ADVICE: repeated curve
+    // invocations otherwise accumulate pinned blocks in executor
+    // storage for the session lifetime)
+    val pinned = curve.localCheckpoint()
+    releaseLocalCheckpoint(sig)
+    releaseLocalCheckpoint(shArr)
+    releaseLocalCheckpoint(docs)
+    pinned
   }
 
   /** The probe shared by the in-memory and durable incremental paths:
@@ -724,6 +747,23 @@ object DedupOps {
       textCol: String, shingleK: Int = 7, threshold: Double = 0.9,
       maxDfs: Seq[Int] = Seq(4, 8, 16, 32),
       partitions: Int = 0): DataFrame = {
+    val (curve, release) = containmentOperatingCurveLazy(df, idCol,
+      textCol, shingleK, threshold, maxDfs, partitions)
+    // |maxDfs| rows: pin the result eagerly, then free the staged
+    // shingle/df blocks (ADVICE: the curve otherwise leaks its
+    // checkpoints per call for the session lifetime)
+    val pinned = curve.localCheckpoint()
+    release()
+    pinned
+  }
+
+  /** The curve computation itself, UNPINNED, plus the thunk releasing
+    * its staged blocks — what PlanInvariantsSpec audits (the public
+    * wrapper pins the |maxDfs|-row result first, which hides the join
+    * shape behind a checkpoint scan). */
+  private[graft] def containmentOperatingCurveLazy(df: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, threshold: Double,
+      maxDfs: Seq[Int], partitions: Int): (DataFrame, () => Unit) = {
     require(maxDfs.nonEmpty, "need at least one maxDf operating point")
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
@@ -756,13 +796,18 @@ object DedupOps {
     }.reduce(_ unionAll _)
     // 1-row uncut side joined onto the |maxDfs|-row sweep (the bounded
     // 1xN agg-join convention)
-    perCut.crossJoin(uncut)
+    val curve = perCut.crossJoin(uncut)
       .select(col("max_df"), col("candidate_pairs"),
         col("confirmed_pairs"), col("uncut_candidate_pairs"),
         col("uncut_confirmed_pairs"),
         when(col("uncut_confirmed_pairs") === 0L, lit(1.0))
           .otherwise(col("confirmed_pairs").cast("double") /
             col("uncut_confirmed_pairs")).as("recall"))
+    (curve, () => {
+      releaseLocalCheckpoint(dfTab)
+      releaseLocalCheckpoint(shArr)
+      releaseLocalCheckpoint(docs)
+    })
   }
 
   /** SimHash near-dup pairs: 32-bit simhash over word unigrams, byte
@@ -1334,9 +1379,22 @@ object TextOps {
     * semantics of `replace()` in any engine, so the DuckDB oracle can
     * replay the same rounds.
     */
+  /** Driver-trainer working-set multiplier: the collect estimate
+    * (Row strings) understates the trainer's real heap — symbol
+    * arrays, the pair-count map, the pair→word-id occurrence index,
+    * and the heap each hold structures whose total size is O(word
+    * chars) — so the budget gate compares estimate × this factor. */
+  private val WorkingSetFactor = 4L
+
+  /** Default driver-finish budget: with [[WorkingSetFactor]] = 4 this
+    * keeps the effective COLLECT ceiling at the measured-safe 64 MiB
+    * word table (the round-9 stress point) while pricing the trainer's
+    * full working set honestly. */
+  val DefaultDriverFinishBytes: Long = 256L << 20
+
   def bpeLearn(df: DataFrame, textCol: String, merges: Int = 3,
       maxBatch: Int = 64,
-      driverFinishBytes: Long = 64L << 20): DataFrame = {
+      driverFinishBytes: Long = DefaultDriverFinishBytes): DataFrame = {
     val (learned, _) = bpeRounds(df, textCol, merges, maxBatch,
       driverFinishBytes)
     df.sparkSession.createDataFrame(learned)
@@ -1353,7 +1411,7 @@ object TextOps {
     * distributed). */
   def bpeVocab(df: DataFrame, textCol: String, merges: Int = 3,
       maxBatch: Int = 64,
-      driverFinishBytes: Long = 64L << 20): DataFrame =
+      driverFinishBytes: Long = DefaultDriverFinishBytes): DataFrame =
     bpeRounds(df, textCol, merges, maxBatch, driverFinishBytes)._2
 
   /** [[bpeLearn]] applied back to the corpus: segment every document
@@ -1550,7 +1608,8 @@ object TextOps {
     *    literally the sequential step.
     */
   private def bpeRounds(df: DataFrame, textCol: String, merges: Int,
-      maxBatch: Int = 64, driverFinishBytes: Long = 64L << 20)
+      maxBatch: Int = 64,
+      driverFinishBytes: Long = DefaultDriverFinishBytes)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import java.util.regex.{Matcher, Pattern}
     require(maxBatch >= 1, s"bpeRounds: maxBatch=$maxBatch")
@@ -1592,6 +1651,17 @@ object TextOps {
     // per round: a run that starts over budget stays distributed, one
     // under it goes straight to the driver trainer. Budget 0 =
     // always-distributed, no probe job at all.
+    //
+    // What the bytes PRICE: the collect (Row strings) costs
+    // chars*8 + rows*96; the trainer's working set on top of it —
+    // per-word symbol arrays, the pair-count map, the pair→word-id
+    // occurrence index, the heap — is a few multiples of that (every
+    // structure is keyed by symbols/pairs whose total size is
+    // O(word chars)), so the gate applies WorkingSetFactor to the
+    // collect estimate rather than pretending the collect is the whole
+    // footprint. The default budget is sized so the effective collect
+    // ceiling stays at the measured-safe 64 MiB (10k merges over a
+    // 158k-word table ran in 12.3 s / 7 jobs at that point).
     val wordTableBytes: Long =
       if (driverFinishBytes == 0L) Long.MaxValue
       else {
@@ -1600,7 +1670,7 @@ object TextOps {
           count(lit(1)).as("n")).head()
         // sp holds ~3 chars per w char (" X " per symbol; merges only
         // shrink it), 2 JVM bytes per char, ~96 B row overhead
-        r.getLong(0) * 8 + r.getLong(1) * 96
+        (r.getLong(0) * 8 + r.getLong(1) * 96) * WorkingSetFactor
       }
     while (step <= merges && !exhausted &&
         wordTableBytes > driverFinishBytes) {
@@ -2603,18 +2673,46 @@ object AnnOps {
     val shardBytes = math.max(1L, perShard * dimBytes)
     val shardsPerJob = if (maxResult <= 0L) nShards
       else math.max(1L, (maxResult / 2) / shardBytes).toInt
+    // The resultHandler runs on the DAGScheduler event-loop thread
+    // (ADVICE): sc.broadcast there serializes up-to-64 MiB blocks while
+    // ALL job scheduling waits — harmless on an idle local probe, a
+    // scheduler stall on a shared cluster with concurrent jobs. So the
+    // handler only ENQUEUES (a non-blocking put — the event loop never
+    // waits on us), and THIS thread broadcasts each shard as it lands,
+    // concurrently with the still-running job (submitJob, not runJob,
+    // so the caller thread is free to drain). The one-shard-at-a-time
+    // broadcast order is preserved; driver heap is bounded by the
+    // queue's transient depth — at most the broadcaster's lag behind
+    // result arrival, itself capped by the batch's maxResultSize/2
+    // result bytes — and each array is dropped right after its
+    // broadcast, exactly as before.
     var jlo = 0
     while (jlo < nShards) {
       val jhi = math.min(nShards, jlo + shardsPerJob)
       val base = jlo
-      sc.runJob(
+      val queue = new java.util.concurrent.LinkedBlockingQueue[
+        (Int, Array[(Long, Array[Long], Double)])]()
+      val fut = sc.submitJob(
         shardRdd,
-        (_: org.apache.spark.TaskContext,
-            it: Iterator[(Long, Array[Long], Double)]) =>
+        (it: Iterator[(Long, Array[Long], Double)]) =>
           it.toArray.sortBy(_._1),
-        base until jhi,
+        base until jhi: Seq[Int],
         (idx: Int, shard: Array[(Long, Array[Long], Double)]) =>
-          bcs(base + idx) = sc.broadcast(shard))
+          queue.put((base + idx, shard)),
+        ())
+      var received = 0
+      while (received < jhi - base) {
+        val item = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (item != null) {
+          bcs(item._1) = sc.broadcast(item._2)
+          received += 1
+        } else if (fut.isCompleted) {
+          // a failed job never delivers every result — surface its
+          // exception instead of polling forever (a successful early
+          // completion just means the queue already holds the rest)
+          fut.value.get.get
+        }
+      }
       jlo = jhi
     }
     val out = v.select(col(idCol), col("c"),

@@ -1519,8 +1519,13 @@ object Relational {
         // OFFSET spelling, so the hash gate itself proves keyset page 2
         // == OFFSET page 2. Ordering (o_totalprice desc, o_orderkey
         // asc) is total: the key tie-break makes the cursor exact.
+        // o_totalprice cast to double IN the projection, so the cursor
+        // boundary fetch below is schema-robust: an upstream
+        // decimal-typed orders table (TPC-H's physical type) would
+        // otherwise ClassCastException at getDouble instead of paging
         val orders = Tables.load(s, dir, "orders")
-          .select($"o_orderkey", $"o_totalprice")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_totalprice".cast("double").as("o_totalprice"))
         val p1last = graft.operators.PrepOps
           .firstPage(orders, "o_totalprice", "o_orderkey", 10)
           .orderBy($"o_totalprice".asc, $"o_orderkey".desc)

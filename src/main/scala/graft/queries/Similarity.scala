@@ -1244,8 +1244,161 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ----------------- incremental semantic-dedup index (s15)
+    GraftQuery(
+      "s15_incremental_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // The embedding-space st10: the 80% "existing" corpus (p05's
+        // md5 bucket) is batch 0 — k-means trains on it ONCE and the
+        // centroid table freezes in the durable index; the remaining
+        // 20% arrives as TWO increments (vec_id parity), each a single
+        // assign-against-frozen-centroids map pass + a within-cell
+        // probe of the stored assignments. The union of the increment
+        // outputs is exactly the within-cell pair set of the COMBINED
+        // corpus under the frozen clustering restricted to pairs
+        // touching >= 1 new doc, independent of batching — which is
+        // what the batch-SQL oracle (train on old, assign all, filter
+        // to touching-new) checks. The query IS the
+        // AnnOps.incrementalSemanticDedupDurable facade composed over
+        // three batches; replay/restart idempotence is pinned in
+        // PipelineOpsSpec.
+        val emb = Tables.load(s, dir, "embeddings")
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s15-").toString
+        def inc(batch: org.apache.spark.sql.DataFrame, id: Long) =
+          graft.operators.AnnOps.incrementalSemanticDedupDurable(
+            batch, "vec_id", "embedding", idxDir, id,
+            threshold = 0.35, cells = K, iters = 2)
+        inc(oldEmb, 0L) // trains + commits; old-old pairs not reported
+        val out1 = inc(newEmb.filter($"vec_id" % 2 === 0), 1L)
+        val out2 = inc(newEmb.filter($"vec_id" % 2 === 1), 2L)
+        out1.unionByName(out2)
+      },
+      Some(sqlIncrementalSemantic))
   )
+
+  /** DuckDB spelling of s15: 2 unrolled Lloyd iterations over the OLD
+    * (md5 bucket < 80) subset only — seeds are the K smallest old ids,
+    * cell = rank — then ONE assignment of the WHOLE corpus against the
+    * frozen iteration-2 centroids, within-cell exact-cosine pairs,
+    * restricted to pairs touching >= 1 new doc. The frozen-table
+    * contract makes this the exact batch spelling of the incremental
+    * operator's union.
+    */
+  private def sqlIncrementalSemantic: String = s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)) nrmr
+          FROM comp GROUP BY vec_id
+        ),
+        oldid AS (
+          SELECT vec_id FROM embeddings
+          WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
+            % 100 < 80
+        ),
+        tcomp AS (
+          SELECT c.vec_id, c.i, c.c FROM comp c
+          JOIN oldid o ON o.vec_id = c.vec_id
+        ),
+        seeds AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id FROM oldid ORDER BY vec_id LIMIT $K)
+        ),
+        cent0 AS (
+          SELECT s.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM seeds s JOIN comp c ON c.vec_id = s.vec_id GROUP BY 1, 2
+        ),
+        cnrm0 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent0 GROUP BY cell
+        ),
+        score1 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM tcomp v JOIN cent0 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c0.cnrmr) DESC, s.cell ASC) rn
+            FROM score1 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm0 c0 ON c0.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM assign1 a JOIN tcomp c ON c.vec_id = a.vec_id
+          GROUP BY 1, 2
+        ),
+        cnrm1 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent1 GROUP BY cell
+        ),
+        score2 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM comp v JOIN cent1 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c1.cnrmr) DESC, s.cell ASC) rn
+            FROM score2 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm1 c1 ON c1.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        cellpairs AS (
+          SELECT x.vec_id a, y.vec_id b
+          FROM assign2 x JOIN assign2 y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ),
+        dotp AS (
+          SELECT p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
+          FROM cellpairs p
+            JOIN comp ca ON ca.vec_id = p.a
+            JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+          GROUP BY 1, 2
+        ),
+        newid AS (
+          SELECT vec_id FROM embeddings
+          WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
+            % 100 >= 80
+        )
+        SELECT d.a, d.b,
+          (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+            AS cosine
+        FROM dotp d
+          JOIN nrm na ON na.vec_id = d.a
+          JOIN nrm nb ON nb.vec_id = d.b
+        WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+            >= 0.35
+          AND (d.a IN (SELECT vec_id FROM newid)
+            OR d.b IN (SELECT vec_id FROM newid))"""
 
   /** DuckDB spelling of s07/s11 (2 unrolled Lloyd iterations at k=3,
     * within-cell exact-cosine pairs): s11's sharded kernel is

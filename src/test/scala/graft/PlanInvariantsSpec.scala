@@ -148,8 +148,26 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d12 stays outside the blanket NLJ audit: the uncut scalar joins
     // onto the 4-row sweep as a bounded 1xN cross join (the
     // Relational.scala:774 convention). The candidate generation itself
-    // must keep the index shape.
-    val p = finalPlan("d12_containment_curve")
+    // must keep the index shape. Audited through the UNPINNED lazy
+    // variant: the public operator pins its |maxDfs|-row result and
+    // frees the staged blocks (the round-10 leak fix), which hides the
+    // join shape behind a checkpoint scan.
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "unrelated words entirely here now forever more"))
+      .toDF("doc_id", "text")
+    val (curve, release) = graft.operators.DedupOps
+      .containmentOperatingCurveLazy(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.9, maxDfs = Seq(2, 4), partitions = 2)
+    curve.count()
+    val p = curve.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    release()
     val s = p.toString()
     assert(s.contains("LeftAnti"), "d12 lost the heavy-hitter anti join")
     assert(s.contains("BroadcastHashJoin"),
@@ -442,5 +460,35 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = plans("q44_lateral_topn").toString()
     assert(s.contains("WindowGroupLimit"),
       "q44 lost the WindowGroupLimit decorrelation")
+  }
+
+  test("capped minhash dedup: the occupancy guard is IN the plan " +
+      "(anti join against saturated keys), no pair grid") {
+    // the round-10 hot-bucket guard: sub-cap candidates must come from
+    // a self-join of the ANTI-JOIN-pruned bucket rows (saturated keys
+    // excluded before the pair join), and the whole operator must stay
+    // equi-join-shaped — a cartesian/BNLJ anywhere means the guard or
+    // the star-edge path regressed to a pair grid
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.DedupOps.minhashNearDupsCapped(
+      docs, "doc_id", "text", shingleK = 3, bands = 2, rows = 2,
+      threshold = 0.5, maxOccupancy = 8, partitions = 2)
+    capped.count()
+    val p = capped.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val s = p.toString()
+    assert(s.contains("LeftAnti"),
+      s"occupancy guard's anti join missing from the plan:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "capped dedup degenerated to a pair grid")
   }
 }

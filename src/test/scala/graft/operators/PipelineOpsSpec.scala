@@ -805,6 +805,75 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { case (p, r) => f"P=$p $r%.2f" }.mkString(", "))
   }
 
+  test("incrementalSemanticDedupDurable: batching-independent, " +
+      "replay-idempotent, restart reads only committed state") {
+    val s = spark
+    import s.implicits._
+    // clustered corpus: 3 centers × 12 vectors (near-dups co-cluster);
+    // batch 0 = ids 0..23 (trains + freezes centroids), increments are
+    // ids 24..35
+    val rnd = new scala.util.Random(5521)
+    val centers = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f),
+      Array(0f, 0f, 10f))
+    val rows = (0 until 36).map { i =>
+      (i.toLong,
+        centers(i % 3).map(x => x + rnd.nextGaussian().toFloat * 0.2f))
+    }
+    val df = rows.toDF("vid", "v")
+    val base = df.filter($"vid" < 24)
+    val incA = df.filter($"vid" >= 24 && $"vid" % 2 === 0)
+    val incB = df.filter($"vid" >= 24 && $"vid" % 2 === 1)
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-s15-spec-").toString
+    def run(dir: String, batch: org.apache.spark.sql.DataFrame,
+        id: Long) =
+      AnnOps.incrementalSemanticDedupDurable(batch, "vid", "v", dir, id,
+        threshold = 0.9, cells = 3, iters = 2, partitions = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // one-shot: all 12 new docs in a single increment
+    val dirOne = tmp()
+    run(dirOne, base, 0L)
+    val oneShot = run(dirOne, df.filter($"vid" >= 24), 1L)
+    // incremental: the same 12 docs over two batches
+    val dirInc = tmp()
+    run(dirInc, base, 0L)
+    val p1 = run(dirInc, incA, 1L)
+    val p2 = run(dirInc, incB, 2L)
+    assert(p1.union(p2) == oneShot,
+      "incremental union must equal the one-shot touching-new pairs")
+    assert(p1.intersect(p2).isEmpty,
+      "a pair must surface exactly once (at its later endpoint)")
+    assert(oneShot.nonEmpty, "fixture produced no near pairs")
+    // replay (the foreachBatch retry): re-running batch 1 against the
+    // now-extended index must exclude its own previous commit and
+    // return EXACTLY the first run's pairs — batch 2's rows are
+    // committed, but none of its pairs touch batch 1 alone... so
+    // assert the replay is a superset-free reproduction of p1 plus
+    // only pairs against batch 2 that batch 2 itself already reported
+    val p1replay = run(dirInc, incA, 1L)
+    assert(p1replay -- p1 subsetOf p2,
+      "replay may only add pairs batch 2 already owns")
+    assert(p1 subsetOf p1replay, "replay lost pairs")
+    // restart: a FRESH process (new facade call, durable state only)
+    // appends batch 3 and must see every committed batch — pairs
+    // against batches 1 and 2 included
+    val incC = Seq((99L, centers(0).map(_ + 0.01f))).toDF("vid", "v")
+    val p3 = run(dirInc, incC, 3L)
+    val partners = p3.flatMap(t => Seq(t._1, t._2)) - 99L
+    assert(partners.exists(_ >= 24L),
+      s"restart probe missed increment-committed docs: $p3")
+    assert(partners.exists(_ < 24L),
+      s"restart probe missed base-committed docs: $p3")
+    // the training batch replayed through the FROZEN path (centroids
+    // exist now) reassigns bit-identically: same old-old pair set
+    val dirTrain = tmp()
+    val t0 = run(dirTrain, base, 0L)
+    val t0replay = run(dirTrain, base, 0L)
+    assert(t0 == t0replay,
+      "train-batch replay through the frozen path drifted")
+  }
+
   test("embeddingStats: exact per-dimension moments, dead dim flagged") {
     val s = spark
     import s.implicits._
