@@ -223,8 +223,11 @@ object DedupOps {
     * Saturated-key joins broadcast: there are at most
     * |bucket rows|/cap saturated keys (each holds > cap rows), the
     * same boundedness argument as dfCutCandidates' heavy-hitter
-    * anti-join. Returns (sub-cap candidate pairs (a, b) with a < b,
-    * star edges (a, b) with a = bucket min < b).
+    * anti-join. The saturated-key table is pinned (localCheckpoint —
+    * three consumers would otherwise recompute the occupancy shuffle);
+    * like [[staged]]'s corpus pin, the caller owns those (tiny)
+    * blocks for the session. Returns (sub-cap candidate pairs (a, b)
+    * with a < b, star edges (a, b) with a = bucket min < b).
     */
   private[graft] def occupancySplit(buckets: DataFrame, idCol: String,
       keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
