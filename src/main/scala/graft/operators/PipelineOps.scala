@@ -183,6 +183,13 @@ object DedupOps {
     * Parameter guidance: P(band collision) ~ j^rows per band — size
     * `rows` to the corpus's BACKGROUND similarity (high-overlap corpora
     * need rows ~ 8), `bands` to the target recall at the threshold.
+    *
+    * SCALE NOTE: on boilerplate-heavy corpora (one m-member duplicate
+    * class collapses into one bucket) this unguarded join emits
+    * O(m²/2) pairs inside a single key — use
+    * [[minhashNearDupsCapped]] with a cap chosen from
+    * [[bandOccupancyCurve]] (the d14 query proves the capped cluster
+    * resolution equals this operator's end to end).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
@@ -3000,11 +3007,22 @@ object AnnOps {
     * the documented trade for never re-clustering (re-train
     * deliberately by starting a new indexDir, then re-probe).
     */
+  /** `probe = false` skips the pair search and returns the empty pair
+    * frame after committing the batch — the SEED-batch spelling: a
+    * brand-new index's first (usually corpus-sized) batch has nothing
+    * prior to probe against, and its internal dedup is
+    * [[semanticNearDups]]'s job. At deployment scale the seed probe is
+    * the sequence's LARGEST within-cell pair pass (Σ|cell|² of the
+    * whole seed corpus) computed only to be discarded; at local test
+    * scale the query is per-call-overhead-dominated, so the flag's
+    * effect there is nil — it exists for the 100 TB seeding, not the
+    * bench. */
   def incrementalSemanticDedupDurable(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, batchId: Long,
       threshold: Double, cells: Int = 16, iters: Int = 2,
       partitions: Int = 0,
-      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes,
+      probe: Boolean = true): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val v = withRawNorm(scaled(batch, idCol, vecCol, partitions))
@@ -3032,6 +3050,18 @@ object AnnOps {
     release()
     own.write.mode("overwrite")
       .parquet(s"$indexDir/batches/batch=$batchId")
+    if (!probe) {
+      DedupOps.releaseLocalCheckpoint(own)
+      return s.createDataFrame(s.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val batchesPath = new org.apache.hadoop.fs.Path(s"$indexDir/batches")
     val hasOther = fs.listStatus(batchesPath).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("batch=") &&

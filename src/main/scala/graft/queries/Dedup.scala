@@ -991,7 +991,48 @@ object Dedup {
           shingleK = 5, bands = BANDS, rows = ROWS,
           threshold = JACCARD_T, caps = Seq(2, 8, 32, 128))
       },
-      Some(sqlOccupancyCurve(Seq(2, 8, 32, 128))))
+      Some(sqlOccupancyCurve(Seq(2, 8, 32, 128)))),
+
+    // --------------- capped dedup, end-to-end resolution (d14)
+    GraftQuery(
+      "d14_capped_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        // END-TO-END proof of the hot-bucket guard's central claim:
+        // resolving a saturated bucket as ONE cluster through its star
+        // edges yields the SAME dedup decision as the unguarded O(m²)
+        // pair join. Spark side: capped pairs (cap = 32 saturates the
+        // planted boilerplate family wherever it exceeds 32 members)
+        // fed to d06's connectedComponents; the ORACLE resolves the
+        // UNCUT pair set with the same recursive closure — so the hash
+        // gate passing IS the equivalence, instantiated on exactly the
+        // pathological corpus the guard exists for (the d13 curve
+        // measures the preconditions: sat_precision 1.0 at every SF).
+        val capped = graft.operators.DedupOps.minhashNearDupsCapped(
+          boilerplateFixture(s, dir), "doc_id", "text",
+          shingleK = 5, bands = BANDS, rows = ROWS,
+          threshold = JACCARD_T, maxOccupancy = 32)
+        graft.operators.DedupOps
+          .connectedComponents(capped.select($"a", $"b"), "a", "b")
+          .select($"id".as("doc_id"), $"cluster_id",
+            when($"is_survivor", 1).otherwise(0).as("is_survivor"))
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS ($sqlBoilerplateCorpus
+        ),
+        ${sqlMinhashCtes("corpus")},
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs
+        ),
+        reach(id, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT id AS doc_id, MIN(node) AS cluster_id,
+          CASE WHEN MIN(node) = id THEN 1 ELSE 0 END AS is_survivor
+        FROM reach GROUP BY id"""))
   )
 
   /** DuckDB spelling of [[graft.operators.DedupOps.bandOccupancyCurve]]

@@ -1273,11 +1273,14 @@ object Similarity {
         val newEmb = emb.filter(bucket >= 80)
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-s15-").toString
-        def inc(batch: org.apache.spark.sql.DataFrame, id: Long) =
+        def inc(batch: org.apache.spark.sql.DataFrame, id: Long,
+            probe: Boolean = true) =
           graft.operators.AnnOps.incrementalSemanticDedupDurable(
             batch, "vec_id", "embedding", idxDir, id,
-            threshold = 0.35, cells = K, iters = 2)
-        inc(oldEmb, 0L) // trains + commits; old-old pairs not reported
+            threshold = 0.35, cells = K, iters = 2, probe = probe)
+        // seed batch: train + commit only (probe = false — its
+        // within-seed pairs are s07's job and would be discarded here)
+        inc(oldEmb, 0L, probe = false)
         val out1 = inc(newEmb.filter($"vec_id" % 2 === 0), 1L)
         val out2 = inc(newEmb.filter($"vec_id" % 2 === 1), 2L)
         out1.unionByName(out2)
