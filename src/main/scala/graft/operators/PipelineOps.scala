@@ -3249,6 +3249,36 @@ object PrepOps {
       .drop("__w"), budget)
   }
 
+  /** Temperature-scaled domain mixture — the standard multilingual /
+    * multi-source sampling policy (weight_i ∝ avail_i^alpha): alpha = 1
+    * is proportional sampling (high-resource domains dominate),
+    * alpha = 0 is uniform, and the production range ~0.3–0.7 upsamples
+    * the tail without drowning the head. The derived weights feed the
+    * p08 exact-long [[waterfill]], so each domain's weight is computed
+    * ONCE on the |domains|-row aggregate and quantized to micro-units
+    * (double → DECIMAL(18,6) → ×10⁶, an integral value, so the long
+    * cast is exact in any engine). alpha = 0.5 routes through
+    * correctly-rounded `sqrt` and is therefore engine-exact
+    * bit-for-bit; other alphas go through libm `pow`, whose last-ulp
+    * platform variance the decimal quantization usually — not provably
+    * — absorbs (the oracle-checked p15 query pins the sqrt point).
+    * Returns the [[domainMixture]] plan columns.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String,
+      tokensCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0, s"temperatureMixture: alpha=$alpha")
+    val avail = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+    val powed =
+      if (alpha == 0.5) sqrt(col("avail_tokens").cast("double"))
+      else pow(col("avail_tokens").cast("double"), lit(alpha))
+    val weights = avail.select(col("domain"),
+      (powed.cast(DecimalType(18, 6)) * lit(1000000))
+        .cast("long").as("w"))
+    domainMixture(df, domainCol, tokensCol, weights, "domain", "w",
+      budget, defaultWeight = 1L)
+  }
+
   /** Two-round exact-long waterfill over a (domain, avail_tokens,
     * weight) aggregate — the shared core of both [[domainMixture]]
     * overloads. The unpartitioned windows see |domains| rows, never

@@ -602,6 +602,68 @@ object PipelineExtra {
         WHERE d.bucket * a.avail_tokens < a.alloc_tokens * 65536
         GROUP BY d.source, a.alloc_tokens""")),
 
+    // ---------------------- temperature-scaled mixture (p15)
+    GraftQuery(
+      "p15_temperature_mixture",
+      (s, dir) => {
+        import s.implicits._
+        // The standard multilingual/multi-source sampling policy:
+        // weight_i ∝ avail_i^alpha at alpha = 0.5 (upsample the tail,
+        // don't drown the head), composed with the p08 exact-long
+        // waterfill. Weights are derived on the |sources|-row
+        // aggregate and quantized to micro-units via one DECIMAL(18,6)
+        // cast of the correctly-rounded sqrt — engine-exact, so the
+        // whole plan hash-matches. The query IS the
+        // PrepOps.temperatureMixture facade call.
+        val docsT = Tables.load(s, dir, "documents")
+          .select($"source", expr("n_chars div 4").as("toks"))
+        graft.operators.PrepOps.temperatureMixture(
+            docsT, "source", "toks", alpha = 0.5, budget = MixBudget)
+          .select($"domain".as("source"), $"weight", $"avail_tokens",
+            $"target_tokens", $"alloc_tokens", $"fill_ratio")
+      },
+      Some(s"""
+        WITH avail AS (
+          SELECT source,
+            CAST(SUM(n_chars // 4) AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY 1
+        ),
+        w AS (
+          SELECT source, avail_tokens,
+            CAST(CAST(sqrt(CAST(avail_tokens AS DOUBLE))
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS weight
+          FROM avail
+        ),
+        r1 AS (
+          SELECT source, weight, avail_tokens,
+            ($MixBudget * weight) // CAST(SUM(weight) OVER () AS BIGINT)
+              AS target_tokens
+          FROM w
+        ),
+        r1a AS (
+          SELECT *, LEAST(avail_tokens, target_tokens) AS r1_alloc FROM r1
+        ),
+        r2 AS (
+          SELECT *,
+            CAST($MixBudget - SUM(r1_alloc) OVER () AS BIGINT) AS leftover,
+            avail_tokens - r1_alloc AS rem_cap,
+            CAST(SUM(CASE WHEN avail_tokens > r1_alloc THEN weight ELSE 0 END)
+              OVER () AS BIGINT) AS surplus_w
+          FROM r1a
+        )
+        SELECT source, weight, avail_tokens, target_tokens,
+          r1_alloc + LEAST(rem_cap,
+            CASE WHEN rem_cap > 0 AND surplus_w > 0
+              THEN (leftover * weight) // surplus_w ELSE 0 END)
+            AS alloc_tokens,
+          CASE WHEN target_tokens > 0
+            THEN CAST(r1_alloc + LEAST(rem_cap,
+              CASE WHEN rem_cap > 0 AND surplus_w > 0
+                THEN (leftover * weight) // surplus_w ELSE 0 END)
+              AS DOUBLE) / target_tokens
+            ELSE NULL END AS fill_ratio
+        FROM r2""")),
+
     // ---------------------- end-to-end corpus build capstone (p14)
     GraftQuery(
       "p14_corpus_build",

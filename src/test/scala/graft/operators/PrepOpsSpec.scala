@@ -378,6 +378,34 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample universe wrong: $all")
   }
 
+  test("temperatureMixture: alpha=0 is uniform, alpha=1 proportional, " +
+      "alpha=0.5 between — all through the exact waterfill") {
+    val s = spark
+    import s.implicits._
+    // three domains with 1:4:16 token availability and a budget small
+    // enough that targets bind (nothing caps at avail)
+    val df = Seq.tabulate(21) { i =>
+      val d = if (i < 1) "small" else if (i < 5) "mid" else "big"
+      (i.toLong, d, 100L)
+    }.toDF("id", "dom", "toks")
+    def targets(alpha: Double): Map[String, Long] =
+      PrepOps.temperatureMixture(df, "dom", "toks", alpha, budget = 420L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val uni = targets(0.0)
+    assert(uni("small") == uni("mid") && uni("mid") == uni("big"),
+      s"alpha=0 must weight uniformly: $uni")
+    val prop = targets(1.0)
+    assert(prop("big") == 16 * prop("small") &&
+      prop("mid") == 4 * prop("small"),
+      s"alpha=1 must weight proportionally: $prop")
+    val sq = targets(0.5) // sqrt(1):sqrt(4):sqrt(16) = 1:2:4
+    assert(sq("big") == 4 * sq("small") && sq("mid") == 2 * sq("small"),
+      s"alpha=0.5 must weight by sqrt(avail): $sq")
+    // the tail's share strictly grows as alpha falls
+    assert(uni("small") > sq("small") && sq("small") > prop("small"),
+      "lower alpha must upsample the tail")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
