@@ -1164,7 +1164,27 @@ object TextOps {
     val docs = DedupOps.staged(df, idCol, textCol, partitions)
     val base = docs.select(col("doc_id").as("id"),
       size(split(col("text"), " ")).cast("long").as("n_words"))
-    val grams = TextKernels.positionalGrams(df.sparkSession, docs, k)
+    val perDoc = mergedDupSpans(docs, k, minCount)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e0") - col("s0")).as("dup_words"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (coalesce(col("dup_words"), lit(0L)).cast("double") /
+          col("n_words")).as("dup_ratio"))
+  }
+
+  /** The merged duplicate-span table (id, s0, e0) shared by
+    * [[duplicateSpans]] (which REPORTS it) and [[removeDuplicateSpans]]
+    * (which EXECUTES it) — one spelling, so the removal can never
+    * drift from the plan the report prices. `docs` is a staged
+    * (doc_id, text) frame.
+    */
+  private def mergedDupSpans(docs: DataFrame, k: Int,
+      minCount: Int): DataFrame = {
+    val grams = TextKernels.positionalGrams(docs.sparkSession, docs, k)
       .localCheckpoint()
     val dupg = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))
@@ -1175,7 +1195,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val perDoc = dup
+    dup
       .withColumn("pmax", max(col("e")).over(wPrev))
       .withColumn("ni",
         when(col("pmax").isNull || col("pos") > col("pmax"), 1L)
@@ -1183,15 +1203,57 @@ object TextOps {
       .withColumn("isl", sum(col("ni")).over(wRun))
       .groupBy(col("id"), col("isl"))
       .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("e0") - col("s0")).as("dup_words"))
-    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("s0"), col("e0"))
+  }
+
+  /** EXECUTE the [[duplicateSpans]] removal plan: rewrite every
+    * document with its merged duplicate spans deleted. d09 prices the
+    * plan (n_dup_spans / dup_words per doc); this operator acts on it
+    * with the SAME span table, so `n_words_after` equals d09's
+    * `n_words - dup_words` exactly (DedupOpsSpec pins the identity
+    * and the oracle-checked d15 query pins the rewritten text). The
+    * cleaned text is reported as md5 so the result stays skinny.
+    *
+    * Semantics: ALL marked occurrences are removed — the aggressive
+    * arm of substring dedup (both copies of a duplicated run are
+    * inside spans). Keep-one-copy needs an occurrence-ranking pass
+    * over the gram table (the d07 canonical-selection analog at span
+    * granularity) and belongs to the plan's consumer.
+    *
+    * Scale shape: one positional-gram kernel pass, the df-cut-style
+    * duplicated-gram join, per-doc windows for span merge, then ONE
+    * id-keyed join of the word table against the (small, span-count-
+    * sized) span table with a range predicate — never a pairwise or
+    * gram-frequency-dependent join; the rebuild aggregation sorts
+    * doc-sized word lists. Returns (id, n_words, n_words_after,
+    * clean_md5).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 10, minCount: Int = 2,
+      partitions: Int = 0): DataFrame = {
+    require(k >= 1 && minCount >= 2,
+      s"removeDuplicateSpans: k=$k minCount=$minCount")
+    val docs = DedupOps.staged(df, idCol, textCol, partitions)
+    val spans = mergedDupSpans(docs, k, minCount)
+      .select(col("id").as("sid"), col("s0"), col("e0"))
+    val words = docs.select(col("doc_id").as("id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("w"))
+    val kept = words.join(spans,
+      col("id") === col("sid") &&
+        col("pos") >= col("s0") && col("pos") < col("e0"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    docs.select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_words"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
-        (coalesce(col("dup_words"), lit(0L)).cast("double") /
-          col("n_words")).as("dup_ratio"))
+        coalesce(col("n_words_after"), lit(0L)).as("n_words_after"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
   }
 
   /** Intra-document repetition (the Gopher boilerplate/spam filter):
@@ -3247,6 +3309,46 @@ object PrepOps {
             lit("mixture weight must be positive for domain "),
             col("domain"))).cast("long")))
       .drop("__w"), budget)
+  }
+
+  /** Length-bucketed batching — the padding-efficiency prep every
+    * fixed-shape trainer runs: a batch is padded to its LONGEST
+    * member, so batching docs of similar length together turns wasted
+    * pad tokens into real throughput. Docs are bucketed by
+    * ceil(len / bucketWidth), ordered (len, id) within the bucket (the
+    * secondary sort squeezes intra-batch spread further), and grouped
+    * into `batchSize`-doc batches; per batch the audit reports
+    * n_docs, max_len, sum_tokens, and padded_tokens =
+    * n_docs × max_len − sum_tokens (the pad bill under
+    * pad-to-batch-max). All exact integer arithmetic — the oracle-
+    * checked p16 query pins it.
+    *
+    * Scale shape: one hash shuffle on the bucket key; the row_number
+    * window partitions per bucket, so a single over-full bucket is one
+    * task's window — size `bucketWidth` so buckets stay bounded, or
+    * pre-shard with a group column exactly like [[packSequences]]'s
+    * groups when one length class dominates the corpus. Returns
+    * (bucket, batch_idx, n_docs, max_len, sum_tokens, padded_tokens).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+      tokensCol: String, bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth")
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("bucket",
+        ((col("len") - 1) / bucketWidth).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("len").asc, col("id").asc)
+    base
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_tokens"))
+      .withColumn("padded_tokens",
+        col("n_docs") * col("max_len") - col("sum_tokens"))
   }
 
   /** Temperature-scaled domain mixture — the standard multilingual /

@@ -1032,7 +1032,82 @@ object Dedup {
         )
         SELECT id AS doc_id, MIN(node) AS cluster_id,
           CASE WHEN MIN(node) = id THEN 1 ELSE 0 END AS is_survivor
-        FROM reach GROUP BY id"""))
+        FROM reach GROUP BY id""")),
+
+    // --------------------- duplicate-span removal, executed (d15)
+    GraftQuery(
+      "d15_dup_span_removal",
+      (s, dir) => {
+        import s.implicits._
+        // d09 PRICES the per-doc removal plan (merged duplicate spans,
+        // dup_words); this query EXECUTES it through the same span
+        // table: every document rewritten with its marked spans
+        // deleted, n_words_after == d09's n_words − dup_words by
+        // construction, the rewritten text pinned as md5. The query IS
+        // the TextOps.removeDuplicateSpans facade call — the step that
+        // turns the substring-dedup REPORT into a cleaned corpus.
+        graft.operators.TextOps.removeDuplicateSpans(
+            docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+            k = 10)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') ws FROM documents
+        ),
+        gpos AS (
+          SELECT doc_id, pos, array_to_string(ws[pos+1 : pos+10], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 9)) AS pos
+                FROM ws WHERE len(ws) >= 10)
+        ),
+        dupg AS (
+          SELECT g FROM (SELECT g, COUNT(*) c FROM gpos GROUP BY g)
+          WHERE c >= 2
+        ),
+        dup AS (
+          SELECT doc_id, CAST(pos AS BIGINT) pos, CAST(pos + 10 AS BIGINT) e
+          FROM gpos JOIN dupg USING (g)
+        ),
+        isl AS (
+          SELECT doc_id, pos, e,
+            CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS ni
+          FROM dup
+        ),
+        isl2 AS (
+          SELECT doc_id, pos, e,
+            SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS isl
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, isl, MIN(pos) s0, MAX(e) e0
+          FROM isl2 GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT doc_id,
+            CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+            unnest(ws) AS w
+          FROM ws
+        ),
+        kept AS (
+          SELECT w.doc_id, w.pos, w.w FROM w
+          ANTI JOIN spans s
+            ON w.doc_id = s.doc_id AND w.pos >= s.s0 AND w.pos < s.e0
+        ),
+        reb AS (
+          SELECT doc_id, COUNT(*) AS n_after,
+            string_agg(w, ' ' ORDER BY pos) AS txt
+          FROM kept GROUP BY doc_id
+        )
+        SELECT ws.doc_id, CAST(len(ws.ws) AS BIGINT) AS n_words,
+          CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_words_after,
+          md5(COALESCE(r.txt, '')) AS clean_md5
+        FROM ws LEFT JOIN reb r ON r.doc_id = ws.doc_id"""))
   )
 
   /** DuckDB spelling of [[graft.operators.DedupOps.bandOccupancyCurve]]

@@ -602,6 +602,46 @@ object PipelineExtra {
         WHERE d.bucket * a.avail_tokens < a.alloc_tokens * 65536
         GROUP BY d.source, a.alloc_tokens""")),
 
+    // ---------------------- length-bucketed batching (p16)
+    GraftQuery(
+      "p16_length_buckets",
+      (s, dir) => {
+        import s.implicits._
+        // Padding-efficiency batching: a fixed-shape trainer pads each
+        // batch to its longest member, so batching similar-length docs
+        // together converts pad tokens into throughput. Docs bucket by
+        // ceil(words/32), sort (len, id) within the bucket, group into
+        // 8-doc batches; the audit reports each batch's pad bill
+        // exactly. The query IS the PrepOps.lengthBucketBatches facade
+        // call.
+        graft.operators.PrepOps.lengthBucketBatches(
+            Tables.load(s, dir, "documents")
+              .select($"doc_id",
+                size(split($"text", " ")).cast("long").as("toks")),
+            "doc_id", "toks", bucketWidth = 32, batchSize = 8)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id AS id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0
+        ),
+        b AS (
+          SELECT id, len, (len - 1) // 32 AS bucket FROM d
+        ),
+        r AS (
+          SELECT bucket, len,
+            (row_number() OVER (PARTITION BY bucket
+              ORDER BY len ASC, id ASC) - 1) // 8 AS batch_idx
+          FROM b
+        )
+        SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+          MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS sum_tokens,
+          COUNT(*) * MAX(len) - CAST(SUM(len) AS BIGINT)
+            AS padded_tokens
+        FROM r GROUP BY 1, 2""")),
+
     // ---------------------- temperature-scaled mixture (p15)
     GraftQuery(
       "p15_temperature_mixture",

@@ -168,6 +168,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lo.getDouble(9) < 1.0, "delegation shows up as pair recall")
   }
 
+  test("bandOccupancyCurve measures sat_precision < 1 when a bucket " +
+      "saturates on NON-duplicates (the curve is a real measurement)") {
+    val s = spark
+    import s.implicits._
+    // adversarial bucket: at shingleK=1/bands=1/rows=1 the band key is
+    // the min word md5 — every doc carrying the common word w* (whose
+    // md5 is the minimum in each doc) co-buckets, but members share
+    // ONLY w*, so pairwise jaccard ~ 1/9 << 0.8: a bucket that
+    // saturates on non-duplicates. The curve must price that honestly
+    // — delegated pairs with LOW precision — which is exactly the
+    // signal telling an operator NOT to cap at that occupancy. (On the
+    // d13 fixture precision is 1.0 because the synthetic corpus only
+    // collides true dups; this test pins the other arm.)
+    // w* = "a": md5("0:a") starts 00b4... — minimal vs the fillers by
+    // construction (they're drawn until their md5 exceeds it; asserted
+    // below instead of assumed).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(w: String) = md.digest(s"0:$w".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val fillers = (1 to 100).map(i => s"filler$i")
+      .filter(w => h(w) > h("a")).take(40)
+    assert(fillers.size == 40, "need 40 fillers hashing above w*")
+    val docs = (0 until 8).map { i =>
+      (100L + i, ("a" +: fillers.slice(i * 5, i * 5 + 5)).mkString(" "))
+    }.toDF("my_id", "body")
+    val curve = DedupOps.bandOccupancyCurve(docs, "my_id", "body",
+      shingleK = 1, bands = 1, rows = 1, threshold = 0.8,
+      caps = Seq(4), partitions = 2).collect()
+    val row = curve.head
+    assert(row.getLong(1) == 1L, s"one saturated bucket expected: $row")
+    assert(row.getLong(4) == 28L,
+      s"all C(8,2) pairs delegated: $row")
+    assert(row.getDouble(6) == 0.0,
+      s"no delegated pair is a real dup — precision must be 0: $row")
+  }
+
   test("ngramJaccardNearDups verifies with exact jaccard") {
     val rows = DedupOps.ngramJaccardNearDups(
       corpus(), "my_id", "body", shingleK = 3, threshold = 0.5,
@@ -483,6 +519,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 2 (14 words): the run starts at word 2 -> island [2, 14)
     assert(out(2L) == ((14L, 1L, 12L, 12.0 / 14.0)))
     assert(out(3L) == ((15L, 0L, 0L, 0.0)))
+  }
+
+  test("removeDuplicateSpans executes exactly the plan duplicateSpans " +
+      "prices: n_words_after == n_words - dup_words, text rebuilt in " +
+      "order") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 12).map(i => s"rep$i").mkString(" ") // 12 words
+    val docs = Seq(
+      (1L, s"intro one two three $boiler tail words here"),
+      (2L, s"different opening text $boiler closing remarks now"),
+      (3L, "wholly unique document with no repeated grams inside"))
+      .toDF("my_id", "body")
+    val plan = TextOps.duplicateSpans(docs, "my_id", "body", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3))).toMap // id -> (n_words, dup_words)
+    val out = TextOps.removeDuplicateSpans(docs, "my_id", "body", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every doc must survive")
+    out.foreach { case (id, (n, after, _)) =>
+      val (pn, dup) = plan(id)
+      assert(n == pn && after == n - dup,
+        s"doc $id: removal ($after) drifted from the plan ($n - $dup)")
+    }
+    // doc 3 untouched: cleaned text is the original (md5 equality)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(t: String) = md.digest(t.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(3L)._3 ==
+      m("wholly unique document with no repeated grams inside"))
+    // docs 1/2 shared a >= 10-word run: it is gone from BOTH (the
+    // documented aggressive arm), remainder in original order
+    assert(out(1L)._3 == m("intro one two three tail words here"))
+    assert(out(2L)._3 == m("different opening text closing remarks now"))
   }
 
   test("perplexityScore: common-word docs keep, rare-word docs drop") {

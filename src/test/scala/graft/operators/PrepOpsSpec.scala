@@ -406,6 +406,42 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lower alpha must upsample the tail")
   }
 
+  test("lengthBucketBatches: exact pad bill, bucket width respected, " +
+      "bucketed padding beats id-order batching") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(8844)
+    // bimodal lengths (short ~10, long ~100) shuffled across ids —
+    // the case bucketing exists for
+    val rows = (0 until 64).map { i =>
+      val len = if (rnd.nextBoolean()) 8 + rnd.nextInt(5)
+        else 95 + rnd.nextInt(10)
+      (i.toLong, len.toLong)
+    }
+    val df = rows.toDF("id", "len")
+    val out = PrepOps.lengthBucketBatches(df, "id", "len",
+      bucketWidth = 16, batchSize = 8).collect()
+    // invariants: every batch's members fit its bucket's length range,
+    // counts conserve, pad bill is the exact identity
+    assert(out.map(_.getLong(2)).sum == 64L, "doc count must conserve")
+    out.foreach { r =>
+      val (bucket, n, mx, sm, pad) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n <= 8L)
+      assert(mx <= (bucket + 1) * 16 && mx > bucket * 16,
+        s"max_len $mx outside bucket $bucket's range")
+      assert(pad == n * mx - sm, "pad identity broken")
+    }
+    val bucketedPad = out.map(_.getLong(5)).sum
+    // id-order batching of the same corpus: batch i = ids 8i..8i+7
+    val naivePad = rows.sortBy(_._1).grouped(8).map { g =>
+      val mx = g.map(_._2).max
+      g.size * mx - g.map(_._2).sum
+    }.sum
+    assert(bucketedPad < naivePad / 4,
+      s"bucketing must slash the pad bill: $bucketedPad vs $naivePad")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
