@@ -1285,6 +1285,61 @@ object Similarity {
         val out2 = inc(newEmb.filter($"vec_id" % 2 === 1), 2L)
         out1.unionByName(out2)
       },
+      Some(sqlIncrementalSemantic)),
+
+    // ------- incremental semantic dedup through REAL streaming (st16)
+    GraftQuery(
+      "st16_incremental_semantic_stream",
+      (s, dir) => {
+        import s.implicits._
+        // s15's daily-increment pattern END-TO-END through the
+        // streaming engine (the st10 discipline in embedding space):
+        // the 80% corpus seeds the durable index (train + freeze, no
+        // probe), then the 20% increment ARRIVES AS A STREAM — a file
+        // source in 3 real microbatches (maxFilesPerTrigger) — and
+        // each microbatch runs one assign-against-frozen-centroids
+        // pass + a within-cell probe via foreachBatch. The union of
+        // per-batch outputs equals the batch spelling INDEPENDENT of
+        // how the stream was microbatched (a pair surfaces when its
+        // later endpoint arrives), so the oracle is s15's verbatim.
+        val emb = Tables.load(s, dir, "embeddings")
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-st16-").toString
+        graft.operators.AnnOps.incrementalSemanticDedupDurable(
+          oldEmb, "vec_id", "embedding", idxDir, 0L,
+          threshold = 0.35, cells = K, iters = 2, probe = false)
+        val newDir = java.nio.file.Files
+          .createTempDirectory("graft-st16-new-").toString
+        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+        val stream = s.readStream.schema(newEmb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(newDir)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
+          "st16") { (batch, bid) =>
+          if (!batch.isEmpty) {
+            // bid + 1: microbatch ids start at 0, the seed owns 0
+            acc += graft.operators.AnnOps.incrementalSemanticDedupDurable(
+              batch.localCheckpoint(), "vec_id", "embedding", idxDir,
+              bid + 1L, threshold = 0.35, cells = K, iters = 2)
+          }
+        }
+        acc.reduceOption(_ unionByName _).getOrElse(
+          s.createDataFrame(s.sparkContext.emptyRDD[
+              org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("a",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("b",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cosine",
+                org.apache.spark.sql.types.DoubleType)))))
+      },
       Some(sqlIncrementalSemantic))
   )
 
