@@ -240,18 +240,23 @@ object DedupOps {
       keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
     require(cap >= 1, s"occupancySplit: cap=$cap must be >= 1")
     val keys = keyCols.map(col)
-    val sat = buckets.groupBy(keys: _*).agg(count(lit(1)).as("m"))
-      .filter(col("m") > cap).select(keys: _*)
+    // ONE aggregation computes both the occupancy and each saturated
+    // bucket's root (min id) — the saturated rows are by definition the
+    // corpus's hottest keys, so a second groupBy over them would be a
+    // second full shuffle of exactly the heaviest data (REVIEW)
+    val sat = buckets.groupBy(keys: _*)
+      .agg(count(lit(1)).as("m"), min(col(idCol)).as("a"))
+      .filter(col("m") > cap)
+      .select(keys :+ col("a"): _*)
       .localCheckpoint()
-    val sub = buckets.join(broadcast(sat), keyCols, "left_anti")
+    val sub = buckets.join(broadcast(sat.select(keys: _*)),
+      keyCols, "left_anti")
     val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
     val cand = sub.as("x").join(sub.as("y"), joinCond)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val satRows = buckets.join(broadcast(sat), keyCols)
-    val roots = satRows.groupBy(keys: _*).agg(min(col(idCol)).as("a"))
-    val star = satRows.join(broadcast(roots), keyCols)
+    val star = buckets.join(broadcast(sat), keyCols)
       .filter(col(idCol) =!= col("a"))
       .select(col("a"), col(idCol).as("b"))
       .distinct()
@@ -846,18 +851,38 @@ object DedupOps {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** [[simhashNearDups]] with the hot-bucket occupancy guard (see
-    * [[occupancySplit]] — same contract as [[minhashNearDupsCapped]],
-    * bucket key = (byte position, byte value)). SimHash byte buckets
-    * saturate even faster than MinHash bands on boilerplate corpora:
-    * there are only 4 × 256 bucket keys in total, so ANY m-doc
-    * duplicate family lands all m members in the same four buckets.
-    * Returns (a, b, hamming, saturated): verified pairs carry their
-    * exact hamming and saturated = false; saturated-bucket star edges
-    * carry hamming = null and saturated = true, for direct resolution
-    * through [[connectedComponents]]/[[canonicalSelection]]. With
+  /** [[simhashNearDups]] with a hot-bucket guard — but NOT the star-edge
+    * delegation [[minhashNearDupsCapped]] uses, which would be UNSOUND
+    * here: the byte-bucket keyspace is only 4 × 256 keys, so buckets
+    * saturate from corpus size alone (~N/256 docs per key at any
+    * N ≳ 256 × cap) and co-residents of a saturated byte bucket are
+    * mostly NON-duplicates — star edges would weld the corpus into
+    * ≤ 1024 garbage clusters. The sound resolution uses the signature
+    * the buckets index: within a saturated bucket, members COLLAPSE by
+    * their full 32-bit simhash (equality there is hamming 0 — an exact
+    * verified relation in a 2³²-key space), each group emitting
+    * (rep = min id → member, hamming 0) edges, and only the DISTINCT-
+    * simhash representatives enter the pair join. Equal-simhash docs
+    * are interchangeable for hamming, so cluster resolution over this
+    * output is EXACTLY [[simhashNearDups]]'s — not probabilistic like
+    * the minhash guard — while the boilerplate pathology (m identical
+    * docs) costs m collapse rows instead of C(m, 2) pairs.
+    *
+    * Returns (a, b, hamming, saturated): sub-cap pairs carry
+    * saturated = false; collapse edges and representative pairs carry
+    * saturated = true (member↔member and member↔other-rep pairs are
+    * implied through the representative — the output is for CLUSTER
+    * resolution, [[connectedComponents]]/[[canonicalSelection]]). With
     * `maxOccupancy` at or above the max bucket occupancy this returns
     * exactly [[simhashNearDups]]'s rows (PipelineOpsSpec pins it).
+    *
+    * STRUCTURAL BOUND, stated honestly: after the collapse the pair
+    * join is quadratic in the distinct-simhash occupancy of saturated
+    * buckets, and byte banding cannot shrink that (1024 keys total).
+    * A corpus whose saturated buckets hold many DISTINCT simhashes —
+    * genuinely diverse data at N ≫ 256 × cap — has outgrown 32-bit
+    * byte-banded SimHash itself; use [[minhashNearDupsCapped]] (an
+    * unbounded band keyspace) at that scale.
     */
   def simhashNearDupsCapped(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxOccupancy: Int = 1000,
@@ -866,24 +891,44 @@ object DedupOps {
       "byte banding only guarantees recall for hamming <= 3 of 32 bits")
     val docs = staged(df, idCol, textCol, partitions)
     val sig = TextKernels.simhash32(df.sparkSession, docs).localCheckpoint()
-    val bytes = sig.select(col("doc_id"), explode(array(
+    val bytes = sig.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(c => struct(
           lit(c).as("pos"),
           shiftright(col("simhash"), c * 8).bitwiseAND(lit(255)).as("byte"))): _*))
       .as("bb"))
-      .select(col("doc_id"), col("bb.pos"), col("bb.byte"))
-    val (cand, star) = occupancySplit(bytes, "doc_id",
-      Seq("pos", "byte"), maxOccupancy)
-    val sa = sig.select(col("doc_id").as("a"), col("simhash").as("sim_a"))
-    val sb = sig.select(col("doc_id").as("b"), col("simhash").as("sim_b"))
-    cand.join(sa, Seq("a")).join(sb, Seq("b"))
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"),
-        lit(false).as("saturated"))
-      .unionByName(star.select(col("a"), col("b"),
-        lit(null).cast("int").as("hamming"),
-        lit(true).as("saturated")))
+      .select(col("doc_id"), col("simhash"), col("bb.pos"), col("bb.byte"))
+    val satKeys = bytes.groupBy(col("pos"), col("byte"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
+      .select(col("pos"), col("byte")).localCheckpoint()
+    val sub = bytes.join(broadcast(satKeys), Seq("pos", "byte"),
+      "left_anti")
+    def hammingPairs(rows: DataFrame, idC: String, sat: Boolean)
+        : DataFrame =
+      rows.as("x").join(rows.as("y"),
+          col("x.pos") === col("y.pos") && col("x.byte") === col("y.byte")
+            && col(s"x.$idC") < col(s"y.$idC"))
+        .select(col(s"x.$idC").as("a"), col(s"y.$idC").as("b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a"), col("b"), col("hamming"),
+          lit(sat).as("saturated"))
+    val verified = hammingPairs(sub, "doc_id", sat = false)
+    val satRows = bytes.join(broadcast(satKeys), Seq("pos", "byte"))
+    val groups = satRows
+      .groupBy(col("pos"), col("byte"), col("simhash"))
+      .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint()
+    val collapse = satRows.join(groups, Seq("pos", "byte", "simhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"),
+        lit(0).cast("int").as("hamming"), lit(true).as("saturated"))
+      .distinct()
+    val repPairs = hammingPairs(
+      groups.select(col("rep"), col("simhash"), col("pos"), col("byte")),
+      "rep", sat = true)
+    verified.unionByName(collapse).unionByName(repPairs)
   }
 }
 
@@ -2479,39 +2524,83 @@ object AnnOps {
       .filter(col("cosine") >= threshold)
   }
 
-  /** [[cosineNearDupsLsh]] with the hot-bucket occupancy guard (see
-    * [[DedupOps.occupancySplit]] — same contract as
-    * [[DedupOps.minhashNearDupsCapped]], bucket key = (band, code)): an
-    * embedding corpus with a large family of near-identical vectors
-    * (boilerplate docs embed near-identically) puts all m members in
-    * the same sign-band buckets, and the unguarded join emits O(m²)
-    * candidates inside one key. Sub-cap buckets verify exactly;
-    * saturated buckets emit star edges for cluster resolution. Returns
-    * (a, b, cosine, saturated) — cosine null on star edges. With
-    * `maxOccupancy` at or above the max bucket occupancy this returns
-    * exactly [[cosineNearDupsLsh]]'s rows (PipelineOpsSpec pins it).
+  /** [[cosineNearDupsLsh]] with a hot-bucket guard — and like
+    * [[DedupOps.simhashNearDupsCapped]], NOT the raw star-edge
+    * delegation: the (band, code) keyspace is only
+    * bands × 2^rowsPerBand keys (8192 at defaults), so buckets
+    * saturate from corpus size alone and a saturated bucket's
+    * co-residents share just rowsPerBand sign bits — mostly
+    * non-neighbors. The sound resolution collapses saturated-bucket
+    * members by their FULL signature (all bands' codes — a
+    * 2^(rowsPerBand × bands) = 2²⁵⁶-key space at defaults, so equality
+    * there is corpus-size-independent evidence): full-signature groups
+    * emit (rep = min id → member) edges — 256 agreeing sign bits, the
+    * same near-certain-duplicate class the minhash band guard
+    * delegates on — and only the DISTINCT-signature representatives
+    * enter the pair join, with exact-cosine verification as always.
+    * Returns (a, b, cosine, saturated): cosine null on collapse edges
+    * (delegated, not individually verified), exact elsewhere; output
+    * is for CLUSTER resolution — member-level pairs route through
+    * representatives, so a borderline pair within a collapse group's
+    * (tiny) diameter of the threshold may flip, the documented cost.
+    * With `maxOccupancy` at or above the max bucket occupancy this
+    * returns exactly [[cosineNearDupsLsh]]'s rows (PipelineOpsSpec
+    * pins it). The distinct-signature quadratic bound parallels
+    * [[DedupOps.simhashNearDupsCapped]]'s note; diverse corpora
+    * saturating at N ≫ 2^rowsPerBand × cap should raise rowsPerBand
+    * (the keyspace dial simhash's fixed bytes lack).
     */
   def cosineNearDupsLshCapped(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, rowsPerBand: Int = 8, bands: Int = 32,
       maxOccupancy: Int = 1000, partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val sig = signLshSignatures(v, rowsPerBand, bands)
-    val (cand, star) = DedupOps.occupancySplit(sig, "id",
-      Seq("band", "code"), maxOccupancy)
+    // full signature per id: md5 over the band-ordered code list (one
+    // |corpus|-row aggregate, computed once)
+    val full = sig.groupBy(col("id"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", lpad(col("band").cast("string"), 4, "0"),
+          col("code")))))).as("fsig"))
+      .localCheckpoint()
+    val satKeys = sig.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
+      .select(col("band"), col("code")).localCheckpoint()
+    val sub = sig.join(broadcast(satKeys), Seq("band", "code"),
+      "left_anti")
     val av = v.select(col("id").as("a"), col("c").as("ac"),
       col("nrm").as("anrm"))
     val bv = v.select(col("id").as("b"), col("c").as("bc"),
       col("nrm").as("bnrm"))
-    cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
-      .select(col("a"), col("b"),
-        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
-          (col("anrm") * col("bnrm"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .select(col("a"), col("b"), col("cosine"),
-        lit(false).as("saturated"))
-      .unionByName(star.select(col("a"), col("b"),
-        lit(null).cast("double").as("cosine"),
-        lit(true).as("saturated")))
+    def verify(cand: DataFrame, sat: Boolean): DataFrame =
+      cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
+        .select(col("a"), col("b"),
+          ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+            (col("anrm") * col("bnrm"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .select(col("a"), col("b"), col("cosine"),
+          lit(sat).as("saturated"))
+    val cand = sub.as("x").join(sub.as("y"),
+        col("x.band") === col("y.band") && col("x.code") === col("y.code")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val satRows = sig.join(broadcast(satKeys), Seq("band", "code"))
+      .join(full, Seq("id"))
+    val groups = satRows
+      .groupBy(col("band"), col("code"), col("fsig"))
+      .agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val collapse = satRows.join(groups, Seq("band", "code", "fsig"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"),
+        lit(null).cast("double").as("cosine"), lit(true).as("saturated"))
+      .distinct()
+    val repCand = groups.as("x").join(groups.as("y"),
+        col("x.band") === col("y.band") && col("x.code") === col("y.code")
+          && col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("a"), col("y.rep").as("b")).distinct()
+    verify(cand, sat = false)
+      .unionByName(collapse)
+      .unionByName(verify(repCand, sat = true))
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,
@@ -3087,7 +3176,13 @@ object AnnOps {
       probe: Boolean = true): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val v = withRawNorm(scaled(batch, idCol, vecCol, partitions))
+    // both stagings are released before return (REVIEW: this operator
+    // is CALLED PER BATCH in a long-lived session — st16 once per
+    // microbatch — so un-released per-call pins would accumulate for
+    // the session lifetime, the same leak class the operating curves
+    // fixed this round)
+    val stagedV = scaled(batch, idCol, vecCol, partitions)
+    val v = withRawNorm(stagedV)
     // Hadoop FS, not java.io.File: DFS paths in production (the
     // loadMinhashIndex lesson)
     val conf = s.sessionState.newHadoopConf()
@@ -3112,17 +3207,17 @@ object AnnOps {
     release()
     own.write.mode("overwrite")
       .parquet(s"$indexDir/batches/batch=$batchId")
+    // per-call staging blocks die here either way: `own` (and the
+    // returned pairs, below) are pinned, the commit is on disk
+    def releaseStagings(): Unit = {
+      DedupOps.releaseLocalCheckpoint(assignedRaw)
+      DedupOps.releaseLocalCheckpoint(v)
+      DedupOps.releaseLocalCheckpoint(stagedV)
+    }
     if (!probe) {
+      releaseStagings()
       DedupOps.releaseLocalCheckpoint(own)
-      return s.createDataFrame(s.sparkContext.emptyRDD[
-          org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("b",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cosine",
-            org.apache.spark.sql.types.DoubleType))))
+      return emptyPairsFrame(s)
     }
     val batchesPath = new org.apache.hadoop.fs.Path(s"$indexDir/batches")
     val hasOther = fs.listStatus(batchesPath).exists(st =>
@@ -3151,8 +3246,17 @@ object AnnOps {
       .filter(col("cosine") >= threshold)
       .distinct()
       .localCheckpoint()
+    releaseStagings()
     DedupOps.releaseLocalCheckpoint(own)
     pairs
+  }
+
+  /** The empty (a, b, cosine) pair frame — shared by the seed-batch
+    * return and the streaming query's zero-batch fallback so the
+    * schema cannot drift between them. */
+  private[graft] def emptyPairsFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("a", "b", "cosine")
   }
 
   /** Embedding-space health audit: per-dimension mean, variance, and
@@ -3357,9 +3461,12 @@ object PrepOps {
     * alpha = 0 is uniform, and the production range ~0.3–0.7 upsamples
     * the tail without drowning the head. The derived weights feed the
     * p08 exact-long [[waterfill]], so each domain's weight is computed
-    * ONCE on the |domains|-row aggregate and quantized to micro-units
-    * (double → DECIMAL(18,6) → ×10⁶, an integral value, so the long
-    * cast is exact in any engine). alpha = 0.5 routes through
+    * ONCE on the |domains|-row aggregate, MAX-NORMALIZED (weights are
+    * relative; raw avail^alpha would overflow the quantization at the
+    * trillion-token scale this policy targets), and quantized to
+    * micro-units (ratio in (0, 1] → DECIMAL(18,6) → ×10⁶, an integral
+    * value, so the long cast is exact in any engine; floored at 1 so a
+    * vanishing tail domain stays positive). alpha = 0.5 routes through
     * correctly-rounded `sqrt` and is therefore engine-exact
     * bit-for-bit; other alphas go through libm `pow`, whose last-ulp
     * platform variance the decimal quantization usually — not provably
@@ -3371,12 +3478,25 @@ object PrepOps {
     require(alpha >= 0.0, s"temperatureMixture: alpha=$alpha")
     val avail = df.groupBy(col(domainCol).cast("string").as("domain"))
       .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
-    val powed =
-      if (alpha == 0.5) sqrt(col("avail_tokens").cast("double"))
-      else pow(col("avail_tokens").cast("double"), lit(alpha))
-    val weights = avail.select(col("domain"),
-      (powed.cast(DecimalType(18, 6)) * lit(1000000))
-        .cast("long").as("w"))
+    def powOf(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double"))
+      else pow(c.cast("double"), lit(alpha))
+    // weights are RELATIVE, so normalize by the max before quantizing:
+    // a raw avail^alpha overflows DECIMAL(18,6) (and then the long
+    // cast) at ~1e12 — i.e. alpha near 1 at exactly the trillion-token
+    // operating point this policy targets (REVIEW). Normalized ratios
+    // live in (0, 1]: the double division is IEEE-identical in any
+    // engine, one DECIMAL(18,6) quantization, ×10⁶ exact micro-units,
+    // floored at 1 so a vanishing tail domain stays positive (weight
+    // resolution is 1e-6 of the largest domain's).
+    val w = Window.partitionBy(lit(1)) // |domains| rows, the waterfill convention
+    val weights = avail
+      .withColumn("__pw", powOf(col("avail_tokens")))
+      .withColumn("__mx", max(col("__pw")).over(w))
+      .select(col("domain"),
+        greatest(lit(1L),
+          ((col("__pw") / col("__mx")).cast(DecimalType(18, 6)) *
+            lit(1000000)).cast("long")).as("w"))
     domainMixture(df, domainCol, tokensCol, weights, "domain", "w",
       budget, defaultWeight = 1L)
   }

@@ -670,8 +670,10 @@ object PipelineExtra {
         ),
         w AS (
           SELECT source, avail_tokens,
-            CAST(CAST(sqrt(CAST(avail_tokens AS DOUBLE))
-              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS weight
+            GREATEST(1, CAST(CAST(
+              sqrt(CAST(avail_tokens AS DOUBLE))
+                / MAX(sqrt(CAST(avail_tokens AS DOUBLE))) OVER ()
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS weight
           FROM avail
         ),
         r1 AS (

@@ -1329,16 +1329,8 @@ object Similarity {
               bid + 1L, threshold = 0.35, cells = K, iters = 2)
           }
         }
-        acc.reduceOption(_ unionByName _).getOrElse(
-          s.createDataFrame(s.sparkContext.emptyRDD[
-              org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("a",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("b",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("cosine",
-                org.apache.spark.sql.types.DoubleType)))))
+        acc.reduceOption(_ unionByName _)
+          .getOrElse(graft.operators.AnnOps.emptyPairsFrame(s))
       },
       Some(sqlIncrementalSemantic))
   )

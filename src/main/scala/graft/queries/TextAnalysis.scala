@@ -742,8 +742,37 @@ object TextAnalysis {
         graft.operators.TextOps.bpeEncode(d, "doc_id", "text", mergeTable)
           .select($"id".as("doc_id"), $"n_words", $"n_bpe_tokens")
       },
-      Some(bpeSegmentOracle(3)))
+      Some(bpeEncodeOracle(3)))
   )
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeEncode]] on an
+    * in-vocab corpus: t15's cached-segmentation lookup, but ROW-COMPLETE
+    * — a LEFT JOIN from documents, so a zero-word (or hypothetically
+    * all-OOV) document appears with counts 0 exactly as bpeEncode
+    * emits it. t15's inner-join spelling deliberately mirrors the
+    * vocab join's row-dropping; bpeEncode's contract is the opposite
+    * (nothing is ever dropped), and its oracle must pin that too. */
+  private def bpeEncodeOracle(merges: Int): String =
+    s"""${bpeStages(merges)},
+        ntok AS (
+          SELECT w, CAST(len(string_split(trim(sp), '  ')) AS BIGINT)
+            AS ntok
+          FROM s${merges + 1}
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        cnt AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+          FROM tok JOIN ntok USING (w)
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+          CAST(COALESCE(c.n_words, 0) AS BIGINT) AS n_words,
+          CAST(COALESCE(c.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN cnt c USING (doc_id)"""
 
   /** The shared CTE prefix of the BPE oracles, unrolled to `merges`
     * stages. Stage i: pairs from the wrapped-symbol representation

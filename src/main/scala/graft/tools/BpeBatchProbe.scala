@@ -61,7 +61,13 @@ object BpeBatchProbe {
     learn(5, 64, 0L) // warm, untimed
     val (tSeq, jSeq, lSeq) = learn(seqMerges, 1, 0L)
     val (tBat, jBat, lBat) = learn(merges, 64, 0L)
-    val (tDrv, jDrv, lDrv) = learn(merges, 64, 64L << 20)
+    // the DEFAULT budget, not a literal: round 10 made the gate price
+    // the trainer working set (estimate x4), so a hard-coded 64 MiB
+    // would now be a 16 MiB collect ceiling and this probe would
+    // silently measure the distributed path instead of the driver
+    // finisher it exists to measure (REVIEW)
+    val (tDrv, jDrv, lDrv) =
+      learn(merges, 64, graft.operators.TextOps.DefaultDriverFinishBytes)
     val prefixEqual = lBat.take(lSeq.length).sameElements(lSeq) &&
       lDrv.sameElements(lBat)
 
@@ -89,7 +95,8 @@ object BpeBatchProbe {
     val jBig0 = jobs.get
     val tBig0 = System.nanoTime()
     val bigLearned = graft.operators.TextOps
-      .bpeLearn(bigDf, "text", bigMerges, 64, 64L << 20).count()
+      .bpeLearn(bigDf, "text", bigMerges, 64,
+        graft.operators.TextOps.DefaultDriverFinishBytes).count()
     val tBig = (System.nanoTime() - tBig0) / 1e9
     val jBig = jobs.get - jBig0
 

@@ -39,12 +39,21 @@ object HotBucketProbe {
     // documents + a duplicate class of ~N/div (one fixed template,
     // fresh ids above the corpus id range)
     def fixture(dir: String, div: Long): (DataFrame, Long, Long) = {
+      val idOffset = 1000000000L
       val base = graft.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val n = base.count()
+      // loud collision guard (the d13-fixture discipline): a base id
+      // aliasing a planted family id would silently corrupt every pair
+      // count and timing this probe prints
+      val (n, maxId) = {
+        val r = base.agg(count(lit(1)), max(col("doc_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(maxId < idOffset,
+        s"base doc_id $maxId collides with the planted-family id range")
       val m = math.max(10L, n / div)
       val fam = spark.range(m)
-        .select((col("id") + 1000000000L).as("doc_id"),
+        .select((col("id") + idOffset).as("doc_id"),
           lit(boiler).as("text"))
       (base.unionByName(fam).localCheckpoint(), n, m)
     }

@@ -336,5 +336,13 @@ class BpePropertySpec extends AnyFunSuite
       .map(w => replayEncode(w, learned).length.toLong).sum
     assert(encM.head._3 == expected,
       s"OOV token counts drifted: ${encM.head._3} vs $expected")
+    // row-completeness (the operator's headline contract): a zero-word
+    // document must still appear, with counts 0 — the vocab join drops
+    // it, bpeEncode never drops anything
+    val withEmpty = Seq((7L, ""), (8L, "abab")).toDF("id", "t")
+    val encE = rows(TextOps.bpeEncode(withEmpty, "id", "t", mergeTable))
+    assert(encE.exists(_ == ((7L, 0L, 0L))),
+      s"empty doc dropped or miscounted: $encE")
+    assert(encE.size == 2)
   }
 }

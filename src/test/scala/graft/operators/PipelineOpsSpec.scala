@@ -141,6 +141,76 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "capped star edges must resolve the same components")
   }
 
+  test("capped simhash: saturated byte buckets collapse by exact " +
+      "simhash, cluster resolution == uncut EXACTLY") {
+    val s = spark
+    import s.implicits._
+    // 30 identical docs (one simhash value — the boilerplate mass) plus
+    // a small diverse set; cap 8 saturates the family's byte buckets.
+    // The collapse must route the family through ONE representative
+    // (hamming-0 edges), and component resolution must equal the
+    // unguarded operator's — the simhash guard's exactness claim
+    // (equal-simhash docs are interchangeable for hamming).
+    val fam = (0 until 30).map(i =>
+      (500L + i, "identical boilerplate page text repeated on mirrors"))
+    val docs = (corpus().collect().map(r =>
+      (r.getLong(0), r.getString(1))) ++ fam).toSeq.toDF("my_id", "body")
+    val capped = DedupOps.simhashNearDupsCapped(docs, "my_id", "body",
+      maxOccupancy = 8, partitions = 4).localCheckpoint()
+    val collapse = capped.filter(col("saturated") && col("a") >= 500L)
+      .collect()
+    assert(collapse.forall(_.getInt(2) == 0),
+      "collapse edges must be exact hamming-0 pairs")
+    assert(collapse.count(r => r.getLong(0) == 500L &&
+      r.getLong(1) > 500L) == 29,
+      "family members must hang off the min-id representative")
+    // the quadratic family pair set never materializes
+    val famPairs = capped.filter(col("a") >= 500L && col("b") >= 500L)
+      .count()
+    assert(famPairs == 29, s"family emitted $famPairs rows, wanted 29")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = DedupOps.simhashNearDups(docs, "my_id", "body",
+      partitions = 4)
+    assert(clusters(capped.select("a", "b")) == clusters(uncut),
+      "capped simhash resolution must equal uncut exactly")
+  }
+
+  test("capped cosine LSH: saturated sign buckets collapse by full " +
+      "signature, clusters match uncut on the duplicate family") {
+    val s = spark
+    import s.implicits._
+    // 24 near-identical vectors (same full 256-bit signature) + a few
+    // distinct ones; cap 8 saturates the family's (band, code) buckets
+    val rnd = new scala.util.Random(6161)
+    val base = Array(0.8, 0.1, 0.05, 0.3)
+    val fam = (0 until 24).map(i =>
+      (900L + i, base.map(x => (x + 1e-9 * i).toFloat)))
+    val others = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val docs = (others ++ fam).toDF("vid", "v")
+    val capped = AnnOps.cosineNearDupsLshCapped(docs, "vid", "v",
+      threshold = 0.9, maxOccupancy = 8, partitions = 4)
+      .localCheckpoint()
+    val collapse = capped.filter(col("saturated") && col("cosine").isNull)
+      .collect()
+    assert(collapse.nonEmpty, "family must collapse via full signature")
+    assert(collapse.forall(r => r.getLong(0) == 900L && r.getLong(1) > 900L),
+      s"collapse edges must hang off the min-id rep")
+    val famRows = capped.filter(col("a") >= 900L).count()
+    assert(famRows == 23, s"family emitted $famRows rows, wanted 23")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = AnnOps.cosineNearDupsLsh(docs, "vid", "v",
+      threshold = 0.9, partitions = 4)
+    assert(clusters(capped.select("a", "b")) == clusters(uncut),
+      "capped cosine-LSH resolution diverged from uncut on the family")
+  }
+
   test("bandOccupancyCurve: volumes split exactly, precision and " +
       "recall priced against the uncut join") {
     val s = spark
