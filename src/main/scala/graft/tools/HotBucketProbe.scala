@@ -106,8 +106,31 @@ object HotBucketProbe {
     // uncut join's C(m,2) verification dominates wall-clock while the
     // capped spelling stays flat
     val stress = probe(sfLarge, 1L, runUncut = true)
+    // simhash at the same stress point: the collapse-by-exact-simhash
+    // resolution (round-10 review fix) vs the unguarded byte-bucket
+    // join, whose quadratic lives in only 1024 keys
+    val simhash = {
+      val (docs, n, m) = fixture(sfLarge, 1L)
+      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      def one(body: => Long): (Double, Long) = {
+        val r = (1 to 3).map { _ =>
+          val t = timeIt(body); release(keep); t
+        }
+        (r.map(_._1).min, r.head._2)
+      }
+      val (cs, cr) = one {
+        graft.operators.DedupOps.simhashNearDupsCapped(
+          docs, "doc_id", "text", maxOccupancy = 64).count()
+      }
+      val (us, ur) = one {
+        graft.operators.DedupOps.simhashNearDups(
+          docs, "doc_id", "text").count()
+      }
+      s"""{"n_docs":$n,"family":$m,"capped_sec":$cs,"capped_rows":$cr,""" +
+        s""""uncut_sec":$us,"uncut_rows":$ur}"""
+    }
     println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
-      s""""large":$large,"stress":$stress}""")
+      s""""large":$large,"stress":$stress,"simhash_stress":$simhash}""")
     spark.stop()
   }
 }
