@@ -900,8 +900,14 @@ object DedupOps {
     val satKeys = bytes.groupBy(col("pos"), col("byte"))
       .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
       .select(col("pos"), col("byte")).localCheckpoint()
-    val sub = bytes.join(broadcast(satKeys), Seq("pos", "byte"),
-      "left_anti")
+    // nothing saturates (the common case a well-chosen cap buys):
+    // skip the collapse machinery entirely — its group table would
+    // otherwise cost an eager corpus-keyed aggregation pass even over
+    // zero saturated rows
+    val saturationPresent = satKeys.head(1).nonEmpty
+    val sub = if (saturationPresent)
+      bytes.join(broadcast(satKeys), Seq("pos", "byte"), "left_anti")
+    else bytes
     def hammingPairs(rows: DataFrame, idC: String, sat: Boolean)
         : DataFrame =
       rows.as("x").join(rows.as("y"),
@@ -915,6 +921,7 @@ object DedupOps {
         .select(col("a"), col("b"), col("hamming"),
           lit(sat).as("saturated"))
     val verified = hammingPairs(sub, "doc_id", sat = false)
+    if (!saturationPresent) return verified
     val satRows = bytes.join(broadcast(satKeys), Seq("pos", "byte"))
     val groups = satRows
       .groupBy(col("pos"), col("byte"), col("simhash"))
@@ -2555,18 +2562,16 @@ object AnnOps {
       maxOccupancy: Int = 1000, partitions: Int = 0): DataFrame = {
     val v = scaled(df, idCol, vecCol, partitions)
     val sig = signLshSignatures(v, rowsPerBand, bands)
-    // full signature per id: md5 over the band-ordered code list (one
-    // |corpus|-row aggregate, computed once)
-    val full = sig.groupBy(col("id"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", lpad(col("band").cast("string"), 4, "0"),
-          col("code")))))).as("fsig"))
-      .localCheckpoint()
     val satKeys = sig.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
       .select(col("band"), col("code")).localCheckpoint()
-    val sub = sig.join(broadcast(satKeys), Seq("band", "code"),
-      "left_anti")
+    // nothing saturates (the common case a well-chosen cap buys): skip
+    // the full-signature aggregation and the collapse machinery — the
+    // simhashNearDupsCapped short-circuit
+    val saturationPresent = satKeys.head(1).nonEmpty
+    val sub = if (saturationPresent)
+      sig.join(broadcast(satKeys), Seq("band", "code"), "left_anti")
+    else sig
     val av = v.select(col("id").as("a"), col("c").as("ac"),
       col("nrm").as("anrm"))
     val bv = v.select(col("id").as("b"), col("c").as("bc"),
@@ -2583,6 +2588,14 @@ object AnnOps {
         col("x.band") === col("y.band") && col("x.code") === col("y.code")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    if (!saturationPresent) return verify(cand, sat = false)
+    // full signature per id: md5 over the band-ordered code list (one
+    // |corpus|-row aggregate, computed only when a bucket saturates)
+    val full = sig.groupBy(col("id"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", lpad(col("band").cast("string"), 4, "0"),
+          col("code")))))).as("fsig"))
+      .localCheckpoint()
     val satRows = sig.join(broadcast(satKeys), Seq("band", "code"))
       .join(full, Seq("id"))
     val groups = satRows
