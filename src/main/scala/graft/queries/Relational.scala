@@ -1188,6 +1188,39 @@ object Relational {
         WHERE event_type IN ('click', 'view', 'purchase', 'error')
         GROUP BY 1, 2""")),
 
+    // ---------------------------------------------------- direct pivot
+    GraftQuery(
+      "q53_pivot",
+      (s, dir) => {
+        import s.implicits._
+        // the WIDE side of q46's round trip, pinned directly: per-user
+        // event counts pivoted to one column per type. q46's oracle
+        // checks the fold-back (which FILTERS the null cells); this one
+        // asserts the wide table itself, including the absent-type
+        // cells a pivot emits as NULL (coalesced to 0 on both sides so
+        // the semantics are explicit). Pivot with EXPLICIT values is
+        // one shuffle on the group key — no distinct-values discovery
+        // job, the production spelling at any scale.
+        val types = Seq("click", "view", "purchase", "error")
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select($"user_id" +:
+            types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      },
+      Some("""
+        SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error
+        FROM events GROUP BY 1""")),
+
     // ------------------------------------------------ lateral subquery join
     GraftQuery(
       "q44_lateral_topn",
