@@ -3977,7 +3977,63 @@ object PrepOps {
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
       jaccardThreshold: Double = 0.8, trainPct: Int = 80,
       valPct: Int = 10, decontamShingleK: Int = 7,
+      decontamDfCut: Int = 16, partitions: Int = 0): DataFrame =
+    corpusBuildStages(df, idCol, textCol, sourceCol, weights,
+      weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
+      minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
+      valPct, decontamShingleK, decontamDfCut, partitions).last._2
+
+  /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
+    * production pipeline runs next to the build itself: one row per
+    * stage, (stage, n_docs, n_tokens), tokens = word counts, so a
+    * stage that silently drops or double-counts documents shows up as
+    * a number, not a downstream mystery. Computed from the SAME stage
+    * frames [[corpusBuild]] materializes (one shared spelling — the
+    * funnel cannot drift from the build it audits). The final stage
+    * counts context WINDOWS (n_docs = packs) over the same token
+    * total as the sampled stage. Semantics pinned by the
+    * oracle-checked p17 query.
+    */
+  def corpusBuildFunnel(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, tokenBudget: Long, packBudget: Long,
+      minWords: Int = 10, minTypeToken: Double = 0.2,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      jaccardThreshold: Double = 0.8, trainPct: Int = 80,
+      valPct: Int = 10, decontamShingleK: Int = 7,
       decontamDfCut: Int = 16, partitions: Int = 0): DataFrame = {
+    val stages = corpusBuildStages(df, idCol, textCol, sourceCol,
+      weights, weightDomainCol, weightCol, tokenBudget, packBudget,
+      minWords, minTypeToken, shingleK, bands, rows, jaccardThreshold,
+      trainPct, valPct, decontamShingleK, decontamDfCut, partitions)
+    val docStages = stages.init.map { case (name, frame) =>
+      frame.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(col("text"), " ")).cast("long")),
+            lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }
+    val (packName, packed) = stages.last
+    val packStage = packed
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(packName).as("stage"), col("n_docs"), col("n_tokens"))
+    (docStages :+ packStage).reduce(_ unionAll _)
+  }
+
+  /** The shared stage chain behind [[corpusBuild]] (returns the packed
+    * windows, `.last._2`) and [[corpusBuildFunnel]] (aggregates every
+    * stage): (name, frame) pairs in pipeline order — input, gated,
+    * deduped, train split, decontaminated, sampled, packed. */
+  private def corpusBuildStages(df: DataFrame, idCol: String,
+      textCol: String,
+      sourceCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, tokenBudget: Long, packBudget: Long,
+      minWords: Int, minTypeToken: Double,
+      shingleK: Int, bands: Int, rows: Int,
+      jaccardThreshold: Double, trainPct: Int,
+      valPct: Int, decontamShingleK: Int,
+      decontamDfCut: Int, partitions: Int)
+      : Seq[(String, DataFrame)] = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"),
         col(sourceCol).cast("string").as("source"))
@@ -4016,6 +4072,10 @@ object PrepOps {
       weights, weightDomainCol, weightCol, tokenBudget,
       defaultWeight = 1L)
     // 6. pack into context windows
-    packSequences(sampled, "source", "doc_id", "toks", packBudget)
+    val packed = packSequences(sampled, "source", "doc_id", "toks",
+      packBudget)
+    Seq("0_input" -> base, "1_gated" -> gated, "2_deduped" -> deduped,
+      "3_train" -> train, "4_decontaminated" -> clean,
+      "5_sampled" -> sampled, "6_packed" -> packed)
   }
 }

@@ -642,6 +642,29 @@ object PipelineExtra {
             AS padded_tokens
         FROM r GROUP BY 1, 2""")),
 
+    // ---------------------- corpus-build funnel audit (p17)
+    GraftQuery(
+      "p17_corpus_funnel",
+      (s, dir) => {
+        import s.implicits._
+        // The observability next to the p14 build: one row per pipeline
+        // stage (docs in, gated, deduped, train split, decontaminated,
+        // sampled, packed) with doc and token counts — the numbers an
+        // operator watches to catch a stage silently dropping or
+        // double-counting. Computed from the SAME stage frames
+        // corpusBuild materializes (one shared spelling), and the
+        // oracle is the p14 CTE chain aggregated per stage — so the
+        // funnel, the build, and both oracles can never drift apart.
+        val d = Tables.load(s, dir, "documents")
+        val weights = d.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        graft.operators.PrepOps.corpusBuildFunnel(
+          d, "doc_id", "text", "source", weights, "source", "w",
+          tokenBudget = MixBudget, packBudget = PackBudget)
+      },
+      Some(corpusBuildFunnelOracle)),
+
     // ---------------------- temperature-scaled mixture (p15)
     GraftQuery(
       "p15_temperature_mixture",
@@ -789,7 +812,44 @@ object PipelineExtra {
     * p14 query passes.
     */
   private def corpusBuildOracle: String = s"""
-        WITH RECURSIVE gate AS (
+        $corpusBuildCtes
+        SELECT source,
+          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2"""
+
+  /** DuckDB spelling of [[graft.operators.PrepOps.corpusBuildFunnel]]:
+    * the SAME CTE chain, aggregated per stage — p17's oracle, so the
+    * funnel numbers and the packed table come from one spelling on
+    * both engines. */
+  private def corpusBuildFunnelOracle: String = {
+    def stage(name: String, src: String): String = s"""
+        SELECT '$name' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+            AS n_tokens
+        FROM $src"""
+    s"""
+        $corpusBuildCtes
+        ${stage("0_input", "documents")}
+        UNION ALL ${stage("1_gated", "gate")}
+        UNION ALL ${stage("2_deduped", "dedup")}
+        UNION ALL ${stage("3_train", "train")}
+        UNION ALL ${stage("4_decontaminated", "clean")}
+        UNION ALL
+        SELECT '5_sampled' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens
+        FROM keep
+        UNION ALL
+        SELECT '6_packed' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT source, (cum - toks) // $PackBudget AS pack_id,
+            CAST(SUM(toks) AS BIGINT) AS n_tokens
+          FROM cum GROUP BY 1, 2)"""
+  }
+
+  /** The shared CTE chain of the p14/p17 oracles (through `cum`). */
+  private def corpusBuildCtes: String = s"""WITH RECURSIVE gate AS (
           SELECT doc_id, text, source FROM (
             SELECT doc_id, text, source, string_split(text, ' ') ws
             FROM documents)
@@ -898,9 +958,5 @@ object PipelineExtra {
           SELECT source, doc_id, toks,
             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum
           FROM keep
-        )
-        SELECT source,
-          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
-          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
-        FROM cum GROUP BY 1, 2"""
+        )"""
 }
