@@ -429,10 +429,11 @@ object DedupOps {
   def minhashNearDupsAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, index: DataFrame, shingleK: Int = 5,
       bands: Int = 2, rows: Int = 8, threshold: Double = 0.8,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
-    probeIndex(newIdx, Some(index), threshold)
+    probeIndex(newIdx, Some(index), threshold, maxOccupancy)
   }
 
   /** Measured LSH operating curve: candidate volume and confirmed
@@ -507,8 +508,21 @@ object DedupOps {
     * accumulated index (plus the new batch itself, for new-new pairs),
     * then exact-Jaccard verification of candidates only.
     */
+  /** `maxOccupancy` is the INCREMENTAL face of the hot-bucket guard: a
+    * boilerplate family accumulating in the index puts m members in
+    * one (band, bkey) key, so each increment's probe of that key costs
+    * |new ∩ bucket| × m — quadratic OVER TIME as both sides grow. At
+    * the cap, new docs hitting a saturated ACCUMULATED bucket skip
+    * verification and link to the bucket's min-id root by a delegated
+    * edge instead (emitted with jaccard = NULL — the output schema is
+    * unchanged, so uncapped callers and the st10 oracle see the exact
+    * rows they always did; delegated edges only exist when a caller
+    * opts in). The near-certain-duplicate premise is the
+    * [[minhashNearDupsCapped]] one (unbounded band keyspace), priced
+    * by the same d13 curve.
+    */
   private def probeIndex(newIdx: DataFrame, index: Option[DataFrame],
-      threshold: Double): DataFrame = {
+      threshold: Double, maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val newCols = newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
     val allIdx = index match {
       case Some(i) =>
@@ -520,13 +534,44 @@ object DedupOps {
       .select(col("doc_id"), explode(col("bkeys")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val cand = bandRows(newIdx).as("x").join(bandRows(allIdx).as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
-    jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
-      threshold)
+    val allRows = bandRows(allIdx)
+    val newRows = bandRows(newIdx)
+    if (maxOccupancy == Int.MaxValue) {
+      val cand = newRows.as("x").join(allRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+      jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
+        threshold)
+    } else {
+      // one aggregation yields occupancy AND each saturated bucket's
+      // root (the occupancySplit discipline); saturated keys are
+      // ≤ bandRows/cap — broadcastable by the dfCut argument
+      val sat = allRows.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"), min(col("doc_id")).as("root"))
+        .filter(col("m") > maxOccupancy)
+        .select(col("band"), col("bkey"), col("root"))
+        .localCheckpoint()
+      val satKeys = sat.select(col("band"), col("bkey"))
+      val cand = newRows.join(broadcast(satKeys), Seq("band", "bkey"),
+          "left_anti").as("x")
+        .join(allRows.join(broadcast(satKeys), Seq("band", "bkey"),
+          "left_anti").as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+      val delegated = newRows.join(broadcast(sat), Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("root"))
+        .select(least(col("root"), col("doc_id")).as("a"),
+          greatest(col("root"), col("doc_id")).as("b"),
+          lit(null).cast("double").as("jaccard"))
+        .distinct()
+      jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
+          threshold)
+        .unionByName(delegated)
+    }
   }
 
   /** Load a durable [[minhashIndex]] rooted at `dir` (written by
@@ -574,12 +619,14 @@ object DedupOps {
   def incrementalMinhashDedupDurable(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, batchId: Long,
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
-      threshold: Double = 0.8, partitions: Int = 0): DataFrame = {
+      threshold: Double = 0.8, partitions: Int = 0,
+      maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val s = batch.sparkSession
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
     val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
-    val pairs = probeIndex(newIdx, existing, threshold).localCheckpoint()
+    val pairs = probeIndex(newIdx, existing, threshold, maxOccupancy)
+      .localCheckpoint()
     newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     // newIdx is fully consumed (pairs are pinned, the commit is on

@@ -98,6 +98,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet == cl)
   }
 
+  test("capped incremental probe: a boilerplate family ACCUMULATED in " +
+      "the index delegates instead of exploding each batch's probe") {
+    val s = spark
+    import s.implicits._
+    // the streaming face of the hot-bucket pathology: the index
+    // accumulates a 30-member identical family; every new batch of
+    // copies would otherwise pay |new ∩ bucket| × m verification pairs
+    // — quadratic OVER TIME. The capped probe must route those through
+    // the bucket root as delegated (null-jaccard) edges, keep the
+    // uncapped behavior bit-identical when nothing saturates, and
+    // never change the output schema.
+    val boiler = "identical boilerplate error page text shown on every mirror"
+    val oldDocs = ((0 until 30).map(i => (100L + i, boiler)) ++ Seq(
+      (1L, "some perfectly unique document about gardens and rivers"),
+      (2L, "another unique document on ships and navigation at sea")))
+      .toDF("my_id", "body")
+    val idx = DedupOps.minhashIndex(oldDocs, "my_id", "body",
+      shingleK = 3, bands = 4, rows = 2, partitions = 4)
+      .localCheckpoint()
+    val batch = Seq(
+      (500L, boiler), (501L, boiler),
+      (502L, "some perfectly unique document about gardens and rivers"))
+      .toDF("my_id", "body")
+    val uncapped = DedupOps.minhashNearDupsAgainstIndex(batch, "my_id",
+        "body", idx, shingleK = 3, bands = 4, rows = 2,
+        threshold = 0.5, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: each new copy verifies against all 30 + each other
+    assert(uncapped.count(p => p._2 >= 500L && p._1 >= 100L) >= 60)
+    val capped = DedupOps.minhashNearDupsAgainstIndex(batch, "my_id",
+      "body", idx, shingleK = 3, bands = 4, rows = 2,
+      threshold = 0.5, partitions = 4, maxOccupancy = 8)
+      .localCheckpoint()
+    val delegated = capped.filter(col("jaccard").isNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delegated == Set((100L, 500L), (100L, 501L)),
+      s"new family copies must link to the bucket root: $delegated")
+    val verified = capped.filter(col("jaccard").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!verified.exists(p => p._1 >= 100L && p._1 < 200L &&
+      p._2 >= 500L && p._2 != 502L),
+      s"family probe pairs must not reach verification: $verified")
+    assert(verified.contains((2L, 502L)) || verified.contains((1L, 502L)),
+      s"sub-cap pairs still verify exactly: $verified")
+    // no saturation => bit-identical to the uncapped probe
+    val parity = DedupOps.minhashNearDupsAgainstIndex(batch, "my_id",
+        "body", idx, shingleK = 3, bands = 4, rows = 2,
+        threshold = 0.5, partitions = 4, maxOccupancy = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(parity == uncapped, "high cap must be the uncapped probe")
+  }
+
   test("capped minhash: a saturated boilerplate family bypasses the " +
       "pair join as star edges, and cluster resolution matches uncut") {
     val s = spark
