@@ -129,8 +129,41 @@ object HotBucketProbe {
       s"""{"n_docs":$n,"family":$m,"capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur}"""
     }
+    // the INCREMENTAL face: the index has accumulated the 100%-of-N
+    // family; a new batch of 200 more copies probes it — capped, the
+    // delegated edges replace |new∩bucket| x m verification pairs
+    val incremental = {
+      val (docs, n, m) = fixture(sfLarge, 1L)
+      val idx = graft.operators.DedupOps
+        .minhashIndex(docs, "doc_id", "text").localCheckpoint()
+      idx.count()
+      val batch = spark.range(200)
+        .select((col("id") + 2000000000L).as("doc_id"),
+          lit(boiler).as("text"))
+        .unionByName(graft.Tables.load(spark, sfLarge, "documents")
+          .select((col("doc_id") + 3000000000L).as("doc_id"),
+            col("text")).limit(300))
+        .localCheckpoint()
+      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      def one(body: => Long): (Double, Long) = {
+        val r = (1 to 3).map { _ => val t = timeIt(body); release(keep); t }
+        (r.map(_._1).min, r.head._2)
+      }
+      val (cs, cr) = one {
+        graft.operators.DedupOps.minhashNearDupsAgainstIndex(
+          batch, "doc_id", "text", idx, maxOccupancy = 64).count()
+      }
+      val (us, ur) = one {
+        graft.operators.DedupOps.minhashNearDupsAgainstIndex(
+          batch, "doc_id", "text", idx).count()
+      }
+      s"""{"index_docs":${n + m},"index_family":$m,"batch_new_copies":200,""" +
+        s""""capped_sec":$cs,"capped_rows":$cr,""" +
+        s""""uncut_sec":$us,"uncut_rows":$ur}"""
+    }
     println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
-      s""""large":$large,"stress":$stress,"simhash_stress":$simhash}""")
+      s""""large":$large,"stress":$stress,"simhash_stress":$simhash,""" +
+      s""""incremental_stress":$incremental}""")
     spark.stop()
   }
 }
