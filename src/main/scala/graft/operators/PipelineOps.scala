@@ -433,7 +433,10 @@ object DedupOps {
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
-    probeIndex(newIdx, Some(index), threshold, maxOccupancy)
+    // the lazy return keeps the capped path's saturated-key pin alive
+    // for the session (the staged() caller-owns convention); the
+    // durable variant, which pins its result, releases it eagerly
+    probeIndex(newIdx, Some(index), threshold, maxOccupancy)._1
   }
 
   /** Measured LSH operating curve: candidate volume and confirmed
@@ -522,7 +525,8 @@ object DedupOps {
     * by the same d13 curve.
     */
   private def probeIndex(newIdx: DataFrame, index: Option[DataFrame],
-      threshold: Double, maxOccupancy: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxOccupancy: Int = Int.MaxValue)
+      : (DataFrame, () => Unit) = {
     val newCols = newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
     val allIdx = index match {
       case Some(i) =>
@@ -534,26 +538,49 @@ object DedupOps {
       .select(col("doc_id"), explode(col("bkeys")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val allRows = bandRows(allIdx)
     val newRows = bandRows(newIdx)
     if (maxOccupancy == Int.MaxValue) {
+      val allRows = bandRows(allIdx)
       val cand = newRows.as("x").join(allRows.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
             && col("x.doc_id") =!= col("y.doc_id"))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
-      jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
-        threshold)
+      (jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
+        threshold), () => ())
     } else {
-      // one aggregation yields occupancy AND each saturated bucket's
-      // root (the occupancySplit discipline); saturated keys are
-      // ≤ bandRows/cap — broadcastable by the dfCut argument
-      val sat = allRows.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("m"), min(col("doc_id")).as("root"))
+      // occupancy counts old AND new rows; the root must be an
+      // ACCUMULATED (old) member whenever one exists in the bucket
+      // (REVIEW): min over all rows could elect a NEW doc whose id
+      // sorts below every old member, and the `doc_id =!= root` filter
+      // would then drop its only delegated edge — the duplicate would
+      // be silently admitted, and an old-rooted cluster would detach
+      // from the new arrivals. With an old root every arrival links to
+      // the index's cluster, and roots chain across batches by
+      // induction (each arriving member linked to the root of the
+      // index at ITS arrival). A bucket saturated purely within one
+      // batch falls back to the batch's own min.
+      val allFlagged = (index match {
+        case Some(i) => bandRows(i.select(col("doc_id"), col("shs"),
+            col("bkeys")))
+          .withColumn("is_old", lit(true))
+          .unionByName(newRows.withColumn("is_old", lit(false)))
+        case None => newRows.withColumn("is_old", lit(false))
+      })
+      // one aggregation yields occupancy AND the roots (the
+      // occupancySplit discipline); saturated keys are ≤ bandRows/cap
+      // — broadcastable by the dfCut argument
+      val sat = allFlagged.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"),
+          min(when(col("is_old"), col("doc_id"))).as("old_root"),
+          min(col("doc_id")).as("any_root"))
         .filter(col("m") > maxOccupancy)
-        .select(col("band"), col("bkey"), col("root"))
+        .select(col("band"), col("bkey"),
+          coalesce(col("old_root"), col("any_root")).as("root"))
         .localCheckpoint()
       val satKeys = sat.select(col("band"), col("bkey"))
+      val allRows = allFlagged.select(col("doc_id"), col("band"),
+        col("bkey"))
       val cand = newRows.join(broadcast(satKeys), Seq("band", "bkey"),
           "left_anti").as("x")
         .join(allRows.join(broadcast(satKeys), Seq("band", "bkey"),
@@ -562,15 +589,23 @@ object DedupOps {
             && col("x.doc_id") =!= col("y.doc_id"))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+      val verified = jaccardVerified(cand,
+        allIdx.select(col("doc_id"), col("shs")), threshold)
+      // a pair can share a saturated bucket AND a sub-cap one: the
+      // verified row wins, so each (a, b) appears exactly once and a
+      // consumer joining or counting on the pair key never sees a
+      // null-jaccard shadow of a verified pair (REVIEW)
       val delegated = newRows.join(broadcast(sat), Seq("band", "bkey"))
         .filter(col("doc_id") =!= col("root"))
         .select(least(col("root"), col("doc_id")).as("a"),
-          greatest(col("root"), col("doc_id")).as("b"),
-          lit(null).cast("double").as("jaccard"))
+          greatest(col("root"), col("doc_id")).as("b"))
         .distinct()
-      jaccardVerified(cand, allIdx.select(col("doc_id"), col("shs")),
-          threshold)
-        .unionByName(delegated)
+        .join(verified.select(col("a"), col("b")), Seq("a", "b"),
+          "left_anti")
+        .select(col("a"), col("b"),
+          lit(null).cast("double").as("jaccard"))
+      (verified.unionByName(delegated),
+        () => releaseLocalCheckpoint(sat))
     }
   }
 
@@ -625,8 +660,10 @@ object DedupOps {
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
     val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
-    val pairs = probeIndex(newIdx, existing, threshold, maxOccupancy)
-      .localCheckpoint()
+    val (probed, releaseProbe) =
+      probeIndex(newIdx, existing, threshold, maxOccupancy)
+    val pairs = probed.localCheckpoint()
+    releaseProbe()
     newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     // newIdx is fully consumed (pairs are pinned, the commit is on
@@ -4028,7 +4065,8 @@ object PrepOps {
     corpusBuildStages(df, idCol, textCol, sourceCol, weights,
       weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
       minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
-      valPct, decontamShingleK, decontamDfCut, partitions).last._2
+      valPct, decontamShingleK, decontamDfCut, partitions,
+      pinLateStages = false).last._2
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per
@@ -4052,7 +4090,8 @@ object PrepOps {
     val stages = corpusBuildStages(df, idCol, textCol, sourceCol,
       weights, weightDomainCol, weightCol, tokenBudget, packBudget,
       minWords, minTypeToken, shingleK, bands, rows, jaccardThreshold,
-      trainPct, valPct, decontamShingleK, decontamDfCut, partitions)
+      trainPct, valPct, decontamShingleK, decontamDfCut, partitions,
+      pinLateStages = true)
     val docStages = stages.init.map { case (name, frame) =>
       frame.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -4079,7 +4118,8 @@ object PrepOps {
       shingleK: Int, bands: Int, rows: Int,
       jaccardThreshold: Double, trainPct: Int,
       valPct: Int, decontamShingleK: Int,
-      decontamDfCut: Int, partitions: Int)
+      decontamDfCut: Int, partitions: Int,
+      pinLateStages: Boolean)
       : Seq[(String, DataFrame)] = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"),
@@ -4111,13 +4151,23 @@ object PrepOps {
     val contaminated = decontamScan(test, train, "doc_id", "text",
         decontamShingleK, decontamDfCut)
       .select(col("doc_id"))
-    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // pinLateStages (the funnel's spelling): the decontam scan (7-gram
+    // explosion + df-cut shuffle) is the chain's heaviest stage; with
+    // the funnel auditing every stage, clean/sampled each gain a second
+    // consumer and would re-run it per referencing subtree (REVIEW).
+    // corpusBuild alone consumes each stage exactly once, so pinning
+    // there would only add materialization cost.
+    def maybePin(frame: DataFrame): DataFrame =
+      if (pinLateStages) frame.localCheckpoint() else frame
+    val clean = maybePin(
+      train.join(contaminated, Seq("doc_id"), "left_anti"))
     // 5. mixture sampling to the token budget
     val withToks = clean.withColumn("toks",
       size(split(col("text"), " ")).cast("long"))
-    val sampled = mixtureSample(withToks, "doc_id", "source", "toks",
-      weights, weightDomainCol, weightCol, tokenBudget,
-      defaultWeight = 1L)
+    val sampled = maybePin(
+      mixtureSample(withToks, "doc_id", "source", "toks",
+        weights, weightDomainCol, weightCol, tokenBudget,
+        defaultWeight = 1L))
     // 6. pack into context windows
     val packed = packSequences(sampled, "source", "doc_id", "toks",
       packBudget)

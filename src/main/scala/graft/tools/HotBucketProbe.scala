@@ -63,35 +63,30 @@ object HotBucketProbe {
       val rows = body
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    // release only the blocks a timed pass created — the fixture's own
-    // localCheckpoint must survive across passes
+    // release only the blocks a timed pass created — the fixtures' own
+    // localCheckpoints must survive across passes
     def release(keep: Set[Int]): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .filter(r => !keep.contains(r.id)).foreach(_.unpersist(false))
-
-    def probe(dir: String, div: Long, runUncut: Boolean): String = {
-      val (docs, n, m) = fixture(dir, div)
+    // ONE timing spelling for every block (min of three, the Bench
+    // convention), snapshotting the keep-set at definition time
+    def timed(body: => Long): (Double, Long) = {
       val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val r = (1 to 3).map { _ => val t = timeIt(body); release(keep); t }
+      (r.map(_._1).min, r.head._2)
+    }
+
+    def probe(docsF: (org.apache.spark.sql.DataFrame, Long, Long),
+        dir: String, runUncut: Boolean): String = {
+      val (docs, n, m) = docsF
       val cap = 64
-      val (capSec, capRows) = {
-        val r = (1 to 3).map { _ =>
-          val t = timeIt {
-            graft.operators.DedupOps.minhashNearDupsCapped(
-              docs, "doc_id", "text", maxOccupancy = cap).count()
-          }
-          release(keep); t
-        }
-        (r.map(_._1).min, r.head._2)
+      val (capSec, capRows) = timed {
+        graft.operators.DedupOps.minhashNearDupsCapped(
+          docs, "doc_id", "text", maxOccupancy = cap).count()
       }
-      val (uncutSec, uncutRows) = if (runUncut) {
-        val r = (1 to 3).map { _ =>
-          val t = timeIt {
-            graft.operators.DedupOps.minhashNearDups(
-              docs, "doc_id", "text").count()
-          }
-          release(keep); t
-        }
-        (r.map(_._1).min, r.head._2)
+      val (uncutSec, uncutRows) = if (runUncut) timed {
+        graft.operators.DedupOps.minhashNearDups(
+          docs, "doc_id", "text").count()
       } else (-1.0, -1L)
       s"""{"sf_dir":"$dir","n_docs":$n,"family":$m,""" +
         s""""family_uncut_pairs":${m * (m - 1) / 2},""" +
@@ -100,42 +95,37 @@ object HotBucketProbe {
         s""""uncut_sec":$uncutSec,"uncut_rows":$uncutRows}"""
     }
 
-    val small = probe(sfSmall, 10L, runUncut = true)
-    val large = probe(sfLarge, 10L, runUncut = true)
+    val small = probe(fixture(sfSmall, 10L), sfSmall, runUncut = true)
+    val large = probe(fixture(sfLarge, 10L), sfLarge, runUncut = true)
     // stress: the family at 100% of N — the scale point where the
     // uncut join's C(m,2) verification dominates wall-clock while the
-    // capped spelling stays flat
-    val stress = probe(sfLarge, 1L, runUncut = true)
+    // capped spelling stays flat. The stress fixture is built ONCE and
+    // shared by the minhash, simhash, and incremental blocks.
+    val stressFixture = fixture(sfLarge, 1L)
+    val (stressDocs, stressN, stressM) = stressFixture
+    val stress = probe(stressFixture, sfLarge, runUncut = true)
     // simhash at the same stress point: the collapse-by-exact-simhash
     // resolution (round-10 review fix) vs the unguarded byte-bucket
     // join, whose quadratic lives in only 1024 keys
     val simhash = {
-      val (docs, n, m) = fixture(sfLarge, 1L)
-      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      def one(body: => Long): (Double, Long) = {
-        val r = (1 to 3).map { _ =>
-          val t = timeIt(body); release(keep); t
-        }
-        (r.map(_._1).min, r.head._2)
-      }
-      val (cs, cr) = one {
+      val (cs, cr) = timed {
         graft.operators.DedupOps.simhashNearDupsCapped(
-          docs, "doc_id", "text", maxOccupancy = 64).count()
+          stressDocs, "doc_id", "text", maxOccupancy = 64).count()
       }
-      val (us, ur) = one {
+      val (us, ur) = timed {
         graft.operators.DedupOps.simhashNearDups(
-          docs, "doc_id", "text").count()
+          stressDocs, "doc_id", "text").count()
       }
-      s"""{"n_docs":$n,"family":$m,"capped_sec":$cs,"capped_rows":$cr,""" +
+      s"""{"n_docs":$stressN,"family":$stressM,""" +
+        s""""capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur}"""
     }
     // the INCREMENTAL face: the index has accumulated the 100%-of-N
     // family; a new batch of 200 more copies probes it — capped, the
     // delegated edges replace |new∩bucket| x m verification pairs
     val incremental = {
-      val (docs, n, m) = fixture(sfLarge, 1L)
       val idx = graft.operators.DedupOps
-        .minhashIndex(docs, "doc_id", "text").localCheckpoint()
+        .minhashIndex(stressDocs, "doc_id", "text").localCheckpoint()
       idx.count()
       val batch = spark.range(200)
         .select((col("id") + 2000000000L).as("doc_id"),
@@ -144,20 +134,16 @@ object HotBucketProbe {
           .select((col("doc_id") + 3000000000L).as("doc_id"),
             col("text")).limit(300))
         .localCheckpoint()
-      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      def one(body: => Long): (Double, Long) = {
-        val r = (1 to 3).map { _ => val t = timeIt(body); release(keep); t }
-        (r.map(_._1).min, r.head._2)
-      }
-      val (cs, cr) = one {
+      val (cs, cr) = timed {
         graft.operators.DedupOps.minhashNearDupsAgainstIndex(
           batch, "doc_id", "text", idx, maxOccupancy = 64).count()
       }
-      val (us, ur) = one {
+      val (us, ur) = timed {
         graft.operators.DedupOps.minhashNearDupsAgainstIndex(
           batch, "doc_id", "text", idx).count()
       }
-      s"""{"index_docs":${n + m},"index_family":$m,"batch_new_copies":200,""" +
+      s"""{"index_docs":${stressN + stressM},"index_family":$stressM,""" +
+        s""""batch_new_copies":200,""" +
         s""""capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur}"""
     }

@@ -117,8 +117,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = DedupOps.minhashIndex(oldDocs, "my_id", "body",
       shingleK = 3, bands = 4, rows = 2, partitions = 4)
       .localCheckpoint()
+    // doc 5's id sorts BELOW every accumulated family member — the
+    // review-caught hole: a min-over-all-rows root would elect doc 5
+    // itself and filter away its only delegated edge, silently
+    // admitting the duplicate. The root must be an ACCUMULATED member.
     val batch = Seq(
-      (500L, boiler), (501L, boiler),
+      (5L, boiler), (500L, boiler), (501L, boiler),
       (502L, "some perfectly unique document about gardens and rivers"))
       .toDF("my_id", "body")
     val uncapped = DedupOps.minhashNearDupsAgainstIndex(batch, "my_id",
@@ -133,8 +137,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .localCheckpoint()
     val delegated = capped.filter(col("jaccard").isNull).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(delegated == Set((100L, 500L), (100L, 501L)),
-      s"new family copies must link to the bucket root: $delegated")
+    assert(delegated == Set((5L, 100L), (100L, 500L), (100L, 501L)),
+      s"every new family copy — low-id doc 5 included — must link to " +
+        s"the accumulated bucket root: $delegated")
     val verified = capped.filter(col("jaccard").isNotNull).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!verified.exists(p => p._1 >= 100L && p._1 < 200L &&
