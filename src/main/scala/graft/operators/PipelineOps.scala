@@ -272,9 +272,11 @@ object DedupOps {
     * star edges carry jaccard = null and saturated = true. Both kinds
     * feed [[connectedComponents]]/[[canonicalSelection]] directly — a
     * saturated bucket resolves as ONE dup cluster through its m−1 star
-    * edges. A pair may appear both verified (via a sub-cap bucket) and
-    * as a star edge (via a saturated one); component resolution is
-    * insensitive to the duplicate edge.
+    * edges. A pair that shares a saturated bucket AND a sub-cap one
+    * surfaces ONCE, as its verified row (star edges anti-join against
+    * the verified set — the same pair-uniqueness contract as the capped
+    * incremental probe, so pair-keyed consumers never double-count;
+    * ADVICE item).
     *
     * Contract (pinned by PipelineOpsSpec): with `maxOccupancy` at or
     * above the corpus's max bucket occupancy this returns EXACTLY
@@ -292,12 +294,20 @@ object DedupOps {
     val (cand, star) = occupancySplit(bandBuckets, "doc_id",
       Seq("band", "bkey"), maxOccupancy)
     val shArr = TextKernels.shingleArrays(s, docs, shingleK).localCheckpoint()
-    jaccardVerified(cand, shArr, threshold)
+    // pinned: the verified set is consumed twice (the union below and
+    // the star-edge anti-join); without the pin the Jaccard
+    // verification of every sub-cap candidate would run twice. Output-
+    // sized, caller-owned like the staged pins above.
+    val verified = jaccardVerified(cand, shArr, threshold)
       .select(col("a"), col("b"), col("jaccard"),
         lit(false).as("saturated"))
-      .unionByName(star.select(col("a"), col("b"),
-        lit(null).cast("double").as("jaccard"),
-        lit(true).as("saturated")))
+      .localCheckpoint()
+    verified.unionByName(
+      star.join(verified.select(col("a"), col("b")), Seq("a", "b"),
+          "left_anti")
+        .select(col("a"), col("b"),
+          lit(null).cast("double").as("jaccard"),
+          lit(true).as("saturated")))
   }
 
   /** How [[minhashNearDupsCapped]]'s `maxOccupancy` gets CHOSEN — the
@@ -396,6 +406,47 @@ object DedupOps {
     pinned
   }
 
+  /** The DELEGATED-face slice of [[bandOccupancyCurve]], computed
+    * without the uncut denominator: (saturated_pairs,
+    * saturated_confirmed_pairs) at one `cap` — the pair volume the
+    * guard would route around the join and how much of it really is
+    * >= `threshold` duplicates. Cost is O(Σ m² over saturated buckets
+    * only) — the delegated volume itself, NOT the full-corpus O(Σm²)
+    * the curve's uncut column pays — so a query can afford it as an
+    * in-line precondition: d14 requires sat_precision == 1.0 here
+    * before comparing capped cluster resolution against the uncut
+    * closure (ADVICE item: the equivalence premise must be asserted in
+    * the query, not assumed of the corpus). Returns (0, 0) when
+    * nothing saturates.
+    */
+  def saturatedPairStats(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
+      threshold: Double = 0.8, cap: Int = 1000,
+      partitions: Int = 0): (Long, Long) = {
+    val docs = staged(df, idCol, textCol, partitions)
+    val s = df.sparkSession
+    val bb = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
+      .localCheckpoint()
+    val satRows = bb.join(
+      bb.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("m"))
+        .filter(col("m") > cap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"))
+    val cand = satRows.as("x").join(satRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK)
+      .localCheckpoint()
+    val r = jaccardScored(cand, shArr).agg(
+      count(lit(1)).as("cp"),
+      coalesce(sum(when(col("jaccard") >= threshold, 1L)
+        .otherwise(0L)), lit(0L)).as("vp")).head()
+    releaseLocalCheckpoint(shArr)
+    releaseLocalCheckpoint(bb)
+    releaseLocalCheckpoint(docs)
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Persistable MinHash signature index for incremental dedup: one row
     * per document carrying its band keys and shingle array —
     * (doc_id, bkeys array<struct<band, bkey>>, shs). Write this to a
@@ -433,10 +484,22 @@ object DedupOps {
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
-    // the lazy return keeps the capped path's saturated-key pin alive
-    // for the session (the staged() caller-owns convention); the
-    // durable variant, which pins its result, releases it eagerly
-    probeIndex(newIdx, Some(index), threshold, maxOccupancy)._1
+    // uncapped: lazy return, caller owns the newIdx pin (the staged()
+    // convention — no other per-call blocks exist). Capped: the probe
+    // pins a saturated-key table per call, and this operator is CALLED
+    // PER BATCH in a long-lived session — an un-released per-call pin
+    // would accumulate for the session lifetime (ADVICE; the durable
+    // variant's leak class). Pin the (output-sized) result instead and
+    // free both per-call stagings eagerly.
+    val (probed, releaseSat) =
+      probeIndex(newIdx, Some(index), threshold, maxOccupancy)
+    if (maxOccupancy == Int.MaxValue) probed
+    else {
+      val pinned = probed.localCheckpoint()
+      releaseSat()
+      releaseLocalCheckpoint(newIdx)
+      pinned
+    }
   }
 
   /** Measured LSH operating curve: candidate volume and confirmed
@@ -956,7 +1019,10 @@ object DedupOps {
     * saturated = false; collapse edges and representative pairs carry
     * saturated = true (member↔member and member↔other-rep pairs are
     * implied through the representative — the output is for CLUSTER
-    * resolution, [[connectedComponents]]/[[canonicalSelection]]). With
+    * resolution, [[connectedComponents]]/[[canonicalSelection]]). Each
+    * (a, b) surfaces exactly once — a pair sharing a sub-cap AND a
+    * saturated bucket keeps its verified row only (the family-wide
+    * pair-uniqueness contract). With
     * `maxOccupancy` at or above the max bucket occupancy this returns
     * exactly [[simhashNearDups]]'s rows (PipelineOpsSpec pins it).
     *
@@ -1004,8 +1070,15 @@ object DedupOps {
         .filter(col("hamming") <= maxHamming)
         .select(col("a"), col("b"), col("hamming"),
           lit(sat).as("saturated"))
-    val verified = hammingPairs(sub, "doc_id", sat = false)
-    if (!saturationPresent) return verified
+    val verifiedLazy = hammingPairs(sub, "doc_id", sat = false)
+    if (!saturationPresent) return verifiedLazy
+    // pinned: consumed by the union AND the saturated-face anti-joins
+    // below (the family-wide pair-uniqueness contract — each (a, b)
+    // surfaces once, as its verified row when one exists; ADVICE item)
+    val verified = verifiedLazy.localCheckpoint()
+    def distinctFromVerified(pairs: DataFrame): DataFrame =
+      pairs.join(verified.select(col("a"), col("b")), Seq("a", "b"),
+        "left_anti")
     val satRows = bytes.join(broadcast(satKeys), Seq("pos", "byte"))
     val groups = satRows
       .groupBy(col("pos"), col("byte"), col("simhash"))
@@ -1019,7 +1092,8 @@ object DedupOps {
     val repPairs = hammingPairs(
       groups.select(col("rep"), col("simhash"), col("pos"), col("byte")),
       "rep", sat = true)
-    verified.unionByName(collapse).unionByName(repPairs)
+    verified.unionByName(distinctFromVerified(collapse))
+      .unionByName(distinctFromVerified(repPairs))
   }
 }
 
@@ -2605,10 +2679,13 @@ object AnnOps {
       col("nrm").as("anrm"))
     val bv = v.select(col("id").as("b"), col("c").as("bc"),
       col("nrm").as("bnrm"))
-    // verify candidates only: the corpus arrays broadcast (tiny next to
-    // the candidate stream); at corpus sizes beyond broadcast the same
-    // joins run as shuffles on a / b — still O(candidates)
-    cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
+    // verify candidates only: NO broadcast hint on the corpus vector
+    // tables — an explicit hint never falls back, so past the broadcast
+    // limit it would OOM the driver instead of degrading; unhinted, AQE
+    // broadcasts under the threshold (the pinned staging has exact
+    // sizes) and runs a shuffle join on a / b past it — still
+    // O(candidates) either way (ADVICE)
+    cand.join(av, Seq("a")).join(bv, Seq("b"))
       .select(col("a"), col("b"),
         ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
           (col("anrm") * col("bnrm"))).as("cosine"))
@@ -2630,7 +2707,10 @@ object AnnOps {
     * delegates on — and only the DISTINCT-signature representatives
     * enter the pair join, with exact-cosine verification as always.
     * Returns (a, b, cosine, saturated): cosine null on collapse edges
-    * (delegated, not individually verified), exact elsewhere; output
+    * (delegated, not individually verified), exact elsewhere; each
+    * (a, b) surfaces exactly once — a pair sharing a sub-cap and a
+    * saturated bucket keeps its verified row only (the family-wide
+    * pair-uniqueness contract); output
     * is for CLUSTER resolution — member-level pairs route through
     * representatives, so a borderline pair within a collapse group's
     * (tiny) diameter of the threshold may flip, the documented cost.
@@ -2660,8 +2740,11 @@ object AnnOps {
       col("nrm").as("anrm"))
     val bv = v.select(col("id").as("b"), col("c").as("bc"),
       col("nrm").as("bnrm"))
+    // no broadcast hint on av/bv: a hint never falls back past the
+    // broadcast limit — AQE broadcasts the (exactly-sized, pinned)
+    // staging under the threshold and shuffles on a / b past it (ADVICE)
     def verify(cand: DataFrame, sat: Boolean): DataFrame =
-      cand.join(broadcast(av), Seq("a")).join(broadcast(bv), Seq("b"))
+      cand.join(av, Seq("a")).join(bv, Seq("b"))
         .select(col("a"), col("b"),
           ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
             (col("anrm") * col("bnrm"))).as("cosine"))
@@ -2695,9 +2778,15 @@ object AnnOps {
         col("x.band") === col("y.band") && col("x.code") === col("y.code")
           && col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("a"), col("y.rep").as("b")).distinct()
-    verify(cand, sat = false)
-      .unionByName(collapse)
-      .unionByName(verify(repCand, sat = true))
+    // pinned verified set + anti-joined saturated faces: each (a, b)
+    // surfaces once, as its verified row when one exists — the
+    // family-wide pair-uniqueness contract (ADVICE item)
+    val verified = verify(cand, sat = false).localCheckpoint()
+    def distinctFromVerified(pairs: DataFrame): DataFrame =
+      pairs.join(verified.select(col("a"), col("b")), Seq("a", "b"),
+        "left_anti")
+    verified.unionByName(distinctFromVerified(collapse))
+      .unionByName(distinctFromVerified(verify(repCand, sat = true)))
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`,

@@ -1006,10 +1006,26 @@ object Dedup {
         // fed to d06's connectedComponents; the ORACLE resolves the
         // UNCUT pair set with the same recursive closure — so the hash
         // gate passing IS the equivalence, instantiated on exactly the
-        // pathological corpus the guard exists for (the d13 curve
-        // measures the preconditions: sat_precision 1.0 at every SF).
+        // pathological corpus the guard exists for. The equivalence
+        // PREMISE — every delegated pair really is a >= threshold dup
+        // (sat_precision == 1.0) — is asserted IN the query (ADVICE: a
+        // corpus or SF change where a natural bucket saturates with
+        // non-duplicates must fail loudly here, not silently flip or
+        // hollow out the hash gate). The check prices only the
+        // delegated volume (Σm² over saturated buckets — the planted
+        // family), never the full-corpus uncut join.
+        val fixture = boilerplateFixture(s, dir).localCheckpoint()
+        val (satPairs, satConfirmed) =
+          graft.operators.DedupOps.saturatedPairStats(fixture,
+            "doc_id", "text", shingleK = 5, bands = BANDS, rows = ROWS,
+            threshold = JACCARD_T, cap = 32)
+        require(satPairs == satConfirmed,
+          s"d14 precondition violated: sat_precision = " +
+            s"$satConfirmed/$satPairs < 1.0 at cap 32 — a saturated " +
+            "bucket holds non-duplicates, so star-edge delegation " +
+            "would weld distinct clusters; re-choose the cap from d13")
         val capped = graft.operators.DedupOps.minhashNearDupsCapped(
-          boilerplateFixture(s, dir), "doc_id", "text",
+          fixture, "doc_id", "text",
           shingleK = 5, bands = BANDS, rows = ROWS,
           threshold = JACCARD_T, maxOccupancy = 32)
         graft.operators.DedupOps

@@ -175,6 +175,52 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), "d12 has a CartesianProduct")
   }
 
+  test("d12's PUBLIC wrapper executes the same df-cut shape (a pin " +
+      "moved below candidate generation must fail here, not ship)") {
+    // The lazy-variant audit above can't see a regression scoped to the
+    // public containmentOperatingCurve wrapper itself (ADVICE): the
+    // wrapper pins its |maxDfs|-row result, so its RETURNED plan is
+    // just a checkpoint scan. Capture the plans the wrapper EXECUTES
+    // (QueryExecutionListener fires on the pinning action) and assert
+    // the join shape there.
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "unrelated words entirely here now forever more"))
+      .toDF("doc_id", "text")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString())
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    ss.listenerManager.register(listener)
+    val joined = try {
+      graft.operators.DedupOps.containmentOperatingCurve(docs,
+        "doc_id", "text", shingleK = 3, threshold = 0.9,
+        maxDfs = Seq(2, 4), partitions = 2)
+      // listener callbacks are asynchronous: poll until the curve's
+      // pinning action (the plan carrying the anti join) has landed
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !captured.toArray.mkString("\n").contains("LeftAnti"))
+        Thread.sleep(50)
+      captured.toArray(Array.empty[String]).mkString("\n")
+    } finally ss.listenerManager.unregister(listener)
+    assert(joined.contains("LeftAnti"),
+      "the public wrapper no longer executes the heavy-hitter anti join")
+    assert(joined.contains("BroadcastHashJoin"),
+      "the public wrapper's anti join is not broadcast (map-side)")
+    assert(!joined.contains("CartesianProduct"),
+      "the public wrapper executed a CartesianProduct")
+  }
+
   test("p07's df-cut prunes the train index via a broadcast anti join") {
     val s = plans("p07_decontam").toString()
     assert(s.contains("LeftAnti"), "p07 lost the heavy-hitter anti join")
