@@ -1798,11 +1798,17 @@ object TextOps {
       }.toDF("id", "n_words", "n_bpe_tokens")
   }
 
-  /** Token count of one word under the learned ranks: code-point
+  /** Token count of one word under the learned ranks — the counting
+    * face of [[bpeEncodeSyms]]. Exposed to BpePropertySpec. */
+  private[graft] def bpeEncodeLen(w: String,
+      ranks: Map[(String, String), Int]): Int =
+    bpeEncodeSyms(w, ranks).length
+
+  /** Token SEQUENCE of one word under the learned ranks: code-point
     * symbols, repeatedly apply the lowest-rank adjacent pair present
     * via the shared greedy fold. Exposed to BpePropertySpec. */
-  private[graft] def bpeEncodeLen(w: String,
-      ranks: Map[(String, String), Int]): Int = {
+  private[graft] def bpeEncodeSyms(w: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
     // code-point split — the trainer's regexp_replace("(.)") splits on
     // code points, so a supplementary character is ONE initial symbol
     // on both paths
@@ -1834,7 +1840,109 @@ object TextOps {
         if (syms.length < 2) done = true
       }
     }
-    syms.length
+    syms
+  }
+
+  /** Token SEQUENCES under the learned ranks — the trainer handoff
+    * [[bpeEncode]] deliberately omits: bpeEncode prices documents
+    * (token counts for budgeting/packing); a trainer consumes the
+    * tokens themselves. Same broadcast-ranks merge-apply fold
+    * ([[bpeEncodeSyms]] per word — OOV words segment, nothing is ever
+    * dropped), exploded to one row per emitted token:
+    * (id, word_idx, tok_idx, token), with word_idx the 0-based
+    * position among the document's non-empty words and tok_idx the
+    * 0-based position within the word's segmentation — so
+    * (word_idx, tok_idx) orders the document's full token stream and
+    * GROUP BY id COUNT(*) reproduces [[bpeEncode]]'s n_bpe_tokens
+    * exactly (BpePropertySpec pins both, plus sequence equality with
+    * the definitional full-merge-list replay).
+    *
+    * Scale shape: merge table broadcast (vocabulary-bounded), one map
+    * pass, no shuffle — the output is a flatMap of the input, sized
+    * by the corpus's token count (what a tokenized corpus costs to
+    * store anywhere). Zero-word documents contribute no rows here
+    * (there is no token to emit); the counting face remains
+    * row-complete.
+    */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(collectRanks(mergeTable))
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.flatMap { case (id, text) =>
+          val words = if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+            bpeEncodeSyms(w, r).iterator.zipWithIndex.map {
+              case (tok, ti) => (id, wi, ti, tok)
+            }
+          }
+        }
+      }.toDF("id", "word_idx", "tok_idx", "token")
+  }
+
+  /** The learned TOKEN-ID table: every symbol the tokenizer can emit
+    * for a corpus drawn from the training distribution — the base
+    * code-point inventory of the training corpus plus every merged
+    * symbol — with a deterministic dense id (0-based, ordered by the
+    * token string; base symbols are single code points and merged
+    * symbols are ≥ 2, so the two sets cannot collide, and a merged
+    * string created twice across rounds — the documented collision
+    * case — lands as ONE vocabulary entry, as it must). The global
+    * row_number runs on a VOCABULARY-bounded table (the k-means
+    * centroid argument: |chars| + |merges| rows, never corpus-sized),
+    * so the single-partition window is a deliberate bounded driver-ish
+    * finish, not a scale hole. */
+  def bpeTokenIdTable(corpus: DataFrame, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val baseSyms = corpus
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      // the trainer's own code-point split (regexp "." matches a code
+      // point, so a supplementary character is ONE base symbol)
+      .select(explode(split(trim(regexp_replace(col("w"), "(.)", " $1 ")),
+        " +")).as("token"))
+    val mergedSyms = mergeTable.select(col("merged").as("token"))
+    val distinctToks = baseSyms.unionByName(mergedSyms).distinct()
+    distinctToks.select(col("token"),
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("token")))
+        - 1).cast("long").as("token_id"))
+  }
+
+  /** [[bpeTokenize]] resolved to token IDS via a learned
+    * [[bpeTokenIdTable]]: (id, word_idx, tok_idx, token, token_id).
+    * The id table is vocabulary-bounded, so the join broadcasts; a
+    * token absent from the table (a character never seen in training —
+    * the byte-fallback case real tokenizers reserve UNK ids for)
+    * surfaces with token_id NULL rather than silently dropping the
+    * token, so downstream consumers SEE the coverage hole. */
+  def bpeTokenIds(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame, tokenIdTable: DataFrame): DataFrame =
+    bpeTokenize(df, idCol, textCol, mergeTable)
+      .join(broadcast(tokenIdTable), Seq("token"), "left")
+      .select(col("id"), col("word_idx"), col("tok_idx"), col("token"),
+        col("token_id"))
+
+  /** Merge-rank map collected from a learned merge table — shared by
+    * [[bpeEncode]] and [[bpeTokenize]] (merge-table-bounded, the
+    * broadcast-vocab argument). */
+  private def collectRanks(mergeTable: DataFrame)
+      : Map[(String, String), Int] = {
+    val s = mergeTable.sparkSession
+    import s.implicits._
+    mergeTable
+      .select(col("step").cast("int"), col("pair").cast("string"))
+      .as[(Int, String)].collect()
+      .map { case (step, pr) =>
+        val Array(a, b) = pr.split(" ", 2)
+        (a, b) -> step
+      }.toMap
   }
 
   /** BPE learning loop, BATCHED: each counting round applies up to
@@ -3281,6 +3389,237 @@ object AnnOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact full-vector signature over the staged scaled-long components:
+    * md5 of the comma-joined component list. Equality is equality of
+    * every scaled component — cosine EXACTLY 1.0 — so collapsing a
+    * signature group to its min-id representative is an exact verified
+    * relation (the [[DedupOps.simhashNearDupsCapped]] collapse class,
+    * not probabilistic), in an effectively unbounded keyspace. 32 chars
+    * per row regardless of dim, so grouping on it never shuffles the
+    * vectors themselves as keys.
+    */
+  private[graft] def fullVecSig(c: Column): Column =
+    md5(concat_ws(",", transform(c, x => x.cast("string"))))
+
+  /** The hot-CELL guard for [[pairsWithinCells]] — [[semanticNearDups]]'s
+    * quadratic is SEMANTIC, like the band axis round 10 capped: mass
+    * duplicates (exactly what SemDeDup exists to remove) embed
+    * IDENTICALLY, identical vectors share one deterministic argmax cell
+    * at ANY `cells` setting, so an m-member boilerplate class is O(m²)
+    * inside one cell and no AQE skew split can reduce it (the pair
+    * count is the product, not the partitioning).
+    *
+    * Within each SATURATED cell (occupancy > `maxCellOccupancy`),
+    * co-residents COLLAPSE by [[fullVecSig]]: each signature group
+    * emits (rep = min id → member) edges — cosine exactly 1.0 by
+    * construction, >= any threshold, so the delegation is EXACT — and
+    * only the DISTINCT-signature representatives enter the pair join,
+    * with the exact-cosine verification as always. Sub-cap cells run
+    * [[pairsWithinCells]] unchanged. Cells PARTITION the corpus (one
+    * cell per id — unlike the band guard's multi-bucket membership),
+    * so the three faces are disjoint by construction and each (a, b)
+    * surfaces exactly once.
+    *
+    * Returns (cell, a, b, cosine, saturated): cosine null on collapse
+    * edges (delegated — exact by the signature argument, not
+    * individually scored), exact elsewhere; output is for CLUSTER
+    * resolution ([[DedupOps.connectedComponents]] /
+    * [[DedupOps.canonicalSelection]]) — member-level pairs inside a
+    * collapse group route through the representative. Null / zero-norm
+    * vectors are excluded from the collapse faces (they never produce
+    * a pair on the exact path — NaN cosine — and a shared
+    * null-signature would weld them into one fake group).
+    *
+    * STRUCTURAL BOUND, stated honestly: after the collapse the pair
+    * join is quadratic in the DISTINCT-signature occupancy of
+    * saturated cells. A cell saturating with genuinely diverse
+    * vectors needs more cells (the [[semanticNearDupsAuto]] dial —
+    * cells scale with the corpus), not a cap; the cap is for the
+    * boilerplate mass that no cell count can split. Choose it with
+    * [[cellOccupancyCurve]] (the d13 discipline on the cell axis).
+    */
+  private[graft] def pairsWithinCellsCapped(v: DataFrame,
+      members: DataFrame, threshold: Double,
+      maxCellOccupancy: Int): DataFrame = {
+    require(maxCellOccupancy >= 1,
+      s"maxCellOccupancy=$maxCellOccupancy must be >= 1")
+    val satCells = members.groupBy(col("cell"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
+      .select(col("cell")).localCheckpoint()
+    // nothing saturates (the common case a well-chosen cap buys): the
+    // plain within-cell join, zero collapse machinery — the
+    // simhashNearDupsCapped short-circuit
+    if (satCells.head(1).isEmpty)
+      return pairsWithinCells(v, members, threshold)
+        .withColumn("saturated", lit(false))
+    val x = members.join(v, Seq("id"))
+      .select(col("cell"), col("id"), col("c"), col("nrm"))
+    def pairsOf(rows: DataFrame, sat: Boolean): DataFrame = {
+      val xa = rows.select(col("cell"), col("id").as("a"),
+        col("c").as("ac"), col("nrm").as("anrm"))
+      val xb = rows.select(col("cell"), col("id").as("b"),
+        col("c").as("bc"), col("nrm").as("bnrm"))
+      xa.join(xb, Seq("cell")).filter(col("a") < col("b"))
+        .select(col("cell"), col("a"), col("b"),
+          ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+            (col("anrm") * col("bnrm"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .withColumn("saturated", lit(sat))
+    }
+    // saturated cells are ≤ |members|/cap rows — broadcastable by the
+    // occupancySplit boundedness argument
+    val sub = x.join(broadcast(satCells), Seq("cell"), "left_anti")
+    val satRows = x.join(broadcast(satCells), Seq("cell"))
+      .filter(col("c").isNotNull && col("nrm") > 0)
+      .withColumn("fsig", fullVecSig(col("c")))
+    val groups = satRows.groupBy(col("cell"), col("fsig"))
+      .agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val collapse = satRows.join(groups, Seq("cell", "fsig"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("cell"), col("rep").as("a"), col("id").as("b"),
+        lit(null).cast("double").as("cosine"), lit(true).as("saturated"))
+    val repRows = groups
+      .join(v.select(col("id"), col("c"), col("nrm")),
+        groups("rep") === col("id"))
+      .select(col("cell"), col("id"), col("c"), col("nrm"))
+    pairsOf(sub, sat = false)
+      .unionByName(collapse)
+      .unionByName(pairsOf(repRows, sat = true))
+  }
+
+  /** [[semanticNearDups]] with the hot-cell occupancy guard — the
+    * 100 TB spelling of SemDeDup on dedup-heavy corpora (its own
+    * published setting). See [[pairsWithinCellsCapped]] for the
+    * delegation semantics and the exactness argument. Contract (pinned
+    * by PipelineOpsSpec): with `maxCellOccupancy` at or above the max
+    * cell occupancy this returns EXACTLY [[semanticNearDups]]'s rows
+    * with saturated = false throughout; choose the cap with
+    * [[cellOccupancyCurve]]. Semantics pinned by the oracle-checked
+    * s16 query.
+    */
+  def semanticNearDupsCapped(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, cells: Int, iters: Int = 2,
+      maxCellOccupancy: Int = 1000, partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+    val v = withRawNorm(scaled(df, idCol, vecCol, partitions))
+    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
+    pairsWithinCellsCapped(v, members, threshold, maxCellOccupancy)
+  }
+
+  /** How [[semanticNearDupsCapped]]'s `maxCellOccupancy` gets CHOSEN —
+    * the d13 operating curve on the CELL axis. Per cap: what stays on
+    * the exact path (candidate/confirmed pairs of sub-cap cells), what
+    * the guard touches (saturated cells/members and their pair
+    * volume — the quadratic being removed), and what the collapse
+    * buys: collapse_edges (members delegated to an identical-vector
+    * representative — each EXACT, cosine 1.0 by construction, so there
+    * is no precision column to price on this axis, unlike the band
+    * curve's sat_precision) against rep_candidate_pairs /
+    * rep_confirmed_pairs — the RESIDUAL quadratic the capped operator
+    * still verifies among distinct-signature representatives. A cap
+    * where collapse_edges ≈ saturated_members and rep_candidate_pairs
+    * is small says the saturated mass is boilerplate (the guard's
+    * case); rep_candidate_pairs staying near saturated_pairs says the
+    * cell is genuinely diverse — raise `cells`, not the cap.
+    * pair_recall = confirmed / uncut_confirmed (the fraction still
+    * individually verified; cells partition pairs, so
+    * sub + saturated = uncut exactly). The uncut join and per-cap
+    * saturated scoring are O(Σm²) BY DESIGN — measurement query, run
+    * at sample scale (the d12/d13 discipline). Semantics pinned by the
+    * oracle-checked s17 query.
+    */
+  def cellOccupancyCurve(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cells: Int, iters: Int = 2,
+      caps: Seq[Int] = Seq(8, 64, 1024), partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+    require(caps.nonEmpty, "need at least one occupancy-cap point")
+    val staged0 = scaled(df, idCol, vecCol, partitions)
+    val v = withRawNorm(staged0)
+    val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
+    val x = members.join(v, Seq("id"))
+      .select(col("cell"), col("id"), col("c"), col("nrm"))
+      .localCheckpoint()
+    val occ = x.groupBy(col("cell")).agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val xocc = x.join(occ, Seq("cell"))
+    // ONE verification pass per pair set yields both counts (the d13
+    // countsOf convention), through the same cosine expression the
+    // dedup uses so the measurement cannot drift from it
+    def countsOf(rows: DataFrame): DataFrame = {
+      val xa = rows.select(col("cell"), col("id").as("a"),
+        col("c").as("ac"), col("nrm").as("anrm"))
+      val xb = rows.select(col("cell"), col("id").as("b"),
+        col("c").as("bc"), col("nrm").as("bnrm"))
+      xa.join(xb, Seq("cell")).filter(col("a") < col("b"))
+        .select(((dot_i64(col("ac"), col("bc")).cast("double") /
+          lit(1.0e12)) / (col("anrm") * col("bnrm"))).as("cosine"))
+        .agg(count(lit(1)).as("cp"),
+          coalesce(sum(when(col("cosine") >= threshold, 1L)
+            .otherwise(0L)), lit(0L)).as("vp"))
+    }
+    val uncut = countsOf(x)
+      .select(col("cp").as("uncut_candidate_pairs"),
+        col("vp").as("uncut_confirmed_pairs"))
+    // signatures once, shared by every cap (null/zero-norm rows
+    // excluded — the pairsWithinCellsCapped contract)
+    val fsigged = x.filter(col("c").isNotNull && col("nrm") > 0)
+      .withColumn("fsig", fullVecSig(col("c")))
+      .localCheckpoint()
+    val foccs = fsigged.join(occ, Seq("cell"))
+    val perCap = caps.map { cap =>
+      val subCnt = countsOf(xocc.filter(col("m") <= cap)
+          .select(col("cell"), col("id"), col("c"), col("nrm")))
+        .select(col("cp").as("candidate_pairs"),
+          col("vp").as("confirmed_pairs"))
+      val satCnt = countsOf(xocc.filter(col("m") > cap)
+          .select(col("cell"), col("id"), col("c"), col("nrm")))
+        .select(col("cp").as("saturated_pairs"),
+          col("vp").as("saturated_confirmed_pairs"))
+      val nSat = occ.agg(
+        coalesce(sum(when(col("m") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_saturated_cells"),
+        coalesce(sum(when(col("m") > cap, col("m")).otherwise(0L)),
+          lit(0L)).as("saturated_members"))
+      val groups = foccs.filter(col("m") > cap)
+        .groupBy(col("cell"), col("fsig"))
+        .agg(count(lit(1)).as("g"), min(col("id")).as("rep"))
+      val collapseCnt = groups.agg(
+        coalesce(sum(col("g") - 1L), lit(0L)).as("collapse_edges"))
+      val repCnt = countsOf(groups
+          .join(x.select(col("id"), col("c"), col("nrm")),
+            groups("rep") === col("id"))
+          .select(col("cell"), col("id"), col("c"), col("nrm")))
+        .select(col("cp").as("rep_candidate_pairs"),
+          col("vp").as("rep_confirmed_pairs"))
+      // 1×1 cross joins of scalar aggregates (the bounded 1×N
+      // agg-join convention)
+      subCnt.crossJoin(satCnt).crossJoin(nSat).crossJoin(collapseCnt)
+        .crossJoin(repCnt)
+        .select(lit(cap).cast("int").as("max_occupancy"),
+          col("n_saturated_cells"), col("saturated_members"),
+          col("candidate_pairs"), col("confirmed_pairs"),
+          col("saturated_pairs"), col("saturated_confirmed_pairs"),
+          col("collapse_edges"),
+          col("rep_candidate_pairs"), col("rep_confirmed_pairs"))
+    }.reduce(_ unionAll _)
+    val curve = perCap.crossJoin(uncut)
+      .withColumn("pair_recall",
+        when(col("uncut_confirmed_pairs") === 0L, lit(1.0))
+          .otherwise(col("confirmed_pairs").cast("double") /
+            col("uncut_confirmed_pairs")))
+    // |caps| rows: pin the result, free the staged blocks (the
+    // operating-curve release discipline)
+    val pinned = curve.localCheckpoint()
+    DedupOps.releaseLocalCheckpoint(fsigged)
+    DedupOps.releaseLocalCheckpoint(occ)
+    DedupOps.releaseLocalCheckpoint(x)
+    DedupOps.releaseLocalCheckpoint(members)
+    DedupOps.releaseLocalCheckpoint(v)
+    DedupOps.releaseLocalCheckpoint(staged0)
+    pinned
+  }
+
   /** [[semanticNearDups]] with `cells` derived from the corpus:
     * cells = max(1, ceil(N / targetCellSize)). This is the facade a
     * caller should reach for at corpus scale — the fixed-`cells`
@@ -3354,12 +3693,34 @@ object AnnOps {
     * scale the query is per-call-overhead-dominated, so the flag's
     * effect there is nil — it exists for the 100 TB seeding, not the
     * bench. */
+  /** `maxCellOccupancy` is the INCREMENTAL face of the hot-cell guard
+    * (the [[probeIndex]] treatment in embedding space): a boilerplate
+    * class accumulating in the index puts m identical vectors in ONE
+    * frozen cell, so each increment's probe of that cell costs
+    * |new ∩ cell| × m — quadratic OVER TIME as both sides grow. At the
+    * cap, rows of a saturated cell collapse by [[fullVecSig]]; each
+    * new member links to its signature group's root by a delegated
+    * edge (cosine = NULL — the output schema is unchanged, so uncapped
+    * callers and the s15/st16 oracles see the exact rows they always
+    * did), where the root is an ACCUMULATED member whenever one exists
+    * (the probeIndex old-root discipline — a new min id would detach
+    * the index's cluster from its arrivals); only distinct-signature
+    * representatives of groups TOUCHED by this batch pair-join against
+    * the cell's representatives, exact-cosine verified. Signature
+    * equality is cosine exactly 1.0, so cluster resolution over the
+    * capped output equals the uncapped operator's EXACTLY (every
+    * delegated member is interchangeable with its root for any
+    * threshold < 1 — the simhash-collapse class, not the probabilistic
+    * minhash star). PipelineOpsSpec pins high-cap parity, the
+    * delegation shape, and the old-root election.
+    */
   def incrementalSemanticDedupDurable(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, batchId: Long,
       threshold: Double, cells: Int = 16, iters: Int = 2,
       partitions: Int = 0,
       maxCentroidBytes: Long = DefaultMaxCentroidBytes,
-      probe: Boolean = true): DataFrame = {
+      probe: Boolean = true,
+      maxCellOccupancy: Int = Int.MaxValue): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     // both stagings are released before return (REVIEW: this operator
@@ -3409,29 +3770,100 @@ object AnnOps {
     val hasOther = fs.listStatus(batchesPath).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("batch=") &&
         st.getPath.getName != s"batch=$batchId")
-    val all = if (!hasOther) own.select("id", "cell", "c", "nrm")
-      else s.read.parquet(batchesPath.toString)
+    val oldRows: Option[DataFrame] = if (!hasOther) None
+      else Some(s.read.parquet(batchesPath.toString)
         // exclude own (half-committed) batch on replay, probe the
         // committed rest + this run's own pinned rows
         .filter(col("batch") =!= lit(batchId))
-        .select(col("id"), col("cell"), col("c"), col("nrm"))
-        .unionByName(own.select("id", "cell", "c", "nrm"))
-    val xa = own.select(col("cell"), col("id").as("na_id"),
-      col("c").as("ac"), col("nrm").as("anrm"))
-    val xb = all.select(col("cell"), col("id").as("nb_id"),
-      col("c").as("bc"), col("nrm").as("bnrm"))
+        .select(col("id"), col("cell"), col("c"), col("nrm")))
+    val ownRows = own.select(col("id"), col("cell"), col("c"), col("nrm"))
+    val all = oldRows.map(_.unionByName(ownRows)).getOrElse(ownRows)
     // cosine computed BEFORE the a/b canonicalization (it is exactly
     // symmetric — same integer dot, same double expression — so the
     // distinct collapses the own-own double orientation)
-    val pairs = xa.join(xb, Seq("cell"))
-      .filter(col("na_id") =!= col("nb_id"))
-      .select(least(col("na_id"), col("nb_id")).as("a"),
-        greatest(col("na_id"), col("nb_id")).as("b"),
-        ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
-          (col("anrm") * col("bnrm"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
-      .localCheckpoint()
+    def exactPairs(ownSide: DataFrame, allSide: DataFrame): DataFrame = {
+      val xa = ownSide.select(col("cell"), col("id").as("na_id"),
+        col("c").as("ac"), col("nrm").as("anrm"))
+      val xb = allSide.select(col("cell"), col("id").as("nb_id"),
+        col("c").as("bc"), col("nrm").as("bnrm"))
+      xa.join(xb, Seq("cell"))
+        .filter(col("na_id") =!= col("nb_id"))
+        .select(least(col("na_id"), col("nb_id")).as("a"),
+          greatest(col("na_id"), col("nb_id")).as("b"),
+          ((dot_i64(col("ac"), col("bc")).cast("double") / lit(1.0e12)) /
+            (col("anrm") * col("bnrm"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .distinct()
+    }
+    val (rawPairs, releaseCap): (DataFrame, () => Unit) =
+      if (maxCellOccupancy == Int.MaxValue) (exactPairs(ownRows, all),
+        () => ())
+      else {
+        require(maxCellOccupancy >= 1,
+          s"maxCellOccupancy=$maxCellOccupancy must be >= 1")
+        // occupancy over the COMBINED corpus (accumulated + this batch)
+        // per frozen cell; saturated cells ≤ |all|/cap — broadcastable
+        val satCells = all.groupBy(col("cell"))
+          .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
+          .select(col("cell")).localCheckpoint()
+        if (satCells.head(1).isEmpty)
+          (exactPairs(ownRows, all),
+            () => DedupOps.releaseLocalCheckpoint(satCells))
+        else {
+          val allFlagged = oldRows
+            .map(_.withColumn("is_old", lit(true))
+              .unionByName(ownRows.withColumn("is_old", lit(false))))
+            .getOrElse(ownRows.withColumn("is_old", lit(false)))
+          val subOwn = ownRows.join(broadcast(satCells), Seq("cell"),
+            "left_anti")
+          val subAll = all.join(broadcast(satCells), Seq("cell"),
+            "left_anti")
+          // collapse faces exclude null/zero-norm rows (they never
+          // pair on the exact path, and a shared null signature would
+          // weld them — the pairsWithinCellsCapped contract)
+          val satAll = allFlagged.join(broadcast(satCells), Seq("cell"))
+            .filter(col("c").isNotNull && col("nrm") > 0)
+            .withColumn("fsig", fullVecSig(col("c")))
+          // one aggregation yields every group's root, OLD-preferring
+          // (the probeIndex old-root discipline)
+          val groups = satAll.groupBy(col("cell"), col("fsig"))
+            .agg(min(when(col("is_old"), col("id"))).as("old_root"),
+              min(col("id")).as("any_root"))
+            .select(col("cell"), col("fsig"),
+              coalesce(col("old_root"), col("any_root")).as("root"))
+            .localCheckpoint()
+          val satOwn = satAll.filter(!col("is_old"))
+          val delegated = satOwn.join(groups, Seq("cell", "fsig"))
+            .filter(col("id") =!= col("root"))
+            .select(least(col("root"), col("id")).as("a"),
+              greatest(col("root"), col("id")).as("b"),
+              lit(null).cast("double").as("cosine"))
+            .distinct()
+          // groups TOUCHED by this batch probe every group in the cell
+          // (rep-level pairs; distinct collapses the touched-touched
+          // double orientation via the symmetric cosine)
+          val ownGroups = satOwn.select(col("cell"), col("fsig"))
+            .distinct()
+            .join(groups, Seq("cell", "fsig"))
+            .select(col("cell"), col("root"))
+          val allVecs = all.select(col("id"), col("c"), col("nrm"))
+          val ownRepRows = ownGroups
+            .join(allVecs, ownGroups("root") === col("id"))
+            .select(col("cell"), col("id"), col("c"), col("nrm"))
+          val repRows = groups
+            .join(allVecs, groups("root") === col("id"))
+            .select(col("cell"), col("id"), col("c"), col("nrm"))
+          (exactPairs(subOwn, subAll)
+            .unionByName(delegated)
+            .unionByName(exactPairs(ownRepRows, repRows)),
+            () => {
+              DedupOps.releaseLocalCheckpoint(groups)
+              DedupOps.releaseLocalCheckpoint(satCells)
+            })
+        }
+      }
+    val pairs = rawPairs.localCheckpoint()
+    releaseCap()
     releaseStagings()
     DedupOps.releaseLocalCheckpoint(own)
     pairs
@@ -4143,6 +4575,19 @@ object PrepOps {
     * document. Stage boundaries are pinned (localCheckpoint) so no
     * stage recomputes its upstream per referencing subtree.
     */
+  /** `maxOccupancy` threads the round-10 hot-bucket guard through the
+    * capstone (the capstone must compose the guard — boilerplate-heavy
+    * corpora are exactly where a production build needs BOTH the
+    * capped dedup and the end-to-end chain). Default `Int.MaxValue` is
+    * the unguarded [[DedupOps.minhashNearDups]] verbatim — the p14/p17
+    * oracles see byte-identical stages; capped, survivors resolve
+    * through the star-edge components the d14 query proves equal to
+    * the uncut closure whenever sat_precision = 1.0 (choose the cap
+    * from d13 / [[DedupOps.bandOccupancyCurve]]), and the funnel gains
+    * a `2b_delegated` observability row (PrepOpsSpec pins capped ==
+    * uncapped survivors on both a no-saturation corpus and a planted
+    * boilerplate family).
+    */
   def corpusBuild(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: DataFrame, weightDomainCol: String,
       weightCol: String, tokenBudget: Long, packBudget: Long,
@@ -4150,12 +4595,13 @@ object PrepOps {
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
       jaccardThreshold: Double = 0.8, trainPct: Int = 80,
       valPct: Int = 10, decontamShingleK: Int = 7,
-      decontamDfCut: Int = 16, partitions: Int = 0): DataFrame =
+      decontamDfCut: Int = 16, partitions: Int = 0,
+      maxOccupancy: Int = Int.MaxValue): DataFrame =
     corpusBuildStages(df, idCol, textCol, sourceCol, weights,
       weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
       minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
       valPct, decontamShingleK, decontamDfCut, partitions,
-      pinLateStages = false).last._2
+      pinLateStages = false, maxOccupancy = maxOccupancy).last._2
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per
@@ -4175,12 +4621,13 @@ object PrepOps {
       shingleK: Int = 5, bands: Int = 2, rows: Int = 8,
       jaccardThreshold: Double = 0.8, trainPct: Int = 80,
       valPct: Int = 10, decontamShingleK: Int = 7,
-      decontamDfCut: Int = 16, partitions: Int = 0): DataFrame = {
+      decontamDfCut: Int = 16, partitions: Int = 0,
+      maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val stages = corpusBuildStages(df, idCol, textCol, sourceCol,
       weights, weightDomainCol, weightCol, tokenBudget, packBudget,
       minWords, minTypeToken, shingleK, bands, rows, jaccardThreshold,
       trainPct, valPct, decontamShingleK, decontamDfCut, partitions,
-      pinLateStages = true)
+      pinLateStages = true, maxOccupancy = maxOccupancy)
     val docStages = stages.init.map { case (name, frame) =>
       frame.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -4208,7 +4655,8 @@ object PrepOps {
       jaccardThreshold: Double, trainPct: Int,
       valPct: Int, decontamShingleK: Int,
       decontamDfCut: Int, partitions: Int,
-      pinLateStages: Boolean)
+      pinLateStages: Boolean,
+      maxOccupancy: Int = Int.MaxValue)
       : Seq[(String, DataFrame)] = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"),
@@ -4223,9 +4671,31 @@ object PrepOps {
         minTypeToken = minTypeToken)
       .filter(col("is_quality")).select(col("id").as("doc_id"))
     val gated = base.join(q, Seq("doc_id")).localCheckpoint()
-    // 2. near-dup resolution: survivors stay
-    val pairs = DedupOps.minhashNearDups(gated, "doc_id", "text",
-      shingleK, bands, rows, jaccardThreshold, partitions)
+    // 2. near-dup resolution: survivors stay. Uncapped (the default)
+    // this is minhashNearDups verbatim; with `maxOccupancy` set, the
+    // hot-bucket guard routes saturated buckets through star edges and
+    // component resolution proceeds over the mixed edge set (the
+    // d14-proven equivalence). The extra delegation stage frame (docs
+    // whose dedup decision was delegated, with their texts — so the
+    // funnel's shared aggregation prices them like any stage) exists
+    // ONLY when capped: the uncapped stage list, and therefore the
+    // p14/p17 oracles, are byte-identical to before.
+    val (pairs, delegatedStage) =
+      if (maxOccupancy == Int.MaxValue)
+        (DedupOps.minhashNearDups(gated, "doc_id", "text",
+          shingleK, bands, rows, jaccardThreshold, partitions), None)
+      else {
+        // pinned: the capped pair set feeds BOTH component resolution
+        // and the delegation stage frame
+        val capped = DedupOps.minhashNearDupsCapped(gated, "doc_id",
+            "text", shingleK, bands, rows, jaccardThreshold,
+            maxOccupancy, partitions)
+          .localCheckpoint()
+        val delegatedIds = capped.filter(col("saturated"))
+          .select(col("b").as("doc_id")).distinct()
+        (capped.select(col("a"), col("b")),
+          Some("2b_delegated" -> gated.join(delegatedIds, Seq("doc_id"))))
+      }
     val nonSurvivors = DedupOps.connectedComponents(pairs, "a", "b")
       .filter(!col("is_survivor")).select(col("id").as("doc_id"))
     val deduped = gated.join(nonSurvivors, Seq("doc_id"), "left_anti")
@@ -4260,8 +4730,9 @@ object PrepOps {
     // 6. pack into context windows
     val packed = packSequences(sampled, "source", "doc_id", "toks",
       packBudget)
-    Seq("0_input" -> base, "1_gated" -> gated, "2_deduped" -> deduped,
-      "3_train" -> train, "4_decontaminated" -> clean,
-      "5_sampled" -> sampled, "6_packed" -> packed)
+    Seq("0_input" -> base, "1_gated" -> gated, "2_deduped" -> deduped) ++
+      delegatedStage.toSeq ++
+      Seq("3_train" -> train, "4_decontaminated" -> clean,
+        "5_sampled" -> sampled, "6_packed" -> packed)
   }
 }

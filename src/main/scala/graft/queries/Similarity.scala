@@ -516,6 +516,209 @@ object Similarity {
         WHERE rank <= 5"""
   }
 
+  // s16/s17 fixture: embeddings plus an identical-embedding family
+  // (copies of vec 0's vector at offset ids) — the SemDeDup
+  // boilerplate pathology the hot-cell guard exists for: identical
+  // vectors share one deterministic argmax cell at ANY cell count, so
+  // the family is O(m²) inside one cell with no cap.
+  private val FAM_M = 40
+  private val FAM_OFFSET = 100000L
+  private val CELL_CAP = 100
+
+  private def identicalFamilyFixture(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    // loud collision guard (the d13-fixture discipline): a base vec_id
+    // aliasing a planted family id would silently corrupt every count
+    val base = emb.select(
+      when($"vec_id" < FAM_OFFSET, $"vec_id")
+        .otherwise(raise_error(lit(
+          s"s16: vec_id >= $FAM_OFFSET collides with family ids"))
+          .cast("long")).as("vec_id"),
+      $"embedding")
+    val fam = emb.filter($"vec_id" < FAM_M)
+      .crossJoin(emb.filter($"vec_id" === 0)
+        .select($"embedding".as("fam_embedding")))
+      .select(($"vec_id" + FAM_OFFSET).as("vec_id"),
+        $"fam_embedding".as("embedding"))
+    base.unionByName(fam)
+  }
+
+  /** Oracle CTE spelling of [[identicalFamilyFixture]]. */
+  private val sqlFamilyCorpus = s"""
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT e.vec_id + $FAM_OFFSET AS vec_id, z.embedding
+          FROM embeddings e,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0) z
+          WHERE e.vec_id < $FAM_M"""
+
+  /** Shared saturated-cell CTEs over `assign2`: occupancy, the
+    * signature table of saturated-cell members (null / zero-norm rows
+    * excluded — the engine contract; grouping by md5 of the component
+    * string equals grouping by the exact component list), and the
+    * min-id representative per (cell, signature) group. Parameterized
+    * by the occupancy cap. */
+  private def sqlCellGuardCtes(cap: Int): String = s"""
+        occ AS (
+          SELECT cell, COUNT(*) AS m FROM assign2 GROUP BY cell
+        ),
+        sat AS (SELECT cell FROM occ WHERE m > $cap),
+        fsig AS (
+          SELECT a2.vec_id, a2.cell,
+            md5(string_agg(CAST(c.c AS VARCHAR), ',' ORDER BY c.i))
+              AS fsig
+          FROM assign2 a2
+            JOIN sat st ON st.cell = a2.cell
+            JOIN nrm n ON n.vec_id = a2.vec_id AND n.nrm > 0
+            JOIN comp c ON c.vec_id = a2.vec_id
+          GROUP BY a2.vec_id, a2.cell
+        ),
+        grp AS (
+          SELECT cell, fsig, MIN(vec_id) AS rep, COUNT(*) AS g
+          FROM fsig GROUP BY 1, 2
+        )"""
+
+  /** Exact-cosine scoring of a (cell, a, b) pair CTE — the shared dot
+    * spelling of sqlSemanticDedup, yielding (cell, a, b, cosine). */
+  private def sqlScorePairs(pairsCte: String): String = s"""
+          SELECT d.cell, d.a, d.b,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (na.nrm * nb.nrm)
+              AS cosine
+          FROM (
+            SELECT p.cell, p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
+            FROM $pairsCte p
+              JOIN comp ca ON ca.vec_id = p.a
+              JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+            GROUP BY 1, 2, 3) d
+            JOIN nrm na ON na.vec_id = d.a
+            JOIN nrm nb ON nb.vec_id = d.b"""
+
+  /** DuckDB spelling of s16 (the capped semantic dedup over the planted
+    * identical family): the s07 k-means CTEs over the family corpus,
+    * the cell-guard CTEs at the s16 cap, then the three faces —
+    * sub-cap exact pairs, collapse edges (null cosine), and
+    * representative pairs — with the threshold applied to the scored
+    * faces only. */
+  private def sqlSemanticDedupCapped: String = s"""
+        WITH ${sqlKmeansCtesOver(sqlFamilyCorpus)},
+        ${sqlCellGuardCtes(CELL_CAP)},
+        subp AS (
+          SELECT x.cell, x.vec_id AS a, y.vec_id AS b
+          FROM assign2 x JOIN assign2 y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE x.cell NOT IN (SELECT cell FROM sat)
+        ),
+        collapse AS (
+          SELECT f.cell, g.rep AS a, f.vec_id AS b
+          FROM fsig f JOIN grp g
+            ON g.cell = f.cell AND g.fsig = f.fsig
+          WHERE f.vec_id <> g.rep
+        ),
+        repp AS (
+          SELECT x.cell, x.rep AS a, y.rep AS b
+          FROM grp x JOIN grp y
+            ON x.cell = y.cell AND x.rep < y.rep
+        ),
+        subscored AS (${sqlScorePairs("subp")}),
+        repscored AS (${sqlScorePairs("repp")})
+        SELECT cell, a, b, cosine, saturated FROM (
+          SELECT cell, a, b, cosine, 0 AS saturated FROM subscored
+          WHERE cosine >= 0.45
+          UNION ALL
+          SELECT cell, a, b, CAST(NULL AS DOUBLE), 1 FROM collapse
+          UNION ALL
+          SELECT cell, a, b, cosine, 1 FROM repscored
+          WHERE cosine >= 0.45) t"""
+
+  /** DuckDB spelling of s17 (the cell-axis operating curve): per cap,
+    * the d13 counting conventions (SUM(CASE) cast back to BIGINT,
+    * 1-row denominators cross-joined) over the cell-partitioned pair
+    * space, plus the collapse and representative-residual columns the
+    * cell axis prices instead of the band axis's sat_precision. */
+  private def sqlCellOccupancyCurve(caps: Seq[Int], threshold: Double)
+      : String = {
+    def cnt(candSql: String): String = s"""
+          SELECT COUNT(*) AS cp,
+            CAST(COALESCE(SUM(CASE WHEN cosine >= $threshold
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS vp
+          FROM (${sqlScorePairs(s"($candSql)")})"""
+    def cellPairs(where: String): String = s"""
+            SELECT x.cell, x.vec_id AS a, y.vec_id AS b
+            FROM assign2 x
+              JOIN occ o ON o.cell = x.cell
+              JOIN assign2 y ON y.cell = x.cell
+                AND x.vec_id < y.vec_id
+            WHERE $where"""
+    val perCap = caps.map { cap =>
+      s"""
+        vs_$cap AS (${cnt(cellPairs(s"o.m <= $cap"))}
+        ),
+        sv_$cap AS (${cnt(cellPairs(s"o.m > $cap"))}
+        ),
+        ns_$cap AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN m > $cap THEN 1 ELSE 0
+              END), 0) AS BIGINT) AS n,
+            CAST(COALESCE(SUM(CASE WHEN m > $cap THEN m ELSE 0
+              END), 0) AS BIGINT) AS sm
+          FROM occ
+        ),
+        grp_$cap AS (
+          SELECT f.cell, f.fsig, MIN(f.vec_id) AS rep, COUNT(*) AS g
+          FROM allfsig f JOIN occ o ON o.cell = f.cell
+          WHERE o.m > $cap
+          GROUP BY 1, 2
+        ),
+        ce_$cap AS (
+          SELECT CAST(COALESCE(SUM(g - 1), 0) AS BIGINT) AS ce
+          FROM grp_$cap
+        ),
+        rp_$cap AS (${cnt(s"""
+            SELECT x.cell, x.rep AS a, y.rep AS b
+            FROM grp_$cap x JOIN grp_$cap y
+              ON x.cell = y.cell AND x.rep < y.rep""")}
+        )"""
+    }.mkString(",")
+    val rows = caps.map { cap =>
+      s"""SELECT CAST($cap AS INT) AS max_occupancy,
+            (SELECT n FROM ns_$cap) AS n_saturated_cells,
+            (SELECT sm FROM ns_$cap) AS saturated_members,
+            (SELECT cp FROM vs_$cap) AS candidate_pairs,
+            (SELECT vp FROM vs_$cap) AS confirmed_pairs,
+            (SELECT cp FROM sv_$cap) AS saturated_pairs,
+            (SELECT vp FROM sv_$cap) AS saturated_confirmed_pairs,
+            (SELECT ce FROM ce_$cap) AS collapse_edges,
+            (SELECT cp FROM rp_$cap) AS rep_candidate_pairs,
+            (SELECT vp FROM rp_$cap) AS rep_confirmed_pairs"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH ${sqlKmeansCtesOver(sqlFamilyCorpus)},
+        occ AS (
+          SELECT cell, COUNT(*) AS m FROM assign2 GROUP BY cell
+        ),
+        allfsig AS (
+          SELECT a2.vec_id, a2.cell,
+            md5(string_agg(CAST(c.c AS VARCHAR), ',' ORDER BY c.i))
+              AS fsig
+          FROM assign2 a2
+            JOIN nrm n ON n.vec_id = a2.vec_id AND n.nrm > 0
+            JOIN comp c ON c.vec_id = a2.vec_id
+          GROUP BY a2.vec_id, a2.cell
+        ),
+        uncut AS (${cnt(cellPairs("1 = 1"))}
+        ),$perCap,
+        curve AS (
+          $rows
+        )
+        SELECT t.*, u.cp AS uncut_candidate_pairs,
+          u.vp AS uncut_confirmed_pairs,
+          CASE WHEN u.vp = 0 THEN 1.0
+            ELSE CAST(t.confirmed_pairs AS DOUBLE) / u.vp END
+            AS pair_recall
+        FROM curve t CROSS JOIN uncut u"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1332,7 +1535,55 @@ object Similarity {
         acc.reduceOption(_ unionByName _)
           .getOrElse(graft.operators.AnnOps.emptyPairsFrame(s))
       },
-      Some(sqlIncrementalSemantic))
+      Some(sqlIncrementalSemantic)),
+
+    // --------------------- hot-cell-capped semantic dedup (s16)
+    GraftQuery(
+      "s16_semantic_dedup_capped",
+      (s, dir) => {
+        import s.implicits._
+        // s07's SemDeDup with the hot-CELL occupancy guard, on the
+        // corpus shape the guard exists for: a planted identical-
+        // embedding family (mass duplicates embed identically and
+        // share one argmax cell at ANY cell count — the semantic
+        // quadratic round 10 killed on the band axis, here on the cell
+        // axis). Saturated cells collapse co-residents by the exact
+        // full-vector signature (equality ⇒ cosine 1.0, so delegation
+        // is EXACT, not probabilistic); distinct-signature
+        // representatives still pair-join with exact-cosine verify.
+        // The query IS the AnnOps.semanticNearDupsCapped facade call;
+        // the oracle spells every face (sub-cap pairs, collapse edges,
+        // rep pairs) in DuckDB, so the hash gate pins the whole capped
+        // path including the signature grouping.
+        graft.operators.AnnOps.semanticNearDupsCapped(
+            identicalFamilyFixture(s, dir), "vec_id", "embedding",
+            threshold = 0.45, cells = K, iters = 2,
+            maxCellOccupancy = CELL_CAP)
+          .withColumn("saturated", $"saturated".cast("int"))
+      },
+      Some(sqlSemanticDedupCapped)),
+
+    // --------------------- cell-occupancy operating curve (s17)
+    GraftQuery(
+      "s17_cell_occupancy_curve",
+      (s, dir) => {
+        // How the hot-cell guard's maxCellOccupancy gets CHOSEN — the
+        // d13 treatment for the cell axis, over the same planted
+        // identical-family fixture. Per cap: the sub-cap join's
+        // volume, the saturated volume the guard removes, what the
+        // exact-signature collapse buys (collapse_edges vs
+        // saturated_members — on this axis delegation is exact, so
+        // there is no sat_precision to price; the quantity that
+        // matters is the RESIDUAL rep_candidate_pairs quadratic), and
+        // pair recall vs the uncut join. The query IS the
+        // AnnOps.cellOccupancyCurve facade call; O(Σm²) BY DESIGN at
+        // sample scale (the d12/d13 discipline).
+        graft.operators.AnnOps.cellOccupancyCurve(
+          identicalFamilyFixture(s, dir), "vec_id", "embedding",
+          threshold = 0.45, cells = K, iters = 2,
+          caps = Seq(32, 150, 1000))
+      },
+      Some(sqlCellOccupancyCurve(Seq(32, 150, 1000), 0.45)))
   )
 
   /** DuckDB spelling of s15: 2 unrolled Lloyd iterations over the OLD

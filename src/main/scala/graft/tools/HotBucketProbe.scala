@@ -147,9 +147,86 @@ object HotBucketProbe {
         s""""capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur}"""
     }
+    // the CELL axis (round-11 ask #1): an identical-embedding family at
+    // 100% of the corpus — the SemDeDup boilerplate mass. Uncut, the
+    // family is C(m,2) exact-cosine verifications inside ONE argmax
+    // cell at ANY cell count (identical vectors share the argmax);
+    // capped, it collapses to m−1 exact-signature edges plus the
+    // distinct-representative residual.
+    def semFixture(mult: Long): (DataFrame, Long, Long) = {
+      val emb = graft.Tables.load(spark, sfLarge, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.agg(count(lit(1))).head().getLong(0)
+      val m = n * mult
+      val fam = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("fe"))
+        .crossJoin(spark.range(m)
+          .select((col("id") + 1000000L).as("vec_id")))
+        .select(col("vec_id"), col("fe").as("embedding"))
+      (emb.unionByName(fam).localCheckpoint(), n, m)
+    }
+    // two family sizes: the capped spelling's fixed machinery (Lloyd +
+    // signature collapse) dominates at the small point; the uncut
+    // C(m,2) verify dominates as the family grows — the crossover IS
+    // the guard's value, measured
+    def semanticAt(mult: Long): String = {
+      val (docs, n, m) = semFixture(mult)
+      val (cs, cr) = timed {
+        graft.operators.AnnOps.semanticNearDupsCapped(docs, "vec_id",
+          "embedding", threshold = 0.9, cells = 16,
+          maxCellOccupancy = 256).count()
+      }
+      val (us, ur) = timed {
+        graft.operators.AnnOps.semanticNearDups(docs, "vec_id",
+          "embedding", threshold = 0.9, cells = 16).count()
+      }
+      graft.operators.DedupOps.releaseLocalCheckpoint(docs)
+      s"""{"n_vecs":$n,"family":$m,""" +
+        s""""family_uncut_pairs":${m * (m + 1) / 2},""" +
+        s""""capped_cap":256,"capped_sec":$cs,"capped_rows":$cr,""" +
+        s""""uncut_sec":$us,"uncut_rows":$ur}"""
+    }
+    val semantic = semanticAt(1L)
+    val semantic4x = semanticAt(4L)
+    // the INCREMENTAL cell face: the frozen index has accumulated the
+    // family; a new batch of 200 more copies (plus 300 normal vectors)
+    // probes it. Both passes replay batchId = 1, so each probes exactly
+    // the seed-committed state (own-batch exclusion) — symmetric.
+    val semanticIncremental = {
+      val (docs, n, _) = semFixture(1L)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-semidx-").toString
+      graft.operators.AnnOps.incrementalSemanticDedupDurable(
+        docs, "vec_id", "embedding", idxDir, 0L, threshold = 0.9,
+        cells = 16, probe = false)
+      val emb = graft.Tables.load(spark, sfLarge, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("fe"))
+        .crossJoin(spark.range(200)
+          .select((col("id") + 2000000L).as("vec_id")))
+        .select(col("vec_id"), col("fe").as("embedding"))
+        .unionByName(emb.limit(300)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            col("embedding")))
+        .localCheckpoint()
+      def probeOnce(cap: Int): Long =
+        graft.operators.AnnOps.incrementalSemanticDedupDurable(
+          batch, "vec_id", "embedding", idxDir, 1L, threshold = 0.9,
+          cells = 16, maxCellOccupancy = cap).count()
+      val (cs, cr) = timed { probeOnce(256) }
+      val (us, ur) = timed { probeOnce(Int.MaxValue) }
+      s"""{"index_vecs":${2 * n},"index_family":$n,""" +
+        s""""batch_new_copies":200,""" +
+        s""""capped_sec":$cs,"capped_rows":$cr,""" +
+        s""""uncut_sec":$us,"uncut_rows":$ur}"""
+    }
     println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
       s""""large":$large,"stress":$stress,"simhash_stress":$simhash,""" +
-      s""""incremental_stress":$incremental}""")
+      s""""incremental_stress":$incremental,""" +
+      s""""semantic_stress":$semantic,""" +
+      s""""semantic_stress_4x":$semantic4x,""" +
+      s""""semantic_incremental_stress":$semanticIncremental}""")
     spark.stop()
   }
 }

@@ -221,6 +221,21 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the public wrapper executed a CartesianProduct")
   }
 
+  test("s16's hot-cell guard splits cells via a broadcast anti join " +
+      "(saturated members route through the signature collapse, never " +
+      "the member-pair join)") {
+    // outside the blanket audit: the FIXTURE's planted family is a
+    // deliberate 1-row broadcast cross join (vec 0's embedding against
+    // 40 ids — query-bounded, the s01 convention). The guard's own
+    // shape is what must hold: sub-cap rows reach the pair join only
+    // through a broadcast LeftAnti on the saturated-cell table.
+    val p = finalPlan("s16_semantic_dedup_capped").toString()
+    assert(p.contains("LeftAnti"),
+      "s16 lost the saturated-cell anti join")
+    assert(p.contains("BroadcastHashJoin"),
+      "s16's saturated-cell split is not broadcast (map-side)")
+  }
+
   test("p07's df-cut prunes the train index via a broadcast anti join") {
     val s = plans("p07_decontam").toString()
     assert(s.contains("LeftAnti"), "p07 lost the heavy-hitter anti join")

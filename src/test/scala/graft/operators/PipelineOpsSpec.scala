@@ -1172,6 +1172,164 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells(0L) != cells(1L))
   }
 
+  test("capped semantic dedup: uncapped == capped when no cell " +
+      "saturates (exact rows, saturated = false throughout)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.01f, 0.999f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vid", "emb")
+    val plain = AnnOps.semanticNearDups(df, "vid", "emb",
+        threshold = 0.95, cells = 2, partitions = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val capped = AnnOps.semanticNearDupsCapped(df, "vid", "emb",
+      threshold = 0.95, cells = 2, maxCellOccupancy = 1000,
+      partitions = 2).collect()
+    assert(capped.forall(!_.getBoolean(4)), "nothing may saturate")
+    assert(capped
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet == plain)
+  }
+
+  test("capped semantic dedup: an identical-embedding family collapses " +
+      "by exact signature, cluster resolution == uncapped EXACTLY") {
+    val s = spark
+    import s.implicits._
+    // the SemDeDup pathology: 30 identical vectors (mass duplicates
+    // embed identically, so they share one argmax cell at ANY cell
+    // count) plus a small diverse set; cap 8 saturates the family's
+    // cell. The family must surface as 29 exact-signature collapse
+    // edges off the min-id rep — never its C(30,2) member pairs — and
+    // component resolution must equal the unguarded operator's exactly
+    // (signature equality is cosine 1.0: the collapse is exact, not
+    // probabilistic).
+    val boiler = Array(0.6f, 0.6f, 0.05f)
+    val fam = (0 until 30).map(i => (900L + i, boiler))
+    val df = (Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))) ++ fam)
+      .toDF("vid", "emb")
+    val capped = AnnOps.semanticNearDupsCapped(df, "vid", "emb",
+        threshold = 0.9, cells = 2, maxCellOccupancy = 8, partitions = 2)
+      .localCheckpoint()
+    val collapse = capped.filter(col("saturated") && col("cosine").isNull)
+      .collect()
+    assert(collapse.forall(r => r.getLong(1) == 900L && r.getLong(2) > 900L),
+      "collapse edges must hang off the min-id representative")
+    assert(collapse.map(_.getLong(2)).toSet == (901L to 929L).toSet,
+      "every family member must collapse to the rep")
+    // the family's quadratic never materializes: member-level family
+    // pairs appear ONLY as the 29 collapse edges
+    val famRows = capped.filter(col("a") >= 900L || col("b") >= 900L)
+      .count()
+    assert(famRows == 29, s"family emitted $famRows rows, wanted 29")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = AnnOps.semanticNearDups(df, "vid", "emb",
+      threshold = 0.9, cells = 2, partitions = 2)
+    assert(clusters(capped.select("a", "b")) ==
+      clusters(uncut.select("a", "b")),
+      "capped cell resolution must equal uncapped exactly")
+  }
+
+  test("capped incremental semantic probe: an accumulated identical " +
+      "family delegates to its OLD root instead of re-verifying") {
+    val s = spark
+    import s.implicits._
+    // the s15 pathology over time: the index has accumulated a
+    // 20-member identical-embedding family in one frozen cell; every
+    // new batch of copies would otherwise pay |new ∩ cell| × m
+    // verification pairs — quadratic over increments. Capped, new
+    // copies must link to the family's ACCUMULATED root by delegated
+    // (null-cosine) edges — id 5 sorts below every family id, so a
+    // min-over-all root would elect doc 5 and drop its only edge, the
+    // probeIndex review hole — while sub-cap cells verify exactly.
+    val boiler = Array(0.6f, 0.6f, 0.05f)
+    val base = ((0 until 20).map(i => (100L + i, boiler)) ++ Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f))))
+      .toDF("vid", "v")
+    val batch = Seq(
+      (5L, boiler), (500L, boiler),
+      (501L, Array(0.99f, 0.01f, 0.0f)))
+      .toDF("vid", "v")
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-cellcap-spec-").toString
+    def run(dir: String, b: org.apache.spark.sql.DataFrame, id: Long,
+        cap: Int) =
+      AnnOps.incrementalSemanticDedupDurable(b, "vid", "v", dir, id,
+        threshold = 0.9, cells = 2, iters = 2, partitions = 2,
+        maxCellOccupancy = cap)
+    val dirU = tmp()
+    run(dirU, base, 0L, Int.MaxValue)
+    val uncapped = run(dirU, batch, 1L, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: each new copy verifies against all 20 + each other
+    assert(uncapped.count(p => p._2 >= 100L || p._1 >= 100L) >= 40)
+    val dirC = tmp()
+    run(dirC, base, 0L, Int.MaxValue)
+    val capped = run(dirC, batch, 1L, 8).localCheckpoint()
+    val delegated = capped.filter(col("cosine").isNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delegated == Set((5L, 100L), (100L, 500L)),
+      s"every new family copy — low-id doc 5 included — must link to " +
+        s"the accumulated root: $delegated")
+    val verified = capped.filter(col("cosine").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!verified.exists(p =>
+      (p._1 == 5L || p._1 == 500L || p._2 == 500L) && p._2 >= 100L),
+      s"family probe pairs must not reach verification: $verified")
+    assert(verified.contains((10L, 501L)),
+      s"sub-cap pairs still verify exactly: $verified")
+    // no saturation ⇒ bit-identical to the uncapped probe
+    val dirP = tmp()
+    run(dirP, base, 0L, Int.MaxValue)
+    val parity = run(dirP, batch, 1L, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(parity == uncapped, "high cap must be the uncapped probe")
+  }
+
+  test("cellOccupancyCurve: cells partition pairs (sub + saturated == " +
+      "uncut), collapse prices the identical mass") {
+    val s = spark
+    import s.implicits._
+    val boiler = Array(0.6f, 0.6f, 0.05f)
+    val fam = (0 until 10).map(i => (900L + i, boiler))
+    val df = (Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f))) ++ fam)
+      .toDF("vid", "emb")
+    val curve = AnnOps.cellOccupancyCurve(df, "vid", "emb",
+        threshold = 0.9, cells = 2, caps = Seq(4, 64), partitions = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val lo = curve(4); val hi = curve(64)
+    // cap 64: nothing saturates — the sub-cap join IS the uncut join
+    assert(hi.getLong(1) == 0 && hi.getLong(5) == 0 && hi.getLong(7) == 0)
+    assert(hi.getLong(3) == hi.getLong(10) && hi.getLong(4) == hi.getLong(11))
+    assert(hi.getDouble(12) == 1.0)
+    // cap 4: the family's cell saturates; cells PARTITION pairs, so
+    // sub + saturated == uncut on both counts, and the identical mass
+    // collapses to family-size − 1 edges with a small rep residual
+    assert(lo.getLong(1) > 0)
+    assert(lo.getLong(3) + lo.getLong(5) == lo.getLong(10))
+    assert(lo.getLong(4) + lo.getLong(6) == lo.getLong(11))
+    assert(lo.getLong(7) == 9L,
+      s"10 identical members must yield 9 collapse edges: ${lo.getLong(7)}")
+    assert(lo.getLong(8) < lo.getLong(5),
+      "the rep residual must be strictly smaller than the saturated " +
+        "quadratic it replaces")
+  }
+
   test("semanticNearDupsAuto: derives K from N, bounds per-cell pairs " +
       "on a skewed fixture") {
     val s = spark

@@ -442,6 +442,84 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketing must slash the pad bill: $bucketedPad vs $naivePad")
   }
 
+  // --- corpusBuild × the hot-bucket guard (the round-10 verdict's
+  // capstone composition ask): the capstone must be runnable with the
+  // capped dedup and produce the SAME corpus the unguarded build does,
+  // because saturated-bucket delegation on a boilerplate family is
+  // exact (identical texts ⇒ jaccard 1.0 ⇒ sat_precision 1.0, the d14
+  // premise) — while the funnel gains the delegation-count row.
+
+  private def capstoneCorpus = {
+    val s = spark
+    import s.implicits._
+    // 18 diverse docs (distinct 12-word vocabularies — every minhash
+    // bucket occupancy 1) + a 12-member identical boilerplate family
+    // (identical signatures ⇒ both band buckets at occupancy 12)
+    val diverse = (0 until 18).map { i =>
+      (i.toLong,
+        (0 until 12).map(w => s"w${i}_$w").mkString(" "),
+        "web")
+    }
+    val boiler = (0 until 12).map { i =>
+      (100L + i,
+        (0 until 12).map(w => s"boilerplate_token_$w").mkString(" "),
+        "web")
+    }
+    (diverse ++ boiler).toDF("doc_id", "text", "source")
+  }
+
+  private def capstoneWeights = {
+    val s = spark
+    import s.implicits._
+    Seq(("web", 1L)).toDF("source", "w")
+  }
+
+  private def buildPacked(cap: Int) =
+    PrepOps.corpusBuild(capstoneCorpus, "doc_id", "text", "source",
+        capstoneWeights, "source", "w", tokenBudget = 100000L,
+        packBudget = 50L, partitions = 4, maxOccupancy = cap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("corpusBuild maxOccupancy: capped == uncapped when nothing " +
+      "saturates, AND on a planted boilerplate family (exact delegation)") {
+    val uncapped = buildPacked(Int.MaxValue)
+    // cap above the family's bucket occupancy: the guard short-circuits
+    assert(buildPacked(1000) == uncapped,
+      "no-saturation capped build must equal the unguarded build")
+    // cap below it: the family's buckets delegate through star edges;
+    // identical texts make the delegation exact (jaccard 1.0), so the
+    // d14-proven component resolution yields the SAME survivors and the
+    // packed corpus is identical end to end
+    assert(buildPacked(4) == uncapped,
+      "capped build on the boilerplate family must equal the unguarded " +
+        "build (the d14 equivalence, composed through the capstone)")
+  }
+
+  test("corpusBuildFunnel maxOccupancy: the 2b_delegated row prices the " +
+      "guard's delegation; uncapped funnels never show it") {
+    import org.apache.spark.sql.functions.col
+    def funnel(cap: Int) =
+      PrepOps.corpusBuildFunnel(capstoneCorpus, "doc_id", "text",
+          "source", capstoneWeights, "source", "w",
+          tokenBudget = 100000L, packBudget = 50L, partitions = 4,
+          maxOccupancy = cap)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val capped = funnel(4)
+    // 12 identical members, min-id root stays exact-side: 11 delegated
+    assert(capped("2b_delegated")._1 == 11L,
+      s"wanted 11 delegated docs: ${capped.get("2b_delegated")}")
+    assert(capped("2b_delegated")._2 == 11L * 12L,
+      "delegated docs must be priced in tokens like any stage")
+    assert(!funnel(Int.MaxValue).contains("2b_delegated"),
+      "the uncapped funnel must be byte-identical to before the guard")
+    // the delegation row is observability, not a leak: survivors at the
+    // deduped stage match the uncapped funnel's count exactly
+    assert(capped("2_deduped") == funnel(Int.MaxValue)("2_deduped"))
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
