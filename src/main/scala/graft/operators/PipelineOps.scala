@@ -1929,6 +1929,35 @@ object TextOps {
       .select(col("id"), col("word_idx"), col("tok_idx"), col("token"),
         col("token_id"))
 
+  /** The [[bpeEncode]] token-COUNT kernel as a reusable scalar column
+    * factory: collect + broadcast the learned ranks ONCE at
+    * construction, then every application is a zero-shuffle map over
+    * the bound text column — the spelling that lets a pipeline stage
+    * APPEND a BPE token count to an arbitrary frame without the
+    * corpus-sized self-join `frame.join(bpeEncode(frame))` would cost
+    * (the count is a pure function of the text, so attaching it is a
+    * projection, not a join). Null text counts 0L, matching
+    * bpeEncode's row-complete contract. A UDF rather than builtins
+    * because the greedy merge-rank fold has no Catalyst spelling; the
+    * ranks ride a broadcast, not the closure, so a 50k-merge
+    * vocabulary ships to each executor once. */
+  def bpeTokenCounter(mergeTable: DataFrame): Column => Column = {
+    val s = mergeTable.sparkSession
+    val bc = s.sparkContext.broadcast(collectRanks(mergeTable))
+    val f = udf { (text: String) =>
+      val r = bc.value
+      if (text == null) 0L
+      else {
+        var n = 0L
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) n += bpeEncodeLen(w, r)
+        }
+        n
+      }
+    }
+    (textCol: Column) => f(textCol)
+  }
+
   /** Merge-rank map collected from a learned merge table — shared by
     * [[bpeEncode]] and [[bpeTokenize]] (merge-table-bounded, the
     * broadcast-vocab argument). */
@@ -4587,6 +4616,14 @@ object PrepOps {
     * a `2b_delegated` observability row (PrepOpsSpec pins capped ==
     * uncapped survivors on both a no-saturation corpus and a planted
     * boilerplate family).
+    *
+    * `bpeMergeTable` switches the budget/packing unit from whitespace
+    * words to learned BPE tokens ([[TextOps.bpeLearn]] output) — the
+    * unit the trained model's context window actually holds. The count
+    * attaches as a zero-shuffle projection ([[TextOps.bpeTokenCounter]]);
+    * stages 1–4 (gate/dedup/split/decontam) are text-content decisions
+    * and are UNAFFECTED — only the mixture allocation and pack windows
+    * change. Oracle-pinned by p18 (build) and p19 (funnel).
     */
   def corpusBuild(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: DataFrame, weightDomainCol: String,
@@ -4596,12 +4633,23 @@ object PrepOps {
       jaccardThreshold: Double = 0.8, trainPct: Int = 80,
       valPct: Int = 10, decontamShingleK: Int = 7,
       decontamDfCut: Int = 16, partitions: Int = 0,
-      maxOccupancy: Int = Int.MaxValue): DataFrame =
+      maxOccupancy: Int = Int.MaxValue,
+      bpeMergeTable: Option[DataFrame] = None): DataFrame =
     corpusBuildStages(df, idCol, textCol, sourceCol, weights,
       weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
       minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
       valPct, decontamShingleK, decontamDfCut, partitions,
-      pinLateStages = false, maxOccupancy = maxOccupancy).last._2
+      pinLateStages = false, maxOccupancy = maxOccupancy,
+      bpeCounter = pinnedBpeCounter(bpeMergeTable)).last._2
+
+  /** The counter column for an optional learned merge table, with the
+    * table PINNED first: the table is typically a live [[TextOps.bpeLearn]]
+    * plan (iterative — one aggregation job per counting round), and
+    * counter construction collects it; without the pin every
+    * construction would re-run the training. */
+  private def pinnedBpeCounter(bpeMergeTable: Option[DataFrame])
+      : Option[Column => Column] =
+    bpeMergeTable.map(mt => TextOps.bpeTokenCounter(mt.localCheckpoint()))
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per
@@ -4622,16 +4670,27 @@ object PrepOps {
       jaccardThreshold: Double = 0.8, trainPct: Int = 80,
       valPct: Int = 10, decontamShingleK: Int = 7,
       decontamDfCut: Int = 16, partitions: Int = 0,
-      maxOccupancy: Int = Int.MaxValue): DataFrame = {
+      maxOccupancy: Int = Int.MaxValue,
+      bpeMergeTable: Option[DataFrame] = None): DataFrame = {
+    val bpeCounter = pinnedBpeCounter(bpeMergeTable)
     val stages = corpusBuildStages(df, idCol, textCol, sourceCol,
       weights, weightDomainCol, weightCol, tokenBudget, packBudget,
       minWords, minTypeToken, shingleK, bands, rows, jaccardThreshold,
       trainPct, valPct, decontamShingleK, decontamDfCut, partitions,
-      pinLateStages = true, maxOccupancy = maxOccupancy)
+      pinLateStages = true, maxOccupancy = maxOccupancy,
+      bpeCounter = bpeCounter)
+    // With a merge table, EVERY stage reports BPE tokens — the funnel's
+    // whole point is cross-stage comparability (a unit switch mid-funnel
+    // would read as a phantom drop); without one, whitespace words, the
+    // byte-identical p17 spelling. The count is row-complete, so n_docs
+    // is the frame count either way.
+    val stageToks: Column = bpeCounter match {
+      case None => size(split(col("text"), " ")).cast("long")
+      case Some(cnt) => cnt(col("text"))
+    }
     val docStages = stages.init.map { case (name, frame) =>
       frame.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(size(split(col("text"), " ")).cast("long")),
-            lit(0L)).as("n_tokens"))
+          coalesce(sum(stageToks), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
     }
     val (packName, packed) = stages.last
@@ -4656,7 +4715,8 @@ object PrepOps {
       valPct: Int, decontamShingleK: Int,
       decontamDfCut: Int, partitions: Int,
       pinLateStages: Boolean,
-      maxOccupancy: Int = Int.MaxValue)
+      maxOccupancy: Int = Int.MaxValue,
+      bpeCounter: Option[Column => Column] = None)
       : Seq[(String, DataFrame)] = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"),
@@ -4720,9 +4780,19 @@ object PrepOps {
       if (pinLateStages) frame.localCheckpoint() else frame
     val clean = maybePin(
       train.join(contaminated, Seq("doc_id"), "left_anti"))
-    // 5. mixture sampling to the token budget
-    val withToks = clean.withColumn("toks",
-      size(split(col("text"), " ")).cast("long"))
+    // 5. mixture sampling to the token budget. Whitespace words by
+    // default; with a learned merge table, the budget/packing stages
+    // count BPE TOKENS — what the context window actually holds (a
+    // 6-char word is ~6 tokens under a small vocab, so a
+    // whitespace-budgeted corpus overshoots the real window budget by
+    // the chars-per-word factor). The count attaches as a PROJECTION
+    // (TextOps.bpeTokenCounter: broadcast ranks, zero-shuffle map) —
+    // never as a corpus-sized self-join against a bpeEncode frame.
+    val withToks = bpeCounter match {
+      case None => clean.withColumn("toks",
+        size(split(col("text"), " ")).cast("long"))
+      case Some(cnt) => clean.withColumn("toks", cnt(col("text")))
+    }
     val sampled = maybePin(
       mixtureSample(withToks, "doc_id", "source", "toks",
         weights, weightDomainCol, weightCol, tokenBudget,

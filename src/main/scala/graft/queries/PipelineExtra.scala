@@ -755,6 +755,56 @@ object PipelineExtra {
       },
       Some(corpusBuildOracle)),
 
+    // ------------- capstone with a BPE token budget (p18)
+    GraftQuery(
+      "p18_corpus_build_bpe",
+      (s, dir) => {
+        import s.implicits._
+        // p14 with the budget/packing unit switched to LEARNED BPE
+        // TOKENS — what the trained model's context window actually
+        // holds (a whitespace-budgeted corpus overshoots the real
+        // window by the tokens-per-word factor). Stages 1–4 are
+        // unit-independent; only the waterfill allocation and the pack
+        // windows move. The count attaches as a zero-shuffle
+        // projection (TextOps.bpeTokenCounter), never a corpus self-join.
+        val d = Tables.load(s, dir, "documents")
+        val weights = d.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        val mt = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        graft.operators.PrepOps.corpusBuild(
+            d, "doc_id", "text", "source", weights, "source", "w",
+            tokenBudget = MixBudget, packBudget = PackBudget,
+            bpeMergeTable = Some(mt))
+          .select($"group".as("source"), $"pack_id", $"n_docs",
+            $"n_tokens")
+      },
+      Some(corpusBuildBpeOracle)),
+
+    // ------------- funnel of the BPE-budgeted capstone (p19)
+    GraftQuery(
+      "p19_corpus_funnel_bpe",
+      (s, dir) => {
+        import s.implicits._
+        // p17 over the p18 build: with a merge table EVERY stage
+        // reports BPE tokens (one unit across the funnel — a unit
+        // switch mid-funnel would read as a phantom drop), from the
+        // SAME stage frames the build materializes.
+        val d = Tables.load(s, dir, "documents")
+        val weights = d.select($"source").distinct()
+          .select($"source",
+            (expr("substring(source, 4)").cast("long") % 4 + 1).as("w"))
+        val mt = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        graft.operators.PrepOps.corpusBuildFunnel(
+            d, "doc_id", "text", "source", weights, "source", "w",
+            tokenBudget = MixBudget, packBudget = PackBudget,
+            bpeMergeTable = Some(mt))
+          .select($"stage", $"n_docs", $"n_tokens")
+      },
+      Some(corpusBuildFunnelBpeOracle)),
+
     // ------------------------------ weighted sampling, A-ES (p13)
     GraftQuery(
       "p13_weighted_sample",
@@ -848,8 +898,82 @@ object PipelineExtra {
           FROM cum GROUP BY 1, 2)"""
   }
 
-  /** The shared CTE chain of the p14/p17 oracles (through `cum`). */
-  private def corpusBuildCtes: String = s"""WITH RECURSIVE gate AS (
+  /** DuckDB spelling of the p18 BPE-budgeted [[corpusBuild]]: the same
+    * chain with the token-unit stage swapped to the spliced BPE CTEs. */
+  private def corpusBuildBpeOracle: String = s"""
+        ${corpusBuildCtesWith(bpeTokCtes)}
+        SELECT source,
+          CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2"""
+
+  /** DuckDB spelling of the p19 BPE funnel: every stage joins the
+    * row-complete per-document BPE count (`dntok`), so all seven rows
+    * report ONE unit. */
+  private def corpusBuildFunnelBpeOracle: String = {
+    def stage(name: String, src: String): String = s"""
+        SELECT '$name' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(d.toks), 0) AS BIGINT) AS n_tokens
+        FROM $src s JOIN dntok d USING (doc_id)"""
+    s"""
+        ${corpusBuildCtesWith(bpeTokCtes)}
+        ${stage("0_input", "documents")}
+        UNION ALL ${stage("1_gated", "gate")}
+        UNION ALL ${stage("2_deduped", "dedup")}
+        UNION ALL ${stage("3_train", "train")}
+        UNION ALL ${stage("4_decontaminated", "clean")}
+        UNION ALL
+        SELECT '5_sampled' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens
+        FROM keep
+        UNION ALL
+        SELECT '6_packed' AS stage, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT source, (cum - toks) // $PackBudget AS pack_id,
+            CAST(SUM(toks) AS BIGINT) AS n_tokens
+          FROM cum GROUP BY 1, 2)"""
+  }
+
+  /** The shared CTE chain of the p14/p17 oracles (through `cum`),
+    * counting whitespace words. */
+  private def corpusBuildCtes: String = corpusBuildCtesWith(wordTokCte)
+
+  /** The default token unit: whitespace words, [[corpusBuild]]'s
+    * `size(split(text))` spelling. */
+  private def wordTokCte: String = """tok AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM clean
+        )"""
+
+  /** The BPE token unit of the p18/p19 oracles: splice the t14-family
+    * BPE stage CTEs (trained over the full documents corpus, merges=3 —
+    * exactly the query side's bpeLearn input), roll them up to a
+    * ROW-COMPLETE per-document count (`dntok`: a zero-word document
+    * counts 0, the bpeTokenCounter contract), and count clean docs in
+    * BPE tokens. */
+  private def bpeTokCtes: String = s"""${TextAnalysis.bpeNtokCtes(3)},
+        dntok AS (
+          SELECT d.doc_id, CAST(COALESCE(c.toks, 0) AS BIGINT) AS toks
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, SUM(n.ntok) AS toks
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) dw
+            JOIN ntok n USING (w)
+            GROUP BY 1) c USING (doc_id)
+        ),
+        tok AS (
+          SELECT c.doc_id, c.source, d.toks
+          FROM clean c JOIN dntok d USING (doc_id)
+        )"""
+
+  /** The corpus-build CTE chain with a pluggable token-unit stage
+    * (everything upstream of `tok` — gate, dedup, split, decontam — is
+    * byte-identical across units, mirroring the facade where the
+    * counter only touches stages 5/6). */
+  private def corpusBuildCtesWith(tokCtes: String): String =
+    s"""WITH RECURSIVE gate AS (
           SELECT doc_id, text, source FROM (
             SELECT doc_id, text, source, string_split(text, ' ') ws
             FROM documents)
@@ -908,11 +1032,7 @@ object PipelineExtra {
           SELECT t.doc_id, t.text, t.source FROM train t
           ANTI JOIN contam c ON t.doc_id = c.doc_id
         ),
-        tok AS (
-          SELECT doc_id, source,
-            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-          FROM clean
-        ),
+        $tokCtes,
         avail AS (
           SELECT source,
             CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight,

@@ -742,7 +742,55 @@ object TextAnalysis {
         graft.operators.TextOps.bpeEncode(d, "doc_id", "text", mergeTable)
           .select($"id".as("doc_id"), $"n_words", $"n_bpe_tokens")
       },
-      Some(bpeEncodeOracle(3)))
+      Some(bpeEncodeOracle(3))),
+
+    // ------------------------------- BPE token SEQUENCES (t19)
+    GraftQuery(
+      "t19_bpe_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        // the trainer handoff t18 deliberately omits: one row per
+        // emitted TOKEN, (word_idx, tok_idx) ordering the document's
+        // full token stream. In-vocab corpus (train corpus == encode
+        // corpus), so the oracle is the trained segmentation s4
+        // unrolled per word position — the hash gate proves the
+        // merge-apply fold emits exactly the trained token SEQUENCE in
+        // order, not merely the right counts (the OOV side is pinned
+        // by BpePropertySpec's replay sweeps).
+        val d = docs(s, dir).select($"doc_id", $"text")
+        val mergeTable = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        graft.operators.TextOps.bpeTokenize(d, "doc_id", "text",
+            mergeTable)
+          .select($"id".as("doc_id"),
+            $"word_idx".cast("long").as("word_idx"),
+            $"tok_idx".cast("long").as("tok_idx"), $"token")
+      },
+      Some(bpeTokenizeOracle(3))),
+
+    // ------------------------------- BPE token IDS (t20)
+    GraftQuery(
+      "t20_bpe_token_ids",
+      (s, dir) => {
+        import s.implicits._
+        // t19 resolved to dense vocabulary ids: the id table is the
+        // base code-point inventory of the training corpus plus every
+        // merged symbol, 0-based by token order (deterministic — both
+        // engines order the same UTF-8 strings), joined broadcast onto
+        // the token stream. In-vocab corpus, so no NULL ids here; the
+        // NULL-on-unseen contract is pinned by BpePropertySpec.
+        val d = docs(s, dir).select($"doc_id", $"text")
+        val mergeTable = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        val ids = graft.operators.TextOps.bpeTokenIdTable(
+          d, "text", mergeTable)
+        graft.operators.TextOps.bpeTokenIds(d, "doc_id", "text",
+            mergeTable, ids)
+          .select($"id".as("doc_id"),
+            $"word_idx".cast("long").as("word_idx"),
+            $"tok_idx".cast("long").as("tok_idx"), $"token", $"token_id")
+      },
+      Some(bpeTokenIdsOracle(3)))
   )
 
   /** DuckDB spelling of [[graft.operators.TextOps.bpeEncode]] on an
@@ -779,7 +827,15 @@ object TextAnalysis {
     * (split on the DOUBLE space), weighted argmax m_i, then the same
     * boundary-safe literal replace into s_{i+1}. Ends with
     * s_{merges+1} = the fully merged representation (w, sp, freq). */
-  private def bpeStages(merges: Int): String = {
+  private def bpeStages(merges: Int): String =
+    s"""
+        WITH ${bpeStageCtes(merges)}"""
+
+  /** [[bpeStages]] WITHOUT the WITH keyword — the CTE bodies alone, so
+    * another oracle (PipelineExtra's p18/p19 corpus-build-with-BPE
+    * chain) can splice them into its own CTE list. Names (w0, s_i,
+    * p_i, m_i) are disjoint from the corpus-build chain's. */
+  private[queries] def bpeStageCtes(merges: Int): String = {
     val stages = (1 to merges).map { i =>
       s"""
         p$i AS (
@@ -804,8 +860,7 @@ object TextAnalysis {
             freq
           FROM s$i)"""
     }.mkString(",")
-    s"""
-        WITH w0 AS (
+    s"""w0 AS (
           SELECT w, COUNT(*) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE len(w) > 0 GROUP BY 1
@@ -824,6 +879,78 @@ object TextAnalysis {
     }.mkString("\n        UNION ALL ")
     s"""${bpeStages(merges)}
         $rows"""
+  }
+
+  /** [[bpeStageCtes]] plus the per-word token-count CTE (`ntok`) — the
+    * composable unit PipelineExtra's BPE corpus-build oracles splice
+    * after their own chain. */
+  private[queries] def bpeNtokCtes(merges: Int): String =
+    s"""${bpeStageCtes(merges)},
+        ntok AS (
+          SELECT w, CAST(len(string_split(trim(sp), '  ')) AS BIGINT)
+            AS ntok
+          FROM s${merges + 1}
+        )"""
+
+  /** Shared token-STREAM CTEs of the t19/t20 oracles: each word
+    * position zip-unnested with its index, joined to the trained
+    * segmentation, the token list zip-unnested with its index — the
+    * (doc_id, word_idx, tok_idx, token) stream bpeTokenize emits.
+    * Zero-word documents emit no rows, exactly as the operator. */
+  private def bpeTokenStreamCtes(merges: Int): String =
+    s"""toks AS (
+          SELECT w, string_split(trim(sp), '  ') AS tl
+          FROM s${merges + 1}
+        ),
+        wpos AS (
+          SELECT doc_id, unnest(ws) AS w,
+            unnest([CAST(i AS BIGINT) for i in range(len(ws))])
+              AS word_idx
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+            FROM documents)
+        ),
+        tstream AS (
+          SELECT doc_id, word_idx,
+            unnest([CAST(j AS BIGINT) for j in range(len(tl))])
+              AS tok_idx,
+            unnest(tl) AS token
+          FROM wpos JOIN toks USING (w)
+        )"""
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeTokenize]] on an
+    * in-vocab corpus. */
+  private def bpeTokenizeOracle(merges: Int): String =
+    s"""${bpeStages(merges)},
+        ${bpeTokenStreamCtes(merges)}
+        SELECT doc_id, word_idx, tok_idx, token FROM tstream"""
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeTokenIds]]: the
+    * t19 stream LEFT-joined to the dense id table (base code-point
+    * inventory of the training corpus plus every merged symbol,
+    * 0-based by token order). */
+  private def bpeTokenIdsOracle(merges: Int): String = {
+    val mergedRows = (1 to merges).map(i =>
+      s"SELECT replace(pr, ' ', '') AS token FROM m$i")
+      .mkString("\n            UNION ALL ")
+    s"""${bpeStages(merges)},
+        ${bpeTokenStreamCtes(merges)},
+        vocabt AS (
+          SELECT DISTINCT token FROM (
+            SELECT unnest(string_split(trim(
+                regexp_replace(w, '(.)', ' \\1 ', 'g')), '  ')) AS token
+            FROM w0
+            UNION ALL $mergedRows)
+        ),
+        vocab AS (
+          SELECT token,
+            CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+              AS token_id
+          FROM vocabt
+        )
+        SELECT t.doc_id, t.word_idx, t.tok_idx, t.token, v.token_id
+        FROM tstream t LEFT JOIN vocab v USING (token)"""
   }
 
   /** DuckDB spelling of [[graft.operators.TextOps.bpeSegment]]. */

@@ -434,6 +434,27 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeTokenCounter attaches as a projection: no shuffle, no join " +
+      "(p18's budget unit never costs a corpus self-join)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "ab ab cd"), (2L, "cd cd"))
+      .toDF("doc_id", "text")
+    val mt = graft.operators.TextOps.bpeLearn(
+      corpus.select($"text"), "text", merges = 2).localCheckpoint()
+    val counted = corpus.withColumn("toks",
+      graft.operators.TextOps.bpeTokenCounter(mt)($"text"))
+    val p = counted.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"count attach shuffles: ${shuffles.map(_.nodeName)}")
+    assert(!p.toString().contains("Join"),
+      "count attach plans a join; it must be a projection")
+  }
+
   test("s10's quantized scan broadcasts the query side") {
     // the corpus side must never shuffle for either scan: the
     // ground-truth side (bruteFromStaged) AND the quantized scan each

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.regex.{Matcher, Pattern}
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -295,6 +296,100 @@ class BpePropertySpec extends AnyFunSuite
           s"unseen word '$w' lost tokens: $got")
       }
     }
+  }
+
+  test("bpeEncodeSyms sequences == full-merge-list replay (not just " +
+      "lengths), train and unseen") {
+    // t19's operator-level claim: the lowest-rank-present loop emits
+    // the SAME token sequence as the definitional rank-ordered replay —
+    // sequence equality is strictly stronger than the length equality
+    // the earlier sweep pins (two different segmentations can tie on
+    // length)
+    val rnd = new scala.util.Random(7321L)
+    (1 to 8).foreach { trial =>
+      val words = (1 to 120).map { _ =>
+        (1 to rnd.between(1, 9)).map(_ => "abcde"(rnd.nextInt(5)))
+          .mkString
+      }
+      val corpus = Seq(words.mkString(" "))
+      val merges = rnd.between(3, 30)
+      val learned = refLearn(corpus, merges)
+      val ranks = ranksOf(learned)
+      val unseen = (1 to 40).map { _ =>
+        (1 to rnd.between(1, 12)).map(_ => "abcdef"(rnd.nextInt(6)))
+          .mkString
+      }
+      (words.distinct ++ unseen).foreach { w =>
+        val replayed = replayEncode(w, learned)
+        val got = TextOps.bpeEncodeSyms(w, ranks).toList
+        assert(got == replayed,
+          s"trial $trial: word '$w': syms $got != replay $replayed " +
+            s"(merges=$merges)")
+      }
+    }
+  }
+
+  test("bpeTokenize stream: ordered sequences match the replay; " +
+      "grouped counts match bpeEncode; bpeTokenIds joins the dense " +
+      "vocab with NULL on unseen symbols") {
+    val s = sparkUp()
+    import s.implicits._
+    val train = Seq(
+      (1L, "abab abab cdcd"), (2L, "abab cdcd cdcd dada"),
+      (3L, "dada abab"))
+    val trainDf = train.toDF("id", "t")
+    val mergeTable = TextOps.bpeLearn(trainDf.select($"t"), "t",
+      merges = 4).localCheckpoint()
+    val learned = mergeTable.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 9: one train word + unseen words with a NEVER-SEEN char 'z'
+    val probe = Seq((9L, "abab zzda qq")).toDF("id", "t")
+    val stream = TextOps.bpeTokenize(probe, "id", "t", mergeTable)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val expect = Seq("abab", "zzda", "qq").zipWithIndex.flatMap {
+      case (w, wi) => replayEncode(w, learned).zipWithIndex.map {
+        case (tok, ti) => (9L, wi, ti, tok)
+      }
+    }
+    assert(stream.toSeq == expect,
+      s"token stream drifted:\n${stream.toSeq}\nvs\n$expect")
+    // counting face: GROUP BY id COUNT(*) == bpeEncode's n_bpe_tokens
+    val nFromStream = stream.length.toLong
+    val nFromEncode = TextOps.bpeEncode(probe, "id", "t", mergeTable)
+      .collect().head.getLong(2)
+    assert(nFromStream == nFromEncode,
+      s"stream count $nFromStream != encode count $nFromEncode")
+    // id resolution: train-corpus symbols resolve; 'z'/'q' (never in
+    // training) surface with token_id NULL, never dropped
+    val idTable = TextOps.bpeTokenIdTable(trainDf, "t", mergeTable)
+      .localCheckpoint()
+    val ids = idTable.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq,
+      s"ids not dense: $ids")
+    assert(ids.keys.toSeq.sorted == ids.toSeq.sortBy(_._2).map(_._1),
+      "ids not ordered by token string")
+    val resolved = TextOps.bpeTokenIds(probe, "id", "t", mergeTable,
+        idTable)
+      .collect()
+      .map(r => (r.getString(3), if (r.isNullAt(4)) None
+        else Some(r.getLong(4))))
+    assert(resolved.length == stream.length, "id join dropped tokens")
+    resolved.foreach { case (tok, id) =>
+      assert(id == ids.get(tok),
+        s"token '$tok' resolved to $id, vocab says ${ids.get(tok)}")
+    }
+    assert(resolved.exists(_._2.isEmpty),
+      "probe contains never-trained chars; some token_id must be NULL")
+    // the counter column (the capstone's budget unit) equals bpeEncode
+    val counted = probe.withColumn("n",
+        TextOps.bpeTokenCounter(mergeTable)(col("t")))
+      .collect().head.getLong(2)
+    assert(counted == nFromEncode,
+      s"bpeTokenCounter $counted != bpeEncode $nFromEncode")
   }
 
   test("bpeEncode end-to-end: equals bpeSegment on the train corpus, " +

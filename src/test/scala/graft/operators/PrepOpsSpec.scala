@@ -520,6 +520,51 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped("2_deduped") == funnel(Int.MaxValue)("2_deduped"))
   }
 
+  test("corpusBuild bpeMergeTable: stages 1-4 are unit-independent; " +
+      "the BPE funnel reports one unit everywhere, consistent with " +
+      "bpeTokenCounter") {
+    val s = spark
+    import s.implicits._
+    val corpus = capstoneCorpus
+    val mt = TextOps.bpeLearn(corpus.select($"text"), "text",
+      merges = 3).localCheckpoint()
+    def funnel(bpe: Option[org.apache.spark.sql.DataFrame]) =
+      PrepOps.corpusBuildFunnel(corpus, "doc_id", "text", "source",
+          capstoneWeights, "source", "w", tokenBudget = 100000L,
+          packBudget = 500L, partitions = 4, bpeMergeTable = bpe)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val words = funnel(None)
+    val bpe = funnel(Some(mt))
+    // gate/dedup/split/decontam decide on text CONTENT, not the token
+    // unit: identical doc counts at stages 0-4
+    Seq("0_input", "1_gated", "2_deduped", "3_train",
+        "4_decontaminated").foreach { st =>
+      assert(bpe(st)._1 == words(st)._1,
+        s"stage $st doc count moved with the unit: " +
+          s"${bpe(st)._1} vs ${words(st)._1}")
+    }
+    // one unit across the BPE funnel: 0_input tokens == the counter
+    // column summed over the corpus (row-complete), and 3 merges leave
+    // multi-char words costing > 1 token, so the BPE total strictly
+    // exceeds the word total
+    val counterTotal = corpus.select(org.apache.spark.sql.functions
+        .sum(TextOps.bpeTokenCounter(mt)($"text")))
+      .collect().head.getLong(0)
+    assert(bpe("0_input")._2 == counterTotal,
+      s"funnel 0_input ${bpe("0_input")._2} != counter $counterTotal")
+    assert(bpe("0_input")._2 > words("0_input")._2,
+      "BPE tokens at 3 merges must exceed whitespace words")
+    // budget far above avail: every clean doc samples in both units, so
+    // 5_sampled doc counts also agree (the unit moves TOKENS, and the
+    // packed stage's token total equals the sampled stage's — packing
+    // conserves tokens in whichever unit it budgets)
+    assert(bpe("5_sampled")._1 == words("5_sampled")._1,
+      "unsaturated budget must sample identically in both units")
+    assert(bpe("6_packed")._2 == bpe("5_sampled")._2,
+      "packing must conserve the BPE token total")
+  }
+
   test("quantizeInt8: q in [-127,127], error bounded by scale/2") {
     val s = spark
     import s.implicits._
