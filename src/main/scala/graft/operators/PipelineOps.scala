@@ -2744,33 +2744,7 @@ object AnnOps {
     val (members, cent) =
       kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
     val keyed = members.join(keys, Seq("id"))
-    val qside =
-      if (nprobe == 1)
-        keyed.filter(isQuery(col("id")))
-          .select(col("id").as("qid"), col("cell"), col("key"))
-      else {
-        // multi-probe: each query's top-P cells by the SAME scoring
-        // arithmetic the assignment kernel uses (exact dot_i64 over
-        // raw norms, score desc with NaN greatest, cell-ascending
-        // ties), against the centroid table the final assignment
-        // scored — so rank 1 reproduces the member cell and P > 1
-        // only adds cells. The cross join is |queries| × k rows:
-        // query-bounded × centroid-bounded, never corpus-sized.
-        val qv = v.filter(isQuery(col("id")))
-          .select(col("id").as("qid"), col("c").as("qc"),
-            col("nrmr").as("qnrmr"))
-        val scored = cent.crossJoin(broadcast(qv))
-          .select(col("qid"), col("cell"),
-            (dot_i64(col("qc"), col("cc")).cast("double") /
-              (col("qnrmr") * col("cnrmr"))).as("score"))
-        val wq = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("cell").asc)
-        scored.withColumn("pr", row_number().over(wq))
-          .filter(col("pr") <= nprobe)
-          .select(col("qid"), col("cell"))
-          .join(broadcast(keys.filter(isQuery(col("id")))
-            .select(col("id").as("qid"), col("key"))), Seq("qid"))
-      }
+    val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
     // queries are few (the s01/s03 convention): broadcast the query
     // (cell, key) pairs against the clustered corpus — map-side at any
     // corpus size. No distinct needed at any nprobe: a corpus row
@@ -2780,6 +2754,239 @@ object AnnOps {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
     rerankCandidates(v, cand, isQuery, k)
+  }
+
+  /** The (qid, cell, key) probe side shared by [[filteredTopKIvf]] and
+    * [[filteredTopKIvfPq]] — factored so the nprobe semantics cannot
+    * drift between the exact-rerank and PQ spellings. At nprobe = 1 it
+    * is the query's own member assignment; at P > 1, the query's top-P
+    * cells by the SAME scoring arithmetic the assignment kernel uses
+    * (exact dot_i64 over raw norms, score desc with NaN greatest,
+    * cell-ascending ties) against the centroid table the final
+    * assignment scored — so rank 1 reproduces the member cell and
+    * P > 1 only adds cells. The cross join is |queries| × k rows:
+    * query-bounded × centroid-bounded, never corpus-sized. */
+  private def ivfProbeSide(v: DataFrame, keys: DataFrame,
+      keyed: DataFrame, cent: DataFrame, isQuery: Column => Column,
+      nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      keyed.filter(isQuery(col("id")))
+        .select(col("id").as("qid"), col("cell"), col("key"))
+    else {
+      val qv = v.filter(isQuery(col("id")))
+        .select(col("id").as("qid"), col("c").as("qc"),
+          col("nrmr").as("qnrmr"))
+      val scored = cent.crossJoin(broadcast(qv))
+        .select(col("qid"), col("cell"),
+          (dot_i64(col("qc"), col("cc")).cast("double") /
+            (col("qnrmr") * col("cnrmr"))).as("score"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cell").asc)
+      scored.withColumn("pr", row_number().over(wq))
+        .filter(col("pr") <= nprobe)
+        .select(col("qid"), col("cell"))
+        .join(broadcast(keys.filter(isQuery(col("id")))
+          .select(col("id").as("qid"), col("key"))), Seq("qid"))
+    }
+
+  /** IVF-PQ — the production memory-scale ANN composition: IVF cells
+    * generate candidates (the [[filteredTopKIvf]] (cell, key)
+    * equi-join, same `nprobe` dial through [[ivfProbeSide]]), an
+    * asymmetric-distance (ADC) scan over PRODUCT-QUANTIZED codes ranks
+    * them — M table lookups per candidate instead of a dim-wide dot —
+    * and only the top `rerankDepth` per query touch full vectors for
+    * the exact cosine re-rank. This is the FAISS IVFADC layout
+    * re-expressed relationally: at 100 TB the scan set is the code
+    * table (M small ints per vector, ~50× smaller than the raw
+    * vectors), full vectors are read only for candidates that survive
+    * the ADC cut, and every lookup table is query- or
+    * codebook-bounded, broadcast, never corpus-sized.
+    *
+    * Construction is fully deterministic (the s08 conventions):
+    * per-subspace codebooks from the SAME Lloyd kernel as the coarse
+    * cells (seeds = smallest ids' subvectors, exact integer-dot
+    * cosine routing, ties cell-ascending); per-(query, subspace,
+    * code) partial dots are exact scaled-long integers over the SUM
+    * centroid, divided once by the code's member count (the mean —
+    * what reconstruction needs; the sum's population factor would
+    * skew rankings across codes). The ADC score approximates cosine
+    * against the reconstructed vector: Σ_m pdot_m over the query norm
+    * times sqrt(Σ_m |mean_centroid_m|²). The M-way double sums make
+    * the ADC ordering a float heuristic (1-ulp ties may fall either
+    * way across runs) — acceptable because ADC only gates the refine
+    * cut; emitted cosines are always exact, and the oracle pins the
+    * depth-≥-candidates construction where the cut is a no-op.
+    *
+    * Correctness frame (the s14 construction argument, pinned by the
+    * s18 oracle): at nprobe = cells and rerankDepth ≥ every
+    * candidate, the candidate set is ALL key-matching rows and the
+    * exact re-rank sees all of them, so the result EQUALS the
+    * filtered brute force regardless of quantization error; shrinking
+    * nprobe/rerankDepth trades recall for cost along two independent
+    * dials (recall@k vs plain IVF and LSH at matched candidate cost
+    * is measured in PipelineOpsSpec). `rerankDepth` <= 0 defaults to
+    * 4k — the standard refine overquery.
+    *
+    * Returns (qid, neighbor_id, cosine, rank) — exact cosines, rank
+    * <= k, identical output contract to the sibling filtered spellings.
+    */
+  def filteredTopKIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, isQuery: Column => Column, k: Int,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 1,
+      pqM: Int = 4, pqKs: Int = 4, pqIters: Int = 2,
+      rerankDepth: Int = 0, partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+    require(k >= 1, s"filteredTopKIvfPq: k=$k")
+    require(cells >= 1 && nprobe >= 1,
+      s"filteredTopKIvfPq: cells=$cells nprobe=$nprobe")
+    require(pqM >= 1 && pqKs >= 1 && pqIters >= 1,
+      s"filteredTopKIvfPq: pqM=$pqM pqKs=$pqKs pqIters=$pqIters")
+    val depth = if (rerankDepth > 0) rerankDepth else 4 * k
+    require(depth >= k,
+      s"filteredTopKIvfPq: rerankDepth=$depth must be >= k=$k")
+    val s = df.sparkSession
+    import s.implicits._
+    val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
+    val keys = staged.select(col("id"), col("key"))
+    val v = withRawNorm(staged)
+    // coarse structure: cells + the probe side (shared with s14)
+    val (members, cent) =
+      kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+    val keyed = members.join(keys, Seq("id"))
+    val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
+    val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .localCheckpoint() // feeds the ADC join; pin so the coarse
+                         // k-means never re-runs per consumer
+    // PQ structure: M per-subspace codebooks over the SAME staged
+    // corpus (ceil split; dot_i64/the assignment kernel tolerate a
+    // shorter last slice). Each build is the shared Lloyd kernel —
+    // codebook tables are pqKs rows, broadcast-sized by construction.
+    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    require(dim >= pqM, s"filteredTopKIvfPq: dim=$dim < pqM=$pqM")
+    val dsub = (dim + pqM - 1) / pqM
+    val perM = (0 until pqM).map { m =>
+      val sub = v.select(col("id"),
+          slice(col("c"), m * dsub + 1, dsub).as("c"))
+        .localCheckpoint()
+      // Codebooks train with L2 Lloyd, NOT the cosine kernel the
+      // coarse cells reuse: ADC reconstructs the vector, and cosine
+      // routing is magnitude-blind — a tiny noise subvector pointing
+      // along a hot centroid's direction would join the hot code and
+      // inherit a reconstruction norm it doesn't have, skewing every
+      // score that candidate appears in (measured: cross-center
+      // impostors at ~0.7 approx-cosine displacing true ~1.0
+      // neighbors before this fix). L2 separates by magnitude AND
+      // direction — the standard PQ quantizer.
+      val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
+      val meansDf = s.createDataFrame(means.toSeq.map { case (cell, mu) =>
+        (cell, mu.toSeq, mu.map(x => x * x).sum)
+      }).toDF("code", "cmean", "cn2")
+      val qsub = sub.filter(isQuery(col("id")))
+        .select(col("id").as("qid"), col("c").as("qc"))
+      // this subspace's ADC lookup table: queries × codebook — the
+      // partial dot against the MEAN centroid as one sequential
+      // zip_with/aggregate fold (per-row deterministic; the M-way sum
+      // downstream is the documented float heuristic)
+      val lutM = meansDf.crossJoin(broadcast(qsub))
+        .select(col("qid"), col("code"),
+          aggregate(zip_with(col("qc"), col("cmean"),
+            (a, b) => a.cast("double") * b), lit(0.0d),
+            (acc, x) => acc + x).as("pdot"),
+          lit(m).as("m"))
+      val cn2M = meansDf.select(col("code"), col("cn2"), lit(m).as("m"))
+      (codesP.select(col("id"), col("cell").as("code"), lit(m).as("m")),
+        lutM, cn2M)
+    }
+    val codes = perM.map(_._1).reduce(_ unionByName _)
+    val luts = perM.map(_._2).reduce(_ unionByName _)
+    val cn2 = perM.map(_._3).reduce(_ unionByName _)
+    // ADC scan of the IVF candidates only: M lookup rows per
+    // candidate, summed map-side; the LUT/norm/candidate tables all
+    // broadcast (query- or codebook-bounded)
+    val qn = v.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("nrmr").as("qnrmr"))
+    val adc = broadcast(cand).join(codes, Seq("id"))
+      .join(broadcast(luts), Seq("qid", "m", "code"))
+      .join(broadcast(cn2), Seq("m", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("id"),
+        (col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
+          .as("approx_cos"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("id").asc)
+    val refine = adc.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= depth)
+      .select(col("qid"), col("id"))
+    rerankCandidates(v, refine, isQuery, k)
+  }
+
+  /** L2 Lloyd over a staged (id, c) subvector frame — the PQ codebook
+    * quantizer ([[filteredTopKIvfPq]]): seeds = the ks smallest ids'
+    * subvectors (cell = rank, the shared seeding convention), each
+    * step collects the ks MEAN centroids (sums via [[centFromMembers]]
+    * + counts — codebook-bounded, never corpus-sized) and assigns in
+    * one broadcast map pass by exact argmin of |x−μ|² (expanded to
+    * |μ|² − 2x·μ; |x|² is constant per row). Double accumulation is a
+    * per-row SEQUENTIAL fold — deterministic for fixed inputs, unlike
+    * a parallel reduction. Ties break cell-ascending (strictly-less
+    * replacement over the ascending scan). Codes for empty codebook
+    * entries disappear (standard Lloyd). Returns the final membership
+    * (pinned) and the mean table that final assignment scored — the
+    * ADC contract mirror of [[kmeansFromStagedWithCent]].
+    */
+  private def pqCodebookL2(sub: DataFrame, ks: Int, iters: Int)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val s = sub.sparkSession
+    import s.implicits._
+    val seedIds = sub.select(col("id")).orderBy(col("id")).limit(ks)
+      .as[Long].collect().sorted
+    val seeds = s.createDataFrame(seedIds.toSeq.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }).toDF("id", "cell")
+    def meansFrom(members: DataFrame): Array[(Long, Array[Double])] = {
+      val sums = centFromMembers(sub, members, "id")
+      val cnts = members.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      sums.join(cnts, Seq("cell"))
+        .select(col("cell"), col("cc"), col("cnt"))
+        .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+        .map { case (cell, cc, n) => (cell, cc.map(_.toDouble / n)) }
+    }
+    var means = meansFrom(seeds)
+    var members: DataFrame = null
+    for (it <- 1 to iters) {
+      val bc = s.sparkContext.broadcast(
+        means.map { case (cell, mu) =>
+          (cell, mu, mu.map(x => x * x).sum) })
+      members = sub.select(col("id"), col("c"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (id, c) =>
+            var bestCell = if (cs.isEmpty) -1L else cs(0)._1
+            var best = Double.PositiveInfinity
+            var j = 0
+            while (j < cs.length) {
+              val (cell, mu, mn2) = cs(j)
+              var dot = 0.0
+              var i = 0
+              val n = if (c == null) 0 else math.min(c.length, mu.length)
+              while (i < n) { dot += c(i) * mu(i); i += 1 }
+              val score = mn2 - 2.0 * dot
+              if (j == 0 || score < best) { best = score; bestCell = cell }
+              j += 1
+            }
+            (id, bestCell)
+          }
+        }.toDF("id", "cell").localCheckpoint()
+      bc.destroy()
+      if (it < iters) means = meansFrom(members)
+    }
+    (members, means)
   }
 
   /** [[cosineNearDups]] with sign-LSH candidate generation instead of the

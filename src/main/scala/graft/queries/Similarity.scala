@@ -1583,7 +1583,79 @@ object Similarity {
           threshold = 0.45, cells = K, iters = 2,
           caps = Seq(32, 150, 1000))
       },
-      Some(sqlCellOccupancyCurve(Seq(32, 150, 1000), 0.45)))
+      Some(sqlCellOccupancyCurve(Seq(32, 150, 1000), 0.45))),
+
+    // ------------------------------ filtered ANN via IVF-PQ (s18)
+    GraftQuery(
+      "s18_filtered_knn_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        // The production memory-scale composition: IVF cells generate
+        // candidates (s14's (cell, key) equi-join, same nprobe dial),
+        // an ADC scan over product-quantized codes ranks them (M
+        // lookups per candidate — the scan set a 100 TB corpus can
+        // actually hold), and only the ADC top-R touch full vectors
+        // for the exact re-rank. Oracle by the s14 CONSTRUCTION
+        // argument: at nprobe = cells and rerankDepth >= every
+        // candidate, candidates are ALL source-matching rows and the
+        // exact re-rank sees all of them, so the result EQUALS the
+        // filtered brute force (s12's SQL) regardless of quantization
+        // error — the hash gate pins the whole composition's plumbing
+        // (a candidate dropped or duplicated anywhere in the
+        // codes/LUT/ADC chain would change the re-rank set). The
+        // recall-vs-cost face at REAL nprobe/rerankDepth is measured
+        // against plain IVF and LSH at matched candidate cost in
+        // PipelineOpsSpec.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+        graft.operators.AnnOps.filteredTopKIvfPq(
+          emb, "vec_id", "embedding", "source",
+          _ < NQUERIES, k = 3, cells = K, iters = 2, nprobe = K,
+          pqM = 4, pqKs = 4, pqIters = 2,
+          rerankDepth = Int.MaxValue)
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        dot AS (
+          SELECT q.vec_id qid, c.vec_id neighbor_id,
+            CAST(SUM(q.c * c.c) AS BIGINT) dot
+          FROM comp q
+            JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
+            JOIN src sq ON sq.doc_id = q.vec_id
+            JOIN src sc ON sc.doc_id = c.vec_id AND sc.source = sq.source
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
+        WHERE rank <= 3"""))
   )
 
   /** DuckDB spelling of s15: 2 unrolled Lloyd iterations over the OLD

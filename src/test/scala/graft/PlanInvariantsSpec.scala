@@ -499,6 +499,23 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (cell,key) probe + cand + qv broadcasts, saw $n")
   }
 
+  test("s18's ADC chain: candidate and LUT joins are broadcast hash " +
+      "joins, no cartesian; nested-loop expands are codebook-x-query " +
+      "sized only (the documented s01-class tiny broadcast)") {
+    val p = finalPlan("s18_filtered_knn_ivfpq")
+    val s = p.toString()
+    assert(!s.contains("CartesianProduct"), "s18 has a CartesianProduct")
+    assert(s.contains("BroadcastHashJoin"),
+      "s18's ADC equi-joins (cell/key candidates, qid/m/code LUT) " +
+        "must broadcast")
+    // corpus-sized tables must never funnel to one partition
+    val single = p.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, "s18 funnels through a 1-partition exchange")
+  }
+
   test("q52's keyset page is a pushed filter + bounded TakeOrdered, " +
       "flat in page number") {
     // the cursor bounds arrive as literals, so the keyset predicate
