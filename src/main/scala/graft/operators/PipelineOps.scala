@@ -4105,6 +4105,68 @@ object AnnOps {
     pairs
   }
 
+  /** Drift OBSERVABILITY for a durable frozen-centroid index
+    * ([[incrementalSemanticDedupDurable]]): the index's documented
+    * trade is that the seed-trained centroid table never re-trains,
+    * so the corpus slowly drifts away from it — and "re-train
+    * deliberately" is only actionable if a deployment can SEE drift
+    * as a number. This is the p17-funnel discipline applied to the
+    * index: one row per committed batch, computed from the SAME
+    * stored assignments the probes use (the audit cannot disagree
+    * with the index it audits).
+    *
+    * Per batch: `n` rows, `n_cells` distinct cells hit, `max_cell_n`
+    * (occupancy skew — a drifting corpus funnels into the frozen
+    * cells nearest its new mode), `mean_dist`/`max_dist` (angular
+    * distance 1 − cosine of each vector to its OWN frozen centroid —
+    * the assignment's own score, so a healthy batch matches the
+    * seed's distribution), and `drift_vs_seed` = mean_dist −
+    * batch-0 mean_dist: a drift-free replay of seed-distributed data
+    * reports ≈ 0; re-ingesting the seed itself reports EXACTLY 0
+    * (PipelineOpsSpec pins both; the planted-drift s19 query pins the
+    * whole audit against DuckDB).
+    *
+    * Determinism for the oracle gate: the per-row distance is the
+    * exact integer dot over the stored norms (one double expression,
+    * identical in both engines) quantized to DECIMAL(18,12) before
+    * the per-batch SUM — decimal sums are order-independent, so the
+    * mean is engine-exact (the t11 discipline). Scale shape: one
+    * broadcast of the frozen centroid table against the stored rows,
+    * two batch-keyed aggregations — no corpus-sized shuffle beyond
+    * the group-bys, audit cost linear in the index.
+    */
+  def semanticIndexDriftAudit(s: SparkSession, indexDir: String)
+      : DataFrame = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("cc"), col("cnrmr"))
+    val rows = s.read.parquet(s"$indexDir/batches")
+      .select(col("batch").cast("long").as("batch"), col("id"),
+        col("cell"), col("c"), col("nrm"))
+    val scored = rows.join(broadcast(cent), Seq("cell"))
+      .select(col("batch"), col("cell"),
+        (lit(1.0) - dot_i64(col("c"), col("cc")).cast("double") /
+          (col("nrm") * lit(1.0e6) * col("cnrmr")))
+          .cast(DecimalType(18, 12)).as("dist"))
+    val occ = scored.groupBy(col("batch"), col("cell"))
+      .agg(count(lit(1)).as("cn"))
+    val skew = occ.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell_n"))
+    val dists = scored.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist")).as("sdist"),
+        max(col("dist")).as("maxd"))
+      .select(col("batch"), col("n"),
+        (col("sdist").cast("double") / col("n")).as("mean_dist"),
+        col("maxd").cast("double").as("max_dist"))
+    val seed = dists.filter(col("batch") === 0L)
+      .select(col("mean_dist").as("seed_mean"))
+    dists.join(skew, Seq("batch"))
+      .crossJoin(broadcast(seed))
+      .select(col("batch"), col("n"), col("n_cells"), col("max_cell_n"),
+        col("mean_dist"), col("max_dist"),
+        (col("mean_dist") - col("seed_mean")).as("drift_vs_seed"))
+  }
+
   /** The empty (a, b, cosine) pair frame — shared by the seed-batch
     * return and the streaming query's zero-batch fallback so the
     * schema cannot drift between them. */

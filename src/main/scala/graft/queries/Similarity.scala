@@ -1655,8 +1655,172 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ------------------ durable-index drift audit (s19)
+    GraftQuery(
+      "s19_index_drift_audit",
+      (s, dir) => {
+        import s.implicits._
+        // OBSERVABILITY for the frozen-centroid trade: s15's index
+        // never re-trains, so "re-train deliberately" needs a number
+        // to trigger on. A PLANTED drifting corpus — the post-seed 20%
+        // shifts +0.25 per component — commits as batches 1/2 over the
+        // 80% seed, and the audit reads the index's own stored
+        // assignments: per batch, occupancy skew and the angular
+        // distance to each row's frozen centroid, plus the headline
+        // drift_vs_seed trend (positive here BY CONSTRUCTION; zero on
+        // a drift-free replay, pinned in PipelineOpsSpec). The oracle
+        // spells the whole path — frozen training on the seed, one
+        // assignment of the drifted corpus, per-batch decimal-exact
+        // distance aggregation — so the hash gate pins the audit's
+        // arithmetic, not just its shape.
+        val emb = Tables.load(s, dir, "embeddings")
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val drifted = emb.filter(bucket >= 80)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double") + lit(0.25d))
+              .as("embedding"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s19-").toString
+        def inc(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+          graft.operators.AnnOps.incrementalSemanticDedupDurable(
+            batch, "vec_id", "embedding", idxDir, id,
+            threshold = 0.35, cells = K, iters = 2, probe = false)
+        inc(oldEmb, 0L)
+        inc(drifted.filter($"vec_id" % 2 === 0), 1L)
+        inc(drifted.filter($"vec_id" % 2 === 1), 2L)
+        graft.operators.AnnOps.semanticIndexDriftAudit(s, idxDir)
+      },
+      Some(sqlIndexDriftAudit))
   )
+
+  /** DuckDB spelling of s19: the s15 frozen-training prefix (seed
+    * subset trains 2 Lloyd rounds; frozen table = the one the final
+    * assignment scored), with the post-seed rows DRIFTED (+0.25 per
+    * component) before scaling, one assignment of the whole corpus
+    * against the frozen table, then the audit's per-batch decimal-sum
+    * distance/occupancy aggregation. */
+  private def sqlIndexDriftAudit: String = s"""
+        WITH raw AS (
+          SELECT vec_id,
+            ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
+              % 100 AS bucket
+          FROM embeddings
+        ),
+        bat AS (
+          SELECT vec_id,
+            CASE WHEN bucket < 80 THEN 0
+                 WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS batch
+          FROM raw
+        ),
+        comp AS (
+          SELECT e.vec_id,
+            unnest(range(len(e.embedding))) i,
+            CAST(round((CAST(unnest(e.embedding) AS DOUBLE) +
+              CASE WHEN r.bucket < 80 THEN 0.0 ELSE 0.25 END)
+              * 1000000.0) AS BIGINT) c
+          FROM embeddings e JOIN raw r ON r.vec_id = e.vec_id
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm,
+            sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)) nrmr
+          FROM comp GROUP BY vec_id
+        ),
+        oldid AS (SELECT vec_id FROM raw WHERE bucket < 80),
+        tcomp AS (
+          SELECT c.vec_id, c.i, c.c FROM comp c
+          JOIN oldid o ON o.vec_id = c.vec_id
+        ),
+        seeds AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id FROM oldid ORDER BY vec_id LIMIT $K)
+        ),
+        cent0 AS (
+          SELECT s.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM seeds s JOIN comp c ON c.vec_id = s.vec_id GROUP BY 1, 2
+        ),
+        cnrm0 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent0 GROUP BY cell
+        ),
+        score1 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM tcomp v JOIN cent0 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c0.cnrmr) DESC, s.cell ASC) rn
+            FROM score1 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm0 c0 ON c0.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a.cell, c.i, CAST(SUM(c.c) AS BIGINT) s
+          FROM assign1 a JOIN tcomp c ON c.vec_id = a.vec_id
+          GROUP BY 1, 2
+        ),
+        cnrm1 AS (
+          SELECT cell, sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE))
+            cnrmr
+          FROM cent1 GROUP BY cell
+        ),
+        score2 AS (
+          SELECT v.vec_id, ct.cell,
+            CAST(CAST(SUM(v.c * ct.s) AS BIGINT) AS DOUBLE) AS dot
+          FROM comp v JOIN cent1 ct ON v.i = ct.i
+          GROUP BY 1, 2
+        ),
+        assign2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell, row_number() OVER (
+              PARTITION BY s.vec_id
+              ORDER BY s.dot / (n.nrmr * c1.cnrmr) DESC, s.cell ASC) rn
+            FROM score2 s
+              JOIN nrm n ON n.vec_id = s.vec_id
+              JOIN cnrm1 c1 ON c1.cell = s.cell) t
+          WHERE rn = 1
+        ),
+        dcell AS (
+          SELECT a.vec_id, a.cell, b.batch,
+            CAST(1.0 - s.dot / (n.nrm * 1000000.0 * c1.cnrmr)
+              AS DECIMAL(18,12)) dist
+          FROM assign2 a
+            JOIN score2 s ON s.vec_id = a.vec_id AND s.cell = a.cell
+            JOIN nrm n ON n.vec_id = a.vec_id
+            JOIN cnrm1 c1 ON c1.cell = a.cell
+            JOIN bat b ON b.vec_id = a.vec_id
+        ),
+        occ AS (
+          SELECT batch, cell, COUNT(*) cn FROM dcell GROUP BY 1, 2
+        ),
+        skew AS (
+          SELECT batch, COUNT(*) n_cells,
+            CAST(MAX(cn) AS BIGINT) max_cell_n
+          FROM occ GROUP BY 1
+        ),
+        dists AS (
+          SELECT batch, COUNT(*) n,
+            CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_dist,
+            CAST(MAX(dist) AS DOUBLE) AS max_dist
+          FROM dcell GROUP BY 1
+        )
+        SELECT CAST(d.batch AS BIGINT) AS batch, d.n, s.n_cells,
+          s.max_cell_n, d.mean_dist, d.max_dist,
+          d.mean_dist - (SELECT mean_dist FROM dists WHERE batch = 0)
+            AS drift_vs_seed
+        FROM dists d JOIN skew s ON s.batch = d.batch"""
 
   /** DuckDB spelling of s15: 2 unrolled Lloyd iterations over the OLD
     * (md5 bucket < 80) subset only — seeds are the K smallest old ids,

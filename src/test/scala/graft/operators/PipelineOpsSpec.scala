@@ -1138,6 +1138,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("semanticIndexDriftAudit: re-ingesting the seed's vectors " +
+      "reports EXACTLY zero trend; a collapsed batch reports positive " +
+      "drift and single-cell funneling") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(661)
+    val centers = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f),
+      Array(0f, 0f, 10f))
+    val seedRows = (0 until 30).map { i =>
+      (i.toLong,
+        centers(i % 3).map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft-drift-")
+      .toString
+    def inc(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      AnnOps.incrementalSemanticDedupDurable(df, "vid", "emb", idx, id,
+        threshold = 0.8, cells = 3, iters = 2, probe = false)
+    inc(seedRows.toDF("vid", "emb"), 0L)
+    // batch 1: the seed's VECTORS again under fresh ids — the
+    // drift-free replay distribution. Identical vectors assign to
+    // identical frozen cells with identical per-row distances, and
+    // the decimal per-batch sum is order-independent, so the trend is
+    // exactly 0.0, not approximately
+    inc(seedRows.map { case (id, v) => (id + 100L, v) }
+      .toDF("vid", "emb"), 1L)
+    // batch 2: the corpus collapses to one point — maximal drift: one
+    // frozen cell absorbs everything and distances jump
+    inc(seedRows.map { case (id, _) => (id + 200L, Array(5f, 5f, 5f)) }
+      .toDF("vid", "emb"), 2L)
+    val audit = AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(audit.keySet == Set(0L, 1L, 2L), s"missing batches: $audit")
+    assert(audit(0L).getDouble(6) == 0.0, "seed trend is 0 by definition")
+    assert(audit(1L).getDouble(6) == 0.0,
+      s"drift-free replay must report EXACTLY zero trend, got " +
+        s"${audit(1L).getDouble(6)}")
+    assert(audit(1L).getDouble(4) == audit(0L).getDouble(4),
+      "replay mean_dist must equal the seed's")
+    assert(audit(2L).getDouble(6) > 0.01,
+      s"collapsed batch must surface positive drift: ${audit(2L)}")
+    assert(audit(2L).getLong(2) == 1L && audit(2L).getLong(3) == 30L,
+      s"collapsed batch must funnel into one cell: ${audit(2L)}")
+    // occupancy columns are per batch: the healthy batches spread over
+    // all 3 frozen cells
+    assert(audit(0L).getLong(2) == 3L && audit(1L).getLong(2) == 3L)
+  }
+
   test("incrementalSemanticDedupDurable: batching-independent, " +
       "replay-idempotent, restart reads only committed state") {
     val s = spark
