@@ -2659,17 +2659,48 @@ object AnnOps {
     * with a NULL key never match any query (SQL equality semantics of
     * the pre-filter they replace).
     *
+    * `probeBits` is the band-axis recall dial — the [[filteredTopKIvf]]
+    * nprobe treatment for LSH (standard multi-probe): each query band
+    * additionally probes every code within Hamming distance ≤ T of its
+    * own (a near-miss on one sign bit is the most likely way a true
+    * neighbor escapes a band), via a broadcast
+    * Σ_{t≤T} C(rowsPerBand, t)-row XOR-mask table crossed against the
+    * query signatures — query-bounded × mask-bounded, never
+    * corpus-sized, and the corpus-side index is untouched (probing is
+    * free at index-build time, the multi-probe selling point). T = 0
+    * is EXACTLY the single-probe search (the s13 oracle); T =
+    * rowsPerBand probes every code, so each band matches every
+    * same-key row and the result is the exact filtered brute force —
+    * the same construction ceiling as nprobe = cells (s20's oracle).
+    * Recall is non-decreasing in T (supersets of codes);
+    * PipelineOpsSpec sweeps the curve on both corpus shapes against
+    * the same exact truth as the IVF dial.
+    *
     * Returns (qid, neighbor_id, cosine, rank), rank <= k.
     */
   def filteredTopKLsh(df: DataFrame, idCol: String, vecCol: String,
       keyCol: String, isQuery: Column => Column, k: Int,
       rowsPerBand: Int = 4, bands: Int = 8,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, probeBits: Int = 0): DataFrame = {
     require(k >= 1, s"filteredTopKLsh: k=$k")
+    require(probeBits >= 0 && probeBits <= rowsPerBand,
+      s"filteredTopKLsh: probeBits=$probeBits not in [0, $rowsPerBand]")
+    val s = df.sparkSession
     val v = scaledKeyed(df, idCol, vecCol, keyCol, partitions)
     val sig = signLshSignaturesKeyed(v, rowsPerBand, bands)
-    val qsig = sig.filter(isQuery(col("id")))
+    val qsigBase = sig.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("key"), col("band"), col("code"))
+    val qsig =
+      if (probeBits == 0) qsigBase
+      else {
+        val masks = (0 until (1 << rowsPerBand))
+          .filter(m => Integer.bitCount(m) <= probeBits)
+          .map(m => Tuple1(m.toLong))
+        val mdf = s.createDataFrame(masks).toDF("mask")
+        qsigBase.crossJoin(broadcast(mdf))
+          .select(col("qid"), col("key"), col("band"),
+            col("code").bitwiseXOR(col("mask")).as("code"))
+      }
     // queries are few (the s01/s03 convention): broadcast the query
     // bands against the corpus signature index — a key-scoped equi-join,
     // map-side at any corpus size

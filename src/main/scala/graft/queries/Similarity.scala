@@ -1695,8 +1695,79 @@ object Similarity {
         inc(drifted.filter($"vec_id" % 2 === 1), 2L)
         graft.operators.AnnOps.semanticIndexDriftAudit(s, idxDir)
       },
-      Some(sqlIndexDriftAudit))
+      Some(sqlIndexDriftAudit)),
+
+    // ---------- multi-probe filtered LSH, construction ceiling (s20)
+    GraftQuery(
+      "s20_filtered_knn_lsh_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        // s13's band-scoped LSH with the probeBits recall dial at its
+        // construction ceiling: T = rowsPerBand probes every code
+        // within each band, so each band matches every same-source
+        // row and the result EQUALS the filtered brute force — the
+        // nprobe = cells argument on the band axis. The hash gate
+        // therefore pins the whole multi-probe expansion (mask table,
+        // XOR spelling, dedup across bands/probes); the recall curve
+        // at real T is measured in PipelineOpsSpec against the same
+        // exact truth as the IVF dial.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+        graft.operators.AnnOps.filteredTopKLsh(
+          emb, "vec_id", "embedding", "source",
+          _ < NQUERIES, k = 3, rowsPerBand = 4, bands = 8,
+          probeBits = 4)
+      },
+      Some(sqlFilteredBruteForceTop3))
   )
+
+  /** The filtered brute-force top-3 — the shared construction-ceiling
+    * oracle (s12's spelling): all same-source pairs, exact scaled-long
+    * cosine, top-3 per query. s18 (nprobe = cells + full rerank) and
+    * s20 (probeBits = rowsPerBand) both collapse to this by
+    * construction. */
+  private def sqlFilteredBruteForceTop3: String = s"""
+        WITH comp AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) c
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id,
+            sqrt(CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+              / 1000000000000.0) nrm
+          FROM comp GROUP BY vec_id
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        dot AS (
+          SELECT q.vec_id qid, c.vec_id neighbor_id,
+            CAST(SUM(q.c * c.c) AS BIGINT) dot
+          FROM comp q
+            JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
+            JOIN src sq ON sq.doc_id = q.vec_id
+            JOIN src sc ON sc.doc_id = c.vec_id AND sc.source = sq.source
+          WHERE q.vec_id < $NQUERIES
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
+        WHERE rank <= 3"""
 
   /** DuckDB spelling of s19: the s15 frozen-training prefix (seed
     * subset trains 2 Lloyd rounds; frozen table = the one the final

@@ -932,6 +932,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nprobe = cells probes every cell: exact filtered brute force")
     info("isotropic IVF recall@3 by nprobe: " + recallAtP
       .map { case (p, (r, _)) => f"P=$p $r%.2f" }.mkString(", "))
+
+    // the BAND-axis dial, same methodology: multi-probe LSH recall
+    // must be non-decreasing in probeBits, T = 0 is exactly the
+    // single-probe search, and T = rowsPerBand probes every code so
+    // each band matches every same-key row — the exact filtered
+    // brute force by construction
+    val lshAtT = Seq(0, 1, 2, 4).map { t =>
+      val hitsT = AnnOps.filteredTopKLsh(df, "vid", "emb", "grp",
+          _ < 10, k = 3, rowsPerBand = 4, bands = 8, partitions = 4,
+          probeBits = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      t -> (hitsT.count(truth).toDouble / truth.size, hitsT)
+    }
+    assert(lshAtT.head._2._2 == hits,
+      "probeBits = 0 must be exactly the single-probe search")
+    lshAtT.sliding(2).foreach { case Seq((tl, (rl3, _)), (th, (rh3, _))) =>
+      assert(rh3 >= rl3,
+        s"LSH recall fell from $rl3 (T=$tl) to $rh3 (T=$th)")
+    }
+    assert(lshAtT.last._2._1 == 1.0,
+      "probeBits = rowsPerBand probes every code: exact filtered " +
+        "brute force")
+    info("isotropic LSH recall@3 by probeBits: " + lshAtT
+      .map { case (t, (r, _)) => f"T=$t $r%.2f" }.mkString(", "))
   }
 
   test("filtered ANN spellings on a CLUSTERED corpus: IVF recall " +
@@ -1001,6 +1025,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info("clustered IVF recall@3 by nprobe: " +
       (Seq(1 -> ri) ++ clusteredAtP)
         .map { case (p, r) => f"P=$p $r%.2f" }.mkString(", "))
+    // band-axis dial on the clustered shape: monotone from the
+    // single-probe baseline to the T = rowsPerBand brute-force ceiling
+    val lshAtT = Seq(1, 4).map { t =>
+      t -> recallOf(AnnOps.filteredTopKLsh(df, "vid", "emb", "grp",
+          _ < 8, k = 3, rowsPerBand = 4, bands = 8, partitions = 4,
+          probeBits = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    assert(lshAtT.forall(_._2 >= rl),
+      s"multi-probe regressed clustered LSH recall: $lshAtT vs $rl")
+    assert(lshAtT.last._2 == 1.0,
+      "probeBits = rowsPerBand is the exact filtered brute force")
+    info("clustered LSH recall@3 by probeBits: " +
+      (Seq(0 -> rl) ++ lshAtT)
+        .map { case (t, r) => f"T=$t $r%.2f" }.mkString(", "))
   }
 
   test("filteredTopKIvfPq: equals plain IVF at full rerank depth " +
