@@ -652,8 +652,15 @@ object DedupOps {
             && col("x.doc_id") =!= col("y.doc_id"))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+      // pinned: verified feeds BOTH the output union and the delegated
+      // anti-join below; unpinned, the exact-Jaccard verification —
+      // the probe's most expensive stage — would run once per
+      // consuming subtree on EVERY batch of a long-lived session
+      // (REVIEW — the minhashNearDupsCapped pin, same reason); the
+      // release fn frees it once the caller pins the output
       val verified = jaccardVerified(cand,
         allIdx.select(col("doc_id"), col("shs")), threshold)
+        .localCheckpoint()
       // a pair can share a saturated bucket AND a sub-cap one: the
       // verified row wins, so each (a, b) appears exactly once and a
       // consumer joining or counting on the pair key never sees a
@@ -668,7 +675,10 @@ object DedupOps {
         .select(col("a"), col("b"),
           lit(null).cast("double").as("jaccard"))
       (verified.unionByName(delegated),
-        () => releaseLocalCheckpoint(sat))
+        () => {
+          releaseLocalCheckpoint(verified)
+          releaseLocalCheckpoint(sat)
+        })
     }
   }
 
@@ -1769,14 +1779,7 @@ object TextOps {
       mergeTable: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val ranks: Map[(String, String), Int] = mergeTable
-      .select(col("step").cast("int"), col("pair").cast("string"))
-      .as[(Int, String)].collect()
-      .map { case (step, pr) =>
-        val Array(a, b) = pr.split(" ", 2)
-        (a, b) -> step
-      }.toMap
-    val bc = s.sparkContext.broadcast(ranks)
+    val bc = s.sparkContext.broadcast(collectRanks(mergeTable))
     df.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .as[(Long, String)]
@@ -2693,9 +2696,15 @@ object AnnOps {
     val qsig =
       if (probeBits == 0) qsigBase
       else {
-        val masks = (0 until (1 << rowsPerBand))
-          .filter(m => Integer.bitCount(m) <= probeBits)
-          .map(m => Tuple1(m.toLong))
+        // enumerate bit COMBINATIONS, not the 2^rowsPerBand integer
+        // range: an Int-shift scan breaks silently at rowsPerBand >=
+        // 31 (1 << 31 overflows, emptying or no-op-ing the dial with
+        // zero rows and no error — REVIEW) and wastes 2^r driver work
+        // picking C(r, <=T) masks at wide bands; combinations are
+        // exact at any rowsPerBand the 64-bit band code supports
+        val masks = (0 to probeBits).flatMap(t =>
+          (0 until rowsPerBand).combinations(t).map(bits =>
+            Tuple1(bits.foldLeft(0L)((m, b) => m | (1L << b)))))
         val mdf = s.createDataFrame(masks).toDF("mask")
         qsigBase.crossJoin(broadcast(mdf))
           .select(col("qid"), col("key"), col("band"),
@@ -2935,11 +2944,17 @@ object AnnOps {
     val luts = perM.map(_._2).reduce(_ unionByName _)
     val cn2 = perM.map(_._3).reduce(_ unionByName _)
     // ADC scan of the IVF candidates only: M lookup rows per
-    // candidate, summed map-side; the LUT/norm/candidate tables all
-    // broadcast (query- or codebook-bounded)
+    // candidate, summed map-side. The LUT/norm tables broadcast
+    // (query- or codebook-bounded); the CANDIDATE table gets NO hint —
+    // it is query × cell-occupancy sized, and on the boilerplate
+    // corpora the hot-cell guard exists for, one cell can hold a
+    // corpus-scale duplicate class; an explicit hint never falls back
+    // past the broadcast limit (the cosineNearDupsLsh ADVICE), while
+    // AQE broadcasts the exactly-sized pinned table under the
+    // threshold and shuffles past it
     val qn = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("nrmr").as("qnrmr"))
-    val adc = broadcast(cand).join(codes, Seq("id"))
+    val adc = cand.join(codes, Seq("id"))
       .join(broadcast(luts), Seq("qid", "m", "code"))
       .join(broadcast(cn2), Seq("m", "code"))
       .groupBy(col("qid"), col("id"))
@@ -3971,9 +3986,13 @@ object AnnOps {
     * callers and the s15/st16 oracles see the exact rows they always
     * did), where the root is an ACCUMULATED member whenever one exists
     * (the probeIndex old-root discipline — a new min id would detach
-    * the index's cluster from its arrivals); only distinct-signature
-    * representatives of groups TOUCHED by this batch pair-join against
-    * the cell's representatives, exact-cosine verified. Signature
+    * the index's cluster from its arrivals); only representatives of
+    * groups FORMED by this batch (no accumulated member) pair-join
+    * against the cell's representatives, exact-cosine verified — a
+    * pre-existing group's cross-group pairs were emitted the batch it
+    * formed, so a merely-touched group re-probing would re-emit the
+    * same root pairs every increment, breaking the cross-batch
+    * pair-uniqueness the uncapped path guarantees. Signature
     * equality is cosine exactly 1.0, so cluster resolution over the
     * capped output equals the uncapped operator's EXACTLY (every
     * delegated member is interchangeable with its root for any
@@ -4097,7 +4116,8 @@ object AnnOps {
             .agg(min(when(col("is_old"), col("id"))).as("old_root"),
               min(col("id")).as("any_root"))
             .select(col("cell"), col("fsig"),
-              coalesce(col("old_root"), col("any_root")).as("root"))
+              coalesce(col("old_root"), col("any_root")).as("root"),
+              col("old_root").isNull.as("is_new"))
             .localCheckpoint()
           val satOwn = satAll.filter(!col("is_old"))
           val delegated = satOwn.join(groups, Seq("cell", "fsig"))
@@ -4106,12 +4126,18 @@ object AnnOps {
               greatest(col("root"), col("id")).as("b"),
               lit(null).cast("double").as("cosine"))
             .distinct()
-          // groups TOUCHED by this batch probe every group in the cell
-          // (rep-level pairs; distinct collapses the touched-touched
-          // double orientation via the symmetric cosine)
-          val ownGroups = satOwn.select(col("cell"), col("fsig"))
-            .distinct()
-            .join(groups, Seq("cell", "fsig"))
+          // only groups FORMED by this batch (no accumulated member)
+          // probe the cell's representatives — the group-level face of
+          // the incremental contract "a pair surfaces once, when its
+          // later endpoint arrives": a pre-existing group's root pairs
+          // were emitted the batch its group formed (rep-level if the
+          // cell was already saturated, member-level otherwise since
+          // occupancy only grows), so re-probing a merely-TOUCHED
+          // group would re-emit the same (rootX, rootY) rows every
+          // time the boilerplate class gains a member (REVIEW) —
+          // touched groups' new members are covered by their
+          // delegated edges above
+          val ownGroups = groups.filter(col("is_new"))
             .select(col("cell"), col("root"))
           val allVecs = all.select(col("id"), col("c"), col("nrm"))
           val ownRepRows = ownGroups
@@ -4146,13 +4172,16 @@ object AnnOps {
     * stored assignments the probes use (the audit cannot disagree
     * with the index it audits).
     *
-    * Per batch: `n` rows, `n_cells` distinct cells hit, `max_cell_n`
-    * (occupancy skew — a drifting corpus funnels into the frozen
-    * cells nearest its new mode), `mean_dist`/`max_dist` (angular
-    * distance 1 − cosine of each vector to its OWN frozen centroid —
-    * the assignment's own score, so a healthy batch matches the
-    * seed's distribution), and `drift_vs_seed` = mean_dist −
-    * batch-0 mean_dist: a drift-free replay of seed-distributed data
+    * Per batch: `n` SCORED rows (zero-norm/null vectors carry no
+    * angular distance and are excluded up front), `n_cells` distinct
+    * cells hit, `max_cell_n` (occupancy skew — a drifting corpus
+    * funnels into the frozen cells nearest its new mode),
+    * `mean_dist`/`max_dist` (angular distance 1 − cosine of each
+    * vector to its OWN frozen centroid — the assignment's own score,
+    * so a healthy batch matches the seed's distribution), and
+    * `drift_vs_seed` = mean_dist − the EARLIEST batch's mean_dist
+    * (batch ids are caller-chosen, so the baseline is positional, not
+    * a hardcoded 0): a drift-free replay of seed-distributed data
     * reports ≈ 0; re-ingesting the seed itself reports EXACTLY 0
     * (PipelineOpsSpec pins both; the planted-drift s19 query pins the
     * whole audit against DuckDB).
@@ -4173,7 +4202,13 @@ object AnnOps {
     val rows = s.read.parquet(s"$indexDir/batches")
       .select(col("batch").cast("long").as("batch"), col("id"),
         col("cell"), col("c"), col("nrm"))
-    val scored = rows.join(broadcast(cent), Seq("cell"))
+    // zero-norm / null vectors have no direction, hence no angular
+    // distance — their 0/0 would become NaN → NULL under the decimal
+    // cast, silently deflating the mean (sum skips, count doesn't —
+    // REVIEW). Exclude them up front: `n` counts SCORED rows, the
+    // documented contract.
+    val scored = rows.filter(col("c").isNotNull && col("nrm") > 0)
+      .join(broadcast(cent), Seq("cell"))
       .select(col("batch"), col("cell"),
         (lit(1.0) - dot_i64(col("c"), col("cc")).cast("double") /
           (col("nrm") * lit(1.0e6) * col("cnrmr")))
@@ -4189,7 +4224,12 @@ object AnnOps {
       .select(col("batch"), col("n"),
         (col("sdist").cast("double") / col("n")).as("mean_dist"),
         col("maxd").cast("double").as("max_dist"))
-    val seed = dists.filter(col("batch") === 0L)
+    // baseline = the EARLIEST committed batch, not a hardcoded id 0:
+    // batch ids are caller-chosen (a foreachBatch epoch can start past
+    // 0 after a checkpoint restart), and a missing hardcoded baseline
+    // would silently empty the whole audit through the cross join —
+    // the worst failure mode for an observability tool (REVIEW)
+    val seed = dists.orderBy(col("batch").asc).limit(1)
       .select(col("mean_dist").as("seed_mean"))
     dists.join(skew, Seq("batch"))
       .crossJoin(broadcast(seed))

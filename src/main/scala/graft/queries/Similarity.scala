@@ -1872,6 +1872,7 @@ object Similarity {
             JOIN nrm n ON n.vec_id = a.vec_id
             JOIN cnrm1 c1 ON c1.cell = a.cell
             JOIN bat b ON b.vec_id = a.vec_id
+          WHERE n.nrm > 0
         ),
         occ AS (
           SELECT batch, cell, COUNT(*) cn FROM dcell GROUP BY 1, 2
@@ -1889,7 +1890,8 @@ object Similarity {
         )
         SELECT CAST(d.batch AS BIGINT) AS batch, d.n, s.n_cells,
           s.max_cell_n, d.mean_dist, d.max_dist,
-          d.mean_dist - (SELECT mean_dist FROM dists WHERE batch = 0)
+          d.mean_dist -
+            (SELECT mean_dist FROM dists ORDER BY batch LIMIT 1)
             AS drift_vs_seed
         FROM dists d JOIN skew s ON s.batch = d.batch"""
 

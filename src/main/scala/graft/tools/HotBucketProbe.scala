@@ -153,15 +153,27 @@ object HotBucketProbe {
     // cell at ANY cell count (identical vectors share the argmax);
     // capped, it collapses to m−1 exact-signature edges plus the
     // distinct-representative residual.
+    // planted ids live at fixed offsets above the corpus range; the
+    // same loud collision guard as the doc fixture (REVIEW): an
+    // embeddings table grown past the offset would alias planted ids
+    // onto real rows and silently corrupt every count/timing printed
+    val semIdOffset = 1000000L
     def semFixture(mult: Long): (DataFrame, Long, Long) = {
       val emb = graft.Tables.load(spark, sfLarge, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val n = emb.agg(count(lit(1))).head().getLong(0)
+      val (n, maxId) = {
+        val r = emb.agg(count(lit(1)), max(col("vec_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(maxId < semIdOffset,
+        s"base vec_id $maxId collides with the planted-family id range")
       val m = n * mult
+      require(m < semIdOffset,
+        s"family size $m would cross into the next planted id range")
       val fam = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("fe"))
         .crossJoin(spark.range(m)
-          .select((col("id") + 1000000L).as("vec_id")))
+          .select((col("id") + semIdOffset).as("vec_id")))
         .select(col("vec_id"), col("fe").as("embedding"))
       (emb.unionByName(fam).localCheckpoint(), n, m)
     }

@@ -1519,6 +1519,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parity == uncapped, "high cap must be the uncapped probe")
   }
 
+  test("capped incremental semantic probe: cross-batch pair " +
+      "uniqueness — a merely-TOUCHED pre-existing group never " +
+      "re-emits its root pairs") {
+    val s = spark
+    import s.implicits._
+    // two distinct-signature near-dup families (cosine ~0.995 between
+    // them) land in ONE frozen cell and saturate it in batch 1 —
+    // their root pair (100, 200) is verified THEN, exactly once. A
+    // later batch adds one more copy of family A: the only new row is
+    // A's delegated edge; re-emitting (100, 200) would double-count
+    // in any consumer accumulating per-batch outputs by union (the
+    // documented s15 pattern).
+    val famA = Array(0.6f, 0.6f, 0.05f)
+    val famB = Array(0.6f, 0.6f, 0.10f) // same cell, distinct signature
+    val seed = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(0.58f, 0.58f, 0.07f)))
+      .toDF("vid", "v")
+    val b1 = ((0 until 6).map(i => (100L + i, famA)) ++
+      (0 until 6).map(i => (200L + i, famB))).toDF("vid", "v")
+    val b2 = Seq((300L, famA)).toDF("vid", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xbatch-").toString
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      AnnOps.incrementalSemanticDedupDurable(b, "vid", "v", dir, id,
+        threshold = 0.9, cells = 2, iters = 2, partitions = 2,
+        maxCellOccupancy = 4)
+    run(seed, 0L)
+    val out1 = run(b1, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(out1.contains((100L, 200L, false)),
+      s"the two new groups' roots must verify when they form: $out1")
+    val out2 = run(b2, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(out2.contains((100L, 300L, true)),
+      s"the new copy must delegate to family A's accumulated root: " +
+        s"$out2")
+    assert(!out2.exists(p => p._1 == 100L && p._2 == 200L),
+      s"touched group A re-emitted its root pair vs B — the " +
+        s"cross-batch uniqueness break: $out2")
+    // union-over-batches stays duplicate-free on the pair key
+    val all = out1 ++ out2
+    assert(all.size == out1.size + out2.size,
+      "per-batch outputs must be disjoint on (a, b)")
+  }
+
   test("cellOccupancyCurve: cells partition pairs (sub + saturated == " +
       "uncut), collapse prices the identical mass") {
     val s = spark
