@@ -2971,6 +2971,186 @@ object AnnOps {
     rerankCandidates(v, refine, isQuery, k)
   }
 
+  /** BUILD a durable IVF-PQ index — the production serving shape
+    * [[filteredTopKIvfPq]] computes inline: index the corpus ONCE,
+    * then [[queryIvfPqIndex]] serves any number of later query
+    * batches without re-clustering or re-quantizing anything. Layout
+    * is deliberately the [[incrementalSemanticDedupDurable]] index's
+    * (`indexDir/centroids` + `indexDir/batches/batch=0` carrying
+    * (id, cell, c, nrm) plus the filter `key`), so
+    * [[semanticIndexDriftAudit]] runs UNCHANGED on an ANN index — one
+    * observability tool for both durable index families — and a
+    * future incremental append can reuse the assign-against-frozen
+    * machinery. PQ artifacts: `indexDir/codebooks`
+    * (m, code, cmean, cn2 — pqM × pqKs rows, the L2 mean centroids)
+    * and `indexDir/codes` (id, m, code — M small ints per vector, the
+    * scan set that actually fits memory at 100 TB).
+    *
+    * Determinism: every stage is the batch operator's own kernel
+    * (coarse cells via [[kmeansFromStagedWithCent]], codebooks via
+    * [[pqCodebookL2]]), and doubles round-trip parquet losslessly, so
+    * a query against the stored index is bit-equal to the inline
+    * operator — PipelineOpsSpec pins query == filteredTopKIvfPq at
+    * matched (nprobe, rerankDepth) including NON-ceiling settings.
+    */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, indexDir: String,
+      cells: Int = 16, iters: Int = 2,
+      pqM: Int = 4, pqKs: Int = 4, pqIters: Int = 2,
+      partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): Unit = {
+    require(cells >= 1 && pqM >= 1 && pqKs >= 1 && pqIters >= 1,
+      s"buildIvfPqIndex: cells=$cells pqM=$pqM pqKs=$pqKs " +
+        s"pqIters=$pqIters")
+    val s = df.sparkSession
+    import s.implicits._
+    val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
+    val keys = staged.select(col("id"), col("key"))
+    val v = withRawNorm(staged)
+    val (members, cent) =
+      kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    members.join(v, Seq("id")).join(keys, Seq("id"))
+      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+      .write.mode("overwrite").parquet(s"$indexDir/batches/batch=0")
+    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
+    val dsub = (dim + pqM - 1) / pqM
+    val perM = (0 until pqM).map { m =>
+      val sub = v.select(col("id"),
+          slice(col("c"), m * dsub + 1, dsub).as("c"))
+        .localCheckpoint()
+      val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
+      val meansDf = s.createDataFrame(means.toSeq.map {
+        case (cell, mu) => (m, cell, mu.toSeq, mu.map(x => x * x).sum)
+      }).toDF("m", "code", "cmean", "cn2")
+      (codesP.select(col("id"), col("cell").as("code"), lit(m).as("m")),
+        meansDf)
+    }
+    perM.map(_._2).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    perM.map(_._1).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    DedupOps.releaseLocalCheckpoint(v)
+    DedupOps.releaseLocalCheckpoint(staged)
+  }
+
+  /** Serve filtered top-k from a durable [[buildIvfPqIndex]] index:
+    * queries arrive as their OWN frame (they need not be corpus
+    * members — the production shape), are staged with the identical
+    * quantization, probe their top-`nprobe` coarse cells by the same
+    * exact scoring the build's assignment used (rank 1 of a member
+    * vector reproduces its stored cell — the
+    * [[kmeansFromStagedWithCent]] contract, so nprobe = 1 equals the
+    * inline operator's member-cell search), generate (cell, key)
+    * candidates against the STORED rows, rank them with the ADC scan
+    * over the STORED codes/codebooks, and exact-rerank the top
+    * `rerankDepth` with the stored full vectors. A row whose id
+    * equals the query's id is excluded (corpus-member queries match
+    * the inline operator's self-exclusion; disjoint id spaces are
+    * unaffected). Returns (qid, neighbor_id, cosine, rank) — exact
+    * cosines, the family output contract.
+    *
+    * Scale shape: index reads are pruned parquet scans; every lookup
+    * table (query cells, LUTs, codebook norms, query vectors)
+    * broadcasts; the candidate table gets NO broadcast hint (the
+    * boilerplate-cell argument on [[filteredTopKIvfPq]]); nothing
+    * re-clusters, re-quantizes, or rewrites the index.
+    */
+  def queryIvfPqIndex(queries: DataFrame, idCol: String,
+      vecCol: String, keyCol: String, indexDir: String, k: Int,
+      nprobe: Int = 1, rerankDepth: Int = 0,
+      partitions: Int = 0): DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"queryIvfPqIndex: k=$k nprobe=$nprobe")
+    val depth = if (rerankDepth > 0) rerankDepth else 4 * k
+    require(depth >= k,
+      s"queryIvfPqIndex: rerankDepth=$depth must be >= k=$k")
+    val s = queries.sparkSession
+    // both stagings released before return: this operator is the
+    // serve-many-batches face — un-released per-call pins would
+    // accumulate for the session lifetime (the ADVICE leak class)
+    val stagedQ = scaledImpl(queries, idCol, vecCol, Some(keyCol),
+      partitions)
+    val qv = withRawNorm(stagedQ) // drops key; take it from the staging
+    val qkeys = stagedQ.select(col("id").as("qid"), col("key"))
+    val cent = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("cc"), col("cnrmr"))
+    val rows = s.read.parquet(s"$indexDir/batches")
+      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+    // top-P cells per query: the ivfProbeSide scoring verbatim
+    val qvec = qv.select(col("id").as("qid"), col("c").as("qc"),
+      col("nrmr").as("qnrmr"))
+    val scoredCells = cent.crossJoin(broadcast(qvec))
+      .select(col("qid"), col("cell"),
+        (dot_i64(col("qc"), col("cc")).cast("double") /
+          (col("qnrmr") * col("cnrmr"))).as("score"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val qside = scoredCells.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell"))
+      .join(broadcast(qkeys), Seq("qid"))
+    val cand = rows.join(broadcast(qside), Seq("cell", "key"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .localCheckpoint()
+    // ADC over stored codes/codebooks
+    val books = s.read.parquet(s"$indexDir/codebooks")
+      .select(col("m"), col("code"), col("cmean"), col("cn2"))
+      .localCheckpoint() // bounded (pqM x pqKs); read twice
+    val dsub = books.select(size(col("cmean")).as("d")).limit(1)
+      .head().getInt(0)
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .select(col("id"), col("m"), col("code"))
+    val luts = books.crossJoin(broadcast(qv.select(col("id").as("qid"),
+        col("c").as("qc"))))
+      .select(col("qid"), col("m"), col("code"),
+        aggregate(zip_with(
+            expr(s"slice(qc, m * $dsub + 1, $dsub)"), col("cmean"),
+            (a, b) => a.cast("double") * b), lit(0.0d),
+          (acc, x) => acc + x).as("pdot"))
+    val cn2 = books.select(col("m"), col("code"), col("cn2"))
+    val qn = qv.select(col("id").as("qid"), col("nrmr").as("qnrmr"))
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(luts), Seq("qid", "m", "code"))
+      .join(broadcast(cn2), Seq("m", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("id"),
+        (col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
+          .as("approx_cos"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("id").asc)
+    val refine = adc.withColumn("pr", row_number().over(wr))
+      .filter(col("pr") <= depth)
+      .select(col("qid"), col("id"))
+    // exact rerank: stored corpus vectors x broadcast query vectors —
+    // the rerankCandidates arithmetic with the two sides from their
+    // two homes
+    val cv = rows.select(col("id"), col("c"), col("nrm"))
+    val qvr = qv.select(col("id").as("qid"), col("c").as("qc"),
+      col("nrm").as("qnrm"))
+    val cos = broadcast(refine).join(cv, Seq("id"))
+      .join(broadcast(qvr), Seq("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        cosine(col("qc"), col("qnrm"), col("c"), col("nrm"))
+          .as("cosine"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // pin the (k × queries)-sized output, free every per-call staging
+    val out = cos.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .localCheckpoint()
+    DedupOps.releaseLocalCheckpoint(cand)
+    DedupOps.releaseLocalCheckpoint(books)
+    DedupOps.releaseLocalCheckpoint(qv)
+    DedupOps.releaseLocalCheckpoint(stagedQ)
+    out
+  }
+
   /** L2 Lloyd over a staged (id, c) subvector frame — the PQ codebook
     * quantizer ([[filteredTopKIvfPq]]): seeds = the ks smallest ids'
     * subvectors (cell = rank, the shared seeding convention), each

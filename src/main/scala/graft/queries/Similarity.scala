@@ -1721,6 +1721,38 @@ object Similarity {
           _ < NQUERIES, k = 3, rowsPerBand = 4, bands = 8,
           probeBits = 4)
       },
+      Some(sqlFilteredBruteForceTop3)),
+
+    // ---------------- durable IVF-PQ index: build once, serve (s21)
+    GraftQuery(
+      "s21_ivfpq_index_serve",
+      (s, dir) => {
+        import s.implicits._
+        // The production serving shape: the corpus indexes ONCE
+        // (coarse centroids + PQ codebooks/codes + stored rows, the
+        // s15 index layout so the s19 drift audit runs on it
+        // unchanged), then query batches arrive later and probe the
+        // STORED artifacts — nothing re-clusters or re-quantizes.
+        // Oracle by the construction-ceiling argument (nprobe = cells,
+        // rerankDepth >= candidates ⇒ filtered brute force); the
+        // stronger bit-parity with the inline filteredTopKIvfPq at
+        // NON-ceiling settings is pinned in PipelineOpsSpec.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s21-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          emb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+      },
       Some(sqlFilteredBruteForceTop3))
   )
 

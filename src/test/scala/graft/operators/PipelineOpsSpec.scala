@@ -1177,6 +1177,65 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("durable IVF-PQ index: serving equals the inline operator at " +
+      "NON-ceiling settings, re-serves without rebuild, and the drift " +
+      "audit reads the shared layout") {
+    val s = spark
+    import s.implicits._
+    // the IVF-PQ clustered fixture (key decoupled from the center)
+    val rnd = new scala.util.Random(9103)
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
+    }
+    val rows = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
+        if ((i / 4) % 2 == 0) "even" else "odd")
+    }
+    val df = rows.toDF("vid", "emb", "grp").localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx-").toString
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // bit-parity with the inline operator at non-ceiling settings —
+    // every dial live: multi-probe cells, tight ADC cut
+    Seq((1, 6), (2, 12), (4, 1000)).foreach { case (p, d) =>
+      val served = rowsOf(AnnOps.queryIvfPqIndex(
+        df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+        nprobe = p, rerankDepth = d, partitions = 4))
+      val inline = rowsOf(AnnOps.filteredTopKIvfPq(df, "vid", "emb",
+        "grp", _ < 8, k = 3, cells = 4, iters = 2, nprobe = p,
+        pqM = 4, pqKs = 4, pqIters = 2, rerankDepth = d,
+        partitions = 4))
+      assert(served == inline,
+        s"served index drifted from the inline operator at " +
+          s"nprobe=$p depth=$d")
+    }
+    // a SECOND, different query batch serves off the same artifacts
+    val second = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" >= 8 && $"vid" < 12), "vid", "emb", "grp", idx,
+      k = 3, nprobe = 1, rerankDepth = 6, partitions = 4))
+    assert(second.nonEmpty && second.forall(t => t._1 >= 8 && t._1 < 12))
+    second.foreach { case (qid, nid, cos, _) =>
+      assert((nid / 4) % 2 == (qid / 4) % 2,
+        s"served hit $nid crossed the key scope of $qid")
+      assert(nid != qid, "self-match must be excluded")
+      assert(cos <= 1.0 + 1e-9)
+    }
+    // shared layout: the s19 drift audit runs unchanged on an ANN
+    // index (one observability tool for both durable families)
+    val audit = AnnOps.semanticIndexDriftAudit(s, idx).collect()
+    assert(audit.length == 1 && audit.head.getLong(1) == 80L,
+      s"drift audit must see the single build batch: " +
+        s"${audit.mkString(", ")}")
+    assert(audit.head.getDouble(6) == 0.0,
+      "the build batch IS the baseline: zero trend")
+  }
+
   test("semanticIndexDriftAudit: re-ingesting the seed's vectors " +
       "reports EXACTLY zero trend; a collapsed batch reports positive " +
       "drift and single-cell funneling") {
