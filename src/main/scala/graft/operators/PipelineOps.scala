@@ -3030,8 +3030,83 @@ object AnnOps {
     }
     perM.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    // codes are per-batch subdirs like the rows: [[appendIvfPqIndex]]
+    // commits later batches next to the build's
     perM.map(_._1).reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").parquet(s"$indexDir/codes/batch=0")
+    DedupOps.releaseLocalCheckpoint(v)
+    DedupOps.releaseLocalCheckpoint(staged)
+  }
+
+  /** APPEND a batch to a durable [[buildIvfPqIndex]] index — the s15
+    * frozen-artifact discipline applied to serving: nightly embedding
+    * batches must not re-cluster or re-quantize the world. The batch
+    * assigns against the FROZEN coarse centroids (one
+    * [[assignCellsAuto]] map pass — bit-identical to what the build
+    * would have assigned, the kmeansFromStagedWithCent contract),
+    * encodes against the FROZEN codebooks (the SAME
+    * [[l2AssignAgainst]] kernel the training loop ran, so append-time
+    * codes cannot drift from build-time codes), and commits
+    * `batches/batch=<id>` + `codes/batch=<id>` idempotently
+    * (overwrite — a foreachBatch replay rewrites its own subdirs and
+    * nothing else). [[queryIvfPqIndex]] reads every committed batch;
+    * [[semanticIndexDriftAudit]] prices the drift that frozen
+    * artifacts accumulate — the number that tells a deployment when
+    * to re-build deliberately. The construction-ceiling oracle (s22)
+    * pins the whole lifecycle: at nprobe = cells + full depth, a
+    * serve over build+appends equals the filtered brute force over
+    * the UNION corpus, so a lost, duplicated, or mis-stored row
+    * anywhere in the append path is a hash mismatch.
+    */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, indexDir: String, batchId: Long,
+      partitions: Int = 0,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): Unit = {
+    require(batchId != 0L,
+      "appendIvfPqIndex: batch 0 is the build's; pick a fresh id")
+    val s = batch.sparkSession
+    import s.implicits._
+    val staged = scaledImpl(batch, idCol, vecCol, Some(keyCol),
+      partitions)
+    val keys = staged.select(col("id"), col("key"))
+    val v = withRawNorm(staged)
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val k = cent.count()
+    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    val (assigned, releaseAssign) =
+      assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+    val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
+      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+      .localCheckpoint()
+    releaseAssign()
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/batches/batch=$batchId")
+    // encode against the frozen codebooks
+    val books = s.read.parquet(s"$indexDir/codebooks")
+      .select(col("m").cast("int"), col("code"), col("cmean"))
+      .as[(Int, Long, Seq[Double])].collect()
+    val dsub = books.headOption.map(_._3.length).getOrElse(0)
+    val pqM = books.map(_._1).distinct.length
+    val perMCodes = (0 until pqM).map { m =>
+      val sub = v.select(col("id"),
+        slice(col("c"), m * dsub + 1, dsub).as("c"))
+      val means = books.filter(_._1 == m)
+        .map { case (_, code, mu) => (code, mu.toArray) }
+        .sortBy(_._1)
+      val (assignedM, destroy) = l2AssignAgainst(sub, means)
+      val pinned = assignedM
+        .select(col("id"), col("cell").as("code"), lit(m).as("m"))
+        .localCheckpoint()
+      destroy()
+      pinned
+    }
+    perMCodes.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$indexDir/codes/batch=$batchId")
+    // the commit is on disk: free every per-call pin (this operator
+    // is called per nightly batch in a long-lived session)
+    perMCodes.foreach(DedupOps.releaseLocalCheckpoint)
+    DedupOps.releaseLocalCheckpoint(rows)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
   }
@@ -3185,34 +3260,52 @@ object AnnOps {
     var means = meansFrom(seeds)
     var members: DataFrame = null
     for (it <- 1 to iters) {
-      val bc = s.sparkContext.broadcast(
-        means.map { case (cell, mu) =>
-          (cell, mu, mu.map(x => x * x).sum) })
-      members = sub.select(col("id"), col("c"))
-        .as[(Long, Array[Long])]
-        .mapPartitions { rows =>
-          val cs = bc.value
-          rows.map { case (id, c) =>
-            var bestCell = if (cs.isEmpty) -1L else cs(0)._1
-            var best = Double.PositiveInfinity
-            var j = 0
-            while (j < cs.length) {
-              val (cell, mu, mn2) = cs(j)
-              var dot = 0.0
-              var i = 0
-              val n = if (c == null) 0 else math.min(c.length, mu.length)
-              while (i < n) { dot += c(i) * mu(i); i += 1 }
-              val score = mn2 - 2.0 * dot
-              if (j == 0 || score < best) { best = score; bestCell = cell }
-              j += 1
-            }
-            (id, bestCell)
-          }
-        }.toDF("id", "cell").localCheckpoint()
-      bc.destroy()
+      val (assigned, destroy) = l2AssignAgainst(sub, means)
+      members = assigned.localCheckpoint()
+      destroy()
       if (it < iters) means = meansFrom(members)
     }
     (members, means)
+  }
+
+  /** One L2 assignment map pass against a driver-held mean table —
+    * the kernel [[pqCodebookL2]] iterates and [[appendIvfPqIndex]]
+    * replays against FROZEN codebooks (one body, so training-time and
+    * append-time code assignment cannot drift): exact argmin of
+    * |μ|² − 2x·μ, sequential per-row fold, ties cell-ascending.
+    * Returns the (lazy) assignment plus a destroy thunk for the mean
+    * broadcast — call it after pinning the assignment (the
+    * assignCellsKeepBc discipline). */
+  private def l2AssignAgainst(sub: DataFrame,
+      means: Array[(Long, Array[Double])])
+      : (DataFrame, () => Unit) = {
+    val s = sub.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(
+      means.map { case (cell, mu) =>
+        (cell, mu, mu.map(x => x * x).sum) })
+    val out = sub.select(col("id"), col("c"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, c) =>
+          var bestCell = if (cs.isEmpty) -1L else cs(0)._1
+          var best = Double.PositiveInfinity
+          var j = 0
+          while (j < cs.length) {
+            val (cell, mu, mn2) = cs(j)
+            var dot = 0.0
+            var i = 0
+            val n = if (c == null) 0 else math.min(c.length, mu.length)
+            while (i < n) { dot += c(i) * mu(i); i += 1 }
+            val score = mn2 - 2.0 * dot
+            if (j == 0 || score < best) { best = score; bestCell = cell }
+            j += 1
+          }
+          (id, bestCell)
+        }
+      }.toDF("id", "cell")
+    (out, () => bc.destroy())
   }
 
   /** [[cosineNearDups]] with sign-LSH candidate generation instead of the

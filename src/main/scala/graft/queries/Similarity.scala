@@ -1753,6 +1753,50 @@ object Similarity {
           "source", idxDir, k = 3, nprobe = K,
           rerankDepth = Int.MaxValue)
       },
+      Some(sqlFilteredBruteForceTop3)),
+
+    // ---------- IVF-PQ index LIFECYCLE: build, append, serve (s22)
+    GraftQuery(
+      "s22_ivfpq_index_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        // the s15 discipline applied to serving: the 80% corpus (p05's
+        // md5 bucket) builds the index — coarse centroids and PQ
+        // codebooks FREEZE — and the remaining 20% arrives as TWO
+        // appends (vec_id parity), each one assign-against-frozen +
+        // encode-against-frozen map pass committed idempotently. The
+        // serve then probes at the construction ceiling, so the oracle
+        // is the filtered brute force over the UNION corpus: a row
+        // lost, duplicated, or mis-stored anywhere in the append path
+        // is a hash mismatch, independent of how good the frozen
+        // artifacts are for the appended data.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s22-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          oldEmb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          newEmb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+          "source", idxDir, batchId = 1L)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          newEmb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+          "source", idxDir, batchId = 2L)
+        graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+      },
       Some(sqlFilteredBruteForceTop3))
   )
 

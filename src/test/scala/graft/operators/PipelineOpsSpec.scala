@@ -1236,6 +1236,64 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the build batch IS the baseline: zero trend")
   }
 
+  test("appendIvfPqIndex: batching-independent, replay-idempotent, " +
+      "appended members are served, drift audit prices every batch") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9103)
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
+    }
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
+        if ((i / 4) % 2 == 0) "even" else "odd")
+    }
+    val seedRows = mk(0 until 60)
+    val incRows = mk(60 until 80)
+    val seed = seedRows.toDF("vid", "emb", "grp").localCheckpoint()
+    val inc = incRows.toDF("vid", "emb", "grp").localCheckpoint()
+    def build(dir: String): Unit =
+      AnnOps.buildIvfPqIndex(seed, "vid", "emb", "grp", dir,
+        cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+        partitions = 4)
+    def append(dir: String, b: org.apache.spark.sql.DataFrame,
+        id: Long): Unit =
+      AnnOps.appendIvfPqIndex(b, "vid", "emb", "grp", dir, id,
+        partitions = 4)
+    def serve(dir: String) = AnnOps.queryIvfPqIndex(
+        inc.filter($"vid" < 64), "vid", "emb", "grp", dir, k = 3,
+        nprobe = 2, rerankDepth = 12, partitions = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-app-").toString
+    // one append vs two half appends vs a replayed append: the serve
+    // must be identical (frozen artifacts make assignment/encoding a
+    // pure per-row function; commits are per-batch overwrites)
+    val dirA = tmp(); build(dirA); append(dirA, inc, 1L)
+    val dirB = tmp(); build(dirB)
+    append(dirB, inc.filter($"vid" % 2 === 0), 1L)
+    append(dirB, inc.filter($"vid" % 2 === 1), 2L)
+    val dirC = tmp(); build(dirC); append(dirC, inc, 1L)
+    append(dirC, inc, 1L) // replay
+    val (a, b, c) = (serve(dirA), serve(dirB), serve(dirC))
+    assert(a == b, "serve must be independent of append batching")
+    assert(a == c, "a replayed append must change nothing")
+    // appended members are first-class: an appended query finds its
+    // same-center appended AND seed neighbors with exact cosines
+    assert(a.nonEmpty && a.forall(t => t._1 >= 60 && t._1 < 64))
+    a.foreach { case (qid, nid, _, _) =>
+      assert((nid / 4) % 2 == (qid / 4) % 2 && nid != qid)
+    }
+    // the shared layout prices every committed batch
+    val audit = AnnOps.semanticIndexDriftAudit(s, dirB).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(0L -> 60L, 1L -> 10L, 2L -> 10L),
+      s"drift audit must see build + both appends: $audit")
+  }
+
   test("semanticIndexDriftAudit: re-ingesting the seed's vectors " +
       "reports EXACTLY zero trend; a collapsed batch reports positive " +
       "drift and single-cell funneling") {
