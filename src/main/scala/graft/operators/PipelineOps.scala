@@ -2724,8 +2724,18 @@ object AnnOps {
     * staged corpus: top-k per query by (cosine desc, id asc). ONE body
     * shared by the filtered-ANN spellings so the scoring arithmetic
     * and tie-break cannot drift between them (the scaledImpl
-    * discipline). Candidates and the query vectors broadcast — both
-    * are query-bounded, tiny next to the corpus.
+    * discipline). Both lookup tables broadcast: the query vectors are
+    * query-bounded (the s01 convention), and the candidate table is
+    * queries × probed-occupancy — broadcasting it keeps the corpus
+    * vector table UNSHUFFLED (the join is a map-side probe of the
+    * pinned staging). The hint is a deliberate trade: it cannot fall
+    * back past the broadcast limit, so it relies on the few-queries
+    * contract; the face where candidates genuinely reach corpus scale
+    * (a boilerplate duplicate class filling one cell, times the ADC
+    * fan-out) is [[filteredTopKIvfPq]]'s UNHINTED ADC join, and its
+    * rerank input is depth-bounded by construction. A caller putting
+    * unbounded queries through the occupancy-sized spellings should
+    * cap occupancy first (the hot-cell guard family).
     */
   private def rerankCandidates(v: DataFrame, cand: DataFrame,
       isQuery: Column => Column, k: Int): DataFrame = {
