@@ -2738,17 +2738,32 @@ object AnnOps {
     * cap occupancy first (the hot-cell guard family).
     */
   private def rerankCandidates(v: DataFrame, cand: DataFrame,
-      isQuery: Column => Column, k: Int): DataFrame = {
+      isQuery: Column => Column, k: Int): DataFrame =
+    topKByCosine(scoreCandidates(v, cand, isQuery), k)
+
+  /** The scoring half of [[rerankCandidates]]: exact cosines for a
+    * (qid, id) candidate table, no ranking — so the capped search can
+    * EXPAND representative rows to their group members between
+    * scoring and the final top-k. */
+  private def scoreCandidates(v: DataFrame, cand: DataFrame,
+      isQuery: Column => Column): DataFrame = {
     val qv = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("c").as("qc"),
         col("nrm").as("qnrm"))
-    val cos = broadcast(cand).join(v, Seq("id"))
+    broadcast(cand).join(v, Seq("id"))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
         cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
+  }
+
+  /** The ranking half of [[rerankCandidates]]: top-k per query by
+    * (cosine desc, neighbor_id asc) — ONE spelling so the tie-break
+    * cannot drift between the direct and expanded paths. */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** FILTERED IVF search — the OTHER composition of a metadata
@@ -2779,15 +2794,40 @@ object AnnOps {
     * The probe scoring is one broadcast of the query vectors against
     * the k-row centroid table — map-side, centroid-table-sized, never
     * corpus-sized.
+    *
+    * `maxCellOccupancy` is the hot-cell guard for SEARCH — the last
+    * face of the boilerplate quadratic: a mass-duplicate class embeds
+    * identically, shares one argmax cell at any `cells` setting, and
+    * makes every probe of that (cell, key) cost its full membership m.
+    * At the cap, saturated (cell, key) members collapse by
+    * [[fullVecSig]]; only each group's REPRESENTATIVE is scored, and
+    * a representative that ranks expands back to its group's k+1
+    * smallest ids. Unlike the dedup guards this is BIT-PARITY, not an
+    * equivalence: signature equality means identical scaled
+    * components, so every member's cosine to any query is the
+    * IDENTICAL double, the uncapped top-k breaks those exact ties
+    * id-ascending, and no member beyond a group's k+1 smallest ids
+    * (self-exclusion worst case) can ever surface — capped output ==
+    * uncapped output row-for-row at ANY k/nprobe (PipelineOpsSpec;
+    * the s23 oracle is the UNCAPPED spelling — the
+    * equivalence-by-shared-oracle gate). Null / zero-norm rows in a
+    * saturated (cell, key) bypass the collapse as direct candidates
+    * (a shared null signature would weld them; uncapped they surface
+    * with null cosine at the tail, and parity keeps that). Probe cost
+    * in a saturated (cell, key) drops from m to
+    * (distinct signatures + k).
     */
   def filteredTopKIvf(df: DataFrame, idCol: String, vecCol: String,
       keyCol: String, isQuery: Column => Column, k: Int,
       cells: Int = 16, iters: Int = 2, nprobe: Int = 1,
       partitions: Int = 0,
-      maxCentroidBytes: Long = DefaultMaxCentroidBytes): DataFrame = {
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes,
+      maxCellOccupancy: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"filteredTopKIvf: k=$k")
     require(cells >= 1, s"filteredTopKIvf: cells=$cells")
     require(nprobe >= 1, s"filteredTopKIvf: nprobe=$nprobe")
+    require(maxCellOccupancy >= 1,
+      s"filteredTopKIvf: maxCellOccupancy=$maxCellOccupancy")
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
@@ -2800,10 +2840,69 @@ object AnnOps {
     // corpus size. No distinct needed at any nprobe: a corpus row
     // belongs to exactly ONE cell, so (qid, id) can match at most once
     // even when a query probes several cells.
-    val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"))
-    rerankCandidates(v, cand, isQuery, k)
+    if (maxCellOccupancy == Int.MaxValue) {
+      val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"))
+      rerankCandidates(v, cand, isQuery, k)
+    } else {
+      // occupancy counted per (cell, KEY) — the probe's actual cost
+      // key; saturated pairs are ≤ rows/cap, broadcastable
+      val satCK = keyed.groupBy(col("cell"), col("key"))
+        .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
+        .select(col("cell"), col("key")).localCheckpoint()
+      val vecs = v.select(col("id"), col("c"), col("nrm"))
+      val satRows = keyed.join(broadcast(satCK), Seq("cell", "key"))
+        .join(vecs, Seq("id"))
+      // direct candidates: every sub-cap row, plus saturated rows that
+      // cannot join a signature group (null / zero norm — uncapped
+      // they are ordinary candidates with null cosine)
+      val candDirect = keyed
+        .join(broadcast(satCK), Seq("cell", "key"), "left_anti")
+        .join(broadcast(qside), Seq("cell", "key"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"))
+        .unionByName(satRows
+          .filter(col("c").isNull || !(col("nrm") > 0))
+          .join(broadcast(qside), Seq("cell", "key"))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id")))
+      // saturated face: per exact-signature group keep the k+1
+      // smallest ids (the expansion budget: at most k can rank, plus
+      // one slot in case the query itself is a group member)
+      val wg = Window.partitionBy(col("cell"), col("key"), col("fsig"))
+        .orderBy(col("id").asc)
+      val heads = satRows.filter(col("c").isNotNull && col("nrm") > 0)
+        .withColumn("fsig", fullVecSig(col("c")))
+        .select(col("cell"), col("key"), col("fsig"), col("id"))
+        .withColumn("rn", row_number().over(wg))
+        .filter(col("rn") <= k + 1)
+        .localCheckpoint()
+      val reps = heads.filter(col("rn") === 1)
+      // the representative is scored even when it IS the query (it
+      // stands for the whole group); expansion swaps in the members
+      // and drops the query itself
+      val candRep = reps.join(broadcast(qside), Seq("cell", "key"))
+        .select(col("qid"), col("id"))
+      val headMembers = heads
+        .join(reps.select(col("cell"), col("key"), col("fsig"),
+          col("id").as("rep")), Seq("cell", "key", "fsig"))
+        .select(col("rep"), col("id").as("member_id"))
+      // no hint: headMembers is (k+1) × #distinct-signature groups,
+      // which a diverse saturated cell can grow corpus-scale — AQE
+      // broadcasts the common small case and shuffles past the limit
+      val expanded = scoreCandidates(v, candRep, isQuery)
+        .join(headMembers, col("neighbor_id") === col("rep"))
+        .filter(col("member_id") =!= col("qid"))
+        .select(col("qid"), col("member_id").as("neighbor_id"),
+          col("cosine"))
+      val out = topKByCosine(
+        scoreCandidates(v, candDirect, isQuery).unionByName(expanded),
+        k).localCheckpoint()
+      DedupOps.releaseLocalCheckpoint(heads)
+      DedupOps.releaseLocalCheckpoint(satCK)
+      out
+    }
   }
 
   /** The (qid, cell, key) probe side shared by [[filteredTopKIvf]] and

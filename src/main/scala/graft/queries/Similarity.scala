@@ -1797,7 +1797,70 @@ object Similarity {
           "source", idxDir, k = 3, nprobe = K,
           rerankDepth = Int.MaxValue)
       },
-      Some(sqlFilteredBruteForceTop3))
+      Some(sqlFilteredBruteForceTop3)),
+
+    // --------- hot-cell-capped filtered search, BIT-parity (s23)
+    GraftQuery(
+      "s23_filtered_knn_capped",
+      (s, dir) => {
+        import s.implicits._
+        // the last face of the boilerplate quadratic: filtered SEARCH
+        // of a (cell, key) holding a mass-duplicate class pays the
+        // class size m on every probe. Capped, saturated members
+        // collapse by exact signature, only representatives score,
+        // and ranking representatives expand to their group's k+1
+        // smallest ids. Unlike the dedup guards this is BIT-parity —
+        // identical components give the identical cosine double and
+        // the uncapped top-k breaks those exact ties id-ascending —
+        // so the ORACLE IS THE UNCAPPED SPELLING (the
+        // equivalence-by-shared-oracle gate): the planted 40-member
+        // family saturates its (cell, key) at cap 8, natural cells
+        // saturate too, and the hash must not move.
+        val fixture = identicalFamilyFixture(s, dir)
+          .select($"vec_id", $"embedding",
+            ($"vec_id" % 2).cast("string").as("grp"))
+        graft.operators.AnnOps.filteredTopKIvf(
+          fixture, "vec_id", "embedding", "grp",
+          _ < NQUERIES, k = 3, cells = K, iters = 2,
+          maxCellOccupancy = 8)
+      },
+      Some(s"""
+        WITH ${sqlKmeansCtesOver(sqlFamilyCorpus)},
+        ka AS (
+          SELECT vec_id, cell, CAST(vec_id % 2 AS VARCHAR) AS grp
+          FROM assign2
+        ),
+        q AS (
+          SELECT vec_id qid, cell, grp FROM ka
+          WHERE vec_id < $NQUERIES
+        ),
+        cand AS (
+          SELECT q.qid, a.vec_id
+          FROM q JOIN ka a
+            ON a.cell = q.cell AND a.grp = q.grp
+              AND a.vec_id <> q.qid
+        ),
+        dot AS (
+          SELECT ca.qid, ca.vec_id, CAST(SUM(qc.c * cc2.c) AS BIGINT) dot
+          FROM cand ca
+            JOIN comp qc ON qc.vec_id = ca.qid
+            JOIN comp cc2 ON cc2.vec_id = ca.vec_id AND cc2.i = qc.i
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.qid, d.vec_id neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0) / (nq.nrm * nn.nrm)
+              AS cosine
+          FROM dot d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nn ON nn.vec_id = d.vec_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos) t
+        WHERE rank <= 3"""))
   )
 
   /** The filtered brute-force top-3 — the shared construction-ceiling

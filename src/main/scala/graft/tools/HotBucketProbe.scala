@@ -233,12 +233,33 @@ object HotBucketProbe {
         s""""capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur}"""
     }
+    // the SEARCH face of the cell guard (round-11): filtered top-k
+    // where query 0's (cell, key) holds the whole planted family —
+    // every probe pays m uncut; capped, representatives + the k+1
+    // expansion. BIT-parity means capped_rows must EQUAL uncut_rows.
+    val filteredSearch = {
+      val (docs, n, m) = semFixture(1L)
+      val keyed = docs.withColumn("grp", lit("x")).localCheckpoint()
+      graft.operators.DedupOps.releaseLocalCheckpoint(docs)
+      def searchOnce(cap: Int): Long =
+        graft.operators.AnnOps.filteredTopKIvf(
+          keyed, "vec_id", "embedding", "grp",
+          _ < 5, k = 3, cells = 16, maxCellOccupancy = cap).count()
+      val (cs, cr) = timed { searchOnce(256) }
+      val (us, ur) = timed { searchOnce(Int.MaxValue) }
+      graft.operators.DedupOps.releaseLocalCheckpoint(keyed)
+      s"""{"n_vecs":$n,"family":$m,"capped_cap":256,""" +
+        s""""capped_sec":$cs,"capped_rows":$cr,""" +
+        s""""uncut_sec":$us,"uncut_rows":$ur,""" +
+        s""""bit_parity":${cr == ur}}"""
+    }
     println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
       s""""large":$large,"stress":$stress,"simhash_stress":$simhash,""" +
       s""""incremental_stress":$incremental,""" +
       s""""semantic_stress":$semantic,""" +
       s""""semantic_stress_4x":$semantic4x,""" +
-      s""""semantic_incremental_stress":$semanticIncremental}""")
+      s""""semantic_incremental_stress":$semanticIncremental,""" +
+      s""""filtered_search_stress":$filteredSearch}""")
     spark.stop()
   }
 }

@@ -1236,6 +1236,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the build batch IS the baseline: zero trend")
   }
 
+  test("filteredTopKIvf maxCellOccupancy: BIT-PARITY with the " +
+      "uncapped search at any k/nprobe — family queries, outside " +
+      "queries, null vectors, all of it") {
+    val s = spark
+    import s.implicits._
+    // a 40-member identical family (one vector, one key) + diverse
+    // same-key rows + other-key rows + a null-vector row in the
+    // family's key; queries: INSIDE the family (2, 100), same-key
+    // outside (4), other-key (1)
+    val famVec = Array(0.6f, 0.6f, 0.05f, 0.1f)
+    val fam = (0 until 40).map(i => (100L + i, famVec, "a"))
+    val rnd = new scala.util.Random(311)
+    val diverse = (0 until 20).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat),
+        if (i % 2 == 0) "a" else "b")
+    }
+    val clean = (diverse.filterNot(_._1 == 2L) ++ fam ++ Seq(
+      (2L, famVec, "a"), // family-vector query OUTSIDE the family ids
+      (500L, null.asInstanceOf[Array[Float]], "a")))
+      .toDF("vid", "emb", "grp").localCheckpoint()
+    def run(cap: Int, k: Int, p: Int) =
+      AnnOps.filteredTopKIvf(clean, "vid", "emb", "grp",
+          c => c === 2L || c === 100L || c === 4L || c === 1L,
+          k = k, cells = 3, iters = 2, nprobe = p, partitions = 4,
+          maxCellOccupancy = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getInt(3)))
+        .map(t => (t._1, t._2, if (t._3.isNaN) -999.0 else t._3, t._4))
+        .toSet
+    Seq((3, 1), (3, 3), (5, 1), (45, 1)).foreach { case (k, p) =>
+      val capped = run(8, k, p)
+      val uncapped = run(Int.MaxValue, k, p)
+      assert(capped == uncapped,
+        s"capped search drifted at k=$k nprobe=$p:\n" +
+          s"capped - uncapped: ${capped -- uncapped}\n" +
+          s"uncapped - capped: ${uncapped -- capped}")
+    }
+    // and the guard actually fires: the family's (cell, key) holds 41
+    // identical vectors (> cap 8), so a family query's top-3 is 3
+    // family members with cosine exactly 1.0, smallest ids first
+    val top = run(8, 3, 1).filter(_._1 == 100L).toSeq.sortBy(_._4)
+    assert(top.map(_._2) == Seq(2L, 101L, 102L),
+      s"family expansion must yield the k smallest tied ids: $top")
+    assert(top.forall(_._3 == 1.0),
+      s"identical vectors must score cosine exactly 1.0: $top")
+  }
+
   test("appendIvfPqIndex: batching-independent, replay-idempotent, " +
       "appended members are served, drift audit prices every batch") {
     val s = spark
