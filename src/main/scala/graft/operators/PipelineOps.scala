@@ -752,9 +752,15 @@ object DedupOps {
   }
 
   /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
-    * No-op if the plan isn't the expected checkpoint shape.
+    * No-op if the plan isn't the expected checkpoint shape. PUBLIC
+    * because the serve-many-batches operators
+    * ([[AnnOps.queryIvfPqIndex]], the capped incremental probes)
+    * return PINNED results — an external caller running thousands of
+    * batches in one session should release each result once consumed,
+    * or the per-call pins accumulate for the session lifetime (the
+    * same leak class those operators free internally).
     */
-  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
@@ -2750,10 +2756,17 @@ object AnnOps {
     val qv = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("c").as("qc"),
         col("nrm").as("qnrm"))
+    // zero-NORM guard (REVIEW): 0/0 is NaN, and Spark's descending
+    // sort ranks NaN FIRST — an all-zero vector would take rank 1 in
+    // every probe of its cell. A zero vector has no direction, so its
+    // cosine is declared NULL (like a null vector's), sorting to the
+    // tail on every path that shares this body.
     broadcast(cand).join(v, Seq("id"))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        cosine(col("qc"), col("qnrm"), col("c"), col("nrm")).as("cosine"))
+        when(col("nrm") > 0 && col("qnrm") > 0,
+          cosine(col("qc"), col("qnrm"), col("c"), col("nrm")))
+          .as("cosine"))
   }
 
   /** The ranking half of [[rerankCandidates]]: top-k per query by
@@ -2852,7 +2865,13 @@ object AnnOps {
         .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
         .select(col("cell"), col("key")).localCheckpoint()
       val vecs = v.select(col("id"), col("c"), col("nrm"))
+      // collapse machinery scoped to PROBED (cell, key) pairs only —
+      // signature-hashing and window-ranking saturated groups no
+      // query probes would be corpus-sized wasted work on a corpus
+      // with many boilerplate classes and few queries (REVIEW)
+      val probedCK = qside.select(col("cell"), col("key")).distinct()
       val satRows = keyed.join(broadcast(satCK), Seq("cell", "key"))
+        .join(broadcast(probedCK), Seq("cell", "key"), "left_semi")
         .join(vecs, Seq("id"))
       // direct candidates: every sub-cap row, plus saturated rows that
       // cannot join a signature group (null / zero norm — uncapped
@@ -3135,7 +3154,7 @@ object AnnOps {
         case (cell, mu) => (m, cell, mu.toSeq, mu.map(x => x * x).sum)
       }).toDF("m", "code", "cmean", "cn2")
       (codesP.select(col("id"), col("cell").as("code"), lit(m).as("m")),
-        meansDf)
+        meansDf, sub, codesP)
     }
     perM.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
@@ -3143,6 +3162,15 @@ object AnnOps {
     // commits later batches next to the build's
     perM.map(_._1).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codes/batch=0")
+    // everything is on disk: free the per-subspace stagings and code
+    // tables too, not just the corpus staging — a session building
+    // several indexes (the rebuild-when-drift-prices-it flow) would
+    // otherwise pin pqM corpus-sized blocks per build (REVIEW; the
+    // append path's discipline)
+    perM.foreach { case (_, _, sub, codesP) =>
+      DedupOps.releaseLocalCheckpoint(codesP)
+      DedupOps.releaseLocalCheckpoint(sub)
+    }
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
   }
@@ -3189,13 +3217,19 @@ object AnnOps {
       .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
       .localCheckpoint()
     releaseAssign()
-    rows.write.mode("overwrite")
-      .parquet(s"$indexDir/batches/batch=$batchId")
-    // encode against the frozen codebooks
+    // encode against the frozen codebooks. COMMIT ORDER MATTERS
+    // (REVIEW): codes write FIRST, rows LAST — the rows table drives
+    // candidate generation AND the drift audit, so a crash between
+    // the two writes must leave the batch INVISIBLE (codes without
+    // rows = no candidates, clean replay), never rows whose ids
+    // generate candidates that the inner codes join silently drops
+    // from the ADC scan even at the construction ceiling.
     val books = s.read.parquet(s"$indexDir/codebooks")
       .select(col("m").cast("int"), col("code"), col("cmean"))
       .as[(Int, Long, Seq[Double])].collect()
-    val dsub = books.headOption.map(_._3.length).getOrElse(0)
+    // widest entry, not an arbitrary one: the last subspace is
+    // shorter under a ceil split (REVIEW — queryIvfPqIndex's note)
+    val dsub = books.map(_._3.length).maxOption.getOrElse(0)
     val pqM = books.map(_._1).distinct.length
     val perMCodes = (0 until pqM).map { m =>
       val sub = v.select(col("id"),
@@ -3212,6 +3246,8 @@ object AnnOps {
     }
     perMCodes.reduce(_ unionByName _).write.mode("overwrite")
       .parquet(s"$indexDir/codes/batch=$batchId")
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/batches/batch=$batchId")
     // the commit is on disk: free every per-call pin (this operator
     // is called per nightly batch in a long-lived session)
     perMCodes.foreach(DedupOps.releaseLocalCheckpoint)
@@ -3284,8 +3320,10 @@ object AnnOps {
     val books = s.read.parquet(s"$indexDir/codebooks")
       .select(col("m"), col("code"), col("cmean"), col("cn2"))
       .localCheckpoint() // bounded (pqM x pqKs); read twice
-    val dsub = books.select(size(col("cmean")).as("d")).limit(1)
-      .head().getInt(0)
+    // dsub = the WIDEST codebook entry: with dim % pqM != 0 the LAST
+    // subspace's means are shorter (ceil split), so sampling an
+    // arbitrary row could mis-slice every query subvector (REVIEW)
+    val dsub = books.agg(max(size(col("cmean")))).head().getInt(0)
     val codes = s.read.parquet(s"$indexDir/codes")
       .select(col("id"), col("m"), col("code"))
     val luts = books.crossJoin(broadcast(qv.select(col("id").as("qid"),
@@ -3320,7 +3358,9 @@ object AnnOps {
     val cos = broadcast(refine).join(cv, Seq("id"))
       .join(broadcast(qvr), Seq("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        cosine(col("qc"), col("qnrm"), col("c"), col("nrm"))
+        // the scoreCandidates zero-norm guard: NaN would rank FIRST
+        when(col("nrm") > 0 && col("qnrm") > 0,
+          cosine(col("qc"), col("qnrm"), col("c"), col("nrm")))
           .as("cosine"))
     val wk = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -241,17 +241,24 @@ object HotBucketProbe {
       val (docs, n, m) = semFixture(1L)
       val keyed = docs.withColumn("grp", lit("x")).localCheckpoint()
       graft.operators.DedupOps.releaseLocalCheckpoint(docs)
-      def searchOnce(cap: Int): Long =
-        graft.operators.AnnOps.filteredTopKIvf(
-          keyed, "vec_id", "embedding", "grp",
-          _ < 5, k = 3, cells = 16, maxCellOccupancy = cap).count()
+      def searchDf(cap: Int) = graft.operators.AnnOps.filteredTopKIvf(
+        keyed, "vec_id", "embedding", "grp",
+        _ < 5, k = 3, cells = 16, maxCellOccupancy = cap)
+      def searchOnce(cap: Int): Long = searchDf(cap).count()
       val (cs, cr) = timed { searchOnce(256) }
       val (us, ur) = timed { searchOnce(Int.MaxValue) }
+      // parity claim = ROW-SET equality (count equality alone could
+      // hide a swap of which tied member surfaces); k x 5 rows, cheap
+      def rowsOf(cap: Int) = searchDf(cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -999.0 else r.getDouble(2),
+          r.getInt(3))).toSet
+      val parity = rowsOf(256) == rowsOf(Int.MaxValue)
       graft.operators.DedupOps.releaseLocalCheckpoint(keyed)
       s"""{"n_vecs":$n,"family":$m,"capped_cap":256,""" +
         s""""capped_sec":$cs,"capped_rows":$cr,""" +
         s""""uncut_sec":$us,"uncut_rows":$ur,""" +
-        s""""bit_parity":${cr == ur}}"""
+        s""""bit_parity_rowsets":$parity}"""
     }
     println(s"""{"probe":"hot_bucket_guard","small":$small,""" +
       s""""large":$large,"stress":$stress,"simhash_stress":$simhash,""" +

@@ -1234,6 +1234,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${audit.mkString(", ")}")
     assert(audit.head.getDouble(6) == 0.0,
       "the build batch IS the baseline: zero trend")
+    // RAGGED dims (dim % pqM != 0): the last subspace's codebook means
+    // are shorter under the ceil split, so dsub inference must take
+    // the WIDEST entry — an arbitrary codebook row would mis-slice
+    // every query subvector (the silent-index-corruption review find)
+    val rag = rows.map { case (id, v10, g) => (id, v10.take(10), g) }
+      .toDF("vid", "emb", "grp").localCheckpoint()
+    val ridx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-rag-").toString
+    AnnOps.buildIvfPqIndex(rag, "vid", "emb", "grp", ridx,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    val servedR = rowsOf(AnnOps.queryIvfPqIndex(
+      rag.filter($"vid" < 8), "vid", "emb", "grp", ridx, k = 3,
+      nprobe = 1, rerankDepth = 6, partitions = 4))
+    val inlineR = rowsOf(AnnOps.filteredTopKIvfPq(rag, "vid", "emb",
+      "grp", _ < 8, k = 3, cells = 4, iters = 2, nprobe = 1,
+      pqM = 4, pqKs = 4, pqIters = 2, rerankDepth = 6,
+      partitions = 4))
+    assert(servedR == inlineR,
+      "ragged-dim serving drifted from the inline operator (dsub " +
+        "inference must use the widest codebook entry)")
   }
 
   test("filteredTopKIvf maxCellOccupancy: BIT-PARITY with the " +
