@@ -1799,6 +1799,58 @@ object Similarity {
       },
       Some(sqlFilteredBruteForceTop3)),
 
+    // ---- ANN index appends through REAL streaming (st17)
+    GraftQuery(
+      "st17_ivfpq_append_stream",
+      (s, dir) => {
+        import s.implicits._
+        // s22's lifecycle END-TO-END through the streaming engine
+        // (the st16 discipline on the serving index): the 80% corpus
+        // builds the index, the 20% ARRIVES AS A STREAM — a file
+        // source in 3 real microbatches — and each microbatch runs
+        // one appendIvfPqIndex (assign + encode against the frozen
+        // artifacts, idempotent per-batch commit) via foreachBatch.
+        // The ceiling serve afterwards equals the filtered brute
+        // force over the union corpus NO MATTER how the stream was
+        // microbatched — the same oracle as s22, so the hash gate
+        // proves stream == batch for the append path.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-st17-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          oldEmb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        val newDir = java.nio.file.Files
+          .createTempDirectory("graft-st17-new-").toString
+        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+        val stream = s.readStream.schema(newEmb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(newDir)
+        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
+          "st17") { (batch, bid) =>
+          if (!batch.isEmpty) {
+            // bid + 1: microbatch ids start at 0, the build owns 0
+            graft.operators.AnnOps.appendIvfPqIndex(
+              batch.localCheckpoint(), "vec_id", "embedding",
+              "source", idxDir, bid + 1L)
+          }
+        }
+        graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+      },
+      Some(sqlFilteredBruteForceTop3)),
+
     // --------- hot-cell-capped filtered search, BIT-parity (s23)
     GraftQuery(
       "s23_filtered_knn_capped",
