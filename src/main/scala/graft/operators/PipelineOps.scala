@@ -2756,11 +2756,14 @@ object AnnOps {
     val qv = v.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("c").as("qc"),
         col("nrm").as("qnrm"))
-    // zero-NORM guard (REVIEW): 0/0 is NaN, and Spark's descending
-    // sort ranks NaN FIRST — an all-zero vector would take rank 1 in
-    // every probe of its cell. A zero vector has no direction, so its
-    // cosine is declared NULL (like a null vector's), sorting to the
-    // tail on every path that shares this body.
+    // zero-NORM guard (REVIEW): under Spark's default ANSI mode a
+    // double division by zero THROWS (DIVIDE_BY_ZERO) — an all-zero
+    // vector anywhere in a candidate list would crash the whole query
+    // (and with ANSI off, the 0/0 NaN would rank FIRST, which is as
+    // wrong). A zero vector has no direction, so its cosine is
+    // declared NULL (like a null vector's), sorting to the tail on
+    // every path that shares this body; the probe-scoring and ADC
+    // divisions carry the same guard.
     broadcast(cand).join(v, Seq("id"))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
@@ -2944,10 +2947,17 @@ object AnnOps {
       val qv = v.filter(isQuery(col("id")))
         .select(col("id").as("qid"), col("c").as("qc"),
           col("nrmr").as("qnrmr"))
+      // zero-norm guard (REVIEW): under Spark's default ANSI mode a
+      // double division by zero THROWS (DIVIDE_BY_ZERO), so a
+      // zero-norm query or a zero centroid would crash the probe;
+      // the when() short-circuits per row, the null score sorts last
+      // (desc NULLS LAST), and a zero-norm query degrades to probing
+      // the first P cells by id — deterministic, never a crash
       val scored = cent.crossJoin(broadcast(qv))
         .select(col("qid"), col("cell"),
-          (dot_i64(col("qc"), col("cc")).cast("double") /
-            (col("qnrmr") * col("cnrmr"))).as("score"))
+          when(col("qnrmr") > 0 && col("cnrmr") > 0,
+            dot_i64(col("qc"), col("cc")).cast("double") /
+              (col("qnrmr") * col("cnrmr"))).as("score"))
       val wq = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cell").asc)
       scored.withColumn("pr", row_number().over(wq))
@@ -3089,7 +3099,10 @@ object AnnOps {
       .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
       .join(broadcast(qn), Seq("qid"))
       .select(col("qid"), col("id"),
-        (col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
+        // ANSI zero-norm guard: null approx score sorts last instead
+        // of DIVIDE_BY_ZERO crashing the scan (REVIEW)
+        when(col("qnrmr") > 0 && col("an2") > 0,
+          col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
           .as("approx_cos"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("approx_cos").desc, col("id").asc)
@@ -3171,6 +3184,7 @@ object AnnOps {
       DedupOps.releaseLocalCheckpoint(codesP)
       DedupOps.releaseLocalCheckpoint(sub)
     }
+    DedupOps.releaseLocalCheckpoint(members)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
   }
@@ -3299,13 +3313,15 @@ object AnnOps {
       .select(col("cell"), col("cc"), col("cnrmr"))
     val rows = s.read.parquet(s"$indexDir/batches")
       .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-    // top-P cells per query: the ivfProbeSide scoring verbatim
+    // top-P cells per query: the ivfProbeSide scoring verbatim,
+    // including its ANSI zero-norm guard (null score, never a crash)
     val qvec = qv.select(col("id").as("qid"), col("c").as("qc"),
       col("nrmr").as("qnrmr"))
     val scoredCells = cent.crossJoin(broadcast(qvec))
       .select(col("qid"), col("cell"),
-        (dot_i64(col("qc"), col("cc")).cast("double") /
-          (col("qnrmr") * col("cnrmr"))).as("score"))
+        when(col("qnrmr") > 0 && col("cnrmr") > 0,
+          dot_i64(col("qc"), col("cc")).cast("double") /
+            (col("qnrmr") * col("cnrmr"))).as("score"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cell").asc)
     val qside = scoredCells.withColumn("pr", row_number().over(wq))
@@ -3342,7 +3358,9 @@ object AnnOps {
       .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
       .join(broadcast(qn), Seq("qid"))
       .select(col("qid"), col("id"),
-        (col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
+        // ANSI zero-norm guard (the inline operator's, verbatim)
+        when(col("qnrmr") > 0 && col("an2") > 0,
+          col("adot").cast("double") / (col("qnrmr") * sqrt(col("an2"))))
           .as("approx_cos"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("approx_cos").desc, col("id").asc)
@@ -3358,7 +3376,7 @@ object AnnOps {
     val cos = broadcast(refine).join(cv, Seq("id"))
       .join(broadcast(qvr), Seq("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        // the scoreCandidates zero-norm guard: NaN would rank FIRST
+        // the scoreCandidates ANSI zero-norm guard, verbatim
         when(col("nrm") > 0 && col("qnrm") > 0,
           cosine(col("qc"), col("qnrm"), col("c"), col("nrm")))
           .as("cosine"))

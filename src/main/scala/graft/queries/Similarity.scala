@@ -1748,10 +1748,14 @@ object Similarity {
         graft.operators.AnnOps.buildIvfPqIndex(
           emb, "vec_id", "embedding", "source", idxDir,
           cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
-        graft.operators.AnnOps.queryIvfPqIndex(
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
           emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
           "source", idxDir, k = 3, nprobe = K,
           rerankDepth = Int.MaxValue)
+        // the serve's output is pinned and independent; free the
+        // corpus staging (the serve-many-batches discipline)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
       },
       Some(sqlFilteredBruteForceTop3)),
 
@@ -1792,10 +1796,12 @@ object Similarity {
         graft.operators.AnnOps.appendIvfPqIndex(
           newEmb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
           "source", idxDir, batchId = 2L)
-        graft.operators.AnnOps.queryIvfPqIndex(
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
           emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
           "source", idxDir, k = 3, nprobe = K,
           rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
       },
       Some(sqlFilteredBruteForceTop3)),
 
@@ -1839,15 +1845,21 @@ object Similarity {
           "st17") { (batch, bid) =>
           if (!batch.isEmpty) {
             // bid + 1: microbatch ids start at 0, the build owns 0
+            val pinned = batch.localCheckpoint()
             graft.operators.AnnOps.appendIvfPqIndex(
-              batch.localCheckpoint(), "vec_id", "embedding",
+              pinned, "vec_id", "embedding",
               "source", idxDir, bid + 1L)
+            // the append's commit is on disk: free the microbatch pin
+            // (once per trigger in a long-lived stream)
+            graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
           }
         }
-        graft.operators.AnnOps.queryIvfPqIndex(
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
           emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
           "source", idxDir, k = 3, nprobe = K,
           rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
       },
       Some(sqlFilteredBruteForceTop3)),
 

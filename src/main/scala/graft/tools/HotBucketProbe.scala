@@ -248,12 +248,16 @@ object HotBucketProbe {
       val (cs, cr) = timed { searchOnce(256) }
       val (us, ur) = timed { searchOnce(Int.MaxValue) }
       // parity claim = ROW-SET equality (count equality alone could
-      // hide a swap of which tied member surfaces); k x 5 rows, cheap
+      // hide a swap of which tied member surfaces); k x 5 rows, cheap.
+      // Wrapped in the keep-set release so the two extra executions'
+      // internally-pinned outputs don't outlive the probe (REVIEW)
       def rowsOf(cap: Int) = searchDf(cap).collect()
         .map(r => (r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) -999.0 else r.getDouble(2),
           r.getInt(3))).toSet
+      val keepP = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val parity = rowsOf(256) == rowsOf(Int.MaxValue)
+      release(keepP)
       graft.operators.DedupOps.releaseLocalCheckpoint(keyed)
       s"""{"n_vecs":$n,"family":$m,"capped_cap":256,""" +
         s""""capped_sec":$cs,"capped_rows":$cr,""" +

@@ -1255,6 +1255,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(servedR == inlineR,
       "ragged-dim serving drifted from the inline operator (dsub " +
         "inference must use the widest codebook entry)")
+    // ...and the APPEND path's own dsub inference (it collects the
+    // codebooks independently): build on a ragged seed, append the
+    // rest, serve at the construction ceiling — must equal the exact
+    // filtered brute force over the union (filteredTopKIvf at
+    // nprobe = cells), which a mis-sliced appended code table breaks
+    val ridx2 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-rag2-").toString
+    AnnOps.buildIvfPqIndex(rag.filter($"vid" < 60), "vid", "emb",
+      "grp", ridx2, cells = 4, iters = 2, pqM = 4, pqKs = 4,
+      pqIters = 2, partitions = 4)
+    AnnOps.appendIvfPqIndex(rag.filter($"vid" >= 60), "vid", "emb",
+      "grp", ridx2, batchId = 1L, partitions = 4)
+    val servedA = rowsOf(AnnOps.queryIvfPqIndex(
+      rag.filter($"vid" < 8), "vid", "emb", "grp", ridx2, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4))
+    val bruteA = rowsOf(AnnOps.filteredTopKIvf(rag, "vid", "emb",
+      "grp", _ < 8, k = 3, cells = 4, iters = 2, nprobe = 4,
+      partitions = 4))
+    assert(servedA == bruteA,
+      "ragged-dim APPEND + ceiling serve drifted from the filtered " +
+        "brute force (append-side dsub inference)")
   }
 
   test("filteredTopKIvf maxCellOccupancy: BIT-PARITY with the " +
@@ -1273,13 +1294,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat),
         if (i % 2 == 0) "a" else "b")
     }
-    val clean = (diverse.filterNot(_._1 == 2L) ++ fam ++ Seq(
+    val clean = (diverse.filterNot(t => t._1 == 2L || t._1 == 6L) ++
+      fam ++ Seq(
       (2L, famVec, "a"), // family-vector query OUTSIDE the family ids
-      (500L, null.asInstanceOf[Array[Float]], "a")))
+      (500L, null.asInstanceOf[Array[Float]], "a"),
+      // an all-ZERO vector (not null): under ANSI its cosine division
+      // would THROW without the zero-norm guards; as a corpus row it
+      // must sort to the null-cosine tail, and as a QUERY (6) the
+      // probe scoring itself must survive — both faces witnessed here
+      (501L, Array(0f, 0f, 0f, 0f), "a"),
+      (6L, Array(0f, 0f, 0f, 0f), "a")))
       .toDF("vid", "emb", "grp").localCheckpoint()
     def run(cap: Int, k: Int, p: Int) =
       AnnOps.filteredTopKIvf(clean, "vid", "emb", "grp",
-          c => c === 2L || c === 100L || c === 4L || c === 1L,
+          c => c === 2L || c === 100L || c === 4L || c === 1L ||
+            c === 6L,
           k = k, cells = 3, iters = 2, nprobe = p, partitions = 4,
           maxCellOccupancy = cap)
         .collect()
