@@ -3076,7 +3076,7 @@ object AnnOps {
           lit(m).as("m"))
       val cn2M = meansDf.select(col("code"), col("cn2"), lit(m).as("m"))
       (codesP.select(col("id"), col("cell").as("code"), lit(m).as("m")),
-        lutM, cn2M)
+        lutM, cn2M, sub, codesP)
     }
     val codes = perM.map(_._1).reduce(_ unionByName _)
     val luts = perM.map(_._2).reduce(_ unionByName _)
@@ -3109,7 +3109,184 @@ object AnnOps {
     val refine = adc.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= depth)
       .select(col("qid"), col("id"))
-    rerankCandidates(v, refine, isQuery, k)
+    // pin the (k × queries)-sized output and free EVERY per-call
+    // staging — the serve-many-batches discipline the durable
+    // build/append/query faces already follow (ADVICE: the inline
+    // operator used to return a frame lazy over pqM+1 corpus-sized
+    // pins it could never release, so a session calling it repeatedly
+    // accumulated executor blocks for its lifetime). Callers that are
+    // done with the result should releaseLocalCheckpoint it.
+    val out = rerankCandidates(v, refine, isQuery, k).localCheckpoint()
+    DedupOps.releaseLocalCheckpoint(cand)
+    perM.foreach { case (_, _, _, sub, codesP) =>
+      DedupOps.releaseLocalCheckpoint(codesP)
+      DedupOps.releaseLocalCheckpoint(sub)
+    }
+    DedupOps.releaseLocalCheckpoint(members)
+    DedupOps.releaseLocalCheckpoint(v)
+    DedupOps.releaseLocalCheckpoint(staged)
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Durable-index storage layer, shared by BOTH index families (the
+  // [[incrementalSemanticDedupDurable]] dedup index and the
+  // [[buildIvfPqIndex]] ANN serving index): cell-partitioned layout,
+  // tombstoned deletes, generation compaction with crash-safe swap.
+  // ------------------------------------------------------------------
+
+  /** Hadoop FS handle for an index path — DFS in production, never
+    * java.io.File (the loadMinhashIndex lesson). */
+  private def indexFs(s: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+  private def hpath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** Prune a stored-index scan to a bounded cell set. The predicate is
+    * built with literals in the DISCOVERED partition-column type
+    * (partition values round-trip through directory names, so the
+    * LongType `cell` the operators compute reads back as the inferred
+    * IntegerType) and applied to the raw column, so it lands in the
+    * scan's PartitionFilters verbatim — the whole point of the
+    * cell-partitioned layout: a serve touches nprobe/cells of the
+    * index's files, not 100% of them (PlanInvariantsSpec gates it,
+    * tools/IndexPruneProbe measures it). */
+  private[graft] def cellPrune(df: DataFrame, cells: Seq[Long])
+      : DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val vals: Seq[Any] = df.schema("cell").dataType match {
+      case LongType => cells
+      case IntegerType => cells.map(_.toInt)
+      case dt => cells.map(c => lit(c).cast(dt)) // defensive; unused
+    }
+    df.filter(col("cell").isin(vals: _*))
+  }
+
+  /** Committed tombstone ids (`indexDir/tombstones/batch=<id>`), if
+    * any batch of deletes has been committed. */
+  private def loadTombstones(s: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val p = hpath(s"$indexDir/tombstones")
+    if (indexFs(s, indexDir).exists(p))
+      Some(s.read.parquet(p.toString).select(col("id")))
+    else None
+  }
+
+  /** Stored rows minus the tombstoned ids. NO broadcast hint: the
+    * tombstone set is unbounded by contract (a takedown wave can be
+    * corpus-scale), so AQE broadcasts the common small case and
+    * shuffles past the limit — the occupancy-shaped-bound policy. */
+  private def minusTombstones(rows: DataFrame, ts: Option[DataFrame])
+      : DataFrame =
+    ts.map(t => rows.join(t, Seq("id"), "left_anti")).getOrElse(rows)
+
+  /** DELETE documents from a durable index (either family): commits
+    * `ids` as the tombstone batch `indexDir/tombstones/batch=<id>` —
+    * an idempotent per-batch overwrite, the append path's own commit
+    * discipline, so a foreachBatch replay rewrites its subdir and
+    * nothing else. Stored rows are untouched (append-only trees stay
+    * append-only); every reader — [[queryIvfPqIndex]] serve,
+    * [[incrementalSemanticDedupDurable]] probe,
+    * [[semanticIndexDriftAudit]] — anti-joins the tombstones, and
+    * [[compactIndex]] physically drops them (and clears the applied
+    * tombstones). Production shape: takedowns and dedup feedback are
+    * deletes against a corpus that keeps serving; the s25 oracle pins
+    * serve-over-index-minus-deleted == brute-force-over-corpus-minus-
+    * deleted at the construction ceiling. */
+  def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/tombstones/batch=$batchId")
+
+  /** Repair a half-finished [[compactIndex]] swap. The swap is two
+    * renames per tree (live → `<tree>-old`, fresh → live), so a crash
+    * can leave (a) only `<tree>-old` (live renamed out, fresh not yet
+    * in): restore the old generation — it is complete and correct; or
+    * (b) both live and `<tree>-old` (swap done, cleanup not): the live
+    * tree is the new generation, drop the leftover. Runs automatically
+    * at the start of every [[compactIndex]]; exposed so a deployment
+    * can repair a crashed serve path without compacting. */
+  def recoverIndex(s: SparkSession, indexDir: String): Unit = {
+    val fs = indexFs(s, indexDir)
+    Seq("batches", "codes").foreach { tree =>
+      val live = hpath(s"$indexDir/$tree")
+      val old = hpath(s"$indexDir/$tree-old")
+      if (fs.exists(old)) {
+        if (!fs.exists(live)) require(fs.rename(old, live),
+          s"recoverIndex: could not restore $old")
+        else fs.delete(old, true)
+      }
+    }
+  }
+
+  /** COMPACT a durable index (either family) into one consolidated
+    * generation — the reference ingester's compaction discipline
+    * (cpp/ingester/src/ingester.cpp:555-647) applied to the index: a
+    * nightly-append deployment accumulates one `batch=<id>` subdir per
+    * day forever (365+/year of small files), and every committed
+    * tombstone is an anti-join every serve pays. Compaction rewrites
+    * `batches/` (and `codes/`, when the ANN family's tree exists) as
+    * the SAME logical rows — tombstoned ids physically dropped, batch
+    * ids PRESERVED as partition values — grouped one task per
+    * (batch, cell) leaf, so file count collapses to ~one per leaf
+    * while serves, probes, and the drift audit read identical results
+    * (the s24/d16 shared-oracle gates).
+    *
+    * Crash safety: the new generation builds invisibly under
+    * `.compact-new/`; a crash before the swap leaves the old
+    * generation serving untouched. The swap is rename-out + rename-in
+    * per tree with [[recoverIndex]] repairing either half-state.
+    * Rows swap BEFORE codes: compacted rows are a subset of the old
+    * ids, and the old codes a superset of the compacted — so at every
+    * instant each live row id has live codes (the append path's
+    * rows-never-without-codes invariant; the reverse order could
+    * serve rows whose ADC codes were already dropped, silently losing
+    * candidates). Tombstones clear only after both swaps — a crash
+    * before that re-applies them against already-compacted rows, an
+    * idempotent no-op. */
+  def compactIndex(s: SparkSession, indexDir: String,
+      partitions: Int = 0): Unit = {
+    require(partitions >= 0, s"compactIndex: partitions=$partitions")
+    recoverIndex(s, indexDir)
+    val fs = indexFs(s, indexDir)
+    val batchesP = hpath(s"$indexDir/batches")
+    require(fs.exists(batchesP),
+      s"compactIndex: $indexDir has no committed batches")
+    val nparts = if (partitions > 0) partitions
+      else s.sessionState.conf.numShufflePartitions
+    val ts = loadTombstones(s, indexDir)
+    val tmp = s"$indexDir/.compact-new"
+    if (fs.exists(hpath(tmp))) fs.delete(hpath(tmp), true)
+    def writeGen(src: String): Unit = {
+      val rows = minusTombstones(s.read.parquet(s"$indexDir/$src"), ts)
+      rows.repartition(nparts, col("batch"), col("cell"))
+        .write.partitionBy("batch", "cell").parquet(s"$tmp/$src")
+    }
+    // an all-rows tombstone set would write an EMPTY generation, and a
+    // later parquet read of it cannot infer a schema — refuse loudly
+    // (an index with nothing left should be dropped, not compacted)
+    require(!minusTombstones(s.read.parquet(batchesP.toString), ts)
+      .isEmpty, "compactIndex: tombstones cover every stored row; " +
+        "drop the index instead of compacting it empty")
+    writeGen("batches")
+    val hasCodes = fs.exists(hpath(s"$indexDir/codes"))
+    if (hasCodes) writeGen("codes")
+    def swap(tree: String): Unit = {
+      val live = hpath(s"$indexDir/$tree")
+      val old = hpath(s"$indexDir/$tree-old")
+      require(fs.rename(live, old), s"compactIndex: rename-out $live")
+      require(fs.rename(hpath(s"$tmp/$tree"), live),
+        s"compactIndex: rename-in $live")
+      fs.delete(old, true)
+    }
+    swap("batches")
+    if (hasCodes) swap("codes")
+    val tsP = hpath(s"$indexDir/tombstones")
+    if (fs.exists(tsP)) fs.delete(tsP, true)
+    fs.delete(hpath(tmp), true)
   }
 
   /** BUILD a durable IVF-PQ index — the production serving shape
@@ -3125,7 +3302,10 @@ object AnnOps {
     * machinery. PQ artifacts: `indexDir/codebooks`
     * (m, code, cmean, cn2 — pqM × pqKs rows, the L2 mean centroids)
     * and `indexDir/codes` (id, m, code — M small ints per vector, the
-    * scan set that actually fits memory at 100 TB).
+    * scan set that actually fits memory at 100 TB). Both per-batch
+    * trees nest a `cell=<c>` partition level (rows by their coarse
+    * assignment, codes by their row's cell), so every serve-time scan
+    * partition-prunes to the probed cells.
     *
     * Determinism: every stage is the batch operator's own kernel
     * (coarse cells via [[kmeansFromStagedWithCent]], codebooks via
@@ -3145,15 +3325,26 @@ object AnnOps {
         s"pqIters=$pqIters")
     val s = df.sparkSession
     import s.implicits._
+    // REBUILD SAFETY (ADVICE): a rebuild into a dir holding append
+    // batches would leave batch=1..N rows that were assigned against
+    // the OLD frozen centroids silently probed against the NEW
+    // centroids/codebooks — wrong candidates and ADC scores, no error.
+    // A build owns the whole index: clear every per-batch tree, stale
+    // tombstones, and any half-finished compaction before writing.
+    locally {
+      val fs = indexFs(s, indexDir)
+      Seq("batches", "codes", "tombstones", "batches-old", "codes-old",
+        ".compact-new").foreach { t =>
+        val p = hpath(s"$indexDir/$t")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
     val (members, cent) =
       kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    members.join(v, Seq("id")).join(keys, Seq("id"))
-      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-      .write.mode("overwrite").parquet(s"$indexDir/batches/batch=0")
     val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
       .limit(1).as[Int].collect().headOption.getOrElse(0)
     require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
@@ -3171,10 +3362,23 @@ object AnnOps {
     }
     perM.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    // codes are per-batch subdirs like the rows: [[appendIvfPqIndex]]
-    // commits later batches next to the build's
+    // codes are per-batch subdirs like the rows, cell-partitioned like
+    // the rows (the coarse cell rides each code row so the ADC scan
+    // partition-prunes to the probed cells); [[appendIvfPqIndex]]
+    // commits later batches next to the build's. COMMIT ORDER: codes
+    // FIRST, rows LAST — the append path's mandatory invariant (rows
+    // drive candidate generation, so a crash between the writes must
+    // leave the batch invisible, never rows whose candidates the ADC
+    // join silently drops) — a REBUILD into a dir that crashed between
+    // the two writes must not serve new rows against stale codes.
     perM.map(_._1).reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$indexDir/codes/batch=0")
+      .join(members, Seq("id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes/batch=0")
+    members.join(v, Seq("id")).join(keys, Seq("id"))
+      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batches/batch=0")
     // everything is on disk: free the per-subspace stagings and code
     // tables too, not just the corpus staging — a session building
     // several indexes (the rebuild-when-drift-prices-it flow) would
@@ -3225,6 +3429,16 @@ object AnnOps {
     val k = cent.count()
     val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
       .limit(1).as[Int].collect().headOption.getOrElse(0)
+    // DIM VALIDATION (ADVICE): the assignment/encoding kernels tolerate
+    // ragged dims (min-length truncation), so a batch with the wrong
+    // dimensionality would be encoded and committed SILENTLY with
+    // skewed cells and codes. Reject it against the stored centroid
+    // width instead — the frozen artifacts define the index's space.
+    val storedDim = cent.select(size(col("cc")).as("d")).limit(1)
+      .as[Int].collect().headOption.getOrElse(0)
+    require(dim == storedDim,
+      s"appendIvfPqIndex: batch dim=$dim != stored index dim=" +
+        s"$storedDim ($indexDir/centroids)")
     val (assigned, releaseAssign) =
       assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
     val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
@@ -3258,9 +3472,13 @@ object AnnOps {
       destroy()
       pinned
     }
-    perMCodes.reduce(_ unionByName _).write.mode("overwrite")
+    // cell rides each code row (from the batch's own pinned rows) so
+    // the serve's ADC scan partition-prunes to the probed cells
+    perMCodes.reduce(_ unionByName _)
+      .join(rows.select(col("id"), col("cell")), Seq("id"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/codes/batch=$batchId")
-    rows.write.mode("overwrite")
+    rows.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/batches/batch=$batchId")
     // the commit is on disk: free every per-call pin (this operator
     // is called per nightly batch in a long-lived session)
@@ -3286,11 +3504,19 @@ object AnnOps {
     * unaffected). Returns (qid, neighbor_id, cosine, rank) — exact
     * cosines, the family output contract.
     *
-    * Scale shape: index reads are pruned parquet scans; every lookup
+    * Scale shape: the stored trees are CELL-PARTITIONED
+    * (`batches/batch=<b>/cell=<c>/`, same nesting for codes), so the
+    * candidate scan, the ADC code scan, and the exact re-rank scan all
+    * carry a partition filter on the probed cell set — a serve reads
+    * O(nprobe/cells) of the index's files, never the whole index
+    * (PlanInvariantsSpec gates the PartitionFilters,
+    * tools/IndexPruneProbe measures files read); every lookup
     * table (query cells, LUTs, codebook norms, query vectors)
     * broadcasts; the candidate table gets NO broadcast hint (the
-    * boilerplate-cell argument on [[filteredTopKIvfPq]]); nothing
-    * re-clusters, re-quantizes, or rewrites the index.
+    * boilerplate-cell argument on [[filteredTopKIvfPq]]); tombstoned
+    * ids ([[deleteFromIndex]]) are anti-joined out of the stored rows
+    * before candidate generation; nothing re-clusters, re-quantizes,
+    * or rewrites the index.
     */
   def queryIvfPqIndex(queries: DataFrame, idCol: String,
       vecCol: String, keyCol: String, indexDir: String, k: Int,
@@ -3302,7 +3528,8 @@ object AnnOps {
     require(depth >= k,
       s"queryIvfPqIndex: rerankDepth=$depth must be >= k=$k")
     val s = queries.sparkSession
-    // both stagings released before return: this operator is the
+    import s.implicits._
+    // every staging released before return: this operator is the
     // serve-many-batches face — un-released per-call pins would
     // accumulate for the session lifetime (the ADVICE leak class)
     val stagedQ = scaledImpl(queries, idCol, vecCol, Some(keyCol),
@@ -3311,8 +3538,6 @@ object AnnOps {
     val qkeys = stagedQ.select(col("id").as("qid"), col("key"))
     val cent = s.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("cc"), col("cnrmr"))
-    val rows = s.read.parquet(s"$indexDir/batches")
-      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
     // top-P cells per query: the ivfProbeSide scoring verbatim,
     // including its ANSI zero-norm guard (null score, never a crash)
     val qvec = qv.select(col("id").as("qid"), col("c").as("qc"),
@@ -3324,10 +3549,28 @@ object AnnOps {
             (col("qnrmr") * col("cnrmr"))).as("score"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cell").asc)
+    // pinned (|queries| × nprobe rows) so collecting the probed cell
+    // set below doesn't recompute the probe scoring per consumer
     val qside = scoredCells.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("cell"))
       .join(broadcast(qkeys), Seq("qid"))
+      .localCheckpoint()
+    // THE SCALE POINT of the layout: the union of probed cells is
+    // bounded by the centroid count (a driver-safe collect at any
+    // query-batch size — cells, not queries × nprobe), and every
+    // stored-index scan below prunes to those cells' partitions. At
+    // nprobe << cells a serve reads nprobe/cells of the index's files
+    // — O(probed cells), never O(index) (PlanInvariantsSpec gates the
+    // PartitionFilters; tools/IndexPruneProbe measures files read).
+    val probed = qside.select(col("cell").cast("long")).distinct()
+      .as[Long].collect().toSeq.sorted
+    val ts = loadTombstones(s, indexDir)
+    // candidate + re-rank scans: probed cells only, deletes excluded
+    val rows = minusTombstones(
+      cellPrune(s.read.parquet(s"$indexDir/batches"), probed), ts)
+      .select(col("id"), col("cell").cast("long").as("cell"), col("c"),
+        col("nrm"), col("key"))
     val cand = rows.join(broadcast(qside), Seq("cell", "key"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
@@ -3340,7 +3583,11 @@ object AnnOps {
     // subspace's means are shorter (ceil split), so sampling an
     // arbitrary row could mis-slice every query subvector (REVIEW)
     val dsub = books.agg(max(size(col("cmean")))).head().getInt(0)
-    val codes = s.read.parquet(s"$indexDir/codes")
+    // codes scan pruned to the probed cells too (cell rides every
+    // code row since the layout change); no tombstone anti-join needed
+    // — the ADC join is driven by cand, which already excludes deleted
+    // ids, so deleted codes are simply never requested
+    val codes = cellPrune(s.read.parquet(s"$indexDir/codes"), probed)
       .select(col("id"), col("m"), col("code"))
     val luts = books.crossJoin(broadcast(qv.select(col("id").as("qid"),
         col("c").as("qc"))))
@@ -3388,6 +3635,7 @@ object AnnOps {
       .localCheckpoint()
     DedupOps.releaseLocalCheckpoint(cand)
     DedupOps.releaseLocalCheckpoint(books)
+    DedupOps.releaseLocalCheckpoint(qside)
     DedupOps.releaseLocalCheckpoint(qv)
     DedupOps.releaseLocalCheckpoint(stagedQ)
     out
@@ -3427,9 +3675,16 @@ object AnnOps {
     var means = meansFrom(seeds)
     var members: DataFrame = null
     for (it <- 1 to iters) {
+      val prev = members
       val (assigned, destroy) = l2AssignAgainst(sub, means)
       members = assigned.localCheckpoint()
       destroy()
+      // each Lloyd round supersedes the previous round's pinned
+      // membership — release it or a pqIters-deep train leaks
+      // (iters − 1) corpus-sized pins per subspace (ADVICE). The new
+      // pin has no lineage to the old (assignment runs against the
+      // driver-held mean table), so the release is safe.
+      if (prev != null) DedupOps.releaseLocalCheckpoint(prev)
       if (it < iters) means = meansFrom(members)
     }
     (members, means)
@@ -4478,7 +4733,10 @@ object AnnOps {
       .select(col("id"), col("cell"), col("c"), col("nrm"))
       .localCheckpoint()
     release()
-    own.write.mode("overwrite")
+    // cell-partitioned commit (the ANN index's layout): the probe
+    // below — and every later batch's probe — reads only the cells a
+    // batch actually lands in, as a partition-pruned scan
+    own.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/batches/batch=$batchId")
     // per-call staging blocks die here either way: `own` (and the
     // returned pairs, below) are pinned, the commit is on disk
@@ -4496,12 +4754,24 @@ object AnnOps {
     val hasOther = fs.listStatus(batchesPath).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("batch=") &&
         st.getPath.getName != s"batch=$batchId")
+    // the probe touches only the frozen cells THIS batch lands in —
+    // a bounded set (≤ the centroid count, own is pinned) — so the
+    // accumulated-index scan partition-prunes to those cells: probe
+    // cost is O(touched cells' occupancy), never O(index). Pairs in
+    // untouched cells cannot involve this batch by construction.
+    // Tombstoned ids ([[deleteFromIndex]]) are anti-joined out — a
+    // deleted doc must neither pair nor serve as a delegation root.
+    val ownCells = own.select(col("cell")).distinct()
+      .as[Long].collect().toSeq.sorted
     val oldRows: Option[DataFrame] = if (!hasOther) None
-      else Some(s.read.parquet(batchesPath.toString)
+      else Some(minusTombstones(
+          cellPrune(s.read.parquet(batchesPath.toString), ownCells),
+          loadTombstones(s, indexDir))
         // exclude own (half-committed) batch on replay, probe the
         // committed rest + this run's own pinned rows
         .filter(col("batch") =!= lit(batchId))
-        .select(col("id"), col("cell"), col("c"), col("nrm")))
+        .select(col("id"), col("cell").cast("long").as("cell"),
+          col("c"), col("nrm")))
     val ownRows = own.select(col("id"), col("cell"), col("c"), col("nrm"))
     val all = oldRows.map(_.unionByName(ownRows)).getOrElse(ownRows)
     // cosine computed BEFORE the a/b canonicalization (it is exactly
@@ -4639,7 +4909,12 @@ object AnnOps {
       : DataFrame = {
     val cent = s.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("cc"), col("cnrmr"))
-    val rows = s.read.parquet(s"$indexDir/batches")
+    // tombstoned ids excluded: the audit must price the index the
+    // probes/serves actually read ([[deleteFromIndex]]'s contract —
+    // the audit cannot disagree with the index it audits); a batch
+    // whose every row is deleted disappears from the report
+    val rows = minusTombstones(s.read.parquet(s"$indexDir/batches"),
+        loadTombstones(s, indexDir))
       .select(col("batch").cast("long").as("batch"), col("id"),
         col("cell"), col("c"), col("nrm"))
     // zero-norm / null vectors have no direction, hence no angular
