@@ -2989,11 +2989,14 @@ object AnnOps {
     * what reconstruction needs; the sum's population factor would
     * skew rankings across codes). The ADC score approximates cosine
     * against the reconstructed vector: Σ_m pdot_m over the query norm
-    * times sqrt(Σ_m |mean_centroid_m|²). The M-way double sums make
-    * the ADC ordering a float heuristic (1-ulp ties may fall either
-    * way across runs) — acceptable because ADC only gates the refine
-    * cut; emitted cosines are always exact, and the oracle pins the
-    * depth-≥-candidates construction where the cut is a no-op.
+    * times sqrt(Σ_m |mean_centroid_m|²). The M-way sums run over
+    * DECIMAL(38,6)-quantized terms, so they are exact and
+    * order-independent — the ADC ordering is deterministic under any
+    * shuffle/storage order, which is what lets the durable serve
+    * ([[queryIvfPqIndex]]) stay BIT-identical to this inline spelling
+    * at tight rerankDepth; emitted cosines are always exact, and the
+    * oracle pins the depth-≥-candidates construction where the cut is
+    * a no-op.
     *
     * Correctness frame (the s14 construction argument, pinned by the
     * s18 oracle): at nprobe = cells and rerankDepth ≥ every
@@ -3028,8 +3031,9 @@ object AnnOps {
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
     // coarse structure: cells + the probe side (shared with s14)
-    val (members, cent) =
-      kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+    val (members, cent, kmeansRelease) =
+      kmeansFromStagedWithCentReleasable(v, cells, iters,
+        maxCentroidBytes)
     val keyed = members.join(keys, Seq("id"))
     val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
     val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
@@ -3096,7 +3100,18 @@ object AnnOps {
       .join(broadcast(luts), Seq("qid", "m", "code"))
       .join(broadcast(cn2), Seq("m", "code"))
       .groupBy(col("qid"), col("id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .agg(
+        // ORDER-INDEPENDENT M-way sums (the t11/drift-audit decimal
+        // discipline): a plain double sum over the M subspace terms
+        // depends on shuffle arrival order, so the serve and the
+        // inline operator could disagree by 1 ulp and flip a tight
+        // refine cut (caught by the bit-parity spec when the layout
+        // change reordered the stored codes). Quantizing each term to
+        // DECIMAL(38,6) — far below any ranking-relevant precision —
+        // makes the sum exact and order-free; partial aggregation is
+        // preserved (decimal sums combine map-side).
+        sum(col("pdot").cast(DecimalType(38, 6))).as("adot"),
+        sum(col("cn2").cast(DecimalType(38, 6))).as("an2"))
       .join(broadcast(qn), Seq("qid"))
       .select(col("qid"), col("id"),
         // ANSI zero-norm guard: null approx score sorts last instead
@@ -3122,6 +3137,7 @@ object AnnOps {
       DedupOps.releaseLocalCheckpoint(codesP)
       DedupOps.releaseLocalCheckpoint(sub)
     }
+    kmeansRelease()
     DedupOps.releaseLocalCheckpoint(members)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
@@ -3342,8 +3358,9 @@ object AnnOps {
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
-    val (members, cent) =
-      kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+    val (members, cent, kmeansRelease) =
+      kmeansFromStagedWithCentReleasable(v, cells, iters,
+        maxCentroidBytes)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
       .limit(1).as[Int].collect().headOption.getOrElse(0)
@@ -3388,6 +3405,7 @@ object AnnOps {
       DedupOps.releaseLocalCheckpoint(codesP)
       DedupOps.releaseLocalCheckpoint(sub)
     }
+    kmeansRelease()
     DedupOps.releaseLocalCheckpoint(members)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
@@ -3602,7 +3620,18 @@ object AnnOps {
       .join(broadcast(luts), Seq("qid", "m", "code"))
       .join(broadcast(cn2), Seq("m", "code"))
       .groupBy(col("qid"), col("id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .agg(
+        // ORDER-INDEPENDENT M-way sums (the t11/drift-audit decimal
+        // discipline): a plain double sum over the M subspace terms
+        // depends on shuffle arrival order, so the serve and the
+        // inline operator could disagree by 1 ulp and flip a tight
+        // refine cut (caught by the bit-parity spec when the layout
+        // change reordered the stored codes). Quantizing each term to
+        // DECIMAL(38,6) — far below any ranking-relevant precision —
+        // makes the sum exact and order-free; partial aggregation is
+        // preserved (decimal sums combine map-side).
+        sum(col("pdot").cast(DecimalType(38, 6))).as("adot"),
+        sum(col("cn2").cast(DecimalType(38, 6))).as("an2"))
       .join(broadcast(qn), Seq("qid"))
       .select(col("qid"), col("id"),
         // ANSI zero-norm guard (the inline operator's, verbatim)
@@ -4284,9 +4313,9 @@ object AnnOps {
     * parity). The table is k rows over pinned inputs — cheap to
     * re-evaluate; callers that score it more than once should pin it.
     */
-  private def kmeansFromStagedWithCent(v: DataFrame, k: Int, iters: Int,
-      maxCentroidBytes: Long = DefaultMaxCentroidBytes)
-      : (DataFrame, DataFrame) = {
+  private def kmeansFromStagedWithCentReleasable(v: DataFrame, k: Int,
+      iters: Int, maxCentroidBytes: Long = DefaultMaxCentroidBytes)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     val s = v.sparkSession
     import s.implicits._
@@ -4313,6 +4342,7 @@ object AnnOps {
       .map { case (id, i) => (id, i.toLong) }).toDF("id", "cell")
     var cent = centFrom(seeds)
     var members: DataFrame = null
+    val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (it <- 1 to iters) {
       // pin each round: members feeds the next update and the caller.
       // localCheckpoint is eager, so the centroid broadcast(s) are
@@ -4320,10 +4350,29 @@ object AnnOps {
       // broadcasts otherwise accumulate one k-row table per Lloyd step).
       val (assigned, release) =
         assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+      val prev = members
       members = assigned.localCheckpoint()
       release()
+      if (prev != null) stale += prev
       if (it < iters) cent = centFrom(members)
     }
+    (members, cent, () => stale.foreach(DedupOps.releaseLocalCheckpoint))
+  }
+
+  /** [[kmeansFromStagedWithCentReleasable]] with the intermediate-pin
+    * thunk dropped — for the LAZY-result operators (filteredTopKIvf,
+    * semanticNearDups family), whose returned frames stay live over
+    * the whole Lloyd structure by contract. Pin-and-release operators
+    * must use the releasable variant or they strand one corpus-sized
+    * membership pin per call (the round-12 leak-spec find: the
+    * returned `cent` is lazy over the second-to-last round's pinned
+    * membership, so that pin cannot be freed until every `cent`
+    * consumer has materialized). */
+  private def kmeansFromStagedWithCent(v: DataFrame, k: Int, iters: Int,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes)
+      : (DataFrame, DataFrame) = {
+    val (members, cent, _) =
+      kmeansFromStagedWithCentReleasable(v, k, iters, maxCentroidBytes)
     (members, cent)
   }
 
@@ -4718,10 +4767,14 @@ object AnnOps {
     val fs = centPath.getFileSystem(conf)
     val (assignedRaw, release): (DataFrame, () => Unit) =
       if (!fs.exists(centPath)) {
-        val (members, cent) =
-          kmeansFromStagedWithCent(v, cells, iters, maxCentroidBytes)
+        val (members, cent, kmeansRelease) =
+          kmeansFromStagedWithCentReleasable(v, cells, iters,
+            maxCentroidBytes)
+        // the centroid write is an action, so `cent` is fully
+        // consumed here — the thunk (freeing the intermediate Lloyd
+        // memberships) is safe to run at the shared release point
         cent.write.mode("overwrite").parquet(centPath.toString)
-        (members, () => ())
+        (members, kmeansRelease)
       } else {
         val cent = s.read.parquet(centPath.toString)
         val k = cent.count()

@@ -1924,15 +1924,141 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // -------- durable-index COMPACTION, ANN family (s24)
+    GraftQuery(
+      "s24_ivfpq_index_compact",
+      (s, dir) => {
+        import s.implicits._
+        // s22's build + two appends, COMPACTED before the serve: the
+        // nightly-append deployment's maintenance step merges
+        // batches/codes into one consolidated cell-partitioned
+        // generation behind an atomic swap, batch ids preserved. The
+        // ceiling serve afterwards must equal the SAME filtered brute
+        // force s22 pins — the equivalence-by-shared-oracle gate:
+        // compaction is invisible to results or the hash moves.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s24-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          oldEmb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          newEmb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+          "source", idxDir, batchId = 1L)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          newEmb.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+          "source", idxDir, batchId = 2L)
+        graft.operators.AnnOps.compactIndex(s, idxDir)
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(sqlFilteredBruteForceTop3)),
+
+    // -------- durable-index DELETES, served corpus shrinks (s25)
+    GraftQuery(
+      "s25_ivfpq_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        // production takedowns: the index keeps serving while a
+        // tombstone batch removes docs. Build on the 80% bucket,
+        // append the rest, DELETE every non-query doc with
+        // vec_id % 10 == 7, then serve at the construction ceiling —
+        // the oracle is the filtered brute force over the corpus
+        // MINUS the deleted docs, so a tombstoned row that still
+        // pairs (or an over-deleted survivor) is a hash mismatch.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s25-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          emb.filter(bucket < 80), "vec_id", "embedding", "source",
+          idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          emb.filter(bucket >= 80), "vec_id", "embedding",
+          "source", idxDir, batchId = 1L)
+        graft.operators.AnnOps.deleteFromIndex(
+          emb.filter($"vec_id" >= NQUERIES && $"vec_id" % 10 === 7)
+            .select($"vec_id"), "vec_id", idxDir, batchId = 1L)
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(sqlFilteredBruteForceTop3Excluding(
+        s"c.vec_id >= $NQUERIES AND c.vec_id % 10 = 7"))),
+
+    // -------- dedup-index compaction mid-lifecycle (d16)
+    GraftQuery(
+      "d16_semantic_index_compact",
+      (s, dir) => {
+        import s.implicits._
+        // s15's incremental flow with a compactIndex BETWEEN the two
+        // increments — the dedup-family face of the maintenance step:
+        // batch 2's probe reads the compacted generation, and the
+        // union of outputs must still hash-match s15's own oracle
+        // (shared-oracle equivalence on the second index family).
+        val emb = Tables.load(s, dir, "embeddings")
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-d16-").toString
+        def inc(batch: org.apache.spark.sql.DataFrame, id: Long,
+            probe: Boolean = true) =
+          graft.operators.AnnOps.incrementalSemanticDedupDurable(
+            batch, "vec_id", "embedding", idxDir, id,
+            threshold = 0.35, cells = K, iters = 2, probe = probe)
+        inc(oldEmb, 0L, probe = false)
+        val out1 = inc(newEmb.filter($"vec_id" % 2 === 0), 1L)
+        graft.operators.AnnOps.compactIndex(s, idxDir)
+        val out2 = inc(newEmb.filter($"vec_id" % 2 === 1), 2L)
+        out1.unionByName(out2)
+      },
+      Some(sqlIncrementalSemantic))
   )
 
   /** The filtered brute-force top-3 — the shared construction-ceiling
     * oracle (s12's spelling): all same-source pairs, exact scaled-long
     * cosine, top-3 per query. s18 (nprobe = cells + full rerank) and
     * s20 (probeBits = rowsPerBand) both collapse to this by
-    * construction. */
-  private def sqlFilteredBruteForceTop3: String = s"""
+    * construction; s21/s22/st17/s24 pin the durable serving lifecycle
+    * against it. */
+  private def sqlFilteredBruteForceTop3: String =
+    sqlFilteredBruteForceTop3Excluding("FALSE")
+
+  /** [[sqlFilteredBruteForceTop3]] with the NEIGHBOR side restricted
+    * to `NOT (excludePred)` — the s25 delete oracle: the brute force
+    * over the corpus minus the tombstoned docs (queries are untouched;
+    * the delete predicate never covers them). */
+  private def sqlFilteredBruteForceTop3Excluding(
+      excludePred: String): String = s"""
         WITH comp AS (
           SELECT vec_id,
             unnest(range(len(embedding))) i,
@@ -1954,7 +2080,7 @@ object Similarity {
             JOIN comp c ON q.i = c.i AND q.vec_id <> c.vec_id
             JOIN src sq ON sq.doc_id = q.vec_id
             JOIN src sc ON sc.doc_id = c.vec_id AND sc.source = sq.source
-          WHERE q.vec_id < $NQUERIES
+          WHERE q.vec_id < $NQUERIES AND NOT ($excludePred)
           GROUP BY 1, 2
         ),
         cos AS (

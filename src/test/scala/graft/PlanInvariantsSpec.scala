@@ -499,21 +499,175 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (cell,key) probe + cand + qv broadcasts, saw $n")
   }
 
+  /** Every node of a finalized plan, descending through AQE wrappers
+    * and query stages (a plain `collect` does not enter
+    * QueryStageExec, which silently turns negative assertions
+    * vacuous and positive ones impossible). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** Run `body` under a QueryExecutionListener and return every plan
+    * it executed, polling until `ready` holds (callbacks are async) —
+    * the d12 public-wrapper pattern: operators that PIN their results
+    * (the serve-many-batches leak discipline) hide their working
+    * plans behind a checkpoint scan, so gates must observe the plans
+    * the operator executes, not the plan it returns. */
+  private def capturePlans(ready: Seq[SparkPlan] => Boolean)
+      (body: => Unit): Seq[SparkPlan] = {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        })
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !ready(captured.toArray(Array.empty[SparkPlan]).toSeq))
+        Thread.sleep(50)
+      captured.toArray(Array.empty[SparkPlan]).toSeq
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** The 80-row 4-center clustered ANN fixture shared by the IVF-PQ
+    * gates (PipelineOpsSpec's, shrunk to plan-gate duty). */
+  private def ivfPqFixture() = {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(9103)
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
+    }
+    (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
+        if ((i / 4) % 2 == 0) "even" else "odd")
+    }.toDF("vid", "emb", "grp").localCheckpoint()
+  }
+
   test("s18's ADC chain: candidate and LUT joins are broadcast hash " +
       "joins, no cartesian; nested-loop expands are codebook-x-query " +
       "sized only (the documented s01-class tiny broadcast)") {
-    val p = finalPlan("s18_filtered_knn_ivfpq")
-    val s = p.toString()
-    assert(!s.contains("CartesianProduct"), "s18 has a CartesianProduct")
-    assert(s.contains("BroadcastHashJoin"),
-      "s18's ADC equi-joins (cell/key candidates, qid/m/code LUT) " +
-        "must broadcast")
-    // corpus-sized tables must never funnel to one partition
-    val single = p.collect {
-      case e: ShuffleExchangeLike
-          if e.outputPartitioning.numPartitions == 1 => e
+    // the inline operator pins its output (the round-12 leak fix), so
+    // the ADC chain is captured from the plans it EXECUTES — the one
+    // carrying the approx_cos ranking is the output-pinning action
+    val df = ivfPqFixture()
+    val plans = capturePlans(
+      _.exists(_.toString().contains("approx_cos"))) {
+      graft.operators.AnnOps.filteredTopKIvfPq(df, "vid", "emb", "grp",
+        _ < 8, k = 3,
+        cells = 4, iters = 2, nprobe = 2, pqM = 4, pqKs = 4,
+        pqIters = 2, rerankDepth = 12, partitions = 4)
     }
-    assert(single.isEmpty, "s18 funnels through a 1-partition exchange")
+    val adc = plans.filter(_.toString().contains("approx_cos"))
+    assert(adc.nonEmpty, "no executed plan carries the ADC chain")
+    adc.foreach { p =>
+      val s = p.toString()
+      assert(!s.contains("CartesianProduct"), "s18 has a CartesianProduct")
+      assert(s.contains("BroadcastHashJoin"),
+        "s18's ADC equi-joins (cell/key candidates, qid/m/code LUT) " +
+          "must broadcast")
+      // corpus-sized tables must never funnel to one partition
+      val single = allNodes(p).collect {
+        case e: ShuffleExchangeLike
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(single.isEmpty, "s18 funnels through a 1-partition exchange")
+    }
+  }
+
+  test("durable IVF-PQ serve: candidate, ADC-code, and re-rank scans " +
+      "all partition-prune to the probed cells (PartitionFilters " +
+      "non-empty at nprobe < cells — the round-11 O(index) serve fix)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = ivfPqFixture()
+    val ss = spark
+    import ss.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-prune-gate-").toString
+    graft.operators.AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    def indexScans(plans: Seq[SparkPlan], tree: String) =
+      plans.flatMap(allNodes).collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(s"$idx/$tree")) => f
+      }
+    val plans = capturePlans(p =>
+      indexScans(p, "batches").nonEmpty &&
+        indexScans(p, "codes").nonEmpty) {
+      graft.operators.AnnOps.queryIvfPqIndex(
+        df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+        nprobe = 1, rerankDepth = 6, partitions = 4)
+    }
+    val rowScans = indexScans(plans, "batches")
+    val codeScans = indexScans(plans, "codes")
+    assert(rowScans.nonEmpty, "no stored-row scan captured")
+    assert(codeScans.nonEmpty, "no stored-code scan captured")
+    (rowScans ++ codeScans).foreach { f =>
+      assert(f.partitionFilters
+        .exists(_.references.exists(_.name == "cell")),
+        s"stored-index scan reads ALL cells (no cell partition " +
+          s"filter): ${f.simpleString(120)}")
+    }
+  }
+
+  test("s15 incremental probe: the accumulated-index scan partition-" +
+      "prunes to the batch's own cells AND excludes the half-committed " +
+      "batch by partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(772)
+    val centers = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f),
+      Array(0f, 0f, 10f))
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong,
+        centers(i % 3).map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }.toDF("vid", "emb")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-probe-gate-").toString
+    graft.operators.AnnOps.incrementalSemanticDedupDurable(
+      mk(0 until 30), "vid", "emb", idx, 0L, threshold = 0.8,
+      cells = 3, iters = 2, probe = false)
+    def indexScans(plans: Seq[SparkPlan]) =
+      plans.flatMap(allNodes).collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(s"$idx/batches")) => f
+      }
+    val plans = capturePlans(p => indexScans(p).nonEmpty) {
+      graft.operators.AnnOps.incrementalSemanticDedupDurable(
+        mk(30 until 40), "vid", "emb", idx, 1L, threshold = 0.8,
+        cells = 3, iters = 2)
+    }
+    val scans = indexScans(plans)
+    assert(scans.nonEmpty, "no accumulated-index scan captured")
+    scans.foreach { f =>
+      assert(f.partitionFilters
+        .exists(_.references.exists(_.name == "cell")),
+        s"probe scan reads ALL cells: ${f.simpleString(120)}")
+      assert(f.partitionFilters
+        .exists(_.references.exists(_.name == "batch")),
+        s"probe scan does not exclude its own batch by partition " +
+          s"filter: ${f.simpleString(120)}")
+    }
   }
 
   test("q52's keyset page is a pushed filter + bounded TakeOrdered, " +

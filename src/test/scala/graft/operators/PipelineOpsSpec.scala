@@ -2071,4 +2071,268 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(rows.filter(_._3 == 1).map(t => t._1 -> t._2).toMap == Map(0L -> 1L))
   }
+
+  // ------------------------------------------------------------------
+  // durable-index lifecycle: compaction, deletes, rebuild, leak checks
+  // ------------------------------------------------------------------
+
+  /** The 4-center 16-dim clustered corpus of the durable-index tests. */
+  private def annRows(ids: Range, seed: Int = 9103) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
+    }
+    ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
+        if ((i / 4) % 2 == 0) "even" else "odd")
+    }
+  }
+
+  private def tmpDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(dir)
+    if (!root.exists()) Seq.empty
+    else walk(root).map(_.getPath).filter(_.endsWith(".parquet"))
+  }
+
+  private def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSet
+
+  test("compactIndex: one consolidated generation — serve and drift " +
+      "audit identical, batch ids preserved, file count collapses to " +
+      "~one per (batch, cell) leaf, double-compact stable") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("compact")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 60 && $"vid" < 70),
+      "vid", "emb", "grp", idx, 1L, partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 70), "vid", "emb",
+      "grp", idx, 2L, partitions = 4)
+    def serve() = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 2, rerankDepth = 12, partitions = 4))
+    def audit() = AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    val (serveBefore, auditBefore) = (serve(), audit())
+    val filesBefore = parquetFiles(s"$idx/batches").size
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(serve() == serveBefore,
+      "compaction changed the serve (must be invisible to results)")
+    assert(audit() == auditBefore,
+      "compaction changed the drift audit (batch ids must survive)")
+    val filesAfter = parquetFiles(s"$idx/batches").size
+    val leaves = new java.io.File(s"$idx/batches").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(_.listFiles())
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(filesAfter <= leaves,
+      s"compacted generation not consolidated: $filesAfter files " +
+        s"over $leaves (batch, cell) leaves (was $filesBefore)")
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce file count: " +
+        s"$filesBefore -> $filesAfter")
+    // a second compaction of an already-compacted index is stable
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(serve() == serveBefore && audit() == auditBefore,
+      "double-compaction drifted")
+  }
+
+  test("compactIndex crash safety: a crash before the swap leaves the " +
+      "old generation serving; either half-swap state recovers") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("crash")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 60), "vid", "emb",
+      "grp", idx, 1L, partitions = 4)
+    def serve() = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 2, rerankDepth = 12, partitions = 4))
+    val good = serve()
+    // (a) crash BEFORE the swap: the new generation sits invisibly in
+    // .compact-new — the live trees are untouched, and a re-run
+    // compaction clears the debris and completes
+    val tmp = new java.io.File(s"$idx/.compact-new/batches/batch=0")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/.compact-new/batches/batch=0/junk"),
+      "half-written")
+    assert(serve() == good, "pre-swap debris must not affect the serve")
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(serve() == good, "re-run compaction over debris drifted")
+    assert(!new java.io.File(s"$idx/.compact-new").exists())
+    // (b) crash MID-swap (live renamed out, new not yet in): recovery
+    // restores the old generation
+    assert(new java.io.File(s"$idx/batches")
+      .renameTo(new java.io.File(s"$idx/batches-old")))
+    AnnOps.recoverIndex(s, idx)
+    assert(serve() == good, "mid-swap recovery lost the old generation")
+    assert(!new java.io.File(s"$idx/batches-old").exists())
+    // (c) crash POST-swap (cleanup missed): the live tree is the new
+    // generation; recovery drops the leftover
+    val leftover = new java.io.File(s"$idx/batches-old/batch=9")
+    assert(leftover.mkdirs())
+    AnnOps.recoverIndex(s, idx)
+    assert(!new java.io.File(s"$idx/batches-old").exists(),
+      "post-swap leftover must be dropped")
+    assert(serve() == good)
+  }
+
+  test("deleteFromIndex: tombstoned ids vanish from serve, probe, and " +
+      "audit; a ceiling serve equals the brute force over the corpus " +
+      "minus the deleted; replay-idempotent; compaction drops them " +
+      "physically") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("delete")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 60), "vid", "emb",
+      "grp", idx, 1L, partitions = 4)
+    val deleted = Set(40L, 41L, 44L, 61L)
+    AnnOps.deleteFromIndex(deleted.toSeq.toDF("vid"), "vid", idx, 1L)
+    def serve(nprobe: Int, depth: Int) = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = nprobe, rerankDepth = depth, partitions = 4))
+    val served = serve(4, Int.MaxValue)
+    assert(served.nonEmpty &&
+      !served.exists(t => deleted.contains(t._2)),
+      s"a deleted id surfaced in the serve: $served")
+    // ceiling equivalence: serve over index-minus-deleted == exact
+    // filtered brute force over corpus-minus-deleted (the construction
+    // argument is clustering-independent at nprobe = cells + full
+    // depth, so the differently-clustered reference is still exact)
+    val brute = rowsOf(AnnOps.filteredTopKIvf(
+      df.filter(!$"vid".isin(deleted.toSeq: _*)), "vid", "emb", "grp",
+      _ < 8, k = 3, cells = 4, iters = 2, nprobe = 4, partitions = 4))
+    assert(served == brute,
+      "post-delete ceiling serve != brute force over the remainder")
+    // replay: committing the same tombstone batch again changes nothing
+    AnnOps.deleteFromIndex(deleted.toSeq.toDF("vid"), "vid", idx, 1L)
+    assert(serve(4, Int.MaxValue) == served, "delete replay drifted")
+    // audit excludes tombstoned rows (n drops by the per-batch deletes)
+    val audit = AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(0L -> 57L, 1L -> 19L),
+      s"audit must price the index minus deletes: $audit")
+    // compaction physically drops tombstoned rows and clears the
+    // tombstone tree; serve and audit are unchanged
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "applied tombstones must clear after compaction")
+    assert(serve(4, Int.MaxValue) == served, "post-compact serve drifted")
+    assert(AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == audit)
+    // the dedup-index face: a deleted accumulated doc neither pairs
+    // nor roots a delegation group
+    val didx = tmpDir("del-dedup")
+    val seed = Seq((100L, Array(10f, 0f, 0f)), (101L, Array(0f, 10f, 0f)))
+      .toDF("vid", "emb")
+    AnnOps.incrementalSemanticDedupDurable(seed, "vid", "emb", didx,
+      0L, threshold = 0.9, cells = 2, iters = 1, probe = false)
+    AnnOps.deleteFromIndex(Seq(100L).toDF("vid"), "vid", didx, 0L)
+    val pairs = AnnOps.incrementalSemanticDedupDurable(
+      Seq((200L, Array(10f, 0f, 0f))).toDF("vid", "emb"), "vid", "emb",
+      didx, 1L, threshold = 0.9, cells = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.isEmpty,
+      s"a tombstoned doc still pairs in the incremental probe: $pairs")
+  }
+
+  test("buildIvfPqIndex REBUILD clears stale append batches and " +
+      "tombstones: the new index serves exactly like a fresh-dir build") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("rebuild")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 40), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 40), "vid", "emb",
+      "grp", idx, 1L, partitions = 4)
+    AnnOps.deleteFromIndex(Seq(7L).toDF("vid"), "vid", idx, 1L)
+    // REBUILD over the full corpus into the SAME dir: without the
+    // stale-tree cleanup the old batch=1 rows (assigned against the
+    // 40-row centroids) and the stale tombstone would silently poison
+    // the new index (the ADVICE medium)
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    val fresh = tmpDir("rebuild-fresh")
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", fresh,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    def serve(dir: String) = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", dir, k = 3,
+      nprobe = 2, rerankDepth = 12, partitions = 4))
+    assert(serve(idx) == serve(fresh),
+      "rebuild into a lived-in dir differs from a fresh build")
+    val audit = AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(0L -> 80L),
+      s"rebuild left stale batches in the index: $audit")
+  }
+
+  test("appendIvfPqIndex rejects a batch whose dimensionality differs " +
+      "from the stored index (no silent truncated encoding)") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 40).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("dim")
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    val ragged = annRows(40 until 50)
+      .map { case (id, v, g) => (id, v.take(10), g) }
+      .toDF("vid", "emb", "grp")
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.appendIvfPqIndex(ragged, "vid", "emb", "grp", idx, 1L,
+        partitions = 4)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
+  test("inline filteredTopKIvfPq: no pinned blocks survive the call " +
+      "beyond its own released output (the serve-many-batches leak " +
+      "class)") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val keep = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = AnnOps.filteredTopKIvfPq(df, "vid", "emb", "grp", _ < 8,
+      k = 3, cells = 4, iters = 2, nprobe = 2, pqM = 4, pqKs = 4,
+      pqIters = 2, rerankDepth = 12, partitions = 4)
+    assert(out.count() > 0)
+    val newcomers =
+      s.sparkContext.getPersistentRDDs.keySet.toSet -- keep
+    // only the returned (pinned) output may remain
+    assert(newcomers.size <= 1,
+      s"inline IVF-PQ leaked ${newcomers.size} pinned RDDs")
+    DedupOps.releaseLocalCheckpoint(out)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet.toSet -- keep
+    assert(leaked.isEmpty,
+      s"blocks survive after releasing the output: $leaked")
+  }
 }
