@@ -5077,6 +5077,62 @@ object PrepOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
   }
 
+  /** Packed TOKEN-ID sequences — the last trainer-handoff step: p01
+    * assigns documents to fixed-budget context windows and p18 prices
+    * them in learned BPE tokens, but a training job LOADS the packed
+    * windows as ordered token-id sequences with positions. This
+    * materializes them: documents pack per `groupCol` in id order
+    * under `packBudget` BPE tokens (the [[packSequences]] rule — a
+    * document belongs to the pack where it STARTS), and every
+    * document's ordered [[TextOps.bpeTokenIds]] stream lands at
+    * position = (the pack's prior documents' token counts) + the
+    * token's within-document index. Positions are dense 0..n-1 per
+    * pack and each pack's token total equals its [[packSequences]]
+    * bill by construction — PrepOpsSpec pins both properties, and the
+    * oracle-checked p20 query pins the whole chain (the t20 stream
+    * windowed by the p18 pack boundaries) against DuckDB.
+    *
+    * Scale shape: the token stream and its count are zero-shuffle
+    * projections (broadcast merge ranks + broadcast id table — the
+    * p18 never-a-corpus-self-join discipline); pack membership runs
+    * two windows per group shard (the p01 argument: packing
+    * parallelizes across groups, nothing needs a global order); the
+    * within-document index is a window keyed by document id; the one
+    * corpus-wide move is the final equi-join of the stream onto the
+    * one-row-per-document membership table on document id. Zero-token
+    * documents pack (at zero cost) but emit no rows, exactly like the
+    * stream itself. Returns (group, pack_id, doc_id, position,
+    * token_id), token_id NULL only for tokens outside the id table's
+    * training corpus (the t20 contract).
+    */
+  def packTokenSequences(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, mergeTable: DataFrame,
+      tokenIdTable: DataFrame, packBudget: Long): DataFrame = {
+    require(packBudget >= 1, s"packTokenSequences: budget=$packBudget")
+    val counter = TextOps.bpeTokenCounter(mergeTable)
+    val toks = docs.select(col(groupCol).cast("string").as("group"),
+      col(idCol).cast("long").as("id"),
+      counter(col(textCol)).as("toks"))
+    val wCum = Window.partitionBy(col("group")).orderBy(col("id"))
+    val packed = toks.withColumn("cum", sum(col("toks")).over(wCum))
+      // exact long floor division — the packSequences spelling
+      .withColumn("pack_id", expr(s"(cum - toks) div ${packBudget}L"))
+    val wOff = Window.partitionBy(col("group"), col("pack_id"))
+      .orderBy(col("id"))
+    val member = packed
+      .withColumn("off", sum(col("toks")).over(wOff) - col("toks"))
+      .select(col("group"), col("id"), col("pack_id"), col("off"))
+    val stream = TextOps.bpeTokenIds(docs, idCol, textCol, mergeTable,
+      tokenIdTable)
+    val wSeq = Window.partitionBy(col("id"))
+      .orderBy(col("word_idx"), col("tok_idx"))
+    stream
+      .withColumn("sq", row_number().over(wSeq).cast("long") - 1L)
+      .join(member, Seq("id"))
+      .select(col("group"), col("pack_id"), col("id").as("doc_id"),
+        (col("off") + col("sq")).as("position"), col("token_id"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its md5(id)
     * bucket (mod 10) falls below the stratum's rate-in-tenths. Pure
     * function of the id — reproducible under any partitioning/engine,

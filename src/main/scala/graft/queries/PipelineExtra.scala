@@ -849,8 +849,73 @@ object PipelineExtra {
           SELECT *, row_number() OVER
             (ORDER BY akey DESC, doc_id ASC) AS rn
           FROM keyed) t
-        WHERE rn <= 50"""))
+        WHERE rn <= 50""")),
+
+    // ------------- packed token-id sequences (p20)
+    GraftQuery(
+      "p20_pack_token_sequences",
+      (s, dir) => {
+        import s.implicits._
+        // The last trainer-handoff step: t20 emits the ordered
+        // token-id stream and p18 packs by BPE token counts — this
+        // materializes what a training job actually loads: the packed
+        // windows as (pack, position, token_id, doc) rows, positions
+        // dense 0..n-1 per pack. The oracle is the t20 stream windowed
+        // by the p18-style pack boundaries as ONE CTE chain, so the
+        // hash gate pins the stream order, the pack assignment, AND
+        // the position arithmetic together. The query IS the
+        // PrepOps.packTokenSequences facade call.
+        val d = Tables.load(s, dir, "documents")
+        val mt = graft.operators.TextOps.bpeLearn(
+          d.select($"text"), "text", merges = 3)
+        val ids = graft.operators.TextOps.bpeTokenIdTable(
+          d, "text", mt)
+        graft.operators.PrepOps.packTokenSequences(
+            d, "doc_id", "text", "source", mt, ids, PackBudget)
+          .select($"group".as("source"), $"pack_id", $"doc_id",
+            $"position", $"token_id")
+      },
+      Some(packTokenSequencesOracle))
   )
+
+  /** DuckDB spelling of p20: the t20 token-id stream CTEs
+    * (TextAnalysis's, spliced) windowed by the BPE-count pack chain —
+    * per-source cumulative counts assign packs, the within-pack
+    * running offset plus the within-document token index is the
+    * position. SUM-derived columns cast back to BIGINT (the HUGEINT
+    * trap). */
+  private def packTokenSequencesOracle: String = s"""
+        WITH ${TextAnalysis.bpeTokenIdStreamCtes(3)},
+        cnt AS (
+          SELECT d.source, i.doc_id, COUNT(*) AS toks
+          FROM idstream i JOIN documents d USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT source, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM cnt
+        ),
+        packs AS (
+          SELECT source, doc_id, toks,
+            CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id
+          FROM cum
+        ),
+        offs AS (
+          SELECT source, doc_id, pack_id,
+            CAST(SUM(toks) OVER (PARTITION BY source, pack_id
+              ORDER BY doc_id) - toks AS BIGINT) AS off
+          FROM packs
+        ),
+        seq AS (
+          SELECT doc_id, token_id,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY word_idx, tok_idx) - 1 AS BIGINT) AS sq
+          FROM idstream
+        )
+        SELECT o.source, o.pack_id, s.doc_id,
+          CAST(o.off + s.sq AS BIGINT) AS position, s.token_id
+        FROM seq s JOIN offs o USING (doc_id)"""
 
   /** DuckDB spelling of [[graft.operators.PrepOps.corpusBuild]] — the
     * six pipeline stages composed as one CTE chain: quality gate,

@@ -926,17 +926,15 @@ object TextAnalysis {
         ${bpeTokenStreamCtes(merges)}
         SELECT doc_id, word_idx, tok_idx, token FROM tstream"""
 
-  /** DuckDB spelling of [[graft.operators.TextOps.bpeTokenIds]]: the
-    * t19 stream LEFT-joined to the dense id table (base code-point
-    * inventory of the training corpus plus every merged symbol,
-    * 0-based by token order). */
-  private def bpeTokenIdsOracle(merges: Int): String = {
+  /** The t20 vocab CTEs (base code-point inventory of the training
+    * corpus plus every merged symbol, 0-based dense ids by token
+    * order) — shared by [[bpeTokenIdsOracle]] and the composable
+    * [[bpeTokenIdStreamCtes]] block. */
+  private def bpeVocabCtes(merges: Int): String = {
     val mergedRows = (1 to merges).map(i =>
       s"SELECT replace(pr, ' ', '') AS token FROM m$i")
       .mkString("\n            UNION ALL ")
-    s"""${bpeStages(merges)},
-        ${bpeTokenStreamCtes(merges)},
-        vocabt AS (
+    s"""vocabt AS (
           SELECT DISTINCT token FROM (
             SELECT unnest(string_split(trim(
                 regexp_replace(w, '(.)', ' \\1 ', 'g')), '  ')) AS token
@@ -948,10 +946,33 @@ object TextAnalysis {
             CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
               AS token_id
           FROM vocabt
-        )
+        )"""
+  }
+
+  /** The full token-ID stream as a composable CTE block WITHOUT the
+    * WITH keyword — the trained stages + the t19 stream + the t20
+    * vocab join, ending in `idstream(doc_id, word_idx, tok_idx,
+    * token_id)` — so PipelineExtra's p20 packed-sequence oracle can
+    * window the t20 stream by its own pack-boundary chain. */
+  private[queries] def bpeTokenIdStreamCtes(merges: Int): String =
+    s"""${bpeStageCtes(merges)},
+        ${bpeTokenStreamCtes(merges)},
+        ${bpeVocabCtes(merges)},
+        idstream AS (
+          SELECT t.doc_id, t.word_idx, t.tok_idx, v.token_id
+          FROM tstream t LEFT JOIN vocab v USING (token)
+        )"""
+
+  /** DuckDB spelling of [[graft.operators.TextOps.bpeTokenIds]]: the
+    * t19 stream LEFT-joined to the dense id table (base code-point
+    * inventory of the training corpus plus every merged symbol,
+    * 0-based by token order). */
+  private def bpeTokenIdsOracle(merges: Int): String =
+    s"""${bpeStages(merges)},
+        ${bpeTokenStreamCtes(merges)},
+        ${bpeVocabCtes(merges)}
         SELECT t.doc_id, t.word_idx, t.tok_idx, t.token, v.token_id
         FROM tstream t LEFT JOIN vocab v USING (token)"""
-  }
 
   /** DuckDB spelling of [[graft.operators.TextOps.bpeSegment]]. */
   private def bpeSegmentOracle(merges: Int): String =

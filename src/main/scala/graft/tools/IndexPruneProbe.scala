@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the cell-partitioned durable-index layout (round-11
+  * ask #1): build an IVF-PQ index over the testdata embeddings, then
+  * serve the SAME query batch at increasing `nprobe` and MEASURE — via
+  * the executed plans' own scan metrics, not directory arithmetic —
+  * how many stored-index files (and bytes) each serve actually reads.
+  * With the `batch=<b>/cell=<c>` nesting the candidate, ADC-code, and
+  * re-rank scans all carry a partition filter on the probed cell set,
+  * so files-read must grow ∝ |probed cells| / cells and reach the full
+  * index only at nprobe = cells; the pre-round-12 layout read 100% of
+  * the rows twice and all codes once at EVERY nprobe. Prints one JSON
+  * line: total files in the trees, then per-nprobe
+  * (probed_cells, files_read, bytes_read, serve seconds).
+  *
+  * Usage: IndexPruneProbe <sfDir>
+  */
+object IndexPruneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cells = 16
+    val src = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .join(src, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding", $"source")
+      .localCheckpoint()
+    val n = emb.count()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-prune-probe-").toString
+    graft.operators.AnnOps.buildIvfPqIndex(emb, "vec_id", "embedding",
+      "source", idx, cells = cells, iters = 2, pqM = 4, pqKs = 4,
+      pqIters = 2)
+    // FEW queries so the UNION of probed cells stays well below
+    // `cells` at low nprobe (files-read tracks the union, not nprobe
+    // per query — the honest denominator, reported alongside)
+    val queries = emb.filter($"vec_id" < 4).localCheckpoint()
+
+    def walkFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val totalFiles =
+      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
+
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+
+    def serveAt(nprobe: Int): (Int, Long, Long, Double) = {
+      val captured =
+        new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]
+      val listener =
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = captured.add(qe.executedPlan)
+          override def onFailure(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+      def indexScans() = captured.toArray(Array.empty[SparkPlan])
+        .toSeq.flatMap(allNodes).collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(p => p.toString.contains(s"$idx/batches") ||
+              p.toString.contains(s"$idx/codes")) => f
+        }
+      spark.listenerManager.register(listener)
+      try {
+        val t0 = System.nanoTime()
+        val out = graft.operators.AnnOps.queryIvfPqIndex(queries,
+          "vec_id", "embedding", "source", idx, k = 3, nprobe = nprobe,
+          rerankDepth = 12)
+        val rows = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(rows > 0, "serve returned no rows")
+        graft.operators.DedupOps.releaseLocalCheckpoint(out)
+        // listener callbacks are async: the serve executes 3 pruned
+        // index scans (candidate rows, codes, re-rank rows) — wait
+        // for all of them to land before reading metrics
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline && indexScans().size < 3)
+          Thread.sleep(50)
+        val scans = indexScans()
+        require(scans.size >= 3, s"captured only ${scans.size} scans")
+        val files = scans.map(_.metrics("numFiles").value).sum
+        val bytes = scans.map(_.metrics("filesSize").value).sum
+        val probedCells = scans.flatMap(_.partitionFilters)
+          .flatMap(_.references.toSeq).count(_.name == "cell")
+        (probedCells, files, bytes, sec)
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    // probed-cell COUNT measured directly (the same arithmetic the
+    // serve collects): distinct union of the queries' top-P cells
+    def probedCellCount(nprobe: Int): Long = {
+      val cent = spark.read.parquet(s"$idx/centroids")
+      val v = graft.operators.AnnOps.scaled(queries, "vec_id",
+        "embedding")
+      val qv = v.select($"id".as("qid"),
+        $"c".as("qc"), sqrt(expr(
+          "aggregate(transform(c, x -> x * x), " +
+            "CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)").cast("double"))
+          .as("qnrmr"))
+      val scored = cent.crossJoin(qv)
+        .select($"qid", $"cell",
+          when($"qnrmr" > 0 && $"cnrmr" > 0,
+            org.apache.spark.sql.graftnative.functions
+              .dot_i64($"qc", $"cc").cast("double") /
+              ($"qnrmr" * $"cnrmr")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"score".desc, $"cell".asc)
+      val out = scored.withColumn("pr", row_number().over(w))
+        .filter($"pr" <= nprobe).select($"cell").distinct().count()
+      graft.operators.DedupOps.releaseLocalCheckpoint(v)
+      out
+    }
+
+    val sweep = Seq(1, 2, 4, cells).map { p =>
+      val pc = probedCellCount(p)
+      val (_, files, bytes, sec) = serveAt(p)
+      s"""{"nprobe":$p,"probed_cells":$pc,"files_read":$files,""" +
+        s""""bytes_read":$bytes,"sec":${math.rint(sec * 1000) / 1000}}"""
+    }
+    println(s"""{"metric":"index_prune","sf_dir":"$sfDir","n":$n,""" +
+      s""""cells":$cells,"total_index_files":$totalFiles,""" +
+      s""""sweep":[${sweep.mkString(",")}]}""")
+    spark.stop()
+  }
+}

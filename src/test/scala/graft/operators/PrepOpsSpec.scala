@@ -580,4 +580,72 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(err <= 0.5 / 127.0 / 2.0 + 1e-12, s"err=$err")
     }
   }
+
+  test("packTokenSequences: positions are dense 0..n-1 per pack, " +
+      "per-pack token totals equal the packSequences bill, and the " +
+      "within-pack order is (doc_id, word_idx, tok_idx)") {
+    val s = spark
+    import s.implicits._
+    // a corpus with repeated words (so BPE merges fire), an empty doc
+    // (packs at zero cost, emits nothing), and two sources (packing
+    // must stay per-group). merges=2 learns real multi-char symbols.
+    val docs = Seq(
+      (1L, "aa ab aa ab aa", "s1"),
+      (2L, "", "s1"),
+      (3L, "ab ab cd", "s1"),
+      (4L, "aa aa aa aa aa aa", "s1"),
+      (5L, "cd cd aa", "s2"),
+      (6L, "ab", "s2"))
+      .toDF("doc_id", "text", "src")
+    val mt = TextOps.bpeLearn(docs.select($"text"), "text", merges = 2)
+      .localCheckpoint()
+    val ids = TextOps.bpeTokenIdTable(docs, "text", mt).localCheckpoint()
+    val budget = 6L
+    val out = PrepOps.packTokenSequences(docs, "doc_id", "text", "src",
+      mt, ids, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // no NULL ids (in-vocab corpus) — getLong above would have thrown
+    // dense positions per (group, pack)
+    out.groupBy(t => (t._1, t._2)).foreach { case (pk, rows) =>
+      val pos = rows.map(_._4).sorted.toSeq
+      assert(pos == (0L until rows.length.toLong),
+        s"pack $pk positions not dense: $pos")
+    }
+    // per-pack totals equal the packSequences bill over the SAME
+    // counts (zero-token docs included there, costlessly)
+    val counter = TextOps.bpeTokenCounter(mt)
+    val billed = PrepOps.packSequences(
+        docs.select($"src", $"doc_id", counter($"text").as("toks")),
+        "src", "doc_id", "toks", budget)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    val totals = out.groupBy(t => (t._1, t._2))
+      .map { case (pk, rows) => pk -> rows.length.toLong }
+    // every pack with >= 1 token matches its bill; zero-token packs
+    // (possible only from all-empty docs) emit no rows by contract
+    totals.foreach { case (pk, n) =>
+      assert(billed.get(pk).contains(n),
+        s"pack $pk total $n != bill ${billed.get(pk)}")
+    }
+    assert(billed.filter(_._2 > 0L).keySet == totals.keySet,
+      "a non-empty billed pack emitted no rows")
+    // within a pack, positions follow (doc_id, word_idx, tok_idx):
+    // doc order is id-ascending, and each doc's slice is its t20
+    // stream order — spot-check via the stream itself
+    val stream = TextOps.bpeTokenIds(docs, "doc_id", "text", mt, ids)
+      .orderBy($"id", $"word_idx", $"tok_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    val byDoc = stream.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val inPackOrder = rows.sortBy(_._4)
+      val docsInPack = inPackOrder.map(_._3).distinct
+      assert(docsInPack.sorted.toSeq == docsInPack.toSeq,
+        s"docs not id-ascending within the pack: $docsInPack")
+      val expected = docsInPack.flatMap(d => byDoc(d))
+      assert(inPackOrder.map(_._5).toSeq == expected.toSeq,
+        "pack token order != concatenated t20 streams")
+    }
+  }
 }
