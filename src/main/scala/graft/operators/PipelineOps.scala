@@ -684,10 +684,16 @@ object DedupOps {
 
   /** Load a durable [[minhashIndex]] rooted at `dir` (written by
     * [[incrementalMinhashDedupDurable]]): one parquet subdir per
-    * appended batch, partition-discovered as a `batch` column. Returns
-    * None when no batch has ever committed. `excludeBatch` drops one
-    * batch id — the retry guard: a foreachBatch replay must never probe
-    * against its own previous half-committed append.
+    * appended batch under `dir/batches`, partition-discovered as a
+    * `batch` column — the SHARED durable-index nesting (the
+    * s15/IVF-PQ layout minus centroids), so [[AnnOps.deleteFromIndex]]
+    * tombstones and [[AnnOps.compactIndex]] apply to this family too.
+    * Tombstoned ids are anti-joined out HERE, so every consumer (the
+    * probe, a restart, an external reader) sees index-minus-deleted
+    * consistently. Returns None when no batch has ever committed.
+    * `excludeBatch` drops one batch id — the retry guard: a
+    * foreachBatch replay must never probe against its own previous
+    * half-committed append.
     */
   def loadMinhashIndex(spark: SparkSession, dir: String,
       excludeBatch: Long = Long.MinValue): Option[DataFrame] = {
@@ -695,22 +701,26 @@ object DedupOps {
     // production (hdfs://, s3a://), where a local-File existence probe
     // is always false and would silently skip the whole index —
     // re-admitting every cross-batch duplicate with no error
-    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val hPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val hasBatch = fs.exists(hPath) && fs.listStatus(hPath).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatch) None
-    else Some(spark.read.parquet(dir)
-      .filter(col("batch") =!= lit(excludeBatch))
-      .select(col("doc_id"), col("shs"), col("bkeys")))
+    else Some(AnnOps.minusTombstones(
+      spark.read.parquet(hPath.toString)
+        .filter(col("batch") =!= lit(excludeBatch))
+        .select(col("doc_id"), col("shs"), col("bkeys")),
+      AnnOps.loadTombstones(spark, dir), idCol = "doc_id"))
   }
 
   /** Durable incremental MinHash dedup — the restart-safe form of the
     * daily-increment pattern. Each call: (1) builds the batch's
     * signatures (O(batch); the accumulated corpus text is never read),
     * (2) probes them against every batch previously COMMITTED to
-    * `indexDir` (new-vs-old and new-vs-new within this batch), (3)
-    * commits this batch's signatures to `indexDir/batch=<batchId>`, and
+    * `indexDir` (new-vs-old and new-vs-new within this batch; ids
+    * tombstoned by [[AnnOps.deleteFromIndex]] are excluded), (3)
+    * commits this batch's signatures to
+    * `indexDir/batches/batch=<batchId>`, and
     * returns the verified pairs, eagerly pinned (localCheckpoint) so the
     * result never re-reads an index that later batches have extended.
     *
@@ -738,7 +748,7 @@ object DedupOps {
     val pairs = probed.localCheckpoint()
     releaseProbe()
     newIdx.select(col("doc_id"), col("shs"), col("bkeys"))
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/batches/batch=$batchId")
     // newIdx is fully consumed (pairs are pinned, the commit is on
     // disk): release its checkpoint blocks NOW. A long-running stream
     // calls this once per microbatch — without the release, every
@@ -3181,24 +3191,29 @@ object AnnOps {
   }
 
   /** Committed tombstone ids (`indexDir/tombstones/batch=<id>`), if
-    * any batch of deletes has been committed. */
-  private def loadTombstones(s: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
+    * any batch of deletes has been committed. `private[operators]`:
+    * the minhash index family ([[DedupOps.loadMinhashIndex]]) shares
+    * the tombstone machinery. */
+  private[operators] def loadTombstones(s: SparkSession,
+      indexDir: String): Option[DataFrame] = {
     val p = hpath(s"$indexDir/tombstones")
     if (indexFs(s, indexDir).exists(p))
       Some(s.read.parquet(p.toString).select(col("id")))
     else None
   }
 
-  /** Stored rows minus the tombstoned ids. NO broadcast hint: the
-    * tombstone set is unbounded by contract (a takedown wave can be
-    * corpus-scale), so AQE broadcasts the common small case and
-    * shuffles past the limit — the occupancy-shaped-bound policy. */
-  private def minusTombstones(rows: DataFrame, ts: Option[DataFrame])
-      : DataFrame =
-    ts.map(t => rows.join(t, Seq("id"), "left_anti")).getOrElse(rows)
+  /** Stored rows minus the tombstoned ids (joined on `idCol` — the
+    * semantic families store `id`, the minhash family `doc_id`). NO
+    * broadcast hint: the tombstone set is unbounded by contract (a
+    * takedown wave can be corpus-scale), so AQE broadcasts the common
+    * small case and shuffles past the limit — the
+    * occupancy-shaped-bound policy. */
+  private[operators] def minusTombstones(rows: DataFrame,
+      ts: Option[DataFrame], idCol: String = "id"): DataFrame =
+    ts.map(t => rows.join(t.select(col("id").as(idCol)), Seq(idCol),
+      "left_anti")).getOrElse(rows)
 
-  /** DELETE documents from a durable index (either family): commits
+  /** DELETE documents from a durable index (any family): commits
     * `ids` as the tombstone batch `indexDir/tombstones/batch=<id>` —
     * an idempotent per-batch overwrite, the append path's own commit
     * discipline, so a foreachBatch replay rewrites its subdir and
@@ -3238,7 +3253,8 @@ object AnnOps {
     }
   }
 
-  /** COMPACT a durable index (either family) into one consolidated
+  /** COMPACT a durable index (any of the three durable families —
+    * minhash dedup, semantic dedup, ANN serving) into one consolidated
     * generation — the reference ingester's compaction discipline
     * (cpp/ingester/src/ingester.cpp:555-647) applied to the index: a
     * nightly-append deployment accumulates one `batch=<id>` subdir per
@@ -3276,17 +3292,30 @@ object AnnOps {
     val ts = loadTombstones(s, indexDir)
     val tmp = s"$indexDir/.compact-new"
     if (fs.exists(hpath(tmp))) fs.delete(hpath(tmp), true)
+    // the three durable families share the tree nesting but not the
+    // row shape: the semantic/ANN families carry `id` + a `cell`
+    // partition level, the minhash family `doc_id` and batch-only
+    // partitioning — detect from the stored schema
     def writeGen(src: String): Unit = {
-      val rows = minusTombstones(s.read.parquet(s"$indexDir/$src"), ts)
-      rows.repartition(nparts, col("batch"), col("cell"))
-        .write.partitionBy("batch", "cell").parquet(s"$tmp/$src")
+      val raw = s.read.parquet(s"$indexDir/$src")
+      val idCol = if (raw.columns.contains("id")) "id" else "doc_id"
+      val partCols =
+        if (raw.columns.contains("cell")) Seq("batch", "cell")
+        else Seq("batch")
+      minusTombstones(raw, ts, idCol)
+        .repartition(nparts, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(s"$tmp/$src")
     }
     // an all-rows tombstone set would write an EMPTY generation, and a
     // later parquet read of it cannot infer a schema — refuse loudly
     // (an index with nothing left should be dropped, not compacted)
-    require(!minusTombstones(s.read.parquet(batchesP.toString), ts)
-      .isEmpty, "compactIndex: tombstones cover every stored row; " +
-        "drop the index instead of compacting it empty")
+    locally {
+      val raw = s.read.parquet(batchesP.toString)
+      val idCol = if (raw.columns.contains("id")) "id" else "doc_id"
+      require(!minusTombstones(raw, ts, idCol).isEmpty,
+        "compactIndex: tombstones cover every stored row; " +
+          "drop the index instead of compacting it empty")
+    }
     writeGen("batches")
     val hasCodes = fs.exists(hpath(s"$indexDir/codes"))
     if (hasCodes) writeGen("codes")

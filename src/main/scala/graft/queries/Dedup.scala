@@ -631,8 +631,12 @@ object Dedup {
         // timed pass, the rebuild cost the cache exists to avoid).
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-st10-idx-")
+        // batches/ nesting (the shared durable-index layout, so
+        // tombstones/compaction apply to this family too)
+        java.nio.file.Files.createDirectories(idxDir.resolve("batches"))
         java.nio.file.Files.createSymbolicLink(
-          idxDir.resolve("batch=-1"), java.nio.file.Paths.get(basePath))
+          idxDir.resolve("batches").resolve("batch=-1"),
+          java.nio.file.Paths.get(basePath))
         val idxDirS = idxDir.toString
         val newDocs = docsAll.filter(bucket >= 80)
           .select($"doc_id", $"text")
@@ -664,6 +668,63 @@ object Dedup {
       },
       Some(s"""
         WITH ${sqlMinhashCtes()},
+        nb AS (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+            % 100 >= 80
+        )
+        SELECT a, b, jaccard FROM pairs
+        WHERE a IN (SELECT doc_id FROM nb)
+           OR b IN (SELECT doc_id FROM nb)""")),
+
+    // --------------- minhash-index tombstone deletes (d17)
+    GraftQuery(
+      "d17_minhash_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        // deleteFromIndex on the minhash durable family (the third
+        // durable index): the 80% old corpus seeds the index (its
+        // signatures commit directly — the st10 pay-once shape), a
+        // tombstone batch removes every old doc with doc_id % 10 == 0
+        // (residue CHOSEN WITH DATA: pairs at sf0.001 AND sf0.01 touch
+        // mod-0 old docs, so the tombstones provably remove rows at
+        // both gate SFs — a residue with no paired doc would pass even
+        // if the anti-join were dropped, the thin-gate trap),
+        // and ONE increment probes the 20% against
+        // index-minus-deleted. The oracle is st10's batch spelling
+        // over the corpus MINUS the deleted docs, so a tombstoned doc
+        // that still pairs — or an over-deleted survivor — is a hash
+        // mismatch.
+        val docsAll = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+        val bucket = conv(
+          substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldDocs = docsAll.filter(bucket < 80)
+        val newDocs = docsAll.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-d17-").toString
+        graft.operators.DedupOps
+          .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
+          .select($"doc_id", $"shs", $"bkeys")
+          .write.mode("overwrite")
+          .parquet(s"$idxDir/batches/batch=0")
+        graft.operators.AnnOps.deleteFromIndex(
+          oldDocs.filter($"doc_id" % 10 === 0).select($"doc_id"),
+          "doc_id", idxDir, batchId = 0L)
+        graft.operators.DedupOps.incrementalMinhashDedupDurable(
+          newDocs, "doc_id", "text", idxDir, 1L,
+          5, BANDS, ROWS, JACCARD_T)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE NOT (
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+              % 100 < 80
+            AND doc_id % 10 = 0)
+        ),
+        ${sqlMinhashCtes("corpus")},
         nb AS (
           SELECT doc_id FROM documents
           WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT

@@ -148,9 +148,54 @@ object IndexPruneProbe {
       s"""{"nprobe":$p,"probed_cells":$pc,"files_read":$files,""" +
         s""""bytes_read":$bytes,"sec":${math.rint(sec * 1000) / 1000}}"""
     }
+
+    // ---- compaction: a year of "monthly" appends plus a tombstone
+    // wave, then compact. At probe scale AQE coalesces each tiny
+    // append to ~one file per leaf, hiding the sprawl a busy cluster
+    // produces (full shuffle partitions fan one file per task per
+    // touched cell) — so the appends run with partition coalescing
+    // OFF, the honest simulation of the production write shape. The
+    // tombstones make the pre-compaction serve pay the anti-join
+    // every reader pays until compaction applies them physically.
+    val nBatches = 12
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    (1 to nBatches).foreach { b =>
+      // fresh ids per append (offset well past the corpus range) so
+      // the grown index holds distinct rows, like real nightly data
+      graft.operators.AnnOps.appendIvfPqIndex(
+        emb.filter($"vec_id" % nBatches === lit((b - 1).toLong))
+          .select(($"vec_id" + lit(1000000000L) * b).as("vec_id"),
+            $"embedding", $"source"),
+        "vec_id", "embedding", "source", idx, b.toLong)
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "true")
+    // takedown wave: every 7th stored doc outside the query range
+    graft.operators.AnnOps.deleteFromIndex(
+      spark.read.parquet(s"$idx/batches")
+        .select($"id").filter($"id" >= 4 && $"id" % 7 === 0),
+      "id", idx, batchId = 99L)
+    val filesSprawl =
+      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
+    val (_, readSprawl, _, secSprawl) = serveAt(2)
+    val t0 = System.nanoTime()
+    graft.operators.AnnOps.compactIndex(spark, idx)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val filesCompact =
+      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
+    val (_, readCompact, _, secCompact) = serveAt(2)
+
     println(s"""{"metric":"index_prune","sf_dir":"$sfDir","n":$n,""" +
       s""""cells":$cells,"total_index_files":$totalFiles,""" +
-      s""""sweep":[${sweep.mkString(",")}]}""")
+      s""""sweep":[${sweep.mkString(",")}],""" +
+      s""""compaction":{"append_batches":$nBatches,""" +
+      s""""files_before":$filesSprawl,"files_after":$filesCompact,""" +
+      s""""serve_files_read_before":$readSprawl,""" +
+      s""""serve_files_read_after":$readCompact,""" +
+      s""""serve_sec_before":${math.rint(secSprawl * 1000) / 1000},""" +
+      s""""serve_sec_after":${math.rint(secCompact * 1000) / 1000},""" +
+      s""""compact_sec":${math.rint(compactSec * 1000) / 1000}}}""")
     spark.stop()
   }
 }

@@ -2258,6 +2258,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a tombstoned doc still pairs in the incremental probe: $pairs")
   }
 
+  test("minhash durable index: compactIndex consolidates the batch-" +
+      "only layout, applied tombstones drop physically, and a later " +
+      "increment probes identically to an uncompacted replica") {
+    val s = spark
+    import s.implicits._
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val oldDocs = mk(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "unrelated words entirely here now forever more"),
+      (4L, "alpha beta gamma delta epsilon zeta iota")))
+    val inc1 = mk(Seq((10L, "some middle increment text goes here ok")))
+    val newDocs = mk(Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta kappa")))
+    def seed(dir: String): Unit = {
+      DedupOps.incrementalMinhashDedupDurable(oldDocs, "doc_id",
+        "text", dir, 0L, 3, 4, 2, 0.5, partitions = 2)
+      DedupOps.incrementalMinhashDedupDurable(inc1, "doc_id",
+        "text", dir, 1L, 3, 4, 2, 0.5, partitions = 2)
+      // doc 2 is a near-dup of the family; tombstone it
+      AnnOps.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", dir, 0L)
+    }
+    val plain = tmpDir("mh-plain"); seed(plain)
+    val compacted = tmpDir("mh-compact"); seed(compacted)
+    AnnOps.compactIndex(s, compacted, partitions = 2)
+    assert(!new java.io.File(s"$compacted/tombstones").exists(),
+      "applied tombstones must clear after compaction")
+    def probe(dir: String) = DedupOps.incrementalMinhashDedupDurable(
+        newDocs, "doc_id", "text", dir, 2L, 3, 4, 2, 0.5,
+        partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (a, b) = (probe(plain), probe(compacted))
+    assert(a == b, s"compacted probe drifted: $a vs $b")
+    assert(a.nonEmpty, "probe found nothing (vacuous fixture)")
+    assert(!a.exists(p => p._1 == 2L || p._2 == 2L),
+      "a tombstoned doc still pairs")
+    // the tombstoned doc is gone from BOTH loads (anti-join pre-
+    // compaction, physical drop post-compaction)
+    Seq(plain, compacted).foreach { dir =>
+      val ids = DedupOps.loadMinhashIndex(s, dir).get
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(!ids.contains(2L), s"$dir still loads the tombstoned doc")
+    }
+  }
+
   test("buildIvfPqIndex REBUILD clears stale append batches and " +
       "tombstones: the new index serves exactly like a fresh-dir build") {
     val s = spark

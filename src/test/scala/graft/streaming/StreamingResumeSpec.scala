@@ -106,7 +106,7 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.operators.DedupOps.minhashIndex(oldDocs, "doc_id", "text",
         5, 2, 8, partitions = 2)
       .select(col("doc_id"), col("shs"), col("bkeys"))
-      .write.mode("overwrite").parquet(s"$idxDir/batch=-1")
+      .write.mode("overwrite").parquet(s"$idxDir/batches/batch=-1")
 
     def writeDocs(rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").coalesce(1)
