@@ -703,6 +703,18 @@ object DedupOps {
     // re-admitting every cross-batch duplicate with no error
     val hPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // LOUD legacy guard (REVIEW): the pre-round-12 layout kept
+    // batch=N directly under the root. Silently returning None on
+    // such an index would re-admit every cross-batch duplicate — the
+    // exact failure this function's DFS note warns about. Fail with
+    // the one-rename migration instead.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(hPath) && fs.exists(root) &&
+        fs.listStatus(root).exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"loadMinhashIndex: $dir holds a legacy flat batch=N layout; " +
+          s"move the batch dirs under $dir/batches/ to migrate")
     val hasBatch = fs.exists(hPath) && fs.listStatus(hPath).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatch) None
@@ -3292,33 +3304,58 @@ object AnnOps {
     val ts = loadTombstones(s, indexDir)
     val tmp = s"$indexDir/.compact-new"
     if (fs.exists(hpath(tmp))) fs.delete(hpath(tmp), true)
+    def listBatches(): Set[String] =
+      fs.listStatus(batchesP).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).toSet
+    val batchesAtRead = listBatches()
     // the three durable families share the tree nesting but not the
     // row shape: the semantic/ANN families carry `id` + a `cell`
     // partition level, the minhash family `doc_id` and batch-only
     // partitioning — detect from the stored schema
-    def writeGen(src: String): Unit = {
+    def prep(src: String): (DataFrame, Seq[String]) = {
       val raw = s.read.parquet(s"$indexDir/$src")
       val idCol = if (raw.columns.contains("id")) "id" else "doc_id"
       val partCols =
         if (raw.columns.contains("cell")) Seq("batch", "cell")
         else Seq("batch")
-      minusTombstones(raw, ts, idCol)
-        .repartition(nparts, partCols.map(col): _*)
-        .write.partitionBy(partCols: _*).parquet(s"$tmp/$src")
+      (minusTombstones(raw, ts, idCol), partCols)
     }
+    def writeGen(rows: DataFrame, partCols: Seq[String],
+        src: String): Unit =
+      rows.repartition(nparts, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(s"$tmp/$src")
+    val (batchRows, batchParts) = prep("batches")
     // an all-rows tombstone set would write an EMPTY generation, and a
     // later parquet read of it cannot infer a schema — refuse loudly
     // (an index with nothing left should be dropped, not compacted)
-    locally {
-      val raw = s.read.parquet(batchesP.toString)
-      val idCol = if (raw.columns.contains("id")) "id" else "doc_id"
-      require(!minusTombstones(raw, ts, idCol).isEmpty,
-        "compactIndex: tombstones cover every stored row; " +
-          "drop the index instead of compacting it empty")
-    }
-    writeGen("batches")
+    require(!batchRows.isEmpty,
+      "compactIndex: tombstones cover every stored row; " +
+        "drop the index instead of compacting it empty")
+    writeGen(batchRows, batchParts, "batches")
     val hasCodes = fs.exists(hpath(s"$indexDir/codes"))
-    if (hasCodes) writeGen("codes")
+    if (hasCodes) {
+      val (codeRows, codeParts) = prep("codes")
+      writeGen(codeRows, codeParts, "codes")
+    }
+    // CONCURRENT-APPEND GUARD (REVIEW): compaction is a single-writer
+    // maintenance step — an append that committed between the
+    // generation read and the swap would be silently ERASED by the
+    // swap's delete of the old tree. Abort loudly instead (the tmp
+    // generation is discarded; a re-run picks the new batch up).
+    // Readers must not race the swap window either (a mid-rename
+    // probe sees no batches) — schedule compaction in the same
+    // single-writer window the appends already serialize through.
+    val batchesAtSwap = listBatches()
+    if (batchesAtSwap != batchesAtRead) {
+      fs.delete(hpath(tmp), true)
+      throw new IllegalStateException(
+        "compactIndex: batches changed during compaction (" +
+          ((batchesAtSwap diff batchesAtRead) ++
+            (batchesAtRead diff batchesAtSwap)).mkString(", ") +
+          "); run compaction in the appends' single-writer window " +
+          "and re-run")
+    }
     def swap(tree: String): Unit = {
       val live = hpath(s"$indexDir/$tree")
       val old = hpath(s"$indexDir/$tree-old")
@@ -3370,12 +3407,28 @@ object AnnOps {
         s"pqIters=$pqIters")
     val s = df.sparkSession
     import s.implicits._
+    // stage and VALIDATE the input before touching the stored index:
+    // a bad input frame must fail here, with the old generation still
+    // serving (REVIEW: a delete-first cleanup turned an input typo
+    // into a destroyed index)
+    val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
+    val keys = staged.select(col("id"), col("key"))
+    val v = withRawNorm(staged)
+    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
     // REBUILD SAFETY (ADVICE): a rebuild into a dir holding append
     // batches would leave batch=1..N rows that were assigned against
     // the OLD frozen centroids silently probed against the NEW
     // centroids/codebooks — wrong candidates and ADC scores, no error.
     // A build owns the whole index: clear every per-batch tree, stale
     // tombstones, and any half-finished compaction before writing.
+    // NOTE: from this point the rebuild is NOT crash-atomic — a crash
+    // mid-build leaves the dir without batches (every reader fails
+    // LOUDLY, nothing serves stale data); re-run the build to repair.
+    // A deployment that must keep serving during a re-train builds
+    // into a FRESH indexDir and flips the pointer — the documented
+    // re-train-deliberately flow.
     locally {
       val fs = indexFs(s, indexDir)
       Seq("batches", "codes", "tombstones", "batches-old", "codes-old",
@@ -3384,16 +3437,10 @@ object AnnOps {
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
-    val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
-    val keys = staged.select(col("id"), col("key"))
-    val v = withRawNorm(staged)
     val (members, cent, kmeansRelease) =
       kmeansFromStagedWithCentReleasable(v, cells, iters,
         maxCentroidBytes)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
-      .limit(1).as[Int].collect().headOption.getOrElse(0)
-    require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
     val dsub = (dim + pqM - 1) / pqM
     val perM = (0 until pqM).map { m =>
       val sub = v.select(col("id"),
@@ -3474,18 +3521,25 @@ object AnnOps {
     val v = withRawNorm(staged)
     val cent = s.read.parquet(s"$indexDir/centroids")
     val k = cent.count()
-    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
-      .limit(1).as[Int].collect().headOption.getOrElse(0)
     // DIM VALIDATION (ADVICE): the assignment/encoding kernels tolerate
     // ragged dims (min-length truncation), so a batch with the wrong
     // dimensionality would be encoded and committed SILENTLY with
-    // skewed cells and codes. Reject it against the stored centroid
-    // width instead — the frozen artifacts define the index's space.
+    // skewed cells and codes. Reject against the stored centroid width
+    // — the frozen artifacts define the index's space — and validate
+    // EVERY row, not a sampled one (one min/max aggregate over the
+    // pinned staging): a mixed-dim batch whose sampled row happened to
+    // match would otherwise commit truncated encodings (REVIEW).
     val storedDim = cent.select(size(col("cc")).as("d")).limit(1)
       .as[Int].collect().headOption.getOrElse(0)
-    require(dim == storedDim,
-      s"appendIvfPqIndex: batch dim=$dim != stored index dim=" +
-        s"$storedDim ($indexDir/centroids)")
+    val dimStats = v.filter(col("c").isNotNull)
+      .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
+      .head()
+    require(!dimStats.isNullAt(0) && dimStats.getInt(0) == storedDim &&
+      dimStats.getInt(1) == storedDim,
+      s"appendIvfPqIndex: batch dims [${dimStats.get(0)}, " +
+        s"${dimStats.get(1)}] != stored index dim=$storedDim " +
+        s"($indexDir/centroids)")
+    val dim = storedDim
     val (assigned, releaseAssign) =
       assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
     val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))

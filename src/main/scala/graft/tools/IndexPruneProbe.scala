@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
+
+import graft.plans.PlanWalk
 
 /** Scale probe for the cell-partitioned durable-index layout (round-11
   * ask #1): build an IVF-PQ index over the testdata embeddings, then
@@ -55,66 +56,35 @@ object IndexPruneProbe {
     // per query — the honest denominator, reported alongside)
     val queries = emb.filter($"vec_id" < 4).localCheckpoint()
 
-    def walkFiles(dir: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
-    }
-    val totalFiles =
-      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
+    val totalFiles = PlanWalk.parquetFiles(s"$idx/batches").size +
+      PlanWalk.parquetFiles(s"$idx/codes").size
 
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
+    def indexScans(plans: Seq[SparkPlan]): Seq[FileSourceScanExec] =
+      plans.flatMap(PlanWalk.allNodes).collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(p => p.toString.contains(s"$idx/batches") ||
+            p.toString.contains(s"$idx/codes")) => f
       }
-      p +: kids.flatMap(allNodes)
-    }
 
-    def serveAt(nprobe: Int): (Int, Long, Long, Double) = {
-      val captured =
-        new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]
-      val listener =
-        new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(f: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              d: Long): Unit = captured.add(qe.executedPlan)
-          override def onFailure(f: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              e: Exception): Unit = ()
-        }
-      def indexScans() = captured.toArray(Array.empty[SparkPlan])
-        .toSeq.flatMap(allNodes).collect {
-          case f: FileSourceScanExec if f.relation.location.rootPaths
-            .exists(p => p.toString.contains(s"$idx/batches") ||
-              p.toString.contains(s"$idx/codes")) => f
-        }
-      spark.listenerManager.register(listener)
-      try {
+    def serveAt(nprobe: Int): (Long, Long, Double) = {
+      var sec = 0.0
+      // the serve executes 3 pruned index scans (candidate rows,
+      // codes, re-rank rows); capture until all three have landed
+      val plans = PlanWalk.capturePlans(spark,
+          p => indexScans(p).size >= 3) {
         val t0 = System.nanoTime()
         val out = graft.operators.AnnOps.queryIvfPqIndex(queries,
           "vec_id", "embedding", "source", idx, k = 3, nprobe = nprobe,
           rerankDepth = 12)
         val rows = out.count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        sec = (System.nanoTime() - t0) / 1e9
         require(rows > 0, "serve returned no rows")
         graft.operators.DedupOps.releaseLocalCheckpoint(out)
-        // listener callbacks are async: the serve executes 3 pruned
-        // index scans (candidate rows, codes, re-rank rows) — wait
-        // for all of them to land before reading metrics
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (System.nanoTime() < deadline && indexScans().size < 3)
-          Thread.sleep(50)
-        val scans = indexScans()
-        require(scans.size >= 3, s"captured only ${scans.size} scans")
-        val files = scans.map(_.metrics("numFiles").value).sum
-        val bytes = scans.map(_.metrics("filesSize").value).sum
-        val probedCells = scans.flatMap(_.partitionFilters)
-          .flatMap(_.references.toSeq).count(_.name == "cell")
-        (probedCells, files, bytes, sec)
-      } finally spark.listenerManager.unregister(listener)
+      }
+      val scans = indexScans(plans)
+      require(scans.size >= 3, s"captured only ${scans.size} scans")
+      (scans.map(_.metrics("numFiles").value).sum,
+        scans.map(_.metrics("filesSize").value).sum, sec)
     }
 
     // probed-cell COUNT measured directly (the same arithmetic the
@@ -144,7 +114,7 @@ object IndexPruneProbe {
 
     val sweep = Seq(1, 2, 4, cells).map { p =>
       val pc = probedCellCount(p)
-      val (_, files, bytes, sec) = serveAt(p)
+      val (files, bytes, sec) = serveAt(p)
       s"""{"nprobe":$p,"probed_cells":$pc,"files_read":$files,""" +
         s""""bytes_read":$bytes,"sec":${math.rint(sec * 1000) / 1000}}"""
     }
@@ -177,14 +147,16 @@ object IndexPruneProbe {
         .select($"id").filter($"id" >= 4 && $"id" % 7 === 0),
       "id", idx, batchId = 99L)
     val filesSprawl =
-      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
-    val (_, readSprawl, _, secSprawl) = serveAt(2)
+      PlanWalk.parquetFiles(s"$idx/batches").size +
+        PlanWalk.parquetFiles(s"$idx/codes").size
+    val (readSprawl, _, secSprawl) = serveAt(2)
     val t0 = System.nanoTime()
     graft.operators.AnnOps.compactIndex(spark, idx)
     val compactSec = (System.nanoTime() - t0) / 1e9
     val filesCompact =
-      walkFiles(s"$idx/batches").size + walkFiles(s"$idx/codes").size
-    val (_, readCompact, _, secCompact) = serveAt(2)
+      PlanWalk.parquetFiles(s"$idx/batches").size +
+        PlanWalk.parquetFiles(s"$idx/codes").size
+    val (readCompact, _, secCompact) = serveAt(2)
 
     println(s"""{"metric":"index_prune","sf_dir":"$sfDir","n":$n,""" +
       s""""cells":$cells,"total_index_files":$totalFiles,""" +

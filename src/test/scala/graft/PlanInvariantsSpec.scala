@@ -499,67 +499,22 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (cell,key) probe + cand + qv broadcasts, saw $n")
   }
 
-  /** Every node of a finalized plan, descending through AQE wrappers
-    * and query stages (a plain `collect` does not enter
-    * QueryStageExec, which silently turns negative assertions
-    * vacuous and positive ones impossible). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
-
-  /** Run `body` under a QueryExecutionListener and return every plan
-    * it executed, polling until `ready` holds (callbacks are async) —
-    * the d12 public-wrapper pattern: operators that PIN their results
-    * (the serve-many-batches leak discipline) hide their working
-    * plans behind a checkpoint scan, so gates must observe the plans
-    * the operator executes, not the plan it returns. */
+  // plan traversal + capture shared with the measurement tools —
+  // graft.plans.PlanWalk, one spelling (REVIEW: three copies drifted
+  // apart within one round)
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    graft.plans.PlanWalk.allNodes(p)
   private def capturePlans(ready: Seq[SparkPlan] => Boolean)
-      (body: => Unit): Seq[SparkPlan] = {
-    val captured =
-      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        captured.add(qe.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        })
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      body
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-          !ready(captured.toArray(Array.empty[SparkPlan]).toSeq))
-        Thread.sleep(50)
-      captured.toArray(Array.empty[SparkPlan]).toSeq
-    } finally spark.listenerManager.unregister(listener)
-  }
+      (body: => Unit): Seq[SparkPlan] =
+    graft.plans.PlanWalk.capturePlans(spark, ready)(body)
 
-  /** The 80-row 4-center clustered ANN fixture shared by the IVF-PQ
-    * gates (PipelineOpsSpec's, shrunk to plan-gate duty). */
+  /** The shared 80-row 4-center clustered ANN fixture
+    * ([[AnnFixtures.annRows]], PipelineOpsSpec's corpus). */
   private def ivfPqFixture() = {
     val ss = spark
     import ss.implicits._
-    val rnd = new scala.util.Random(9103)
-    val centers = (0 until 4).map { c =>
-      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
-    }
-    (0 until 80).map { i =>
-      val c = centers(i % 4)
-      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
-        if ((i / 4) % 2 == 0) "even" else "odd")
-    }.toDF("vid", "emb", "grp").localCheckpoint()
+    AnnFixtures.annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
   }
 
   test("s18's ADC chain: candidate and LUT joins are broadcast hash " +

@@ -2076,30 +2076,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   // durable-index lifecycle: compaction, deletes, rebuild, leak checks
   // ------------------------------------------------------------------
 
-  /** The 4-center 16-dim clustered corpus of the durable-index tests. */
-  private def annRows(ids: Range, seed: Int = 9103) = {
-    val rnd = new scala.util.Random(seed)
-    val centers = (0 until 4).map { c =>
-      Array.tabulate(16)(i => if (i / 4 == c) 10f else 0f)
-    }
-    ids.map { i =>
-      val c = centers(i % 4)
-      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
-        if ((i / 4) % 2 == 0) "even" else "odd")
-    }
-  }
+  /** The 4-center 16-dim clustered corpus of the durable-index tests
+    * — the shared [[graft.AnnFixtures]] spelling (one fixture for the
+    * lifecycle specs AND the plan gates). */
+  private def annRows(ids: Range) = graft.AnnFixtures.annRows(ids)
 
   private def tmpDir(tag: String) =
     java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
 
-  private def parquetFiles(dir: String): Seq[String] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(dir)
-    if (!root.exists()) Seq.empty
-    else walk(root).map(_.getPath).filter(_.endsWith(".parquet"))
-  }
+  private def parquetFiles(dir: String): Seq[String] =
+    graft.plans.PlanWalk.parquetFiles(dir)
 
   private def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
