@@ -704,17 +704,30 @@ object DedupOps {
     val hPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     // LOUD legacy guard (REVIEW): the pre-round-12 layout kept
-    // batch=N directly under the root. Silently returning None on
-    // such an index would re-admit every cross-batch duplicate — the
-    // exact failure this function's DFS note warns about. Fail with
-    // the one-rename migration instead.
+    // batch=N directly under the root. Silently returning None (or
+    // loading only a half-migrated subset — the guard fires even when
+    // dir/batches exists, REVIEW 2) would re-admit cross-batch
+    // duplicates — the exact failure this function's DFS note warns
+    // about. Fail with the one-rename migration instead.
     val root = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(hPath) && fs.exists(root) &&
+    if (fs.exists(root) &&
         fs.listStatus(root).exists(s => s.isDirectory &&
           s.getPath.getName.startsWith("batch=")))
       throw new IllegalStateException(
-        s"loadMinhashIndex: $dir holds a legacy flat batch=N layout; " +
-          s"move the batch dirs under $dir/batches/ to migrate")
+        s"loadMinhashIndex: $dir holds (legacy) flat batch=N dirs at " +
+          s"the root; move ALL batch dirs under $dir/batches/ to " +
+          "migrate")
+    // half-swapped compaction guard (REVIEW 2): batches absent with
+    // batches-old present is compactIndex's documented crash window —
+    // a silent None here would probe an empty index AND poison the
+    // next recovery (a fresh commit recreates batches/, making the
+    // leftover look like post-swap garbage). This is a read-only
+    // path: fail loudly and point at the repair.
+    if (!fs.exists(hPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches-old")))
+      throw new IllegalStateException(
+        s"loadMinhashIndex: $dir is mid-compaction-swap (batches-old " +
+          "present, batches missing); run AnnOps.recoverIndex first")
     val hasBatch = fs.exists(hPath) && fs.listStatus(hPath).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatch) None
@@ -752,6 +765,11 @@ object DedupOps {
       threshold: Double = 0.8, partitions: Int = 0,
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val s = batch.sparkSession
+    // repair a half-swapped compaction BEFORE committing (REVIEW 2):
+    // an append that recreates a missing batches/ next to batches-old
+    // would make the next recovery mistake the old generation for
+    // post-swap garbage and delete the whole pre-crash corpus
+    AnnOps.recoverIndex(s, indexDir)
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
     val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
@@ -3302,6 +3320,15 @@ object AnnOps {
     val nparts = if (partitions > 0) partitions
       else s.sessionState.conf.numShufflePartitions
     val ts = loadTombstones(s, indexDir)
+    // snapshot WHICH tombstone batches this compaction applies: a
+    // deleteFromIndex that commits mid-compaction must survive the
+    // cleanup (its ids are still present in the generation being
+    // installed) — only the applied batches clear (REVIEW 2)
+    val tsP = hpath(s"$indexDir/tombstones")
+    val tsBatchesApplied: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(tsP)) Seq.empty
+      else fs.listStatus(tsP).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch=")).map(_.getPath)
     val tmp = s"$indexDir/.compact-new"
     if (fs.exists(hpath(tmp))) fs.delete(hpath(tmp), true)
     def listBatches(): Set[String] =
@@ -3366,8 +3393,11 @@ object AnnOps {
     }
     swap("batches")
     if (hasCodes) swap("codes")
-    val tsP = hpath(s"$indexDir/tombstones")
-    if (fs.exists(tsP)) fs.delete(tsP, true)
+    // clear only the APPLIED tombstone batches; one committed during
+    // the compaction stays and keeps anti-joining until the next run
+    tsBatchesApplied.foreach(p => fs.delete(p, true))
+    if (fs.exists(tsP) && fs.listStatus(tsP).isEmpty)
+      fs.delete(tsP, true)
     fs.delete(hpath(tmp), true)
   }
 
@@ -3414,8 +3444,18 @@ object AnnOps {
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
-    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
-      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    // whole-corpus dim check (REVIEW 2: the append path's discipline
+    // — one sampled row would let a mixed-dim corpus commit silently
+    // truncated codebooks/codes); null-vector rows carry no dim and
+    // are tolerated here like every kmeans caller tolerates them
+    val dimStats = v.filter(col("c").isNotNull)
+      .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
+      .head()
+    require(!dimStats.isNullAt(0) &&
+      dimStats.getInt(0) == dimStats.getInt(1),
+      s"buildIvfPqIndex: mixed vector dims [${dimStats.get(0)}, " +
+        s"${dimStats.get(1)}] — the index space needs one width")
+    val dim = dimStats.getInt(0)
     require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
     // REBUILD SAFETY (ADVICE): a rebuild into a dir holding append
     // batches would leave batch=1..N rows that were assigned against
@@ -3515,6 +3555,11 @@ object AnnOps {
       "appendIvfPqIndex: batch 0 is the build's; pick a fresh id")
     val s = batch.sparkSession
     import s.implicits._
+    // repair a half-swapped compaction BEFORE committing (REVIEW 2):
+    // committing into a dir whose batches/ was renamed out would
+    // recreate the tree with one batch, and the next recovery would
+    // then delete the stranded old generation as post-swap garbage
+    recoverIndex(s, indexDir)
     val staged = scaledImpl(batch, idCol, vecCol, Some(keyCol),
       partitions)
     val keys = staged.select(col("id"), col("key"))
@@ -3529,6 +3574,12 @@ object AnnOps {
     // EVERY row, not a sampled one (one min/max aggregate over the
     // pinned staging): a mixed-dim batch whose sampled row happened to
     // match would otherwise commit truncated encodings (REVIEW).
+    // NULL-vector rows are exempt (they carry no dim) and COMMIT, the
+    // family-wide null contract: assignment and encoding handle them
+    // deterministically (first cell/code), the exact re-rank nulls
+    // their cosine so they never rank, and rejecting them only here
+    // would crash a streaming append on one bad upstream row while
+    // the build path accepts the same input.
     val storedDim = cent.select(size(col("cc")).as("d")).limit(1)
       .as[Int].collect().headOption.getOrElse(0)
     val dimStats = v.filter(col("c").isNotNull)
@@ -4841,6 +4892,10 @@ object AnnOps {
     // microbatch — so un-released per-call pins would accumulate for
     // the session lifetime, the same leak class the operating curves
     // fixed this round)
+    // repair a half-swapped compaction BEFORE committing (REVIEW 2:
+    // the appendIvfPqIndex rationale — a commit into the crash window
+    // poisons the next recovery)
+    recoverIndex(s, indexDir)
     val stagedV = scaled(batch, idCol, vecCol, partitions)
     val v = withRawNorm(stagedV)
     // Hadoop FS, not java.io.File: DFS paths in production (the

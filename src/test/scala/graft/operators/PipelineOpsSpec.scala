@@ -2287,6 +2287,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("doc_id")).as[Long].collect().toSet
       assert(!ids.contains(2L), s"$dir still loads the tombstoned doc")
     }
+    // half-swapped crash window: the READ path is loud (a silent None
+    // would probe an empty index), and a MUTATOR self-repairs before
+    // committing (a commit into the window would poison the next
+    // recovery into deleting the stranded old generation)
+    assert(new java.io.File(s"$plain/batches")
+      .renameTo(new java.io.File(s"$plain/batches-old")))
+    intercept[IllegalStateException] {
+      DedupOps.loadMinhashIndex(s, plain)
+    }
+    DedupOps.incrementalMinhashDedupDurable(
+      mk(Seq((30L, "another new document arrives just fine today"))),
+      "doc_id", "text", plain, 3L, 3, 4, 2, 0.5, partitions = 2)
+    val idsAfter = DedupOps.loadMinhashIndex(s, plain).get
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(Set(1L, 3L, 4L, 10L, 20L, 30L).subsetOf(idsAfter),
+      s"mutator recovery lost the pre-crash corpus: $idsAfter")
+    assert(!new java.io.File(s"$plain/batches-old").exists())
+    // the legacy flat batch=N root layout fails loudly, even half-
+    // migrated (dir/batches present AND stragglers at the root)
+    val legacy = tmpDir("mh-legacy")
+    DedupOps.minhashIndex(oldDocs, "doc_id", "text", 3, 4, 2,
+        partitions = 2)
+      .select(col("doc_id"), col("shs"), col("bkeys"))
+      .write.mode("overwrite").parquet(s"$legacy/batch=0")
+    intercept[IllegalStateException] {
+      DedupOps.loadMinhashIndex(s, legacy)
+    }
+    assert(new java.io.File(s"$legacy/batches").mkdirs())
+    intercept[IllegalStateException] {
+      DedupOps.loadMinhashIndex(s, legacy)
+    }
   }
 
   test("buildIvfPqIndex REBUILD clears stale append batches and " +
