@@ -5271,6 +5271,44 @@ object PrepOps {
         (col("off") + col("sq")).as("position"), col("token_id"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the training-ORDER op next to the
+    * packing ops: each epoch must visit the packed corpus in a
+    * different but REPRODUCIBLE order (re-runs, restarts, and replica
+    * loaders must all derive the same order with no RNG state). Every
+    * (epoch, key) gets an md5-derived shuffle key, a bucket
+    * (`bucket = md5 % buckets` — the loader streams buckets in
+    * sequence, which is how a distributed reader consumes a shuffle
+    * order without any global sort), and an exact dense position
+    * within its bucket. No global window anywhere (the q51
+    * single-partition lesson): bucket assignment is a pure projection
+    * over the epochs-bounded broadcast expand, and the position
+    * window partitions by (epoch, bucket) — ≤ N/buckets rows each,
+    * sized by the caller like every partition knob. Ties (md5
+    * collisions) break on the key columns, so the order is total and
+    * engine-exact — the oracle-checked p21 query pins the whole
+    * derivation against DuckDB. Returns the input columns +
+    * (epoch, bucket, pos).
+    */
+  def epochShuffle(df: DataFrame, keyCols: Seq[String], epochs: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(keyCols.nonEmpty, "epochShuffle: no key columns")
+    require(epochs >= 1 && buckets >= 1,
+      s"epochShuffle: epochs=$epochs buckets=$buckets")
+    val s = df.sparkSession
+    val es = s.range(epochs).select(col("id").as("epoch"))
+    val skey = md5(concat_ws(":",
+      col("epoch") +: keyCols.map(k => col(k).cast("string")): _*))
+    val w = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("skey").asc +: keyCols.map(col(_).asc): _*)
+    df.crossJoin(broadcast(es))
+      .withColumn("skey", skey)
+      .withColumn("bucket",
+        conv(substring(col("skey"), 1, 4), 16, 10).cast("long")
+          % buckets)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("skey")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its md5(id)
     * bucket (mod 10) falls below the stratum's rate-in-tenths. Pure
     * function of the id — reproducible under any partitioning/engine,

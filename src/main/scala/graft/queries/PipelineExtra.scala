@@ -875,7 +875,68 @@ object PipelineExtra {
           .select($"group".as("source"), $"pack_id", $"doc_id",
             $"position", $"token_id")
       },
-      Some(packTokenSequencesOracle))
+      Some(packTokenSequencesOracle)),
+
+    // ------------- deterministic epoch shuffle (p21)
+    GraftQuery(
+      "p21_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        // The training-ORDER op: every epoch visits the p01 packs in
+        // a different reproducible order — md5 shuffle key per
+        // (epoch, pack), bucket = key % 8 (the loader streams buckets
+        // in sequence; no global sort, no RNG state anywhere), dense
+        // position within each (epoch, bucket). The oracle derives
+        // the identical order in DuckDB, so the hash gate pins the
+        // whole derivation: reruns, restarts, and replica loaders all
+        // agree byte-for-byte. The query IS the PrepOps.epochShuffle
+        // facade call over the p01 pack table.
+        val tok = Tables.load(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("toks"))
+        val packs = graft.operators.PrepOps
+          .packSequences(tok, "source", "doc_id", "toks", PackBudget)
+          .select($"group".as("source"), $"pack_id")
+        graft.operators.PrepOps
+          .epochShuffle(packs, Seq("source", "pack_id"), epochs = 3,
+            buckets = 8)
+          .select($"epoch", $"bucket", $"pos", $"source", $"pack_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) toks
+          FROM documents
+        ),
+        cum AS (
+          SELECT source, doc_id, toks,
+            SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) cum
+          FROM tok
+        ),
+        packs AS (
+          SELECT DISTINCT source,
+            CAST((cum - toks) // $PackBudget AS BIGINT) AS pack_id
+          FROM cum
+        ),
+        keyed AS (
+          SELECT e.epoch, p.source, p.pack_id,
+            md5(CAST(e.epoch AS VARCHAR) || ':' || p.source || ':'
+              || CAST(p.pack_id AS VARCHAR)) AS skey
+          FROM packs p
+          CROSS JOIN (SELECT unnest(range(3)) AS epoch) e
+        ),
+        bucketed AS (
+          SELECT epoch, source, pack_id, skey,
+            CAST(('0x' || substring(skey, 1, 4))::INT % 8 AS BIGINT)
+              AS bucket
+          FROM keyed
+        )
+        SELECT epoch, bucket,
+          CAST(row_number() OVER (PARTITION BY epoch, bucket
+            ORDER BY skey ASC, source ASC, pack_id ASC) - 1 AS BIGINT)
+            AS pos,
+          source, pack_id
+        FROM bucketed"""))
   )
 
   /** DuckDB spelling of p20: the t20 token-id stream CTEs

@@ -2041,7 +2041,66 @@ object Similarity {
         val out2 = inc(newEmb.filter($"vec_id" % 2 === 1), 2L)
         out1.unionByName(out2)
       },
-      Some(sqlIncrementalSemantic))
+      Some(sqlIncrementalSemantic)),
+
+    // ---- compaction interleaved with STREAMING appends (st18)
+    GraftQuery(
+      "st18_ivfpq_compact_stream",
+      (s, dir) => {
+        import s.implicits._
+        // the maintenance step in the deployment it actually runs in:
+        // st17's nightly append stream, with compactIndex firing
+        // BETWEEN two microbatch commits (the single-writer window —
+        // foreachBatch serializes the appends, so between-batch is
+        // exactly where a scheduler runs maintenance). Later appends
+        // land next to the compacted generation; the ceiling serve
+        // must still equal the filtered brute force over the union
+        // corpus — compaction mid-stream loses nothing, duplicates
+        // nothing, reorders nothing (the s22/st17 shared oracle).
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val oldEmb = emb.filter(bucket < 80)
+        val newEmb = emb.filter(bucket >= 80)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-st18-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          oldEmb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        val newDir = java.nio.file.Files
+          .createTempDirectory("graft-st18-new-").toString
+        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+        val stream = s.readStream.schema(newEmb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(newDir)
+        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
+          "st18") { (batch, bid) =>
+          if (!batch.isEmpty) {
+            val pinned = batch.localCheckpoint()
+            graft.operators.AnnOps.appendIvfPqIndex(
+              pinned, "vec_id", "embedding",
+              "source", idxDir, bid + 1L)
+            graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
+            // maintenance interleaves after the second commit —
+            // inside the stream's own serialization, the documented
+            // single-writer window
+            if (bid == 1L)
+              graft.operators.AnnOps.compactIndex(s, idxDir)
+          }
+        }
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(sqlFilteredBruteForceTop3))
   )
 
   /** The filtered brute-force top-3 — the shared construction-ceiling
