@@ -2100,7 +2100,122 @@ object Similarity {
         graft.operators.DedupOps.releaseLocalCheckpoint(emb)
         out
       },
-      Some(sqlFilteredBruteForceTop3))
+      Some(sqlFilteredBruteForceTop3)),
+
+    // ---- dedup feedback drives index deletes, end to end (s26)
+    GraftQuery(
+      "s26_dedup_feedback_delete",
+      (s, dir) => {
+        import s.implicits._
+        // THE MOTIVATING COMPOSITION for deleteFromIndex's second use
+        // case (production corpora remove documents on takedowns AND
+        // dedup feedback): the corpus indexes once, the s07 SemDeDup
+        // pass finds near-duplicate pairs, d06's connected-components
+        // resolution keeps each cluster's min-id survivor, the LOSERS
+        // tombstone out of the serving index, and the ceiling serve
+        // afterwards equals the filtered brute force over the
+        // SURVIVOR corpus — one oracle pins the dedup arithmetic, the
+        // closure, the delete, and the serve as a single chain. Every
+        // stage is the proven facade (buildIvfPqIndex,
+        // semanticNearDups, connectedComponents, deleteFromIndex,
+        // queryIvfPqIndex); composition is where id contracts break
+        // silently, which is exactly what this gate watches.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s26-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          emb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        // threshold 0.38 CHOSEN WITH DATA (the thin-gate lesson): the
+        // resulting losers change the top-3 serve at sf0.001, sf0.01
+        // AND sf0.1 (8/6/6 result rows move), so the hash gate proves
+        // the delete path live — at s07's 0.45 no loser ever ranked
+        // and the chain would pass even with the anti-join dropped.
+        // 0.38 sits in a measured cosine gap at every SF (nearest
+        // pairs 0.37996/0.38002 at sf0.1 — 3.5e-5 wide, ~11 orders
+        // above double ulp), so >= is engine-stable.
+        val pairs = graft.operators.AnnOps.semanticNearDups(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.38, cells = K, iters = 2)
+        val losers = graft.operators.DedupOps
+          .connectedComponents(pairs, "a", "b")
+          .filter(!$"is_survivor").select($"id".as("vec_id"))
+        graft.operators.AnnOps.deleteFromIndex(
+          losers, "vec_id", idxDir, batchId = 1L)
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(s"""
+        WITH RECURSIVE ${sqlKmeansCtesOver(
+          "SELECT vec_id, embedding FROM embeddings")},
+        cellpairs AS (
+          SELECT x.cell, x.vec_id a, y.vec_id b
+          FROM assign2 x JOIN assign2 y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ),
+        dotp AS (
+          SELECT p.cell, p.a, p.b, CAST(SUM(ca.c * cb.c) AS BIGINT) dot
+          FROM cellpairs p
+            JOIN comp ca ON ca.vec_id = p.a
+            JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+          GROUP BY 1, 2, 3
+        ),
+        spairs AS (
+          SELECT d.a, d.b
+          FROM dotp d
+            JOIN nrm na ON na.vec_id = d.a
+            JOIN nrm nb ON nb.vec_id = d.b
+          WHERE (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+            / (na.nrm * nb.nrm) >= 0.38
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM spairs
+          UNION SELECT b, a FROM spairs
+        ),
+        reach(id, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        losers AS (
+          SELECT id FROM reach GROUP BY id HAVING MIN(node) <> id
+        ),
+        srct AS (SELECT doc_id, source FROM documents),
+        dot2 AS (
+          SELECT q.vec_id qid, c2.vec_id neighbor_id,
+            CAST(SUM(q.c * c2.c) AS BIGINT) dot
+          FROM comp q
+            JOIN comp c2 ON q.i = c2.i AND q.vec_id <> c2.vec_id
+            JOIN srct sq ON sq.doc_id = q.vec_id
+            JOIN srct sc ON sc.doc_id = c2.vec_id
+              AND sc.source = sq.source
+          WHERE q.vec_id < $NQUERIES
+            AND c2.vec_id NOT IN (SELECT id FROM losers)
+          GROUP BY 1, 2
+        ),
+        cos2 AS (
+          SELECT d.qid, d.neighbor_id,
+            (CAST(d.dot AS DOUBLE) / 1000000000000.0)
+              / (nq.nrm * nc.nrm) AS cosine
+          FROM dot2 d
+            JOIN nrm nq ON nq.vec_id = d.qid
+            JOIN nrm nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT qid, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM cos2) t
+        WHERE rank <= 3"""))
   )
 
   /** The filtered brute-force top-3 — the shared construction-ceiling
