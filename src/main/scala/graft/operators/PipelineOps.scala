@@ -5294,6 +5294,25 @@ object PrepOps {
     require(keyCols.nonEmpty, "epochShuffle: no key columns")
     require(epochs >= 1 && buckets >= 1,
       s"epochShuffle: epochs=$epochs buckets=$buckets")
+    // the emitted columns ride NEXT TO the caller's (the documented
+    // "input columns + (epoch, bucket, pos)") — a silent overwrite of
+    // an existing `bucket`/`pos` column, or an ambiguous `epoch`
+    // reference after the cross join, must fail loudly instead
+    // (REVIEW 3: several ops in this file legitimately emit `bucket`)
+    Seq("epoch", "bucket", "pos", "skey").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochShuffle: input already has a '$c' column; rename it"))
+    // the reproducibility contract stands on key UNIQUENESS: two rows
+    // sharing (keyCols) would tie on every ordering column and take
+    // positions nondeterministically across runs/partitionings —
+    // checked here (one aggregate) rather than documented away
+    // (REVIEW 3)
+    val uniq = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(keyCols.head),
+        keyCols.tail.map(col): _*).as("nd")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"epochShuffle: keyCols ${keyCols.mkString(",")} are not " +
+        s"unique (${uniq.getLong(0)} rows, ${uniq.getLong(1)} keys)")
     val s = df.sparkSession
     val es = s.range(epochs).select(col("id").as("epoch"))
     val skey = md5(concat_ws(":",
@@ -5302,8 +5321,12 @@ object PrepOps {
       .orderBy(col("skey").asc +: keyCols.map(col(_).asc): _*)
     df.crossJoin(broadcast(es))
       .withColumn("skey", skey)
+      // 8 hex chars = 32 hash bits: bucket counts up to ~4.3e9 get
+      // rows, and non-divisor counts skew by at most buckets/2^32
+      // (the 4-char spelling silently emptied every bucket past
+      // 65536 and front-loaded non-divisor counts — REVIEW 3)
       .withColumn("bucket",
-        conv(substring(col("skey"), 1, 4), 16, 10).cast("long")
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("long")
           % buckets)
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("skey")

@@ -927,7 +927,7 @@ object PipelineExtra {
         ),
         bucketed AS (
           SELECT epoch, source, pack_id, skey,
-            CAST(('0x' || substring(skey, 1, 4))::INT % 8 AS BIGINT)
+            CAST(('0x' || substring(skey, 1, 8))::BIGINT % 8 AS BIGINT)
               AS bucket
           FROM keyed
         )

@@ -1809,7 +1809,6 @@ object Similarity {
     GraftQuery(
       "st17_ivfpq_append_stream",
       (s, dir) => {
-        import s.implicits._
         // s22's lifecycle END-TO-END through the streaming engine
         // (the st16 discipline on the serving index): the 80% corpus
         // builds the index, the 20% ARRIVES AS A STREAM — a file
@@ -1819,47 +1818,9 @@ object Similarity {
         // The ceiling serve afterwards equals the filtered brute
         // force over the union corpus NO MATTER how the stream was
         // microbatched — the same oracle as s22, so the hash gate
-        // proves stream == batch for the append path.
-        val src = Tables.load(s, dir, "documents")
-          .select($"doc_id", $"source")
-        val emb = Tables.load(s, dir, "embeddings")
-          .join(src, $"vec_id" === $"doc_id")
-          .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
-        val bucket = conv(
-          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100
-        val oldEmb = emb.filter(bucket < 80)
-        val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-st17-").toString
-        graft.operators.AnnOps.buildIvfPqIndex(
-          oldEmb, "vec_id", "embedding", "source", idxDir,
-          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
-        val newDir = java.nio.file.Files
-          .createTempDirectory("graft-st17-new-").toString
-        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
-        val stream = s.readStream.schema(newEmb.schema)
-          .option("maxFilesPerTrigger", 1).parquet(newDir)
-        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
-          "st17") { (batch, bid) =>
-          if (!batch.isEmpty) {
-            // bid + 1: microbatch ids start at 0, the build owns 0
-            val pinned = batch.localCheckpoint()
-            graft.operators.AnnOps.appendIvfPqIndex(
-              pinned, "vec_id", "embedding",
-              "source", idxDir, bid + 1L)
-            // the append's commit is on disk: free the microbatch pin
-            // (once per trigger in a long-lived stream)
-            graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
-          }
-        }
-        val out = graft.operators.AnnOps.queryIvfPqIndex(
-          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
-          "source", idxDir, k = 3, nprobe = K,
-          rerankDepth = Int.MaxValue)
-        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
-        out
+        // proves stream == batch for the append path. (Scaffolding
+        // shared with st18 — ivfPqStreamLifecycle.)
+        ivfPqStreamLifecycle(s, dir, "st17")((_, _, _) => ())
       },
       Some(sqlFilteredBruteForceTop3)),
 
@@ -2047,58 +2008,22 @@ object Similarity {
     GraftQuery(
       "st18_ivfpq_compact_stream",
       (s, dir) => {
-        import s.implicits._
         // the maintenance step in the deployment it actually runs in:
         // st17's nightly append stream, with compactIndex firing
-        // BETWEEN two microbatch commits (the single-writer window —
+        // BETWEEN two microbatch triggers (the single-writer window —
         // foreachBatch serializes the appends, so between-batch is
         // exactly where a scheduler runs maintenance). Later appends
         // land next to the compacted generation; the ceiling serve
         // must still equal the filtered brute force over the union
         // corpus — compaction mid-stream loses nothing, duplicates
         // nothing, reorders nothing (the s22/st17 shared oracle).
-        val src = Tables.load(s, dir, "documents")
-          .select($"doc_id", $"source")
-        val emb = Tables.load(s, dir, "embeddings")
-          .join(src, $"vec_id" === $"doc_id")
-          .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
-        val bucket = conv(
-          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100
-        val oldEmb = emb.filter(bucket < 80)
-        val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-st18-").toString
-        graft.operators.AnnOps.buildIvfPqIndex(
-          oldEmb, "vec_id", "embedding", "source", idxDir,
-          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
-        val newDir = java.nio.file.Files
-          .createTempDirectory("graft-st18-new-").toString
-        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
-        val stream = s.readStream.schema(newEmb.schema)
-          .option("maxFilesPerTrigger", 1).parquet(newDir)
-        graft.streaming.StreamingOps.drainForeachBatch(s, stream,
-          "st18") { (batch, bid) =>
-          if (!batch.isEmpty) {
-            val pinned = batch.localCheckpoint()
-            graft.operators.AnnOps.appendIvfPqIndex(
-              pinned, "vec_id", "embedding",
-              "source", idxDir, bid + 1L)
-            graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
-            // maintenance interleaves after the second commit —
-            // inside the stream's own serialization, the documented
-            // single-writer window
-            if (bid == 1L)
-              graft.operators.AnnOps.compactIndex(s, idxDir)
-          }
+        // The hook fires OUTSIDE the isEmpty guard (REVIEW 3): an
+        // empty microbatch must not silently skip the compaction this
+        // query exists to exercise.
+        ivfPqStreamLifecycle(s, dir, "st18") { (s2, idxDir, bid) =>
+          if (bid == 1L)
+            graft.operators.AnnOps.compactIndex(s2, idxDir)
         }
-        val out = graft.operators.AnnOps.queryIvfPqIndex(
-          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
-          "source", idxDir, k = 3, nprobe = K,
-          rerankDepth = Int.MaxValue)
-        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
-        out
       },
       Some(sqlFilteredBruteForceTop3)),
 
@@ -2217,6 +2142,62 @@ object Similarity {
           FROM cos2) t
         WHERE rank <= 3"""))
   )
+
+  /** Shared scaffolding of the st17/st18 streaming ANN lifecycle
+    * (ONE spelling so the two queries cannot drift — REVIEW 3): build
+    * on the 80% md5 bucket, stream the 20% through 3 real
+    * microbatches (one [[graft.operators.AnnOps.appendIvfPqIndex]]
+    * per non-empty trigger), run `afterBatch(spark, idxDir, bid)`
+    * UNCONDITIONALLY after every trigger — outside the isEmpty guard,
+    * so st18's mid-stream compaction fires even if a repartition
+    * leaves a source file empty — then serve at the construction
+    * ceiling. */
+  private def ivfPqStreamLifecycle(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String)(
+      afterBatch: (org.apache.spark.sql.SparkSession, String, Long)
+        => Unit): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val src = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source")
+    val emb = Tables.load(s, dir, "embeddings")
+      .join(src, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding", $"source")
+      .localCheckpoint()
+    val bucket = conv(
+      substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val oldEmb = emb.filter(bucket < 80)
+    val newEmb = emb.filter(bucket >= 80)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-").toString
+    graft.operators.AnnOps.buildIvfPqIndex(
+      oldEmb, "vec_id", "embedding", "source", idxDir,
+      cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+    val newDir = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-new-").toString
+    newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+    val stream = s.readStream.schema(newEmb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(newDir)
+    graft.streaming.StreamingOps.drainForeachBatch(s, stream, tag) {
+      (batch, bid) =>
+        if (!batch.isEmpty) {
+          // bid + 1: microbatch ids start at 0, the build owns 0
+          val pinned = batch.localCheckpoint()
+          graft.operators.AnnOps.appendIvfPqIndex(
+            pinned, "vec_id", "embedding", "source", idxDir, bid + 1L)
+          // the append's commit is on disk: free the microbatch pin
+          // (once per trigger in a long-lived stream)
+          graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
+        }
+        afterBatch(s, idxDir, bid)
+    }
+    val out = graft.operators.AnnOps.queryIvfPqIndex(
+      emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+      "source", idxDir, k = 3, nprobe = K,
+      rerankDepth = Int.MaxValue)
+    graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+    out
+  }
 
   /** The filtered brute-force top-3 — the shared construction-ceiling
     * oracle (s12's spelling): all same-source pairs, exact scaled-long

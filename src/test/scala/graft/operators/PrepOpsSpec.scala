@@ -683,5 +683,21 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(addr(0L) != addr(1L), "epochs 0 and 1 gave the same order")
     // determinism: identical output under a different partitioning
     assert(run(11) == out, "epochShuffle depends on partitioning")
+    // duplicate keys would tie on every ordering column and take
+    // positions nondeterministically — rejected loudly
+    val dup = intercept[IllegalArgumentException] {
+      PrepOps.epochShuffle(packs.unionAll(packs.limit(1)),
+        Seq("source", "pack_id"), epochs = 1, buckets = 4)
+    }
+    assert(dup.getMessage.contains("not"), dup.getMessage)
+    // reserved output names collide loudly instead of silently
+    // overwriting the caller's column
+    val clash = intercept[IllegalArgumentException] {
+      PrepOps.epochShuffle(
+        packs.withColumn("bucket",
+          org.apache.spark.sql.functions.lit(1)),
+        Seq("source", "pack_id"), epochs = 1)
+    }
+    assert(clash.getMessage.contains("bucket"), clash.getMessage)
   }
 }
