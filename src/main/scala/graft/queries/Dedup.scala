@@ -631,13 +631,20 @@ object Dedup {
         // timed pass, the rebuild cost the cache exists to avoid).
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-st10-idx-")
-        // batches/ nesting (the shared durable-index layout, so
-        // tombstones/compaction apply to this family too)
-        java.nio.file.Files.createDirectories(idxDir.resolve("batches"))
-        java.nio.file.Files.createSymbolicLink(
-          idxDir.resolve("batches").resolve("batch=-1"),
-          java.nio.file.Paths.get(basePath))
         val idxDirS = idxDir.toString
+        // generation-pointer layout (the shared durable-index
+        // discipline, so tombstones/compaction/expiry apply to this
+        // family too): link the base index in as generation 0's
+        // batch=-1, declare the banding manifest, flip the marker
+        val gen0 = java.nio.file.Paths.get(
+          graft.operators.AnnOps.genRoot(idxDirS, 0L), "batches")
+        java.nio.file.Files.createDirectories(gen0)
+        java.nio.file.Files.createSymbolicLink(
+          gen0.resolve("batch=-1"), java.nio.file.Paths.get(basePath))
+        graft.operators.AnnOps.writeIndexManifest(s, idxDirS,
+          "minhash", Map("shingleK" -> 5L, "bands" -> BANDS.toLong,
+            "rows" -> ROWS.toLong))
+        graft.operators.AnnOps.commitGen(s, idxDirS, 0L)
         val newDocs = docsAll.filter(bucket >= 80)
           .select($"doc_id", $"text")
         val newDir = java.nio.file.Files
@@ -704,11 +711,10 @@ object Dedup {
         val newDocs = docsAll.filter(bucket >= 80)
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-d17-").toString
-        graft.operators.DedupOps
-          .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
-          .select($"doc_id", $"shs", $"bkeys")
-          .write.mode("overwrite")
-          .parquet(s"$idxDir/batches/batch=0")
+        graft.operators.DedupOps.commitMinhashIndexBatch(
+          graft.operators.DedupOps
+            .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS),
+          idxDir, batchId = 0L, 5, BANDS, ROWS)
         graft.operators.AnnOps.deleteFromIndex(
           oldDocs.filter($"doc_id" % 10 === 0).select($"doc_id"),
           "doc_id", idxDir, batchId = 0L)

@@ -2140,7 +2140,56 @@ object Similarity {
             (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
             AS rank
           FROM cos2) t
-        WHERE rank <= 3"""))
+        WHERE rank <= 3""")),
+
+    // ------ rolling-window RETENTION drops whole old batches (s27)
+    GraftQuery(
+      "s27_ivfpq_index_expire",
+      (s, dir) => {
+        import s.implicits._
+        // the reference ingester's delete-behind (I7) applied to the
+        // serving index: a rolling-window corpus drops its OLDEST
+        // batches wholesale — here the 50% build batch itself expires
+        // (batch ids are dates; minKeepBatchId is the window edge),
+        // leaving the index serving ONLY the two newer append batches
+        // against centroids/codebooks that were trained on data now
+        // gone. The ceiling serve must equal the filtered brute force
+        // over the RETAINED corpus — exact regardless of artifact
+        // quality (the construction-ceiling argument is
+        // clustering-independent), so an under-expired straggler row
+        // or an over-expired survivor is a hash mismatch.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s27-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          emb.filter(bucket < 50), "vec_id", "embedding", "source",
+          idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          emb.filter(bucket >= 50 && bucket < 80), "vec_id",
+          "embedding", "source", idxDir, batchId = 1L)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          emb.filter(bucket >= 80), "vec_id", "embedding",
+          "source", idxDir, batchId = 2L)
+        graft.operators.AnnOps.expireBatches(s, idxDir,
+          minKeepBatchId = 1L)
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(sqlFilteredBruteForceTop3Excluding(
+        s"('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 4))" +
+          "::INT % 100 < 50")))
   )
 
   /** Shared scaffolding of the st17/st18 streaming ANN lifecycle

@@ -56,14 +56,20 @@ object IndexPruneProbe {
     // per query — the honest denominator, reported alongside)
     val queries = emb.filter($"vec_id" < 4).localCheckpoint()
 
-    val totalFiles = PlanWalk.parquetFiles(s"$idx/batches").size +
-      PlanWalk.parquetFiles(s"$idx/codes").size
+    // the live generation's root (the pointer resolution every reader
+    // does); re-resolved after maintenance, which installs a new one
+    def liveRoot() = graft.operators.AnnOps.liveIndexRoot(spark, idx)
+    def treeFiles() =
+      PlanWalk.parquetFiles(s"${liveRoot()}/batches").size +
+        PlanWalk.parquetFiles(s"${liveRoot()}/codes").size
+    val totalFiles = treeFiles()
 
     def indexScans(plans: Seq[SparkPlan]): Seq[FileSourceScanExec] =
       plans.flatMap(PlanWalk.allNodes).collect {
         case f: FileSourceScanExec if f.relation.location.rootPaths
-          .exists(p => p.toString.contains(s"$idx/batches") ||
-            p.toString.contains(s"$idx/codes")) => f
+          .exists(p => p.toString.contains(s"$idx/") &&
+            (p.toString.contains("/batches") ||
+              p.toString.contains("/codes"))) => f
       }
 
     def serveAt(nprobe: Int): (Long, Long, Double) = {
@@ -143,19 +149,15 @@ object IndexPruneProbe {
       "true")
     // takedown wave: every 7th stored doc outside the query range
     graft.operators.AnnOps.deleteFromIndex(
-      spark.read.parquet(s"$idx/batches")
+      spark.read.parquet(s"${liveRoot()}/batches")
         .select($"id").filter($"id" >= 4 && $"id" % 7 === 0),
       "id", idx, batchId = 99L)
-    val filesSprawl =
-      PlanWalk.parquetFiles(s"$idx/batches").size +
-        PlanWalk.parquetFiles(s"$idx/codes").size
+    val filesSprawl = treeFiles()
     val (readSprawl, _, secSprawl) = serveAt(2)
     val t0 = System.nanoTime()
     graft.operators.AnnOps.compactIndex(spark, idx)
     val compactSec = (System.nanoTime() - t0) / 1e9
-    val filesCompact =
-      PlanWalk.parquetFiles(s"$idx/batches").size +
-        PlanWalk.parquetFiles(s"$idx/codes").size
+    val filesCompact = treeFiles()
     val (readCompact, _, secCompact) = serveAt(2)
 
     println(s"""{"metric":"index_prune","sf_dir":"$sfDir","n":$n,""" +

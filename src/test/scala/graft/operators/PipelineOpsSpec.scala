@@ -2112,14 +2112,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def audit() = AnnOps.semanticIndexDriftAudit(s, idx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
     val (serveBefore, auditBefore) = (serve(), audit())
-    val filesBefore = parquetFiles(s"$idx/batches").size
+    // the live generation root moves on every compaction — resolve the
+    // pointer fresh, like every reader does
+    def liveBatches() = s"${AnnOps.liveIndexRoot(s, idx)}/batches"
+    val filesBefore = parquetFiles(liveBatches()).size
     AnnOps.compactIndex(s, idx, partitions = 4)
     assert(serve() == serveBefore,
       "compaction changed the serve (must be invisible to results)")
     assert(audit() == auditBefore,
       "compaction changed the drift audit (batch ids must survive)")
-    val filesAfter = parquetFiles(s"$idx/batches").size
-    val leaves = new java.io.File(s"$idx/batches").listFiles()
+    val filesAfter = parquetFiles(liveBatches()).size
+    val leaves = new java.io.File(liveBatches()).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .flatMap(_.listFiles())
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
@@ -2135,8 +2138,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "double-compaction drifted")
   }
 
-  test("compactIndex crash safety: a crash before the swap leaves the " +
-      "old generation serving; either half-swap state recovers") {
+  test("generation-pointer crash matrix: an uncommitted generation + " +
+      "stranded lock are invisible to readers, block mutators loudly, " +
+      "and recoverIndex repairs both; post-flip crash self-heals; the " +
+      "grace generation is reclaimed by the next compaction or vacuum") {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
@@ -2151,33 +2156,305 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
       nprobe = 2, rerankDepth = 12, partitions = 4))
     val good = serve()
-    // (a) crash BEFORE the swap: the new generation sits invisibly in
-    // .compact-new — the live trees are untouched, and a re-run
-    // compaction clears the debris and completes
-    val tmp = new java.io.File(s"$idx/.compact-new/batches/batch=0")
-    assert(tmp.mkdirs())
+    // (a) MID-BUILD crash: compaction died after staging part of the
+    // next generation — no marker, so readers never see it; mutators
+    // fail loudly on the stranded lock instead of racing what might
+    // be a LIVE maintenance run
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$idx/.compact-new/batches/batch=0/junk"),
+      java.nio.file.Paths.get(s"$idx/.maintenance-lock"), "compact:1")
+    assert(new java.io.File(s"$idx/gens/gen=1/batches/batch=0").mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/gens/gen=1/batches/batch=0/junk"),
       "half-written")
-    assert(serve() == good, "pre-swap debris must not affect the serve")
-    AnnOps.compactIndex(s, idx, partitions = 4)
-    assert(serve() == good, "re-run compaction over debris drifted")
-    assert(!new java.io.File(s"$idx/.compact-new").exists())
-    // (b) crash MID-swap (live renamed out, new not yet in): recovery
-    // restores the old generation
-    assert(new java.io.File(s"$idx/batches")
-      .renameTo(new java.io.File(s"$idx/batches-old")))
+    assert(serve() == good,
+      "an uncommitted generation must be invisible to serves")
+    intercept[IllegalStateException] {
+      AnnOps.appendIvfPqIndex(df.filter($"vid" < 4), "vid", "emb",
+        "grp", idx, 9L, partitions = 4)
+    }
+    intercept[IllegalStateException] { AnnOps.compactIndex(s, idx) }
     AnnOps.recoverIndex(s, idx)
-    assert(serve() == good, "mid-swap recovery lost the old generation")
-    assert(!new java.io.File(s"$idx/batches-old").exists())
-    // (c) crash POST-swap (cleanup missed): the live tree is the new
-    // generation; recovery drops the leftover
-    val leftover = new java.io.File(s"$idx/batches-old/batch=9")
-    assert(leftover.mkdirs())
-    AnnOps.recoverIndex(s, idx)
-    assert(!new java.io.File(s"$idx/batches-old").exists(),
-      "post-swap leftover must be dropped")
+    assert(!new java.io.File(s"$idx/.maintenance-lock").exists())
+    assert(!new java.io.File(s"$idx/gens/gen=1").exists(),
+      "recovery must delete the uncommitted generation")
     assert(serve() == good)
+    // recovery is idempotent on a clean index
+    AnnOps.recoverIndex(s, idx)
+    assert(serve() == good)
+    // (b) a real compaction now installs gen 1; gen 0 stays one cycle
+    // as the in-flight-reader grace window
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(serve() == good, "compaction drifted the serve")
+    assert(new java.io.File(s"$idx/gens/gen=1/batches").exists())
+    assert(new java.io.File(s"$idx/gens/gen=0/batches").exists(),
+      "the previous generation must survive one maintenance cycle")
+    // (c) POST-FLIP crash: lock stranded after the marker committed —
+    // recovery just releases it (the cleanup steps are idempotent and
+    // the next run redoes them)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/.maintenance-lock"), "compact:1")
+    AnnOps.recoverIndex(s, idx)
+    assert(!new java.io.File(s"$idx/.maintenance-lock").exists())
+    assert(new java.io.File(s"$idx/gens/gen=1/batches").exists(),
+      "post-flip recovery must not touch the committed generation")
+    assert(serve() == good)
+    // (d) the NEXT compaction reclaims the old grace generation
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(!new java.io.File(s"$idx/gens/gen=0").exists(),
+      "generations older than the grace window must be reclaimed")
+    assert(serve() == good)
+    // (e) explicit vacuum reclaims the remaining grace generation
+    assert(new java.io.File(s"$idx/gens/gen=1").exists())
+    AnnOps.vacuumIndexGenerations(s, idx)
+    assert(!new java.io.File(s"$idx/gens/gen=1").exists(),
+      "vacuum must reclaim every non-live generation")
+    assert(new java.io.File(s"$idx/gens/gen=2/batches").exists())
+    assert(serve() == good)
+  }
+
+  test("serves drain CONCURRENTLY with a compaction: every serve " +
+      "succeeds — resolving either the old or new generation, which " +
+      "are result-identical (the round-12 reader-race fix)") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("concurrent")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 60), "vid", "emb",
+      "grp", idx, 1L, partitions = 4)
+    def serve() = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 2, rerankDepth = 12, partitions = 4))
+    val good = serve()
+    // one thread drains serves in a loop while the main thread runs a
+    // full compaction: under the old in-place two-rename swap a serve
+    // landing in the window failed (no batches tree); under the
+    // generation pointer EVERY serve must succeed and match
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    @volatile var served = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          assert(serve() == good, "a concurrent serve drifted")
+          served += 1
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      // two maintenance flips while the reader hammers. The grace
+      // contract is ONE cycle: a serve in flight across flip N must
+      // finish before flip N+1 reclaims its generation — so wait for
+      // one serve that STARTED strictly after the first compaction
+      // (real deployments space compactions hours apart; two flips
+      // inside one serve's flight time is outside the contract)
+      AnnOps.compactIndex(s, idx, partitions = 4)
+      val mark = served + 2 // current serve may straddle; the next not
+      val t0 = System.nanoTime()
+      while (served < mark && failure.isEmpty &&
+          System.nanoTime() - t0 < 60e9) Thread.sleep(20)
+      AnnOps.compactIndex(s, idx, partitions = 4)
+    } finally {
+      stop = true
+      reader.join(120000)
+    }
+    failure.foreach(t => fail(
+      s"a serve failed during compaction: ${t.getMessage}", t))
+    assert(served > 2, "the reader thread never completed a serve")
+    assert(serve() == good)
+  }
+
+  test("expireBatches: rolling-window retention drops whole old " +
+      "batches from both trees; the ceiling serve equals the brute " +
+      "force over the retained corpus; replay-idempotent; refuses to " +
+      "empty the index") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("expire")
+    // OLDEST data is the build (batch 0) — the rolling window drops it
+    AnnOps.buildIvfPqIndex(df.filter($"vid" >= 20), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" >= 8 && $"vid" < 20),
+      "vid", "emb", "grp", idx, 1L, partitions = 4)
+    AnnOps.appendIvfPqIndex(df.filter($"vid" < 8), "vid", "emb",
+      "grp", idx, 2L, partitions = 4)
+    AnnOps.expireBatches(s, idx, minKeepBatchId = 1L)
+    val root = AnnOps.liveIndexRoot(s, idx)
+    Seq("batches", "codes").foreach { tree =>
+      assert(!new java.io.File(s"$root/$tree/batch=0").exists(),
+        s"expired batch=0 still present in $tree")
+      assert(new java.io.File(s"$root/$tree/batch=1").exists(),
+        s"retained batch=1 missing from $tree")
+    }
+    // ceiling serve over the retained batches == exact brute force
+    // over the retained corpus (the frozen centroids were trained on
+    // data that is now EXPIRED — the construction-ceiling argument is
+    // clustering-independent, so the serve is still exact)
+    val served = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4))
+    val brute = rowsOf(AnnOps.filteredTopKIvf(
+      df.filter($"vid" < 20), "vid", "emb", "grp",
+      _ < 8, k = 3, cells = 4, iters = 2, nprobe = 4, partitions = 4))
+    assert(served == brute,
+      "post-expiry ceiling serve != brute force over retained corpus")
+    // replay idempotence: the same retention decision re-applies as a
+    // no-op (the crash-mid-expiry recovery story — re-run completes)
+    AnnOps.expireBatches(s, idx, minKeepBatchId = 1L)
+    assert(rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4)) == served,
+      "expiry replay drifted the serve")
+    // dropping every batch is a refusal, not an empty index
+    intercept[IllegalArgumentException] {
+      AnnOps.expireBatches(s, idx, minKeepBatchId = 99L)
+    }
+    // expiry composes with compaction: the retained rows re-pack
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4)) == served)
+  }
+
+  test("_index.json fail-fast typing: wrong family, missing manifest, " +
+      "mismatched banding params, and NULL delete ids all fail AT THE " +
+      "DOOR with the mismatch named") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 40).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val ann = tmpDir("man-ann")
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", ann, cells = 4,
+      iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
+    val sem = tmpDir("man-sem")
+    AnnOps.incrementalSemanticDedupDurable(
+      df.select($"vid", $"emb"), "vid", "emb", sem, 0L,
+      threshold = 0.9, cells = 4, iters = 1, probe = false)
+    // the manifests declare their families and the frozen shape
+    assert(AnnOps.readIndexManifest(s, ann).family == "ivfpq")
+    assert(AnnOps.readIndexManifest(s, ann).params("dsub") == 4L)
+    assert(AnnOps.readIndexManifest(s, sem).family == "semantic")
+    // a serve pointed at the dedup family fails at the door
+    val e1 = intercept[IllegalArgumentException] {
+      AnnOps.queryIvfPqIndex(df.filter($"vid" < 4), "vid", "emb",
+        "grp", sem, k = 3, partitions = 4)
+    }
+    assert(e1.getMessage.contains("'semantic'"), e1.getMessage)
+    // the dedup incremental pointed at a serving index likewise
+    intercept[IllegalArgumentException] {
+      AnnOps.incrementalSemanticDedupDurable(
+        df.select($"vid", $"emb"), "vid", "emb", ann, 1L,
+        threshold = 0.9, cells = 4, iters = 1)
+    }
+    // the minhash loader refuses both vector families
+    intercept[IllegalArgumentException] {
+      DedupOps.loadMinhashIndex(s, ann)
+    }
+    // no manifest at all (not an index) is loud, not a scan error
+    val empty = tmpDir("man-none")
+    val e2 = intercept[IllegalStateException] {
+      AnnOps.queryIvfPqIndex(df.filter($"vid" < 4), "vid", "emb",
+        "grp", empty, k = 3, partitions = 4)
+    }
+    assert(e2.getMessage.contains("_index.json"), e2.getMessage)
+    // minhash banding params are declared once and enforced forever
+    val mh = tmpDir("man-mh")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"))
+      .toDF("doc_id", "text")
+    DedupOps.incrementalMinhashDedupDurable(docs, "doc_id", "text",
+      mh, 0L, 3, 4, 2, 0.5, partitions = 2)
+    val e3 = intercept[IllegalArgumentException] {
+      DedupOps.incrementalMinhashDedupDurable(docs, "doc_id", "text",
+        mh, 1L, 3, 8, 2, 0.5, partitions = 2)
+    }
+    assert(e3.getMessage.contains("bands=8"), e3.getMessage)
+    // a NULL-casting delete id is loud, never a silent no-op takedown
+    val e4 = intercept[IllegalArgumentException] {
+      AnnOps.deleteFromIndex(
+        Seq(Some(7L), None).toDF("vid"), "vid", ann, 1L)
+    }
+    assert(e4.getMessage.contains("NULL"), e4.getMessage)
+  }
+
+  test("appendIvfPqIndex: a batch of ONLY null vectors commits " +
+      "(family null contract) instead of crashing the append stream; " +
+      "its rows never rank in a serve") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 40).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("all-null")
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx, cells = 4,
+      iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
+    def serve() = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4))
+    val good = serve()
+    AnnOps.appendIvfPqIndex(
+      Seq((1000L, null.asInstanceOf[Array[Float]], "0"),
+        (1001L, null.asInstanceOf[Array[Float]], "1"))
+        .toDF("vid", "emb", "grp"),
+      "vid", "emb", "grp", idx, 5L, partitions = 4)
+    val root = AnnOps.liveIndexRoot(s, idx)
+    assert(new java.io.File(s"$root/batches/batch=5").exists(),
+      "the all-null batch must COMMIT (one bad upstream row must not " +
+        "crash a long-lived append stream)")
+    assert(serve() == good,
+      "null-vector rows must never rank in a serve")
+    // a mixed-dim batch still rejects loudly (the dim contract stands)
+    intercept[IllegalArgumentException] {
+      AnnOps.appendIvfPqIndex(
+        Seq((1002L, Array(1f, 2f), "0")).toDF("vid", "emb", "grp"),
+        "vid", "emb", "grp", idx, 6L, partitions = 4)
+    }
+  }
+
+  test("legacy pre-generation layout: reads fail loudly with the " +
+      "migration named; migrateIndexToGenerations restores identical " +
+      "serves and declares the inferred manifest") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 40).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("legacy")
+    AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx, cells = 4,
+      iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
+    def serve() = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", idx, k = 3,
+      nprobe = 2, rerankDepth = 12, partitions = 4))
+    val good = serve()
+    // de-evolve to the round-12 layout: trees at the root, no pointer
+    Seq("batches", "codes").foreach { tree =>
+      assert(new java.io.File(s"$idx/gens/gen=0/$tree")
+        .renameTo(new java.io.File(s"$idx/$tree")))
+    }
+    Seq("gens", "_commits", "_index.json").foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(new java.io.File(s"$idx/$f"))
+    }
+    val e = intercept[IllegalStateException] { serve() }
+    assert(e.getMessage.contains("migrate"), e.getMessage)
+    AnnOps.migrateIndexToGenerations(s, idx)
+    assert(serve() == good, "migration drifted the serve")
+    val man = AnnOps.readIndexManifest(s, idx)
+    assert(man.family == "ivfpq" && man.params("pqM") == 4L &&
+      man.params("dsub") == 4L, s"inferred manifest wrong: $man")
+    // appends keep working post-migration
+    AnnOps.appendIvfPqIndex(
+      df.filter($"vid" < 4).select(($"vid" + 1000L).as("vid"), $"emb",
+        $"grp"), "vid", "emb", "grp", idx, 1L, partitions = 4)
+    assert(serve().nonEmpty)
   }
 
   test("deleteFromIndex: tombstoned ids vanish from serve, probe, and " +
@@ -2287,23 +2564,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("doc_id")).as[Long].collect().toSet
       assert(!ids.contains(2L), s"$dir still loads the tombstoned doc")
     }
-    // half-swapped crash window: the READ path is loud (a silent None
-    // would probe an empty index), and a MUTATOR self-repairs before
-    // committing (a commit into the window would poison the next
-    // recovery into deleting the stranded old generation)
-    assert(new java.io.File(s"$plain/batches")
-      .renameTo(new java.io.File(s"$plain/batches-old")))
+    // crashed-maintenance window: READERS ignore a stranded lock
+    // (they resolve the committed pointer — nothing half-done is ever
+    // visible), MUTATORS fail loudly (they cannot tell a crashed
+    // maintenance run from a live one), recoverIndex releases it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$plain/.maintenance-lock"), "expire")
+    assert(DedupOps.loadMinhashIndex(s, plain).nonEmpty,
+      "a reader must ignore a maintenance lock")
     intercept[IllegalStateException] {
-      DedupOps.loadMinhashIndex(s, plain)
+      DedupOps.incrementalMinhashDedupDurable(
+        mk(Seq((30L, "another new document arrives just fine today"))),
+        "doc_id", "text", plain, 3L, 3, 4, 2, 0.5, partitions = 2)
     }
+    AnnOps.recoverIndex(s, plain)
     DedupOps.incrementalMinhashDedupDurable(
       mk(Seq((30L, "another new document arrives just fine today"))),
       "doc_id", "text", plain, 3L, 3, 4, 2, 0.5, partitions = 2)
     val idsAfter = DedupOps.loadMinhashIndex(s, plain).get
       .select(col("doc_id")).as[Long].collect().toSet
     assert(Set(1L, 3L, 4L, 10L, 20L, 30L).subsetOf(idsAfter),
-      s"mutator recovery lost the pre-crash corpus: $idsAfter")
-    assert(!new java.io.File(s"$plain/batches-old").exists())
+      s"post-recovery commit lost the pre-crash corpus: $idsAfter")
+    assert(!new java.io.File(s"$plain/.maintenance-lock").exists())
     // the legacy flat batch=N root layout fails loudly, even half-
     // migrated (dir/batches present AND stragglers at the root)
     val legacy = tmpDir("mh-legacy")
@@ -2318,6 +2600,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] {
       DedupOps.loadMinhashIndex(s, legacy)
     }
+    // the round-12 layout (batches/ at the root, no pointer) is loud
+    // too, and migrates — minhash banding is NOT inferable from stored
+    // signatures, so the migration demands it and declares it
+    val legacy12 = tmpDir("mh-legacy12")
+    DedupOps.minhashIndex(oldDocs, "doc_id", "text", 3, 4, 2,
+        partitions = 2)
+      .select(col("doc_id"), col("shs"), col("bkeys"))
+      .write.mode("overwrite").parquet(s"$legacy12/batches/batch=0")
+    intercept[IllegalStateException] {
+      DedupOps.loadMinhashIndex(s, legacy12)
+    }
+    intercept[IllegalArgumentException] {
+      AnnOps.migrateIndexToGenerations(s, legacy12) // params required
+    }
+    AnnOps.migrateIndexToGenerations(s, legacy12,
+      minhashParams = Some((3, 4, 2)))
+    val migrated = DedupOps.loadMinhashIndex(s, legacy12)
+    assert(migrated.nonEmpty && migrated.get.count() == 4,
+      "minhash migration lost rows")
+    assert(AnnOps.readIndexManifest(s, legacy12).params ==
+      Map("shingleK" -> 3L, "bands" -> 4L, "rows" -> 2L))
   }
 
   test("buildIvfPqIndex REBUILD clears stale append batches and " +

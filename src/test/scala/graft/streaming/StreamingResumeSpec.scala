@@ -101,12 +101,13 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val srcDir = Files.createTempDirectory("dedup-src-").toString
     val cp = Files.createTempDirectory("dedup-cp-").toString
 
-    // old corpus committed as batch -1
+    // old corpus committed as batch -1 (the commit helper bootstraps
+    // the manifest + generation pointer)
     val oldDocs = Seq((0L, tA), (1L, tB)).toDF("doc_id", "text")
-    graft.operators.DedupOps.minhashIndex(oldDocs, "doc_id", "text",
-        5, 2, 8, partitions = 2)
-      .select(col("doc_id"), col("shs"), col("bkeys"))
-      .write.mode("overwrite").parquet(s"$idxDir/batches/batch=-1")
+    graft.operators.DedupOps.commitMinhashIndexBatch(
+      graft.operators.DedupOps.minhashIndex(oldDocs, "doc_id", "text",
+        5, 2, 8, partitions = 2),
+      idxDir, batchId = -1L, 5, 2, 8)
 
     def writeDocs(rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").coalesce(1)
