@@ -3375,11 +3375,17 @@ object AnnOps {
       val gens = fs.listStatus(cp).toSeq.map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
       if (gens.isEmpty) None else Some(gens.max)
-    } else if (fs.exists(hpath(s"$indexDir/batches"))) {
+    } else if (Seq("batches", "batches-old", "codes-old", ".compact-new")
+        .exists(t => fs.exists(hpath(s"$indexDir/$t")))) {
+      // batches/ at the root is the round-12 layout; the -old/.compact-
+      // new forms are that layout's CRASH states (a silent None here
+      // would load an empty index, re-admit every duplicate, and let
+      // the next commit bootstrap a fresh index OVER the stranded
+      // pre-crash corpus — REVIEW)
       throw new IllegalStateException(
-        s"$indexDir uses the legacy pre-generation layout (batches/ " +
-          "at the root, no _commits/); run " +
-          "AnnOps.migrateIndexToGenerations once to migrate")
+        s"$indexDir uses the legacy pre-generation layout (root-level " +
+          "batches/ or its half-swapped crash debris, no _commits/); " +
+          "run AnnOps.migrateIndexToGenerations once to migrate")
     } else None
   }
 
@@ -3413,8 +3419,12 @@ object AnnOps {
   /** Create-exclusive maintenance lock — two maintenance runs cannot
     * interleave, and append paths fail loudly instead of racing the
     * window (the round-12 check-then-act ADVICE). The content names
-    * the holder (`compact:<targetGen>` / `expire`) so
-    * [[recoverIndex]] knows what a CRASHED holder left behind. */
+    * the holder, for humans only — [[recoverIndex]] repairs a crashed
+    * holder from on-disk state alone (unmarked generation dirs), so
+    * maintenance MUST resolve the live generation only AFTER acquiring
+    * this lock: a pre-lock resolution is a TOCTOU where two racing
+    * compactions both target gen g+1 and the loser deletes the
+    * winner's COMMITTED tree as debris (REVIEW). */
   private def acquireMaintenanceLock(s: SparkSession, indexDir: String,
       what: String): Unit = {
     val out = try indexFs(s, indexDir).create(lockPath(indexDir), false)
@@ -3548,21 +3558,21 @@ object AnnOps {
           "AnnOps.migrateIndexToGenerations to migrate")
     val lp = lockPath(indexDir)
     if (!fs.exists(lp)) return
-    val in = fs.open(lp)
-    val what = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    what.split(":", 2) match {
-      case Array("compact", t) if t.nonEmpty && t.forall(_.isDigit) =>
-        val target = t.toLong
-        if (!fs.exists(hpath(s"$indexDir/_commits/$target")))
-          // mid-build crash: the target generation never committed —
-          // it is invisible garbage; the old generation is live
-          fs.delete(hpath(genRoot(indexDir, target)), true)
-      // post-flip crash, expire, vacuum: every step after the marker
-      // create (or every expire/vacuum delete) is idempotent — the
-      // next maintenance run redoes the missed cleanup
-      case _ => ()
-    }
+    // repair from on-disk state, not the lock's content: with the lock
+    // held (and its holder dead), any generation dir WITHOUT a commit
+    // marker is a crashed run's invisible staging — delete it; every
+    // post-flip step (tombstone clearing, old-gen reclaim) is
+    // idempotent and redone by the next maintenance run
+    val gp = hpath(s"$indexDir/gens")
+    if (fs.exists(gp))
+      fs.listStatus(gp).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("gen="))
+        .map(st => (st.getPath, st.getPath.getName.stripPrefix("gen=")))
+        .filter { case (_, n) => n.nonEmpty && n.forall(_.isDigit) }
+        .filterNot { case (_, n) =>
+          fs.exists(hpath(s"$indexDir/_commits/$n")) }
+        .foreach { case (p, _) => fs.delete(p, true) }
     fs.delete(lp, false)
   }
 
@@ -3664,20 +3674,48 @@ object AnnOps {
     * Appends cannot race: they fail loudly on the `.maintenance-lock`
     * at entry and re-check lock + generation at their commit door, and
     * any batch that slipped through aborts THIS side via the
-    * both-trees pre-commit re-list. Tombstones clear only AFTER the
-    * flip — a crash in between re-applies them against
-    * already-compacted rows, an idempotent no-op; a tombstone batch
-    * committed mid-compaction survives the cleanup (only the snapshot
-    * this run APPLIED clears). */
+    * both-trees pre-commit re-list. The live generation is resolved
+    * only AFTER the lock is held (pre-lock resolution is the TOCTOU
+    * where two racing compactions target the same number and the
+    * loser deletes the winner's committed tree as debris — REVIEW).
+    *
+    * Tombstone lifecycle honors the SAME grace window as the old
+    * generation (REVIEW: clearing applied tombstones at the flip broke
+    * a serve still reading the retained old generation — gen g keeps
+    * the tombstoned rows physically, so it needs the anti-join until
+    * it is reclaimed): this run records WHICH tombstone batches it
+    * applied in `<newRoot>/_applied_tombstones` (written pre-flip, part
+    * of the immutable generation), and deletes the batches recorded by
+    * the PREVIOUS run — whose grace readers are going away with the
+    * generation being reclaimed in the same breath. Lingering applied
+    * tombstones anti-join rows that are already physically gone: an
+    * idempotent no-op for one cycle. A tombstone batch committed
+    * mid-compaction is not in the applied list and keeps anti-joining
+    * until the run after next.
+    *
+    * `minKeepBatchId` is the RETENTION face ([[expireBatches]]):
+    * batches below it are excluded from the new generation — a
+    * partition-pruned filter, so the dropped window is never even
+    * read — and their data is physically reclaimed when the old
+    * generation leaves the grace window. In-place subdir deletes
+    * would be cheaper but violate generation immutability, the exact
+    * invariant the uncoordinated-reader guarantee rests on. */
   def compactIndex(s: SparkSession, indexDir: String,
-      partitions: Int = 0): Unit = {
+      partitions: Int = 0,
+      minKeepBatchId: Long = Long.MinValue): Unit = {
     require(partitions >= 0, s"compactIndex: partitions=$partitions")
     val man = readIndexManifest(s, indexDir) // fail-fast typing
     val fs = indexFs(s, indexDir)
-    val g = currentGen(s, indexDir)
-    val target = g + 1
-    acquireMaintenanceLock(s, indexDir, s"compact:$target")
+    acquireMaintenanceLock(s, indexDir, s"compact(minKeep=" +
+      s"$minKeepBatchId)")
     var committed = false
+    // generation resolved UNDER the lock; target cannot be committed
+    // by anyone else while we hold it
+    val g = try currentGen(s, indexDir) catch {
+      case e: Throwable =>
+        fs.delete(lockPath(indexDir), false); throw e
+    }
+    val target = g + 1
     val newRoot = genRoot(indexDir, target)
     try {
       val root = genRoot(indexDir, g)
@@ -3689,12 +3727,13 @@ object AnnOps {
       // snapshot WHICH tombstone batches this compaction applies: a
       // deleteFromIndex that commits mid-compaction must survive the
       // cleanup (its ids are still present in the generation being
-      // installed) — only the applied batches clear (REVIEW 2)
+      // installed) — only the applied batches ever clear (REVIEW 2)
       val tsP = hpath(s"$indexDir/tombstones")
-      val tsBatchesApplied: Seq[org.apache.hadoop.fs.Path] =
+      val tsBatchesApplied: Seq[String] =
         if (!fs.exists(tsP)) Seq.empty
         else fs.listStatus(tsP).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch=")).map(_.getPath)
+          st.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName)
       def listTree(tree: String): Set[String] = {
         val p = hpath(s"$root/$tree")
         if (!fs.exists(p)) Set.empty
@@ -3711,24 +3750,40 @@ object AnnOps {
       val partCols =
         if (man.family == "minhash") Seq("batch") else Seq("batch", "cell")
       // debris from a crashed run whose lock was hand-removed without
-      // recoverIndex — the uncommitted dir is invisible garbage
+      // recoverIndex — an uncommitted dir at our target is garbage
+      // (nobody can have committed `target` while we hold the lock)
       if (fs.exists(hpath(newRoot))) fs.delete(hpath(newRoot), true)
+      def prep(src: String): DataFrame =
+        minusTombstones(s.read.parquet(s"$root/$src"), ts, idCol)
+          // retention: a partition filter, so expired batches are
+          // pruned at the scan — the rewrite reads only the retained
+          // window
+          .filter(col("batch").cast("long") >= minKeepBatchId)
       def writeGen(rows: DataFrame, src: String): Unit =
         rows.repartition(nparts, partCols.map(col): _*)
           .write.partitionBy(partCols: _*).parquet(s"$newRoot/$src")
-      val batchRows =
-        minusTombstones(s.read.parquet(s"$root/batches"), ts, idCol)
-      // an all-rows tombstone set would write an EMPTY generation, and
-      // a later parquet read of it cannot infer a schema — refuse
-      // loudly (an index with nothing left should be dropped)
+      val batchRows = prep("batches")
+      // an all-rows tombstone set (or an expire-everything retention
+      // cut) would write an EMPTY generation, and a later parquet read
+      // of it cannot infer a schema — refuse loudly (an index with
+      // nothing left should be dropped, not maintained empty)
       require(!batchRows.isEmpty,
-        "compactIndex: tombstones cover every stored row; " +
-          "drop the index instead of compacting it empty")
+        "compactIndex: tombstones/retention cover every stored row " +
+          s"(minKeepBatchId=$minKeepBatchId); drop the index instead " +
+          "of compacting it empty")
       writeGen(batchRows, "batches")
       val hasCodes = fs.exists(hpath(s"$root/codes"))
-      if (hasCodes)
-        writeGen(minusTombstones(s.read.parquet(s"$root/codes"), ts,
-          idCol), "codes")
+      if (hasCodes) writeGen(prep("codes"), "codes")
+      // the applied-tombstone record rides IN the new generation
+      // (pre-flip, immutable with it); the next maintenance run clears
+      // these batches when this generation's predecessor — the last
+      // reader that still needs them — is reclaimed
+      if (tsBatchesApplied.nonEmpty) {
+        val out = fs.create(hpath(s"$newRoot/_applied_tombstones"), true)
+        out.write(tsBatchesApplied.sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
       // pre-commit re-list of BOTH trees: an append that slipped past
       // the lock check before this run acquired it aborts THIS side —
       // the new generation is discarded, the append survives, a re-run
@@ -3745,18 +3800,36 @@ object AnnOps {
       commitGen(s, indexDir, target) // THE atomic flip
       committed = true
       // post-flip cleanup — every step idempotent (a crash here is
-      // repaired by recoverIndex + redone by the next run): clear only
-      // the APPLIED tombstone batches, reclaim generations older than
-      // the grace window
-      tsBatchesApplied.foreach(p => fs.delete(p, true))
-      if (fs.exists(tsP) && fs.listStatus(tsP).isEmpty)
-        fs.delete(tsP, true)
+      // repaired by recoverIndex + redone by the next run): clear the
+      // tombstone batches the PREVIOUS generation recorded as applied,
+      // then reclaim generations older than the grace window
+      clearAppliedTombstones(s, indexDir, root)
       cleanupGens(s, indexDir, keepFrom = g)
     } catch {
       case e: Throwable =>
         if (!committed) fs.delete(hpath(newRoot), true)
         throw e
     } finally fs.delete(lockPath(indexDir), false)
+  }
+
+  /** Delete the tombstone batches recorded as applied by the
+    * generation at `genRootDir` — called exactly when that
+    * generation's own grace window closes (its predecessor readers
+    * are gone with it). Idempotent: missing batches no-op. */
+  private def clearAppliedTombstones(s: SparkSession, indexDir: String,
+      genRootDir: String): Unit = {
+    val fs = indexFs(s, indexDir)
+    val rec = hpath(s"$genRootDir/_applied_tombstones")
+    if (!fs.exists(rec)) return
+    val in = fs.open(rec)
+    val names = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    names.split("\n").filter(_.nonEmpty).foreach { b =>
+      fs.delete(hpath(s"$indexDir/tombstones/$b"), true)
+    }
+    val tsP = hpath(s"$indexDir/tombstones")
+    if (fs.exists(tsP) && fs.listStatus(tsP).isEmpty)
+      fs.delete(tsP, true)
   }
 
   /** Reclaim generation dirs older than `keepFrom` (and their
@@ -3783,60 +3856,45 @@ object AnnOps {
     * that wants the grace window's disk back before the next
     * compaction. Callers own the drain: any serve still reading an old
     * generation fails (loudly) once its files vanish, so run this
-    * after in-flight queries complete. */
+    * after in-flight queries complete. Clears the live generation's
+    * applied-tombstone record too — the only readers that still needed
+    * those batches were on the generations being deleted. */
   def vacuumIndexGenerations(s: SparkSession, indexDir: String): Unit = {
-    val g = currentGen(s, indexDir)
     acquireMaintenanceLock(s, indexDir, "vacuum")
-    try cleanupGens(s, indexDir, keepFrom = g)
-    finally indexFs(s, indexDir).delete(lockPath(indexDir), false)
+    try {
+      val g = currentGen(s, indexDir) // resolved under the lock
+      clearAppliedTombstones(s, indexDir, genRoot(indexDir, g))
+      cleanupGens(s, indexDir, keepFrom = g)
+    } finally indexFs(s, indexDir).delete(lockPath(indexDir), false)
   }
 
   /** RETENTION for a durable index — the reference ingester's
     * delete-behind discipline (cpp/ingester/src/ingester.cpp:424-490)
     * applied to index batches: a rolling-window training corpus drops
-    * WHOLE old append batches wholesale, which neither tombstones
-    * (per-id, paid on every read until compaction) nor compaction
-    * (rewrites everything) express. Batch ids are caller-chosen and
-    * ordered (dates in a deployment), so the knob is the oldest batch
-    * to KEEP — min-age, the delete-behind shape; arbitrary-id
-    * takedowns stay [[deleteFromIndex]]'s job.
+    * WHOLE old append batches, which per-id tombstones don't express.
+    * Batch ids are caller-chosen and ordered (dates in a deployment),
+    * so the knob is the oldest batch to KEEP — min-age, the
+    * delete-behind shape; arbitrary-id takedowns stay
+    * [[deleteFromIndex]]'s job.
     *
-    * Drops every `batches/batch=<b>` (and `codes/batch=<b>`) with
-    * `b < minKeepBatchId` from the live generation, ROWS TREE FIRST:
-    * a crash in between leaves codes-without-rows, whose ids generate
-    * no candidates (invisible, consistent — the append commit order's
-    * mirror), and the idempotent re-run completes the codes side.
-    * Takes the maintenance lock (appends fail loudly rather than race)
-    * and refuses to empty the index. The s27 oracle pins the ceiling
-    * serve over retained batches == brute force over the retained
-    * corpus; replay idempotence is spec'd. */
+    * This is [[compactIndex]] with the retention cut: the new
+    * generation simply excludes `batch < minKeepBatchId` — a PARTITION
+    * filter, so the expired window is never even read — and the
+    * dropped data is physically reclaimed when the old generation
+    * leaves the grace window. Deliberately NOT in-place subdir deletes
+    * (the round-12 sketch): uncoordinated readers rely on committed
+    * generations being immutable, and deleting batch dirs out of the
+    * live tree fails or tears any serve that resolved it — the exact
+    * failure the generation pointer exists to kill. The trade (a
+    * retained-window rewrite instead of O(dropped) deletes) buys
+    * reader safety and folds retention into the maintenance pass a
+    * deployment already schedules; the batch-partitioned layout keeps
+    * the rewrite's scan at O(retained). The s27 oracle pins the
+    * ceiling serve over retained batches == brute force over the
+    * retained corpus; replay idempotence is spec'd. */
   def expireBatches(s: SparkSession, indexDir: String,
-      minKeepBatchId: Long): Unit = {
-    val man = readIndexManifest(s, indexDir) // loud on non-index dirs
-    val fs = indexFs(s, indexDir)
-    val g = currentGen(s, indexDir)
-    acquireMaintenanceLock(s, indexDir, "expire")
-    try {
-      val root = genRoot(indexDir, g)
-      def batchDirs(tree: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
-        val p = hpath(s"$root/$tree")
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("batch="))
-          .map(st => (st.getPath,
-            st.getPath.getName.stripPrefix("batch=").toLong))
-      }
-      val rows = batchDirs("batches")
-      val (drop, keep) = rows.partition(_._2 < minKeepBatchId)
-      require(keep.nonEmpty,
-        s"expireBatches: minKeepBatchId=$minKeepBatchId would drop " +
-          s"every stored batch of ${man.family} index $indexDir — " +
-          "drop the index instead")
-      drop.foreach { case (p, _) => fs.delete(p, true) }
-      batchDirs("codes").filter(_._2 < minKeepBatchId)
-        .foreach { case (p, _) => fs.delete(p, true) }
-    } finally fs.delete(lockPath(indexDir), false)
-  }
+      minKeepBatchId: Long, partitions: Int = 0): Unit =
+    compactIndex(s, indexDir, partitions, minKeepBatchId)
 
   /** BUILD a durable IVF-PQ index — the production serving shape
     * [[filteredTopKIvfPq]] computes inline: index the corpus ONCE,
@@ -3909,9 +3967,15 @@ object AnnOps {
     // keep serving during a re-train builds into a FRESH indexDir and
     // flips its own pointer — the documented re-train-deliberately
     // flow.
+    // ... but NOT a live maintenance run's lock: a rebuild cannot tell
+    // a crashed compaction from a running one any more than an append
+    // can — deleting the lock (and gens/) under a live run would let
+    // it commit a marker over the rebuild's generation 0 (REVIEW).
+    // Fail loudly; the operator runs recoverIndex for a crashed run.
+    requireNoMaintenance(s, indexDir, "buildIvfPqIndex")
     locally {
       val fs = indexFs(s, indexDir)
-      Seq("gens", "_commits", "_index.json", ".maintenance-lock",
+      Seq("gens", "_commits", "_index.json",
         "tombstones", "batches", "codes", "batches-old", "codes-old",
         ".compact-new").foreach { t =>
         val p = hpath(s"$indexDir/$t")
@@ -5777,17 +5841,25 @@ object PrepOps {
         .contains(ordType),
       s"groupedCumSum: ord must be integral for deterministic " +
         s"order-aligned sharding, got $ordType")
+    // NULL-safe end to end (REVIEW): the window spelling this replaces
+    // kept NULL groups (their own partition) and NULL ords (sorted
+    // first, mutual peers), so the joins below use null-safe equality
+    // and NULL ords land in shard −1 — ordered before every real shard,
+    // exactly where the old nulls-first sort put them. Plain inner
+    // joins would silently DROP those documents from the pack output.
     val stats = in.groupBy(col("group"))
       .agg(min(col("ord").cast("long")).as("_glo"),
         max(col("ord").cast("long")).as("_ghi"))
+      .withColumnRenamed("group", "_g")
     // exact long floor division (div) end to end; width ≥ 1 and
     // shard ≤ (max−min) div width < S by construction, no overflow
     // for any ord range that itself fits a long difference (ANSI mode
     // throws loudly on the pathological full-range exception)
-    val sharded = in.join(stats, Seq("group"))
-      .withColumn("_shard", expr("(cast(ord as bigint) - _glo) div " +
-        s"((_ghi - _glo) div ${shards}L + 1L)"))
-      .drop("_glo", "_ghi")
+    val sharded = in.join(stats, col("group") <=> col("_g"))
+      .withColumn("_shard", coalesce(
+        expr("(cast(ord as bigint) - _glo) div " +
+          s"((_ghi - _glo) div ${shards}L + 1L)"), lit(-1L)))
+      .drop("_g", "_glo", "_ghi")
     val wIn = Window.partitionBy(col("group"), col("_shard"))
       .orderBy(col("ord"))
     val wOff = Window.partitionBy(col("group")).orderBy(col("_shard"))
@@ -5795,11 +5867,13 @@ object PrepOps {
     val offs = sharded.groupBy(col("group"), col("_shard"))
       .agg(sum(col("toks")).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
-      .select(col("group"), col("_shard"), col("_off"))
+      .select(col("group").as("_g2"), col("_shard").as("_s2"),
+        col("_off"))
     sharded.withColumn("_wcum", sum(col("toks")).over(wIn))
-      .join(offs, Seq("group", "_shard"))
+      .join(offs, col("group") <=> col("_g2") &&
+        col("_shard") <=> col("_s2"))
       .withColumn("cum", col("_wcum") + col("_off"))
-      .drop("_shard", "_wcum", "_off")
+      .drop("_g2", "_s2", "_shard", "_wcum", "_off")
   }
 
   /** Contiguous sequence packing: rows are concatenated in `orderCol`
@@ -5926,7 +6000,11 @@ object PrepOps {
     val uniq = df.agg(count(lit(1)).as("n"),
       count_distinct(col(keyCols.head),
         keyCols.tail.map(col): _*).as("nd"),
-      sum(when(anyNull, 1L).otherwise(0L)).as("nn")).head()
+      // coalesce: sum over ZERO rows is NULL, and a bare getLong on it
+      // NPEs — empty input must keep returning the empty shuffle, the
+      // pre-round-13 contract (REVIEW)
+      coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
+        .as("nn")).head()
     require(uniq.getLong(2) == 0L,
       s"epochShuffle: ${uniq.getLong(2)} row(s) carry NULL in " +
         s"keyCols ${keyCols.mkString(",")} — NULL keys cannot derive " +

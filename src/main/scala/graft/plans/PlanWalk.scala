@@ -58,6 +58,26 @@ object PlanWalk {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  /** Every FileSourceScan over a durable index's stored trees — ONE
+    * spelling of the generation-aware path match (the index root plus
+    * a `/batches` or `/codes` segment anywhere below it, so the
+    * gens/gen=<n> nesting matches without pinning a generation),
+    * shared by the plan gates and both measurement probes (REVIEW:
+    * three hand-rolled copies of this predicate had to change together
+    * when the layout moved under generations). Pass `trees` to
+    * restrict to one tree. */
+  def indexScans(plans: Seq[SparkPlan], indexDir: String,
+      trees: Seq[String] = Seq("batches", "codes"))
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    plans.flatMap(allNodes).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists { p =>
+            val str = p.toString
+            str.contains(s"$indexDir/") &&
+              trees.exists(t => str.contains(s"/$t"))
+          } => f
+    }
+
   /** Recursive parquet-file listing (local paths — probe/spec duty,
     * not a DFS reader). */
   def parquetFiles(dir: String): Seq[String] = {

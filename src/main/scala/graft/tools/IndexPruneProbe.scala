@@ -65,12 +65,7 @@ object IndexPruneProbe {
     val totalFiles = treeFiles()
 
     def indexScans(plans: Seq[SparkPlan]): Seq[FileSourceScanExec] =
-      plans.flatMap(PlanWalk.allNodes).collect {
-        case f: FileSourceScanExec if f.relation.location.rootPaths
-          .exists(p => p.toString.contains(s"$idx/") &&
-            (p.toString.contains("/batches") ||
-              p.toString.contains("/codes"))) => f
-      }
+      PlanWalk.indexScans(plans, idx)
 
     def serveAt(nprobe: Int): (Long, Long, Double) = {
       var sec = 0.0

@@ -58,12 +58,7 @@ object IndexServeCurve {
     val queries = emb.filter($"vec_id" < 64).localCheckpoint()
 
     def indexScans(plans: Seq[SparkPlan]): Seq[FileSourceScanExec] =
-      plans.flatMap(PlanWalk.allNodes).collect {
-        case f: FileSourceScanExec if f.relation.location.rootPaths
-          .exists(p => p.toString.contains(s"$idx/") &&
-            (p.toString.contains("/batches") ||
-              p.toString.contains("/codes"))) => f
-      }
+      PlanWalk.indexScans(plans, idx)
 
     /** One serve: (result rows as (qid, Set[neighbor]), files, sec). */
     def serveAt(nprobe: Int, depth: Int)
@@ -137,14 +132,20 @@ object IndexServeCurve {
           s"${graft.operators.AnnOps.liveIndexRoot(spark, idx)}/batches")
         .select($"id").filter($"id" >= 64 && $"id" % 7 === 0),
       "id", idx, batchId = 99L)
-    val (_, sprawl) = sweep()
+    val (truthSprawl, sprawl) = sweep()
     val t0 = System.nanoTime()
     graft.operators.AnnOps.compactIndex(spark, idx)
     val compactSec = (System.nanoTime() - t0) / 1e9
     val (truthC, compacted) = sweep()
-    // sanity: the appends/deletes changed the corpus, but compaction
-    // must not change the ceiling truth vs the pre-compaction sweep
-    require(truthC.keySet.nonEmpty, "empty post-compaction truth")
+    // REAL sanity (REVIEW: a non-empty check is vacuous): compaction
+    // must not move the ceiling truth — tombstones were anti-joined
+    // pre-compaction and physically dropped post, so the two maps must
+    // be row-identical or the probe is pricing a corrupted index
+    require(truthC == truthSprawl,
+      "compaction changed the ceiling truth: " +
+        s"${truthC.size} vs ${truthSprawl.size} queries, diff keys " +
+        (truthC.keySet union truthSprawl.keySet)
+          .filter(k => truthC.get(k) != truthSprawl.get(k)).take(5))
 
     println(s"""{"metric":"serve_curve","sf_dir":"$sfDir","n":$n,""" +
       s""""cells":$cells,"k":$k,"queries":64,""" +

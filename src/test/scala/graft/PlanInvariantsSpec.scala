@@ -561,11 +561,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
       partitions = 4)
     def indexScans(plans: Seq[SparkPlan], tree: String) =
-      plans.flatMap(allNodes).collect {
-        case f: FileSourceScanExec if f.relation.location.rootPaths
-            .exists(p => p.toString.contains(s"$idx/") &&
-              p.toString.contains(s"/$tree")) => f
-      }
+      graft.plans.PlanWalk.indexScans(plans, idx, Seq(tree))
     val plans = capturePlans(p =>
       indexScans(p, "batches").nonEmpty &&
         indexScans(p, "codes").nonEmpty) {
@@ -604,11 +600,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       mk(0 until 30), "vid", "emb", idx, 0L, threshold = 0.8,
       cells = 3, iters = 2, probe = false)
     def indexScans(plans: Seq[SparkPlan]) =
-      plans.flatMap(allNodes).collect {
-        case f: FileSourceScanExec if f.relation.location.rootPaths
-            .exists(p => p.toString.contains(s"$idx/") &&
-              p.toString.contains("/batches")) => f
-      }
+      graft.plans.PlanWalk.indexScans(plans, idx, Seq("batches"))
     val plans = capturePlans(p => indexScans(p).nonEmpty) {
       graft.operators.AnnOps.incrementalSemanticDedupDurable(
         mk(30 until 40), "vid", "emb", idx, 1L, threshold = 0.8,

@@ -2497,12 +2497,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(audit == Map(0L -> 57L, 1L -> 19L),
       s"audit must price the index minus deletes: $audit")
-    // compaction physically drops tombstoned rows and clears the
-    // tombstone tree; serve and audit are unchanged
+    // compaction physically drops tombstoned rows; the tombstone
+    // batches themselves survive ONE grace cycle (a serve still
+    // reading the retained old generation needs the anti-join — the
+    // rows are physically present THERE) and clear with the next
+    // maintenance pass, when that generation is reclaimed
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(new java.io.File(s"$idx/tombstones").exists(),
+      "applied tombstones must survive the grace cycle (old-gen " +
+        "readers still need the anti-join)")
+    assert(serve(4, Int.MaxValue) == served, "post-compact serve drifted")
     AnnOps.compactIndex(s, idx, partitions = 4)
     assert(!new java.io.File(s"$idx/tombstones").exists(),
-      "applied tombstones must clear after compaction")
-    assert(serve(4, Int.MaxValue) == served, "post-compact serve drifted")
+      "applied tombstones must clear when their grace window closes")
+    assert(serve(4, Int.MaxValue) == served,
+      "second-compaction serve drifted")
     assert(AnnOps.semanticIndexDriftAudit(s, idx).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == audit)
     // the dedup-index face: a deleted accumulated doc neither pairs
@@ -2546,8 +2555,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = tmpDir("mh-plain"); seed(plain)
     val compacted = tmpDir("mh-compact"); seed(compacted)
     AnnOps.compactIndex(s, compacted, partitions = 2)
+    // applied tombstones clear one grace cycle later — vacuum closes
+    // the window explicitly (the deployment's drained-readers call)
+    AnnOps.vacuumIndexGenerations(s, compacted)
     assert(!new java.io.File(s"$compacted/tombstones").exists(),
-      "applied tombstones must clear after compaction")
+      "applied tombstones must clear once the grace window closes")
     def probe(dir: String) = DedupOps.incrementalMinhashDedupDurable(
         newDocs, "doc_id", "text", dir, 2L, 3, 4, 2, 0.5,
         partitions = 2)

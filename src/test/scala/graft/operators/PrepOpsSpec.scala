@@ -43,6 +43,57 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("g2", 0L)) == (2L, 11L))   // 9 starts at 0, 2 starts at 9
   }
 
+  test("packSequences: NULL groups and NULL ords survive the " +
+      "distributed two-pass exactly as the single-window spelling " +
+      "kept them (null group = its own partition, null ords first " +
+      "and mutual peers)") {
+    val s = spark
+    import s.implicits._
+    // NULL group rows AND a null-ord row inside a real group: the
+    // null-unsafe inner-join spelling silently dropped all of them
+    // (REVIEW) — documents vanishing from training packs with no error
+    val df = Seq(
+      (Some("g1"), Some(1L), 4L), (Some("g1"), Some(2L), 4L),
+      (Some("g1"), None, 7L),     // null ord: packs FIRST in g1
+      (None, Some(1L), 9L), (None, Some(2L), 2L), // null group
+      (None, None, 3L))           // null group AND null ord
+      .toDF("src", "ord", "toks")
+    val out = PrepOps.packSequences(df, "src", "ord", "toks", 10L)
+      .collect()
+      .map(r => ((Option(r.getString(0)), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // g1: null-ord(7) starts at 0, then 1L(4) starts at 7 -> pack 0;
+    // 2L(4) starts at 11 -> pack 1
+    assert(out((Some("g1"), 0L)) == (2L, 11L), s"g1 pack 0: $out")
+    assert(out((Some("g1"), 1L)) == (1L, 4L), s"g1 pack 1: $out")
+    // null group: null-ord(3) first, 1L(9) starts at 3 -> pack 0;
+    // 2L(2) starts at 12 -> pack 1
+    assert(out((None, 0L)) == (2L, 12L), s"null-group pack 0: $out")
+    assert(out((None, 1L)) == (1L, 2L), s"null-group pack 1: $out")
+    // nothing dropped: total docs and tokens conserved
+    assert(out.values.map(_._1).sum == 6L &&
+      out.values.map(_._2).sum == 29L, s"rows lost: $out")
+  }
+
+  test("epochShuffle: empty input returns the empty shuffle (no NPE " +
+      "from the null aggregate row)") {
+    val s = spark
+    import s.implicits._
+    val out = PrepOps.epochShuffle(
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"), epochs = 3)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("id", "v", "epoch", "bucket", "pos"))
+    // and NULL keys get their own message, not a misleading
+    // "not unique"
+    val e = intercept[IllegalArgumentException] {
+      PrepOps.epochShuffle(
+        Seq((Some(1L), "a"), (None, "b")).toDF("id", "v"),
+        Seq("id"), epochs = 2).count()
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("stratifiedSampleByHash is deterministic and per-stratum") {
     val s = spark
     import s.implicits._
