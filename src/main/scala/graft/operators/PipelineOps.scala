@@ -3481,10 +3481,37 @@ object AnnOps {
     * the tombstone machinery. */
   private[operators] def loadTombstones(s: SparkSession,
       indexDir: String): Option[DataFrame] = {
+    val batches = listTombstoneBatches(s, indexDir).map(_._1)
+    // committed BATCHES, not a bare dir-exists: the tombstones/ parent
+    // dir legitimately outlives its last batch (deleting an
+    // emptied-out parent is a check-then-act race with an
+    // uncoordinated deleteFromIndex commit — REVIEW 3), and a parquet
+    // read of an empty dir throws instead of meaning "no deletes"
+    if (batches.isEmpty) None
+    else Some(s.read.parquet(batches.map(b =>
+      s"$indexDir/tombstones/$b"): _*).select(col("id")))
+  }
+
+  /** Committed tombstone batch dirs as (name, content fingerprint).
+    * The fingerprint (part-file names + lengths — parquet overwrites
+    * always produce fresh part names) lets the applied-record
+    * machinery tell "this exact content was applied" from "the batch
+    * was overwritten since" (REVIEW 3: name-only records wholesale-
+    * deleted batches whose post-application overwrites were never
+    * dropped from the grace generation — served takedowns). */
+  private def listTombstoneBatches(s: SparkSession,
+      indexDir: String): Seq[(String, String)] = {
+    val fs = indexFs(s, indexDir)
     val p = hpath(s"$indexDir/tombstones")
-    if (indexFs(s, indexDir).exists(p))
-      Some(s.read.parquet(p.toString).select(col("id")))
-    else None
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+      .map { st =>
+        val fp = fs.listStatus(st.getPath).toSeq
+          .map(f => s"${f.getPath.getName}:${f.getLen}")
+          .sorted.mkString(",")
+        (st.getPath.getName, fp)
+      }
   }
 
   /** Stored rows minus the tombstoned ids (joined on `idCol` — the
@@ -3723,17 +3750,20 @@ object AnnOps {
         s"compactIndex: $indexDir gen $g has no batches tree")
       val nparts = if (partitions > 0) partitions
         else s.sessionState.conf.numShufflePartitions
-      val ts = loadTombstones(s, indexDir)
-      // snapshot WHICH tombstone batches this compaction applies: a
-      // deleteFromIndex that commits mid-compaction must survive the
-      // cleanup (its ids are still present in the generation being
-      // installed) — only the applied batches ever clear (REVIEW 2)
-      val tsP = hpath(s"$indexDir/tombstones")
-      val tsBatchesApplied: Seq[String] =
-        if (!fs.exists(tsP)) Seq.empty
-        else fs.listStatus(tsP).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch="))
-          .map(_.getPath.getName)
+      // ONE snapshot drives BOTH the anti-join and the applied record:
+      // list the batch dirs (with content fingerprints) first, then
+      // read exactly those paths. Loading the whole tombstones dir
+      // after a separate listing let a batch committing in between be
+      // RECORDED as applied without its rows ever being anti-joined
+      // out (REVIEW 3) — the applied set must be a subset of what was
+      // applied, never a superset; a deleteFromIndex that commits
+      // mid-compaction is neither applied nor recorded and keeps
+      // anti-joining until the next run (REVIEW 2).
+      val tsApplied = listTombstoneBatches(s, indexDir)
+      val ts: Option[DataFrame] =
+        if (tsApplied.isEmpty) None
+        else Some(s.read.parquet(tsApplied.map(b =>
+          s"$indexDir/tombstones/${b._1}"): _*).select(col("id")))
       def listTree(tree: String): Set[String] = {
         val p = hpath(s"$root/$tree")
         if (!fs.exists(p)) Set.empty
@@ -3775,12 +3805,16 @@ object AnnOps {
       val hasCodes = fs.exists(hpath(s"$root/codes"))
       if (hasCodes) writeGen(prep("codes"), "codes")
       // the applied-tombstone record rides IN the new generation
-      // (pre-flip, immutable with it); the next maintenance run clears
-      // these batches when this generation's predecessor — the last
-      // reader that still needs them — is reclaimed
-      if (tsBatchesApplied.nonEmpty) {
+      // (pre-flip, immutable with it) as (name TAB fingerprint) lines;
+      // the next maintenance run clears these batches when this
+      // generation's predecessor — the last reader that still needs
+      // them — is reclaimed, and ONLY if the fingerprint still matches
+      // (an overwritten batch carries ids this generation never
+      // dropped — it must keep anti-joining, REVIEW 3)
+      if (tsApplied.nonEmpty) {
         val out = fs.create(hpath(s"$newRoot/_applied_tombstones"), true)
-        out.write(tsBatchesApplied.sorted.mkString("\n")
+        out.write(tsApplied.sortBy(_._1)
+          .map { case (n, fp) => s"$n\t$fp" }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
       }
@@ -3815,21 +3849,33 @@ object AnnOps {
   /** Delete the tombstone batches recorded as applied by the
     * generation at `genRootDir` — called exactly when that
     * generation's own grace window closes (its predecessor readers
-    * are gone with it). Idempotent: missing batches no-op. */
+    * are gone with it). Safety rails (REVIEW 3): a batch is deleted
+    * ONLY if its current content fingerprint matches the recorded one
+    * — an overwrite since application carries ids the grace
+    * generation never dropped, so it stays and anti-joins until a
+    * later run applies and re-records it; the processed record file is
+    * deleted so a stale record can never wholesale-delete a
+    * RE-CREATED batch under a recycled name; and the tombstones/
+    * parent dir is never removed (emptiness-then-delete races an
+    * uncoordinated deleteFromIndex commit — a returned-success
+    * takedown silently destroyed). */
   private def clearAppliedTombstones(s: SparkSession, indexDir: String,
       genRootDir: String): Unit = {
     val fs = indexFs(s, indexDir)
     val rec = hpath(s"$genRootDir/_applied_tombstones")
     if (!fs.exists(rec)) return
     val in = fs.open(rec)
-    val names = try new String(in.readAllBytes(),
+    val lines = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    names.split("\n").filter(_.nonEmpty).foreach { b =>
-      fs.delete(hpath(s"$indexDir/tombstones/$b"), true)
+    val current = listTombstoneBatches(s, indexDir).toMap
+    lines.split("\n").filter(_.nonEmpty).foreach { line =>
+      line.split("\t", 2) match {
+        case Array(name, fp) if current.get(name).contains(fp) =>
+          fs.delete(hpath(s"$indexDir/tombstones/$name"), true)
+        case _ => () // overwritten, already gone, or malformed: keep
+      }
     }
-    val tsP = hpath(s"$indexDir/tombstones")
-    if (fs.exists(tsP) && fs.listStatus(tsP).isEmpty)
-      fs.delete(tsP, true)
+    fs.delete(rec, false)
   }
 
   /** Reclaim generation dirs older than `keepFrom` (and their
@@ -3967,20 +4013,28 @@ object AnnOps {
     // keep serving during a re-train builds into a FRESH indexDir and
     // flips its own pointer — the documented re-train-deliberately
     // flow.
-    // ... but NOT a live maintenance run's lock: a rebuild cannot tell
-    // a crashed compaction from a running one any more than an append
-    // can — deleting the lock (and gens/) under a live run would let
-    // it commit a marker over the rebuild's generation 0 (REVIEW).
-    // Fail loudly; the operator runs recoverIndex for a crashed run.
-    requireNoMaintenance(s, indexDir, "buildIvfPqIndex")
+    // The destructive reset runs UNDER the maintenance lock (REVIEW:
+    // a bare requireNoMaintenance is check-then-act — a compaction
+    // acquiring the lock right after the check would race the reset;
+    // holding the lock makes it fail loudly at ITS door instead). A
+    // crashed compaction's stranded lock also fails the acquire — the
+    // operator runs recoverIndex first, the mutator discipline. The
+    // lock releases after the wipe: from then until this build's
+    // marker commit, any maintenance/append fails loudly one step in
+    // (no manifest, no committed generation). Wipe order is
+    // reader-friendly: manifest first (readers gate on it with the
+    // cleanest error), pointer second, trees last.
     locally {
       val fs = indexFs(s, indexDir)
-      Seq("gens", "_commits", "_index.json",
-        "tombstones", "batches", "codes", "batches-old", "codes-old",
-        ".compact-new").foreach { t =>
-        val p = hpath(s"$indexDir/$t")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      acquireMaintenanceLock(s, indexDir, "rebuild")
+      try {
+        Seq("_index.json", "_commits", "gens",
+          "tombstones", "batches", "codes", "batches-old", "codes-old",
+          ".compact-new").foreach { t =>
+          val p = hpath(s"$indexDir/$t")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      } finally fs.delete(lockPath(indexDir), false)
     }
     val (members, cent, kmeansRelease) =
       kmeansFromStagedWithCentReleasable(v, cells, iters,

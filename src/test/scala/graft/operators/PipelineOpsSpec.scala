@@ -2502,18 +2502,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reading the retained old generation needs the anti-join — the
     // rows are physically present THERE) and clear with the next
     // maintenance pass, when that generation is reclaimed
+    def tombstoneBatches() = Option(
+      new java.io.File(s"$idx/tombstones").listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
     AnnOps.compactIndex(s, idx, partitions = 4)
-    assert(new java.io.File(s"$idx/tombstones").exists(),
+    assert(tombstoneBatches() == 1,
       "applied tombstones must survive the grace cycle (old-gen " +
         "readers still need the anti-join)")
     assert(serve(4, Int.MaxValue) == served, "post-compact serve drifted")
     AnnOps.compactIndex(s, idx, partitions = 4)
-    assert(!new java.io.File(s"$idx/tombstones").exists(),
+    assert(tombstoneBatches() == 0,
       "applied tombstones must clear when their grace window closes")
     assert(serve(4, Int.MaxValue) == served,
       "second-compaction serve drifted")
+    // the audit still prices exactly the original index-minus-deletes
+    // BEFORE the overwrite exercise below removes more rows
     assert(AnnOps.semanticIndexDriftAudit(s, idx).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == audit)
+    // OVERWRITE SAFETY: a tombstone batch re-written AFTER a
+    // compaction applied it carries ids that compaction never dropped
+    // — the fingerprint mismatch must keep the batch anti-joining
+    // (name-only clearing would delete the takedown wholesale)
+    AnnOps.deleteFromIndex(Seq(42L).toDF("vid"), "vid", idx, 9L)
+    AnnOps.compactIndex(s, idx, partitions = 4) // applies + records 9
+    AnnOps.deleteFromIndex(Seq(42L, 45L).toDF("vid"), "vid", idx, 9L)
+    AnnOps.compactIndex(s, idx, partitions = 4) // fingerprint mismatch
+    assert(tombstoneBatches() == 1,
+      "an overwritten applied batch must survive the clear (its new " +
+        "ids were never dropped from the grace generation)")
+    val served2 = serve(4, Int.MaxValue)
+    assert(!served2.exists(t => t._2 == 42L || t._2 == 45L),
+      s"an overwritten tombstone stopped anti-joining: $served2")
+    // two more cycles: the re-recorded batch clears once ITS grace
+    // window closes, and the rows stay gone
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    AnnOps.compactIndex(s, idx, partitions = 4)
+    assert(tombstoneBatches() == 0,
+      "the re-applied overwrite must clear eventually")
+    assert(serve(4, Int.MaxValue) == served2,
+      "post-clear serve drifted")
+    // the audit prices the two extra takedowns (42, 45 — both in
+    // batch 0) once they are physically applied
+    assert(AnnOps.semanticIndexDriftAudit(s, idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      audit.map { case (b, n) => b -> (if (b == 0L) n - 2 else n) })
     // the dedup-index face: a deleted accumulated doc neither pairs
     // nor roots a delegation group
     val didx = tmpDir("del-dedup")
@@ -2556,9 +2588,13 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val compacted = tmpDir("mh-compact"); seed(compacted)
     AnnOps.compactIndex(s, compacted, partitions = 2)
     // applied tombstones clear one grace cycle later — vacuum closes
-    // the window explicitly (the deployment's drained-readers call)
+    // the window explicitly (the deployment's drained-readers call);
+    // the parent dir deliberately remains (deleting an emptied parent
+    // races a concurrent deleteFromIndex commit)
     AnnOps.vacuumIndexGenerations(s, compacted)
-    assert(!new java.io.File(s"$compacted/tombstones").exists(),
+    assert(Option(new java.io.File(s"$compacted/tombstones")
+        .listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 0,
       "applied tombstones must clear once the grace window closes")
     def probe(dir: String) = DedupOps.incrementalMinhashDedupDurable(
         newDocs, "doc_id", "text", dir, 2L, 3, 4, 2, 0.5,
