@@ -740,6 +740,60 @@ object Dedup {
         WHERE a IN (SELECT doc_id FROM nb)
            OR b IN (SELECT doc_id FROM nb)""")),
 
+    // --------------- minhash-index batch RETENTION (d18)
+    GraftQuery(
+      "d18_minhash_index_expire",
+      (s, dir) => {
+        import s.implicits._
+        // expireBatches on the minhash durable family — retention's
+        // batch-only tree shape (no codes, no cell nesting): the
+        // rolling window's OLDEST signature batch (the 50% bucket,
+        // committed as batch 0) expires, the mid corpus ([50,80))
+        // stays as batch 1, and ONE increment probes the 20% against
+        // the RETAINED index. The oracle is st10's batch spelling over
+        // the corpus MINUS the expired docs, so a pair against an
+        // expired doc — or a lost retained signature — is a hash
+        // mismatch. The exclusion provably bites: at sf0.001 the
+        // expired half carries cross pairs against the increment
+        // (measured — the d17 thin-gate discipline), so the gate would
+        // go red if the retention cut were dropped.
+        val docsAll = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+        val bucket = conv(
+          substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-d18-").toString
+        def seedBatch(docs: org.apache.spark.sql.DataFrame,
+            id: Long): Unit =
+          graft.operators.DedupOps.commitMinhashIndexBatch(
+            graft.operators.DedupOps.minhashIndex(
+              docs, "doc_id", "text", 5, BANDS, ROWS),
+            idxDir, id, 5, BANDS, ROWS)
+        seedBatch(docsAll.filter(bucket < 50), 0L)
+        seedBatch(docsAll.filter(bucket >= 50 && bucket < 80), 1L)
+        graft.operators.AnnOps.expireBatches(s, idxDir,
+          minKeepBatchId = 1L)
+        graft.operators.DedupOps.incrementalMinhashDedupDurable(
+          docsAll.filter(bucket >= 80), "doc_id", "text", idxDir, 2L,
+          5, BANDS, ROWS, JACCARD_T)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+            % 100 >= 50
+        ),
+        ${sqlMinhashCtes("corpus")},
+        nb AS (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+            % 100 >= 80
+        )
+        SELECT a, b, jaccard FROM pairs
+        WHERE a IN (SELECT doc_id FROM nb)
+           OR b IN (SELECT doc_id FROM nb)""")),
+
     // ------------------------------------------------------------ SimHash
     GraftQuery(
       "d03_dedup_simhash",

@@ -2189,7 +2189,34 @@ object Similarity {
       },
       Some(sqlFilteredBruteForceTop3Excluding(
         s"('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 4))" +
-          "::INT % 100 < 50")))
+          "::INT % 100 < 50"))),
+
+    // ---- retention interleaved with STREAMING appends (st19)
+    GraftQuery(
+      "st19_ivfpq_expire_stream",
+      (s, dir) => {
+        // the rolling window in the deployment it actually runs in:
+        // st17's nightly append stream with expireBatches firing
+        // between two microbatch triggers (the same single-writer
+        // window st18 uses for compaction — foreachBatch serializes,
+        // so between-trigger is where a scheduler runs maintenance).
+        // The BUILD batch — the window's oldest data — expires while
+        // the stream is still appending; later microbatches land next
+        // to the retention-cut generation, and the ceiling serve must
+        // equal the filtered brute force over ONLY the streamed 20% —
+        // an under-expired build row or an over-expired streamed row
+        // is a hash mismatch. With st18 this pins both maintenance
+        // steps (consolidation AND retention) as safe inside a live
+        // append stream.
+        ivfPqStreamLifecycle(s, dir, "st19") { (s2, idxDir, bid) =>
+          if (bid == 1L)
+            graft.operators.AnnOps.expireBatches(s2, idxDir,
+              minKeepBatchId = 1L)
+        }
+      },
+      Some(sqlFilteredBruteForceTop3Excluding(
+        s"('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 4))" +
+          "::INT % 100 < 80")))
   )
 
   /** Shared scaffolding of the st17/st18 streaming ANN lifecycle
