@@ -96,6 +96,31 @@ object IndexServeCurve {
     val grid = Seq((1, k), (1, 4 * k), (2, 4 * k), (4, 4 * k),
       (4, 16 * k), (8, 16 * k), (cells, Int.MaxValue))
 
+    // BATCH-WIDTH sweep at one production dial: serve I/O is bounded
+    // by the probed-cell UNION, so it scales with how many cells the
+    // query batch collectively probes — narrow batches get the
+    // per-query partition pruning (the IndexPruneProbe regime), wide
+    // batches saturate the cell space and their I/O lever is
+    // compaction. This measures the crossover on real data.
+    def widthSweep(): Seq[String] = Seq(1, 4, 16, 64).map { w =>
+      val qs = emb.filter($"vec_id" < w).localCheckpoint()
+      var sec = 0.0
+      val plans = PlanWalk.capturePlans(spark,
+          p => indexScans(p).size >= 3) {
+        val t0 = System.nanoTime()
+        val out = graft.operators.AnnOps.queryIvfPqIndex(qs, "vec_id",
+          "embedding", "source", idx, k = k, nprobe = 2,
+          rerankDepth = 4 * k)
+        out.count()
+        sec = (System.nanoTime() - t0) / 1e9
+        graft.operators.DedupOps.releaseLocalCheckpoint(out)
+      }
+      val files = indexScans(plans).map(_.metrics("numFiles").value).sum
+      graft.operators.DedupOps.releaseLocalCheckpoint(qs)
+      s"""{"batch_queries":$w,"nprobe":2,"files_read":$files,""" +
+        s""""sec":${math.rint(sec * 1000) / 1000}}"""
+    }
+
     def sweep(): (Map[Long, Seq[Long]], Seq[String]) = {
       val (truth, _, _) = serveAt(cells, Int.MaxValue)
       val rows = grid.map { case (p, d) =>
@@ -111,6 +136,7 @@ object IndexServeCurve {
     }
 
     val (truthFresh, fresh) = sweep()
+    val widths = widthSweep() // fresh 32-file index, nprobe=2
 
     // a year of monthly appends under the production write fan-out
     // (coalescing off — the IndexPruneProbe rationale), a tombstone
@@ -149,6 +175,7 @@ object IndexServeCurve {
 
     println(s"""{"metric":"serve_curve","sf_dir":"$sfDir","n":$n,""" +
       s""""cells":$cells,"k":$k,"queries":64,""" +
+      s""""batch_width_fresh":[${widths.mkString(",")}],""" +
       s""""fresh":[${fresh.mkString(",")}],""" +
       s""""after_appends":[${sprawl.mkString(",")}],""" +
       s""""after_compaction":[${compacted.mkString(",")}],""" +
