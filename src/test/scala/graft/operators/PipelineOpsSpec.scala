@@ -2384,6 +2384,118 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("NULL"), e4.getMessage)
   }
 
+  test("appends racing a compaction: every append either commits and " +
+      "survives into the serve, or fails LOUDLY at the maintenance " +
+      "gate — no silent loss in either direction") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    val idx = tmpDir("race")
+    AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
+      idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    // a writer thread hammers appends with fresh ids while the main
+    // thread runs compactions; every append outcome is recorded
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val rejected = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    @volatile var unexpected: Option[Throwable] = None
+    val writer = new Thread(() => {
+      var b = 1L
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      try {
+        // each batch RETRIES until it commits — the deployment
+        // contract for a loudly-rejected append is exactly "re-run the
+        // idempotent batch", and retrying drives every batch through
+        // (rejections during the maintenance window are recorded, the
+        // post-window retry must land)
+        while (b <= 6L && System.nanoTime() < deadline) {
+          try {
+            AnnOps.appendIvfPqIndex(
+              df.filter($"vid" >= 60 && $"vid" < 64)
+                .select(($"vid" + 100L * b).as("vid"), $"emb", $"grp"),
+              "vid", "emb", "grp", idx, b, partitions = 4)
+            committed.add(b)
+            b += 1
+          } catch {
+            // the two documented loud outcomes (lock gate =
+            // IllegalState, commit-gate require = IllegalArgument)
+            case e: RuntimeException
+                if e.getMessage != null &&
+                  (e.getMessage.contains("maintenance") ||
+                    e.getMessage.contains("compaction committed")) =>
+              rejected.add(b)
+              Thread.sleep(100)
+          }
+        }
+      } catch { case t: Throwable => unexpected = Some(t) }
+    })
+    writer.start()
+    try {
+      (0 until 3).foreach { _ =>
+        try AnnOps.compactIndex(s, idx, partitions = 4)
+        catch {
+          // the compaction side's documented loud outcome: an append
+          // slipped in during the build — the new generation was
+          // discarded, nothing lost, re-run
+          case e: IllegalStateException
+              if e.getMessage.contains("changed during compaction") => ()
+        }
+        Thread.sleep(50)
+      }
+    } finally writer.join(240000)
+    unexpected.foreach(t => fail(
+      s"append failed outside the maintenance-gate contract: " +
+        s"${t.getMessage}", t))
+    assert(committed.size() == 6,
+      s"retries must drive every batch through once maintenance " +
+        s"yields: committed=${committed.size()} rejected=${rejected.size()}")
+    assert(rejected.size() > 0,
+      "no append was ever rejected — the race never happened (vacuous)")
+    // EVERY committed batch's rows must be in the ceiling serve's
+    // candidate corpus — a batch silently erased by a racing
+    // compaction is exactly what the lock + commit gate must prevent
+    val root = AnnOps.liveIndexRoot(s, idx)
+    val storedIds = s.read.parquet(s"$root/batches")
+      .select($"id").as[Long].collect().toSet
+    val lost = committed.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).filter(b => !storedIds.contains(100L * b + 60L))
+    assert(lost.isEmpty,
+      s"committed append batches silently erased by compaction: " +
+        s"${lost.mkString(",")} (committed=${committed.size()}, " +
+        s"rejected=${rejected.size()})")
+  }
+
+  test("incrementalSemanticDedupDurable: a wrong-dim batch rejects " +
+      "against the declared manifest dim; an all-null batch commits " +
+      "(the family null contract)") {
+    val s = spark
+    import s.implicits._
+    val idx = tmpDir("sem-dim")
+    val seed = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i % 2) 10f else 0f)))
+      .toDF("vid", "emb")
+    AnnOps.incrementalSemanticDedupDurable(seed, "vid", "emb", idx,
+      0L, threshold = 0.9, cells = 2, iters = 1, probe = false)
+    assert(AnnOps.readIndexManifest(s, idx).params("dim") == 8L)
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.incrementalSemanticDedupDurable(
+        Seq((100L, Array(1f, 2f))).toDF("vid", "emb"), "vid", "emb",
+        idx, 1L, threshold = 0.9, cells = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    // the rejected batch must NOT have committed
+    val root = AnnOps.liveIndexRoot(s, idx)
+    assert(!new java.io.File(s"$root/batches/batch=1").exists(),
+      "a dim-rejected batch half-committed")
+    // all-null batches carry no dim and commit (one bad upstream row
+    // must not crash the st16 stream)
+    AnnOps.incrementalSemanticDedupDurable(
+      Seq((101L, null.asInstanceOf[Array[Float]])).toDF("vid", "emb"),
+      "vid", "emb", idx, 2L, threshold = 0.9, cells = 2, iters = 1)
+    assert(new java.io.File(s"$root/batches/batch=2").exists())
+  }
+
   test("appendIvfPqIndex: a batch of ONLY null vectors commits " +
       "(family null contract) instead of crashing the append stream; " +
       "its rows never rank in a serve") {
