@@ -750,13 +750,28 @@ object DedupOps {
     * probing stored signatures under a different (shingleK, bands,
     * rows) is silent garbage — band keys only collide meaningfully
     * under the banding that produced them. Maintenance-gated like
-    * every append path: loud failure, idempotent re-run. */
+    * every append path: loud failure, idempotent re-run.
+    *
+    * `expectedGen`: the generation the CALLER's probe actually read
+    * (`Some(generationOptAtProbe)`), so the commit-door generation
+    * re-check spans the whole probe→commit window, not just this
+    * helper's body. Without it a full maintenance cycle (lock, build
+    * gen g+1, commit marker, release) completing between the caller's
+    * entry gate and this helper escapes both the lock gate and the
+    * re-check — and with [[AnnOps.expireBatches]] (NOT
+    * result-identical, unlike compact) the pairs were probed against
+    * the pre-expiry index while the batch silently commits into the
+    * post-expiry generation. Default `None` keeps the direct-seeding
+    * path (d17: no probe, nothing staged against a generation)
+    * resolving at its own entry. */
   def commitMinhashIndexBatch(sigs: DataFrame, indexDir: String,
-      batchId: Long, shingleK: Int, bands: Int, rows: Int): Unit = {
+      batchId: Long, shingleK: Int, bands: Int, rows: Int,
+      expectedGen: Option[Option[Long]] = None): Unit = {
     val s = sigs.sparkSession
     AnnOps.requireNoMaintenance(s, indexDir, "commitMinhashIndexBatch")
     val fs = AnnOps.indexFs(s, indexDir)
-    val genAtEntry = AnnOps.currentGenOpt(s, indexDir)
+    val genAtEntry =
+      expectedGen.getOrElse(AnnOps.currentGenOpt(s, indexDir))
     val declared = Map("shingleK" -> shingleK.toLong,
       "bands" -> bands.toLong, "rows" -> rows.toLong)
     if (fs.exists(AnnOps.hpath(s"$indexDir/_index.json"))) {
@@ -774,9 +789,10 @@ object DedupOps {
     AnnOps.requireNoMaintenance(s, indexDir, "commitMinhashIndexBatch")
     val gen = AnnOps.currentGenOpt(s, indexDir).getOrElse(0L)
     require(genAtEntry.forall(_ == gen),
-      s"commitMinhashIndexBatch: a compaction committed generation " +
-        s"$gen during this batch (entered at gen ${genAtEntry.get}); " +
-        "re-run the batch — the commit is idempotent")
+      s"commitMinhashIndexBatch: a maintenance run committed " +
+        s"generation $gen after this batch staged against gen " +
+        s"${genAtEntry.get}; re-run the batch — the commit is " +
+        "idempotent")
     sigs.select(col("doc_id"), col("shs"), col("bkeys"))
       .write.mode("overwrite")
       .parquet(s"${AnnOps.genRoot(indexDir, gen)}/batches/batch=$batchId")
@@ -816,11 +832,15 @@ object DedupOps {
     // replaces the round-12 auto-recovery — a mutator cannot tell a
     // crashed maintenance run from a live one, so it fails loudly and
     // the operator runs AnnOps.recoverIndex deliberately). The probe
-    // itself may race a compaction harmlessly: generations are
-    // result-identical by the s24/d16 shared-oracle gates, and the
-    // commit helper re-checks the pointer at its own door.
+    // itself may race a COMPACTION harmlessly (generations are
+    // result-identical by the s24/d16 shared-oracle gates), but NOT an
+    // expiry — so the generation the probe reads is captured HERE and
+    // handed to the commit door, which fails loudly if ANY maintenance
+    // cycle committed a new generation in between (the
+    // incrementalSemanticDedupDurable / appendIvfPqIndex discipline).
     AnnOps.requireNoMaintenance(s, indexDir,
       "incrementalMinhashDedupDurable")
+    val genAtProbe = AnnOps.currentGenOpt(s, indexDir)
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
       rows, partitions).localCheckpoint()
     val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
@@ -829,7 +849,7 @@ object DedupOps {
     val pairs = probed.localCheckpoint()
     releaseProbe()
     commitMinhashIndexBatch(newIdx, indexDir, batchId, shingleK, bands,
-      rows)
+      rows, expectedGen = Some(genAtProbe))
     // newIdx is fully consumed (pairs are pinned, the commit is on
     // disk): release its checkpoint blocks NOW. A long-running stream
     // calls this once per microbatch — without the release, every
@@ -3729,12 +3749,22 @@ object AnnOps {
     * invariant the uncoordinated-reader guarantee rests on. */
   def compactIndex(s: SparkSession, indexDir: String,
       partitions: Int = 0,
-      minKeepBatchId: Long = Long.MinValue): Unit = {
+      minKeepBatchId: Long = Long.MinValue): Unit =
+    maintainImpl(s, indexDir, partitions, minKeepBatchId,
+      vacuum = false, what = s"compact(minKeep=$minKeepBatchId)")
+
+  /** ONE maintenance pass behind [[compactIndex]], [[expireBatches]],
+    * and [[maintainIndex]] — one lock cycle, one generation rewrite;
+    * `vacuum` additionally waives the grace window post-flip (the
+    * [[vacuumIndexGenerations]] face, folded in so a composed policy
+    * never takes a second lock). */
+  private def maintainImpl(s: SparkSession, indexDir: String,
+      partitions: Int, minKeepBatchId: Long, vacuum: Boolean,
+      what: String): Unit = {
     require(partitions >= 0, s"compactIndex: partitions=$partitions")
     val man = readIndexManifest(s, indexDir) // fail-fast typing
     val fs = indexFs(s, indexDir)
-    acquireMaintenanceLock(s, indexDir, s"compact(minKeep=" +
-      s"$minKeepBatchId)")
+    acquireMaintenanceLock(s, indexDir, what)
     var committed = false
     // generation resolved UNDER the lock; target cannot be committed
     // by anyone else while we hold it
@@ -3838,7 +3868,16 @@ object AnnOps {
       // tombstone batches the PREVIOUS generation recorded as applied,
       // then reclaim generations older than the grace window
       clearAppliedTombstones(s, indexDir, root)
-      cleanupGens(s, indexDir, keepFrom = g)
+      if (vacuum) {
+        // policy-waived grace window (the vacuumIndexGenerations face
+        // composed in): the caller owns the drain, so the superseded
+        // generation goes too, and the NEW generation's applied record
+        // clears — its only grace readers are on generations deleted
+        // in the same breath. Identical end state to a sequential
+        // compact-then-vacuum, minus the second lock cycle (spec'd).
+        clearAppliedTombstones(s, indexDir, newRoot)
+        cleanupGens(s, indexDir, keepFrom = target)
+      } else cleanupGens(s, indexDir, keepFrom = g)
     } catch {
       case e: Throwable =>
         if (!committed) fs.delete(hpath(newRoot), true)
@@ -3941,6 +3980,41 @@ object AnnOps {
   def expireBatches(s: SparkSession, indexDir: String,
       minKeepBatchId: Long, partitions: Int = 0): Unit =
     compactIndex(s, indexDir, partitions, minKeepBatchId)
+
+  /** The knobs of ONE scheduled maintenance pass over a durable index
+    * (all three families — see [[maintainIndex]]):
+    *  - `minKeepBatchId`: the retention cut ([[expireBatches]] face) —
+    *    batches below it leave the new generation; default keeps all.
+    *  - `partitions`: rewrite parallelism (0 = the session's
+    *    shuffle-partition default, the library-wide knob contract).
+    *  - `vacuum`: ALSO reclaim the grace window in the same pass (the
+    *    [[vacuumIndexGenerations]] face). Default false — keep the
+    *    superseded generation one cycle for in-flight readers; set it
+    *    only when the deployment owns the drain (no serve spans the
+    *    pass). */
+  case class IndexMaintenancePolicy(
+      minKeepBatchId: Long = Long.MinValue,
+      partitions: Int = 0,
+      vacuum: Boolean = false)
+
+  /** UNIFIED maintenance entrypoint — expire + compact (+ vacuum) as
+    * ONE lock cycle and ONE generation rewrite, so a deployment
+    * schedules one pass instead of three. [[expireBatches]] was
+    * already [[compactIndex]] with a retention cut; this folds the
+    * optional [[vacuumIndexGenerations]] step into the same pass's
+    * post-flip cleanup instead of a second lock/resolve cycle — the
+    * composed end state is byte-identical to running the steps
+    * sequentially (spec'd tree-for-tree; the s28 oracle shares s27's
+    * SQL, the shared-oracle discipline), and the crash matrix holds at
+    * every window of the composed pass because the steps ARE the same
+    * code: an uncommitted generation is invisible, a stranded lock
+    * blocks mutators loudly, [[recoverIndex]] repairs both, and the
+    * post-flip cleanup is idempotent. */
+  def maintainIndex(s: SparkSession, indexDir: String,
+      policy: IndexMaintenancePolicy = IndexMaintenancePolicy()): Unit =
+    maintainImpl(s, indexDir, policy.partitions, policy.minKeepBatchId,
+      policy.vacuum, what = s"maintain(minKeep=" +
+        s"${policy.minKeepBatchId},vacuum=${policy.vacuum})")
 
   /** BUILD a durable IVF-PQ index — the production serving shape
     * [[filteredTopKIvfPq]] computes inline: index the corpus ONCE,
@@ -5937,12 +6011,25 @@ object PrepOps {
     * spelling is the distributed two-pass [[groupedCumSum]], so one
     * giant group parallelizes across its ord-range shards instead of
     * serializing through one window task — flat in group cardinality
-    * at 100 TB. Returns (group, pack_id, n_docs, n_tokens).
+    * at 100 TB. `orderCol` may be any integral, date, or timestamp
+    * column: date/timestamp map to their epoch value (`unix_date` /
+    * `unix_micros` — a monotone bijection, so order AND tie groups are
+    * exactly the original column's) before the integral-ord shard
+    * arithmetic; other types fail loudly at [[groupedCumSum]]'s door.
+    * Returns (group, pack_id, n_docs, n_tokens).
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
-      tokensCol: String, budget: Long): DataFrame =
+      tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord = df.schema(orderCol).dataType match {
+      case DateType => unix_date(col(orderCol))
+      case TimestampType => unix_micros(col(orderCol))
+      case TimestampNTZType =>
+        unix_micros(col(orderCol).cast(TimestampType))
+      case _ => col(orderCol)
+    }
     groupedCumSum(df.select(col(groupCol).as("group"),
-        col(orderCol).as("ord"), col(tokensCol).cast("long").as("toks")))
+        ord.as("ord"), col(tokensCol).cast("long").as("toks")))
       // Exact long floor division (`div`): double division floors
       // correctly only while cumulative tokens stay below 2^53 and the
       // quotient never rounds across an integer boundary — arbitrary
@@ -5950,6 +6037,7 @@ object PrepOps {
       .withColumn("pack_id", expr(s"(cum - toks) div ${budget}L"))
       .groupBy(col("group"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
 
   /** Packed TOKEN-ID sequences — the last trainer-handoff step: p01
     * assigns documents to fixed-budget context windows and p18 prices
@@ -6026,7 +6114,13 @@ object PrepOps {
     * collisions) break on the key columns, so the order is total and
     * engine-exact — the oracle-checked p21 query pins the whole
     * derivation against DuckDB. Returns the input columns +
-    * (epoch, bucket, pos).
+    * (epoch, bucket, pos), eagerly PINNED (localCheckpoint): the input
+    * is consumed by two actions internally (the uniqueness gate + the
+    * order table itself), so a lazy upstream — the
+    * `epochShuffle(packSequences(...))` trainer chain — is computed
+    * exactly once, not once per action. Release the returned pin via
+    * [[DedupOps.releaseLocalCheckpoint]] once consumed (the
+    * serve-operator discipline).
     */
   def epochShuffle(df: DataFrame, keyCols: Seq[String], epochs: Int,
       buckets: Int = 1024): DataFrame = {
@@ -6041,6 +6135,15 @@ object PrepOps {
     Seq("epoch", "bucket", "pos", "skey").foreach(c =>
       require(!df.columns.contains(c),
         s"epochShuffle: input already has a '$c' column; rename it"))
+    // PIN the input before the two consumers below (the uniqueness
+    // aggregate is an ACTION, the returned shuffle is another): fed a
+    // lazy pack table — epochShuffle(packSequences(...)) is the p21
+    // shape — the un-pinned spelling recomputed the whole pack per
+    // action, doubling a large job at 100 TB (SCALE_r13 named it).
+    // The pin is released below once the RESULT is pinned, so nothing
+    // input-sized outlives the call; single-action callers never see
+    // a recompute either way, they just skip one materialization.
+    val pinned = df.localCheckpoint()
     // the reproducibility contract stands on key UNIQUENESS: two rows
     // sharing (keyCols) would tie on every ordering column and take
     // positions nondeterministically across runs/partitionings —
@@ -6051,7 +6154,7 @@ object PrepOps {
     // would genuinely break the contract anyway (NULLs vanish from
     // concat_ws, so distinct keys could derive colliding shuffle keys)
     val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    val uniq = df.agg(count(lit(1)).as("n"),
+    val uniq = pinned.agg(count(lit(1)).as("n"),
       count_distinct(col(keyCols.head),
         keyCols.tail.map(col): _*).as("nd"),
       // coalesce: sum over ZERO rows is NULL, and a bare getLong on it
@@ -6059,31 +6162,40 @@ object PrepOps {
       // pre-round-13 contract (REVIEW)
       coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
         .as("nn")).head()
-    require(uniq.getLong(2) == 0L,
-      s"epochShuffle: ${uniq.getLong(2)} row(s) carry NULL in " +
-        s"keyCols ${keyCols.mkString(",")} — NULL keys cannot derive " +
-        "a stable shuffle key (they vanish from concat_ws and drop " +
-        "out of the uniqueness check); filter or coalesce them first")
-    require(uniq.getLong(0) == uniq.getLong(1),
-      s"epochShuffle: keyCols ${keyCols.mkString(",")} are not " +
-        s"unique (${uniq.getLong(0)} rows, ${uniq.getLong(1)} keys)")
-    val s = df.sparkSession
-    val es = s.range(epochs).select(col("id").as("epoch"))
-    val skey = md5(concat_ws(":",
-      col("epoch") +: keyCols.map(k => col(k).cast("string")): _*))
-    val w = Window.partitionBy(col("epoch"), col("bucket"))
-      .orderBy(col("skey").asc +: keyCols.map(col(_).asc): _*)
-    df.crossJoin(broadcast(es))
-      .withColumn("skey", skey)
-      // 8 hex chars = 32 hash bits: bucket counts up to ~4.3e9 get
-      // rows, and non-divisor counts skew by at most buckets/2^32
-      // (the 4-char spelling silently emptied every bucket past
-      // 65536 and front-loaded non-divisor counts — REVIEW 3)
-      .withColumn("bucket",
-        conv(substring(col("skey"), 1, 8), 16, 10).cast("long")
-          % buckets)
-      .withColumn("pos", row_number().over(w).cast("long") - 1L)
-      .drop("skey")
+    try {
+      require(uniq.getLong(2) == 0L,
+        s"epochShuffle: ${uniq.getLong(2)} row(s) carry NULL in " +
+          s"keyCols ${keyCols.mkString(",")} — NULL keys cannot derive " +
+          "a stable shuffle key (they vanish from concat_ws and drop " +
+          "out of the uniqueness check); filter or coalesce them first")
+      require(uniq.getLong(0) == uniq.getLong(1),
+        s"epochShuffle: keyCols ${keyCols.mkString(",")} are not " +
+          s"unique (${uniq.getLong(0)} rows, ${uniq.getLong(1)} keys)")
+      val s = df.sparkSession
+      val es = s.range(epochs).select(col("id").as("epoch"))
+      val skey = md5(concat_ws(":",
+        col("epoch") +: keyCols.map(k => col(k).cast("string")): _*))
+      val w = Window.partitionBy(col("epoch"), col("bucket"))
+        .orderBy(col("skey").asc +: keyCols.map(col(_).asc): _*)
+      // the RESULT is pinned (self-contained) so the input pin can be
+      // released in the finally below — nothing input-sized outlives
+      // the call, and the caller holds the standard releasable handle
+      // ([[DedupOps.releaseLocalCheckpoint]]) once the order table is
+      // consumed. The order table is epochs × |input| NARROW rows
+      // (keys + epoch/bucket/pos), spilled to disk past memory.
+      pinned.crossJoin(broadcast(es))
+        .withColumn("skey", skey)
+        // 8 hex chars = 32 hash bits: bucket counts up to ~4.3e9 get
+        // rows, and non-divisor counts skew by at most buckets/2^32
+        // (the 4-char spelling silently emptied every bucket past
+        // 65536 and front-loaded non-divisor counts — REVIEW 3)
+        .withColumn("bucket",
+          conv(substring(col("skey"), 1, 8), 16, 10).cast("long")
+            % buckets)
+        .withColumn("pos", row_number().over(w).cast("long") - 1L)
+        .drop("skey")
+        .localCheckpoint()
+    } finally DedupOps.releaseLocalCheckpoint(pinned)
   }
 
   /** Deterministic stratified sampling: keep a row iff its md5(id)

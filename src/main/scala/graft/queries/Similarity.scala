@@ -2191,6 +2191,53 @@ object Similarity {
         s"('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 4))" +
           "::INT % 100 < 50"))),
 
+    // ------ UNIFIED one-pass maintenance == the sequential passes (s28)
+    GraftQuery(
+      "s28_ivfpq_index_maintain",
+      (s, dir) => {
+        import s.implicits._
+        // the deployment entrypoint: expire + compact + vacuum as ONE
+        // lock cycle and ONE generation rewrite
+        // (AnnOps.maintainIndex). The fixture is s27's exactly, and
+        // the oracle IS s27's SQL — the shared-oracle discipline: the
+        // composed pass must serve byte-identically to the sequential
+        // expireBatches spelling, or this hash mismatches. The vacuum
+        // face runs too, so the serve below also proves the grace-
+        // waived tree (only the fresh generation on disk) is complete.
+        val src = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source")
+        val emb = Tables.load(s, dir, "embeddings")
+          .join(src, $"vec_id" === $"doc_id")
+          .select($"vec_id", $"embedding", $"source")
+          .localCheckpoint()
+        val bucket = conv(
+          substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s28-").toString
+        graft.operators.AnnOps.buildIvfPqIndex(
+          emb.filter(bucket < 50), "vec_id", "embedding", "source",
+          idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          emb.filter(bucket >= 50 && bucket < 80), "vec_id",
+          "embedding", "source", idxDir, batchId = 1L)
+        graft.operators.AnnOps.appendIvfPqIndex(
+          emb.filter(bucket >= 80), "vec_id", "embedding",
+          "source", idxDir, batchId = 2L)
+        graft.operators.AnnOps.maintainIndex(s, idxDir,
+          graft.operators.AnnOps.IndexMaintenancePolicy(
+            minKeepBatchId = 1L, vacuum = true))
+        val out = graft.operators.AnnOps.queryIvfPqIndex(
+          emb.filter($"vec_id" < NQUERIES), "vec_id", "embedding",
+          "source", idxDir, k = 3, nprobe = K,
+          rerankDepth = Int.MaxValue)
+        graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+        out
+      },
+      Some(sqlFilteredBruteForceTop3Excluding(
+        s"('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 4))" +
+          "::INT % 100 < 50"))),
+
     // ---- retention interleaved with STREAMING appends (st19)
     GraftQuery(
       "st19_ivfpq_expire_stream",

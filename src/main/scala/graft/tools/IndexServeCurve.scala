@@ -78,7 +78,12 @@ object IndexServeCurve {
       }
       val scans = indexScans(plans)
       require(scans.size >= 3, s"captured only ${scans.size} scans")
-      (rows.groupBy(_._1).map { case (q, ns) => (q, ns.map(_._2).toSeq) },
+      // neighbor lists sorted: collect() encounter order tracks file
+      // layout, so the sprawl-vs-compacted truth equality below would
+      // spuriously fail on identical result SETS returned in a
+      // different per-query order after compaction rewrites the files
+      (rows.groupBy(_._1).map { case (q, ns) =>
+        (q, ns.map(_._2).sorted.toSeq) },
         scans.map(_.metrics("numFiles").value).sum, sec)
     }
 

@@ -2323,6 +2323,96 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4)) == served)
   }
 
+  test("maintainIndex: expire+compact+vacuum as ONE lock cycle ends " +
+      "tree-identical to the sequential passes, serves identically, " +
+      "and its crash windows repair exactly like compactIndex's") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp")
+      .localCheckpoint()
+    def seed(dir: String): Unit = {
+      AnnOps.buildIvfPqIndex(df.filter($"vid" >= 20), "vid", "emb",
+        "grp", dir, cells = 4, iters = 2, pqM = 4, pqKs = 4,
+        pqIters = 2, partitions = 4)
+      AnnOps.appendIvfPqIndex(df.filter($"vid" >= 8 && $"vid" < 20),
+        "vid", "emb", "grp", dir, 1L, partitions = 4)
+      AnnOps.appendIvfPqIndex(df.filter($"vid" < 8), "vid", "emb",
+        "grp", dir, 2L, partitions = 4)
+      // a tombstone batch too: the composed pass must apply it, record
+      // it in the new generation, AND clear it in the same breath
+      // (vacuum face) — exactly like the sequential passes do
+      AnnOps.deleteFromIndex(Seq(15L).toDF("vid"), "vid", dir, 0L)
+    }
+    // directory SHAPE, not part-file names (task UUIDs differ):
+    // every dir, every commit marker, every applied-tombstone record
+    def shape(dir: String): Set[String] = {
+      val base = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Set[String]()
+      val walk = java.nio.file.Files.walk(base)
+      try walk.forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.nonEmpty && (p.toFile.isDirectory ||
+            rel.startsWith("_commits/") ||
+            p.getFileName.toString == "_applied_tombstones"))
+          out += rel
+      } finally walk.close()
+      out.toSet
+    }
+    def serve(dir: String) = rowsOf(AnnOps.queryIvfPqIndex(
+      df.filter($"vid" < 8), "vid", "emb", "grp", dir, k = 3,
+      nprobe = 4, rerankDepth = Int.MaxValue, partitions = 4))
+    val seqDir = tmpDir("mnt-seq"); seed(seqDir)
+    val oneDir = tmpDir("mnt-one"); seed(oneDir)
+    // sequential: three scheduled passes (expire≡compact, then vacuum)
+    AnnOps.expireBatches(s, seqDir, minKeepBatchId = 1L, partitions = 4)
+    AnnOps.vacuumIndexGenerations(s, seqDir)
+    // composed: ONE pass, one lock cycle, one generation rewrite
+    AnnOps.maintainIndex(s, oneDir, AnnOps.IndexMaintenancePolicy(
+      minKeepBatchId = 1L, partitions = 4, vacuum = true))
+    assert(shape(oneDir) == shape(seqDir),
+      s"one-pass tree != sequential tree:\n only one-pass: " +
+        s"${(shape(oneDir) diff shape(seqDir)).toSeq.sorted}\n " +
+        s"only sequential: ${(shape(seqDir) diff shape(oneDir)).toSeq
+          .sorted}")
+    assert(serve(oneDir) == serve(seqDir),
+      "one-pass maintenance serves differently from sequential")
+    assert(!new java.io.File(s"$oneDir/gens/gen=0").exists(),
+      "vacuum face did not reclaim the superseded generation")
+    assert(!new java.io.File(s"$oneDir/.maintenance-lock").exists())
+    // the tombstoned id is gone and its batch cleared (applied +
+    // grace-waived in one pass)
+    assert(!serve(oneDir).exists(r => r._2 == 15L))
+    assert(Option(new java.io.File(s"$oneDir/tombstones").listFiles())
+        .toSeq.flatten.count(_.getName.startsWith("batch=")) == 0,
+      "the composed pass left applied tombstone batches behind")
+    // default policy (no cut, no vacuum) IS compactIndex: grace
+    // generation survives one cycle
+    AnnOps.maintainIndex(s, oneDir)
+    assert(new java.io.File(s"$oneDir/gens/gen=1").exists(),
+      "default maintainIndex must keep the grace window")
+    // crash matrix on the COMPOSED pass: stranded lock + uncommitted
+    // debris block mutators loudly, are invisible to serves, and
+    // recoverIndex repairs both — the composed pass then completes
+    val before = serve(oneDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$oneDir/.maintenance-lock"), "maintain(minKeep=2,vacuum=true)")
+    assert(new java.io.File(s"$oneDir/gens/gen=3/batches").mkdirs())
+    assert(serve(oneDir) == before,
+      "uncommitted composed-pass debris leaked into a serve")
+    intercept[IllegalStateException] {
+      AnnOps.maintainIndex(s, oneDir, AnnOps.IndexMaintenancePolicy(
+        minKeepBatchId = 2L, vacuum = true))
+    }
+    AnnOps.recoverIndex(s, oneDir)
+    assert(!new java.io.File(s"$oneDir/gens/gen=3").exists(),
+      "recovery must delete the uncommitted composed generation")
+    AnnOps.maintainIndex(s, oneDir, AnnOps.IndexMaintenancePolicy(
+      minKeepBatchId = 2L, partitions = 4, vacuum = true))
+    val after = serve(oneDir)
+    assert(after.nonEmpty && !after.exists(r => r._2 >= 8L),
+      s"post-recovery composed retention kept expired rows: $after")
+  }
+
   test("_index.json fail-fast typing: wrong family, missing manifest, " +
       "mismatched banding params, and NULL delete ids all fail AT THE " +
       "DOOR with the mismatch named") {
@@ -2781,6 +2871,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash migration lost rows")
     assert(AnnOps.readIndexManifest(s, legacy12).params ==
       Map("shingleK" -> 3L, "bands" -> 4L, "rows" -> 2L))
+  }
+
+  test("minhash commit door spans the caller's probe window (ADVICE " +
+      "r13): a maintenance cycle committing a new generation between " +
+      "probe and commit fails loudly instead of committing pre-expiry " +
+      "pairs into the post-expiry generation") {
+    val s = spark
+    import s.implicits._
+    val docs0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "unrelated words entirely here now forever more"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("mh-genrace")
+    DedupOps.incrementalMinhashDedupDurable(docs0, "doc_id", "text",
+      dir, 0L, 3, 4, 2, 0.5, partitions = 2)
+    // simulate the race the lock gate cannot see: the caller's probe
+    // read gen 0, then a COMPLETE maintenance cycle (lock, build gen 1,
+    // commit marker, release) ran before the commit helper's door
+    AnnOps.compactIndex(s, dir, partitions = 2)
+    val sigs = DedupOps.minhashIndex(
+      Seq((10L, "some new increment text goes here ok")).toDF(
+        "doc_id", "text"),
+      "doc_id", "text", 3, 4, 2, partitions = 2)
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.commitMinhashIndexBatch(sigs, dir, 1L, 3, 4, 2,
+        expectedGen = Some(Some(0L)))
+    }
+    assert(ex.getMessage.contains("maintenance"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(!new java.io.File(s"$dir/gens/gen=1/batches/batch=1").exists(),
+      "the refused batch still committed")
+    // the default (no expectedGen — direct d17 seeding, no probe to
+    // protect) still resolves at its own entry and commits fine
+    DedupOps.commitMinhashIndexBatch(sigs, dir, 1L, 3, 4, 2)
+    assert(DedupOps.loadMinhashIndex(s, dir).get
+        .filter(col("doc_id") === 10L).count() == 1L,
+      "default-entry commit lost the batch")
+    // and the end-to-end operator keeps accepting increments when no
+    // maintenance interleaves (the common path is untouched)
+    val pairs = DedupOps.incrementalMinhashDedupDurable(
+      Seq((20L, "alpha beta gamma delta epsilon zeta theta")).toDF(
+        "doc_id", "text"),
+      "doc_id", "text", dir, 2L, 3, 4, 2, 0.5, partitions = 2)
+    assert(pairs.collect().nonEmpty, "increment stopped pairing")
   }
 
   test("buildIvfPqIndex REBUILD clears stale append batches and " +

@@ -75,6 +75,45 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.values.map(_._2).sum == 29L, s"rows lost: $out")
   }
 
+  test("packSequences: date/timestamp order columns pack exactly like " +
+      "their epoch ords (ADVICE r13 — the window spelling accepted " +
+      "them; the sharded spelling maps them to unix_date/unix_micros)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      ("g1", 1L, 4L), ("g1", 2L, 4L), ("g1", 3L, 4L),
+      ("g1", 4L, 5L), ("g1", 5L, 25L),
+      ("g2", 1L, 9L), ("g2", 2L, 2L))
+      .toDF("src", "ord", "toks")
+    def result(df: org.apache.spark.sql.DataFrame, ordCol: String) =
+      PrepOps.packSequences(df, "src", ordCol, "toks", 10L)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+    val expected = result(base, "ord")
+    // timestamp: epoch-microsecond map is monotone in ord
+    val ts = base.withColumn("t",
+      timestamp_micros(col("ord") * 1000000L))
+    assert(result(ts, "t") == expected, "timestamp ord drifted")
+    // date: epoch-day map is monotone in ord
+    val dt = base.withColumn("d", date_add(lit("2024-01-01"),
+      col("ord").cast("int")))
+    assert(result(dt, "d") == expected, "date ord drifted")
+    // a NULL timestamp still packs first in its group (the null-ord
+    // contract survives the epoch map)
+    val tsNull = ts.withColumn("t",
+      when(col("ord") === 1L && col("src") === "g2",
+        lit(null).cast("timestamp")).otherwise(col("t")))
+    assert(result(tsNull, "t") == expected,
+      "NULL timestamp ord lost the nulls-first contract")
+    // non-orderable types still fail loudly at the groupedCumSum door
+    val bad = base.withColumn("sord", col("ord").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      PrepOps.packSequences(bad, "src", "sord", "toks", 10L)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("epochShuffle: empty input returns the empty shuffle (no NPE " +
       "from the null aggregate row)") {
     val s = spark
