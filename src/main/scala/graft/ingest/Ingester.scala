@@ -138,6 +138,7 @@ final class Ingester(
     if (eofReached(stream)) {
       writeSidecar(stream, meta, "COMPLETED")
       store.deleteStream(stream)
+      evictSegmentCache(stream)
     }
     total - (from + 1)
   }
@@ -189,6 +190,9 @@ final class Ingester(
       compact(stream)
       writeSidecar(stream, meta, "COMPLETED")
       store.deleteStream(stream) // reference deletes Redis metadata on EOF
+      // a later stream REUSING the name restarts sample_index at 0: its
+      // boundaries must never be answered from this incarnation's cache
+      evictSegmentCache(stream)
     }
     n
   }
@@ -240,23 +244,70 @@ final class Ingester(
     }
   }
 
+  // R6 consumption: segment-start indices arrive as ROLLOVER EVENTS
+  // (reference reader.h:339-356 — the key-change callback) from any
+  // reader that attached [[trimListener]], so the delete-behind trim
+  // decides from remembered boundaries instead of re-scanning segment
+  // contents every sweep. Keyed (stream, segment) → first sample_index;
+  // concurrent because sweep(parallelism) trims streams from a pool.
+  private val segStarts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
+  /** Feed one segment boundary (idempotent — boundaries are immutable
+    * once written). Public so a deployment's own tailing readers can
+    * push what they learn. */
+  def noteSegmentStart(stream: String, segment: Long,
+      startIndex: Long): Unit =
+    segStarts.put((stream, segment), startIndex)
+
+  /** The R6 listener to attach to a [[graft.core.StreamReader]] tailing
+    * `stream`: rollover events feed [[noteSegmentStart]], so a trim
+    * fires on rollover knowledge without any directory re-scan
+    * (IngestFeaturesSpec pins that). */
+  def trimListener(stream: String): StreamKeyListener =
+    new StreamKeyListener {
+      override def onSegmentRollover(s: String, fromSegment: Long,
+          toSegment: Long, nextStartIndex: Long): Unit =
+        noteSegmentStart(stream, toSegment, nextStartIndex)
+    }
+
+  /** A segment's start index: event-fed if a rollover told us, else ONE
+    * bounded first-frame-header read (never a content scan), cached. */
+  private def segmentStart(stream: String, seg: Long): Option[Long] =
+    Option(segStarts.get((stream, seg))).orElse {
+      val fromDisk = store.segmentStartIndex(stream, seg)
+      fromDisk.foreach(v => segStarts.put((stream, seg), v))
+      fromDisk
+    }
+
+  private def evictSegmentCache(stream: String): Unit = {
+    val it = segStarts.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == stream) it.remove()
+  }
+
+  /** Public face of the delete-behind pass (the sweep calls it
+    * internally): trim everything consumed below `frontier`. */
+  def trimConsumed(stream: String, frontier: Long): Unit =
+    maybeTrim(stream, frontier)
+
   /** Delete-behind: whole segments below the persisted frontier whose
     * file is older than the min age (reference I7 min-age guard).
+    * A segment is fully consumed iff the NEXT segment's start is at or
+    * below frontier+1 — that start comes from the rollover-event cache
+    * (or one first-frame header read), NOT from scanning segments.
     */
   private def maybeTrim(stream: String, frontier: Long): Unit =
     if (settings.trimConsumedSegments && frontier >= 0) {
       val segs = store.segments(stream)
-      // a segment is fully consumed if the NEXT segment starts <= frontier
-      val starts = segs.map(i =>
-        i -> SegmentCodec.readAll(store.segmentFile(stream, i))
-          .headOption.map(_.sampleIndex).getOrElse(Long.MaxValue)).toMap
       val now = System.currentTimeMillis()
       segs.zipWithIndex.dropRight(1).foreach { case (seg, pos) =>
-        val nextStart = starts(segs(pos + 1))
+        val nextStart = segmentStart(stream, segs(pos + 1))
         val old = now - store.segmentFile(stream, seg).lastModified() >=
           settings.minAgeMsBeforeTrim
-        if (nextStart <= frontier + 1 && nextStart != Long.MaxValue && old)
+        if (nextStart.exists(_ <= frontier + 1) && old) {
           store.segmentFile(stream, seg).delete()
+          segStarts.remove((stream, seg))
+        }
       }
     }
 

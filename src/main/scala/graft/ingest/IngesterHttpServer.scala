@@ -16,6 +16,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  - `GET /api/streams/{s}/data.parquet`   — the compacted parquet,
   *    streamed in 16 MB chunks (reference chunk size, :89-147)
   *
+  * The data endpoint additionally speaks single-range HTTP Range
+  * requests (`Accept-Ranges: bytes`, 206/`Content-Range`, 416 on an
+  * unsatisfiable range) plus `ETag`/`If-None-Match`/`If-Range`: real
+  * analytic clients of a parquet-over-HTTP endpoint (duckdb httpfs,
+  * arrow's HTTP reader) read the footer and then per-row-group byte
+  * ranges instead of the whole file — without Range support every
+  * such reader silently falls back to a full-file download. The
+  * reference serves whole files only; this is the analytic-layer
+  * extension (SURVEY §2.3 round 14). Multi-range requests are
+  * deliberately answered with the full 200 body (allowed by RFC 9110
+  * §14.2; no analytic client issues them).
+  *
   * JDK-built-in HttpServer: the façade is deliberately outside Spark's
   * scope (SURVEY §2 H1) — it serves whatever the ingester wrote.
   */
@@ -89,11 +101,7 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
                   .findFirst().orElseThrow()
                 finally ls.close()
               } else f
-            ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-            ex.sendResponseHeaders(200, Files.size(target))
-            val out = ex.getResponseBody
-            streamFile(target, out)
-            out.close()
+            serveData(ex, target)
           }
         case stream =>
           metadataJson(stream) match {
@@ -107,16 +115,99 @@ final class IngesterHttpServer(outRoot: Path, port: Int = 7487) {
         catch { case _: Exception => }
     } finally ex.close()
 
-  private def streamFile(f: Path, out: OutputStream): Unit = {
-    val in = Files.newInputStream(f)
+  /** The data.parquet body with conditional/range semantics. ETag is
+    * (size, mtime-ns) — the ingester replaces data.parquet atomically
+    * on compaction, so any rewrite moves both; a client caching row
+    * groups by range revalidates with If-Range/If-None-Match and never
+    * splices bytes of two different compactions together. */
+  private def serveData(ex: HttpExchange, target: Path): Unit = {
+    val size = Files.size(target)
+    val etag = "\"" + size + "-" +
+      Files.getLastModifiedTime(target).to(
+        java.util.concurrent.TimeUnit.NANOSECONDS) + "\""
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", "application/octet-stream")
+    h.set("Accept-Ranges", "bytes")
+    h.set("ETag", etag)
+    def header(name: String): Option[String] =
+      Option(ex.getRequestHeaders.getFirst(name))
+    if (header("If-None-Match").contains(etag)) {
+      ex.sendResponseHeaders(304, -1); return
+    }
+    // If-Range mismatch = the cached representation is stale: ignore
+    // the Range and send the current full body (RFC 9110 §13.1.5)
+    val rangeHdr = header("Range")
+      .filter(_ => header("If-Range").forall(_ == etag))
+    parseRange(rangeHdr, size) match {
+      case RangeFull =>
+        ex.sendResponseHeaders(200, size)
+        val out = ex.getResponseBody
+        streamFile(target, out, 0L, size)
+        out.close()
+      case RangeUnsatisfiable =>
+        h.set("Content-Range", s"bytes */$size")
+        ex.sendResponseHeaders(416, -1)
+      case RangeSlice(from, to) =>
+        h.set("Content-Range", s"bytes $from-$to/$size")
+        ex.sendResponseHeaders(206, to - from + 1)
+        val out = ex.getResponseBody
+        streamFile(target, out, from, to - from + 1)
+        out.close()
+    }
+  }
+
+  private sealed trait RangeResult
+  private case object RangeFull extends RangeResult
+  private case object RangeUnsatisfiable extends RangeResult
+  private case class RangeSlice(from: Long, to: Long) extends RangeResult
+
+  /** One `bytes=` range per RFC 9110 §14.1.2: `a-b`, `a-` (to EOF),
+    * `-n` (last n bytes). Multi-range and malformed specs serve the
+    * full body (a server MAY ignore Range); a syntactically valid but
+    * unsatisfiable range (start past EOF, or `-0`) is 416. */
+  private def parseRange(hdr: Option[String], size: Long): RangeResult =
+    hdr.map(_.trim) match {
+      case Some(s) if s.startsWith("bytes=") && !s.contains(',') =>
+        s.stripPrefix("bytes=").trim match {
+          case SuffixRange(n) =>
+            val len = n.toLong
+            if (len <= 0) RangeUnsatisfiable
+            else if (size == 0) RangeUnsatisfiable
+            else RangeSlice(math.max(0L, size - len), size - 1)
+          case FromToRange(a, b) =>
+            val from = a.toLong
+            val to = if (b.isEmpty) size - 1 else math.min(b.toLong, size - 1)
+            if (from >= size || (b.nonEmpty && b.toLong < from))
+              RangeUnsatisfiable
+            else RangeSlice(from, to)
+          case _ => RangeFull
+        }
+      case _ => RangeFull
+    }
+
+  private val SuffixRange = "-(\\d+)".r
+  private val FromToRange = "(\\d+)-(\\d*)".r
+
+  private def streamFile(f: Path, out: OutputStream, offset: Long,
+      length: Long): Unit = {
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
     try {
-      val buf = new Array[Byte](ChunkBytes)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
-        n = in.read(buf)
+      ch.position(offset)
+      var remaining = length
+      val buf = java.nio.ByteBuffer.allocate(
+        math.min(ChunkBytes.toLong, math.max(1L, length)).toInt)
+      while (remaining > 0) {
+        buf.clear()
+        if (remaining < buf.capacity()) buf.limit(remaining.toInt)
+        val n = ch.read(buf)
+        if (n < 0) remaining = 0
+        else {
+          out.write(buf.array(), 0, n)
+          remaining -= n
+        }
       }
-    } finally in.close()
+    } finally ch.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
