@@ -1,0 +1,133 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Py4j-facing facade — the JVM half of the PySpark binding
+  * (`python/graft_river`). The reference engine's PRIMARY user surface
+  * is its Python binding (`python/river.pyx:162-226` dtype bridge,
+  * `:304-339` read/write buffers; `docs/tutorial.rst` is Python-first);
+  * Spark gives the DataFrame planes away for free
+  * (`spark.read.format("river")` works from PySpark unchanged), and
+  * this object carries the rest across py4j:
+  *
+  *  - point operations that are NOT table scans (tail, seek, metadata
+  *    get/set, list, EOF/delete lifecycle) — py4j-friendly signatures
+  *    only (String / long / java.util.Map / JSON strings; no Scala
+  *    collections, no default args — py4j resolves exact overloads),
+  *  - pipeline-operator entry points taking the JVM `Dataset[Row]`
+  *    that PySpark's `df._jdf` exposes, returning one the Python side
+  *    re-wraps — zero serialization, the plan stays in Catalyst.
+  *
+  * Everything here delegates to the same library code the Scala
+  * surface uses; nothing is reimplemented.
+  */
+object PyBridge {
+
+  private def store(root: String) =
+    new StreamStore(java.nio.file.Paths.get(root))
+
+  // ------------------------------------------------------------ catalog
+
+  /** JSON array of stream names (M2 from Python). */
+  def listStreamsJson(root: String): String =
+    store(root).listStreams()
+      .map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+
+  /** The stream's full metadata.json body (M1 get). */
+  def metadataJson(root: String, stream: String): String =
+    store(root).metadata(stream).toJson
+
+  /** Replace user metadata (M1 set); `kv` is the Python dict py4j
+    * hands over as a java Map. */
+  def setUserMetadata(root: String, stream: String,
+      kv: java.util.Map[String, String]): Unit =
+    store(root).setUserMetadata(stream, kv.asScala.toMap)
+
+  /** Stream delete (M3). */
+  def deleteStream(root: String, stream: String): Unit =
+    store(root).deleteStream(stream)
+
+  /** Staleness finalizer / force EOF (I8). */
+  def forceEof(root: String, stream: String): Boolean =
+    store(root).forceEof(stream)
+
+  // ------------------------------------------------------ point reads
+
+  /** R3 tail from Python: newest sample at/after the cursor of a FRESH
+    * reader, as JSON `{"skipped":n,"key":"ms-seq","sample_index":i,
+    * "values":[...]}`, or "null" when the stream is exhausted/empty
+    * within the timeout. Values render as JSON numbers/strings; binary
+    * fields as base64 strings (the NumPy-facing contract is "bytes"). */
+  def tailJson(root: String, stream: String, timeoutMs: Long): String = {
+    val r = store(root).openReader(stream, timeoutMs)
+    r.tail(timeoutMs) match {
+      case Some((skipped, Some((key, idx, vals)))) =>
+        s"""{"skipped":$skipped,"key":"${key.render}",""" +
+          s""""sample_index":$idx,"values":${renderVals(vals)}}"""
+      case _ => "null"
+    }
+  }
+
+  /** R4 seek from Python: number of samples a fresh reader skips to
+    * position at the greatest entry <= `key` — which, with gapless
+    * 0-based indices, IS the first unconsumed sample_index. Python
+    * reads onward with a pushed-down `sample_index >= returned` filter
+    * (segment pruning applies — the scan never touches the skipped
+    * prefix's segments). */
+  def seekIndex(root: String, stream: String, key: String,
+      timeoutMs: Long): Long = {
+    val r = store(root).openReader(stream, timeoutMs)
+    r.seek(StreamKey.parse(key))
+  }
+
+  // ------------------------------------------------------ ingest plane
+
+  /** One ingester sweep from Python (I1–I9): returns rows persisted
+    * for the one stream. `spark` arrives as the JVM SparkSession that
+    * PySpark's `spark._jsparkSession` exposes. */
+  def ingestOnce(spark: SparkSession, storeRoot: String,
+      outRoot: String, stream: String): Long =
+    new graft.ingest.Ingester(spark,
+      java.nio.file.Paths.get(storeRoot),
+      java.nio.file.Paths.get(outRoot)).ingestOnce(stream)
+
+  // -------------------------------------------------- operator plane
+
+  /** MinHash-LSH near-duplicate pairs from Python — the LLM-pipeline
+    * operator call path (d02's engine). `df` is the JVM Dataset behind
+    * PySpark's `df._jdf`; the result wraps straight back into a
+    * PySpark DataFrame. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, bands: Int, rows: Int, threshold: Double)
+      : DataFrame =
+    graft.operators.DedupOps.minhashNearDups(
+      df, idCol, textCol, shingleK, bands, rows, threshold)
+
+  // ------------------------------------------------------------ render
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def renderVals(vals: Seq[Any]): String =
+    vals.map {
+      case null => "null"
+      case b: Array[Byte] =>
+        "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+      case s: String => "\"" + esc(s) + "\""
+      case d: Double =>
+        if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
+        else d.toString
+      case f: Float =>
+        if (f.isNaN || f.isInfinite) "\"" + f.toString + "\""
+        else f.toString
+      case v => v.toString
+    }.mkString("[", ",", "]")
+}

@@ -166,12 +166,13 @@ class RiverScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val st = new StreamStore(java.nio.file.Paths.get(root))
     val segs = st.segments(stream)
-    // segment-level pruning on sample_index bounds: peek the first
-    // entry's index of each segment (one tiny read per segment at plan
-    // time; at scale these bounds live in a manifest).
+    // segment-level pruning on sample_index bounds: ONE 37-byte
+    // first-frame-header read per segment at plan time (round 14 — the
+    // previous readAll peek parsed every frame of every segment on the
+    // DRIVER before a single task launched; at scale these bounds live
+    // in a manifest, and this is its on-disk stand-in).
     val firstIdx: Map[Long, Long] = segs.flatMap { i =>
-      SegmentCodec.readAll(st.segmentFile(stream, i)).headOption
-        .map(e => i -> e.sampleIndex)
+      st.segmentStartIndex(stream, i).map(idx => i -> idx)
     }.toMap
     val kept = segs.zipWithIndex.filter { case (seg, pos) =>
       val lo = firstIdx.getOrElse(seg, Long.MaxValue)
