@@ -9,6 +9,7 @@ LLM-pipeline operator through the JVM bridge:
   2. metadata get/set, list_streams
   3. tail() returns the newest sample
   4. seek/read_from prunes to the seek point (pushed-down filter)
+  4b. read_stream() AvailableNow drain sees all N rows (streaming plane)
   5. ingest_once() persists to parquet; the queried result matches a
      PINNED sha256 (the driver-checkable correctness gate)
   6. minhash_near_dups() finds exactly the planted near-duplicates
@@ -103,6 +104,23 @@ def main():
         check("seek_index", start == 1001, start)
         n_after = gr.read_from(spark, store, "ev", key1000).count()
         check("read_from", n_after == N - 1001, n_after)
+
+        # -- 4b. streaming plane: AvailableNow drain of the same stream
+        # (the source implements SupportsTriggerAvailableNow, so the
+        # drain pins the frontier at start and terminates) -- must run
+        # BEFORE ingest: the ingester deletes the store stream at EOF
+        cp = tempfile.mkdtemp(prefix="graft-e2e-cp-")
+        try:
+            q = (gr.read_stream(spark, store, "ev")
+                 .writeStream.format("memory").queryName("e2e_stream")
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation", cp)
+                 .start())
+            check("read_stream_drained", q.awaitTermination(120))
+            n_stream = spark.table("e2e_stream").count()
+            check("read_stream_rows", n_stream == N, n_stream)
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)
 
         # -- 5. ingest -> parquet -> PINNED hash
         persisted = gr.ingest_once(spark, store, out, "ev")
