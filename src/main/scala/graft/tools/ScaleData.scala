@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * driver's own sf0.01.
   *
   * Near-dup columns are decorrelated per copy deterministically:
-  *  - documents.text: word order rotated by a copy-dependent offset
-  *    (kills shingle/minhash cross-copy similarity, preserves the word
-  *    distribution langid/quality/token stats see, and preserves each
-  *    copy's INTERNAL duplicate structure so dedup output scales ~N).
+  *  - documents.text: every 3rd word gets a copy-specific suffix
+  *    (`_c<i>`), so every k-shingle (k >= 3) of copy i differs from
+  *    copy j's — cross-copy shingle/minhash similarity is ZERO by
+  *    construction. (The earlier word-order ROTATION failed this
+  *    intent: a rotation preserves all but ~k-1 of a document's
+  *    k-shingles, so copies stayed mutual near-dups and verified
+  *    pairs grew ~N² — the round-14 decade probe caught it as a
+  *    549× pair blow-up at 10×.) Tagging is positional, so each
+  *    copy's INTERNAL duplicate structure survives (exact dups stay
+  *    exact, near-dups keep their overlap) and dedup output scales
+  *    ~N; word count and length stats are unchanged.
   *  - embeddings.embedding: coordinates rotated by copy index (norm-
   *    preserving, kills cross-copy cosine similarity).
   * Without this, N× replication makes every duplicate group N× larger
@@ -24,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
   private val Stride = 100000000L // > any sf0.1 key
+
+  /** Copy-`i` text decorrelation: every 3rd word gets a `_c<i>`
+    * suffix, so any k-shingle with k >= 3 contains at least one
+    * tagged word and the shingle sets of two copies are DISJOINT —
+    * the property [[ScaleDataSpec]] pins (a word-order rotation,
+    * the previous spelling, preserves all but ~k-1 shingles and
+    * left copies as mutual near-dups). Position-based, so identical
+    * texts stay identical within a copy. i=0 is the identity. */
+  def tagWords(text: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column =
+    if (i == 0) text
+    else array_join(zip_with(split(text, " "),
+      sequence(lit(0), size(split(text, " ")) - 1),
+      (w, p) => when(p % 3 === 0, concat(w, lit(s"_c$i")))
+        .otherwise(w)), " ")
 
   def main(args: Array[String]): Unit = {
     val in = args(0)
@@ -68,13 +90,11 @@ object ScaleData {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem", 32)
     write(rep(read("events"), Seq("event_id", "user_id"))(), "events", 16)
 
-    // documents: rotate word order per copy (deterministic, shingle-breaking)
+    // documents: tag every 3rd word with the copy index (deterministic,
+    // shingle-breaking for every k >= 3 — see tagWords on why a
+    // rotation is NOT shingle-breaking)
     write(rep(read("documents"), Seq("doc_id")) { (d, i) =>
-      if (i == 0) d
-      else d.withColumn("text",
-        array_join(flatten(array(
-          slice(split(col("text"), " "), i + 1, 1 << 24),
-          slice(split(col("text"), " "), 1, i))), " "))
+      d.withColumn("text", tagWords(col("text"), i))
     }, "documents", 8)
 
     // embeddings: rotate coordinates per copy (norm-preserving)
