@@ -679,6 +679,42 @@ final class StreamReader private[core] (
     listeners.foreach(_.onEof(name, e.sampleIndex))
   }
 
+  // R2 — adaptive poll pause (reference reader.cpp:111-171: blocking
+  // reads only when ample timeout budget remains; near-deadline waits
+  // poll at 50 us). A flat Thread.sleep(1) is at the mercy of the
+  // host timer — measured on a degraded-timer host: sleep(1) took
+  // p50 1.8 ms / p95 3.5 ms, which alone put a 1 kHz tail-follower's
+  // write→read p95 at ~5 ms vs the <1 ms baseline. Instead, a wait
+  // EPISODE (consecutive empty polls) escalates through three gears:
+  //  1. SPIN (first ~300 us): ~1.5 us of onSpinWait between re-polls —
+  //     a poll is one ~2 us pread on the cached per-segment channel,
+  //     so discovery lag while hot is a few us. The spacing matters
+  //     both ways: unthrottled re-polls are ~500k preads/s per reader
+  //     on ONE inode (N readers serialize on the kernel), and a LONG
+  //     spin gear is worse than parking — N spinning readers can
+  //     exceed the host's real CPU allocation and collapse the
+  //     scheduler (measured here: a 1.5 ms spin gear drove 16 readers'
+  //     p95 from ~2 ms to 245 ms on a 32-vCPU VM).
+  //  2. PARK-SHORT (to 50 ms): parkNanos(50 us) — the reference's
+  //     50 us poll; ~130 us effective on a stock Linux timer.
+  //  3. PARK-LONG (beyond): parkNanos(1 ms), so a cold stream's
+  //     blocked reader costs nothing measurable.
+  // waitStart resets whenever data arrives (the reader is
+  // single-threaded per contract, so plain fields suffice).
+  private var waitStart = 0L // nanoTime of the episode start; 0 = idle
+  private def pauseForData(): Unit = {
+    val now = System.nanoTime()
+    if (waitStart == 0L) waitStart = now
+    val waited = now - waitStart
+    if (waited < 300000L) {
+      var k = 0
+      while (k < 100) { Thread.onSpinWait(); k += 1 }
+    } else if (waited < 50000000L)
+      java.util.concurrent.locks.LockSupport.parkNanos(50000L)
+    else java.util.concurrent.locks.LockSupport.parkNanos(1000000L)
+  }
+  private def dataArrived(): Unit = waitStart = 0L
+
   private object buffer {
     def isEmpty: Boolean = cursor >= pending.length
     def head: StreamEntry = pending(cursor)
@@ -759,8 +795,9 @@ final class StreamReader private[core] (
       if (buffer.isEmpty) {
         if (sawEof) done = true
         else if (System.currentTimeMillis() >= deadline) done = true
-        else Thread.sleep(1)
+        else pauseForData()
       } else {
+        dataArrived()
         val e = buffer.dequeue()
         e.kind match {
           case StreamEntry.Eof =>
@@ -796,8 +833,9 @@ final class StreamReader private[core] (
       if (buffer.isEmpty) {
         if (sawEof) done = true
         else if (System.currentTimeMillis() >= deadline) done = true
-        else Thread.sleep(1)
+        else pauseForData()
       } else {
+        dataArrived()
         val e = buffer.dequeue()
         e.kind match {
           case StreamEntry.Eof =>
@@ -832,8 +870,9 @@ final class StreamReader private[core] (
       if (buffer.isEmpty) {
         if (last.nonEmpty || sawEof) done = true
         else if (System.currentTimeMillis() >= deadline) done = true
-        else Thread.sleep(1)
+        else pauseForData()
       } else {
+        dataArrived()
         val e = buffer.dequeue()
         e.kind match {
           case StreamEntry.Eof  => markEof(e); done = true

@@ -83,36 +83,22 @@ object RiverLatencyBenchmark {
         val r = store.openReader("lat", timeoutMs = 10000)
         ready.countDown()
         var done = false
-        var emptyStreak = 0
         while (!done) {
-          r.read(64, 0) match {
+          // BLOCKING single-sample read: the wait strategy under
+          // measurement is the reader's own R2 adaptive poll
+          // (spin→park escalation in StreamReader.pauseForData), not a
+          // harness-side loop — so the recorded latency is what a real
+          // subscriber gets from read() itself (reference
+          // performance.py blocks in Read the same way). n must be 1:
+          // a larger n blocks until the batch FILLS and stamps every
+          // sample in it with the last one's receive time.
+          r.read(1, 10000) match {
             case Some(rows) =>
               rows.foreach { case (_, _, vals) =>
                 val seq = vals(0).asInstanceOf[Long]
                 val writeNs = vals(1).asInstanceOf[Long]
                 lat(ri)(seq.toInt) = System.nanoTime() - writeNs
               }
-              // bounded busy-spin, then park (reference's 50 us poll
-              // backoff, reader.cpp:111-177): the first ~50 us of empty
-              // polls spin — a parked thread's wakeup costs multi-us
-              // scheduler latency on EVERY sample, while pure spinning by
-              // N readers starves the writer and blows up the tail. Spin
-              // while the next sample is imminent; park once it isn't.
-              if (rows.isEmpty) {
-                emptyStreak += 1
-                if (emptyStreak > 32) // ~50 us of failed polls: back off
-                  java.util.concurrent.locks.LockSupport.parkNanos(20000)
-                else {
-                  // spin gently: an unthrottled poll loop is ~1M fstat/s
-                  // PER READER on the same inode — 16 readers serialize
-                  // on the kernel and the laggard sets the (max-across-
-                  // readers) sample latency. ~1.5 us between polls keeps
-                  // discovery latency negligible at 1 kHz while cutting
-                  // poll pressure ~100x.
-                  var k = 0
-                  while (k < 100) { Thread.onSpinWait(); k += 1 }
-                }
-              } else emptyStreak = 0
             case None => done = true // EOF consumed
           }
         }
