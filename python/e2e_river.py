@@ -150,6 +150,112 @@ def main():
         check("minhash_pairs",
               (1, 4) in pairs and all(3 not in p for p in pairs), pairs)
 
+        # -- 7. durable ANN serving lifecycle from Python: build ->
+        # ceiling serve vs a Python brute force -> append -> delete ->
+        # one-pass maintenance leaves results identical. Vector
+        # components are small integers so the engine's 1e-6
+        # quantization is exact and the Python oracle is bit-honest.
+        dim = 8
+
+        def vec(i):
+            # integer components so the engine's 1e-6 quantization is
+            # exact; LCG-mixed so no two ids share a vector and top-k
+            # cosine margins are decisive (a modular family here
+            # produced EXACT duplicates -> ties -> undefined ordering)
+            return [float((i * 1103515245 + j * 12345 + 6789) % 2001
+                          - 1000) for j in range(dim)]
+
+        # id -> vector for everything ever indexed; appended ids
+        # 201..204 carry EXACT COPIES of the query vectors (parity
+        # matched), so the append MUST flip every query's top-1 --
+        # without this the append check passes vacuously
+        qids = [101, 102, 103, 104]
+        corpus = list(range(64))
+        appended = list(range(200, 210))
+        vecs = {i: vec(i) for i in corpus + appended + qids}
+        for q in qids:
+            vecs[q + 100] = vec(q)
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return num / (na * nb) if na > 0 and nb > 0 else None
+
+        def brute_top3(qid, corpus_ids):
+            q = vecs[qid]
+            scored = sorted(((cos(q, vecs[i]), i) for i in corpus_ids
+                             if i % 2 == qid % 2),
+                            key=lambda t: (-t[0], t[1]))
+            return [i for _, i in scored[:3]]
+
+        def serve_top3(qdf):
+            out = gr.query_ivfpq_index(
+                qdf, "vid", "emb", "key", idx, k=3, nprobe=4,
+                rerank_depth=1000000)
+            got = {}
+            for r in out.collect():
+                got.setdefault(r["qid"], []).append(
+                    (r["neighbor_id"], r["cosine"]))
+            return {q: [i for i, _ in sorted(ns, key=lambda t: (-t[1], t[0]))]
+                    for q, ns in got.items()}
+
+        idx = tempfile.mkdtemp(prefix="graft-e2e-idx-") + "/ann"
+        vdf = spark.createDataFrame(
+            [(i, vecs[i], f"k{i % 2}") for i in corpus],
+            "vid long, emb array<double>, key string")
+        gr.build_ivfpq_index(vdf, "vid", "emb", "key", idx, cells=4)
+        qdf = spark.createDataFrame(
+            [(i, vecs[i], f"k{i % 2}") for i in qids],
+            "vid long, emb array<double>, key string")
+        got = serve_top3(qdf)
+        want = {q: brute_top3(q, corpus) for q in qids}
+        check("ann_build_serve", got == want, {"got": got, "want": want})
+
+        gr.append_ivfpq_index(
+            spark.createDataFrame(
+                [(i, vecs[i], f"k{i % 2}") for i in appended],
+                "vid long, emb array<double>, key string"),
+            "vid", "emb", "key", idx, batch_id=1)
+        got = serve_top3(qdf)
+        want = {q: brute_top3(q, corpus + appended) for q in qids}
+        check("ann_append_visible", got == want,
+              {"got": got, "want": want})
+
+        doomed = [want[qids[0]][0], want[qids[1]][0]]
+        gr.delete_from_index(
+            spark.createDataFrame([(i,) for i in doomed], "vid long"),
+            "vid", idx, batch_id=2)
+        live = [i for i in corpus + appended if i not in doomed]
+        want = {q: brute_top3(q, live) for q in qids}
+        got = serve_top3(qdf)
+        check("ann_delete_hides", got == want, {"got": got, "want": want})
+
+        gr.maintain_index(spark, idx, vacuum=True)
+        check("ann_maintain_identical", serve_top3(qdf) == want)
+
+        # -- 8. trainer handoff: pack_sequences vs an exact Python
+        # replica of the pack rule (pack_id = (cum - toks) div budget
+        # in ord order per group)
+        docs_p = [(g, i, (i * 3) % 7 + 1)
+                  for g in ("a", "b") for i in range(50)]
+        pdf = spark.createDataFrame(
+            docs_p, "grp string, ord long, toks long")
+        got_p = {(r["group"], r["pack_id"]): (r["n_docs"], r["n_tokens"])
+                 for r in gr.pack_sequences(
+                     pdf, "grp", "ord", "toks", 10).collect()}
+        want_p = {}
+        for g in ("a", "b"):
+            cum = 0
+            for i in range(50):
+                t = (i * 3) % 7 + 1
+                cum += t
+                kdoc = (g, (cum - t) // 10)
+                n, s = want_p.get(kdoc, (0, 0))
+                want_p[kdoc] = (n + 1, s + t)
+        check("pack_sequences", got_p == want_p,
+              {"got": len(got_p), "want": len(want_p)})
+
         print(json.dumps({"status": "pass",
                           "checks": [c[0] for c in checks],
                           "pinned_hash": PINNED_HASH}))

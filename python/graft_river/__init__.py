@@ -29,6 +29,8 @@ __all__ = [
     "list_streams", "get_metadata", "set_user_metadata",
     "delete_stream", "force_eof", "tail", "seek_index",
     "ingest_once", "minhash_near_dups",
+    "build_ivfpq_index", "append_ivfpq_index", "query_ivfpq_index",
+    "delete_from_index", "maintain_index", "pack_sequences",
 ]
 
 
@@ -134,4 +136,72 @@ def minhash_near_dups(df, id_col, text_col, shingle_k=5, bands=2,
     jdf = _bridge(df.sparkSession).minhashNearDups(
         df._jdf, id_col, text_col, int(shingle_k), int(bands),
         int(rows), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+# ------------------------------------ durable ANN serving lifecycle
+
+def build_ivfpq_index(df, id_col, vec_col, key_col, index_dir,
+                      cells=16, iters=2, pq_m=4, pq_ks=4, pq_iters=2):
+    """Build a durable IVF-PQ serving index (the s21 engine): index
+    the corpus ONCE, then query_ivfpq_index serves any number of later
+    batches. The on-disk layout is the same generation-pointer tree the
+    Scala surface reads and maintains -- an index built from Python is
+    the same index a Scala job compacts."""
+    _bridge(df.sparkSession).buildIvfPqIndex(
+        df._jdf, id_col, vec_col, key_col, str(index_dir), int(cells),
+        int(iters), int(pq_m), int(pq_ks), int(pq_iters))
+
+
+def append_ivfpq_index(df, id_col, vec_col, key_col, index_dir,
+                       batch_id):
+    """Append a committed batch (s22). batch_id must be fresh and
+    nonzero (0 is the build's); racing a maintenance pass fails loudly
+    at the lock, never silently."""
+    _bridge(df.sparkSession).appendIvfPqIndex(
+        df._jdf, id_col, vec_col, key_col, str(index_dir),
+        int(batch_id))
+
+
+def query_ivfpq_index(df, id_col, vec_col, key_col, index_dir, k,
+                      nprobe=1, rerank_depth=0):
+    """Filtered ANN top-k against the stored index: returns a DataFrame
+    of (qid, neighbor_id, cosine, ...) rows. nprobe = cells with a
+    large rerank_depth is the construction-ceiling exact mode."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).queryIvfPqIndex(
+        df._jdf, id_col, vec_col, key_col, str(index_dir), int(k),
+        int(nprobe), int(rerank_depth))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def delete_from_index(df, id_col, index_dir, batch_id):
+    """Idempotent tombstone batch (s25): rows by id vanish from every
+    later serve; the next maintenance pass reclaims them physically."""
+    _bridge(df.sparkSession).deleteFromIndex(
+        df._jdf, id_col, str(index_dir), int(batch_id))
+
+
+def maintain_index(spark, index_dir, min_keep_batch_id=None,
+                   vacuum=False):
+    """One-pass maintenance (s28): expire batches below
+    min_keep_batch_id (None = keep all) + compact + optional vacuum in
+    ONE lock cycle and ONE generation rewrite."""
+    keep = -(1 << 63) if min_keep_batch_id is None \
+        else int(min_keep_batch_id)
+    _bridge(spark).maintainIndex(spark._jsparkSession, str(index_dir),
+                                 keep, bool(vacuum))
+
+
+# --------------------------------------------- trainer handoff plane
+
+def pack_sequences(df, group_col, order_col, tokens_col, budget):
+    """Fixed-budget sequence packing (p01's engine): returns one row
+    per (group, pack_id) context window with n_docs/n_tokens, packing
+    docs in order_col order within group_col under `budget` tokens per
+    window. Distributed two-pass cumsum -- no single-task group window
+    at any group cardinality."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).packSequences(
+        df._jdf, group_col, order_col, tokens_col, int(budget))
     return DataFrame(jdf, df.sparkSession)

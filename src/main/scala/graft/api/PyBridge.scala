@@ -106,6 +106,62 @@ object PyBridge {
     graft.operators.DedupOps.minhashNearDups(
       df, idCol, textCol, shingleK, bands, rows, threshold)
 
+  // ------------------------------------- durable ANN serving lifecycle
+
+  /** Build a durable IVF-PQ serving index from Python (s21's engine):
+    * index the corpus once, serve any number of later query batches.
+    * The stored layout is the generation-pointer tree every Scala-side
+    * reader/mutator uses — the index a Python job builds is the same
+    * index a Scala job maintains. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, indexDir: String, cells: Int, iters: Int,
+      pqM: Int, pqKs: Int, pqIters: Int): Unit =
+    graft.operators.AnnOps.buildIvfPqIndex(df, idCol, vecCol, keyCol,
+      indexDir, cells, iters, pqM, pqKs, pqIters)
+
+  /** Append a committed batch to a built index (s22). `batchId` must
+    * be fresh and nonzero (0 is the build's). */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, indexDir: String, batchId: Long): Unit =
+    graft.operators.AnnOps.appendIvfPqIndex(batch, idCol, vecCol,
+      keyCol, indexDir, batchId)
+
+  /** Serve a query batch against the stored index (filtered ANN
+    * top-k): returns (qid, neighbor_id, cosine, ...) rows to wrap back
+    * into a PySpark DataFrame. nprobe = cells with a large rerankDepth
+    * is the construction-ceiling exact mode. */
+  def queryIvfPqIndex(queries: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, indexDir: String, k: Int, nprobe: Int,
+      rerankDepth: Int): DataFrame =
+    graft.operators.AnnOps.queryIvfPqIndex(queries, idCol, vecCol,
+      keyCol, indexDir, k, nprobe, rerankDepth)
+
+  /** Idempotent tombstone batch (s25): drop rows by id from every
+    * later serve; physically reclaimed by the next maintenance pass. */
+  def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    graft.operators.AnnOps.deleteFromIndex(ids, idCol, indexDir, batchId)
+
+  /** One-pass maintenance (s28): expire batches below
+    * `minKeepBatchId` (Long.MinValue = keep all) + compact + optional
+    * vacuum, in ONE lock cycle and ONE generation rewrite. */
+  def maintainIndex(spark: SparkSession, indexDir: String,
+      minKeepBatchId: Long, vacuum: Boolean): Unit =
+    graft.operators.AnnOps.maintainIndex(spark, indexDir,
+      graft.operators.AnnOps.IndexMaintenancePolicy(
+        minKeepBatchId = minKeepBatchId, vacuum = vacuum))
+
+  // --------------------------------------------- trainer handoff plane
+
+  /** Fixed-budget sequence packing (p01's engine): assign every doc to
+    * a (group, pack_id) context window of at most `budget` tokens, in
+    * `orderCol` order within `groupCol`. Distributed two-pass cumsum —
+    * no single-task group window at any group cardinality. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    graft.operators.PrepOps.packSequences(df, groupCol, orderCol,
+      tokensCol, budget)
+
   // ------------------------------------------------------------ render
 
   private def esc(s: String): String = s.flatMap {
