@@ -2,8 +2,8 @@
 """End-to-end PySpark proof of the graft river binding (B1).
 
 Round-trips the reference tutorial's flow (docs/tutorial.rst:
-write -> inspect -> tail -> read -> ingest) from Python, then runs one
-LLM-pipeline operator through the JVM bridge:
+write -> inspect -> tail -> read -> ingest) from Python, then drives
+the LLM-pipeline operator plane through the JVM bridge:
 
   1. write a deterministic 5000-row stream via df.write.format("river")
   2. metadata get/set, list_streams
@@ -13,6 +13,16 @@ LLM-pipeline operator through the JVM bridge:
   5. ingest_once() persists to parquet; the queried result matches a
      PINNED sha256 (the driver-checkable correctness gate)
   6. minhash_near_dups() finds exactly the planted near-duplicates
+  6b. sweep() ingests every pattern-matched stream in one orchestrated
+      pass (I1)
+  7. the durable ANN serving lifecycle, oracle-exact vs a pure-Python
+     brute force: build -> ceiling serve -> append (flips every top-1
+     by construction) -> tombstone delete -> maintain_index leaves
+     results identical
+  8. pack_sequences matches an exact Python replica of the pack rule
+  9. the st17 composition: a STREAM of embedding batches feeds the
+     index via foreachBatch, then the ceiling serve equals the brute
+     force over build + every streamed batch
 
 Run from the repo root after `sbt compile` (no jar needed):
 
@@ -150,6 +160,21 @@ def main():
         check("minhash_pairs",
               (1, 4) in pairs and all(3 not in p for p in pairs), pairs)
 
+        # -- 6b. multi-stream orchestrated sweep (I1) from Python
+        for nm, k in (("ev_a", 40), ("ev_b", 25)):
+            d2 = spark.createDataFrame(
+                [(i, float(i)) for i in range(k)], "a long, b double") \
+                .repartition(1).sortWithinPartitions("a")
+            gr.write(d2, store, nm)
+        out2 = tempfile.mkdtemp(prefix="graft-e2e-sweep-")
+        swept = gr.sweep(spark, store, out2, pattern="ev_.*",
+                         parallelism=2)
+        check("sweep", swept == {"ev_a": 40, "ev_b": 25}, swept)
+        n_b = spark.read.parquet(
+            os.path.join(out2, "ev_b", "data.parquet")).count()
+        check("sweep_persisted", n_b == 25, n_b)
+        shutil.rmtree(out2, ignore_errors=True)
+
         # -- 7. durable ANN serving lifecycle from Python: build ->
         # ceiling serve vs a Python brute force -> append -> delete ->
         # one-pass maintenance leaves results identical. Vector
@@ -189,9 +214,9 @@ def main():
                             key=lambda t: (-t[0], t[1]))
             return [i for _, i in scored[:3]]
 
-        def serve_top3(qdf):
+        def serve_top3(qdf, index_dir):
             out = gr.query_ivfpq_index(
-                qdf, "vid", "emb", "key", idx, k=3, nprobe=4,
+                qdf, "vid", "emb", "key", index_dir, k=3, nprobe=4,
                 rerank_depth=1000000)
             got = {}
             for r in out.collect():
@@ -208,7 +233,7 @@ def main():
         qdf = spark.createDataFrame(
             [(i, vecs[i], f"k{i % 2}") for i in qids],
             "vid long, emb array<double>, key string")
-        got = serve_top3(qdf)
+        got = serve_top3(qdf, idx)
         want = {q: brute_top3(q, corpus) for q in qids}
         check("ann_build_serve", got == want, {"got": got, "want": want})
 
@@ -217,7 +242,7 @@ def main():
                 [(i, vecs[i], f"k{i % 2}") for i in appended],
                 "vid long, emb array<double>, key string"),
             "vid", "emb", "key", idx, batch_id=1)
-        got = serve_top3(qdf)
+        got = serve_top3(qdf, idx)
         want = {q: brute_top3(q, corpus + appended) for q in qids}
         check("ann_append_visible", got == want,
               {"got": got, "want": want})
@@ -228,11 +253,11 @@ def main():
             "vid", idx, batch_id=2)
         live = [i for i in corpus + appended if i not in doomed]
         want = {q: brute_top3(q, live) for q in qids}
-        got = serve_top3(qdf)
+        got = serve_top3(qdf, idx)
         check("ann_delete_hides", got == want, {"got": got, "want": want})
 
         gr.maintain_index(spark, idx, vacuum=True)
-        check("ann_maintain_identical", serve_top3(qdf) == want)
+        check("ann_maintain_identical", serve_top3(qdf, idx) == want)
 
         # -- 8. trainer handoff: pack_sequences vs an exact Python
         # replica of the pack rule (pack_id = (cum - toks) div budget
@@ -255,6 +280,38 @@ def main():
                 want_p[kdoc] = (n + 1, s + t)
         check("pack_sequences", got_p == want_p,
               {"got": len(got_p), "want": len(want_p)})
+
+        # -- 9. the st17 composition from Python: a STREAM of embedding
+        # batches feeds the durable index via foreachBatch, then the
+        # ceiling serve must equal the brute force over build + every
+        # streamed batch (the training-pipeline shape a Python job
+        # actually schedules)
+        idx2 = tempfile.mkdtemp(prefix="graft-e2e-idx2-") + "/ann"
+        gr.build_ivfpq_index(vdf, "vid", "emb", "key", idx2, cells=4)
+        newdir = tempfile.mkdtemp(prefix="graft-e2e-new-")
+        spark.createDataFrame(
+            [(i, vecs[i], f"k{i % 2}") for i in appended],
+            "vid long, emb array<double>, key string") \
+            .repartition(3).write.mode("overwrite").parquet(newdir)
+
+        def _append(batch_df, bid):
+            if batch_df.count() > 0:
+                gr.append_ivfpq_index(batch_df, "vid", "emb", "key",
+                                      idx2, bid + 1)
+
+        cp2 = tempfile.mkdtemp(prefix="graft-e2e-cp2-")
+        q2 = (spark.readStream.schema(vdf.schema)
+              .option("maxFilesPerTrigger", 1).parquet(newdir)
+              .writeStream.foreachBatch(_append)
+              .option("checkpointLocation", cp2)
+              .trigger(availableNow=True).start())
+        check("stream_append_drained", q2.awaitTermination(300))
+        got = serve_top3(qdf, idx2)
+        want_s = {q: brute_top3(q, corpus + appended) for q in qids}
+        check("stream_append_serve", got == want_s,
+              {"got": got, "want": want_s})
+        shutil.rmtree(cp2, ignore_errors=True)
+        shutil.rmtree(newdir, ignore_errors=True)
 
         print(json.dumps({"status": "pass",
                           "checks": [c[0] for c in checks],

@@ -28,7 +28,7 @@ __all__ = [
     "read", "read_stream", "write", "read_from",
     "list_streams", "get_metadata", "set_user_metadata",
     "delete_stream", "force_eof", "tail", "seek_index",
-    "ingest_once", "minhash_near_dups",
+    "ingest_once", "sweep", "minhash_near_dups",
     "build_ivfpq_index", "append_ivfpq_index", "query_ivfpq_index",
     "delete_from_index", "maintain_index", "pack_sequences",
 ]
@@ -116,12 +116,21 @@ def seek_index(spark, root, stream, key, timeout_ms=0):
 
 
 def ingest_once(spark, store_root, out_root, stream):
-    """One ingester sweep (I1-I9): stream -> parquet with derived
+    """One ingester pass (I2-I9): stream -> parquet with derived
     columns, frontier resume, EOF compaction, delete-behind trim.
     Returns rows persisted."""
     return _bridge(spark).ingestOnce(spark._jsparkSession,
                                      str(store_root), str(out_root),
                                      stream)
+
+
+def sweep(spark, store_root, out_root, pattern=".*", parallelism=1):
+    """Multi-stream orchestrated sweep (I1): one ingest pass for every
+    stream matching `pattern`, `parallelism` at a time. Returns
+    {stream: rows_persisted}."""
+    return json.loads(_bridge(spark).sweepJson(
+        spark._jsparkSession, str(store_root), str(out_root),
+        pattern, int(parallelism)))
 
 
 # ------------------------------------------------------ operator plane

@@ -94,6 +94,19 @@ object PyBridge {
       java.nio.file.Paths.get(storeRoot),
       java.nio.file.Paths.get(outRoot)).ingestOnce(stream)
 
+  /** Multi-stream orchestrated sweep from Python (I1): every stream
+    * matching `pattern` gets one ingest pass, `parallelism` at a time;
+    * returns {stream: rows persisted} as a JSON object. */
+  def sweepJson(spark: SparkSession, storeRoot: String, outRoot: String,
+      pattern: String, parallelism: Int): String =
+    new graft.ingest.Ingester(spark,
+      java.nio.file.Paths.get(storeRoot),
+      java.nio.file.Paths.get(outRoot),
+      graft.ingest.IngestSettings(streamPattern = pattern))
+      .sweep(parallelism)
+      .map { case (s, n) => "\"" + esc(s) + "\":" + n }
+      .mkString("{", ",", "}")
+
   // -------------------------------------------------- operator plane
 
   /** MinHash-LSH near-duplicate pairs from Python — the LLM-pipeline
