@@ -160,6 +160,29 @@ def main():
         check("minhash_pairs",
               (1, 4) in pairs and all(3 not in p for p in pairs), pairs)
 
+        # -- 6a. text analysis: token_stats vs an exact Python replica
+        # (ws tokens, the BPE-ish regex segmentation, chars/4)
+        import re as _re
+        tok_re = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+        want_t = {r[0]: (len(r[1].split(" ")),
+                         len(tok_re.findall(r[1])),
+                         len(r[1]) // 4)
+                  for r in docs.collect()}
+        got_t = {r["id"]: (r["ws_tokens"], r["re_tokens"],
+                           r["est_llm_tokens"])
+                 for r in gr.token_stats(docs, "doc_id",
+                                         "text").collect()}
+        check("token_stats", got_t == want_t,
+              {"got": got_t, "want": want_t})
+        qf = {r["id"]: r for r in gr.quality_features(
+            docs, "doc_id", "text", ["the", "over", "and", "about"],
+            min_chars=10, min_words=5).collect()}
+        check("quality_features",
+              all(qf[i]["is_quality"] for i in (1, 2, 3, 4))
+              and abs(qf[1]["stopword_ratio"] - 3.0 / 10) < 1e-12,
+              {i: (qf[i]["n_words"], qf[i]["stopword_ratio"])
+               for i in qf})
+
         # -- 6b. multi-stream orchestrated sweep (I1) from Python
         for nm, k in (("ev_a", 40), ("ev_b", 25)):
             d2 = spark.createDataFrame(

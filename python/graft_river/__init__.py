@@ -31,6 +31,7 @@ __all__ = [
     "ingest_once", "sweep", "minhash_near_dups",
     "build_ivfpq_index", "append_ivfpq_index", "query_ivfpq_index",
     "delete_from_index", "maintain_index", "pack_sequences",
+    "token_stats", "quality_features",
 ]
 
 
@@ -200,6 +201,27 @@ def maintain_index(spark, index_dir, min_keep_batch_id=None,
         else int(min_keep_batch_id)
     _bridge(spark).maintainIndex(spark._jsparkSession, str(index_dir),
                                  keep, bool(vacuum))
+
+
+# --------------------------------------------------- text analysis
+
+def token_stats(df, id_col, text_col):
+    """Token counting (t03's engine): whitespace tokens, BPE-ish regex
+    segments, chars/4 LLM estimate. Pure projection -- no shuffle."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).tokenStats(df._jdf, id_col, text_col)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def quality_features(df, id_col, text_col, stopwords, min_chars=100,
+                     min_words=20, min_type_token=0.3):
+    """Quality features + is_quality gate (t02's engine): char/word
+    counts, mean word length, stopword and type-token ratios."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).qualityFeatures(
+        df._jdf, id_col, text_col, [str(w) for w in stopwords],
+        int(min_chars), int(min_words), float(min_type_token))
+    return DataFrame(jdf, df.sparkSession)
 
 
 # --------------------------------------------- trainer handoff plane

@@ -164,6 +164,22 @@ object PyBridge {
       graft.operators.AnnOps.IndexMaintenancePolicy(
         minKeepBatchId = minKeepBatchId, vacuum = vacuum))
 
+  // --------------------------------------------------- text analysis
+
+  /** Token counting from Python (t03's engine): whitespace tokens,
+    * BPE-ish regex segments, chars/4 LLM estimate. Pure projection. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    graft.operators.TextOps.tokenStats(df, idCol, textCol)
+
+  /** Quality features + gate flag from Python (t02's engine);
+    * `stopwords` is the Python list py4j hands over. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+      stopwords: java.util.List[String], minChars: Int, minWords: Int,
+      minTypeToken: Double): DataFrame =
+    graft.operators.TextOps.qualityFeatures(df, idCol, textCol,
+      stopwords.asScala.toSeq, minChars, minWords, minTypeToken)
+
   // --------------------------------------------- trainer handoff plane
 
   /** Fixed-budget sequence packing (p01's engine): assign every doc to
