@@ -13,6 +13,7 @@ the LLM-pipeline operator plane through the JVM bridge:
   5. ingest_once() persists to parquet; the queried result matches a
      PINNED sha256 (the driver-checkable correctness gate)
   6. minhash_near_dups() finds exactly the planted near-duplicates
+  6a. token_stats()/quality_features() match exact Python replicas
   6b. sweep() ingests every pattern-matched stream in one orchestrated
       pass (I1)
   7. the durable ANN serving lifecycle, oracle-exact vs a pure-Python
