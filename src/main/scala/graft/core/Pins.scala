@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** The one pin primitive.
+  *
+  * Every operator in this engine that materializes an intermediate —
+  * dedup staging, k-means members, ANN batch signatures, pack cumsums —
+  * pins it eagerly so (a) downstream jobs re-read blocks instead of
+  * re-running lineage and (b) Catalyst can't re-inline the subtree into
+  * every consumer. Through round 14 that pin was a bare
+  * `Dataset.localCheckpoint()`: correct and free on local[32], but the
+  * blocks live unreplicated on executors with lineage truncated — on a
+  * preemptible/decommissioning cluster, one lost executor mid-way
+  * through an hours-long corpus build makes the block unrecoverable and
+  * fails the job.
+  *
+  * `Pins.pin` keeps the call-site discipline (pin eagerly, release when
+  * consumed) and makes the storage backend a deployment decision,
+  * selected by `spark.graft.pin.backend`:
+  *
+  *  - `local` (default) — `localCheckpoint()`. Single-node / non-preempt
+  *    clusters: fastest, blocks on executors, lineage truncated.
+  *  - `reliable` — `Dataset.checkpoint()` into the context checkpoint
+  *    dir (set it to HDFS/S3 via `SparkContext.setCheckpointDir` or
+  *    `spark.graft.pin.checkpointDir`). Survives any executor loss;
+  *    costs one write+read of the pinned data through the DFS.
+  *  - `replicated` — eager `localCheckpoint` at `MEMORY_AND_DISK_2`:
+  *    lineage truncated (the pin discipline requires it — several
+  *    operators destroy their centroid/sketch broadcasts once the pin
+  *    is materialized, so any backend that kept lineage would fail
+  *    task serialization later) with TWO executor copies of every
+  *    block. One lost executor recovers from the replica; only a
+  *    double loss fails. Middle ground when a checkpoint DFS
+  *    round-trip is too slow.
+  *
+  * All three are plan-pinning (downstream plans read a materialized
+  * scan, never the original lineage), so query results and plan-shape
+  * gates are backend-invariant; PinsBackendSpec proves hash equality
+  * across backends on representative operator chains.
+  */
+object Pins {
+  /** Conf key selecting the backend: local | reliable | replicated. */
+  final val BackendConf = "spark.graft.pin.backend"
+  /** Checkpoint dir used by the `reliable` backend when the context has
+    * none set. On a real cluster point this at durable shared storage.
+    */
+  final val DirConf = "spark.graft.pin.checkpointDir"
+
+  def backend(spark: SparkSession): String =
+    spark.conf.get(BackendConf, "local")
+
+  /** Materialize `ds` eagerly under the configured backend and return a
+    * Dataset whose plan reads the materialized blocks.
+    */
+  def pin[T](ds: Dataset[T]): Dataset[T] = backend(ds.sparkSession) match {
+    case "local" => ds.localCheckpoint()
+    case "reliable" =>
+      val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = ds.sparkSession.conf.getOption(DirConf).getOrElse(
+          throw new IllegalStateException(
+            s"$BackendConf=reliable needs a checkpoint dir: call " +
+              s"SparkContext.setCheckpointDir or set $DirConf"))
+        sc.setCheckpointDir(dir)
+      }
+      ds.checkpoint()
+    case "replicated" =>
+      ds.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_2)
+    case other => throw new IllegalArgumentException(
+      s"$BackendConf=$other: expected local | reliable | replicated")
+  }
+
+  /** Free the storage behind a pinned Dataset once fully consumed.
+    * Covers every backend: checkpoint-shaped plans (local + reliable)
+    * release the wrapped RDD's blocks; persist-shaped pins unpersist
+    * through the CacheManager. No-op on an unpinned Dataset. Reliable
+    * checkpoint FILES stay in the checkpoint dir (they are the recovery
+    * story) until the context's normal checkpoint cleanup.
+    */
+  def release[T](ds: Dataset[T]): Unit = {
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ds.unpersist(false)
+    }
+    ()
+  }
+
+  /** `df.pin()` call-site spelling; the whole engine pins through this. */
+  implicit class PinnedDataset[T](private val ds: Dataset[T]) extends AnyVal {
+    def pin(): Dataset[T] = Pins.pin(ds)
+    def releasePin(): Unit = Pins.release(ds)
+  }
+}

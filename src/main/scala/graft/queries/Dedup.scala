@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import GraftQuery._
+import graft.core.Pins.PinnedDataset
 
 /** Deduplication operators over the `documents` and `embeddings` tables —
   * the core of a training-data pipeline (exact, MinHash+LSH, SimHash,
@@ -53,7 +54,7 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .repartition(32, org.apache.spark.sql.functions.col("doc_id"))
-      .localCheckpoint()
+      .pin()
 
   /** The d11/d12 containment fixture: documents UNION planted excerpts
     * (first half of the words of every 10th long doc, id + 1e11), so
@@ -178,7 +179,7 @@ object Dedup {
     */
   private def shingleArr(s: SparkSession, dir: String, k: Int): DataFrame =
     graft.functions.TextKernels.shingleArrays(s, docs(s, dir), k)
-      .localCheckpoint()
+      .pin()
 
   // MinHash parameters: BANDS bands x ROWS rows = 16 hash functions.
   // ROWS=8 keeps the candidate set tiny on corpora with high background
@@ -658,7 +659,7 @@ object Dedup {
           "st10") { (batch, bid) =>
           if (!batch.isEmpty) {
             acc += graft.operators.DedupOps.incrementalMinhashDedupDurable(
-              batch.localCheckpoint(), "doc_id", "text", idxDirS, bid,
+              batch.pin(), "doc_id", "text", idxDirS, bid,
               5, BANDS, ROWS, JACCARD_T)
           }
         }
@@ -1135,7 +1136,7 @@ object Dedup {
         // hollow out the hash gate). The check prices only the
         // delegated volume (Σm² over saturated buckets — the planted
         // family), never the full-corpus uncut join.
-        val fixture = boilerplateFixture(s, dir).localCheckpoint()
+        val fixture = boilerplateFixture(s, dir).pin()
         val (satPairs, satConfirmed) =
           graft.operators.DedupOps.saturatedPairStats(fixture,
             "doc_id", "text", shingleK = 5, bands = BANDS, rows = ROWS,

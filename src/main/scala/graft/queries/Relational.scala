@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import GraftQuery._
+import graft.core.Pins.PinnedDataset
 
 /** The relational analytic surface (SURVEY.md §2.2, §7.3): scans, filters,
   * projections, every join type, hash/sort aggregation, distinct,
@@ -1341,7 +1342,7 @@ object Relational {
         val h = li.groupBy($"l_returnflag",
             $"l_quantity".cast("double").as("q"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint() // median and mode both read it
+          .pin() // median and mode both read it
         val wCum = Window.partitionBy($"l_returnflag").orderBy($"q")
         val cum = h.withColumn("hi", sum($"c").over(wCum))
           .withColumn("lo", $"hi" - $"c" + 1)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import GraftQuery._
+import graft.core.Pins.PinnedDataset
 
 /** End-to-end exercises of the river stream engine (SURVEY §2.1
   * operators S1/S2, R1/R3/R4, I1-I9, P1/P2, M1-M3) — each query pushes
@@ -50,7 +51,7 @@ object River {
     // measured 37-79 s for 32 partitions of 100k rows at sf0.1. With the
     // pin the per-partition fetches are cached-block reads (order is
     // preserved: localCheckpoint keeps the computed range partitions).
-    val pinned = df.localCheckpoint()
+    val pinned = df.pin()
     var n = 0L
     try {
       pinned.toLocalIterator().asScala.grouped(batch).foreach { rows =>

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Pins.PinnedDataset
 
 /** Approximate/exact nearest-neighbor search over the `embeddings` table.
   *
@@ -56,7 +57,7 @@ object Similarity {
         sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
       // pin: the interpreted transform is evaluated once per vector, not
       // re-inlined into the pair-level projection
-      .localCheckpoint()
+      .pin()
   }
 
   private def bruteDf(s: SparkSession, dir: String): DataFrame =
@@ -162,7 +163,7 @@ object Similarity {
         // double-for-double
         sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"),
         sqrt(dot_i64($"c", $"c").cast("double")).as("nrmr"))
-      .localCheckpoint()
+      .pin()
 
     // Lloyd steps run through the shared AnnOps kernels (the same code
     // s07 uses): centroid update = map-side pre-combined partial sums
@@ -184,7 +185,7 @@ object Similarity {
       // spent once it returns — destroy it.
       val (assigned, bc) =
         graft.operators.AnnOps.assignCellsKeepBc(v, cent, "vec_id")
-      members = assigned.localCheckpoint()
+      members = assigned.pin()
       bc.destroy()
       if (it < KMEANS_ITERS) cent = centFrom(members)
     }
@@ -367,12 +368,12 @@ object Similarity {
         transform($"embedding",
           x => round(x.cast("double") * lit(1000000.0)).cast("long"))
           .as("c"))
-      .localCheckpoint() // staged once; M subspace slices read it
+      .pin() // staged once; M subspace slices read it
     val perM = (0 until PQ_M).map { m =>
       val sub = full.select($"vec_id",
           slice($"c", m * PQ_DSUB + 1, PQ_DSUB).as("c"))
         .withColumn("nrmr", sqrt(dot_i64($"c", $"c").cast("double")))
-        .localCheckpoint()
+        .pin()
       def centFrom(members: DataFrame): DataFrame =
         graft.operators.AnnOps.centFromMembers(sub, members, "vec_id")
       var cent = centFrom(sub.filter($"vec_id" < PQ_KS)
@@ -381,7 +382,7 @@ object Similarity {
       for (it <- 1 to PQ_ITERS) {
         val (assigned, bc) =
           graft.operators.AnnOps.assignCellsKeepBc(sub, cent, "vec_id")
-        members = assigned.localCheckpoint()
+        members = assigned.pin()
         bc.destroy()
         if (it < PQ_ITERS) cent = centFrom(members)
       }
@@ -761,7 +762,7 @@ object Similarity {
               .as("c"))
         val withNorm = emb.select($"vec_id", $"c",
           sqrt(dot_i64($"c", $"c").cast("double") / lit(1.0e12)).as("nrm"))
-          .localCheckpoint() // pin: keep the interpreted transform out of
+          .pin() // pin: keep the interpreted transform out of
                              // downstream join projections
         val cx = withNorm.select($"vec_id", posexplode($"c").as(Seq("i", "cc")))
         // hyperplane component hp_{k,i}: integer in [-2^31, 2^31); the
@@ -782,7 +783,7 @@ object Similarity {
           // pin: sig feeds three separate broadcast-exchange jobs (probes,
           // cand, and the bucket join) and each would otherwise recompute
           // the full explode+plane-dot aggregation from scratch
-          .localCheckpoint()
+          .pin()
         val q = sig.filter($"vec_id" < NQUERIES)
           .select($"vec_id".as("qid"), $"bucket".as("qbucket"))
         // multiprobe: query bucket + all 1-bit flips
@@ -1057,7 +1058,7 @@ object Similarity {
           .withColumn("q",
             transform($"c", x => round(x.cast("double") / $"scale")
               .cast("long")))
-          .localCheckpoint()
+          .pin()
         val q = vq.filter($"vec_id" < NQUERIES)
           .select($"vec_id".as("qid"), $"q".as("qq"))
         val scored = vq.join(broadcast(q), $"vec_id" =!= $"qid")
@@ -1151,7 +1152,7 @@ object Similarity {
         val v = scaledVecs(s, dir)
         val cand = bruteFromStaged(s, v)
           .select($"qid", $"neighbor_id", $"cosine")
-          .localCheckpoint()
+          .pin()
         // pairwise sims among one query's candidates (k^2 per query)
         val ids = cand.select($"qid", $"neighbor_id")
         val psim = ids.select($"qid", $"neighbor_id".as("a"))
@@ -1164,14 +1165,14 @@ object Similarity {
           .select($"qid", $"a", $"b",
             ((dot_i64($"ac", $"bc").cast("double") / lit(1.0e12)) /
               ($"anrm" * $"bnrm")).as("sim"))
-          .localCheckpoint()
+          .pin()
         val w1 = Window.partitionBy($"qid")
           .orderBy($"cosine".desc, $"neighbor_id".asc)
         var sel = cand.withColumn("rn", row_number().over(w1))
           .filter($"rn" === 1)
           .select($"qid", lit(1).as("step"), $"neighbor_id",
             $"cosine".as("mmr_score"))
-          .localCheckpoint()
+          .pin()
         for (step <- 2 to MMRK) {
           val maxSim = psim
             .join(sel.select($"qid", $"neighbor_id".as("b")), Seq("qid", "b"))
@@ -1190,7 +1191,7 @@ object Similarity {
             .filter($"rn" === 1)
             .select($"qid", lit(step).as("step"), $"neighbor_id",
               $"score".as("mmr_score"))
-          sel = sel.unionByName(next).localCheckpoint()
+          sel = sel.unionByName(next).pin()
         }
         sel
       },
@@ -1236,7 +1237,7 @@ object Similarity {
         val v = scaledVecs(s, dir)
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"c", $"nrm", $"source")
-          .localCheckpoint()
+          .pin()
         val q = v.filter($"vec_id" < NQUERIES)
           .select($"vec_id".as("qid"), $"c".as("qc"),
             $"nrm".as("qnrm"), $"source".as("qsource"))
@@ -1528,7 +1529,7 @@ object Similarity {
           if (!batch.isEmpty) {
             // bid + 1: microbatch ids start at 0, the seed owns 0
             acc += graft.operators.AnnOps.incrementalSemanticDedupDurable(
-              batch.localCheckpoint(), "vec_id", "embedding", idxDir,
+              batch.pin(), "vec_id", "embedding", idxDir,
               bid + 1L, threshold = 0.35, cells = K, iters = 2)
           }
         }
@@ -1742,7 +1743,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-s21-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
@@ -1779,7 +1780,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
@@ -1904,7 +1905,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
@@ -1948,7 +1949,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
@@ -2050,7 +2051,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft-s26-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
@@ -2163,7 +2164,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
@@ -2209,7 +2210,7 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
-          .localCheckpoint()
+          .pin()
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
@@ -2285,7 +2286,7 @@ object Similarity {
     val emb = Tables.load(s, dir, "embeddings")
       .join(src, $"vec_id" === $"doc_id")
       .select($"vec_id", $"embedding", $"source")
-      .localCheckpoint()
+      .pin()
     val bucket = conv(
       substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
@@ -2305,7 +2306,7 @@ object Similarity {
       (batch, bid) =>
         if (!batch.isEmpty) {
           // bid + 1: microbatch ids start at 0, the build owns 0
-          val pinned = batch.localCheckpoint()
+          val pinned = batch.pin()
           graft.operators.AnnOps.appendIvfPqIndex(
             pinned, "vec_id", "embedding", "source", idxDir, bid + 1L)
           // the append's commit is on disk: free the microbatch pin

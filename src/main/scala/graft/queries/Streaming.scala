@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import GraftQuery._
+import graft.core.Pins.PinnedDataset
 
 /** Event-time Structured-Streaming operators over the `events` table:
   * tumbling/sliding/session windows, watermarked append emission,
@@ -403,7 +404,7 @@ object Streaming {
         val drained = StreamingOps.withRocksDb(s) {
           StreamingOps.drain(s,
             updated.toDF("user_id", "n_events", "cents"), "st11", "update")
-            .localCheckpoint() // pin before the provider conf reverts
+            .pin() // pin before the provider conf reverts
         }
         drained
           .groupBy($"user_id")
@@ -473,7 +474,7 @@ object Streaming {
         val drained = StreamingOps.withRocksDb(s) {
           StreamingOps.drain(s,
             ranked.toDF("event_type", "rank", "event_id", "cents"),
-            "st13", "update").localCheckpoint()
+            "st13", "update").pin()
         }
         // update mode re-emits a key's board every batch it improves;
         // per (type, rank) the LATEST emission is the one with the
@@ -527,7 +528,7 @@ object Streaming {
         val drained = StreamingOps.withRocksDb(s) {
           StreamingOps.drain(s,
             updated.toDF("user_id", "event_type", "n"), "st14", "update")
-            .localCheckpoint() // pin before the provider conf reverts
+            .pin() // pin before the provider conf reverts
         }
         drained.groupBy($"user_id", $"event_type")
           .agg(max($"n").as("n_events"))

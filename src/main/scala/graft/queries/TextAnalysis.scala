@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Pins.PinnedDataset
 
 /** Text-analysis operators over the `documents` table: language ID,
   * quality scoring, token counting, document fingerprinting — the
@@ -258,8 +259,8 @@ object TextAnalysis {
         // so no float threshold can diverge between engines.
         val shArr = graft.functions.TextKernels
           .shingleArrays(s,
-            docs(s, dir).repartition(32, $"doc_id").localCheckpoint(), 8)
-          .localCheckpoint()
+            docs(s, dir).repartition(32, $"doc_id").pin(), 8)
+          .pin()
         val sh = shArr.select($"doc_id", explode($"shs").as("sh"))
         val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         sh.join(dfreq, Seq("sh"))

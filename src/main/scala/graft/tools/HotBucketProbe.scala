@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Pins.PinnedDataset
 
 /** Scale probe for the hot-bucket occupancy guard (round-10 ask #1):
   * on a boilerplate-heavy fixture — documents plus a duplicate class
@@ -55,7 +56,7 @@ object HotBucketProbe {
       val fam = spark.range(m)
         .select((col("id") + idOffset).as("doc_id"),
           lit(boiler).as("text"))
-      (base.unionByName(fam).localCheckpoint(), n, m)
+      (base.unionByName(fam).pin(), n, m)
     }
 
     def timeIt(body: => Long): (Double, Long) = {
@@ -125,7 +126,7 @@ object HotBucketProbe {
     // delegated edges replace |new∩bucket| x m verification pairs
     val incremental = {
       val idx = graft.operators.DedupOps
-        .minhashIndex(stressDocs, "doc_id", "text").localCheckpoint()
+        .minhashIndex(stressDocs, "doc_id", "text").pin()
       idx.count()
       val batch = spark.range(200)
         .select((col("id") + 2000000000L).as("doc_id"),
@@ -133,7 +134,7 @@ object HotBucketProbe {
         .unionByName(graft.Tables.load(spark, sfLarge, "documents")
           .select((col("doc_id") + 3000000000L).as("doc_id"),
             col("text")).limit(300))
-        .localCheckpoint()
+        .pin()
       val (cs, cr) = timed {
         graft.operators.DedupOps.minhashNearDupsAgainstIndex(
           batch, "doc_id", "text", idx, maxOccupancy = 64).count()
@@ -175,7 +176,7 @@ object HotBucketProbe {
         .crossJoin(spark.range(m)
           .select((col("id") + semIdOffset).as("vec_id")))
         .select(col("vec_id"), col("fe").as("embedding"))
-      (emb.unionByName(fam).localCheckpoint(), n, m)
+      (emb.unionByName(fam).pin(), n, m)
     }
     // two family sizes: the capped spelling's fixed machinery (Lloyd +
     // signature collapse) dominates at the small point; the uncut
@@ -221,7 +222,7 @@ object HotBucketProbe {
         .unionByName(emb.limit(300)
           .select((col("vec_id") + 3000000L).as("vec_id"),
             col("embedding")))
-        .localCheckpoint()
+        .pin()
       def probeOnce(cap: Int): Long =
         graft.operators.AnnOps.incrementalSemanticDedupDurable(
           batch, "vec_id", "embedding", idxDir, 1L, threshold = 0.9,
@@ -239,7 +240,7 @@ object HotBucketProbe {
     // expansion. BIT-parity means capped_rows must EQUAL uncut_rows.
     val filteredSearch = {
       val (docs, n, m) = semFixture(1L)
-      val keyed = docs.withColumn("grp", lit("x")).localCheckpoint()
+      val keyed = docs.withColumn("grp", lit("x")).pin()
       graft.operators.DedupOps.releaseLocalCheckpoint(docs)
       def searchDf(cap: Int) = graft.operators.AnnOps.filteredTopKIvf(
         keyed, "vec_id", "embedding", "grp",

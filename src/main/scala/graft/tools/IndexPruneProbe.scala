@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.plans.PlanWalk
+import graft.core.Pins.PinnedDataset
 
 /** Scale probe for the cell-partitioned durable-index layout (round-11
   * ask #1): build an IVF-PQ index over the testdata embeddings, then
@@ -44,7 +45,7 @@ object IndexPruneProbe {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .join(src, $"vec_id" === $"doc_id")
       .select($"vec_id", $"embedding", $"source")
-      .localCheckpoint()
+      .pin()
     val n = emb.count()
     val idx = java.nio.file.Files
       .createTempDirectory("graft-prune-probe-").toString
@@ -54,7 +55,7 @@ object IndexPruneProbe {
     // FEW queries so the UNION of probed cells stays well below
     // `cells` at low nprobe (files-read tracks the union, not nprobe
     // per query — the honest denominator, reported alongside)
-    val queries = emb.filter($"vec_id" < 4).localCheckpoint()
+    val queries = emb.filter($"vec_id" < 4).pin()
 
     // the live generation's root (the pointer resolution every reader
     // does); re-resolved after maintenance, which installs a new one

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.plans.PlanWalk
+import graft.core.Pins.PinnedDataset
 
 /** OPERATING CURVE for the durable IVF-PQ serve (round-12 ask #5):
   * correctness pins recall at the construction ceiling and bit-parity
@@ -45,7 +46,7 @@ object IndexServeCurve {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .join(src, $"vec_id" === $"doc_id")
       .select($"vec_id", $"embedding", $"source")
-      .localCheckpoint()
+      .pin()
     val n = emb.count()
     val idx = java.nio.file.Files
       .createTempDirectory("graft-serve-curve-").toString
@@ -55,7 +56,7 @@ object IndexServeCurve {
     // a REALISTIC query batch (not the prune probe's 4): 64 corpus
     // members — wide enough that per-dial recall is a distribution,
     // small enough that the probed-cell union still prunes
-    val queries = emb.filter($"vec_id" < 64).localCheckpoint()
+    val queries = emb.filter($"vec_id" < 64).pin()
 
     def indexScans(plans: Seq[SparkPlan]): Seq[FileSourceScanExec] =
       PlanWalk.indexScans(plans, idx)
@@ -108,7 +109,7 @@ object IndexServeCurve {
     // batches saturate the cell space and their I/O lever is
     // compaction. This measures the crossover on real data.
     def widthSweep(): Seq[String] = Seq(1, 4, 16, 64).map { w =>
-      val qs = emb.filter($"vec_id" < w).localCheckpoint()
+      val qs = emb.filter($"vec_id" < w).pin()
       var sec = 0.0
       val plans = PlanWalk.capturePlans(spark,
           p => indexScans(p).size >= 3) {

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.core.Pins.PinnedDataset
 
 /** Scale probe for the distributed two-pass packing cumsum (round-12
   * ask #3): the old spelling computed the per-group cumulative token
@@ -39,7 +40,7 @@ object PackScaleProbe {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"source",
         size(split($"text", "\\s+")).cast("long").as("toks"))
-      .localCheckpoint()
+      .pin()
     val n = docs.count()
     val nGroups = docs.select($"source").distinct().count()
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pins.PinnedDataset
 
 /** CI gate for the physical-plan invariants the round-2 judge audited by
   * hand — so later changes cannot silently regress plans:
@@ -441,7 +442,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val corpus = Seq((1L, "ab ab cd"), (2L, "cd cd"))
       .toDF("doc_id", "text")
     val mt = graft.operators.TextOps.bpeLearn(
-      corpus.select($"text"), "text", merges = 2).localCheckpoint()
+      corpus.select($"text"), "text", merges = 2).pin()
     val counted = corpus.withColumn("toks",
       graft.operators.TextOps.bpeTokenCounter(mt)($"text"))
     val p = counted.queryExecution.executedPlan match {
@@ -514,7 +515,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     AnnFixtures.annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
   }
 
   test("s18's ADC chain: candidate and LUT joins are broadcast hash " +

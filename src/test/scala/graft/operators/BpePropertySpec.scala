@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pins.PinnedDataset
 
 /** ScalaCheck layer over the BPE merge-application trick in
   * [[TextOps.bpeLearn]]: symbols wrapped in their OWN spaces make a
@@ -339,7 +340,7 @@ class BpePropertySpec extends AnyFunSuite
       (3L, "dada abab"))
     val trainDf = train.toDF("id", "t")
     val mergeTable = TextOps.bpeLearn(trainDf.select($"t"), "t",
-      merges = 4).localCheckpoint()
+      merges = 4).pin()
     val learned = mergeTable.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
@@ -365,7 +366,7 @@ class BpePropertySpec extends AnyFunSuite
     // id resolution: train-corpus symbols resolve; 'z'/'q' (never in
     // training) surface with token_id NULL, never dropped
     val idTable = TextOps.bpeTokenIdTable(trainDf, "t", mergeTable)
-      .localCheckpoint()
+      .pin()
     val ids = idTable.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq,

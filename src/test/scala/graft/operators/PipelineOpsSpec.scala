@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pins.PinnedDataset
 
 /** The operators facade on arbitrary (non-testdata) DataFrames with
   * caller-chosen column names: planted duplicates must surface, distinct
@@ -116,7 +117,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("my_id", "body")
     val idx = DedupOps.minhashIndex(oldDocs, "my_id", "body",
       shingleK = 3, bands = 4, rows = 2, partitions = 4)
-      .localCheckpoint()
+      .pin()
     // doc 5's id sorts BELOW every accumulated family member — the
     // review-caught hole: a min-over-all-rows root would elect doc 5
     // itself and filter away its only delegated edge, silently
@@ -134,7 +135,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val capped = DedupOps.minhashNearDupsAgainstIndex(batch, "my_id",
       "body", idx, shingleK = 3, bands = 4, rows = 2,
       threshold = 0.5, partitions = 4, maxOccupancy = 8)
-      .localCheckpoint()
+      .pin()
     val delegated = capped.filter(col("jaccard").isNull).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(delegated == Set((5L, 100L), (100L, 500L), (100L, 501L)),
@@ -169,7 +170,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = corpus().union(fam.toDF("my_id", "body"))
     val capped = DedupOps.minhashNearDupsCapped(docs, "my_id", "body",
       shingleK = 3, bands = 4, rows = 2, threshold = 0.5,
-      maxOccupancy = 8, partitions = 4).localCheckpoint()
+      maxOccupancy = 8, partitions = 4).pin()
     val famVerified = capped.filter(!col("saturated") &&
       col("a") >= 1000L).count()
     assert(famVerified == 0,
@@ -213,7 +214,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = (corpus().collect().map(r =>
       (r.getLong(0), r.getString(1))) ++ fam).toSeq.toDF("my_id", "body")
     val capped = DedupOps.simhashNearDupsCapped(docs, "my_id", "body",
-      maxOccupancy = 8, partitions = 4).localCheckpoint()
+      maxOccupancy = 8, partitions = 4).pin()
     val collapse = capped.filter(col("saturated") && col("a") >= 500L)
       .collect()
     assert(collapse.forall(_.getInt(2) == 0),
@@ -251,7 +252,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = (others ++ fam).toDF("vid", "v")
     val capped = AnnOps.cosineNearDupsLshCapped(docs, "vid", "v",
       threshold = 0.9, maxOccupancy = 8, partitions = 4)
-      .localCheckpoint()
+      .pin()
     val collapse = capped.filter(col("saturated") && col("cosine").isNull)
       .collect()
     assert(collapse.nonEmpty, "family must collapse via full signature")
@@ -1192,7 +1193,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f),
         if ((i / 4) % 2 == 0) "even" else "odd")
     }
-    val df = rows.toDF("vid", "emb", "grp").localCheckpoint()
+    val df = rows.toDF("vid", "emb", "grp").pin()
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-idx-").toString
     AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
@@ -1239,7 +1240,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the WIDEST entry — an arbitrary codebook row would mis-slice
     // every query subvector (the silent-index-corruption review find)
     val rag = rows.map { case (id, v10, g) => (id, v10.take(10), g) }
-      .toDF("vid", "emb", "grp").localCheckpoint()
+      .toDF("vid", "emb", "grp").pin()
     val ridx = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-rag-").toString
     AnnOps.buildIvfPqIndex(rag, "vid", "emb", "grp", ridx,
@@ -1304,7 +1305,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // probe scoring itself must survive — both faces witnessed here
       (501L, Array(0f, 0f, 0f, 0f), "a"),
       (6L, Array(0f, 0f, 0f, 0f), "a")))
-      .toDF("vid", "emb", "grp").localCheckpoint()
+      .toDF("vid", "emb", "grp").pin()
     def run(cap: Int, k: Int, p: Int) =
       AnnOps.filteredTopKIvf(clean, "vid", "emb", "grp",
           c => c === 2L || c === 100L || c === 4L || c === 1L ||
@@ -1350,8 +1351,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val seedRows = mk(0 until 60)
     val incRows = mk(60 until 80)
-    val seed = seedRows.toDF("vid", "emb", "grp").localCheckpoint()
-    val inc = incRows.toDF("vid", "emb", "grp").localCheckpoint()
+    val seed = seedRows.toDF("vid", "emb", "grp").pin()
+    val inc = incRows.toDF("vid", "emb", "grp").pin()
     def build(dir: String): Unit =
       AnnOps.buildIvfPqIndex(seed, "vid", "emb", "grp", dir,
         cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -1656,7 +1657,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vid", "emb")
     val capped = AnnOps.semanticNearDupsCapped(df, "vid", "emb",
         threshold = 0.9, cells = 2, maxCellOccupancy = 8, partitions = 2)
-      .localCheckpoint()
+      .pin()
     val collapse = capped.filter(col("saturated") && col("cosine").isNull)
       .collect()
     assert(collapse.forall(r => r.getLong(1) == 900L && r.getLong(2) > 900L),
@@ -1714,7 +1715,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.count(p => p._2 >= 100L || p._1 >= 100L) >= 40)
     val dirC = tmp()
     run(dirC, base, 0L, Int.MaxValue)
-    val capped = run(dirC, batch, 1L, 8).localCheckpoint()
+    val capped = run(dirC, batch, 1L, 8).pin()
     val delegated = capped.filter(col("cosine").isNull).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(delegated == Set((5L, 100L), (100L, 500L)),
@@ -2097,7 +2098,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("compact")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2145,7 +2146,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("crash")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2218,7 +2219,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("concurrent")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2275,7 +2276,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("expire")
     // OLDEST data is the build (batch 0) — the rolling window drops it
     AnnOps.buildIvfPqIndex(df.filter($"vid" >= 20), "vid", "emb", "grp",
@@ -2329,7 +2330,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     def seed(dir: String): Unit = {
       AnnOps.buildIvfPqIndex(df.filter($"vid" >= 20), "vid", "emb",
         "grp", dir, cells = 4, iters = 2, pqM = 4, pqKs = 4,
@@ -2419,7 +2420,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 40).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val ann = tmpDir("man-ann")
     AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", ann, cells = 4,
       iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
@@ -2480,7 +2481,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("race")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2592,7 +2593,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 40).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("all-null")
     AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx, cells = 4,
       iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
@@ -2625,7 +2626,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 40).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("legacy")
     AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx, cells = 4,
       iters = 2, pqM = 4, pqKs = 4, pqIters = 2, partitions = 4)
@@ -2666,7 +2667,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("delete")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 60), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2922,7 +2923,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("rebuild")
     AnnOps.buildIvfPqIndex(df.filter($"vid" < 40), "vid", "emb", "grp",
       idx, cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2957,7 +2958,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 40).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val idx = tmpDir("dim")
     AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
       cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
@@ -2978,7 +2979,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val df = annRows(0 until 80).toDF("vid", "emb", "grp")
-      .localCheckpoint()
+      .pin()
     val keep = s.sparkContext.getPersistentRDDs.keySet.toSet
     val out = AnnOps.filteredTopKIvfPq(df, "vid", "emb", "grp", _ < 8,
       k = 3, cells = 4, iters = 2, nprobe = 2, pqM = 4, pqKs = 4,

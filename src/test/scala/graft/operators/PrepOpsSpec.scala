@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pins.PinnedDataset
 
 /** Facade-level checks for [[PrepOps]] on constructed corpora (the
   * oracle-checked p01–p04 queries pin the same semantics on the test
@@ -617,7 +618,7 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val corpus = capstoneCorpus
     val mt = TextOps.bpeLearn(corpus.select($"text"), "text",
-      merges = 3).localCheckpoint()
+      merges = 3).pin()
     def funnel(bpe: Option[org.apache.spark.sql.DataFrame]) =
       PrepOps.corpusBuildFunnel(corpus, "doc_id", "text", "source",
           capstoneWeights, "source", "w", tokenBudget = 100000L,
@@ -688,8 +689,8 @@ class PrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "ab", "s2"))
       .toDF("doc_id", "text", "src")
     val mt = TextOps.bpeLearn(docs.select($"text"), "text", merges = 2)
-      .localCheckpoint()
-    val ids = TextOps.bpeTokenIdTable(docs, "text", mt).localCheckpoint()
+      .pin()
+    val ids = TextOps.bpeTokenIdTable(docs, "text", mt).pin()
     val budget = 6L
     val out = PrepOps.packTokenSequences(docs, "doc_id", "text", "src",
       mt, ids, budget).collect()

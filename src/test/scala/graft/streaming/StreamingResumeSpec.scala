@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pins.PinnedDataset
 
 /** Checkpointed RESUME of the analytic streaming layer — the claim the
   * README makes ("Structured Streaming ... with checkpointed resume"),
@@ -124,7 +125,7 @@ class StreamingResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     def drainDedup(): Unit = drainWithId(docStream, cp) { (b, bid) =>
       if (!b.isEmpty)
         pairs ++= graft.operators.DedupOps.incrementalMinhashDedupDurable(
-          b.localCheckpoint(), "doc_id", "text", idxDir, bid,
+          b.pin(), "doc_id", "text", idxDir, bid,
           5, 2, 8, 0.8, partitions = 2)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
     }
