@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.functions.dot_i64
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Pins.PinnedDataset
 
 /** Reusable training-data pipeline operators over ARBITRARY DataFrames.
   *
@@ -65,7 +66,7 @@ object DedupOps {
     df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
       .repartition(Parts.of(df, partitions), col("doc_id"))
-      .localCheckpoint()
+      .pin()
 
   /** Exact duplicate groups by content hash.
     * Returns (fingerprint, keep_id, n_copies) — one row per distinct
@@ -94,11 +95,11 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val p = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b")).localCheckpoint()
+      col(bCol).cast("long").as("b")).pin()
     val edges = p.union(p.select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").pin()
     var comp = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+      .select(col("id"), col("id").as("comp")).pin()
     // convergence via sum(comp): labels only ever decrease, so the sum
     // strictly decreases iff ANY label changed — one cheap aggregate
     // per round instead of a join-against-previous. decimal(38,0) sum:
@@ -114,7 +115,7 @@ object DedupOps {
         .select(edges("src").as("id"), col("comp"))
       comp = comp.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .pin()
       sumPrev = sumCur
       sumCur = labelSum(comp)
     }
@@ -197,12 +198,12 @@ object DedupOps {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bandBuckets = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
-      .localCheckpoint()
+      .pin()
     val cand = bandBuckets.as("x").join(bandBuckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val shArr = TextKernels.shingleArrays(s, docs, shingleK).localCheckpoint()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK).pin()
     jaccardVerified(cand, shArr, threshold)
   }
 
@@ -248,7 +249,7 @@ object DedupOps {
       .agg(count(lit(1)).as("m"), min(col(idCol)).as("a"))
       .filter(col("m") > cap)
       .select(keys :+ col("a"): _*)
-      .localCheckpoint()
+      .pin()
     val sub = buckets.join(broadcast(sat.select(keys: _*)),
       keyCols, "left_anti")
     val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
@@ -290,10 +291,10 @@ object DedupOps {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bandBuckets = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
-      .localCheckpoint()
+      .pin()
     val (cand, star) = occupancySplit(bandBuckets, "doc_id",
       Seq("band", "bkey"), maxOccupancy)
-    val shArr = TextKernels.shingleArrays(s, docs, shingleK).localCheckpoint()
+    val shArr = TextKernels.shingleArrays(s, docs, shingleK).pin()
     // pinned: the verified set is consumed twice (the union below and
     // the star-edge anti-join); without the pin the Jaccard
     // verification of every sub-cap candidate would run twice. Output-
@@ -301,7 +302,7 @@ object DedupOps {
     val verified = jaccardVerified(cand, shArr, threshold)
       .select(col("a"), col("b"), col("jaccard"),
         lit(false).as("saturated"))
-      .localCheckpoint()
+      .pin()
     verified.unionByName(
       star.join(verified.select(col("a"), col("b")), Seq("a", "b"),
           "left_anti")
@@ -339,11 +340,11 @@ object DedupOps {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bb = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
-      .localCheckpoint()
+      .pin()
     val shArr = TextKernels.shingleArrays(s, docs, shingleK)
-      .localCheckpoint()
+      .pin()
     val occ = bb.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("m")).localCheckpoint()
+      .agg(count(lit(1)).as("m")).pin()
     val bocc = bb.join(occ, Seq("band", "bkey"))
     def pairsOf(rowsDf: DataFrame): DataFrame =
       rowsDf.as("x").join(rowsDf.as("y"),
@@ -398,7 +399,7 @@ object DedupOps {
             col("uncut_confirmed_pairs")).as("pair_recall"))
     // |caps| rows: pin the result, free the staged band/shingle/
     // occupancy blocks (the operating-curve release discipline)
-    val pinned = curve.localCheckpoint()
+    val pinned = curve.pin()
     releaseLocalCheckpoint(occ)
     releaseLocalCheckpoint(shArr)
     releaseLocalCheckpoint(bb)
@@ -426,7 +427,7 @@ object DedupOps {
     val docs = staged(df, idCol, textCol, partitions)
     val s = df.sparkSession
     val bb = TextKernels.minhashBands(s, docs, shingleK, bands, rows)
-      .localCheckpoint()
+      .pin()
     val satRows = bb.join(
       bb.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("m"))
         .filter(col("m") > cap).select(col("band"), col("bkey")),
@@ -436,7 +437,7 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val shArr = TextKernels.shingleArrays(s, docs, shingleK)
-      .localCheckpoint()
+      .pin()
     val r = jaccardScored(cand, shArr).agg(
       count(lit(1)).as("cp"),
       coalesce(sum(when(col("jaccard") >= threshold, 1L)
@@ -483,7 +484,7 @@ object DedupOps {
       partitions: Int = 0,
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val newIdx = minhashIndex(newDf, idCol, textCol, shingleK, bands,
-      rows, partitions).localCheckpoint()
+      rows, partitions).pin()
     // uncapped: lazy return, caller owns the newIdx pin (the staged()
     // convention — no other per-call blocks exist). Capped: the probe
     // pins a saturated-key table per call, and this operator is CALLED
@@ -495,7 +496,7 @@ object DedupOps {
       probeIndex(newIdx, Some(index), threshold, maxOccupancy)
     if (maxOccupancy == Int.MaxValue) probed
     else {
-      val pinned = probed.localCheckpoint()
+      val pinned = probed.pin()
       releaseSat()
       releaseLocalCheckpoint(newIdx)
       pinned
@@ -525,9 +526,9 @@ object DedupOps {
     val s = df.sparkSession
     val nh = configs.map { case (b, r) => b * r }.max
     val sig = TextKernels.minhashSignatures(s, docs, shingleK, nh)
-      .localCheckpoint()
+      .pin()
     val shArr = TextKernels.shingleArrays(s, docs, shingleK)
-      .localCheckpoint()
+      .pin()
     val curve = configs.map { case (bands, rows) =>
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -562,7 +563,7 @@ object DedupOps {
     // corpus/signature/shingle blocks now (ADVICE: repeated curve
     // invocations otherwise accumulate pinned blocks in executor
     // storage for the session lifetime)
-    val pinned = curve.localCheckpoint()
+    val pinned = curve.pin()
     releaseLocalCheckpoint(sig)
     releaseLocalCheckpoint(shArr)
     releaseLocalCheckpoint(docs)
@@ -640,7 +641,7 @@ object DedupOps {
         .filter(col("m") > maxOccupancy)
         .select(col("band"), col("bkey"),
           coalesce(col("old_root"), col("any_root")).as("root"))
-        .localCheckpoint()
+        .pin()
       val satKeys = sat.select(col("band"), col("bkey"))
       val allRows = allFlagged.select(col("doc_id"), col("band"),
         col("bkey"))
@@ -660,7 +661,7 @@ object DedupOps {
       // release fn frees it once the caller pins the output
       val verified = jaccardVerified(cand,
         allIdx.select(col("doc_id"), col("shs")), threshold)
-        .localCheckpoint()
+        .pin()
       // a pair can share a saturated bucket AND a sub-cap one: the
       // verified row wins, so each (a, b) appears exactly once and a
       // consumer joining or counting on the pair key never sees a
@@ -842,11 +843,11 @@ object DedupOps {
       "incrementalMinhashDedupDurable")
     val genAtProbe = AnnOps.currentGenOpt(s, indexDir)
     val newIdx = minhashIndex(batch, idCol, textCol, shingleK, bands,
-      rows, partitions).localCheckpoint()
+      rows, partitions).pin()
     val existing = loadMinhashIndex(s, indexDir, excludeBatch = batchId)
     val (probed, releaseProbe) =
       probeIndex(newIdx, existing, threshold, maxOccupancy)
-    val pairs = probed.localCheckpoint()
+    val pairs = probed.pin()
     releaseProbe()
     commitMinhashIndexBatch(newIdx, indexDir, batchId, shingleK, bands,
       rows, expectedGen = Some(genAtProbe))
@@ -862,21 +863,18 @@ object DedupOps {
     pairs
   }
 
-  /** Free the executor blocks behind a `localCheckpoint`ed DataFrame.
-    * No-op if the plan isn't the expected checkpoint shape. PUBLIC
-    * because the serve-many-batches operators
-    * ([[AnnOps.queryIvfPqIndex]], the capped incremental probes)
-    * return PINNED results — an external caller running thousands of
-    * batches in one session should release each result once consumed,
-    * or the per-call pins accumulate for the session lifetime (the
-    * same leak class those operators free internally).
+  /** Free the storage behind a pinned DataFrame ([[graft.core.Pins]]).
+    * No-op if the plan isn't a pin shape. PUBLIC (name kept from the
+    * rounds when the pin WAS a bare localCheckpoint) because the
+    * serve-many-batches operators ([[AnnOps.queryIvfPqIndex]], the
+    * capped incremental probes) return PINNED results — an external
+    * caller running thousands of batches in one session should release
+    * each result once consumed, or the per-call pins accumulate for the
+    * session lifetime (the same leak class those operators free
+    * internally).
     */
   def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.core.Pins.release(df)
 
   /** Paragraph-granularity MinHash+LSH near-dups — the standard second
     * dedup pass every LLM corpus runs after document level (C4/Gopher
@@ -962,7 +960,7 @@ object DedupOps {
       partitions: Int): (DataFrame, DataFrame) = {
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
-      .localCheckpoint()
+      .pin()
     val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val frequent = posting.groupBy(col("sh"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select(col("sh"))
@@ -1041,7 +1039,7 @@ object DedupOps {
     // |maxDfs| rows: pin the result eagerly, then free the staged
     // shingle/df blocks (ADVICE: the curve otherwise leaks its
     // checkpoints per call for the session lifetime)
-    val pinned = curve.localCheckpoint()
+    val pinned = curve.pin()
     release()
     pinned
   }
@@ -1056,10 +1054,10 @@ object DedupOps {
     require(maxDfs.nonEmpty, "need at least one maxDf operating point")
     val docs = staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, shingleK)
-      .localCheckpoint()
+      .pin()
     val posting = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfTab = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .pin()
     def candFrom(p: DataFrame): DataFrame =
       p.as("x").join(p.as("y"),
           col("x.sh") === col("y.sh") &&
@@ -1108,7 +1106,7 @@ object DedupOps {
     require(maxHamming <= 3,
       "byte banding only guarantees recall for hamming <= 3 of 32 bits")
     val docs = staged(df, idCol, textCol, partitions)
-    val sig = TextKernels.simhash32(df.sparkSession, docs).localCheckpoint()
+    val sig = TextKernels.simhash32(df.sparkSession, docs).pin()
     val bytes = sig.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(c => struct(
           lit(c).as("pos"),
@@ -1167,7 +1165,7 @@ object DedupOps {
     require(maxHamming <= 3,
       "byte banding only guarantees recall for hamming <= 3 of 32 bits")
     val docs = staged(df, idCol, textCol, partitions)
-    val sig = TextKernels.simhash32(df.sparkSession, docs).localCheckpoint()
+    val sig = TextKernels.simhash32(df.sparkSession, docs).pin()
     val bytes = sig.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(c => struct(
           lit(c).as("pos"),
@@ -1176,7 +1174,7 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"), col("bb.pos"), col("bb.byte"))
     val satKeys = bytes.groupBy(col("pos"), col("byte"))
       .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
-      .select(col("pos"), col("byte")).localCheckpoint()
+      .select(col("pos"), col("byte")).pin()
     // nothing saturates (the common case a well-chosen cap buys):
     // skip the collapse machinery entirely — its group table would
     // otherwise cost an eager corpus-keyed aggregation pass even over
@@ -1202,7 +1200,7 @@ object DedupOps {
     // pinned: consumed by the union AND the saturated-face anti-joins
     // below (the family-wide pair-uniqueness contract — each (a, b)
     // surfaces once, as its verified row when one exists; ADVICE item)
-    val verified = verifiedLazy.localCheckpoint()
+    val verified = verifiedLazy.pin()
     def distinctFromVerified(pairs: DataFrame): DataFrame =
       pairs.join(verified.select(col("a"), col("b")), Seq("a", "b"),
         "left_anti")
@@ -1210,7 +1208,7 @@ object DedupOps {
     val groups = satRows
       .groupBy(col("pos"), col("byte"), col("simhash"))
       .agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint()
+      .pin()
     val collapse = satRows.join(groups, Seq("pos", "byte", "simhash"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"),
@@ -1319,7 +1317,7 @@ object TextOps {
     // pinned: measured once, then both the nll projection and the
     // scoring join read the materialized counts
     val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .pin()
     val m = counts.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col("w"))), lit(0L)).as("chars"),
       coalesce(sum(col("c")), lit(0L)).as("t")).head()
@@ -1360,7 +1358,7 @@ object TextOps {
       .filter(size(col("ws")) > 0)
     val words = toks.select(col("id"), explode(col("ws")).as("w"))
     val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .pin()
     // one measured pass over each checkpointed count table: total
     // tokens + the uni gate's size, then the bi gate's size — no
     // per-NLL-table extra jobs (t11's single-`m` pattern)
@@ -1373,7 +1371,7 @@ object TextOps {
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
     val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint()
+      .pin()
     val mBi = bi.agg(count(lit(1)),
       coalesce(sum(length(col("bg"))), lit(0L))).head()
     val ctx = bi.select(split(col("bg"), " ").getItem(0).as("w"),
@@ -1442,7 +1440,7 @@ object TextOps {
       partitions: Int = 0): DataFrame = {
     val docs = DedupOps.staged(df, idCol, textCol, partitions)
     val shArr = TextKernels.shingleArrays(df.sparkSession, docs, k)
-      .localCheckpoint()
+      .pin()
     val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("sh"))
@@ -1522,7 +1520,7 @@ object TextOps {
   private def mergedDupSpans(docs: DataFrame, k: Int,
       minCount: Int): DataFrame = {
     val grams = TextKernels.positionalGrams(docs.sparkSession, docs, k)
-      .localCheckpoint()
+      .pin()
     val dupg = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))
     val dup = grams.join(dupg, Seq("g"))
@@ -1745,7 +1743,7 @@ object TextOps {
       .filter(length(col("w")) > 0) // ragged spacing yields "" tokens —
                                     // never a keyword candidate
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // pinned: df-count and scoring join both read it
+      .pin() // pinned: df-count and scoring join both read it
     // tf has one row per distinct (doc, term), so count(*) per term = df
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val m = dfreq.agg(count(lit(1)).as("n"),
@@ -2168,7 +2166,7 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("sp"),
         col("freq"))
-      .localCheckpoint()
+      .pin()
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     val mergedSyms = scala.collection.mutable.HashSet.empty[String]
@@ -2291,7 +2289,7 @@ object TextOps {
         }
         val prev = words
         words = words.select(col("w"), spCol.as("sp"), col("freq"))
-          .localCheckpoint()
+          .pin()
         // localCheckpoint is eager, so the superseded round's table is
         // fully consumed by the time it returns: release its blocks
         // NOW (the round-7 durable-dedup lesson). Cost model: one
@@ -2474,7 +2472,7 @@ object AnnOps {
       .repartition(Parts.of(df, partitions), col("id"))
       .select(out :+ sqrt(dot_i64(col("c"), col("c")).cast("double") /
         lit(1.0e12)).as("nrm"): _*)
-      .localCheckpoint()
+      .pin()
   }
 
   /** Exact cosine between two staged sides, as a Column expression. */
@@ -2695,7 +2693,7 @@ object AnnOps {
           }
         }
       }.toDF("id", "key", "band", "code")
-    (if (keyed) out else out.drop("key")).localCheckpoint()
+    (if (keyed) out else out.drop("key")).pin()
   }
 
   private def signLshSignatures(v: DataFrame, rowsPerBand: Int,
@@ -2977,7 +2975,7 @@ object AnnOps {
       // key; saturated pairs are ≤ rows/cap, broadcastable
       val satCK = keyed.groupBy(col("cell"), col("key"))
         .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
-        .select(col("cell"), col("key")).localCheckpoint()
+        .select(col("cell"), col("key")).pin()
       val vecs = v.select(col("id"), col("c"), col("nrm"))
       // collapse machinery scoped to PROBED (cell, key) pairs only —
       // signature-hashing and window-ranking saturated groups no
@@ -3010,7 +3008,7 @@ object AnnOps {
         .select(col("cell"), col("key"), col("fsig"), col("id"))
         .withColumn("rn", row_number().over(wg))
         .filter(col("rn") <= k + 1)
-        .localCheckpoint()
+        .pin()
       val reps = heads.filter(col("rn") === 1)
       // the representative is scored even when it IS the query (it
       // stands for the whole group); expansion swaps in the members
@@ -3031,7 +3029,7 @@ object AnnOps {
           col("cosine"))
       val out = topKByCosine(
         scoreCandidates(v, candDirect, isQuery).unionByName(expanded),
-        k).localCheckpoint()
+        k).pin()
       DedupOps.releaseLocalCheckpoint(heads)
       DedupOps.releaseLocalCheckpoint(satCK)
       out
@@ -3150,7 +3148,7 @@ object AnnOps {
     val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-      .localCheckpoint() // feeds the ADC join; pin so the coarse
+      .pin() // feeds the ADC join; pin so the coarse
                          // k-means never re-runs per consumer
     // PQ structure: M per-subspace codebooks over the SAME staged
     // corpus (ceil split; dot_i64/the assignment kernel tolerate a
@@ -3163,7 +3161,7 @@ object AnnOps {
     val perM = (0 until pqM).map { m =>
       val sub = v.select(col("id"),
           slice(col("c"), m * dsub + 1, dsub).as("c"))
-        .localCheckpoint()
+        .pin()
       // Codebooks train with L2 Lloyd, NOT the cosine kernel the
       // coarse cells reuse: ADC reconstructs the vector, and cosine
       // routing is magnitude-blind — a tiny noise subvector pointing
@@ -3243,7 +3241,7 @@ object AnnOps {
     // pins it could never release, so a session calling it repeatedly
     // accumulated executor blocks for its lifetime). Callers that are
     // done with the result should releaseLocalCheckpoint it.
-    val out = rerankCandidates(v, refine, isQuery, k).localCheckpoint()
+    val out = rerankCandidates(v, refine, isQuery, k).pin()
     DedupOps.releaseLocalCheckpoint(cand)
     perM.foreach { case (_, _, _, sub, codesP) =>
       DedupOps.releaseLocalCheckpoint(codesP)
@@ -3561,7 +3559,7 @@ object AnnOps {
   def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String,
       batchId: Long): Unit = {
     val cast = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint() // tombstone-batch sized; checked then written
+      .pin() // tombstone-batch sized; checked then written
     // NULL-id loudness (ADVICE): a non-numeric or null id would cast
     // to NULL, never match the left-anti join, and turn the takedown
     // into a silent no-op — for a DELETE primitive that is data loss
@@ -4118,7 +4116,7 @@ object AnnOps {
     val perM = (0 until pqM).map { m =>
       val sub = v.select(col("id"),
           slice(col("c"), m * dsub + 1, dsub).as("c"))
-        .localCheckpoint()
+        .pin()
       val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
       val meansDf = s.createDataFrame(means.toSeq.map {
         case (cell, mu) => (m, cell, mu.toSeq, mu.map(x => x * x).sum)
@@ -4208,7 +4206,6 @@ object AnnOps {
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
     val cent = s.read.parquet(s"$indexDir/centroids")
-    val k = cent.count()
     // DIM VALIDATION (ADVICE): the assignment/encoding kernels tolerate
     // ragged dims (min-length truncation), so a batch with the wrong
     // dimensionality would be encoded and committed SILENTLY with
@@ -4226,8 +4223,14 @@ object AnnOps {
     // batch of ONLY null vectors carries no dim at all (dimStats comes
     // back null) and must commit, not throw — one all-null trigger
     // would otherwise crash a long-lived append stream (ADVICE).
-    val storedDim = cent.select(size(col("cc")).as("d")).limit(1)
-      .as[Int].collect().headOption.getOrElse(0)
+    // k and the stored dim in ONE aggregate over the (tiny) centroid
+    // table — the previous count + limit(1) collect was two jobs for
+    // two scalars off the same scan (round-15 overhead cut); min(size)
+    // == the width, centroids are uniform by construction
+    val centStats = cent
+      .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0))).head()
+    val k = centStats.getLong(0)
+    val storedDim = centStats.getInt(1)
     val dimStats = v.filter(col("c").isNotNull)
       .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
       .head()
@@ -4242,7 +4245,7 @@ object AnnOps {
       assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
     val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
       .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-      .localCheckpoint()
+      .pin()
     releaseAssign()
     // encode against the frozen codebooks. COMMIT ORDER MATTERS
     // (REVIEW): codes write FIRST, rows LAST — the rows table drives
@@ -4259,19 +4262,17 @@ object AnnOps {
     // replaces): the build wrote what it quantized with
     val dsub = man.param("dsub", indexDir).toInt
     val pqM = man.param("pqM", indexDir).toInt
-    val perMCodes = (0 until pqM).map { m =>
-      val sub = v.select(col("id"),
-        slice(col("c"), m * dsub + 1, dsub).as("c"))
-      val means = books.filter(_._1 == m)
-        .map { case (_, code, mu) => (code, mu.toArray) }
-        .sortBy(_._1)
-      val (assignedM, destroy) = l2AssignAgainst(sub, means)
-      val pinned = assignedM
-        .select(col("id"), col("cell").as("code"), lit(m).as("m"))
-        .localCheckpoint()
-      destroy()
-      pinned
-    }
+    // ONE broadcast map pass encodes all M subspaces (round-15
+    // overhead cut: the previous per-subspace loop ran pqM separate
+    // assign+pin jobs per append — pure fixed cost, since each pass
+    // re-read the same pinned staging). Arithmetic per subspace is
+    // [[l2AssignAgainst]]'s verbatim: slice c[m*dsub, +dsub) bounded
+    // by the vector and mean widths, score = |mu|^2 - 2 x.mu over a
+    // sequential fold, first-index init then strictly-less
+    // replacement over the code-ascending scan — so stored codes are
+    // bit-identical to the per-subspace spelling (the bit-parity spec
+    // re-pins it).
+    val (codesAll, destroyCodes) = pqEncodeAll(v, books, pqM, dsub)
     // COMMIT GATE: re-check immediately before the first durable
     // write. A maintenance run that STARTED during this append's
     // staging holds the lock (fail here, loudly); one that COMMITTED
@@ -4288,15 +4289,15 @@ object AnnOps {
     val root = genRoot(indexDir, gen)
     // cell rides each code row (from the batch's own pinned rows) so
     // the serve's ADC scan partition-prunes to the probed cells
-    perMCodes.reduce(_ unionByName _)
+    codesAll
       .join(rows.select(col("id"), col("cell")), Seq("id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/codes/batch=$batchId")
+    destroyCodes() // encode executed inside the codes write above
     rows.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/batches/batch=$batchId")
     // the commit is on disk: free every per-call pin (this operator
     // is called per nightly batch in a long-lived session)
-    perMCodes.foreach(DedupOps.releaseLocalCheckpoint)
     DedupOps.releaseLocalCheckpoint(rows)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
@@ -4377,7 +4378,7 @@ object AnnOps {
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("cell"))
       .join(broadcast(qkeys), Seq("qid"))
-      .localCheckpoint()
+      .pin()
     // THE SCALE POINT of the layout: the union of probed cells is
     // bounded by the centroid count (a driver-safe collect at any
     // query-batch size — cells, not queries × nprobe), and every
@@ -4393,14 +4394,17 @@ object AnnOps {
       cellPrune(s.read.parquet(s"$root/batches"), probed), ts)
       .select(col("id"), col("cell").cast("long").as("cell"), col("c"),
         col("nrm"), col("key"))
+    // single consumer (the ADC join): no pin — a pin here costs one
+    // whole job per serve for zero reuse (round-15 overhead cut; the
+    // serve job count is the fixed cost every lifecycle query pays)
     val cand = rows.join(broadcast(qside), Seq("cell", "key"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-      .localCheckpoint()
-    // ADC over stored codes/codebooks
+    // ADC over stored codes/codebooks. Read twice below, but bounded
+    // (pqM x pqKs rows): two embedded scans of a KB-sized parquet are
+    // cheaper than one materialization job (round-15 overhead cut)
     val books = s.read.parquet(s"$indexDir/codebooks")
       .select(col("m"), col("code"), col("cmean"), col("cn2"))
-      .localCheckpoint() // bounded (pqM x pqKs); read twice
     // dsub DECLARED by the manifest (replacing the round-12 widest-
     // codebook-entry inference — with dim % pqM != 0 the LAST
     // subspace's means are shorter under the ceil split, so any
@@ -4466,9 +4470,7 @@ object AnnOps {
     // pin the (k × queries)-sized output, free every per-call staging
     val out = cos.withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
-      .localCheckpoint()
-    DedupOps.releaseLocalCheckpoint(cand)
-    DedupOps.releaseLocalCheckpoint(books)
+      .pin()
     DedupOps.releaseLocalCheckpoint(qside)
     DedupOps.releaseLocalCheckpoint(qv)
     DedupOps.releaseLocalCheckpoint(stagedQ)
@@ -4511,7 +4513,7 @@ object AnnOps {
     for (it <- 1 to iters) {
       val prev = members
       val (assigned, destroy) = l2AssignAgainst(sub, means)
-      members = assigned.localCheckpoint()
+      members = assigned.pin()
       destroy()
       // each Lloyd round supersedes the previous round's pinned
       // membership — release it or a pqIters-deep train leaks
@@ -4532,6 +4534,62 @@ object AnnOps {
     * Returns the (lazy) assignment plus a destroy thunk for the mean
     * broadcast — call it after pinning the assignment (the
     * assignCellsKeepBc discipline). */
+  /** ONE broadcast map pass encoding EVERY PQ subspace (round-15
+    * append-overhead cut: pqM separate [[l2AssignAgainst]] passes were
+    * pqM whole jobs re-reading the same pinned staging). Per subspace
+    * the arithmetic is [[l2AssignAgainst]] verbatim — the slice
+    * c[m*dsub, +dsub) bounded by both the vector and the mean widths
+    * (exactly what `slice(col("c"), m*dsub+1, dsub)` handed the
+    * kernel), |mu|^2 - 2 x.mu over a sequential fold, first-index init
+    * then strictly-less replacement over the code-ascending scan —
+    * so the stored codes are bit-identical to the per-subspace
+    * spelling (the build/serve bit-parity specs pin it). Returns the
+    * LAZY (id, code, m) frame plus a destroy thunk for the codebook
+    * broadcast — call it after the consuming write has executed.
+    */
+  private def pqEncodeAll(v: DataFrame,
+      books: Array[(Int, Long, Seq[Double])], pqM: Int, dsub: Int)
+      : (DataFrame, () => Unit) = {
+    val s = v.sparkSession
+    import s.implicits._
+    val byM: Array[Array[(Long, Array[Double], Double)]] =
+      (0 until pqM).map { m =>
+        books.filter(_._1 == m)
+          .map { case (_, code, mu) =>
+            val a = mu.toArray; (code, a, a.map(x => x * x).sum) }
+          .sortBy(_._1)
+      }.toArray
+    val bc = s.sparkContext.broadcast(byM)
+    val out = v.select(col("id"), col("c"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        val all = bc.value
+        rows.flatMap { case (id, c) =>
+          Iterator.tabulate(all.length) { m =>
+            val cs = all(m)
+            val off = m * dsub
+            var bestCode = if (cs.isEmpty) -1L else cs(0)._1
+            var best = Double.PositiveInfinity
+            var j = 0
+            while (j < cs.length) {
+              val (code, mu, mn2) = cs(j)
+              val sliceLen = if (c == null) 0
+                else math.max(0, math.min(dsub, c.length - off))
+              val n = math.min(sliceLen, mu.length)
+              var dot = 0.0
+              var i = 0
+              while (i < n) { dot += c(off + i) * mu(i); i += 1 }
+              val score = mn2 - 2.0 * dot
+              if (j == 0 || score < best) { best = score; bestCode = code }
+              j += 1
+            }
+            (id, bestCode, m)
+          }
+        }
+      }.toDF("id", "code", "m")
+    (out, () => bc.destroy())
+  }
+
   private def l2AssignAgainst(sub: DataFrame,
       means: Array[(Long, Array[Double])])
       : (DataFrame, () => Unit) = {
@@ -4647,7 +4705,7 @@ object AnnOps {
     val sig = signLshSignatures(v, rowsPerBand, bands)
     val satKeys = sig.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("m")).filter(col("m") > maxOccupancy)
-      .select(col("band"), col("code")).localCheckpoint()
+      .select(col("band"), col("code")).pin()
     // nothing saturates (the common case a well-chosen cap buys): skip
     // the full-signature aggregation and the collapse machinery — the
     // simhashNearDupsCapped short-circuit
@@ -4681,13 +4739,13 @@ object AnnOps {
       .agg(md5(concat_ws(",", sort_array(collect_list(
         concat_ws(":", lpad(col("band").cast("string"), 4, "0"),
           col("code")))))).as("fsig"))
-      .localCheckpoint()
+      .pin()
     val satRows = sig.join(broadcast(satKeys), Seq("band", "code"))
       .join(full, Seq("id"))
     val groups = satRows
       .groupBy(col("band"), col("code"), col("fsig"))
       .agg(min(col("id")).as("rep"))
-      .localCheckpoint()
+      .pin()
     val collapse = satRows.join(groups, Seq("band", "code", "fsig"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"),
@@ -4700,7 +4758,7 @@ object AnnOps {
     // pinned verified set + anti-joined saturated faces: each (a, b)
     // surfaces once, as its verified row when one exists — the
     // family-wide pair-uniqueness contract (ADVICE item)
-    val verified = verify(cand, sat = false).localCheckpoint()
+    val verified = verify(cand, sat = false).pin()
     def distinctFromVerified(pairs: DataFrame): DataFrame =
       pairs.join(verified.select(col("a"), col("b")), Seq("a", "b"),
         "left_anti")
@@ -4767,7 +4825,7 @@ object AnnOps {
   private def withRawNorm(v: DataFrame): DataFrame =
     v.select(col("id"), col("c"), col("nrm"),
         sqrt(dot_i64(col("c"), col("c")).cast("double")).as("nrmr"))
-      .localCheckpoint()
+      .pin()
 
   /** Argmax-cosine assignment of every staged vector to a centroid, as a
     * single map pass: the (cell, cc, cnrmr) centroid table — k rows,
@@ -4897,7 +4955,7 @@ object AnnOps {
     // collapse the centroid-update's reduce into a single task and a
     // single ~k×dim×8 B block on one executor — a funnel (and past 2 GB
     // a hard failure) at exactly the scale that triggers sharding.
-    val centP = cent.localCheckpoint()
+    val centP = cent.pin()
     val perShard = math.max(1L, maxCentroidBytes / math.max(1L, dimBytes))
     val nShards = ((k + perShard - 1) / perShard).toInt
     // Stage ALL shards through ONE partitionBy shuffle plus a few
@@ -5156,7 +5214,7 @@ object AnnOps {
       val (assigned, release) =
         assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
       val prev = members
-      members = assigned.localCheckpoint()
+      members = assigned.pin()
       release()
       if (prev != null) stale += prev
       if (it < iters) cent = centFrom(members)
@@ -5276,7 +5334,7 @@ object AnnOps {
       s"maxCellOccupancy=$maxCellOccupancy must be >= 1")
     val satCells = members.groupBy(col("cell"))
       .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
-      .select(col("cell")).localCheckpoint()
+      .select(col("cell")).pin()
     // nothing saturates (the common case a well-chosen cap buys): the
     // plain within-cell join, zero collapse machinery — the
     // simhashNearDupsCapped short-circuit
@@ -5305,7 +5363,7 @@ object AnnOps {
       .withColumn("fsig", fullVecSig(col("c")))
     val groups = satRows.groupBy(col("cell"), col("fsig"))
       .agg(min(col("id")).as("rep"))
-      .localCheckpoint()
+      .pin()
     val collapse = satRows.join(groups, Seq("cell", "fsig"))
       .filter(col("id") =!= col("rep"))
       .select(col("cell"), col("rep").as("a"), col("id").as("b"),
@@ -5370,9 +5428,9 @@ object AnnOps {
     val members = kmeansFromStaged(v, cells, iters, maxCentroidBytes)
     val x = members.join(v, Seq("id"))
       .select(col("cell"), col("id"), col("c"), col("nrm"))
-      .localCheckpoint()
+      .pin()
     val occ = x.groupBy(col("cell")).agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+      .pin()
     val xocc = x.join(occ, Seq("cell"))
     // ONE verification pass per pair set yields both counts (the d13
     // countsOf convention), through the same cosine expression the
@@ -5396,7 +5454,7 @@ object AnnOps {
     // excluded — the pairsWithinCellsCapped contract)
     val fsigged = x.filter(col("c").isNotNull && col("nrm") > 0)
       .withColumn("fsig", fullVecSig(col("c")))
-      .localCheckpoint()
+      .pin()
     val foccs = fsigged.join(occ, Seq("cell"))
     val perCap = caps.map { cap =>
       val subCnt = countsOf(xocc.filter(col("m") <= cap)
@@ -5441,7 +5499,7 @@ object AnnOps {
             col("uncut_confirmed_pairs")))
     // |caps| rows: pin the result, free the staged blocks (the
     // operating-curve release discipline)
-    val pinned = curve.localCheckpoint()
+    val pinned = curve.pin()
     DedupOps.releaseLocalCheckpoint(fsigged)
     DedupOps.releaseLocalCheckpoint(occ)
     DedupOps.releaseLocalCheckpoint(x)
@@ -5618,7 +5676,7 @@ object AnnOps {
       }
     val own = assignedRaw.join(v, Seq("id"))
       .select(col("id"), col("cell"), col("c"), col("nrm"))
-      .localCheckpoint()
+      .pin()
     release()
     // bootstrap the manifest from the FROZEN artifacts (keyed on its
     // own absence, not the train branch, so a crash between the
@@ -5716,7 +5774,7 @@ object AnnOps {
         // per frozen cell; saturated cells ≤ |all|/cap — broadcastable
         val satCells = all.groupBy(col("cell"))
           .agg(count(lit(1)).as("m")).filter(col("m") > maxCellOccupancy)
-          .select(col("cell")).localCheckpoint()
+          .select(col("cell")).pin()
         if (satCells.head(1).isEmpty)
           (exactPairs(ownRows, all),
             () => DedupOps.releaseLocalCheckpoint(satCells))
@@ -5743,7 +5801,7 @@ object AnnOps {
             .select(col("cell"), col("fsig"),
               coalesce(col("old_root"), col("any_root")).as("root"),
               col("old_root").isNull.as("is_new"))
-            .localCheckpoint()
+            .pin()
           val satOwn = satAll.filter(!col("is_old"))
           val delegated = satOwn.join(groups, Seq("cell", "fsig"))
             .filter(col("id") =!= col("root"))
@@ -5780,7 +5838,7 @@ object AnnOps {
             })
         }
       }
-    val pairs = rawPairs.localCheckpoint()
+    val pairs = rawPairs.pin()
     releaseCap()
     releaseStagings()
     DedupOps.releaseLocalCheckpoint(own)
@@ -6143,7 +6201,7 @@ object PrepOps {
     // The pin is released below once the RESULT is pinned, so nothing
     // input-sized outlives the call; single-action callers never see
     // a recompute either way, they just skip one materialization.
-    val pinned = df.localCheckpoint()
+    val pinned = df.pin()
     // the reproducibility contract stands on key UNIQUENESS: two rows
     // sharing (keyCols) would tie on every ordering column and take
     // positions nondeterministically across runs/partitionings —
@@ -6194,7 +6252,7 @@ object PrepOps {
             % buckets)
         .withColumn("pos", row_number().over(w).cast("long") - 1L)
         .drop("skey")
-        .localCheckpoint()
+        .pin()
     } finally DedupOps.releaseLocalCheckpoint(pinned)
   }
 
@@ -6527,7 +6585,7 @@ object PrepOps {
       .filter(col("v").isNotNull)
       .repartitionByRange(Parts.of(df, partitions), col("v"))
       .select(col("v"), spark_partition_id().as("pid"))
-      .localCheckpoint() // two passes below (counts, then rank lookup)
+      .pin() // two passes below (counts, then rank lookup)
     val counts = scores.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -6555,7 +6613,7 @@ object PrepOps {
           Window.partitionBy(col("pid")).orderBy(col("v")))
         + coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
       .filter(col("r").isin(needed: _*))
-      .localCheckpoint() // <= 2*|probs| rows; joined twice below
+      .pin() // <= 2*|probs| rows; joined twice below
     val tdf = s.createDataFrame(targets).toDF("qi", "lo", "hi", "wlo", "whi")
     tdf
       .join(broadcast(ranked.select(col("r").as("lo"), col("v").as("vlo"))),
@@ -6878,7 +6936,7 @@ object PrepOps {
     * construction would re-run the training. */
   private def pinnedBpeCounter(bpeMergeTable: Option[DataFrame])
       : Option[Column => Column] =
-    bpeMergeTable.map(mt => TextOps.bpeTokenCounter(mt.localCheckpoint()))
+    bpeMergeTable.map(mt => TextOps.bpeTokenCounter(mt.pin()))
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per
@@ -6951,7 +7009,7 @@ object PrepOps {
         col(textCol).cast("string").as("text"),
         col(sourceCol).cast("string").as("source"))
       .repartition(Parts.of(df, partitions), col("doc_id"))
-      .localCheckpoint()
+      .pin()
     // 1. quality gate (no stopword list: the gate here is length +
     // lexical diversity; callers wanting the full t12 composite run it
     // upstream and pass the survivors in)
@@ -6959,7 +7017,7 @@ object PrepOps {
         stopwords = Seq.empty, minChars = 1, minWords = minWords,
         minTypeToken = minTypeToken)
       .filter(col("is_quality")).select(col("id").as("doc_id"))
-    val gated = base.join(q, Seq("doc_id")).localCheckpoint()
+    val gated = base.join(q, Seq("doc_id")).pin()
     // 2. near-dup resolution: survivors stay. Uncapped (the default)
     // this is minhashNearDups verbatim; with `maxOccupancy` set, the
     // hot-bucket guard routes saturated buckets through star edges and
@@ -6979,7 +7037,7 @@ object PrepOps {
         val capped = DedupOps.minhashNearDupsCapped(gated, "doc_id",
             "text", shingleK, bands, rows, jaccardThreshold,
             maxOccupancy, partitions)
-          .localCheckpoint()
+          .pin()
         val delegatedIds = capped.filter(col("saturated"))
           .select(col("b").as("doc_id")).distinct()
         (capped.select(col("a"), col("b")),
@@ -6988,7 +7046,7 @@ object PrepOps {
     val nonSurvivors = DedupOps.connectedComponents(pairs, "a", "b")
       .filter(!col("is_survivor")).select(col("id").as("doc_id"))
     val deduped = gated.join(nonSurvivors, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .pin()
     // 3. deterministic split
     val assigned = splitAssign(deduped, "doc_id", trainPct, valPct)
     val train = assigned.filter(col("split") === "train")
@@ -7006,7 +7064,7 @@ object PrepOps {
     // corpusBuild alone consumes each stage exactly once, so pinning
     // there would only add materialization cost.
     def maybePin(frame: DataFrame): DataFrame =
-      if (pinLateStages) frame.localCheckpoint() else frame
+      if (pinLateStages) frame.pin() else frame
     val clean = maybePin(
       train.join(contaminated, Seq("doc_id"), "left_anti"))
     // 5. mixture sampling to the token budget. Whitespace words by
