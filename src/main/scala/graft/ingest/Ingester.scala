@@ -24,7 +24,13 @@ final case class IngestSettings(
     // out/<stream>/data_parts/p_date=YYYY-MM-DD/..., so event-time
     // filters prune whole partitions at the source (the 100 TB layout;
     // the reference's single-dir layout has no pruning axis)
-    datePartitionColumn: Option[String] = None) {
+    datePartitionColumn: Option[String] = None,
+    // target parquet row-group bytes (reference bytes_per_row_group,
+    // ingester_settings.h:20 default 128 MB, consumed at
+    // ingester.cpp:217 as samples_per_row_group). Spark's writer sizes
+    // row groups by parquet.block.size, so the knob maps directly;
+    // None keeps the Hadoop default (also 128 MB).
+    bytesPerRowGroup: Option[Long] = None) {
 
   /** Whitelist wins over blacklist (reference ingester_settings.h:63-81). */
   def keepColumn(name: String): Boolean = columnWhitelist match {
@@ -62,6 +68,14 @@ final class Ingester(
     settings: IngestSettings = IngestSettings()) {
 
   private val store = new StreamStore(storeRoot)
+
+  /** Parquet writer honoring the settings' row-group size (reference
+    * bytes_per_row_group; parquet.block.size is Spark's spelling). */
+  private def parquetWriter(df: DataFrame) = {
+    val w = df.write
+    settings.bytesPerRowGroup.fold(w)(b =>
+      w.option("parquet.block.size", b.toString))
+  }
 
   private def outDir(stream: String): Path = outRoot.resolve(stream)
 
@@ -130,12 +144,15 @@ final class Ingester(
     if (Files.exists(stale))
       org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
 
-    df.write.mode("append").partitionBy("p_date").parquet(dataDir.toString)
+    parquetWriter(df).mode("append").partitionBy("p_date")
+      .parquet(dataDir.toString)
     val total = spark.read.parquet(dataDir.toString).count()
 
     maybeTrim(stream, total - 1)
     finalizeIfStale(stream)
-    if (eofReached(stream)) {
+    // same live-writer completion gate as [[ingestOnce]] (gapless
+    // 0-based sample_index: the persisted frontier IS total - 1)
+    if (eofLastIndex(stream).exists(_ <= total - 1)) {
       writeSidecar(stream, meta, "COMPLETED")
       store.deleteStream(stream)
       evictSegmentCache(stream)
@@ -171,8 +188,8 @@ final class Ingester(
     // one part per sweep, ordered by sample_index (the stream IS
     // ordered; a single stream's row groups stay sequential like the
     // reference's — cross-stream parallelism is the scale axis)
-    df.orderBy("sample_index").coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    parquetWriter(df.orderBy("sample_index").coalesce(1))
+      .mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     if (n > 0) {
       // atomic publish (reference write-temp-then-rename,
@@ -183,10 +200,14 @@ final class Ingester(
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
 
-    maybeTrim(stream, persistedFrontier(stream))
+    val frontier = persistedFrontier(stream)
+    maybeTrim(stream, frontier)
     finalizeIfStale(stream)
 
-    if (eofReached(stream)) {
+    // complete ONLY when everything before the EOF is persisted: the
+    // scan above snapshots the stream, so rows (+ EOF) appended since
+    // belong to the NEXT sweep, not to this completion
+    if (eofLastIndex(stream).exists(_ <= frontier)) {
       compact(stream)
       writeSidecar(stream, meta, "COMPLETED")
       store.deleteStream(stream) // reference deletes Redis metadata on EOF
@@ -236,11 +257,20 @@ final class Ingester(
     }
 
   /** EOF marker present in the newest segment? (writer has stopped) */
-  def eofReached(stream: String): Boolean = {
+  def eofReached(stream: String): Boolean = eofLastIndex(stream).isDefined
+
+  /** The EOF entry's LAST-WRITTEN sample_index (writer stop() and
+    * forceEof both stamp it), if the writer has stopped. Completion
+    * decisions compare it against the persisted frontier — EOF
+    * presence alone is a live-writer race: rows + EOF appended
+    * between this sweep's scan and its completion check would compact
+    * and DELETE the stream with the tail unpersisted (caught by
+    * IngesterDaemonSpec's live-writer loop). */
+  private def eofLastIndex(stream: String): Option[Long] = {
     val segs = store.segments(stream)
-    segs.lastOption.exists { last =>
+    segs.lastOption.flatMap { last =>
       SegmentCodec.readAll(store.segmentFile(stream, last))
-        .exists(_.kind == StreamEntry.Eof)
+        .find(_.kind == StreamEntry.Eof).map(_.sampleIndex)
     }
   }
 
@@ -335,9 +365,9 @@ final class Ingester(
         org.apache.commons.io.FileUtils.deleteDirectory(f))
     } else if (parts.nonEmpty) {
       val tmp = outDir(stream).resolve(".tmp_data.parquet")
-      spark.read.parquet(parts.map(_.getAbsolutePath): _*)
-        .orderBy("sample_index").coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+      parquetWriter(spark.read.parquet(parts.map(_.getAbsolutePath): _*)
+        .orderBy("sample_index").coalesce(1))
+        .mode("overwrite").parquet(tmp.toString)
       Files.move(tmp, merged, StandardCopyOption.ATOMIC_MOVE)
       parts.foreach(f =>
         org.apache.commons.io.FileUtils.deleteDirectory(f))
