@@ -787,6 +787,8 @@ final class StreamReader private[core] (
     */
   def read(n: Int, timeoutMs: Long = 0): Option[Seq[(StreamKey, Long, Seq[Any])]] = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    waitStart = 0L // fresh escalation episode per call (reference wait
+                   // state is per-Read locals, reader.cpp:114-127)
     val out = Vector.newBuilder[(StreamKey, Long, Seq[Any])]
     var count = 0
     var done = false
@@ -825,6 +827,7 @@ final class StreamReader private[core] (
     */
   def readBytes(n: Int, timeoutMs: Long = 0): Option[Seq[Array[Byte]]] = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    waitStart = 0L // fresh escalation episode per call
     val out = Vector.newBuilder[Array[Byte]]
     var count = 0
     var done = false
@@ -862,6 +865,7 @@ final class StreamReader private[core] (
     */
   def tail(timeoutMs: Long = 0): Option[(Long, Option[(StreamKey, Long, Seq[Any])])] = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    waitStart = 0L // fresh escalation episode per call
     var skipped = 0L
     var last: Option[StreamEntry] = None
     var done = false

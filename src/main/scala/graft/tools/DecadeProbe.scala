@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.PlanWalk
+import graft.core.Pins.PinnedDataset
 
 /** Round-14 decade-up scale validation (the round-13 judge's ask #2):
   * every scale claim so far is measured at sf0.1 (~600k lineitem
@@ -71,6 +72,19 @@ object DecadeProbe {
     })
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // JSON-safe string (quotes/backslashes/control chars in a path
+    // would emit invalid JSON)
+    def esc(str: String): String = str.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    // probe hygiene: lifecycle's min2 builds two full indexes per
+    // scale — without cleanup, repeated decade runs exhaust /tmp
+    def rmTree(dir: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = body
@@ -91,7 +105,7 @@ object DecadeProbe {
     def pack(dir: String): String = {
       val s = spark
       import s.implicits._
-      val docs = docsWithToks(dir).localCheckpoint()
+      val docs = docsWithToks(dir).pin()
       val n = docs.count()
       def run(grp: org.apache.spark.sql.Column): Double = min2 {
         graft.operators.PrepOps.packSequences(
@@ -109,7 +123,7 @@ object DecadeProbe {
     // ---- family 2: BPE trainer ---------------------------------------
     def bpe(dir: String): String = {
       val docs = graft.Tables.load(spark, dir, "documents")
-        .select(col("text")).localCheckpoint()
+        .select(col("text")).pin()
       val n = docs.count()
       // one throwaway pass warms the corpus cache, then the timed run.
       // merges FIXED at 80 (below the base corpus's ~89-merge closure)
@@ -136,7 +150,7 @@ object DecadeProbe {
       val s = spark
       import s.implicits._
       val docs = graft.Tables.load(spark, dir, "documents")
-        .select($"doc_id", $"text").localCheckpoint()
+        .select($"doc_id", $"text").pin()
       val n = docs.count()
       var pairs = 0L
       val sec = min2 {
@@ -164,7 +178,7 @@ object DecadeProbe {
       val emb = graft.Tables.load(spark, dir, "embeddings")
         .join(src, $"vec_id" === $"doc_id")
         .select($"vec_id", $"embedding", $"source")
-        .localCheckpoint()
+        .pin()
       val n = emb.count()
       val bucket = conv(
         substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
@@ -188,7 +202,7 @@ object DecadeProbe {
         PlanWalk.parquetFiles(s"$root/batches").size +
           PlanWalk.parquetFiles(s"$root/codes").size
       }
-      val queries = emb.filter($"vec_id" < 8).localCheckpoint()
+      val queries = emb.filter($"vec_id" < 8).pin()
       def serve(): (Long, Long, Double) = {
         var sec = 0.0
         val plans = PlanWalk.capturePlans(spark,
@@ -216,6 +230,7 @@ object DecadeProbe {
       val (f1, b1, s1) = serve()
       graft.operators.DedupOps.releaseLocalCheckpoint(queries)
       graft.operators.DedupOps.releaseLocalCheckpoint(emb)
+      rmTree(idx)
       s"""{"vectors":$n,"build_sec":${r3(buildSec)},""" +
         s""""append3_sec":${r3(appendSec)},""" +
         s""""tree_files_before":$filesBefore,""" +
@@ -237,7 +252,7 @@ object DecadeProbe {
       val emb = graft.Tables.load(spark, dir, "embeddings")
         .join(src, $"vec_id" === $"doc_id")
         .select($"vec_id", $"embedding", $"source")
-        .localCheckpoint()
+        .pin()
       val n = emb.count()
       val bucket = conv(
         substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
@@ -257,7 +272,7 @@ object DecadeProbe {
         graft.streaming.StreamingOps.drainForeachBatch(
             spark, stream, "decade-probe") { (batch, bid) =>
           if (!batch.isEmpty) {
-            val pinned = batch.localCheckpoint()
+            val pinned = batch.pin()
             graft.operators.AnnOps.appendIvfPqIndex(
               pinned, "vec_id", "embedding", "source", idx, bid + 1L)
             graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
@@ -268,6 +283,7 @@ object DecadeProbe {
           idx, k = 3, nprobe = Cells, rerankDepth = Int.MaxValue)
         require(out.count() > 0, "lifecycle serve returned no rows")
         graft.operators.DedupOps.releaseLocalCheckpoint(out)
+        rmTree(idx); rmTree(newDir)
       }
       graft.operators.DedupOps.releaseLocalCheckpoint(emb)
       s"""{"vectors":$n,"sec":${r3(sec)}}"""
@@ -288,7 +304,7 @@ object DecadeProbe {
     }
 
     scale(warm) // untimed: pays JIT/codegen/listener warmup once
-    val out = scaleDirs.map(d => s"""{"dir":"$d",${scale(d).tail}""")
+    val out = scaleDirs.map(d => s"""{"dir":"${esc(d)}",${scale(d).tail}""")
     println(out.mkString("{\"scales\":[", ",", "]}"))
     spark.stop()
   }

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *    549× pair blow-up at 10×.) Tagging is positional, so each
   *    copy's INTERNAL duplicate structure survives (exact dups stay
   *    exact, near-dups keep their overlap) and dedup output scales
-  *    ~N; word count and length stats are unchanged.
+  *    ~N; word COUNT is unchanged, but char/length stats shift
+  *    slightly (each tagged word grows by the `_c<i>` suffix) and a
+  *    tagged stopword no longer matches the stopword list — scale
+  *    probes of the quality/length families should expect that drift.
   *  - embeddings.embedding: coordinates rotated by copy index (norm-
   *    preserving, kills cross-copy cosine similarity).
   * Without this, N× replication makes every duplicate group N× larger
