@@ -337,6 +337,155 @@ def main():
         shutil.rmtree(cp2, ignore_errors=True)
         shutil.rmtree(newdir, ignore_errors=True)
 
+        # -- 10. binary planes through the binding (round-15 ask #6):
+        # a VARIABLE_WIDTH_BYTES stream (the sizes contract -- each
+        # sample carries its own length) and a FIXED_WIDTH_BYTES column,
+        # written via the declared-schema option, read back bytes-exact,
+        # and the newest sample round-tripping base64 through tail()
+        import base64
+        var_payloads = [bytes([i] * (i + 1)) for i in range(40)]
+        vw_schema = json.dumps({"field_definitions": [
+            {"name": "blob", "size": 64, "type": "VARIABLE_WIDTH_BYTES"}]})
+        vdf_b = spark.createDataFrame(
+            [(bytearray(b),) for b in var_payloads], "blob binary")             .repartition(1)
+        gr.write(vdf_b, store, "vw", schema_json=vw_schema)
+        got_b = [bytes(r["blob"]) for r in
+                 gr.read(spark, store, "vw").orderBy("sample_index")
+                   .collect()]
+        check("varwidth_roundtrip", got_b == var_payloads,
+              {"n": len(got_b)})
+        t_vw = gr.tail(spark, store, "vw", timeout_ms=1000)
+        check("varwidth_tail_base64",
+              base64.b64decode(t_vw["values"][0]) == var_payloads[-1],
+              t_vw)
+
+        fw_payloads = [bytes([j, j + 1, j + 2, j + 3]) for j in range(30)]
+        fw_schema = json.dumps({"field_definitions": [
+            {"name": "tag", "size": 8, "type": "INT64"},
+            {"name": "quad", "size": 4, "type": "FIXED_WIDTH_BYTES"}]})
+        fdf_b = spark.createDataFrame(
+            [(j, bytearray(fw_payloads[j])) for j in range(30)],
+            "tag long, quad binary").repartition(1)             .sortWithinPartitions("tag")
+        gr.write(fdf_b, store, "fw", schema_json=fw_schema)
+        got_f = [(r["tag"], bytes(r["quad"])) for r in
+                 gr.read(spark, store, "fw").orderBy("sample_index")
+                   .collect()]
+        check("fixedwidth_roundtrip",
+              got_f == [(j, fw_payloads[j]) for j in range(30)],
+              {"n": len(got_f)})
+        t_fw = gr.tail(spark, store, "fw", timeout_ms=1000)
+        check("fixedwidth_tail_base64",
+              t_fw["values"][0] == 29 and
+              base64.b64decode(t_fw["values"][1]) == fw_payloads[-1],
+              t_fw)
+
+        # -- 11. round-15 operator-plane broadening, each against an
+        # exact construction or a pinned engine invariant
+        para = " ".join(f"w{i}" for i in range(25))  # one shared block
+        docs_txt = [
+            (1, para + " " + " ".join(f"x{i}" for i in range(25))),
+            (2, para + " " + " ".join(f"y{i}" for i in range(25))),
+            (3, " ".join(f"z{i}" for i in range(50))),
+        ]
+        tdf = spark.createDataFrame(docs_txt, "doc_id long, text string")
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in gr.paragraph_near_dups(
+                     tdf, "doc_id", "text", para_words=25,
+                     threshold=0.9).collect()}
+        check("paragraph_near_dups", pairs == {(1, 2)}, pairs)
+
+        # semantic_near_dups at cells=1 == exact brute-force cosine
+        import math as _m
+        svecs = {1: [1.0, 0.0, 0.1], 2: [1.0, 0.05, 0.1],
+                 3: [0.0, 1.0, 0.0], 4: [0.05, 1.0, 0.0],
+                 5: [0.5, 0.5, 0.7]}
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in svecs.items()],
+            "vid long, emb array<double>")
+
+        def _cos(a, b):
+            qa = [round(x * 1e6) for x in a]
+            qb = [round(x * 1e6) for x in b]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na = _m.sqrt(sum(x * x for x in qa))
+            nb = _m.sqrt(sum(x * x for x in qb))
+            return dot / (na * nb)
+
+        want_sp = {(a, b) for a in svecs for b in svecs
+                   if a < b and _cos(svecs[a], svecs[b]) >= 0.99}
+        got_sp = {(r["a"], r["b"]) for r in gr.semantic_near_dups(
+            sdf, "vid", "emb", threshold=0.99, cells=1).collect()}
+        check("semantic_near_dups", got_sp == want_sp,
+              {"got": got_sp, "want": want_sp})
+
+        # epoch_shuffle: 3 epochs x n rows, each epoch a permutation of
+        # the ids, and the whole thing deterministic across runs
+        edf = spark.createDataFrame([(i,) for i in range(40)],
+                                    "doc_id long")
+        sh1 = gr.epoch_shuffle(edf, ["doc_id"], epochs=3).collect()
+        check("epoch_shuffle_rows", len(sh1) == 120, len(sh1))
+        by_epoch = {}
+        for r in sh1:
+            by_epoch.setdefault(r["epoch"], []).append(r["doc_id"])
+        check("epoch_shuffle_permutations",
+              all(sorted(v) == list(range(40))
+                  for v in by_epoch.values()) and len(by_epoch) == 3)
+        sh2 = gr.epoch_shuffle(edf, ["doc_id"], epochs=3).collect()
+        key_fn = lambda r: (r["epoch"], r["bucket"], r["pos"])  # noqa: E731
+        check("epoch_shuffle_deterministic",
+              sorted(map(tuple, sh1)) == sorted(map(tuple, sh2)))
+
+        # corpus_build + funnel: capstone invariants -- every pack under
+        # budget, funnel's packed stage == the build's totals
+        cb_docs = [(i, " ".join(f"t{i}w{j}" for j in range(30)), "web")
+                   for i in range(40)] +                   [(100 + i, " ".join(f"b{i}w{j}" for j in range(30)),
+                    "books") for i in range(40)]
+        cdf = spark.createDataFrame(cb_docs,
+                                    "doc_id long, text string, src string")
+        wdf = spark.createDataFrame([("web", 2.0), ("books", 1.0)],
+                                    "domain string, w double")
+        built = gr.corpus_build(cdf, "doc_id", "text", "src", wdf,
+                                "domain", "w", 600, 90).collect()
+        check("corpus_build_packs",
+              len(built) > 0 and all(r["n_tokens"] <= 90 for r in built),
+              {"packs": len(built)})
+        fun = {r["stage"]: (r["n_docs"], r["n_tokens"])
+               for r in gr.corpus_build_funnel(
+                   cdf, "doc_id", "text", "src", wdf, "domain", "w",
+                   600, 90).collect()}
+        packed_docs = sum(1 for _ in built)
+        packed_toks = sum(r["n_tokens"] for r in built)
+        last_stage = [k for k in fun if "pack" in k.lower()]
+        check("corpus_build_funnel",
+              len(last_stage) == 1 and
+              fun[last_stage[0]] == (packed_docs, packed_toks),
+              {"funnel": fun, "built": (packed_docs, packed_toks)})
+
+        # BPE trio: a tie-free corpus with a known merge sequence, then
+        # encode/tokenize consistency (tokenize counts == encode counts,
+        # concatenating tokens reproduces each word)
+        bdf = spark.createDataFrame([(1, "abab abab"), (2, "abab cd")],
+                                    "doc_id long, text string")
+        merges = gr.bpe_learn(bdf, "text", merges=2).orderBy("step")                    .collect()
+        check("bpe_learn_exact",
+              [m["merged"] for m in merges] == ["ab", "abab"],
+              [m["merged"] for m in merges])
+        mt = gr.bpe_learn(bdf, "text", merges=2)
+        enc = {r["id"]: r["n_bpe_tokens"]
+               for r in gr.bpe_encode(bdf, "doc_id", "text", mt)
+                          .collect()}
+        toks = gr.bpe_tokenize(bdf, "doc_id", "text", mt).collect()
+        cnt = {}
+        for r in toks:
+            cnt[r["id"]] = cnt.get(r["id"], 0) + 1
+        check("bpe_encode_tokenize_counts", cnt == enc,
+              {"tokenize": cnt, "encode": enc})
+        # doc 1 = "abab abab" -> one token per word; doc 2 adds c,d
+        check("bpe_token_values",
+              enc[1] == 2 and enc[2] == 3 and
+              sorted(r["token"] for r in toks if r["id"] == 2) ==
+              ["abab", "c", "d"], {"enc": enc})
+
         print(json.dumps({"status": "pass",
                           "checks": [c[0] for c in checks],
                           "pinned_hash": PINNED_HASH}))

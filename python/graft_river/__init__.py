@@ -32,6 +32,9 @@ __all__ = [
     "build_ivfpq_index", "append_ivfpq_index", "query_ivfpq_index",
     "delete_from_index", "maintain_index", "pack_sequences",
     "token_stats", "quality_features",
+    "paragraph_near_dups", "semantic_near_dups", "epoch_shuffle",
+    "corpus_build", "corpus_build_funnel",
+    "bpe_learn", "bpe_encode", "bpe_tokenize",
 ]
 
 
@@ -55,14 +58,22 @@ def read_stream(spark, root, stream):
             .option("root", str(root)).option("stream", stream).load())
 
 
-def write(df, root, stream):
+def write(df, root, stream, schema_json=None):
     """Create + append + EOF one stream from a DataFrame (stream DDL is
     the first write, reference writer.cpp:55-60: single writer, write
     once). Rows funnel through one task -- the single-writer stream
-    contract -- so order the frame first if order matters."""
-    (df.coalesce(1).write.format("river")
-       .option("root", str(root)).option("stream", stream)
-       .mode("append").save())
+    contract -- so order the frame first if order matters.
+
+    schema_json (reference wire format: {"field_definitions":[{"name",
+    "size","type"}...]}) DECLARES the river types when Spark's schema
+    is ambiguous -- a BinaryType column has no default mapping, so
+    FIXED_WIDTH_BYTES(n) / VARIABLE_WIDTH_BYTES(max) streams are
+    written by passing it explicitly."""
+    w = (df.coalesce(1).write.format("river")
+         .option("root", str(root)).option("stream", stream))
+    if schema_json is not None:
+        w = w.option("schemaJson", schema_json)
+    w.mode("append").save()
 
 
 def read_from(spark, root, stream, key, timeout_ms=0):
@@ -146,6 +157,34 @@ def minhash_near_dups(df, id_col, text_col, shingle_k=5, bands=2,
     jdf = _bridge(df.sparkSession).minhashNearDups(
         df._jdf, id_col, text_col, int(shingle_k), int(bands),
         int(rows), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def paragraph_near_dups(df, id_col, text_col, para_words=25,
+                        shingle_k=5, bands=2, rows=8, threshold=0.8):
+    """Paragraph-granularity MinHash-LSH near-dup pairs (the d08
+    engine): documents tile into para_words-word blocks and the banded
+    dedup runs at block granularity -- the C4/Gopher second pass that
+    catches boilerplate invisible at whole-document level. Returns
+    (doc_a, para_a, doc_b, para_b, similarity)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).paragraphNearDups(
+        df._jdf, id_col, text_col, int(para_words), int(shingle_k),
+        int(bands), int(rows), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def semantic_near_dups(df, id_col, vec_col, threshold, cells,
+                       iters=2):
+    """Cell-bucketed semantic near-dup pairs (the s07 engine --
+    SemDeDup's shape): k-means cells, then exact within-cell cosine
+    pairs >= threshold. Returns (a, b, cosine) with a < b; cross-cell
+    pairs are deliberately out of scope (the documented recall
+    trade)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).semanticNearDups(
+        df._jdf, id_col, vec_col, float(threshold), int(cells),
+        int(iters))
     return DataFrame(jdf, df.sparkSession)
 
 
@@ -235,4 +274,83 @@ def pack_sequences(df, group_col, order_col, tokens_col, budget):
     from pyspark.sql import DataFrame
     jdf = _bridge(df.sparkSession).packSequences(
         df._jdf, group_col, order_col, tokens_col, int(budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def epoch_shuffle(df, key_cols, epochs, buckets=1024):
+    """Deterministic multi-epoch shuffle order (the p21 engine): emits
+    `epochs` copies of the input, each with its own pseudo-random
+    (bucket, pos) order derived from md5 over the key columns; the
+    input is pinned so the upstream plan computes ONCE for all
+    epochs."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).epochShuffle(
+        df._jdf, [str(c) for c in key_cols], int(epochs), int(buckets))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def corpus_build(df, id_col, text_col, source_col, weights,
+                 weight_domain_col, weight_col, token_budget,
+                 pack_budget):
+    """The corpus-build capstone (the p14 engine): quality gate ->
+    minhash dedup -> train/val/test split -> decontam against the eval
+    split -> weighted mixture sampling -> context-window packing, one
+    composed chain. Returns the packed-window table
+    (source, pack_id, n_docs, n_tokens) -- what ships to the
+    trainer."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).corpusBuild(
+        df._jdf, id_col, text_col, source_col, weights._jdf,
+        weight_domain_col, weight_col, int(token_budget),
+        int(pack_budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def corpus_build_funnel(df, id_col, text_col, source_col, weights,
+                        weight_domain_col, weight_col, token_budget,
+                        pack_budget):
+    """corpus_build's per-stage funnel (the p17 engine): one row per
+    stage (stage, n_docs, n_tokens) computed from the SAME stage
+    frames the build materializes -- a silently dropping stage shows
+    up as a number, not a downstream mystery."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).corpusBuildFunnel(
+        df._jdf, id_col, text_col, source_col, weights._jdf,
+        weight_domain_col, weight_col, int(token_budget),
+        int(pack_budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
+# ----------------------------------------------------- BPE tokenizer
+
+def bpe_learn(df, text_col, merges, max_batch=64):
+    """Train a BPE merge table (the t14 engine): exact
+    frequency-ordered merges with batched rounds; the table is
+    vocabulary-bounded, never corpus-sized. Returns a DataFrame
+    (step, pair, merged, cnt) -- feed it to bpe_encode /
+    bpe_tokenize."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).bpeLearn(df._jdf, text_col,
+                                            int(merges), int(max_batch))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def bpe_encode(df, id_col, text_col, merge_table):
+    """Price documents under a learned merge table (the t19 engine):
+    returns (id, n_words, n_bpe_tokens) with EVERY input row present
+    (unseen words segment -- nothing drops)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).bpeEncode(
+        df._jdf, id_col, text_col, merge_table._jdf)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def bpe_tokenize(df, id_col, text_col, merge_table):
+    """Token SEQUENCES under a learned merge table (the t20 engine):
+    returns (id, word_idx, tok_idx, token) ordering each document's
+    full token stream; GROUP BY id COUNT(*) reproduces bpe_encode's
+    n_bpe_tokens exactly."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).bpeTokenize(
+        df._jdf, id_col, text_col, merge_table._jdf)
     return DataFrame(jdf, df.sparkSession)

@@ -119,6 +119,25 @@ object PyBridge {
     graft.operators.DedupOps.minhashNearDups(
       df, idCol, textCol, shingleK, bands, rows, threshold)
 
+  /** Paragraph-granularity near-dup pairs from Python (d08's engine):
+    * docs split into `paraWords`-word blocks, MinHash-LSH at block
+    * granularity — the C4/Gopher second dedup pass. Returns
+    * (doc_a, para_a, doc_b, para_b, similarity). */
+  def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
+      paraWords: Int, shingleK: Int, bands: Int, rows: Int,
+      threshold: Double): DataFrame =
+    graft.operators.DedupOps.paragraphNearDups(df, idCol, textCol,
+      paraWords, shingleK = shingleK, bands = bands, rows = rows,
+      threshold = threshold)
+
+  /** Cell-bucketed semantic (embedding) near-dup pairs from Python
+    * (s07's engine): k-means cells, exact within-cell cosine pairs
+    * >= threshold — SemDeDup's shape. Returns (a, b, cosine). */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cells: Int, iters: Int): DataFrame =
+    graft.operators.AnnOps.semanticNearDups(df, idCol, vecCol,
+      threshold, cells, iters)
+
   // ------------------------------------- durable ANN serving lifecycle
 
   /** Build a durable IVF-PQ serving index from Python (s21's engine):
@@ -190,6 +209,60 @@ object PyBridge {
       tokensCol: String, budget: Long): DataFrame =
     graft.operators.PrepOps.packSequences(df, groupCol, orderCol,
       tokensCol, budget)
+
+  /** Deterministic epoch shuffle (p21's engine): emits `epochs` copies
+    * of the input, each with its own pseudo-random (bucket, pos)
+    * order, input pinned so the upstream computes once. */
+  def epochShuffle(df: DataFrame, keyCols: java.util.List[String],
+      epochs: Int, buckets: Int): DataFrame =
+    graft.operators.PrepOps.epochShuffle(df, keyCols.asScala.toSeq,
+      epochs, buckets)
+
+  /** The corpus-build capstone from Python (p14's engine): quality
+    * gate -> minhash dedup -> split -> decontam -> mixture ->
+    * packing, one composed chain with the id/count contracts pinned.
+    * Returns the packed-window table (source, pack_id, n_docs,
+    * n_tokens) — what ships to the trainer. */
+  def corpusBuild(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, tokenBudget: Long, packBudget: Long)
+      : DataFrame =
+    graft.operators.PrepOps.corpusBuild(df, idCol, textCol, sourceCol,
+      weights, weightDomainCol, weightCol, tokenBudget, packBudget)
+
+  /** [[corpusBuild]]'s per-stage funnel (p17's engine): one row per
+    * stage (stage, n_docs, n_tokens), computed from the SAME stage
+    * frames the build materializes. */
+  def corpusBuildFunnel(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: DataFrame, weightDomainCol: String,
+      weightCol: String, tokenBudget: Long, packBudget: Long)
+      : DataFrame =
+    graft.operators.PrepOps.corpusBuildFunnel(df, idCol, textCol,
+      sourceCol, weights, weightDomainCol, weightCol, tokenBudget,
+      packBudget)
+
+  // --------------------------------------------------- BPE tokenizer
+
+  /** Train a BPE merge table from Python (t14's engine): exact
+    * frequency-ordered merges with batched rounds. Returns
+    * (step, pair, merged, cnt) — feed it to [[bpeEncode]] /
+    * [[bpeTokenize]]. */
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int,
+      maxBatch: Int): DataFrame =
+    graft.operators.TextOps.bpeLearn(df, textCol, merges, maxBatch)
+
+  /** Price documents under a learned merge table (t19's engine):
+    * (id, n_words, n_bpe_tokens), every input row present. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame =
+    graft.operators.TextOps.bpeEncode(df, idCol, textCol, mergeTable)
+
+  /** Token SEQUENCES under a learned merge table (t20's engine):
+    * (id, word_idx, tok_idx, token) — the trainer-consumable stream;
+    * GROUP BY id reproduces [[bpeEncode]] counts exactly. */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame =
+    graft.operators.TextOps.bpeTokenize(df, idCol, textCol, mergeTable)
 
   // ------------------------------------------------------------ render
 

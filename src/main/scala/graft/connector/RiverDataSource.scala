@@ -103,9 +103,18 @@ class RiverTable(rootPath: String, streamName: String,
     new RiverScanBuilder(rootPath, streamName, riverSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `schemaJson` (reference wire format, RiverSchema.fromJson) lets a
+    // writer DECLARE the river types when the Spark schema is
+    // ambiguous: BinaryType has no default mapping (FIXED_WIDTH_BYTES
+    // needs its size, VARIABLE_WIDTH_BYTES its max), so a binary
+    // column is only writable through this option — the PySpark
+    // binding's var-width/bytes path. Field names must still match the
+    // DataFrame's (the writer resolves each river field by name).
     val rs =
       if (exists) riverSchema
-      else RiverSchema.fromStructType(info.schema())
+      else Option(info.options.get("schemaJson"))
+        .map(RiverSchema.fromJson)
+        .getOrElse(RiverSchema.fromStructType(info.schema()))
     new RiverWriteBuilder(rootPath, streamName, rs, info.schema())
   }
 }
