@@ -115,6 +115,34 @@ class PinsBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(Pins.BackendConf, "local")
   }
 
+  test("reliable pin SURVIVES losing every executor block; a local pin " +
+      "by design does not") {
+    // the cluster-durability claim, demonstrated rather than asserted:
+    // drop the pinned RDD's blocks (what losing the executor does) and
+    // try to read again. The reliable backend re-reads its checkpoint
+    // FILES; the local backend's blocks were the only copy.
+    val s2 = spark; import s2.implicits._
+    spark.conf.set(Pins.BackendConf, "reliable")
+    val durable = try (1 to 1000).toDF("x").pin()
+      finally spark.conf.set(Pins.BackendConf, "local")
+    val local = (1 to 1000).toDF("x").pin()
+    def dropBlocks(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(true)
+        case other => fail(s"expected a pinned plan, got $other")
+      }
+    dropBlocks(durable)
+    dropBlocks(local)
+    assert(durable.agg(org.apache.spark.sql.functions.sum($"x"))
+      .head().getLong(0) == 500500L,
+      "reliable pin did not recover from block loss")
+    intercept[Exception] {
+      // lineage truncated + blocks gone = unrecoverable, loudly
+      local.agg(org.apache.spark.sql.functions.sum($"x")).head()
+    }
+  }
+
   test("unknown backend fails fast") {
     spark.conf.set(Pins.BackendConf, "bogus")
     try {
