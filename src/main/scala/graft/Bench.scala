@@ -16,7 +16,35 @@ import org.apache.spark.sql.SparkSession
   * different suite offsets measures the engine, not the neighbor.
   */
 object Bench {
+  /** Host-window quality probe, embedded in the output JSON so every
+    * recording is self-attributing: this host's timer/scheduler state
+    * swings between "quiet" and "degraded" within hours, and on
+    * identical code that swing alone moved the r15 suite total
+    * 247 s ↔ 299 s. Readings: `Thread.sleep(1)` p50/p95 and
+    * `parkNanos(50us)` p95, in ms. Quiet window ≈ sleep p95 ≤ ~1.5 ms;
+    * a recording whose pre/post probes read ≥ ~3 ms was taken on a
+    * degraded host and its regressions-vs-pin are suspect — compare the
+    * probes before comparing the queries.
+    */
+  private def hostProbe(): String = {
+    def pct(a: Array[Long], p: Double): Double = {
+      val b = a.sorted
+      b(math.min(b.length - 1, (p * b.length).toInt)) / 1e6
+    }
+    val n = 1000
+    val sl = Array.fill(n) {
+      val t = System.nanoTime(); Thread.sleep(1); System.nanoTime() - t
+    }
+    val pk = Array.fill(n) {
+      val t = System.nanoTime()
+      java.util.concurrent.locks.LockSupport.parkNanos(50000)
+      System.nanoTime() - t
+    }
+    f"""{"sl50":${pct(sl, 0.5)}%.2f,"sl95":${pct(sl, 0.95)}%.2f,"pk95":${pct(pk, 0.95)}%.2f}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val probePre = hostProbe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle/spill scratch on tmpfs when present: local[N] writes every
@@ -105,22 +133,36 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> math.min(pass1(name), math.min(pass2(name), pass3(name)))
     }
-    // The driver captures only the last ~2000 chars of stdout and parses the
-    // JSON line out of that window (sbt's "[success] ..." trailer eats ~80 of
-    // them). Short keys (name up to first '_' is unique) + 3-decimal seconds
-    // keep the whole line well under the window; full names stay in `queries`
-    // order so the mapping is obvious.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // mirror to a file so the number survives even if stdout parsing fails
+    // post-pass probe runs after the timed work (but before spark.stop's
+    // own thrash) so the pair brackets the measurement window
+    val probePost = hostProbe()
+    def qmap(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // FULL per-query map + probes → BENCH_LAST.json (the recording of
+    // record; pins are copies of it). STDOUT gets a line GUARANTEED to
+    // fit the driver's capture window: it keeps only the last ~2000
+    // chars of stdout and parses the JSON line out of that window, so
+    // once the suite passed ~160 queries (round 10) the full-map line
+    // stopped parsing and every driver-visible bench since has been a
+    // raw truncated tail (BENCH_r10..r15 all have "parsed": null).
+    // The compact line carries the totals + BOTH host-window probes
+    // (self-attribution — round-15 "What's wrong #3") + the slowest
+    // queries that fit; the full map is one `cat BENCH_LAST.json` away.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_pre":$probePre,"probe_post":$probePost,"queries":${qmap(results)},"sf":"$sfDir"}"""
     try {
       val pw = new java.io.PrintWriter("BENCH_LAST.json")
-      try pw.println(line) finally pw.close()
+      try pw.println(fullLine) finally pw.close()
     } catch { case _: Throwable => }
+    def compact(nSlow: Int): String = {
+      val slow = results.sortBy(-_._2).take(nSlow).sortBy(_._1)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"probe_pre":$probePre,"probe_post":$probePost,"slowest":${qmap(slow)},"queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
+    }
+    val line = (30 to 0 by -5).map(compact).find(_.length <= 1850)
+      .getOrElse(compact(0))
     // stop Spark FIRST: the JSON must be the final flushed stdout line,
     // with no shutdown logging after it
     spark.stop()

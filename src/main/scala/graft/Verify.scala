@@ -60,8 +60,14 @@ object Verify {
     val localDir =
       if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark-local"
       else System.getProperty("java.io.tmpdir")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-JVM execution gate runs the full query surface under
+    // local-cluster[n,c,mem] (separate executor JVMs, real task
+    // serialization + block-manager fetches; pair it with
+    // -Dspark.executor.extraClassPath=<repo classes>)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)

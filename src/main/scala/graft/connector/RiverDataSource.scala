@@ -110,8 +110,23 @@ class RiverTable(rootPath: String, streamName: String,
     // column is only writable through this option — the PySpark
     // binding's var-width/bytes path. Field names must still match the
     // DataFrame's (the writer resolves each river field by name).
+    // When the stream already exists the stored schema governs — but a
+    // writer DECLARING a schema that conflicts with it must fail loudly
+    // here, not have its data silently reinterpreted under the on-disk
+    // types (the single-writer write-once contract, mirrored from the
+    // reference's create-or-validate behavior).
     val rs =
-      if (exists) riverSchema
+      if (exists) {
+        Option(info.options.get("schemaJson")).map(RiverSchema.fromJson)
+          .foreach { declared =>
+            if (declared != riverSchema)
+              throw new IllegalArgumentException(
+                s"river.$streamName exists with schema " +
+                  s"${riverSchema.toJson}; writer declared conflicting " +
+                  s"schemaJson ${declared.toJson}")
+          }
+        riverSchema
+      }
       else Option(info.options.get("schemaJson"))
         .map(RiverSchema.fromJson)
         .getOrElse(RiverSchema.fromStructType(info.schema()))

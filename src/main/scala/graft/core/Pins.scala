@@ -74,16 +74,35 @@ object Pins {
   }
 
   /** Free the storage behind a pinned Dataset once fully consumed.
-    * Covers every backend: checkpoint-shaped plans (local + reliable)
-    * release the wrapped RDD's blocks; persist-shaped pins unpersist
-    * through the CacheManager. No-op on an unpinned Dataset. Reliable
-    * checkpoint FILES stay in the checkpoint dir (they are the recovery
-    * story) until the context's normal checkpoint cleanup.
+    * All three backends produce checkpoint-shaped plans (LogicalRDD):
+    * release drops the wrapped RDD's blocks, and for `reliable` pins
+    * ALSO deletes the pin's checkpoint directory — the files are
+    * per-pin scratch whose recovery value ends the moment the pin is
+    * fully consumed; without reclamation an hours-long corpus build
+    * under `reliable` writes one DFS copy per pin across every
+    * iterative loop and frees none of it (round-15 "What's wrong #1").
+    * The release contract ("fully consumed, never re-read") is the
+    * same one the `local` backend already enforces the hard way:
+    * lineage is truncated and the blocks are the only copy, so any
+    * release-then-re-read site would have failed the local gate first.
+    * No-op on an unpinned Dataset — never unpersists a caller's plain
+    * cache through this path.
     */
   def release[T](ds: Dataset[T]): Unit = {
     ds.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ds.unpersist(false)
+      case lr: LogicalRDD =>
+        val rdd = lr.rdd
+        // getCheckpointFile is Some only for reliable checkpoints
+        rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(
+              ds.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+          } catch { case _: java.io.IOException => () }
+        }
+        rdd.unpersist(false)
+      case _ => ()
     }
     ()
   }

@@ -55,13 +55,27 @@ object IngesterSettingsJson {
     def longAt(n: JsonNode, field: String): Option[Long] =
       Option(n.get(field)).filter(_.isNumber).map(_.asLong())
     // reference quirk: defaults live at top level but only apply when a
-    // global_settings key exists; also accept them inside the object
+    // global_settings key exists (ingester_settings.h:88-95 reads ONLY
+    // top-level keys). We also accept values nested inside the object,
+    // but TOP-LEVEL WINS — reference precedence — so a settings file
+    // moved between the two ingesters behaves identically; a nested
+    // value being used at all gets a notice (it would be invisible to
+    // the reference ingester).
     val globalNodes: Seq[JsonNode] =
       if (root.has("global_settings"))
-        Seq(root.get("global_settings"), root).filter(_.isObject)
+        Seq(root, root.get("global_settings")).filter(_.isObject)
       else Seq.empty
-    def globalLong(field: String): Option[Long] =
-      globalNodes.flatMap(n => longAt(n, field)).headOption
+    def globalLong(field: String): Option[Long] = {
+      val hit = globalNodes.flatMap(n => longAt(n, field).map(n -> _))
+        .headOption
+      hit.foreach { case (n, v) =>
+        if (!(n eq root)) System.err.println(
+          s"[graft-ingester] notice: global default $field=$v read from " +
+            "inside global_settings; the reference ingester reads only " +
+            "top-level keys — move it top-level for portability")
+      }
+      hit.map(_._2)
+    }
     val gMinAge = globalLong("minimum_age_seconds_before_deletion")
     val gBytes = globalLong("bytes_per_row_group")
 

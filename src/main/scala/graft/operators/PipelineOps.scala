@@ -4056,8 +4056,18 @@ object AnnOps {
     // serving (REVIEW: a delete-first cleanup turned an input typo
     // into a destroyed index)
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
+    // failure hygiene: every pin/releasable the build holds is
+    // registered here and released (reverse order, best-effort) if the
+    // build throws at ANY later point — a failed or cancelled build
+    // must leak no corpus-sized blocks (the pool-hygiene spec asserts
+    // zero surviving pins after a forced training timeout)
+    val onFail =
+      scala.collection.mutable.ArrayBuffer[() => Unit](
+        () => DedupOps.releaseLocalCheckpoint(staged))
+    try {
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
+    onFail += (() => DedupOps.releaseLocalCheckpoint(v))
     // whole-corpus dim check (REVIEW 2: the append path's discipline
     // — one sampled row would let a mixed-dim corpus commit silently
     // truncated codebooks/codes); null-vector rows carry no dim and
@@ -4111,6 +4121,8 @@ object AnnOps {
     val (members, cent, kmeansRelease) =
       kmeansFromStagedWithCentReleasable(v, cells, iters,
         maxCentroidBytes)
+    onFail += (() => DedupOps.releaseLocalCheckpoint(members))
+    onFail += (() => kmeansRelease())
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val dsub = (dim + pqM - 1) / pqM
     // the pqM codebook trainings are INDEPENDENT job chains — each a
@@ -4121,27 +4133,84 @@ object AnnOps {
     // subspace x round (round-15 overhead cut). Each subspace trains
     // byte-identically to the sequential spelling — the chains share
     // only the pinned corpus staging, which is read-only here.
+    // pool sized min(pqM, parallelism): at large pqM, pqM concurrent
+    // job chains would contend for the same executor slots past the
+    // point of any launch-latency win. The Await bound defaults to
+    // unbounded (a big corpus legitimately trains for hours); deployers
+    // cap it via spark.graft.ivfpq.trainTimeoutSec. On any failure the
+    // siblings' in-flight Spark jobs are cancelled (per-build job tag —
+    // tags are additive, so a caller's jobGroup/tags are preserved) and
+    // the pins created by already-completed futures are released before
+    // the rethrow, so a failed build leaks neither jobs nor blocks.
     val perM = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM)
+      // spark.graft.ivfpq.trainPool pins the pool size (parity testing:
+      // pool=1 IS the sequential spelling; results are pool-invariant)
+      val poolN = s.conf.getOption("spark.graft.ivfpq.trainPool")
+        .map(_.toInt).getOrElse(math.max(1,
+          math.min(pqM, s.sparkContext.defaultParallelism)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val timeout = s.conf.getOption("spark.graft.ivfpq.trainTimeoutSec")
+        .map(sec => scala.concurrent.duration.Duration(sec.toLong, "sec"))
+        .getOrElse(scala.concurrent.duration.Duration.Inf)
+      val buildTag = s"graft-ivfpq-build-${indexDir.hashCode.toHexString}"
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val done = new java.util.concurrent.ConcurrentLinkedQueue[
+        (DataFrame, DataFrame, DataFrame, DataFrame)]()
       try {
         val futs = (0 until pqM).map { m => scala.concurrent.Future {
+          if (aborted.get) throw new InterruptedException(
+            "ivfpq build aborted before this subspace started")
+          s.sparkContext.addJobTag(buildTag)
           val sub = v.select(col("id"),
               slice(col("c"), m * dsub + 1, dsub).as("c"))
             .pin()
-          val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
-          val meansDf = s.createDataFrame(means.toSeq.map {
-            case (cell, mu) => (m, cell, mu.toSeq, mu.map(x => x * x).sum)
-          }).toDF("m", "code", "cmean", "cn2")
-          (codesP.select(col("id"), col("cell").as("code"),
-            lit(m).as("m")), meansDf, sub, codesP)
+          // self-cleaning on any failure (incl. job cancellation): a
+          // future that dies after pinning must not leak its staging
+          try {
+            val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
+            val meansDf = s.createDataFrame(means.toSeq.map {
+              case (cell, mu) =>
+                (m, cell, mu.toSeq, mu.map(x => x * x).sum)
+            }).toDF("m", "code", "cmean", "cn2")
+            val r = (codesP.select(col("id"), col("cell").as("code"),
+              lit(m).as("m")), meansDf, sub, codesP)
+            done.add(r)
+            r
+          } catch { case e: Throwable =>
+            try DedupOps.releaseLocalCheckpoint(sub)
+            catch { case _: Throwable => () }
+            throw e
+          }
         }}
         scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futs),
-          scala.concurrent.duration.Duration(1, "hour"))
+          scala.concurrent.Future.sequence(futs), timeout)
+      } catch { case e: Throwable =>
+        // fail the WHOLE build without leaking the siblings: stop
+        // not-yet-started futures at the door, cancel the started
+        // ones' in-flight jobs, wait for them to finish self-cleanup,
+        // then release the pins of the futures that had completed
+        aborted.set(true)
+        try s.sparkContext.cancelJobsWithTag(buildTag)
+        catch { case _: Throwable => () }
+        pool.shutdown()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        done.forEach { case (_, _, sub, codesP) =>
+          try {
+            DedupOps.releaseLocalCheckpoint(codesP)
+            DedupOps.releaseLocalCheckpoint(sub)
+          } catch { case _: Throwable => () }
+        }
+        throw e
       } finally pool.shutdown()
     }
+    onFail += (() => perM.foreach { case (_, _, sub, codesP) =>
+      try DedupOps.releaseLocalCheckpoint(codesP)
+      catch { case _: Throwable => () }
+      try DedupOps.releaseLocalCheckpoint(sub)
+      catch { case _: Throwable => () }
+    })
     perM.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     // codes are per-batch subdirs like the rows, cell-partitioned like
@@ -4183,6 +4252,12 @@ object AnnOps {
     DedupOps.releaseLocalCheckpoint(members)
     DedupOps.releaseLocalCheckpoint(v)
     DedupOps.releaseLocalCheckpoint(staged)
+    } catch { case e: Throwable =>
+      onFail.reverseIterator.foreach { f =>
+        try f() catch { case _: Throwable => () }
+      }
+      throw e
+    }
   }
 
   /** APPEND a batch to a durable [[buildIvfPqIndex]] index — the s15
@@ -4528,18 +4603,33 @@ object AnnOps {
     }
     var means = meansFrom(seeds)
     var members: DataFrame = null
-    for (it <- 1 to iters) {
-      val prev = members
-      val (assigned, destroy) = l2AssignAgainst(sub, means)
-      members = assigned.pin()
-      destroy()
-      // each Lloyd round supersedes the previous round's pinned
-      // membership — release it or a pqIters-deep train leaks
-      // (iters − 1) corpus-sized pins per subspace (ADVICE). The new
-      // pin has no lineage to the old (assignment runs against the
-      // driver-held mean table), so the release is safe.
-      if (prev != null) DedupOps.releaseLocalCheckpoint(prev)
-      if (it < iters) means = meansFrom(members)
+    var prev: DataFrame = null
+    // self-cleaning on any mid-training failure (e.g. the concurrent
+    // build's cancel-siblings path): the live pins this loop holds are
+    // released before the rethrow, so a failed/cancelled training
+    // leaks no corpus-sized blocks
+    try {
+      for (it <- 1 to iters) {
+        prev = members
+        val (assigned, destroy) = l2AssignAgainst(sub, means)
+        members = assigned.pin()
+        destroy()
+        // each Lloyd round supersedes the previous round's pinned
+        // membership — release it or a pqIters-deep train leaks
+        // (iters − 1) corpus-sized pins per subspace (ADVICE). The new
+        // pin has no lineage to the old (assignment runs against the
+        // driver-held mean table), so the release is safe.
+        if (prev != null) {
+          DedupOps.releaseLocalCheckpoint(prev); prev = null
+        }
+        if (it < iters) means = meansFrom(members)
+      }
+    } catch { case e: Throwable =>
+      Seq(prev, members).filter(_ != null).distinct.foreach { p =>
+        try DedupOps.releaseLocalCheckpoint(p)
+        catch { case _: Throwable => () }
+      }
+      throw e
     }
     (members, means)
   }

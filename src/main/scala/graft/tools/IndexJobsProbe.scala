@@ -29,24 +29,39 @@ object IndexJobsProbe {
     val s = spark
     import s.implicits._
 
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // Attribution is by JOB TAG, not wall-clock settling: each timed
+    // body runs under a unique sc.addJobTag, and the listener counts
+    // only job starts carrying that tag (tags are inherited by threads
+    // the op spawns — e.g. buildIvfPqIndex's codebook pool — and are
+    // additive, so they compose with any job group/tag the op itself
+    // sets). A backlogged listener bus can therefore DELAY a count but
+    // can never credit a job to the wrong op; the post-body sleep only
+    // lets the bus drain before the tally is read.
+    val tagJobs = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.tags")))
+          .toSeq.flatMap(_.split(","))
+          .filter(_.startsWith("probe-op-"))
+          .foreach { t =>
+            tagJobs.computeIfAbsent(t,
+              _ => new java.util.concurrent.atomic.AtomicInteger)
+              .incrementAndGet()
+          }
+        ()
       }
     })
+    val opSeq = new java.util.concurrent.atomic.AtomicInteger
     def counted(body: => Unit): (Int, Double) = {
-      // listener events are async (listenerBus is private API): a
-      // short settle before sampling keeps a neighboring op's jobs
-      // out of this op's count — job STARTS trail the submitting
-      // action by microseconds, so 200 ms is orders of margin
-      Thread.sleep(200)
-      val j0 = jobs.get
+      val tag = s"probe-op-${opSeq.incrementAndGet()}"
+      spark.sparkContext.addJobTag(tag)
       val t0 = System.nanoTime()
-      body
+      try body finally spark.sparkContext.removeJobTag(tag)
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200)
-      (jobs.get - j0, sec)
+      Thread.sleep(200) // listener-bus drain only; see header comment
+      (Option(tagJobs.get(tag)).map(_.get).getOrElse(0), sec)
     }
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
 

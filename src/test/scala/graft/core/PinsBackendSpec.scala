@@ -102,6 +102,40 @@ class PinsBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(Pins.BackendConf, "local")
   }
 
+  test("reliable pin release RECLAIMS its checkpoint files (round-15 " +
+      "unbounded-scratch flag): file count returns to baseline while " +
+      "the result stays correct") {
+    spark.conf.set(Pins.BackendConf, "reliable")
+    try {
+      val s2 = spark; import s2.implicits._
+      def files: Long = Files.walk(ckDir).iterator().asScala
+        .count(p => Files.isRegularFile(p))
+      val base = files
+      val pinned = (1 to 500).toDF("x").pin()
+      assert(files > base, "the pin must have written checkpoint files")
+      assert(pinned.agg(org.apache.spark.sql.functions.sum($"x"))
+        .head().getLong(0) == 125250L)
+      pinned.releasePin()
+      assert(files == base,
+        s"release left checkpoint files behind ($base baseline, " +
+          s"$files after release)")
+      // double release stays a safe no-op
+      pinned.releasePin()
+      assert(files == base)
+    } finally spark.conf.set(Pins.BackendConf, "local")
+  }
+
+  test("release is a no-op on a plain cached DataFrame — it must NOT " +
+      "drop a caller's cache through the CacheManager") {
+    val s2 = spark; import s2.implicits._
+    val cached = (1 to 100).toDF("x").cache()
+    assert(cached.count() == 100)
+    Pins.release(cached)
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "release unpersisted a non-pin cached DataFrame")
+    cached.unpersist(true)
+  }
+
   test("replicated backend pins blocks at MEMORY_AND_DISK_2, released on release()") {
     spark.conf.set(Pins.BackendConf, "replicated")
     try {

@@ -2995,4 +2995,61 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leaked.isEmpty,
       s"blocks survive after releasing the output: $leaked")
   }
+
+  test("IVF-PQ codebook training is pool-invariant: a capped pool " +
+      "(pool < pqM) and the default sizing build byte-identical codes " +
+      "and codebooks to the sequential spelling (pool=1), and the " +
+      "train-timeout conf is honored") {
+    val s = spark
+    import s.implicits._
+    val df = annRows(0 until 80).toDF("vid", "emb", "grp").pin()
+    def build(pool: Option[Int]): (Set[String], Set[String]) = {
+      pool.foreach(p =>
+        s.conf.set("spark.graft.ivfpq.trainPool", p.toString))
+      val idx = tmpDir("pool")
+      try AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", idx,
+        cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+        partitions = 4)
+      finally pool.foreach(_ =>
+        s.conf.unset("spark.graft.ivfpq.trainPool"))
+      val codes = s.read.parquet(s"$idx/gens/gen=0/codes/batch=0")
+        .select("id", "code", "m", "cell")
+        .collect().map(_.toString).toSet
+      val books = s.read.parquet(s"$idx/codebooks")
+        .select("m", "code", "cmean", "cn2")
+        .collect().map(_.toString).toSet
+      (codes, books)
+    }
+    val (codesSeq, booksSeq) = build(Some(1)) // the sequential spelling
+    val (codesCap, booksCap) = build(Some(2)) // capped: 2 < pqM=4
+    val (codesDef, booksDef) = build(None)    // min(pqM, parallelism)
+    assert(codesCap == codesSeq && booksCap == booksSeq,
+      "capped pool drifted from the sequential codes/codebooks")
+    assert(codesDef == codesSeq && booksDef == booksSeq,
+      "default pool drifted from the sequential codes/codebooks")
+    // the Await bound is a conf, not a hard-coded hour: a zero bound
+    // must fail the build loudly (and the catch path cancels/releases,
+    // leaving no pinned blocks behind beyond the input)
+    val keep = s.sparkContext.getPersistentRDDs.keySet.toSet
+    s.conf.set("spark.graft.ivfpq.trainTimeoutSec", "0")
+    try intercept[java.util.concurrent.TimeoutException] {
+      AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", tmpDir("pool-to"),
+        cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+        partitions = 4)
+    } finally s.conf.unset("spark.graft.ivfpq.trainTimeoutSec")
+    // the failure path waits for the cancelled siblings' self-cleanup
+    // before rethrowing, so by here no pinned block may survive beyond
+    // the input (short drain: unpersist bookkeeping is async)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var left = s.sparkContext.getPersistentRDDs.keySet.toSet -- keep
+    while (left.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      left = s.sparkContext.getPersistentRDDs.keySet.toSet -- keep
+    }
+    assert(left.isEmpty,
+      s"failed build leaked pinned RDDs: " +
+        left.map(id => s"$id=${s.sparkContext.getPersistentRDDs.get(id)}")
+          .mkString("; "))
+    DedupOps.releaseLocalCheckpoint(df)
+  }
 }
