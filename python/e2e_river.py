@@ -486,6 +486,158 @@ def main():
               sorted(r["token"] for r in toks if r["id"] == 2) ==
               ["abab", "c", "d"], {"enc": enc})
 
+        # -- 12. round-16 operator-plane completion: the query-side
+        # operators a Python pipeline reaches for, each vs an exact
+        # Python oracle or a pinned engine invariant
+
+        # filtered_topk_ivfpq at the construction ceiling (nprobe =
+        # cells, unbounded rerank) == the exact key-scoped brute force.
+        # One frame holds corpus + queries; the SQL predicate over the
+        # staged `id` column marks the query side. Inline corpus
+        # includes the other queries (self excluded), so the oracle
+        # scores them too.
+        inline_ids = corpus + qids
+        fdf = spark.createDataFrame(
+            [(i, vecs[i], f"k{i % 2}") for i in inline_ids],
+            "vid long, emb array<double>, key string")
+        out_f = gr.filtered_topk_ivfpq(
+            fdf, "vid", "emb", "key", "id >= 101", k=3, cells=4,
+            nprobe=4, rerank_depth=1000000).collect()
+        got_f = {}
+        for r in out_f:
+            got_f.setdefault(r["qid"], []).append(
+                (r["neighbor_id"], r["cosine"]))
+        got_f = {q: [i for i, _ in sorted(ns, key=lambda t: (-t[1], t[0]))]
+                 for q, ns in got_f.items()}
+        want_f = {q: brute_top3(q, [i for i in inline_ids if i != q])
+                  for q in qids}
+        check("filtered_topk_ivfpq_exact", got_f == want_f,
+              {"got": got_f, "want": want_f})
+
+        # knn_graph_auto under the broadcast gate: exact kernel,
+        # is_approx false on every row, neighbors == brute force
+        # (no key scoping -- all-pairs graph)
+        kids = list(range(16))
+        kdf = spark.createDataFrame(
+            [(i, vecs[i]) for i in kids], "vid long, emb array<double>")
+        rows_k = gr.knn_graph_auto(kdf, "vid", "emb", k=3).collect()
+        check("knn_graph_auto_exact_path",
+              all(not r["is_approx"] for r in rows_k), len(rows_k))
+        got_k = {}
+        for r in rows_k:
+            got_k.setdefault(r["src"], []).append(
+                (r["neighbor_id"], r["cosine"]))
+        got_k = {i: [n for n, _ in sorted(ns, key=lambda t: (-t[1], t[0]))]
+                 for i, ns in got_k.items()}
+        want_k = {i: [n for _, n in sorted(
+            ((cos(vecs[i], vecs[j]), j) for j in kids if j != i),
+            key=lambda t: (-t[0], t[1]))[:3]] for i in kids}
+        check("knn_graph_auto_neighbors", got_k == want_k,
+              {"got": got_k, "want": want_k})
+
+        # perplexity_score vs the exact unigram oracle: nll(w) =
+        # -ln(c(w)/total) quantized like the engine (6-decimal), mean
+        # per doc
+        import math as _mm
+        pdocs = [(1, "a a b"), (2, "a c"), (3, "b b b a")]
+        ppl_df = spark.createDataFrame(pdocs, "doc_id long, text string")
+        words_all = [w for _, t in pdocs for w in t.split(" ")]
+        cnts = {w: words_all.count(w) for w in set(words_all)}
+        tot = len(words_all)
+        q6 = lambda x: round(x * 1e6) / 1e6  # noqa: E731
+        want_ppl = {}
+        for i, t in pdocs:
+            nlls = [q6(-_mm.log(cnts[w] / tot)) for w in t.split(" ")]
+            want_ppl[i] = (len(nlls), sum(nlls) / len(nlls))
+        got_ppl = {r["id"]: (r["n_words"], r["avg_nll"], r["keep"])
+                   for r in gr.perplexity_score(
+                       ppl_df, "doc_id", "text", cutoff=1.0).collect()}
+        check("perplexity_score_exact",
+              all(got_ppl[i][0] == want_ppl[i][0] and
+                  abs(float(got_ppl[i][1]) - want_ppl[i][1]) < 1e-5 and
+                  got_ppl[i][2] == (want_ppl[i][1] <= 1.0)
+                  for i in want_ppl),
+              {"got": {k: (v[0], float(v[1]), v[2])
+                       for k, v in got_ppl.items()},
+               "want": want_ppl})
+
+        # duplicate_spans vs an exact construction: P(10 words) +
+        # filler + P in doc 1 duplicates [0,10) and [20,30); doc 2
+        # carries P once (cross-doc duplication covers it); doc 3 is
+        # all-unique -> (0, 0, 0.0)
+        P = " ".join(f"p{i}" for i in range(10))
+        ddocs = [
+            (1, P + " " + " ".join(f"f{i}" for i in range(10)) + " " + P),
+            (2, P + " " + " ".join(f"g{i}" for i in range(10))),
+            (3, " ".join(f"u{i}" for i in range(20))),
+        ]
+        ddf = spark.createDataFrame(ddocs, "doc_id long, text string")
+        got_d = {r["id"]: (r["n_words"], r["n_dup_spans"],
+                           r["dup_words"], round(r["dup_ratio"], 9))
+                 for r in gr.duplicate_spans(
+                     ddf, "doc_id", "text", k=10).collect()}
+        want_d = {1: (30, 2, 20, round(20 / 30, 9)),
+                  2: (20, 1, 10, 0.5),
+                  3: (20, 0, 0, 0.0)}
+        check("duplicate_spans_exact", got_d == want_d,
+              {"got": got_d, "want": want_d})
+
+        # quality_gate: keep == AND of the four surfaced signals on
+        # every row, and the signals actually gate -- a diverse
+        # long-enough doc keeps, the same corpus under an impossible
+        # min_chars drops on is_quality alone
+        g_docs = [
+            (1, " ".join(f"q{i}" for i in range(120))),
+            (2, " ".join(f"r{i}" for i in range(120))),
+        ]
+        gdf = spark.createDataFrame(g_docs, "doc_id long, text string")
+        rows_g = gr.quality_gate(gdf, "doc_id", "text",
+                                 ppl_cutoff=100.0).collect()
+        conj_ok = all(
+            r["keep"] == (r["is_quality"] and r["dup_keep"] and
+                          r["rep_keep"] and r["ppl_keep"])
+            for r in rows_g)
+        check("quality_gate_conjunction",
+              conj_ok and len(rows_g) == 2 and
+              all(r["keep"] for r in rows_g),
+              [(r["id"], r["keep"]) for r in rows_g])
+        rows_g2 = gr.quality_gate(gdf, "doc_id", "text",
+                                  min_chars=10 ** 6,
+                                  ppl_cutoff=100.0).collect()
+        check("quality_gate_rejects",
+              all((not r["is_quality"]) and (not r["keep"])
+                  for r in rows_g2),
+              [(r["id"], r["is_quality"], r["keep"]) for r in rows_g2])
+
+        # -- 13. the .pyi stub stays in sync with the runtime module
+        # (no mypy in this container, so the check is structural: every
+        # public function is stubbed with the same parameter names in
+        # the same order, and the stub declares nothing that doesn't
+        # exist). This is what a type checker would resolve against.
+        import ast
+        import inspect
+        import os as _os
+        pyi = _os.path.join(_os.path.dirname(gr.__file__), "__init__.pyi")
+        tree = ast.parse(open(pyi).read())
+        stub_sigs = {n.name: [a.arg for a in n.args.args]
+                     for n in tree.body
+                     if isinstance(n, ast.FunctionDef)}
+        mismatches = []
+        for name in gr.__all__:
+            fn = getattr(gr, name)
+            real = list(inspect.signature(fn).parameters)
+            if name not in stub_sigs:
+                mismatches.append(f"{name}: missing from stub")
+            elif stub_sigs[name] != real:
+                mismatches.append(
+                    f"{name}: stub={stub_sigs[name]} real={real}")
+        for name in stub_sigs:
+            if name not in gr.__all__:
+                mismatches.append(f"{name}: stubbed but not exported")
+        check("pyi_stub_sync", not mismatches, mismatches)
+        check("py_typed_marker", _os.path.exists(
+            _os.path.join(_os.path.dirname(gr.__file__), "py.typed")))
+
         print(json.dumps({"status": "pass",
                           "checks": [c[0] for c in checks],
                           "pinned_hash": PINNED_HASH}))

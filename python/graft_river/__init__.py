@@ -35,6 +35,8 @@ __all__ = [
     "paragraph_near_dups", "semantic_near_dups", "epoch_shuffle",
     "corpus_build", "corpus_build_funnel",
     "bpe_learn", "bpe_encode", "bpe_tokenize",
+    "filtered_topk_ivfpq", "knn_graph_auto",
+    "quality_gate", "perplexity_score", "duplicate_spans",
 ]
 
 
@@ -242,6 +244,37 @@ def maintain_index(spark, index_dir, min_keep_batch_id=None,
                                  keep, bool(vacuum))
 
 
+def filtered_topk_ivfpq(df, id_col, vec_col, key_col, is_query_sql, k,
+                        cells=16, iters=2, nprobe=1, pq_m=4, pq_ks=4,
+                        pq_iters=2, rerank_depth=0):
+    """Inline filtered ANN top-k with PQ-ADC candidate scoring (the
+    s18 engine): cluster + quantize + serve in ONE call, no stored
+    index. is_query_sql is a SQL boolean predicate over the staged id
+    column, which is always named ``id`` (e.g. "id < 8"): rows
+    satisfying it are queries, the rest corpus. rerank_depth <= 0
+    defaults to 4k. Returns (qid, neighbor_id, cosine, rank)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).filteredTopKIvfPq(
+        df._jdf, id_col, vec_col, key_col, str(is_query_sql), int(k),
+        int(cells), int(iters), int(nprobe), int(pq_m), int(pq_ks),
+        int(pq_iters), int(rerank_depth))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def knn_graph_auto(df, id_col, vec_col, k,
+                   max_broadcast_bytes=512 << 20):
+    """All-pairs kNN graph with the measured broadcast/LSH gate: the
+    exact broadcast kernel when the corpus fits max_broadcast_bytes,
+    the banded-LSH approximate path above it. Every row carries
+    is_approx so a consumer -- or an audit later -- knows whether the
+    neighbor list is ground truth. Returns
+    (src, neighbor_id, cosine, rank, is_approx)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).knnGraphAuto(
+        df._jdf, id_col, vec_col, int(k), int(max_broadcast_bytes))
+    return DataFrame(jdf, df.sparkSession)
+
+
 # --------------------------------------------------- text analysis
 
 def token_stats(df, id_col, text_col):
@@ -260,6 +293,44 @@ def quality_features(df, id_col, text_col, stopwords, min_chars=100,
     jdf = _bridge(df.sparkSession).qualityFeatures(
         df._jdf, id_col, text_col, [str(w) for w in stopwords],
         int(min_chars), int(min_words), float(min_type_token))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def quality_gate(df, id_col, text_col, min_chars=100, min_words=20,
+                 min_type_token=0.3, shingle_k=8, max_dup_ratio=0.5,
+                 rep_k=3, max_top_gram_ratio=1.0 / 32,
+                 max_dup_word_ratio=0.5, ppl_cutoff=3.402):
+    """The four-signal keep/drop gate (the t12 engine): quality
+    features AND shingle-dup AND repetition AND perplexity, each
+    surfaced as its own keep column so a rejected doc says WHY.
+    Returns (id, is_quality, dup_keep, rep_keep, ppl_keep, keep)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).qualityGate(
+        df._jdf, id_col, text_col, int(min_chars), int(min_words),
+        float(min_type_token), int(shingle_k), float(max_dup_ratio),
+        int(rep_k), float(max_top_gram_ratio),
+        float(max_dup_word_ratio), float(ppl_cutoff))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def perplexity_score(df, id_col, text_col, cutoff=3.402):
+    """Corpus-unigram perplexity scoring (the t16 engine): mean
+    negative log-likelihood per doc under the corpus's own unigram
+    distribution; keep = avg_nll <= cutoff. Returns
+    (id, n_words, avg_nll, keep)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).perplexityScore(
+        df._jdf, id_col, text_col, float(cutoff))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def duplicate_spans(df, id_col, text_col, k=10, min_count=2):
+    """Within-document duplicated-span statistics (the d09 engine):
+    k-gram islands repeated >= min_count times, merged per doc.
+    Returns (id, n_words, n_dup_spans, dup_words, dup_ratio)."""
+    from pyspark.sql import DataFrame
+    jdf = _bridge(df.sparkSession).duplicateSpans(
+        df._jdf, id_col, text_col, int(k), int(min_count))
     return DataFrame(jdf, df.sparkSession)
 
 

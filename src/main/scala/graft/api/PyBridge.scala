@@ -183,6 +183,32 @@ object PyBridge {
       graft.operators.AnnOps.IndexMaintenancePolicy(
         minKeepBatchId = minKeepBatchId, vacuum = vacuum))
 
+  /** Inline filtered ANN top-k with PQ-ADC candidate scoring from
+    * Python (s18's engine) — cluster + quantize + serve in one call,
+    * no stored index. `isQuerySql` is a SQL boolean predicate over the
+    * staged id column, which is always named `id` (e.g. "id < 8"):
+    * rows satisfying it are the query side, everything else corpus.
+    * rerankDepth <= 0 defaults to 4k. Returns
+    * (qid, neighbor_id, cosine, rank). */
+  def filteredTopKIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      keyCol: String, isQuerySql: String, k: Int, cells: Int,
+      iters: Int, nprobe: Int, pqM: Int, pqKs: Int, pqIters: Int,
+      rerankDepth: Int): DataFrame =
+    graft.operators.AnnOps.filteredTopKIvfPq(df, idCol, vecCol, keyCol,
+      _ => org.apache.spark.sql.functions.expr(isQuerySql), k, cells,
+      iters, nprobe, pqM, pqKs, pqIters, rerankDepth)
+
+  /** All-pairs kNN graph with the measured broadcast/LSH gate from
+    * Python (the s12-family engine): exact broadcast kernel when the
+    * corpus fits `maxBroadcastBytes`, banded-LSH approximate path
+    * above it — every row carries `is_approx` so the consumer knows
+    * which side ran. Returns (src, neighbor_id, cosine, rank,
+    * is_approx). */
+  def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxBroadcastBytes: Long): DataFrame =
+    graft.operators.AnnOps.knnGraphAuto(df, idCol, vecCol, k,
+      maxBroadcastBytes)
+
   // --------------------------------------------------- text analysis
 
   /** Token counting from Python (t03's engine): whitespace tokens,
@@ -198,6 +224,35 @@ object PyBridge {
       minTypeToken: Double): DataFrame =
     graft.operators.TextOps.qualityFeatures(df, idCol, textCol,
       stopwords.asScala.toSeq, minChars, minWords, minTypeToken)
+
+  /** The four-signal keep/drop gate from Python (t12's engine):
+    * quality features AND shingle-dup AND repetition AND perplexity,
+    * each surfaced as its own keep column. Returns
+    * (id, is_quality, dup_keep, rep_keep, ppl_keep, keep). */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int, minWords: Int, minTypeToken: Double,
+      shingleK: Int, maxDupRatio: Double, repK: Int,
+      maxTopGramRatio: Double, maxDupWordRatio: Double,
+      pplCutoff: Double): DataFrame =
+    graft.operators.TextOps.qualityGate(df, idCol, textCol, minChars,
+      minWords, minTypeToken, shingleK, maxDupRatio, repK,
+      maxTopGramRatio, maxDupWordRatio, pplCutoff)
+
+  /** Corpus-unigram perplexity scoring from Python (t16's engine):
+    * mean negative log-likelihood per doc under the corpus's own
+    * unigram distribution, `keep` = nll <= cutoff. Returns
+    * (id, n_words, avg_nll, keep). */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      cutoff: Double): DataFrame =
+    graft.operators.TextOps.perplexityScore(df, idCol, textCol, cutoff)
+
+  /** Within-document duplicated-span statistics from Python (d09's
+    * engine): repeated k-gram islands merged per doc. Returns
+    * (id, n_words, n_dup_spans, dup_words, dup_ratio). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Int): DataFrame =
+    graft.operators.TextOps.duplicateSpans(df, idCol, textCol, k,
+      minCount)
 
   // --------------------------------------------- trainer handoff plane
 
