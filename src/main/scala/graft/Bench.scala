@@ -151,15 +151,20 @@ object Bench {
     // The compact line carries the totals + BOTH host-window probes
     // (self-attribution — round-15 "What's wrong #3") + the slowest
     // queries that fit; the full map is one `cat BENCH_LAST.json` away.
+    // pin-backend attribution: which backend ran and (reliable only)
+    // the checkpoint write traffic it cost — the durability bill
+    val pinInfo =
+      s""""pin_backend":"${graft.core.Pins.backend(spark)}",""" +
+        s""""pin_ck_bytes":${graft.core.Pins.checkpointedBytes.get}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_pre":$probePre,"probe_post":$probePost,"queries":${qmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_pre":$probePre,"probe_post":$probePost,$pinInfo,"queries":${qmap(results)},"sf":"$sfDir"}"""
     try {
       val pw = new java.io.PrintWriter("BENCH_LAST.json")
       try pw.println(fullLine) finally pw.close()
     } catch { case _: Throwable => }
     def compact(nSlow: Int): String = {
       val slow = results.sortBy(-_._2).take(nSlow).sortBy(_._1)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"probe_pre":$probePre,"probe_post":$probePost,"slowest":${qmap(slow)},"queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"probe_pre":$probePre,"probe_post":$probePost,$pinInfo,"slowest":${qmap(slow)},"queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
     }
     val line = (30 to 0 by -5).map(compact).find(_.length <= 1850)
       .getOrElse(compact(0))

@@ -52,6 +52,15 @@ object Pins {
   def backend(spark: SparkSession): String =
     spark.conf.get(BackendConf, "local")
 
+  /** Cumulative bytes written to the checkpoint dir by `reliable`
+    * pins in this JVM — the durability bill a deployer pays over
+    * `local`. Summed at pin time (one FS content walk of the pin's
+    * own rdd-N dir, trivial next to the checkpoint write itself);
+    * reclamation on release does NOT subtract, so this is write
+    * traffic, not residency. Bench surfaces it per recording.
+    */
+  val checkpointedBytes = new java.util.concurrent.atomic.AtomicLong
+
   /** Materialize `ds` eagerly under the configured backend and return a
     * Dataset whose plan reads the materialized blocks.
     */
@@ -66,7 +75,18 @@ object Pins {
               s"SparkContext.setCheckpointDir or set $DirConf"))
         sc.setCheckpointDir(dir)
       }
-      ds.checkpoint()
+      val out = ds.checkpoint()
+      out.queryExecution.analyzed match {
+        case lr: LogicalRDD => lr.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            checkpointedBytes.addAndGet(p.getFileSystem(
+              sc.hadoopConfiguration).getContentSummary(p).getLength)
+          } catch { case _: java.io.IOException => () }
+        }
+        case _ => ()
+      }
+      out
     case "replicated" =>
       ds.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_2)
     case other => throw new IllegalArgumentException(
