@@ -53,8 +53,13 @@ object Bench {
     val localDir =
       if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark-local"
       else System.getProperty("java.io.tmpdir")
+    // SPARK_GRAFT_MASTER: same override as Verify — pricing runs use
+    // local-cluster[n,c,mem] so replication/fetch costs are real
+    // (single-JVM local[N] has one BlockManager: a 2-replica storage
+    // level silently keeps one copy, so replication looks free)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)

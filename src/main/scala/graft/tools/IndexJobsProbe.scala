@@ -88,9 +88,13 @@ object IndexJobsProbe {
         if (record) out += name -> r
       }
       op("build") {
+        // -Dgraft.probe.pqm widens the PQ subspace count (default 4;
+        // 8 prices the capped-pool build against the r15 8-thread one)
         graft.operators.AnnOps.buildIvfPqIndex(
           emb.filter(bucket < 70), "vec_id", "embedding", "source",
-          idx, cells = 8, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+          idx, cells = 8, iters = 2,
+          pqM = Integer.getInteger("graft.probe.pqm", 4),
+          pqKs = 4, pqIters = 2)
       }
       op("append") {
         graft.operators.AnnOps.appendIvfPqIndex(
