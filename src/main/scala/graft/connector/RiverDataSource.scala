@@ -119,7 +119,13 @@ class RiverTable(rootPath: String, streamName: String,
       if (exists) {
         Option(info.options.get("schemaJson")).map(RiverSchema.fromJson)
           .foreach { declared =>
-            if (declared != riverSchema)
+            // order-insensitive: the writer resolves river fields BY
+            // NAME, so a declaration listing the same name->type set in
+            // a different order is the same contract and must keep
+            // working (round-16 ADVICE). Only a real conflict — a
+            // missing/extra field or a type change — fails.
+            if (declared.fields.map(f => f.name -> f.tpe).toMap !=
+                riverSchema.fields.map(f => f.name -> f.tpe).toMap)
               throw new IllegalArgumentException(
                 s"river.$streamName exists with schema " +
                   s"${riverSchema.toJson}; writer declared conflicting " +

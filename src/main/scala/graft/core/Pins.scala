@@ -42,6 +42,8 @@ import org.apache.spark.storage.StorageLevel
   * across backends on representative operator chains.
   */
 object Pins {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.Pins")
+
   /** Conf key selecting the backend: local | reliable | replicated. */
   final val BackendConf = "spark.graft.pin.backend"
   /** Checkpoint dir used by the `reliable` backend when the context has
@@ -61,6 +63,38 @@ object Pins {
     */
   val checkpointedBytes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Last reliable-pin FS failure (byte accounting or reclamation),
+    * `"<op> <path>: <exception>"` — set in the same statement that
+    * WARN-logs it, so specs can assert the warning fired without
+    * scraping log output. Null until the first failure.
+    */
+  private[graft] val lastFsFailure =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** FS seams so a spec can inject an IOException at the exact
+    * boundary a flaky DFS would throw from. Production defaults are
+    * the plain Hadoop calls; only PinsBackendSpec swaps them.
+    */
+  private[graft] var fsLength:
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) => Long =
+    (fs, p) => fs.getContentSummary(p).getLength
+  private[graft] var fsDelete:
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) => Boolean =
+    (fs, p) => fs.delete(p, true)
+
+  /** A deployer must SEE reclamation/accounting failing — a silently
+    * swallowed IOException here restores the unbounded-scratch growth
+    * reclamation exists to stop (round-16 "What's wrong #1"). The pin
+    * itself still succeeds/releases its blocks; only the FS side
+    * effect is lost, which is exactly what the WARN says.
+    */
+  private def warnFs(op: String, p: org.apache.hadoop.fs.Path,
+      e: java.io.IOException): Unit = {
+    lastFsFailure.set(s"$op $p: $e")
+    log.warn(s"reliable-pin $op failed for $p — checkpoint scratch " +
+      "may be leaking on the DFS; inspect and reclaim manually", e)
+  }
+
   /** Materialize `ds` eagerly under the configured backend and return a
     * Dataset whose plan reads the materialized blocks.
     */
@@ -78,11 +112,10 @@ object Pins {
       val out = ds.checkpoint()
       out.queryExecution.analyzed match {
         case lr: LogicalRDD => lr.rdd.getCheckpointFile.foreach { dir =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            checkpointedBytes.addAndGet(p.getFileSystem(
-              sc.hadoopConfiguration).getContentSummary(p).getLength)
-          } catch { case _: java.io.IOException => () }
+          val p = new org.apache.hadoop.fs.Path(dir)
+          try checkpointedBytes.addAndGet(
+            fsLength(p.getFileSystem(sc.hadoopConfiguration), p))
+          catch { case e: java.io.IOException => warnFs("byte-meter", p, e) }
         }
         case _ => ()
       }
@@ -114,12 +147,10 @@ object Pins {
         val rdd = lr.rdd
         // getCheckpointFile is Some only for reliable checkpoints
         rdd.getCheckpointFile.foreach { dir =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val fs = p.getFileSystem(
-              ds.sparkSession.sparkContext.hadoopConfiguration)
-            fs.delete(p, true)
-          } catch { case _: java.io.IOException => () }
+          val p = new org.apache.hadoop.fs.Path(dir)
+          try fsDelete(p.getFileSystem(
+            ds.sparkSession.sparkContext.hadoopConfiguration), p)
+          catch { case e: java.io.IOException => warnFs("reclamation", p, e) }
         }
         rdd.unpersist(false)
       case _ => ()

@@ -2449,6 +2449,11 @@ object TextOps {
   */
 object AnnOps {
 
+  /** Monotone per-JVM build counter — uniquifies each
+    * [[buildIvfPqIndex]] job tag so concurrent builds never share one.
+    */
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** (id, c: array<long> scaled components, nrm: double) staged + pinned. */
   def scaled(df: DataFrame, idCol: String, vecCol: String,
       partitions: Int = 0): DataFrame =
@@ -4154,10 +4159,32 @@ object AnnOps {
       val timeout = s.conf.getOption("spark.graft.ivfpq.trainTimeoutSec")
         .map(sec => scala.concurrent.duration.Duration(sec.toLong, "sec"))
         .getOrElse(scala.concurrent.duration.Duration.Inf)
-      val buildTag = s"graft-ivfpq-build-${indexDir.hashCode.toHexString}"
+      // the tag must be UNIQUE PER BUILD, not per index dir: two
+      // concurrent builds (same dir — rebuild race — or 32-bit
+      // hashCode collision across dirs) sharing a tag would have a
+      // failing build cancel the healthy sibling's jobs (round-16
+      // "What's wrong #2"). A process-wide counter removes the class.
+      val buildTag = "graft-ivfpq-build-" +
+        s"${indexDir.hashCode.toHexString}-${buildSeq.incrementAndGet()}"
       val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val done = new java.util.concurrent.ConcurrentLinkedQueue[
         (DataFrame, DataFrame, DataFrame, DataFrame)]()
+      // drain-by-poll is the ownership handoff on the failure path:
+      // the abort handler AND any straggler future that completes
+      // after awaitTermination(60s) timed out both drain here, and
+      // poll() hands each element to exactly one of them — so a
+      // straggler's pins can never land in `done` after the abort
+      // handler already swept it (round-16 ADVICE leak).
+      def drainDone(): Unit = {
+        var e = done.poll()
+        while (e != null) {
+          try {
+            DedupOps.releaseLocalCheckpoint(e._4)
+            DedupOps.releaseLocalCheckpoint(e._3)
+          } catch { case _: Throwable => () }
+          e = done.poll()
+        }
+      }
       try {
         val futs = (0 until pqM).map { m => scala.concurrent.Future {
           if (aborted.get) throw new InterruptedException(
@@ -4177,6 +4204,7 @@ object AnnOps {
             val r = (codesP.select(col("id"), col("cell").as("code"),
               lit(m).as("m")), meansDf, sub, codesP)
             done.add(r)
+            if (aborted.get) drainDone()
             r
           } catch { case e: Throwable =>
             try DedupOps.releaseLocalCheckpoint(sub)
@@ -4196,12 +4224,7 @@ object AnnOps {
         catch { case _: Throwable => () }
         pool.shutdown()
         pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
-        done.forEach { case (_, _, sub, codesP) =>
-          try {
-            DedupOps.releaseLocalCheckpoint(codesP)
-            DedupOps.releaseLocalCheckpoint(sub)
-          } catch { case _: Throwable => () }
-        }
+        drainDone()
         throw e
       } finally pool.shutdown()
     }

@@ -34,6 +34,21 @@ import graft.core.Pins.PinnedDataset
   *   {"backend":"...","survived":bool,"correct":bool,"detail":"..."}
   */
 object ExecutorLossProbe {
+  /** This app's executor JVMs, identified by the `--app-id <id>` on
+    * the CoarseGrainedExecutorBackend command line — never another
+    * application's.
+    */
+  def victimsOf(spark: SparkSession): Seq[ProcessHandle] = {
+    val appId = spark.sparkContext.applicationId
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter { p =>
+        val cmd = p.info().commandLine().orElse("")
+        cmd.contains("CoarseGrainedExecutorBackend") &&
+          cmd.contains(appId)
+      }
+      .toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val backend = args.headOption.getOrElse("reliable")
     val ckDir = args.lift(1).getOrElse(
@@ -57,9 +72,6 @@ object ExecutorLossProbe {
     // wait until BOTH executors registered (their block managers are
     // where the pin's blocks will live)
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    def executors(): Seq[String] =
-      spark.sparkContext.getExecutorMemoryStatus.keys.toSeq
-        .filterNot(_.startsWith("localhost")) // driver entry varies; count all
     while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
         System.nanoTime() < deadline) Thread.sleep(200)
 
@@ -72,15 +84,17 @@ object ExecutorLossProbe {
     require(before == want, s"pre-kill read wrong: $before != $want")
 
     // the executor JVMs are separate OS processes
-    // (CoarseGrainedExecutorBackend); kill -9 one of them
-    val victims = ProcessHandle.allProcesses().iterator().asScala
-      .filter(p => p.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .toSeq
-    require(victims.size >= 2,
-      s"expected >=2 executor processes, saw ${victims.size} — " +
-        "is this really local-cluster?")
-    victims.head.destroyForcibly()
+    // (CoarseGrainedExecutorBackend) launched with THIS app's id on
+    // their command line; kill -9 one of OURS. Matching the app id is
+    // what keeps a concurrently running unrelated Spark application's
+    // executors safe from this probe (round-16 ADVICE).
+    victimsOf(spark) match {
+      case v +: _ +: _ => v.destroyForcibly()
+      case v => sys.error(
+        s"expected >=2 executor processes for app " +
+          s"${spark.sparkContext.applicationId}, saw ${v.size} — " +
+          "is this really local-cluster?")
+    }
     // let the master/driver notice the loss (heartbeat + RPC teardown)
     Thread.sleep(4000)
 

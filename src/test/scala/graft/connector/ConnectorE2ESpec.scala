@@ -315,6 +315,62 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       s"timestamp round trip wrong: ${back.toSeq}")
   }
 
+  test("schemaJson guard on an existing stream is ORDER-INSENSITIVE: " +
+      "the same name->type set declared in a different field order is " +
+      "NOT a conflict (the writer resolves fields by name — any " +
+      "failure must be the write-once contract, reported as such); a " +
+      "real type conflict still fails loudly at plan time") {
+    val s = spark
+    import s.implicits._
+    val root = newRoot()
+    def chainOf(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    def write(df: org.apache.spark.sql.DataFrame, json: String): Unit =
+      df.write.format("river")
+        .option("root", root.toString).option("stream", "guard")
+        .option("schemaJson", json).mode("append").save()
+    val fwd = RiverSchema(Seq(
+      RiverField("d", RiverType.Double64),
+      RiverField("i", RiverType.Int32))).toJson
+    val rev = RiverSchema(Seq(
+      RiverField("i", RiverType.Int32),
+      RiverField("d", RiverType.Double64))).toJson
+    write(Seq((1.5, 10)).toDF("d", "i").coalesce(1), fwd) // creates
+    // a second write against the existing stream, derived columns
+    // supplied so analysis resolves; declaring the SAME schema in
+    // REVERSED order must sail past the conflict guard and fail only
+    // on the single-writer write-once contract
+    val again = Seq((1L, "k", 0L, 2.5, 20))
+      .toDF("sample_index", "key", "timestamp_ms", "d", "i").coalesce(1)
+    val eOrder = intercept[Exception] { write(again, rev) }
+    val orderChain = chainOf(eOrder)
+    assert(!orderChain.contains("conflicting"),
+      s"order-only re-declare misreported as a schema conflict: " +
+        s"$orderChain")
+    assert(orderChain.contains("write once") ||
+      orderChain.contains("already exists"),
+      s"expected the write-once contract failure, got: $orderChain")
+    // a genuine conflict (type change) is still rejected by the guard
+    val bad = RiverSchema(Seq(
+      RiverField("d", RiverType.Double64),
+      RiverField("i", RiverType.Int64))).toJson
+    val eBad = intercept[Exception] {
+      // df matches the stored schema (so output resolution passes);
+      // only the DECLARED schemaJson conflicts — the guard's job
+      write(Seq((1L, "k", 0L, 3.5, 30))
+        .toDF("sample_index", "key", "timestamp_ms", "d", "i")
+        .coalesce(1), bad)
+    }
+    assert(chainOf(eBad).contains("conflicting"),
+      s"wrong failure for a type conflict: ${chainOf(eBad)}")
+    // the stream survives both rejected writes intact
+    val back = spark.read.format("river")
+      .option("root", root.toString).option("stream", "guard").load()
+      .select($"d", $"i").collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(back.toSeq == Seq((1.5, 10)), s"stream corrupted: ${back.toSeq}")
+  }
+
   test("multi-field packed struct offsets (FIXTURES §3)") {
     val schema = RiverSchema(Seq(
       RiverField("field1", RiverType.Int32),

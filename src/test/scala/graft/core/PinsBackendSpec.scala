@@ -125,6 +125,49 @@ class PinsBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(Pins.BackendConf, "local")
   }
 
+  test("a reliable-pin FS failure is OBSERVABLE, not swallowed: an " +
+      "injected IOException at the delete/length boundary WARN-logs " +
+      "and records the failing path, while the pin itself still " +
+      "reads correctly and releases its blocks (round-16 flag)") {
+    spark.conf.set(Pins.BackendConf, "reliable")
+    val realDelete = Pins.fsDelete
+    val realLength = Pins.fsLength
+    try {
+      val s2 = spark; import s2.implicits._
+      // byte-meter path: length probe throws at pin time
+      Pins.fsLength = (_, p) =>
+        throw new java.io.IOException(s"injected length failure: $p")
+      Pins.lastFsFailure.set(null)
+      val metered = Pins.checkpointedBytes.get
+      val pinned = (1 to 200).toDF("x").pin()
+      assert(pinned.count() == 200, "pin must still work under the failure")
+      val accFail = Pins.lastFsFailure.get
+      assert(accFail != null && accFail.startsWith("byte-meter "),
+        s"byte-meter failure not recorded: $accFail")
+      assert(Pins.checkpointedBytes.get == metered,
+        "a failed length probe must not invent bytes")
+      // reclamation path: delete throws at release time
+      Pins.fsDelete = (_, p) =>
+        throw new java.io.IOException(s"injected delete failure: $p")
+      Pins.lastFsFailure.set(null)
+      pinned.releasePin()
+      val recFail = Pins.lastFsFailure.get
+      assert(recFail != null && recFail.startsWith("reclamation ") &&
+        recFail.contains("injected delete failure"),
+        s"reclamation failure not recorded: $recFail")
+      // the failing delete left the files behind — a re-release with
+      // the real FS reclaims them (release is idempotent)
+      Pins.fsDelete = realDelete
+      Pins.fsLength = realLength
+      pinned.releasePin()
+    } finally {
+      Pins.fsDelete = realDelete
+      Pins.fsLength = realLength
+      Pins.lastFsFailure.set(null)
+      spark.conf.set(Pins.BackendConf, "local")
+    }
+  }
+
   test("release is a no-op on a plain cached DataFrame — it must NOT " +
       "drop a caller's cache through the CacheManager") {
     val s2 = spark; import s2.implicits._

@@ -3052,4 +3052,63 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           .mkString("; "))
     DedupOps.releaseLocalCheckpoint(df)
   }
+
+  test("concurrent IVF-PQ builds never share a cancel tag: a FAILING " +
+      "build (timeout=0, colliding-hashCode index dir) leaves a " +
+      "concurrently-running sibling build's jobs uncancelled and its " +
+      "codes/codebooks identical to a serial reference (round-16 flag)") {
+    val s = spark
+    val rows = annRows(0 until 80)
+    val df = s.createDataFrame(rows).toDF("vid", "emb", "grp").pin()
+    // two DIFFERENT dirs with EQUAL String.hashCode ("Aa"/"BB" suffix
+    // collision): under a dir-hash-derived tag these two builds would
+    // share one tag and the failing build would cancel the sibling
+    val base = tmpDir("ctag")
+    val dirFail = s"$base/Aa"
+    val dirOk = s"$base/BB"
+    assert(dirFail.hashCode == dirOk.hashCode,
+      "fixture broke: the dirs must collide on hashCode")
+    // the failing build runs in ITS OWN SparkSession (shared
+    // SparkContext = shared scheduler, separate SQLConf) so its
+    // timeout conf can't leak into the healthy build
+    val sFail = s.newSession()
+    sFail.conf.set("spark.graft.ivfpq.trainTimeoutSec", "0")
+    val dfFail = sFail.createDataFrame(rows).toDF("vid", "emb", "grp")
+    @volatile var okErr: Throwable = null
+    val tOk = new Thread(() => {
+      try AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", dirOk,
+        cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+        partitions = 4)
+      catch { case e: Throwable => okErr = e }
+    }, "graft-ctag-ok")
+    tOk.start()
+    Thread.sleep(300) // let the healthy build get jobs in flight
+    intercept[java.util.concurrent.TimeoutException] {
+      AnnOps.buildIvfPqIndex(dfFail, "vid", "emb", "grp", dirFail,
+        cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+        partitions = 4)
+    }
+    tOk.join(300000)
+    assert(!tOk.isAlive, "healthy build wedged")
+    assert(okErr == null,
+      s"the failing build took down its concurrent sibling: $okErr")
+    // the surviving build's output matches a serial reference build
+    def artifacts(idx: String): (Set[String], Set[String]) = (
+      s.read.parquet(s"$idx/gens/gen=0/codes/batch=0")
+        .select("id", "code", "m", "cell")
+        .collect().map(_.toString).toSet,
+      s.read.parquet(s"$idx/codebooks")
+        .select("m", "code", "cmean", "cn2")
+        .collect().map(_.toString).toSet)
+    val ref = tmpDir("ctag-ref")
+    s.conf.set("spark.graft.ivfpq.trainPool", "1")
+    try AnnOps.buildIvfPqIndex(df, "vid", "emb", "grp", ref,
+      cells = 4, iters = 2, pqM = 4, pqKs = 4, pqIters = 2,
+      partitions = 4)
+    finally s.conf.unset("spark.graft.ivfpq.trainPool")
+    assert(artifacts(dirOk) == artifacts(ref),
+      "surviving build's codes/codebooks drifted from the serial " +
+        "reference — its jobs were disturbed")
+    DedupOps.releaseLocalCheckpoint(df)
+  }
 }
