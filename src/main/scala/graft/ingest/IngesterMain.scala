@@ -78,6 +78,7 @@ object IngesterSettingsJson {
     }
     val gMinAge = globalLong("minimum_age_seconds_before_deletion")
     val gBytes = globalLong("bytes_per_row_group")
+    val gStale = globalLong("stale_period_seconds")
 
     Option(root.get("stream_settings")).filter(_.isArray).toSeq
       .flatMap(_.elements().asScala).map { e =>
@@ -91,11 +92,20 @@ object IngesterSettingsJson {
             .map(_.map(r => s"(?:$r)").mkString("|"))
         val minAgeS = longAt(e, "minimum_age_seconds_before_deletion")
           .orElse(gMinAge).getOrElse(60L)
+        // ENGINE EXTENSION: the reference hard-codes its staleness
+        // window as a constructor default (ingester.h:50, 300 s) with
+        // no settings-file spelling; a 24/7 deployment tuning EOF
+        // churn needs it configurable, so we accept
+        // stale_period_seconds per-entry with the same global fallback
+        // discipline as the other knobs.
+        val staleS = longAt(e, "stale_period_seconds")
+          .orElse(gStale).getOrElse(300L)
         Entry(regex, IngestSettings(
           streamPattern = regex,
           columnWhitelist = regexList("columns_whitelist"),
           columnBlacklist = regexList("columns_blacklist"),
           minAgeMsBeforeTrim = minAgeS * 1000L,
+          stalePeriodMs = staleS * 1000L,
           bytesPerRowGroup =
             longAt(e, "bytes_per_row_group").orElse(gBytes)))
       }
@@ -131,9 +141,25 @@ final class IngesterDaemon(
   private val inProgress = ConcurrentHashMap.newKeySet[String]()
   @volatile private var terminated = false
   @volatile private var sweeps = 0L
+  // per-ingestOnce wall times (ms) for soak observability; a 24/7 run
+  // at 1 Hz × dozens of streams is ~100k longs/day — bounded by
+  // keeping the most recent window only
+  private val ingestMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  private val IngestWindow = 100000
 
   /** Completed sweep count (a sweep = one enqueue pass). */
   def sweepCount: Long = sweeps
+
+  /** (count, p50, p95, max) of per-stream ingestOnce wall ms over the
+    * retained window — the daemon's sweep-latency story for soak
+    * recordings and deploy dashboards. */
+  def ingestStats: (Int, Long, Long, Long) = {
+    val xs = ingestMs.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted
+    if (xs.isEmpty) (0, 0L, 0L, 0L)
+    else (xs.length, xs((xs.length - 1) / 2),
+      xs(math.min(xs.length - 1, (xs.length * 95) / 100)), xs.last)
+  }
 
   /** One enqueue pass: dispatch every matched, not-in-progress stream
     * to the pool. Returns the streams dispatched this pass. */
@@ -142,13 +168,19 @@ final class IngesterDaemon(
       ingesters.find { case (re, _) => s.matches(re) }.flatMap {
         case (_, ing) =>
           if (inProgress.add(s)) {
-            pool.execute(() =>
+            pool.execute(() => {
+              val t0 = System.nanoTime()
               try ing.ingestOnce(s)
               catch {
                 case NonFatal(e) =>
                   System.err.println(
                     s"[graft-ingester] stream $s sweep failed: $e")
-              } finally inProgress.remove(s))
+              } finally {
+                inProgress.remove(s)
+                ingestMs.add((System.nanoTime() - t0) / 1000000)
+                while (ingestMs.size > IngestWindow) ingestMs.poll()
+              }
+            })
             Some(s)
           } else None // still running from a prior sweep
       }
@@ -203,9 +235,11 @@ object IngesterMain {
     var parallelism = 4
     var master: Option[String] = None
     var maxSweeps = 0L // 0 = forever; bounded runs for smoke tests
+    var statsMs = 0L // >0: periodic stderr JSON stats (soak/monitoring)
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--stats-ms" => statsMs = args(i + 1).toLong; i += 2
         case "--store" => store = args(i + 1); i += 2
         case "--out" => out = args(i + 1); i += 2
         case "--settings" => settingsFile = Some(args(i + 1)); i += 2
@@ -216,7 +250,7 @@ object IngesterMain {
         case "--max-sweeps" => maxSweeps = args(i + 1).toLong; i += 2
         case other => sys.error(s"unknown argument: $other (expected " +
           "--store --out [--settings f] [--http-port n] [--sweep-ms n] " +
-          "[--parallelism n] [--master m] [--max-sweeps n])")
+          "[--parallelism n] [--master m] [--max-sweeps n] [--stats-ms n])")
       }
     }
     require(store != null && out != null, "--store and --out are required")
@@ -254,6 +288,27 @@ object IngesterMain {
     val daemon = new IngesterDaemon(spark, Paths.get(store), outPath,
       entries, parallelism, sweepMs)
     Runtime.getRuntime.addShutdownHook(new Thread(() => daemon.stop()))
+
+    if (statsMs > 0) {
+      // one stderr JSON line per interval: sweep count, ingestOnce wall
+      // percentiles, JVM heap — the observability line a soak or a
+      // deploy dashboard tails
+      val t = new Thread(() => {
+        val rt = Runtime.getRuntime
+        while (true) {
+          Thread.sleep(statsMs)
+          val (n, p50, p95, max) = daemon.ingestStats
+          System.err.println(
+            s"""{"graft_stats":{"sweeps":${daemon.sweepCount},""" +
+              s""""ingests":$n,"ingest_ms_p50":$p50,""" +
+              s""""ingest_ms_p95":$p95,"ingest_ms_max":$max,""" +
+              s""""heap_used_mb":${
+                (rt.totalMemory - rt.freeMemory) / 1048576},""" +
+              s""""heap_total_mb":${rt.totalMemory / 1048576}}}""")
+        }
+      }, "graft-ingester-stats")
+      t.setDaemon(true); t.start()
+    }
 
     System.err.println("[graft-ingester] beginning ingestion forever...")
     if (maxSweeps > 0) {

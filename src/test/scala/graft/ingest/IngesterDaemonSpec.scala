@@ -50,10 +50,12 @@ class IngesterDaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       { "global_settings": {},
         "bytes_per_row_group": 1048576,
         "minimum_age_seconds_before_deletion": 7,
+        "stale_period_seconds": 11,
         "stream_settings": [
           { "stream_name_regex": "sensor_.*",
             "columns_whitelist": ["v", "ts_.*"],
             "bytes_per_row_group": 65536,
+            "stale_period_seconds": 2,
             "samples_per_read": 8 },
           { "stream_name_regex": ".*",
             "columns_blacklist": ["debug_.*"] } ] }""")
@@ -63,10 +65,12 @@ class IngesterDaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0.columnBlacklist.isEmpty)
     assert(s0.bytesPerRowGroup.contains(65536L)) // per-entry wins
     assert(s0.minAgeMsBeforeTrim == 7000L) // global fallback applied
+    assert(s0.stalePeriodMs == 2000L) // per-entry engine extension wins
     assert(s0.keepColumn("v") && s0.keepColumn("ts_ms"))
     assert(!s0.keepColumn("vv") && !s0.keepColumn("debug_x"))
     val s1 = entries(1).settings
     assert(s1.columnWhitelist.isEmpty)
+    assert(s1.stalePeriodMs == 11000L) // global fallback
     assert(s1.bytesPerRowGroup.contains(1048576L)) // global fallback
     assert(s1.keepColumn("v") && !s1.keepColumn("debug_flag"))
     // no stream_settings at all → empty (consume nothing), like the
