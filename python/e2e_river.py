@@ -638,6 +638,61 @@ def main():
         check("py_typed_marker", _os.path.exists(
             _os.path.join(_os.path.dirname(gr.__file__), "py.typed")))
 
+        # -- 13b. type-check the stub as far as this container allows
+        # (no mypy/pyright offline — zero egress). Two real static
+        # checks a type checker would also run, on top of the
+        # structural sync above:
+        #   (a) every annotation EXPRESSION in the stub must resolve
+        #       against the stub's own imports — an undefined or
+        #       misspelled type name (the most common stub rot) fails;
+        #   (b) default-argument positions must match the runtime
+        #       module, so a stub can't silently promote an optional
+        #       parameter to required or vice versa.
+        ns: dict = {}
+        for node in tree.body:
+            if isinstance(node, (ast.Import, ast.ImportFrom, ast.Assign,
+                                 ast.AnnAssign)):
+                code = compile(ast.Module(body=[node], type_ignores=[]),
+                               pyi, "exec")
+                exec(code, ns)  # noqa: S102 - our own stub file
+        bad_annotations = []
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            annots = [(a.arg, a.annotation) for a in node.args.args
+                      if a.annotation is not None]
+            annots.append(("return", node.returns))
+            for argname, ann in annots:
+                if ann is None:
+                    bad_annotations.append(
+                        f"{node.name}.{argname}: missing annotation")
+                    continue
+                try:
+                    eval(compile(ast.Expression(body=ann), pyi, "eval"),
+                         ns)  # noqa: S307 - our own stub file
+                except Exception as ex:
+                    bad_annotations.append(
+                        f"{node.name}.{argname}: {ex}")
+        check("pyi_annotations_resolve", not bad_annotations,
+              bad_annotations)
+        default_drift = []
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef) or \
+                    node.name not in gr.__all__:
+                continue
+            fn = getattr(gr, node.name)
+            real_has_default = [
+                p.default is not inspect.Parameter.empty
+                for p in inspect.signature(fn).parameters.values()]
+            n_args = len(node.args.args)
+            stub_has_default = [False] * (n_args - len(node.args.defaults)) \
+                + [True] * len(node.args.defaults)
+            if real_has_default != stub_has_default:
+                default_drift.append(
+                    f"{node.name}: stub defaults {stub_has_default} "
+                    f"vs runtime {real_has_default}")
+        check("pyi_default_sync", not default_drift, default_drift)
+
         print(json.dumps({"status": "pass",
                           "checks": [c[0] for c in checks],
                           "pinned_hash": PINNED_HASH}))
