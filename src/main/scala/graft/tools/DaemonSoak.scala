@@ -66,11 +66,17 @@ object DaemonSoak {
         |    { "stream_name_regex": "soak_.*" } ] }""".stripMargin)
 
     // ---- the daemon: the real deployable process, own JVM ----------
+    // --http-port 0 means DISABLED (reference semantics), so probe a
+    // free port here and hand it to the daemon explicitly
+    val httpPort = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
     val cp = System.getProperty("java.class.path")
     val daemonCmd = Seq(
       "java", "-Xmx3g", "-cp", cp, "graft.ingest.IngesterMain",
       "--store", storeDir.toString, "--out", outDir.toString,
-      "--settings", settings.toString, "--http-port", "0",
+      "--settings", settings.toString, "--http-port", httpPort.toString,
       "--sweep-ms", "250", "--parallelism", "4",
       "--master", "local[8]", "--stats-ms", "5000")
     val daemonErr = work.resolve("daemon.stderr").toFile
