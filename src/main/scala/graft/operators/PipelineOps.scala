@@ -44,12 +44,75 @@ import graft.core.Pins.PinnedDataset
   * sentinel silently changing meaning.
   */
 private[graft] object Parts {
+  /** Target bytes per staged partition when the caller lets the engine
+    * choose (`partitions = 0`). Deployment knob; the 64 MB default is
+    * the shuffle-partition sizing the optimization guide recommends
+    * (§2.2: partitions in the 100 MB–1 GB range beat KB-sized ones).
+    */
+  final val TargetBytesConf = "spark.graft.parts.targetBytes"
+
+  /** Floor on the adaptive choice (conf override): a staging below it
+    * would serialize the per-task compute and the partitioned index
+    * writes that read it (measured: 1-partition stagings made the
+    * ivfpq appends SLOWER — 16 cell files written sequentially by one
+    * task — while 8 kept the win). Never raises above the cap. */
+  final val MinPartsConf = "spark.graft.parts.minParts"
+
+  /** Estimates >= this are the optimizer saying "unknown" (its unknown
+    * sentinel is `spark.sql.defaultSizeInBytes` = Long.MaxValue) —
+    * fall back to the session default. */
+  private val UnknownBytes = BigInt(1L) << 50 // 1 PiB
+
   def of(df: DataFrame, partitions: Int): Int = {
     require(partitions >= 0,
       s"partitions=$partitions: 0 selects the session default, " +
         "positive values are honored verbatim; negatives are a caller bug")
     if (partitions > 0) partitions
-    else df.sparkSession.sessionState.conf.numShufflePartitions
+    else {
+      // SCALE-ADAPTIVE default (round-17 optimization): derive the
+      // staging layout from the inputs' REAL sizes instead of pinning
+      // the session shuffle-partition count on inputs of ANY size.
+      // Every staged frame is pinned and then re-read by 5–40
+      // downstream jobs per operator, so an over-partitioned staging
+      // multiplies per-job fixed cost across the whole operator
+      // (measured on the lifecycle family: 32 one-KB tasks cost
+      // +90–130 ms per job vs a size-appropriate layout).
+      //
+      // The size is the SUM OF LEAF-RELATION estimates (file scans =
+      // real file bytes; pinned LogicalRDDs carry their origin stats),
+      // NOT the optimizer's post-join output estimate: without column
+      // stats a two-table equi-join estimates rowsA x rowsB / ndv and
+      // a KB-sized corpus "becomes" 474 GB (measured), which would
+      // disable the adaptation exactly where it pays. A staging is a
+      // narrow projection of its inputs, so leaf bytes x a small
+      // expansion factor bounds it for every staging in this engine;
+      // a genuinely exploding join can only UNDER-partition down to
+      // the floor, never above the cap, and only when its leaves are
+      // tiny (< cap x target) — at which point the explosion is
+      // KB-scale too.
+      //
+      // The session default stays the CAP: inputs above cap x target
+      // keep exactly today's layout, so cluster-scale runs are
+      // untouched and the adaptation only removes provably-empty
+      // parallelism (the "make partitioning scale-adaptive" rule —
+      // nothing here is tuned to the local core count).
+      val sess = df.sparkSession
+      val cap = sess.sessionState.conf.numShufflePartitions
+      val floor = math.min(cap,
+        sess.conf.getOption(MinPartsConf).map(_.toInt).getOrElse(8))
+      val target = sess.conf.getOption(TargetBytesConf)
+        .map(_.toLong).getOrElse(64L << 20)
+      val est =
+        try {
+          val leaves = df.queryExecution.analyzed.collectLeaves()
+          leaves.map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ + _)
+        } catch { case _: Throwable => UnknownBytes }
+      if (est <= 0 || est >= UnknownBytes) cap
+      // x3: scaled-long staging of a float corpus roughly triples the
+      // bytes; erring high only adds partitions below the cap
+      else ((est * 3 + target - 1) / target)
+        .min(BigInt(cap)).max(BigInt(floor)).toInt
+    }
   }
 }
 

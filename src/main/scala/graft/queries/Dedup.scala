@@ -614,8 +614,8 @@ object Dedup {
         // the PRISTINE old-corpus index; the per-run durable index dir
         // below never mutates it.
         val basePath = st10BaseIndex.getOrElseUpdate((s, dir), {
-          val p = java.nio.file.Files
-            .createTempDirectory("graft-st10-base-").toString
+          val p = graft.core.StreamStore
+            .scratchRoot("graft-st10-base-").toString
           graft.operators.DedupOps
             .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS)
             .select($"doc_id", $"shs", $"bkeys")
@@ -630,8 +630,8 @@ object Dedup {
         // SYMLINK to the pay-once cache (no data copy — a read+rewrite
         // of the base index per run would charge O(base) IO to every
         // timed pass, the rebuild cost the cache exists to avoid).
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-st10-idx-")
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-st10-idx-")
         val idxDirS = idxDir.toString
         // generation-pointer layout (the shared durable-index
         // discipline, so tombstones/compaction/expiry apply to this
@@ -648,8 +648,8 @@ object Dedup {
         graft.operators.AnnOps.commitGen(s, idxDirS, 0L)
         val newDocs = docsAll.filter(bucket >= 80)
           .select($"doc_id", $"text")
-        val newDir = java.nio.file.Files
-          .createTempDirectory("graft-st10-").toString
+        val newDir = graft.core.StreamStore
+          .scratchRoot("graft-st10-").toString
         newDocs.repartition(3).write.mode("overwrite").parquet(newDir)
         val stream = s.readStream.schema(newDocs.schema)
           .option("maxFilesPerTrigger", 1).parquet(newDir)
@@ -710,8 +710,8 @@ object Dedup {
           .cast("long") % 100
         val oldDocs = docsAll.filter(bucket < 80)
         val newDocs = docsAll.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-d17-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-d17-").toString
         graft.operators.DedupOps.commitMinhashIndexBatch(
           graft.operators.DedupOps
             .minhashIndex(oldDocs, "doc_id", "text", 5, BANDS, ROWS),
@@ -763,8 +763,8 @@ object Dedup {
         val bucket = conv(
           substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-d18-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-d18-").toString
         def seedBatch(docs: org.apache.spark.sql.DataFrame,
             id: Long): Unit =
           graft.operators.DedupOps.commitMinhashIndexBatch(

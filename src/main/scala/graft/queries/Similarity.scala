@@ -1475,8 +1475,8 @@ object Similarity {
           .cast("long") % 100
         val oldEmb = emb.filter(bucket < 80)
         val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s15-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s15-").toString
         def inc(batch: org.apache.spark.sql.DataFrame, id: Long,
             probe: Boolean = true) =
           graft.operators.AnnOps.incrementalSemanticDedupDurable(
@@ -1512,13 +1512,13 @@ object Similarity {
           .cast("long") % 100
         val oldEmb = emb.filter(bucket < 80)
         val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-st16-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-st16-").toString
         graft.operators.AnnOps.incrementalSemanticDedupDurable(
           oldEmb, "vec_id", "embedding", idxDir, 0L,
           threshold = 0.35, cells = K, iters = 2, probe = false)
-        val newDir = java.nio.file.Files
-          .createTempDirectory("graft-st16-new-").toString
+        val newDir = graft.core.StreamStore
+          .scratchRoot("graft-st16-new-").toString
         newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
         val stream = s.readStream.schema(newEmb.schema)
           .option("maxFilesPerTrigger", 1).parquet(newDir)
@@ -1685,8 +1685,8 @@ object Similarity {
           .select($"vec_id",
             transform($"embedding", x => x.cast("double") + lit(0.25d))
               .as("embedding"))
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s19-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s19-").toString
         def inc(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
           graft.operators.AnnOps.incrementalSemanticDedupDurable(
             batch, "vec_id", "embedding", idxDir, id,
@@ -1744,8 +1744,8 @@ object Similarity {
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
           .pin()
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s21-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s21-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           emb, "vec_id", "embedding", "source", idxDir,
           cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -1786,8 +1786,8 @@ object Similarity {
           .cast("long") % 100
         val oldEmb = emb.filter(bucket < 80)
         val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s22-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s22-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           oldEmb, "vec_id", "embedding", "source", idxDir,
           cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -1911,8 +1911,8 @@ object Similarity {
           .cast("long") % 100
         val oldEmb = emb.filter(bucket < 80)
         val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s24-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s24-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           oldEmb, "vec_id", "embedding", "source", idxDir,
           cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -1953,8 +1953,8 @@ object Similarity {
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s25-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s25-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           emb.filter(bucket < 80), "vec_id", "embedding", "source",
           idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -1990,8 +1990,8 @@ object Similarity {
           .cast("long") % 100
         val oldEmb = emb.filter(bucket < 80)
         val newEmb = emb.filter(bucket >= 80)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-d16-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-d16-").toString
         def inc(batch: org.apache.spark.sql.DataFrame, id: Long,
             probe: Boolean = true) =
           graft.operators.AnnOps.incrementalSemanticDedupDurable(
@@ -2052,8 +2052,8 @@ object Similarity {
           .join(src, $"vec_id" === $"doc_id")
           .select($"vec_id", $"embedding", $"source")
           .pin()
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s26-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s26-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           emb, "vec_id", "embedding", "source", idxDir,
           cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -2168,8 +2168,8 @@ object Similarity {
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s27-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s27-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           emb.filter(bucket < 50), "vec_id", "embedding", "source",
           idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -2214,8 +2214,8 @@ object Similarity {
         val bucket = conv(
           substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
           .cast("long") % 100
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-s28-").toString
+        val idxDir = graft.core.StreamStore
+          .scratchRoot("graft-s28-").toString
         graft.operators.AnnOps.buildIvfPqIndex(
           emb.filter(bucket < 50), "vec_id", "embedding", "source",
           idxDir, cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
@@ -2292,13 +2292,13 @@ object Similarity {
       .cast("long") % 100
     val oldEmb = emb.filter(bucket < 80)
     val newEmb = emb.filter(bucket >= 80)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory(s"graft-$tag-").toString
+    val idxDir = graft.core.StreamStore
+      .scratchRoot(s"graft-$tag-").toString
     graft.operators.AnnOps.buildIvfPqIndex(
       oldEmb, "vec_id", "embedding", "source", idxDir,
       cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
-    val newDir = java.nio.file.Files
-      .createTempDirectory(s"graft-$tag-new-").toString
+    val newDir = graft.core.StreamStore
+      .scratchRoot(s"graft-$tag-new-").toString
     newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
     val stream = s.readStream.schema(newEmb.schema)
       .option("maxFilesPerTrigger", 1).parquet(newDir)
