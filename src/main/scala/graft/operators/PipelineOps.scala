@@ -3207,39 +3207,100 @@ object AnnOps {
     val staged = scaledImpl(df, idCol, vecCol, Some(keyCol), partitions)
     val keys = staged.select(col("id"), col("key"))
     val v = withRawNorm(staged)
-    // coarse structure: cells + the probe side (shared with s14)
-    val (members, cent, kmeansRelease) =
-      kmeansFromStagedWithCentReleasable(v, cells, iters,
-        maxCentroidBytes)
-    val keyed = members.join(keys, Seq("id"))
-    val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
-    val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"))
-      .pin() // feeds the ADC join; pin so the coarse
-                         // k-means never re-runs per consumer
-    // PQ structure: M per-subspace codebooks over the SAME staged
-    // corpus (ceil split; dot_i64/the assignment kernel tolerate a
-    // shorter last slice). Each build is the shared Lloyd kernel —
-    // codebook tables are pqKs rows, broadcast-sized by construction.
+    // dim and the shared seed ids collect ONCE, before any chain
+    // (round-17 job-count cut: the coarse kmeans, every PQ subspace,
+    // and the dim gate all re-derived them from the same pinned rows)
     val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
       .limit(1).as[Int].collect().headOption.getOrElse(0)
     require(dim >= pqM, s"filteredTopKIvfPq: dim=$dim < pqM=$pqM")
     val dsub = (dim + pqM - 1) / pqM
-    val perM = (0 until pqM).map { m =>
-      val sub = v.select(col("id"),
-          slice(col("c"), m * dsub + 1, dsub).as("c"))
-        .pin()
-      // Codebooks train with L2 Lloyd, NOT the cosine kernel the
-      // coarse cells reuse: ADC reconstructs the vector, and cosine
-      // routing is magnitude-blind — a tiny noise subvector pointing
-      // along a hot centroid's direction would join the hot code and
-      // inherit a reconstruction norm it doesn't have, skewing every
-      // score that candidate appears in (measured: cross-center
-      // impostors at ~0.7 approx-cosine displacing true ~1.0
-      // neighbors before this fix). L2 separates by magnitude AND
-      // direction — the standard PQ quantizer.
-      val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
+    val seedAll = v.select(col("id")).orderBy(col("id"))
+      .limit(math.max(cells, pqKs)).as[Long].collect().sorted
+    // the coarse chain (kmeans → probe side → candidate pin) and the
+    // pqM codebook trainings are INDEPENDENT job chains over the same
+    // read-only pinned staging — run them CONCURRENTLY (guide §2.6,
+    // the buildIvfPqIndex discipline, applied to the inline operator
+    // in round 17: the 5 chains used to run strictly one after
+    // another, pure job-launch latency at any corpus size). Each
+    // chain's arithmetic is the sequential spelling verbatim, so
+    // results are bit-identical (same kernels, same seeds, no shared
+    // mutable state); spark.graft.ivfpq.trainPool=1 IS the sequential
+    // spelling for parity testing.
+    // Codebooks train with L2 Lloyd, NOT the cosine kernel the
+    // coarse cells reuse: ADC reconstructs the vector, and cosine
+    // routing is magnitude-blind — a tiny noise subvector pointing
+    // along a hot centroid's direction would join the hot code and
+    // inherit a reconstruction norm it doesn't have, skewing every
+    // score that candidate appears in (measured: cross-center
+    // impostors at ~0.7 approx-cosine displacing true ~1.0
+    // neighbors before this fix). L2 separates by magnitude AND
+    // direction — the standard PQ quantizer.
+    val (coarse, perMRaw) = {
+      val poolN = s.conf.getOption("spark.graft.ivfpq.trainPool")
+        .map(_.toInt).getOrElse(math.max(1,
+          math.min(1 + pqM, s.sparkContext.defaultParallelism)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fCoarse = scala.concurrent.Future {
+          val (members, cent, kmeansRelease) =
+            kmeansFromStagedWithCentReleasable(v, cells, iters,
+              maxCentroidBytes, dimHint = dim, seedHint = seedAll)
+          val keyed = members.join(keys, Seq("id"))
+          val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
+          val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
+            .filter(col("id") =!= col("qid"))
+            .select(col("qid"), col("id"))
+            .pin() // feeds the ADC join; pin so the coarse
+                   // k-means never re-runs per consumer
+          (members, kmeansRelease, cand)
+        }
+        val fSubs = (0 until pqM).map { m => scala.concurrent.Future {
+          val sub = v.select(col("id"),
+              slice(col("c"), m * dsub + 1, dsub).as("c"))
+            .pin()
+          // self-cleaning on failure: a chain that dies after pinning
+          // must not leak its staging (the build-pool discipline)
+          try {
+            val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters,
+              seedHint = seedAll)
+            (m, codesP, means, sub)
+          } catch { case e: Throwable =>
+            try DedupOps.releaseLocalCheckpoint(sub)
+            catch { case _: Throwable => () }
+            throw e
+          }
+        }}
+        // every chain must be DONE before control leaves this block
+        // (a failure path unwinding while a sibling still runs would
+        // race its pins); lifted to Try, first failure rethrown after
+        // the survivors' pins are released
+        import scala.concurrent.duration.Duration
+        val rs = (fCoarse.map(Left(_)) +: fSubs.map(f => f.map(Right(_))))
+          .map(f => scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+        if (rs.exists(_.isFailure)) {
+          rs.collect { case scala.util.Success(r) => r }.foreach {
+            case Left((members, kmeansRelease, cand)) =>
+              try DedupOps.releaseLocalCheckpoint(cand)
+              catch { case _: Throwable => () }
+              try kmeansRelease() catch { case _: Throwable => () }
+              try DedupOps.releaseLocalCheckpoint(members)
+              catch { case _: Throwable => () }
+            case Right((_, codesP, _, sub)) =>
+              try DedupOps.releaseLocalCheckpoint(codesP)
+              catch { case _: Throwable => () }
+              try DedupOps.releaseLocalCheckpoint(sub)
+              catch { case _: Throwable => () }
+          }
+          throw rs.collectFirst { case scala.util.Failure(e) => e }.get
+        }
+        (rs.head.get.swap.toOption.get,
+          rs.tail.map(_.get.toOption.get))
+      } finally pool.shutdown()
+    }
+    val (members, kmeansRelease, cand) = coarse
+    val perM = perMRaw.map { case (m, codesP, means, sub) =>
       val meansDf = s.createDataFrame(means.toSeq.map { case (cell, mu) =>
         (cell, mu.toSeq, mu.map(x => x * x).sum)
       }).toDF("code", "cmean", "cn2")
@@ -3844,8 +3905,6 @@ object AnnOps {
       val root = genRoot(indexDir, g)
       require(fs.exists(hpath(s"$root/batches")),
         s"compactIndex: $indexDir gen $g has no batches tree")
-      val nparts = if (partitions > 0) partitions
-        else s.sessionState.conf.numShufflePartitions
       // ONE snapshot drives BOTH the anti-join and the applied record:
       // list the batch dirs (with content fingerprints) first, then
       // read exactly those paths. Loading the whole tombstones dir
@@ -3885,21 +3944,67 @@ object AnnOps {
           // pruned at the scan — the rewrite reads only the retained
           // window
           .filter(col("batch").cast("long") >= minKeepBatchId)
+      // SCALE-ADAPTIVE rewrite layout (round-17 optimization, guide
+      // §2.2/§6.2): the generation rewrite used to shuffle into the
+      // session shuffle-partition count regardless of how big the
+      // stored generation actually is, so a KB-sized index paid 32
+      // near-empty write tasks (x up to batches x cells output dirs of
+      // tiny files) per maintenance run. Parts.of derives the count
+      // from the source generation's REAL parquet bytes (its leaves),
+      // capped at the session default — a 100 TB index keeps exactly
+      // the previous layout; only provably-empty parallelism (and its
+      // small-file debris) goes. Content is partitioning-invariant:
+      // repartition feeds partitionBy on the same columns, and every
+      // reader of the tree is key-grouped/order-free by construction.
       def writeGen(rows: DataFrame, src: String): Unit =
-        rows.repartition(nparts, partCols.map(col): _*)
+        rows.repartition(Parts.of(rows, partitions), partCols.map(col): _*)
           .write.partitionBy(partCols: _*).parquet(s"$newRoot/$src")
-      val batchRows = prep("batches")
+      val hasCodes = fs.exists(hpath(s"$root/codes"))
+      // the batches and codes rewrites are INDEPENDENT jobs into the
+      // same not-yet-committed (invisible) generation — run them
+      // concurrently (guide §2.6: submit independent jobs from
+      // threads so the second's tasks back-fill the first's tail);
+      // the atomic flip below still publishes both or neither
+      locally {
+        // fresh per-call pool, NOT the global EC: its worker threads
+        // are created at first submit from THIS thread, so Spark's
+        // inheritable thread-locals (job group/tags/description — the
+        // caller's cancellation handle) propagate into the write jobs;
+        // global-EC threads would carry whatever thread first forced
+        // them into existence
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+        val fb = scala.concurrent.Future(writeGen(prep("batches"), "batches"))
+        val fc = if (hasCodes)
+          scala.concurrent.Future(writeGen(prep("codes"), "codes"))
+          else scala.concurrent.Future.unit
+        // BOTH futures must be done before control can reach the
+        // catch's newRoot delete — a still-running sibling write would
+        // recreate dirs after the cleanup; lifted to Try so the first
+        // failure rethrows only after the other side finished
+        import scala.concurrent.duration.Duration
+        val rb = scala.concurrent.Await.ready(fb, Duration.Inf).value.get
+        val rc = scala.concurrent.Await.ready(fc, Duration.Inf).value.get
+        rb.get; rc.get
+        } finally pool.shutdown()
+      }
       // an all-rows tombstone set (or an expire-everything retention
-      // cut) would write an EMPTY generation, and a later parquet read
-      // of it cannot infer a schema — refuse loudly (an index with
-      // nothing left should be dropped, not maintained empty)
-      require(!batchRows.isEmpty,
+      // cut) writes an EMPTY generation, and a later parquet read of
+      // it cannot infer a schema — refuse loudly (an index with
+      // nothing left should be dropped, not maintained empty). The
+      // check reads the WRITTEN tree (an empty partitionBy write
+      // leaves no partition dirs) instead of paying a separate
+      // pre-write evaluation of the prep plan (round-17 job-count
+      // cut); the catch below discards the new generation either way.
+      val wroteRows = fs.exists(hpath(s"$newRoot/batches")) &&
+        fs.listStatus(hpath(s"$newRoot/batches")).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch="))
+      require(wroteRows,
         "compactIndex: tombstones/retention cover every stored row " +
           s"(minKeepBatchId=$minKeepBatchId); drop the index instead " +
           "of compacting it empty")
-      writeGen(batchRows, "batches")
-      val hasCodes = fs.exists(hpath(s"$root/codes"))
-      if (hasCodes) writeGen(prep("codes"), "codes")
       // the applied-tombstone record rides IN the new generation
       // (pre-flip, immutable with it) as (name TAB fingerprint) lines;
       // the next maintenance run clears these batches when this
@@ -4186,36 +4291,44 @@ object AnnOps {
         }
       } finally fs.delete(lockPath(indexDir), false)
     }
-    val (members, cent, kmeansRelease) =
-      kmeansFromStagedWithCentReleasable(v, cells, iters,
-        maxCentroidBytes)
-    onFail += (() => DedupOps.releaseLocalCheckpoint(members))
-    onFail += (() => kmeansRelease())
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val dsub = (dim + pqM - 1) / pqM
-    // the pqM codebook trainings are INDEPENDENT job chains — each a
-    // seeds collect + pqIters x (assign + means collect) sequence of
-    // small driver-blocking jobs. Run them CONCURRENTLY (Spark
-    // schedules jobs from multiple threads fine) so the build pays the
-    // per-job launch latency once per training ROUND, not once per
-    // subspace x round (round-15 overhead cut). Each subspace trains
-    // byte-identically to the sequential spelling — the chains share
-    // only the pinned corpus staging, which is read-only here.
-    // pool sized min(pqM, parallelism): at large pqM, pqM concurrent
-    // job chains would contend for the same executor slots past the
-    // point of any launch-latency win. The Await bound defaults to
-    // unbounded (a big corpus legitimately trains for hours); deployers
-    // cap it via spark.graft.ivfpq.trainTimeoutSec. On any failure the
-    // siblings' in-flight Spark jobs are cancelled (per-build job tag —
-    // tags are additive, so a caller's jobGroup/tags are preserved) and
-    // the pins created by already-completed futures are released before
-    // the rethrow, so a failed build leaks neither jobs nor blocks.
-    val perM = {
+    // ONE seed collect shared by the coarse kmeans AND every PQ
+    // subspace training (round-17 job-count cut): all of them seed on
+    // the smallest ids of the SAME pinned row set (a subspace frame is
+    // a projection of v, so the id set is identical); collecting
+    // max(cells, pqKs) ids once replaces 1 + pqM separate
+    // orderBy-limit jobs, byte-identically (the hint is sliced to each
+    // consumer's k).
+    val seedAll = v.select(col("id")).orderBy(col("id"))
+      .limit(math.max(cells, pqKs)).as[Long].collect().sorted
+    // the coarse kmeans chain and the pqM codebook trainings are
+    // INDEPENDENT job chains — each a sequence of small
+    // driver-blocking jobs over the same read-only pinned staging. Run
+    // ALL of them concurrently (Spark schedules jobs from multiple
+    // threads fine) so the build pays the per-job launch latency once
+    // per training ROUND, not once per chain x round (round-15
+    // overhead cut; the coarse chain joined the pool in round 17 — it
+    // used to run serially before the pool for no data reason, adding
+    // its whole job chain to the build's critical path). The centroid
+    // table lands on disk inside the same window (readers gate on the
+    // manifest, written last, so a crash state is unchanged). Each
+    // chain trains byte-identically to the sequential spelling.
+    // pool sized min(1 + pqM, parallelism): at large pqM, the
+    // concurrent job chains would contend for the same executor slots
+    // past the point of any launch-latency win. The Await bound
+    // defaults to unbounded (a big corpus legitimately trains for
+    // hours); deployers cap it via spark.graft.ivfpq.trainTimeoutSec.
+    // On any failure the siblings' in-flight Spark jobs are cancelled
+    // (per-build job tag — tags are additive, so a caller's
+    // jobGroup/tags are preserved) and the pins created by
+    // already-completed futures are released before the rethrow, so a
+    // failed build leaks neither jobs nor blocks.
+    val (members, cent, kmeansRelease, perM) = {
       // spark.graft.ivfpq.trainPool pins the pool size (parity testing:
       // pool=1 IS the sequential spelling; results are pool-invariant)
       val poolN = s.conf.getOption("spark.graft.ivfpq.trainPool")
         .map(_.toInt).getOrElse(math.max(1,
-          math.min(pqM, s.sparkContext.defaultParallelism)))
+          math.min(1 + pqM, s.sparkContext.defaultParallelism)))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -4232,6 +4345,8 @@ object AnnOps {
       val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val done = new java.util.concurrent.ConcurrentLinkedQueue[
         (DataFrame, DataFrame, DataFrame, DataFrame)]()
+      val doneKm = new java.util.concurrent.ConcurrentLinkedQueue[
+        (DataFrame, () => Unit)]()
       // drain-by-poll is the ownership handoff on the failure path:
       // the abort handler AND any straggler future that completes
       // after awaitTermination(60s) timed out both drain here, and
@@ -4247,8 +4362,28 @@ object AnnOps {
           } catch { case _: Throwable => () }
           e = done.poll()
         }
+        var km = doneKm.poll()
+        while (km != null) {
+          try DedupOps.releaseLocalCheckpoint(km._1)
+          catch { case _: Throwable => () }
+          try km._2() catch { case _: Throwable => () }
+          km = doneKm.poll()
+        }
       }
       try {
+        val kmF = scala.concurrent.Future {
+          if (aborted.get) throw new InterruptedException(
+            "ivfpq build aborted before the coarse chain started")
+          s.sparkContext.addJobTag(buildTag)
+          val r = kmeansFromStagedWithCentReleasable(v, cells, iters,
+            maxCentroidBytes, dimHint = dim, seedHint = seedAll)
+          doneKm.add((r._1, r._3))
+          // the centroid write only needs the coarse chain — run it
+          // inside the training window instead of after it
+          r._2.write.mode("overwrite").parquet(s"$indexDir/centroids")
+          if (aborted.get) drainDone()
+          r
+        }
         val futs = (0 until pqM).map { m => scala.concurrent.Future {
           if (aborted.get) throw new InterruptedException(
             "ivfpq build aborted before this subspace started")
@@ -4259,7 +4394,8 @@ object AnnOps {
           // self-cleaning on any failure (incl. job cancellation): a
           // future that dies after pinning must not leak its staging
           try {
-            val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters)
+            val (codesP, means) = pqCodebookL2(sub, pqKs, pqIters,
+              seedHint = seedAll)
             val meansDf = s.createDataFrame(means.toSeq.map {
               case (cell, mu) =>
                 (m, cell, mu.toSeq, mu.map(x => x * x).sum)
@@ -4275,8 +4411,9 @@ object AnnOps {
             throw e
           }
         }}
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futs), timeout)
+        val (km, pq) = scala.concurrent.Await.result(
+          kmF.zip(scala.concurrent.Future.sequence(futs)), timeout)
+        (km._1, km._2, km._3, pq)
       } catch { case e: Throwable =>
         // fail the WHOLE build without leaking the siblings: stop
         // not-yet-started futures at the door, cancel the started
@@ -4291,33 +4428,58 @@ object AnnOps {
         throw e
       } finally pool.shutdown()
     }
+    onFail += (() => DedupOps.releaseLocalCheckpoint(members))
+    onFail += (() => kmeansRelease())
     onFail += (() => perM.foreach { case (_, _, sub, codesP) =>
       try DedupOps.releaseLocalCheckpoint(codesP)
       catch { case _: Throwable => () }
       try DedupOps.releaseLocalCheckpoint(sub)
       catch { case _: Throwable => () }
     })
-    perM.map(_._2).reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     // codes are per-batch subdirs like the rows, cell-partitioned like
     // the rows (the coarse cell rides each code row so the ADC scan
     // partition-prunes to the probed cells); [[appendIvfPqIndex]]
-    // commits later batches next to the build's. COMMIT ORDER: codes
-    // FIRST, rows LAST — the append path's mandatory invariant (rows
-    // drive candidate generation, so a crash between the writes must
-    // leave the batch invisible, never rows whose candidates the ADC
-    // join silently drops). Both trees land in generation 0, which
-    // stays INVISIBLE until the marker commit below — the build is
-    // crash-clean for readers at every instant.
+    // commits later batches next to the build's. (The append path's
+    // codes-before-rows COMMIT ORDER does not bind here: both trees
+    // land in generation 0, which stays INVISIBLE until the marker
+    // commit below, so the three artifact writes are order-free and
+    // run CONCURRENTLY — guide §2.6 — with the flip still publishing
+    // all or nothing; the build is crash-clean for readers at every
+    // instant.)
     val buildRoot = genRoot(indexDir, 0L)
-    perM.map(_._1).reduce(_ unionByName _)
-      .join(members, Seq("id"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$buildRoot/codes/batch=0")
-    members.join(v, Seq("id")).join(keys, Seq("id"))
-      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$buildRoot/batches/batch=0")
+    locally {
+      // fresh per-call pool (not the global EC) so Spark's inheritable
+      // job group/tags propagate into the write jobs — the
+      // maintainImpl discipline
+      val wpool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(wpool)
+      try {
+      val fBooks = scala.concurrent.Future {
+        perM.map(_._2).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      }
+      val fCodes = scala.concurrent.Future {
+        perM.map(_._1).reduce(_ unionByName _)
+          .join(members, Seq("id"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$buildRoot/codes/batch=0")
+      }
+      val fRows = scala.concurrent.Future {
+        members.join(v, Seq("id")).join(keys, Seq("id"))
+          .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$buildRoot/batches/batch=0")
+      }
+      // all three must be DONE before control can leave this block —
+      // a failure path that starts deleting trees while a sibling
+      // write still runs would race it (the maintainImpl discipline)
+      import scala.concurrent.duration.Duration
+      val rs = Seq(fBooks, fCodes, fRows)
+        .map(f => scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+      rs.foreach(_.get)
+      } finally wpool.shutdown()
+    }
     // declare what was built (readers/mutators validate at the door),
     // then flip the pointer: generation 0 becomes live atomically
     writeIndexManifest(s, indexDir, "ivfpq", Map(
@@ -4402,30 +4564,81 @@ object AnnOps {
     // batch of ONLY null vectors carries no dim at all (dimStats comes
     // back null) and must commit, not throw — one all-null trigger
     // would otherwise crash a long-lived append stream (ADVICE).
-    // k and the stored dim in ONE aggregate over the (tiny) centroid
-    // table — the previous count + limit(1) collect was two jobs for
-    // two scalars off the same scan (round-15 overhead cut); min(size)
-    // == the width, centroids are uniform by construction
-    val centStats = cent
-      .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0))).head()
-    val k = centStats.getLong(0)
-    val storedDim = centStats.getInt(1)
-    val dimStats = v.filter(col("c").isNotNull)
-      .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
-      .head()
-    require(dimStats.isNullAt(0) ||
+    // k and the stored dim come from the SAME collect the broadcast
+    // assignment needs anyway (round-17 job-count cut: the previous
+    // scalar aggregate was one extra job over the same KB-sized
+    // table, and assignCellsKeepBc then re-collected it). The
+    // broadcast-budget gate uses the manifest's DECLARED shape —
+    // written by the build, zero jobs — and falls back to the
+    // two-pass spelling when the table is too big to collect (the
+    // sharded path) or a migrated manifest predates the params.
+    val declaredFits = for {
+      dk <- man.params.get("cells"); dd <- man.params.get("dim")
+    } yield dk * (dd * 8 + 64) <= maxCentroidBytes
+    val (k, storedDim, preAssigned) =
+      if (declaredFits.contains(true)) {
+        val cents = collectCentroids(cent)
+        val sd = if (cents.isEmpty) 0
+          else cents.iterator.map(_._2.length).min
+        (cents.length.toLong, sd, Some(cents))
+      } else {
+        val centStats = cent
+          .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0)))
+          .head()
+        (centStats.getLong(0), centStats.getInt(1), None)
+      }
+    // the dim-validation aggregate, the codebook collect, and the
+    // assignment+pin chain are INDEPENDENT jobs over read-only inputs
+    // — overlap them (guide §2.6; round-17 job-count cut: they ran
+    // strictly sequentially, three launch latencies per nightly
+    // batch). The validation still gates every durable write below —
+    // a bad batch now throws after some wasted assignment work (and
+    // releases its pin) instead of before it; the committed state is
+    // identical either way.
+    val vpool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val vec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(vpool)
+    val fDim = scala.concurrent.Future {
+      v.filter(col("c").isNotNull)
+        .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
+        .head()
+    }
+    val fBooks = scala.concurrent.Future {
+      s.read.parquet(s"$indexDir/codebooks")
+        .select(col("m").cast("int"), col("code"), col("cmean"))
+        .as[(Int, Long, Seq[Double])].collect()
+    }
+    // the assignment + pin runs on THIS thread while the two futures
+    // are in flight
+    val dim = storedDim
+    val (assigned, releaseAssign) = preAssigned match {
+      case Some(cents) =>
+        val (out, bc) = assignCellsFromArray(v, cents, "id")
+        (out, () => bc.destroy())
+      case None =>
+        assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+    }
+    val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
+      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+      .pin()
+    releaseAssign()
+    val (dimStats, books) = try {
+      import scala.concurrent.duration.Duration
+      val rd = scala.concurrent.Await.ready(fDim, Duration.Inf).value.get
+      val rb = scala.concurrent.Await.ready(fBooks, Duration.Inf).value.get
+      (rd.get, rb.get)
+    } catch { case e: Throwable =>
+      DedupOps.releaseLocalCheckpoint(rows); throw e
+    } finally vpool.shutdown()
+    try require(dimStats.isNullAt(0) ||
       (dimStats.getInt(0) == storedDim &&
         dimStats.getInt(1) == storedDim),
       s"appendIvfPqIndex: batch dims [${dimStats.get(0)}, " +
         s"${dimStats.get(1)}] != stored index dim=$storedDim " +
         s"($indexDir/centroids)")
-    val dim = storedDim
-    val (assigned, releaseAssign) =
-      assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
-    val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
-      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-      .pin()
-    releaseAssign()
+    catch { case e: Throwable =>
+      DedupOps.releaseLocalCheckpoint(rows); throw e
+    }
     // encode against the frozen codebooks. COMMIT ORDER MATTERS
     // (REVIEW): codes write FIRST, rows LAST — the rows table drives
     // candidate generation AND the drift audit, so a crash between
@@ -4433,9 +4646,6 @@ object AnnOps {
     // rows = no candidates, clean replay), never rows whose ids
     // generate candidates that the inner codes join silently drops
     // from the ADC scan even at the construction ceiling.
-    val books = s.read.parquet(s"$indexDir/codebooks")
-      .select(col("m").cast("int"), col("code"), col("cmean"))
-      .as[(Int, Long, Seq[Double])].collect()
     // subspace shape DECLARED by the manifest, not re-inferred from
     // the widest stored codebook entry (the round-12 inference this
     // replaces): the build wrote what it quantized with
@@ -4670,12 +4880,17 @@ object AnnOps {
     * (pinned) and the mean table that final assignment scored — the
     * ADC contract mirror of [[kmeansFromStagedWithCent]].
     */
-  private def pqCodebookL2(sub: DataFrame, ks: Int, iters: Int)
+  private def pqCodebookL2(sub: DataFrame, ks: Int, iters: Int,
+      seedHint: Array[Long] = null)
       : (DataFrame, Array[(Long, Array[Double])]) = {
     val s = sub.sparkSession
     import s.implicits._
-    val seedIds = sub.select(col("id")).orderBy(col("id")).limit(ks)
-      .as[Long].collect().sorted
+    // seedHint: the same ks-smallest-ids array, collected ONCE by the
+    // caller for all pqM subspaces (sub is a projection of the same
+    // rows, so the id set is identical — round-17 job-count cut)
+    val seedIds = if (seedHint != null) seedHint.sorted.take(ks)
+      else sub.select(col("id")).orderBy(col("id")).limit(ks)
+        .as[Long].collect().sorted
     val seeds = s.createDataFrame(seedIds.toSeq.zipWithIndex
       .map { case (id, i) => (id, i.toLong) }).toDF("id", "cell")
     def meansFrom(members: DataFrame): Array[(Long, Array[Double])] = {
@@ -5016,10 +5231,17 @@ object AnnOps {
     kmeansFromStaged(withRawNorm(scaled(df, idCol, vecCol, partitions)),
       k, iters, maxCentroidBytes)
 
+  /** LAZY projection — deliberately NOT pinned (round-17 job-count
+    * cut): the input is always the scaledImpl staging, already pinned,
+    * and the only added work is one sqrt(dot) per row — re-computing
+    * that per consuming job is orders cheaper than the extra
+    * materialization job every operator call paid (the pin bought
+    * nothing: every consumer still read the same staged blocks).
+    * Callers keep releasing the result defensively; release on a
+    * non-pin is the documented no-op. */
   private def withRawNorm(v: DataFrame): DataFrame =
     v.select(col("id"), col("c"), col("nrm"),
         sqrt(dot_i64(col("c"), col("c")).cast("double")).as("nrmr"))
-      .pin()
 
   /** Argmax-cosine assignment of every staged vector to a centroid, as a
     * single map pass: the (cell, cc, cnrmr) centroid table — k rows,
@@ -5064,11 +5286,28 @@ object AnnOps {
     */
   private[graft] def assignCellsKeepBc(v: DataFrame, cent: DataFrame,
       idCol: String): (DataFrame, org.apache.spark.broadcast
+        .Broadcast[Array[(Long, Array[Long], Double)]]) =
+    assignCellsFromArray(v, collectCentroids(cent), idCol)
+
+  /** The one centroid-table collect every broadcast-path consumer
+    * shares — callers that also need k / the stored dim derive them
+    * from the returned array instead of paying separate scalar-agg
+    * jobs over the same KB-sized table (round-17 job-count cut). */
+  private[graft] def collectCentroids(cent: DataFrame)
+      : Array[(Long, Array[Long], Double)] = {
+    val s = cent.sparkSession
+    import s.implicits._
+    cent.select(col("cell"), col("cc"), col("cnrmr"))
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+  }
+
+  /** [[assignCellsKeepBc]] over an already-collected centroid table. */
+  private[graft] def assignCellsFromArray(v: DataFrame,
+      cents: Array[(Long, Array[Long], Double)], idCol: String)
+      : (DataFrame, org.apache.spark.broadcast
         .Broadcast[Array[(Long, Array[Long], Double)]]) = {
     val s = v.sparkSession
     import s.implicits._
-    val cents = cent.select(col("cell"), col("cc"), col("cnrmr"))
-      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     // A null embedding (null c ⇒ null nrmr) must not crash the primitive
     // Double decode; coalesce null nrmr to NaN. Every per-cell score is
@@ -5371,7 +5610,8 @@ object AnnOps {
     * re-evaluate; callers that score it more than once should pin it.
     */
   private def kmeansFromStagedWithCentReleasable(v: DataFrame, k: Int,
-      iters: Int, maxCentroidBytes: Long = DefaultMaxCentroidBytes)
+      iters: Int, maxCentroidBytes: Long = DefaultMaxCentroidBytes,
+      dimHint: Int = -1, seedHint: Array[Long] = null)
       : (DataFrame, DataFrame, () => Unit) = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     val s = v.sparkSession
@@ -5383,8 +5623,13 @@ object AnnOps {
     // untouched. dim is constant by scaled()'s transform; a ragged
     // corpus could under-price the gate and fall back to the unsharded
     // kernel, which is correct (just driver-heavier) at any dim.
-    val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
-      .limit(1).as[Int].collect().headOption.getOrElse(0)
+    // dimHint lets a caller that already validated the corpus width
+    // (buildIvfPqIndex's whole-corpus min/max aggregate) skip the
+    // probe job (round-17 job-count cut) — hint-vs-probe parity is
+    // exact because dim is constant by that same validation.
+    val dim = if (dimHint >= 0) dimHint
+      else v.select(size(col("c")).as("d")).filter(col("d") > 0)
+        .limit(1).as[Int].collect().headOption.getOrElse(0)
     def centFrom(members: DataFrame): DataFrame =
       centFromMembers(v, members, "id")
     // seeds: the k smallest ids, cell = rank. TakeOrdered bounds the
@@ -5393,8 +5638,12 @@ object AnnOps {
     // the rank is assigned driver-side, so no single-partition window
     // ever appears in the plan (production logs stay clean of the
     // "No Partition Defined for Window" WARN the plan gates hunt).
-    val seedIds = v.select(col("id")).orderBy(col("id")).limit(k)
-      .as[Long].collect().sorted
+    // seedHint: the SAME k-smallest-ids array, collected once by a
+    // caller whose sibling trainings need it too (buildIvfPqIndex
+    // collects max(cells, pqKs) ids in one job and slices).
+    val seedIds = if (seedHint != null) seedHint.sorted.take(k)
+      else v.select(col("id")).orderBy(col("id")).limit(k)
+        .as[Long].collect().sorted
     val seeds = s.createDataFrame(seedIds.toSeq.zipWithIndex
       .map { case (id, i) => (id, i.toLong) }).toDF("id", "cell")
     var cent = centFrom(seeds)
@@ -5863,10 +6112,24 @@ object AnnOps {
         (members, kmeansRelease)
       } else {
         val cent = s.read.parquet(centPath.toString)
-        val k = cent.count()
-        val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
-          .limit(1).as[Int].collect().headOption.getOrElse(0)
-        assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+        // broadcast-budget gate from the manifest's DECLARED shape
+        // (zero jobs); when it fits, ONE collect serves the
+        // assignment — the count + dim-probe jobs the previous
+        // spelling paid per increment priced the same table twice
+        // (round-17 job-count cut). Sharded/legacy falls back.
+        val declaredFits = manOpt.flatMap(man => for {
+          dk <- man.params.get("cells"); dd <- man.params.get("dim")
+        } yield dk * (dd * 8 + 64) <= maxCentroidBytes)
+        if (declaredFits.contains(true)) {
+          val (out, bc) = assignCellsFromArray(v, collectCentroids(cent),
+            "id")
+          (out, () => bc.destroy())
+        } else {
+          val k = cent.count()
+          val dim = v.select(size(col("c")).as("d")).filter(col("d") > 0)
+            .limit(1).as[Int].collect().headOption.getOrElse(0)
+          assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
+        }
       }
     val own = assignedRaw.join(v, Seq("id"))
       .select(col("id"), col("cell"), col("c"), col("nrm"))
