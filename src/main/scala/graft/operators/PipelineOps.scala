@@ -6140,11 +6140,17 @@ object AnnOps {
     // centroid write and here self-heals on replay): the stored
     // centroid table is the authority for dim and cell count
     if (manOpt.isEmpty) {
-      val centStored = s.read.parquet(centPath.toString)
-      val dim0 = centStored.select(size(col("cc"))).limit(1)
-        .as[Int].collect().headOption.getOrElse(0)
+      // cells and dim in ONE aggregate over the stored table — the
+      // appendIvfPqIndex spelling (round-17 job-count cut: the
+      // limit(1) dim probe and the count were two jobs over the same
+      // KB-sized scan); min(size) == the width, centroids are uniform
+      // by construction
+      val centStats = s.read.parquet(centPath.toString)
+        .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0)))
+        .head()
       writeIndexManifest(s, indexDir, "semantic", Map(
-        "dim" -> dim0.toLong, "cells" -> centStored.count()))
+        "dim" -> centStats.getInt(1).toLong,
+        "cells" -> centStats.getLong(0)))
     }
     // COMMIT GATE (the appendIvfPqIndex discipline): a maintenance run
     // that started during staging holds the lock; one that committed
@@ -7379,21 +7385,42 @@ object PrepOps {
       decontamDfCut: Int = 16, partitions: Int = 0,
       maxOccupancy: Int = Int.MaxValue,
       bpeMergeTable: Option[DataFrame] = None): DataFrame =
-    corpusBuildStages(df, idCol, textCol, sourceCol, weights,
-      weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
-      minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
-      valPct, decontamShingleK, decontamDfCut, partitions,
-      pinLateStages = false, maxOccupancy = maxOccupancy,
-      bpeCounter = pinnedBpeCounter(bpeMergeTable)).last._2
+    withBpeCounter(bpeMergeTable) { counter =>
+      corpusBuildStages(df, idCol, textCol, sourceCol, weights,
+        weightDomainCol, weightCol, tokenBudget, packBudget, minWords,
+        minTypeToken, shingleK, bands, rows, jaccardThreshold, trainPct,
+        valPct, decontamShingleK, decontamDfCut, partitions,
+        pinLateStages = false, maxOccupancy = maxOccupancy,
+        bpeCounter = counter).last._2
+    }
 
-  /** The counter column for an optional learned merge table, with the
-    * table PINNED first: the table is typically a live [[TextOps.bpeLearn]]
-    * plan (iterative — one aggregation job per counting round), and
-    * counter construction collects it; without the pin every
-    * construction would re-run the training. */
-  private def pinnedBpeCounter(bpeMergeTable: Option[DataFrame])
-      : Option[Column => Column] =
-    bpeMergeTable.map(mt => TextOps.bpeTokenCounter(mt.pin()))
+  /** Run `body` with the counter thunk for an optional learned merge
+    * table, TRAINING IT CONCURRENTLY with the body's early stages
+    * (guide §2.6; round-17 job-count cut): the table is typically a
+    * live [[TextOps.bpeLearn]] plan — an iterative chain of
+    * driver-blocking jobs — and it is only consumed from the mixture
+    * stage on, while the body's gate/dedup/split stages run their own
+    * eager jobs first. The table is pinned inside the future (counter
+    * construction collects it; without the pin every construction
+    * would re-run the training). The future is awaited to completion
+    * before this returns on ANY path, so a failing body never leaks a
+    * running training. */
+  private def withBpeCounter[T](bpeMergeTable: Option[DataFrame])(
+      body: Option[() => Column => Column] => T): T =
+    bpeMergeTable match {
+      case None => body(None)
+      case Some(mt) =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val f = scala.concurrent.Future(TextOps.bpeTokenCounter(mt.pin()))
+        import scala.concurrent.duration.Duration
+        try body(Some(() => scala.concurrent.Await.result(f, Duration.Inf)))
+        finally {
+          scala.concurrent.Await.ready(f, Duration.Inf)
+          pool.shutdown()
+        }
+    }
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per
@@ -7415,8 +7442,8 @@ object PrepOps {
       valPct: Int = 10, decontamShingleK: Int = 7,
       decontamDfCut: Int = 16, partitions: Int = 0,
       maxOccupancy: Int = Int.MaxValue,
-      bpeMergeTable: Option[DataFrame] = None): DataFrame = {
-    val bpeCounter = pinnedBpeCounter(bpeMergeTable)
+      bpeMergeTable: Option[DataFrame] = None): DataFrame =
+    withBpeCounter(bpeMergeTable) { bpeCounter =>
     val stages = corpusBuildStages(df, idCol, textCol, sourceCol,
       weights, weightDomainCol, weightCol, tokenBudget, packBudget,
       minWords, minTypeToken, shingleK, bands, rows, jaccardThreshold,
@@ -7430,7 +7457,7 @@ object PrepOps {
     // is the frame count either way.
     val stageToks: Column = bpeCounter match {
       case None => size(split(col("text"), " ")).cast("long")
-      case Some(cnt) => cnt(col("text"))
+      case Some(cnt) => cnt()(col("text"))
     }
     val docStages = stages.init.map { case (name, frame) =>
       frame.agg(count(lit(1)).as("n_docs"),
@@ -7443,7 +7470,7 @@ object PrepOps {
         coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
       .select(lit(packName).as("stage"), col("n_docs"), col("n_tokens"))
     (docStages :+ packStage).reduce(_ unionAll _)
-  }
+    }
 
   /** The shared stage chain behind [[corpusBuild]] (returns the packed
     * windows, `.last._2`) and [[corpusBuildFunnel]] (aggregates every
@@ -7460,7 +7487,11 @@ object PrepOps {
       decontamDfCut: Int, partitions: Int,
       pinLateStages: Boolean,
       maxOccupancy: Int = Int.MaxValue,
-      bpeCounter: Option[Column => Column] = None)
+      // a THUNK: resolving it may block on the concurrent merge-table
+      // training ([[withBpeCounter]]), so it is only forced at the
+      // mixture stage — after the gate/dedup/split stages' own eager
+      // jobs have overlapped the training
+      bpeCounter: Option[() => Column => Column] = None)
       : Seq[(String, DataFrame)] = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"),
@@ -7535,7 +7566,7 @@ object PrepOps {
     val withToks = bpeCounter match {
       case None => clean.withColumn("toks",
         size(split(col("text"), " ")).cast("long"))
-      case Some(cnt) => clean.withColumn("toks", cnt(col("text")))
+      case Some(cnt) => clean.withColumn("toks", cnt()(col("text")))
     }
     val sampled = maybePin(
       mixtureSample(withToks, "doc_id", "source", "toks",

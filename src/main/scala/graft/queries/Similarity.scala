@@ -2054,23 +2054,51 @@ object Similarity {
           .pin()
         val idxDir = graft.core.StreamStore
           .scratchRoot("graft-s26-").toString
-        graft.operators.AnnOps.buildIvfPqIndex(
-          emb, "vec_id", "embedding", "source", idxDir,
-          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
-        // threshold 0.38 CHOSEN WITH DATA (the thin-gate lesson): the
-        // resulting losers change the top-3 serve at sf0.001, sf0.01
-        // AND sf0.1 (8/6/6 result rows move), so the hash gate proves
-        // the delete path live — at s07's 0.45 no loser ever ranked
-        // and the chain would pass even with the anti-join dropped.
-        // 0.38 sits in a measured cosine gap at every SF (nearest
-        // pairs 0.37996/0.38002 at sf0.1 — 3.5e-5 wide, ~11 orders
-        // above double ulp), so >= is engine-stable.
-        val pairs = graft.operators.AnnOps.semanticNearDups(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.38, cells = K, iters = 2)
-        val losers = graft.operators.DedupOps
-          .connectedComponents(pairs, "a", "b")
-          .filter(!$"is_survivor").select($"id".as("vec_id"))
+        // the index build and the dedup-feedback chain are INDEPENDENT
+        // job chains (the build indexes the corpus; the SemDeDup pass +
+        // component resolution compute the losers from the raw
+        // embeddings) — run them concurrently (optimization guide
+        // §2.6); the delete-then-serve tail still waits for both, so
+        // results are unchanged (the oracle pins it). Fresh 1-thread
+        // pool from this thread so Spark's job group/tags propagate.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        val losers = try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fBuild = scala.concurrent.Future {
+            graft.operators.AnnOps.buildIvfPqIndex(
+              emb, "vec_id", "embedding", "source", idxDir,
+              cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+          }
+          // threshold 0.38 CHOSEN WITH DATA (the thin-gate lesson): the
+          // resulting losers change the top-3 serve at sf0.001, sf0.01
+          // AND sf0.1 (8/6/6 result rows move), so the hash gate proves
+          // the delete path live — at s07's 0.45 no loser ever ranked
+          // and the chain would pass even with the anti-join dropped.
+          // 0.38 sits in a measured cosine gap at every SF (nearest
+          // pairs 0.37996/0.38002 at sf0.1 — 3.5e-5 wide, ~11 orders
+          // above double ulp), so >= is engine-stable.
+          val l = try {
+            val pairs = graft.operators.AnnOps.semanticNearDups(
+              Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+              threshold = 0.38, cells = K, iters = 2)
+            graft.operators.DedupOps
+              .connectedComponents(pairs, "a", "b")
+              .filter(!$"is_survivor").select($"id".as("vec_id"))
+          } catch { case e: Throwable =>
+            // the build must be DONE before this frame unwinds — a
+            // failure racing a half-finished build would leave an
+            // un-awaited future running jobs into the caller's cleanup
+            scala.concurrent.Await.ready(fBuild,
+              scala.concurrent.duration.Duration.Inf)
+            throw e
+          }
+          // surface a build failure (and order the delete after the
+          // manifest commit it validates against)
+          scala.concurrent.Await.result(fBuild,
+            scala.concurrent.duration.Duration.Inf)
+          l
+        } finally pool.shutdown()
         graft.operators.AnnOps.deleteFromIndex(
           losers, "vec_id", idxDir, batchId = 1L)
         val out = graft.operators.AnnOps.queryIvfPqIndex(
