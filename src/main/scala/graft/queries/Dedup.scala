@@ -658,8 +658,12 @@ object Dedup {
         graft.streaming.StreamingOps.drainForeachBatch(s, stream,
           "st10") { (batch, bid) =>
           if (!batch.isEmpty) {
+            // no pre-pin: the operator's own staging (minhashIndex →
+            // staged → pin) is the batch frame's only consumer besides
+            // the isEmpty probe — the extra pin was one whole
+            // materialization job per trigger (round-17 job-count cut)
             acc += graft.operators.DedupOps.incrementalMinhashDedupDurable(
-              batch.pin(), "doc_id", "text", idxDirS, bid,
+              batch, "doc_id", "text", idxDirS, bid,
               5, BANDS, ROWS, JACCARD_T)
           }
         }

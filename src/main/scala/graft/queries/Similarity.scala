@@ -1527,9 +1527,12 @@ object Similarity {
         graft.streaming.StreamingOps.drainForeachBatch(s, stream,
           "st16") { (batch, bid) =>
           if (!batch.isEmpty) {
-            // bid + 1: microbatch ids start at 0, the seed owns 0
+            // bid + 1: microbatch ids start at 0, the seed owns 0.
+            // No pre-pin: the operator's own staging (scaled → pin) is
+            // the batch frame's only consumer besides the isEmpty
+            // probe (round-17 job-count cut)
             acc += graft.operators.AnnOps.incrementalSemanticDedupDurable(
-              batch.pin(), "vec_id", "embedding", idxDir,
+              batch, "vec_id", "embedding", idxDir,
               bid + 1L, threshold = 0.35, cells = K, iters = 2)
           }
         }
@@ -2333,13 +2336,15 @@ object Similarity {
     graft.streaming.StreamingOps.drainForeachBatch(s, stream, tag) {
       (batch, bid) =>
         if (!batch.isEmpty) {
-          // bid + 1: microbatch ids start at 0, the build owns 0
-          val pinned = batch.pin()
+          // bid + 1: microbatch ids start at 0, the build owns 0.
+          // No pre-pin: appendIvfPqIndex stages (repartition + pin)
+          // the batch itself as its first step, and that staging is
+          // the batch frame's only consumer besides the isEmpty
+          // limit-1 probe — the extra pin was one whole
+          // materialization job per trigger for zero reuse
+          // (round-17 job-count cut).
           graft.operators.AnnOps.appendIvfPqIndex(
-            pinned, "vec_id", "embedding", "source", idxDir, bid + 1L)
-          // the append's commit is on disk: free the microbatch pin
-          // (once per trigger in a long-lived stream)
-          graft.operators.DedupOps.releaseLocalCheckpoint(pinned)
+            batch, "vec_id", "embedding", "source", idxDir, bid + 1L)
         }
         afterBatch(s, idxDir, bid)
     }
