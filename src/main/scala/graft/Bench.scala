@@ -49,10 +49,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle/spill scratch on tmpfs when present: local[N] writes every
     // shuffle block to spark.local.dir; RAM-backed scratch is the local
-    // stand-in for a cluster's NVMe-backed local dirs
-    val localDir =
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark-local"
-      else System.getProperty("java.io.tmpdir")
+    // stand-in for a cluster's NVMe-backed local dirs.
+    // GRAFT_SCRATCH_DIR overrides (round-18, verdict #4): one env var
+    // forces BOTH spark.local.dir and StreamStore.scratchRoot to real
+    // disk, so a paired tmpfs-off pin separates engine wins from the
+    // host's RAM disk.
+    val localDir = sys.env.get("GRAFT_SCRATCH_DIR")
+      .filter(d => new java.io.File(d).canWrite)
+      .map(d => s"$d/graft-spark-local")
+      .getOrElse {
+        if (new java.io.File("/dev/shm").canWrite)
+          "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir")
+      }
     // SPARK_GRAFT_MASTER: same override as Verify — pricing runs use
     // local-cluster[n,c,mem] so replication/fetch costs are real
     // (single-JVM local[N] has one BlockManager: a 2-replica storage
@@ -143,19 +152,27 @@ object Bench {
     // post-pass probe runs after the timed work (but before spark.stop's
     // own thrash) so the pair brackets the measurement window
     val probePost = hostProbe()
+    // FULL query names everywhere (round-18 fix, verdict #1): the old
+    // `takeWhile(_ != '_')` truncation made the per-query map useless to
+    // the driver's regression gate — truncated keys ("s26") never match
+    // the declared query names, so PERF_r17 had per_query: {} / n_common
+    // 0 even when the map parsed.
     def qmap(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // FULL per-query map + probes → BENCH_LAST.json (the recording of
-    // record; pins are copies of it). STDOUT gets a line GUARANTEED to
-    // fit the driver's capture window: it keeps only the last ~2000
-    // chars of stdout and parses the JSON line out of that window, so
-    // once the suite passed ~160 queries (round 10) the full-map line
-    // stopped parsing and every driver-visible bench since has been a
-    // raw truncated tail (BENCH_r10..r15 all have "parsed": null).
-    // The compact line carries the totals + BOTH host-window probes
-    // (self-attribution — round-15 "What's wrong #3") + the slowest
-    // queries that fit; the full map is one `cat BENCH_LAST.json` away.
+    // FULL per-query map + probes → BENCH_LAST.json AND a per-cpu copy
+    // BENCH_LAST_<cpus>.json (round-18: the driver's 8-core scaling run
+    // used to overwrite the 32-core recording — the round-17 record of
+    // the main run was clobbered before anyone could diff it). STDOUT
+    // gets a line GUARANTEED to fit the driver's capture window: it
+    // keeps only the LAST 2000 chars of stdout (BENCH_r*.json "tail" is
+    // exactly 2000 chars) and parses the JSON line out of that window.
+    // The full 184-entry full-name map is ~5.4 KB (names alone sum to
+    // 3.4 KB) — it can never parse from stdout, so the stdout line
+    // carries totals + BOTH host-window probes (self-attribution —
+    // round-15 "What's wrong #3") + as many of the SLOWEST queries as
+    // fit, under the contract key "queries" with FULL names; the full
+    // map is one `cat BENCH_LAST_<cpus>.json` away.
     // pin-backend attribution: which backend ran and (reliable only)
     // the checkpoint write traffic it cost — the durability bill
     val pinInfo =
@@ -163,16 +180,18 @@ object Bench {
         s""""pin_ck_bytes":${graft.core.Pins.checkpointedBytes.get}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_pre":$probePre,"probe_post":$probePost,$pinInfo,"queries":${qmap(results)},"sf":"$sfDir"}"""
-    try {
-      val pw = new java.io.PrintWriter("BENCH_LAST.json")
-      try pw.println(fullLine) finally pw.close()
-    } catch { case _: Throwable => }
+    Seq("BENCH_LAST.json", s"BENCH_LAST_$cpus.json").foreach { f =>
+      try {
+        val pw = new java.io.PrintWriter(f)
+        try pw.println(fullLine) finally pw.close()
+      } catch { case _: Throwable => }
+    }
     def compact(nSlow: Int): String = {
       val slow = results.sortBy(-_._2).take(nSlow).sortBy(_._1)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"probe_pre":$probePre,"probe_post":$probePost,$pinInfo,"slowest":${qmap(slow)},"queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"probe_pre":$probePre,"probe_post":$probePost,$pinInfo,"queries":${qmap(slow)},"queries_full":"BENCH_LAST_$cpus.json","sf":"$sfDir"}"""
     }
-    val line = (30 to 0 by -5).map(compact).find(_.length <= 1850)
-      .getOrElse(compact(0))
+    val line = (results.size to 0 by -4).map(compact)
+      .find(_.length <= 1850).getOrElse(compact(0))
     // stop Spark FIRST: the JSON must be the final flushed stdout line,
     // with no shutdown logging after it
     spark.stop()

@@ -185,6 +185,13 @@ case class RiverInputPartition(
     root: String, stream: String, segIdx: Long,
     fromPos: Long, toPos: Long) extends InputPartition
 
+/** Several SMALL consecutive segments packed into one unit of work
+  * (guide §6.1 file-packing applied to the segment chain): each entry
+  * is (segIdx, fromPos, toPos), read in order by one task. */
+case class RiverMultiSegPartition(
+    root: String, stream: String,
+    segs: Seq[(Long, Long, Long)]) extends InputPartition
+
 class RiverScan(
     root: String, stream: String, rs: RiverSchema,
     required: StructType, idxLo: Long, idxHi: Long)
@@ -210,9 +217,41 @@ class RiverScan(
         .map(_ - 1).getOrElse(Long.MaxValue)
       lo <= idxHi && hi >= idxLo
     }.map(_._1)
-    kept.map { i =>
-      RiverInputPartition(root, stream, i, 0L,
-        st.segmentFile(stream, i).length()): InputPartition
+    // SMALL-SEGMENT PACKING (optimization guide §6.1): one task per
+    // segment is right when segments are production-sized (~100 MB+),
+    // but a tiny-keysPerSegment chain (r08's fixture: hundreds of
+    // KB-sized segments) would launch one near-empty task per segment —
+    // pure scheduling overhead. Pack CONSECUTIVE kept segments into
+    // splits using the file-source rule verbatim: bin by byte length
+    // with spark.sql.files.openCostInBytes charged per segment, closing
+    // a bin at spark.sql.files.maxPartitionBytes. At production segment
+    // sizes every bin holds one segment and the layout (and the
+    // one-partition-per-segment parallel-read scale axis) is unchanged;
+    // segment-level pruning above is untouched — only KEPT segments are
+    // binned. Consecutive binning preserves per-partition row order.
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
+    val maxBytes = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = math.max(0L, conf.filesOpenCostInBytes)
+    val sized = kept.map(i => (i, st.segmentFile(stream, i).length()))
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[(Long, Long)]]
+    var cur = Vector.empty[(Long, Long)]
+    var acc = 0L
+    sized.foreach { case (i, len) =>
+      val cost = len + openCost
+      if (cur.nonEmpty && acc + cost > maxBytes) {
+        bins += cur; cur = Vector.empty; acc = 0L
+      }
+      cur = cur :+ (i, len); acc += cost
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.map { b =>
+      if (b.size == 1)
+        RiverInputPartition(root, stream, b.head._1, 0L,
+          b.head._2): InputPartition
+      else
+        RiverMultiSegPartition(root, stream,
+          b.map { case (i, len) => (i, 0L, len) }): InputPartition
     }.toArray
   }
 
@@ -326,7 +365,36 @@ class RiverMicroBatchStream(
 class RiverReaderFactory(rs: RiverSchema, required: StructType)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new RiverPartitionReader(p.asInstanceOf[RiverInputPartition], rs, required)
+    p match {
+      case m: RiverMultiSegPartition =>
+        new RiverMultiSegReader(m, rs, required)
+      case sp: RiverInputPartition =>
+        new RiverPartitionReader(sp, rs, required)
+      case other => throw new IllegalArgumentException(
+        s"river: unexpected partition type ${other.getClass.getName}")
+    }
+}
+
+/** Chains one [[RiverPartitionReader]] per packed segment, constructed
+  * LAZILY (a segment's frames are parsed only when its turn comes). */
+class RiverMultiSegReader(
+    m: RiverMultiSegPartition, rs: RiverSchema, required: StructType)
+  extends PartitionReader[InternalRow] {
+  private val parts = m.segs.iterator.map { case (i, from, to) =>
+    new RiverPartitionReader(
+      RiverInputPartition(m.root, m.stream, i, from, to), rs, required)
+  }
+  private var cur: PartitionReader[InternalRow] = null
+  override def next(): Boolean = {
+    while (cur != null || parts.hasNext) {
+      if (cur == null) cur = parts.next()
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Decodes one segment byte-range into pruned InternalRows. */

@@ -503,11 +503,18 @@ object StreamStore {
     * reference's transport IS an in-memory store (Redis); a RAM-backed
     * filesystem is the apples-to-apples local substrate, and on a real
     * cluster this is the NVMe/DFS mount the store is deployed on.
+    * GRAFT_SCRATCH_DIR overrides (round-18, verdict #4): forcing real
+    * disk lets a bench recording separate plan-level wins from the
+    * RAM-disk environment win, as a paired pin.
     */
   def scratchRoot(tag: String): Path = {
-    val shm = Paths.get("/dev/shm")
-    val base = if (Files.isWritable(shm)) shm
-               else Paths.get(System.getProperty("java.io.tmpdir"))
+    val base = sys.env.get("GRAFT_SCRATCH_DIR").map(Paths.get(_))
+      .filter(Files.isWritable)
+      .getOrElse {
+        val shm = Paths.get("/dev/shm")
+        if (Files.isWritable(shm)) shm
+        else Paths.get(System.getProperty("java.io.tmpdir"))
+      }
     Files.createTempDirectory(base, tag)
   }
 }

@@ -3247,14 +3247,26 @@ object AnnOps {
           val (members, cent, kmeansRelease) =
             kmeansFromStagedWithCentReleasable(v, cells, iters,
               maxCentroidBytes, dimHint = dim, seedHint = seedAll)
-          val keyed = members.join(keys, Seq("id"))
-          val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
-          val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
-            .filter(col("id") =!= col("qid"))
-            .select(col("qid"), col("id"))
-            .pin() // feeds the ADC join; pin so the coarse
-                   // k-means never re-runs per consumer
-          (members, kmeansRelease, cand)
+          // self-cleaning on failure past the kmeans return (ADVICE):
+          // the Left-success sweep below only sees a future that
+          // SUCCEEDED — a probe-side or cand-pin throw must release
+          // the members pin and the kmeans resources itself, the
+          // fSubs discipline
+          try {
+            val keyed = members.join(keys, Seq("id"))
+            val qside = ivfProbeSide(v, keys, keyed, cent, isQuery, nprobe)
+            val cand = keyed.join(broadcast(qside), Seq("cell", "key"))
+              .filter(col("id") =!= col("qid"))
+              .select(col("qid"), col("id"))
+              .pin() // feeds the ADC join; pin so the coarse
+                     // k-means never re-runs per consumer
+            (members, kmeansRelease, cand)
+          } catch { case e: Throwable =>
+            try DedupOps.releaseLocalCheckpoint(members)
+            catch { case _: Throwable => () }
+            try kmeansRelease() catch { case _: Throwable => () }
+            throw e
+          }
         }
         val fSubs = (0 until pqM).map { m => scala.concurrent.Future {
           val sub = v.select(col("id"),
@@ -4244,15 +4256,35 @@ object AnnOps {
     // whole-corpus dim check (REVIEW 2: the append path's discipline
     // — one sampled row would let a mixed-dim corpus commit silently
     // truncated codebooks/codes); null-vector rows carry no dim and
-    // are tolerated here like every kmeans caller tolerates them
-    val dimStats = v.filter(col("c").isNotNull)
-      .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
-      .head()
-    require(!dimStats.isNullAt(0) &&
-      dimStats.getInt(0) == dimStats.getInt(1),
-      s"buildIvfPqIndex: mixed vector dims [${dimStats.get(0)}, " +
-        s"${dimStats.get(1)}] — the index space needs one width")
-    val dim = dimStats.getInt(0)
+    // are tolerated here like every kmeans caller tolerates them.
+    // The SEED collect below is an independent job over the same
+    // pinned v — overlap it with the dim aggregate (guide §2.6;
+    // round-18 job-count cut: two sequential launch latencies became
+    // one per build). The future is awaited before any use and before
+    // any exit (the Await sits directly under the launch, ahead of
+    // every early `require` throw below it).
+    val seedPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    var dimHolder = 0
+    val seedAll: Array[Long] = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(seedPool)
+      val fSeed = scala.concurrent.Future {
+        v.select(col("id")).orderBy(col("id"))
+          .limit(math.max(cells, pqKs)).as[Long].collect().sorted
+      }
+      val dimStats = v.filter(col("c").isNotNull)
+        .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
+        .head()
+      val seeds = scala.concurrent.Await.result(fSeed,
+        scala.concurrent.duration.Duration.Inf)
+      require(!dimStats.isNullAt(0) &&
+        dimStats.getInt(0) == dimStats.getInt(1),
+        s"buildIvfPqIndex: mixed vector dims [${dimStats.get(0)}, " +
+          s"${dimStats.get(1)}] — the index space needs one width")
+      dimHolder = dimStats.getInt(0)
+      seeds
+    } finally seedPool.shutdown()
+    val dim = dimHolder
     require(dim >= pqM, s"buildIvfPqIndex: dim=$dim < pqM=$pqM")
     // REBUILD SAFETY (ADVICE): a rebuild into a dir holding append
     // batches would leave batch=1..N rows that were assigned against
@@ -4298,9 +4330,8 @@ object AnnOps {
     // a projection of v, so the id set is identical); collecting
     // max(cells, pqKs) ids once replaces 1 + pqM separate
     // orderBy-limit jobs, byte-identically (the hint is sliced to each
-    // consumer's k).
-    val seedAll = v.select(col("id")).orderBy(col("id"))
-      .limit(math.max(cells, pqKs)).as[Long].collect().sorted
+    // consumer's k). Round-18: the collect itself moved up, overlapped
+    // with the dim aggregate (seedAll above).
     // the coarse kmeans chain and the pqM codebook trainings are
     // INDEPENDENT job chains — each a sequence of small
     // driver-blocking jobs over the same read-only pinned staging. Run
@@ -4542,11 +4573,6 @@ object AnnOps {
     val man = requireFamily(s, indexDir, "appendIvfPqIndex", "ivfpq")
     requireNoMaintenance(s, indexDir, "appendIvfPqIndex")
     val gen = currentGen(s, indexDir)
-    val staged = scaledImpl(batch, idCol, vecCol, Some(keyCol),
-      partitions)
-    val keys = staged.select(col("id"), col("key"))
-    val v = withRawNorm(staged)
-    val cent = s.read.parquet(s"$indexDir/centroids")
     // DIM VALIDATION (ADVICE): the assignment/encoding kernels tolerate
     // ragged dims (min-length truncation), so a batch with the wrong
     // dimensionality would be encoded and committed SILENTLY with
@@ -4575,121 +4601,197 @@ object AnnOps {
     val declaredFits = for {
       dk <- man.params.get("cells"); dd <- man.params.get("dim")
     } yield dk * (dd * 8 + 64) <= maxCentroidBytes
-    val (k, storedDim, preAssigned) =
-      if (declaredFits.contains(true)) {
-        val cents = collectCentroids(cent)
-        val sd = if (cents.isEmpty) 0
-          else cents.iterator.map(_._2.length).min
-        (cents.length.toLong, sd, Some(cents))
-      } else {
-        val centStats = cent
-          .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0)))
-          .head()
-        (centStats.getLong(0), centStats.getInt(1), None)
-      }
-    // the dim-validation aggregate, the codebook collect, and the
-    // assignment+pin chain are INDEPENDENT jobs over read-only inputs
-    // — overlap them (guide §2.6; round-17 job-count cut: they ran
-    // strictly sequentially, three launch latencies per nightly
-    // batch). The validation still gates every durable write below —
-    // a bad batch now throws after some wasted assignment work (and
-    // releases its pin) instead of before it; the committed state is
-    // identical either way.
+    // OVERLAP LAYOUT (guide §2.6). The centroid collect and the
+    // codebook collect read only the FROZEN stored artifacts — they
+    // are independent of the batch, so they launch before the staging
+    // even starts (round-18 job-count cut: the centroid collect used
+    // to run serially between the staging and the overlapped
+    // dim/codebook jobs — one whole launch latency per nightly batch);
+    // the dim-validation aggregate joins the pool as soon as the
+    // staging exists, and the assignment+pin chain runs on THIS thread
+    // under all three. The validation still gates every durable write
+    // below — a bad batch throws after some wasted assignment work
+    // (and releases its pin) instead of before it; the committed state
+    // is identical either way. Pool threads are created from this
+    // thread so Spark's inheritable job group/tags propagate (the
+    // maintainImpl discipline), and the catch/finally below awaits
+    // every launched future and shuts the pool down on EVERY exit path
+    // — a staging or assignment failure must not leave collect jobs
+    // running (or two pool threads alive) while the caller unwinds
+    // (round-17 ADVICE).
     val vpool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val vec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(vpool)
-    val fDim = scala.concurrent.Future {
-      v.filter(col("c").isNotNull)
-        .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
-        .head()
-    }
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val fCent: scala.concurrent.Future[
+        (Long, Int, Option[Array[(Long, Array[Long], Double)]])] =
+      scala.concurrent.Future {
+        if (declaredFits.contains(true)) {
+          val cents = collectCentroids(cent)
+          val sd = if (cents.isEmpty) 0
+            else cents.iterator.map(_._2.length).min
+          (cents.length.toLong, sd, Some(cents))
+        } else {
+          val centStats = cent
+            .agg(count(lit(1)), coalesce(min(size(col("cc"))), lit(0)))
+            .head()
+          (centStats.getLong(0), centStats.getInt(1), None)
+        }
+      }
     val fBooks = scala.concurrent.Future {
       s.read.parquet(s"$indexDir/codebooks")
         .select(col("m").cast("int"), col("code"), col("cmean"))
         .as[(Int, Long, Seq[Double])].collect()
     }
-    // the assignment + pin runs on THIS thread while the two futures
-    // are in flight
-    val dim = storedDim
-    val (assigned, releaseAssign) = preAssigned match {
-      case Some(cents) =>
-        val (out, bc) = assignCellsFromArray(v, cents, "id")
-        (out, () => bc.destroy())
-      case None =>
-        assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
-    }
-    val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
-      .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
-      .pin()
-    releaseAssign()
-    val (dimStats, books) = try {
+    var fDim: scala.concurrent.Future[org.apache.spark.sql.Row] =
+      scala.concurrent.Future.successful(null)
+    var pinnedRows: DataFrame = null
+    var pinnedStaged: DataFrame = null
+    var pinnedV: DataFrame = null
+    try {
+      val staged = scaledImpl(batch, idCol, vecCol, Some(keyCol),
+        partitions)
+      pinnedStaged = staged
+      val keys = staged.select(col("id"), col("key"))
+      val v = withRawNorm(staged)
+      pinnedV = v
+      fDim = scala.concurrent.Future {
+        v.filter(col("c").isNotNull)
+          .agg(min(size(col("c"))).as("lo"),
+            max(size(col("c"))).as("hi"))
+          .head()
+      }
       import scala.concurrent.duration.Duration
-      val rd = scala.concurrent.Await.ready(fDim, Duration.Inf).value.get
-      val rb = scala.concurrent.Await.ready(fBooks, Duration.Inf).value.get
-      (rd.get, rb.get)
+      val (k, storedDim, preAssigned) =
+        scala.concurrent.Await.result(fCent, Duration.Inf)
+      // the assignment + pin runs on THIS thread while the dim and
+      // codebook futures are in flight
+      val (assigned, releaseAssign) = preAssigned match {
+        case Some(cents) =>
+          val (out, bc) = assignCellsFromArray(v, cents, "id")
+          (out, () => bc.destroy())
+        case None =>
+          assignCellsAuto(v, cent, "id", k, storedDim, maxCentroidBytes)
+      }
+      val rows = assigned.join(v, Seq("id")).join(keys, Seq("id"))
+        .select(col("id"), col("cell"), col("c"), col("nrm"), col("key"))
+        .pin()
+      pinnedRows = rows
+      releaseAssign()
+      val dimStats = scala.concurrent.Await.result(fDim, Duration.Inf)
+      val books = scala.concurrent.Await.result(fBooks, Duration.Inf)
+      require(dimStats.isNullAt(0) ||
+        (dimStats.getInt(0) == storedDim &&
+          dimStats.getInt(1) == storedDim),
+        s"appendIvfPqIndex: batch dims [${dimStats.get(0)}, " +
+          s"${dimStats.get(1)}] != stored index dim=$storedDim " +
+          s"($indexDir/centroids)")
+      // encode against the frozen codebooks. COMMIT ORDER STILL
+      // MATTERS (REVIEW): the rows table drives candidate generation
+      // AND the drift audit, so a crash must leave the batch INVISIBLE
+      // (codes without visible rows = no candidates, clean replay),
+      // never rows whose ids generate candidates that the inner codes
+      // join silently drops from the ADC scan even at the construction
+      // ceiling. Round-18 keeps that invariant while running the two
+      // tree writes CONCURRENTLY (guide §2.6 — max(write) instead of
+      // sum(write) wall per nightly batch): the rows land in a
+      // dot-prefixed temp dir — invisible to every reader (parquet
+      // listing skips dot/underscore names) and to maintenance's
+      // batch=* listing — and are RENAMED into place only after BOTH
+      // writes committed. A crash anywhere leaves at most committed
+      // codes plus an invisible temp dir; the idempotent replay
+      // overwrites both.
+      // subspace shape DECLARED by the manifest, not re-inferred from
+      // the widest stored codebook entry (the round-12 inference this
+      // replaces): the build wrote what it quantized with
+      val dsub = man.param("dsub", indexDir).toInt
+      val pqM = man.param("pqM", indexDir).toInt
+      // ONE broadcast map pass encodes all M subspaces (round-15
+      // overhead cut: the previous per-subspace loop ran pqM separate
+      // assign+pin jobs per append — pure fixed cost, since each pass
+      // re-read the same pinned staging). Arithmetic per subspace is
+      // [[l2AssignAgainst]]'s verbatim — so stored codes are
+      // bit-identical to the per-subspace spelling (the bit-parity
+      // spec re-pins it).
+      val (codesAll, destroyCodes) = pqEncodeAll(v, books, pqM, dsub)
+      // COMMIT GATE: re-check immediately before the first durable
+      // write. A maintenance run that STARTED during this append's
+      // staging holds the lock (fail here, loudly); one that COMMITTED
+      // during it moved the pointer (the generation re-check catches
+      // it). Either way the batch is idempotent — re-run it; silently
+      // writing into a superseded generation would erase the batch
+      // from every future serve.
+      requireNoMaintenance(s, indexDir, "appendIvfPqIndex")
+      require(currentGen(s, indexDir) == gen,
+        s"appendIvfPqIndex: a compaction committed generation " +
+          s"${currentGen(s, indexDir)} during this append (staged " +
+          s"against gen $gen); re-run the batch — the append is " +
+          "idempotent")
+      val root = genRoot(indexDir, gen)
+      val fsIdx = indexFs(s, indexDir)
+      val rowsFinal = s"$root/batches/batch=$batchId"
+      val rowsTmp = s"$root/batches/.batch=$batchId.tmp"
+      fsIdx.delete(hpath(rowsTmp), true) // a crashed run's debris
+      locally {
+        // fresh per-call pool so Spark's inheritable job group/tags
+        // propagate into the write jobs (the maintainImpl discipline);
+        // both futures must be DONE before control leaves this block
+        val wpool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val wec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(wpool)
+        try {
+          // cell rides each code row (from the batch's own pinned
+          // rows) so the serve's ADC scan partition-prunes
+          val fCodes = scala.concurrent.Future {
+            codesAll
+              .join(rows.select(col("id"), col("cell")), Seq("id"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$root/codes/batch=$batchId")
+          }(wec)
+          val fRows = scala.concurrent.Future {
+            rows.write.mode("overwrite").partitionBy("cell")
+              .parquet(rowsTmp)
+          }(wec)
+          val rc = scala.concurrent.Await
+            .ready(fCodes, Duration.Inf).value.get
+          val rr = scala.concurrent.Await
+            .ready(fRows, Duration.Inf).value.get
+          rc.get; rr.get
+        } catch { case e: Throwable =>
+          try fsIdx.delete(hpath(rowsTmp), true)
+          catch { case _: Throwable => () }
+          throw e
+        } finally wpool.shutdown()
+      }
+      destroyCodes() // encode executed inside the codes write above
+      // the visibility flip: drop a replay's previous commit, then one
+      // rename — the only window where batch=N is absent is a REPLAY's
+      // own overwrite window, exactly what mode("overwrite") had
+      fsIdx.delete(hpath(rowsFinal), true)
+      require(fsIdx.rename(hpath(rowsTmp), hpath(rowsFinal)),
+        s"appendIvfPqIndex: rename $rowsTmp -> $rowsFinal failed")
+      // the commit is on disk: free every per-call pin (this operator
+      // is called per nightly batch in a long-lived session)
+      DedupOps.releaseLocalCheckpoint(rows)
+      DedupOps.releaseLocalCheckpoint(v)
+      DedupOps.releaseLocalCheckpoint(staged)
     } catch { case e: Throwable =>
-      DedupOps.releaseLocalCheckpoint(rows); throw e
+      // every in-flight future must be DONE before the rethrow (the
+      // sibling-block discipline): a caller unwinding while collect
+      // jobs still run would race whatever cleanup it does next
+      import scala.concurrent.duration.Duration
+      Seq(fCent.map(_ => ()), fBooks.map(_ => ()), fDim.map(_ => ()))
+        .foreach { f =>
+          try { scala.concurrent.Await.ready(f, Duration.Inf); () }
+          catch { case _: Throwable => () }
+        }
+      Seq(pinnedRows, pinnedV, pinnedStaged).filter(_ != null)
+        .foreach { p =>
+          try DedupOps.releaseLocalCheckpoint(p)
+          catch { case _: Throwable => () }
+        }
+      throw e
     } finally vpool.shutdown()
-    try require(dimStats.isNullAt(0) ||
-      (dimStats.getInt(0) == storedDim &&
-        dimStats.getInt(1) == storedDim),
-      s"appendIvfPqIndex: batch dims [${dimStats.get(0)}, " +
-        s"${dimStats.get(1)}] != stored index dim=$storedDim " +
-        s"($indexDir/centroids)")
-    catch { case e: Throwable =>
-      DedupOps.releaseLocalCheckpoint(rows); throw e
-    }
-    // encode against the frozen codebooks. COMMIT ORDER MATTERS
-    // (REVIEW): codes write FIRST, rows LAST — the rows table drives
-    // candidate generation AND the drift audit, so a crash between
-    // the two writes must leave the batch INVISIBLE (codes without
-    // rows = no candidates, clean replay), never rows whose ids
-    // generate candidates that the inner codes join silently drops
-    // from the ADC scan even at the construction ceiling.
-    // subspace shape DECLARED by the manifest, not re-inferred from
-    // the widest stored codebook entry (the round-12 inference this
-    // replaces): the build wrote what it quantized with
-    val dsub = man.param("dsub", indexDir).toInt
-    val pqM = man.param("pqM", indexDir).toInt
-    // ONE broadcast map pass encodes all M subspaces (round-15
-    // overhead cut: the previous per-subspace loop ran pqM separate
-    // assign+pin jobs per append — pure fixed cost, since each pass
-    // re-read the same pinned staging). Arithmetic per subspace is
-    // [[l2AssignAgainst]]'s verbatim: slice c[m*dsub, +dsub) bounded
-    // by the vector and mean widths, score = |mu|^2 - 2 x.mu over a
-    // sequential fold, first-index init then strictly-less
-    // replacement over the code-ascending scan — so stored codes are
-    // bit-identical to the per-subspace spelling (the bit-parity spec
-    // re-pins it).
-    val (codesAll, destroyCodes) = pqEncodeAll(v, books, pqM, dsub)
-    // COMMIT GATE: re-check immediately before the first durable
-    // write. A maintenance run that STARTED during this append's
-    // staging holds the lock (fail here, loudly); one that COMMITTED
-    // during it moved the pointer (the generation re-check catches
-    // it). Either way the batch is idempotent — re-run it; silently
-    // writing into a superseded generation would erase the batch from
-    // every future serve.
-    requireNoMaintenance(s, indexDir, "appendIvfPqIndex")
-    require(currentGen(s, indexDir) == gen,
-      s"appendIvfPqIndex: a compaction committed generation " +
-        s"${currentGen(s, indexDir)} during this append (staged " +
-        s"against gen $gen); re-run the batch — the append is " +
-        "idempotent")
-    val root = genRoot(indexDir, gen)
-    // cell rides each code row (from the batch's own pinned rows) so
-    // the serve's ADC scan partition-prunes to the probed cells
-    codesAll
-      .join(rows.select(col("id"), col("cell")), Seq("id"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/codes/batch=$batchId")
-    destroyCodes() // encode executed inside the codes write above
-    rows.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/batches/batch=$batchId")
-    // the commit is on disk: free every per-call pin (this operator
-    // is called per nightly batch in a long-lived session)
-    DedupOps.releaseLocalCheckpoint(rows)
-    DedupOps.releaseLocalCheckpoint(v)
-    DedupOps.releaseLocalCheckpoint(staged)
   }
 
   /** Serve filtered top-k from a durable [[buildIvfPqIndex]] index:
@@ -6084,23 +6186,41 @@ object AnnOps {
     val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
     val fs = centPath.getFileSystem(conf)
     // DIM VALIDATION against the manifest's declaration (the ANN
-    // append path's discipline, new this round for the semantic
-    // family): the assignment kernel tolerates ragged dims by
-    // truncation, so a wrong-width batch would commit silently-skewed
-    // cells. All-null batches carry no dim and commit (the family
-    // null contract). Bootstrap batches skip — they DEFINE the dim.
-    manOpt.foreach { man =>
-      val declared = man.param("dim", indexDir).toInt
-      val ds = v.filter(col("c").isNotNull)
-        .agg(min(size(col("c"))).as("lo"), max(size(col("c"))).as("hi"))
-        .head()
-      require(ds.isNullAt(0) ||
-        (ds.getInt(0) == declared && ds.getInt(1) == declared),
-        s"incrementalSemanticDedupDurable: batch dims [${ds.get(0)}, " +
-          s"${ds.get(1)}] != the index's declared dim=$declared " +
-          s"($indexDir/_index.json)")
+    // append path's discipline): the assignment kernel tolerates
+    // ragged dims by truncation, so a wrong-width batch would commit
+    // silently-skewed cells. All-null batches carry no dim and commit
+    // (the family null contract). Bootstrap batches skip — they DEFINE
+    // the dim. Round-18 (guide §2.6, the appendIvfPqIndex layout): the
+    // aggregate runs CONCURRENTLY with the assignment+pin chain — it
+    // gates the durable write below, not the assignment math; a bad
+    // batch throws after some wasted assignment work (whose pins are
+    // released) and the committed state is identical either way. The
+    // future is awaited on every exit path before control leaves this
+    // operator.
+    val vPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val fDim = manOpt.map { man =>
+      implicit val vEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(vPool)
+      (man, scala.concurrent.Future {
+        v.filter(col("c").isNotNull)
+          .agg(min(size(col("c"))).as("lo"),
+            max(size(col("c"))).as("hi"))
+          .head()
+      })
     }
-    val (assignedRaw, release): (DataFrame, () => Unit) =
+    def awaitAndValidateDims(): Unit = try {
+      fDim.foreach { case (man, f) =>
+        val declared = man.param("dim", indexDir).toInt
+        val ds = scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
+        require(ds.isNullAt(0) ||
+          (ds.getInt(0) == declared && ds.getInt(1) == declared),
+          s"incrementalSemanticDedupDurable: batch dims " +
+            s"[${ds.get(0)}, ${ds.get(1)}] != the index's declared " +
+            s"dim=$declared ($indexDir/_index.json)")
+      }
+    } finally vPool.shutdown()
+    val (assignedRaw, release): (DataFrame, () => Unit) = try {
       if (!fs.exists(centPath)) {
         val (members, cent, kmeansRelease) =
           kmeansFromStagedWithCentReleasable(v, cells, iters,
@@ -6131,10 +6251,27 @@ object AnnOps {
           assignCellsAuto(v, cent, "id", k, dim, maxCentroidBytes)
         }
       }
+    } catch { case e: Throwable =>
+      // the dim future must be DONE (and its pool dead) before the
+      // caller unwinds — its own failure must not mask the first one
+      try awaitAndValidateDims() catch { case _: Throwable => () }
+      throw e
+    }
     val own = assignedRaw.join(v, Seq("id"))
       .select(col("id"), col("cell"), col("c"), col("nrm"))
       .pin()
     release()
+    // the validation gate, awaited here — BEFORE the manifest
+    // bootstrap and the durable write; a failed batch releases its
+    // pins on the way out
+    try awaitAndValidateDims()
+    catch { case e: Throwable =>
+      Seq(own, assignedRaw, v, stagedV).foreach { p =>
+        try DedupOps.releaseLocalCheckpoint(p)
+        catch { case _: Throwable => () }
+      }
+      throw e
+    }
     // bootstrap the manifest from the FROZEN artifacts (keyed on its
     // own absence, not the train branch, so a crash between the
     // centroid write and here self-heals on replay): the stored
@@ -6166,9 +6303,33 @@ object AnnOps {
     val root = genRoot(indexDir, gen)
     // cell-partitioned commit (the ANN index's layout): the probe
     // below — and every later batch's probe — reads only the cells a
-    // batch actually lands in, as a partition-pruned scan
-    own.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/batches/batch=$batchId")
+    // batch actually lands in, as a partition-pruned scan. When the
+    // probe will run, the write and its probed-cells collect are
+    // independent jobs over the pinned `own` — overlap them (guide
+    // §2.6; round-18); the write is awaited before the generation flip
+    // and before any stored-tree read, on every path.
+    val ownCellsPre: Seq[Long] = if (!probe) {
+      own.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/batches/batch=$batchId")
+      Seq.empty
+    } else {
+      val wPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      try {
+        implicit val wEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(wPool)
+        import scala.concurrent.duration.Duration
+        val fW = scala.concurrent.Future {
+          own.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$root/batches/batch=$batchId")
+        }
+        val cellsSeq =
+          try own.select(col("cell")).distinct()
+            .as[Long].collect().toSeq.sorted
+          finally { scala.concurrent.Await.ready(fW, Duration.Inf); () }
+        scala.concurrent.Await.result(fW, Duration.Inf)
+        cellsSeq
+      } finally wPool.shutdown()
+    }
     // first-ever commit: flip generation 0 live (atomic marker create;
     // idempotent on replay — the marker may already exist)
     if (genAtEntry.isEmpty &&
@@ -6197,8 +6358,7 @@ object AnnOps {
     // untouched cells cannot involve this batch by construction.
     // Tombstoned ids ([[deleteFromIndex]]) are anti-joined out — a
     // deleted doc must neither pair nor serve as a delegation root.
-    val ownCells = own.select(col("cell")).distinct()
-      .as[Long].collect().toSeq.sorted
+    val ownCells = ownCellsPre
     val oldRows: Option[DataFrame] = if (!hasOther) None
       else Some(minusTombstones(
           cellPrune(s.read.parquet(batchesPath.toString), ownCells),
@@ -7413,14 +7573,41 @@ object PrepOps {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val f = scala.concurrent.Future(TextOps.bpeTokenCounter(mt.pin()))
+        // per-call job tag so a FAILED body can cancel the training's
+        // in-flight jobs instead of waiting a possibly hours-long
+        // training out whose result nobody will consume (ADVICE); tags
+        // are additive, the caller's group/tags are preserved. The
+        // future self-releases its pin when it dies cancelled.
+        val s = mt.sparkSession
+        val tag = "graft-bpe-train-" +
+          java.lang.Long.toHexString(bpeTrainSeq.incrementAndGet())
+        val f = scala.concurrent.Future {
+          s.sparkContext.addJobTag(tag)
+          val pinned = mt.pin()
+          try TextOps.bpeTokenCounter(pinned)
+          catch { case e: Throwable =>
+            try DedupOps.releaseLocalCheckpoint(pinned)
+            catch { case _: Throwable => () }
+            throw e
+          }
+        }
         import scala.concurrent.duration.Duration
-        try body(Some(() => scala.concurrent.Await.result(f, Duration.Inf)))
-        finally {
+        var ok = false
+        try {
+          val r = body(Some(() =>
+            scala.concurrent.Await.result(f, Duration.Inf)))
+          ok = true
+          r
+        } finally {
+          if (!ok)
+            try s.sparkContext.cancelJobsWithTag(tag)
+            catch { case _: Throwable => () }
           scala.concurrent.Await.ready(f, Duration.Inf)
           pool.shutdown()
         }
     }
+
+  private val bpeTrainSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The per-stage FUNNEL of [[corpusBuild]] — the observability every
     * production pipeline runs next to the build itself: one row per

@@ -2325,12 +2325,38 @@ object Similarity {
     val newEmb = emb.filter(bucket >= 80)
     val idxDir = graft.core.StreamStore
       .scratchRoot(s"graft-$tag-").toString
-    graft.operators.AnnOps.buildIvfPqIndex(
-      oldEmb, "vec_id", "embedding", "source", idxDir,
-      cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
     val newDir = graft.core.StreamStore
       .scratchRoot(s"graft-$tag-new-").toString
-    newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+    // the stream-source staging write (the 20% split into 3 files) and
+    // the index build are INDEPENDENT job chains over the same pinned
+    // emb — overlap them (guide §2.6; round-18). Fresh 1-thread pool
+    // from this thread so job group/tags propagate; the future is
+    // awaited on EVERY exit path before the stream (its consumer)
+    // starts.
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fNew = scala.concurrent.Future {
+        newEmb.repartition(3).write.mode("overwrite").parquet(newDir)
+      }
+      var ok = false
+      try {
+        graft.operators.AnnOps.buildIvfPqIndex(
+          oldEmb, "vec_id", "embedding", "source", idxDir,
+          cells = K, iters = 2, pqM = 4, pqKs = 4, pqIters = 2)
+        ok = true
+      } finally {
+        import scala.concurrent.duration.Duration
+        try {
+          val r = scala.concurrent.Await.ready(fNew, Duration.Inf)
+            .value.get
+          // a staging-write failure propagates only when the build
+          // succeeded — it must not MASK the build's own exception
+          if (ok) r.get
+        } finally pool.shutdown()
+      }
+    }
     val stream = s.readStream.schema(newEmb.schema)
       .option("maxFilesPerTrigger", 1).parquet(newDir)
     graft.streaming.StreamingOps.drainForeachBatch(s, stream, tag) {

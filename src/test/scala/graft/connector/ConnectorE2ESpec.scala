@@ -82,11 +82,24 @@ class ConnectorE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val filtered = df.filter(col("sample_index") >= 850L)
       .select("sample_index", "v")
     assert(filtered.count() == 150)
-    assert(df.select("v").rdd.getNumPartitions == 10,
-      "fixture broken: expected 10 segments")
-    assert(filtered.rdd.getNumPartitions == 2,
-      s"segment pruning lost: planned ${filtered.rdd.getNumPartitions} " +
-        "partitions for a 2-segment range")
+    // partition-count assertions pin SEGMENT PRUNING, so force the
+    // round-18 small-segment packing to one split per segment (open
+    // cost alone fills a bin); the default-conf packing behavior has
+    // its own test below
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    try {
+      assert(df.select("v").rdd.getNumPartitions == 10,
+        "fixture broken: expected 10 segments")
+      assert(filtered.rdd.getNumPartitions == 2,
+        s"segment pruning lost: planned ${filtered.rdd.getNumPartitions} " +
+          "partitions for a 2-segment range")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    // default conf (128 MB splits, 4 MB open cost): ten KB-sized
+    // segments pack into ONE split — the §6.1 file-packing rule — and
+    // the read stays exact
+    assert(df.select("v").rdd.getNumPartitions == 1,
+      s"tiny segments not packed: ${df.select("v").rdd.getNumPartitions}")
     // column pruning reached the scan: its output is the required set
     val scan = filtered.queryExecution.executedPlan.collectLeaves().head
     assert(scan.output.map(_.name).toSet == Set("sample_index", "v"),
