@@ -161,8 +161,6 @@ object DedupOps {
       col(bCol).cast("long").as("b")).pin()
     val edges = p.union(p.select(col("b"), col("a")))
       .toDF("src", "dst").pin()
-    var comp = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).pin()
     // convergence via sum(comp): labels only ever decrease, so the sum
     // strictly decreases iff ANY label changed — one cheap aggregate
     // per round instead of a join-against-previous. decimal(38,0) sum:
@@ -171,17 +169,69 @@ object DedupOps {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var sumPrev: java.math.BigDecimal = null
-    var sumCur = labelSum(comp)
-    while (sumPrev == null || sumCur.compareTo(sumPrev) < 0) {
-      val viaNeighbor = edges.join(comp, edges("dst") === comp("id"))
+    def step(c: DataFrame): DataFrame = {
+      val viaNeighbor = edges.join(c, edges("dst") === c("id"))
         .select(edges("src").as("id"), col("comp"))
-      comp = comp.union(viaNeighbor)
+      c.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .pin()
-      sumPrev = sumCur
-      sumCur = labelSum(comp)
     }
+    // OVERLAP LAYOUT (guide §2.6, round-18): each round used to run
+    // its pin and its convergence aggregate strictly in sequence —
+    // 2 driver-blocking jobs per round for a loop whose per-round data
+    // is cluster-sized. Both jobs read only the PREVIOUS round's
+    // pinned labels, so round i's aggregate runs CONCURRENTLY with a
+    // speculative round i+1: when the aggregate proves convergence,
+    // the speculative round computed the same fixed point (min over
+    // identical labels — deterministic and idempotent) and is awaited
+    // then released unobserved; otherwise it IS round i+1 and nothing
+    // was wasted. Superseded rounds' pins release as soon as their
+    // successor is materialized (they were never released before —
+    // a deep propagation leaked one cluster-sized pin per round).
+    // Fresh pool from this thread so job group/tags propagate.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val comp: DataFrame = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.duration.Duration
+      var cur = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).pin()
+      var fSum = scala.concurrent.Future(labelSum(cur))
+      var fNext = scala.concurrent.Future(step(cur))
+      var sumPrev: java.math.BigDecimal = null
+      var result: DataFrame = null
+      while (result == null) {
+        // both awaited, failure or not, before anything is released —
+        // lifted to Try so the first failure rethrows only after the
+        // sibling finished (the sibling-block discipline)
+        val rSum = scala.concurrent.Await.ready(fSum, Duration.Inf)
+          .value.get
+        val rNext = scala.concurrent.Await.ready(fNext, Duration.Inf)
+          .value.get
+        if (rSum.isFailure || rNext.isFailure) {
+          rNext.foreach { n =>
+            try DedupOps.releaseLocalCheckpoint(n)
+            catch { case _: Throwable => () }
+          }
+          try DedupOps.releaseLocalCheckpoint(cur)
+          catch { case _: Throwable => () }
+          throw rSum.failed.toOption.orElse(rNext.failed.toOption).get
+        }
+        val sumCur = rSum.get
+        val next = rNext.get
+        if (sumPrev != null && sumCur.compareTo(sumPrev) >= 0) {
+          DedupOps.releaseLocalCheckpoint(next) // the speculative round
+          result = cur
+        } else {
+          DedupOps.releaseLocalCheckpoint(cur) // superseded labels
+          cur = next
+          sumPrev = sumCur
+          fSum = scala.concurrent.Future(labelSum(cur))
+          fNext = scala.concurrent.Future(step(cur))
+        }
+      }
+      result
+    } finally pool.shutdown()
     comp.select(col("id"), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("is_survivor"))
   }
@@ -3700,19 +3750,35 @@ object AnnOps {
   def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String,
       batchId: Long): Unit = {
     val cast = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .pin() // tombstone-batch sized; checked then written
     // NULL-id loudness (ADVICE): a non-numeric or null id would cast
     // to NULL, never match the left-anti join, and turn the takedown
     // into a silent no-op — for a DELETE primitive that is data loss
     // of the legal kind. Zero NULLs or the whole batch rejects.
-    val nulls = cast.filter(col("id").isNull).count()
-    require(nulls == 0L,
-      s"deleteFromIndex: $nulls id(s) in '$idCol' are NULL or do not " +
-        "cast to long — a NULL tombstone matches nothing and the " +
-        "takedown silently no-ops; fix the id column and re-run")
-    cast.write.mode("overwrite")
+    // Round-18 (guide §1.2): the check is FUSED into the write as a
+    // raise_error branch on the id projection — one job instead of
+    // pin + count + write, with the identical guarantee (the write
+    // job fails before its commit, nothing lands on disk). The
+    // wrapped SparkException is rethrown as the documented
+    // IllegalArgumentException.
+    val gated = cast.select(
+      when(col("id").isNotNull, col("id"))
+        .otherwise(raise_error(lit(
+          s"deleteFromIndex: id(s) in '$idCol' are NULL or do not " +
+            "cast to long — a NULL tombstone matches nothing and the " +
+            "takedown silently no-ops; fix the id column and re-run")))
+        .cast("long").as("id"))
+    try gated.write.mode("overwrite")
       .parquet(s"$indexDir/tombstones/batch=$batchId")
-    DedupOps.releaseLocalCheckpoint(cast)
+    catch { case e: Throwable =>
+      val hit = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .find(c => c.getMessage != null &&
+          c.getMessage.contains("deleteFromIndex:"))
+      hit match {
+        case Some(c) => throw new IllegalArgumentException(c.getMessage, e)
+        case None => throw e
+      }
+    }
   }
 
   /** Repair a CRASHED maintenance run ([[compactIndex]] /
