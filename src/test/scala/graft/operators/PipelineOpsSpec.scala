@@ -1392,6 +1392,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(audit == Map(0L -> 60L, 1L -> 10L, 2L -> 10L),
       s"drift audit must see build + both appends: $audit")
+    // round-18 concurrent commit: the rows tree holds EXACTLY the
+    // committed batch dirs — the dot-prefixed temp dir the rows write
+    // stages in must be renamed away, never left as debris (a replay,
+    // dirC, exercises the delete-then-rename path twice)
+    Seq(dirA, dirB, dirC).foreach { d =>
+      val root = java.nio.file.Paths.get(
+        AnnOps.liveIndexRoot(s, d).stripPrefix("file:"), "batches")
+      val it = java.nio.file.Files.list(root).iterator()
+      val names = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) names += it.next().getFileName.toString
+      assert(names.forall(n => n.startsWith("batch=") ||
+          n.startsWith("_")),
+        s"$d: unexpected entries in batches tree: $names")
+    }
   }
 
   test("semanticIndexDriftAudit: re-ingesting the seed's vectors " +
